@@ -1,0 +1,261 @@
+"""Deterministic synthetic mini-ontologies (the broadcast dimension).
+
+Mirrors the reference data model field-for-field:
+  Term            -> /root/reference/aim2_project/aim2_ontology/models.py:163 (fields 239-253)
+  Relationship    -> models.py:811 (fields 902-920)
+  predicate vocab -> models.py:1002-1026 (closed set of 23)
+  inverse map     -> models.py:1597-1614 (16 entries inside get_inverse)
+  id format       -> ^[A-Za-z]+:\\d+$ (models.py:298, :977)
+
+Everything here is a pure function of integer indexes (no RNG), so the
+Spark pipeline, the single-process pandas oracle, and the DuckDB oracle
+SQL all reconstruct identical data.
+
+Gazetteer-surface invariant: no surface's token sequence (split on
+whitespace) is a contiguous subsequence of another surface's tokens, and
+surfaces contain only [a-z0-9 ] — this makes word-boundary regex matching,
+leftmost-longest Aho-Corasick-style matching, and SQL `regexp_matches`
+containment all agree exactly (asserted in tests/test_ontology_data.py).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+# --- closed predicate vocabulary (reference models.py:1002-1026) ---
+PREDICATES = [
+    "is_a", "part_of", "has_part", "has_role", "participates_in",
+    "located_in", "derives_from", "derives_to", "regulates", "regulated_by",
+    "catalyzes", "catalyzed_by", "accumulates_in", "accumulates", "affects",
+    "involved_in", "upregulates", "upregulated_by", "downregulates",
+    "downregulated_by", "made_via", "occurs_in", "contains",
+]
+
+# inverse-predicate map (reference models.py:1597-1614); is_a has no inverse
+INVERSE_PREDICATES = {
+    "part_of": "has_part", "has_part": "part_of",
+    "regulates": "regulated_by", "regulated_by": "regulates",
+    "upregulates": "upregulated_by", "upregulated_by": "upregulates",
+    "downregulates": "downregulated_by", "downregulated_by": "downregulates",
+    "catalyzes": "catalyzed_by", "catalyzed_by": "catalyzes",
+    "derives_from": "derives_to", "derives_to": "derives_from",
+    "located_in": "contains", "contains": "located_in",
+    "accumulates_in": "accumulates", "accumulates": "accumulates_in",
+}
+
+# --- base vocabularies (disjoint across namespaces; no TPC-H word-soup
+# tokens, so surfaces never occur accidentally in the driver corpus) ---
+_CHEM_BASE = [
+    "glucose", "sucrose", "fructose", "maltose", "trehalose", "raffinose",
+    "quercetin", "kaempferol", "anthocyanin", "catechin", "resveratrol",
+    "caffeine", "theobromine", "citrate", "malate", "pyruvate",
+    "oxaloacetate", "serine", "glycine", "proline", "alanine", "valine",
+    "leucine", "cellulose", "lignin", "pectin", "amylose", "chlorophyll",
+    "carotene", "xanthophyll", "tocopherol", "ascorbate", "glutathione",
+    "auxin", "cytokinin", "gibberellin", "jasmonate", "salicylate",
+    "abscisate", "zeatin",
+]
+_CHEM_PREFIX = ["methyl", "ethyl", "hydroxy", "acetyl", "phospho"]
+
+_PROC_BASE = [
+    "photosynthesis", "glycolysis", "respiration", "transpiration",
+    "germination", "flowering", "senescence", "fermentation", "budding",
+    "ripening", "abscission", "dormancy", "nodulation", "pollination",
+    "tillering", "lignification", "vernalization", "photorespiration",
+    "nitrification", "denitrification",
+]
+_PROC_PREFIX = ["micro", "macro", "pre", "post", "co"]
+
+_ANAT_BASE = [
+    "leaf", "root", "stem", "flower", "seed", "fruit", "xylem", "phloem",
+    "epidermis", "mesophyll", "stomata", "cuticle", "pericarp", "endosperm",
+    "embryo", "cotyledon", "petiole", "sepal", "stamen", "pistil",
+    "trichome", "cortex", "pith", "cambium", "rhizome",
+]
+_ANAT_PREFIX = ["proto", "meta", "inter", "intra", "peri"]
+
+_TAXON_BASE = [
+    "arabidopsis", "oryza", "zea", "solanum", "triticum", "hordeum",
+    "medicago", "populus", "vitis", "nicotiana", "physcomitrella",
+    "chlamydomonas", "selaginella", "brachypodium", "setaria", "sorghum",
+    "manihot", "cucumis", "citrullus", "fragaria", "malus", "prunus",
+    "rosa", "helianthus", "lactuca",
+]
+
+# curated synonyms (reference-style: glucose/dextrose, models.py:49-142);
+# "hexose sugar" is deliberately shared by glucose+fructose to exercise the
+# 1:N synonym index join (reference find_terms_by_synonym models.py:2886)
+_SYNONYMS = {
+    "glucose": ["dextrose", "grape sugar", "hexose sugar"],
+    "fructose": ["levulose", "hexose sugar"],
+    "sucrose": ["cane sugar"],
+    "ascorbate": ["vitamin c"],
+    "caffeine": ["guaranine"],
+    "carotene": ["provitamin a"],
+    "auxin": ["growth hormone"],
+    "leaf": ["foliage organ"],
+    "flowering": ["anthesis"],
+    "arabidopsis": ["thale cress"],
+}
+
+_NAMESPACE_SPECS = [
+    # (ontology_id, id_prefix, id_base, namespace, base, prefixes, n_total)
+    ("CHEBI", "CHEBI", 10000, "chemical", _CHEM_BASE, _CHEM_PREFIX, 150),
+    ("GO", "GO", 20000, "biological_process", _PROC_BASE, _PROC_PREFIX, 120),
+    ("PO", "PO", 30000, "anatomy", _ANAT_BASE, _ANAT_PREFIX, 125),
+    ("TAXON", "TAXON", 40000, "organism", _TAXON_BASE, [], 25),
+]
+
+
+def _gen_names(base: list[str], prefixes: list[str], n: int) -> list[str]:
+    names = list(base)
+    # merged (no internal word boundary) so word-boundary regexes for the
+    # base name never fire inside the combo; prefix-major order so all
+    # (prefix, base) pairs are distinct
+    for p in prefixes:
+        for b in base:
+            if len(names) >= n:
+                return names
+            cand = p + b
+            if cand not in names:
+                names.append(cand)
+    if len(names) < n:
+        raise ValueError(f"vocabulary too small: {len(names)} < {n}")
+    return names[:n]
+
+
+@lru_cache(maxsize=1)
+def terms() -> list[dict]:
+    """All ontology terms as dicts matching the Term schema (SURVEY §1.1)."""
+    out = []
+    for ont_id, pfx, base_id, ns, base, prefixes, n in _NAMESPACE_SPECS:
+        names = _gen_names(base, prefixes, n)
+        for i, name in enumerate(names):
+            tid = f"{pfx}:{base_id + i + 1}"
+            obsolete = (i % 20 == 7) and i > 0
+            out.append({
+                "id": tid,
+                "name": name,
+                "definition": f"synthetic {ns} term {name}",
+                "synonyms": list(_SYNONYMS.get(name, [])),
+                "namespace": ns,
+                "is_obsolete": obsolete,
+                "replaced_by": f"{pfx}:{base_id + i}" if obsolete else None,
+                "alt_ids": [f"ALT:{base_id + i + 1}"] if i % 9 == 0 else [],
+                "xrefs": [f"EXT:{(base_id + i) % 97}"] if i % 11 == 0 else [],
+                "parents": [f"{pfx}:{base_id + (i // 3) + 1}"] if i > 0 else [],
+                "ontology_id": ont_id,
+            })
+    return out
+
+
+@lru_cache(maxsize=1)
+def relationships() -> list[dict]:
+    """Ontology edges matching the Relationship schema (SURVEY §1.1).
+
+    Includes: is_a backbone (reference extract_relationships keeps only
+    subClassOf->is_a, parsers/__init__.py:3686), part_of pairs for the
+    inverse map, regulates/catalyzes/accumulates_in sprinkles, sub-threshold
+    confidence rows (trimmer min_confidence, ontology_trimmer.py:651),
+    a deliberate 2-cycle (validators.py:253), dangling refs and exact
+    duplicates (models.py:2568/2592).
+    """
+    ts = terms()
+    by_ont: dict[str, list[dict]] = {}
+    for t in ts:
+        by_ont.setdefault(t["ontology_id"], []).append(t)
+    rows = []
+    rid = [0]
+
+    def add(subj, pred, obj, conf, source="synthetic", ont="MIXED"):
+        rid[0] += 1
+        rows.append({
+            "id": f"REL:{rid[0]:06d}",
+            "subject": subj, "predicate": pred, "object": obj,
+            "confidence": round(conf, 2), "evidence": None,
+            "source": source, "ontology_id": ont,
+        })
+
+    # is_a backbone from parents
+    for t in ts:
+        for p in t["parents"]:
+            add(t["id"], "is_a", p, 1.0, ont=t["ontology_id"])
+    # part_of in anatomy (every 4th, non-root)
+    po = by_ont["PO"]
+    for i, t in enumerate(po):
+        if i > 0 and i % 4 == 1:
+            add(t["id"], "part_of", po[i // 4]["id"], 0.95, ont="PO")
+    # chem regulates process
+    ch, go = by_ont["CHEBI"], by_ont["GO"]
+    for i, t in enumerate(ch):
+        if i % 10 == 0:
+            add(t["id"], "regulates", go[i % len(go)]["id"], 0.9)
+        if i % 7 == 0:
+            add(t["id"], "accumulates_in", po[i % len(po)]["id"], 0.85)
+        if i % 13 == 0:
+            add(t["id"], "catalyzes", go[(i + 5) % len(go)]["id"], 0.8)
+        if i % 25 == 0:
+            # sub-threshold rows for the min_confidence filter
+            add(t["id"], "affects", go[(i + 9) % len(go)]["id"], 0.3)
+    # deliberate 2-cycle among non-is_a edges (cycle detection target)
+    add(go[5]["id"], "regulates", go[6]["id"], 0.9)
+    add(go[6]["id"], "regulates", go[5]["id"], 0.9)
+    # dangling references (object term does not exist)
+    add(ch[0]["id"], "affects", "CHEBI:99999", 0.7)
+    add(go[0]["id"], "affects", "GO:99999", 0.7)
+    # exact duplicate (same s,p,o twice, different ids)
+    add(ch[1]["id"], "regulates", go[1]["id"], 0.9)
+    add(ch[1]["id"], "regulates", go[1]["id"], 0.9)
+    return rows
+
+
+@lru_cache(maxsize=1)
+def gazetteer() -> list[dict]:
+    """Exploded match-key table (surface -> term), the broadcast side of the
+    mention-linking join. Mirrors the reference's _name_index/_synonym_index
+    (models.py:3196-3242): keys are lower/trimmed; obsolete terms excluded
+    (include_deprecated default false, configs/default_config.yaml:75)."""
+    rows = []
+    for t in terms():
+        if t["is_obsolete"]:
+            continue
+        rows.append({"surface": t["name"], "term_id": t["id"],
+                     "match_kind": "name", "namespace": t["namespace"],
+                     "ontology_id": t["ontology_id"]})
+        for s in t["synonyms"]:
+            rows.append({"surface": s, "term_id": t["id"],
+                         "match_kind": "synonym", "namespace": t["namespace"],
+                         "ontology_id": t["ontology_id"]})
+    return rows
+
+
+@lru_cache(maxsize=1)
+def surfaces() -> list[str]:
+    """Unique match surfaces, sorted — the injection alphabet for the
+    synthetic corpus and the alternation alphabet for the NER automaton."""
+    return sorted({g["surface"] for g in gazetteer()})
+
+
+# match-kind priority for entity-linking disambiguation (name beats synonym,
+# mirroring the reference's exact-name-first lookup order models.py:2812-2918);
+# ties broken by min term_id. Single place both engines encode the rule.
+MATCH_KIND_RANK = {"name": 3, "synonym": 2, "alt_id": 1}
+
+# the 7 predicate phrases the synthetic corpus embeds, phrase -> predicate.
+# Relation extraction (stage 2) detects these between two mentions.
+PREDICATE_PHRASES = [
+    ("is located in", "located_in"),
+    ("accumulates in", "accumulates_in"),
+    ("is part of", "part_of"),
+    ("catalyzes", "catalyzes"),
+    ("regulates", "regulates"),
+    ("affects", "affects"),
+    ("is a", "is_a"),
+]
+
+
+def alternation(words: list[str]) -> str:
+    """Shared regex-alternation builder: longest-first so leftmost-first
+    engines (Python re, RE2) behave leftmost-longest. Used verbatim by the
+    Spark NER stage, the pandas oracle, and the DuckDB oracle SQL."""
+    return "|".join(sorted(words, key=lambda w: (-len(w), w)))
