@@ -1,0 +1,93 @@
+"""Query registry — the driver-facing API surface.
+
+Each entry mirrors an operator family from SURVEY.md §2 and pairs with a
+DuckDB oracle in oracle_sqls.py. Callables take (spark, sf_dir) and return
+a DataFrame whose column names match the oracle exactly (the driver's
+compare sorts columns by name before value-hashing).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .corpus import documents_interleaved, spans_exploded
+from .operators.gazetteer import gazetteer_df
+from .operators.linking import link_mentions
+from .operators.ner import detect_mentions
+from .operators.relations import dedup_triples, extract_triples
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _linked_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spans = spans_exploded(spark, sf_dir)
+    return link_mentions(detect_mentions(spans), gazetteer_df(spark))
+
+
+def triples_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spans = spans_exploded(spark, sf_dir)
+    return extract_triples(spans, _linked_mentions(spark, sf_dir))
+
+
+# --- individual queries ----------------------------------------------------
+
+def q_interleaved_documents(spark, sf_dir):
+    return spans_exploded(spark, sf_dir)
+
+
+def q_span_integrity(spark, sf_dir):
+    """Per-doc span-sequence sanity: counts by kind + offset envelope
+    (the (kind,text,media_ref,order) invariant's aggregate shadow)."""
+    sp = spans_exploded(spark, sf_dir)
+    return sp.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.when(F.col("kind") == "text", 1).otherwise(0)).alias("n_text"),
+        F.sum(F.when(F.col("kind").isin("figure", "table"), 1).otherwise(0)
+              ).alias("n_media"),
+        F.max("offset").alias("max_offset"),
+        F.min("offset").alias("min_offset"))
+
+
+def q_ner_mentions(spark, sf_dir):
+    spans = spans_exploded(spark, sf_dir)
+    return detect_mentions(spans).select("doc_id", "kind", "surface").distinct()
+
+
+def q_entity_linking(spark, sf_dir):
+    return (_linked_mentions(spark, sf_dir)
+            .select("doc_id", "surface", "term_id", "match_kind").distinct())
+
+
+def q_triples(spark, sf_dir):
+    return triples_df(spark, sf_dir).select(
+        "doc_id", "subject", "predicate", "object", "subject_type",
+        "object_type", "confidence", "evidence", "triple_id")
+
+
+def q_triples_dedup(spark, sf_dir):
+    return dedup_triples(triples_df(spark, sf_dir))
+
+
+def q_predicate_counts(spark, sf_dir):
+    return triples_df(spark, sf_dir).groupBy("predicate").agg(
+        F.count("*").alias("n"))
+
+
+def queries() -> dict[str, QueryFn]:
+    return {
+        "interleaved_documents": q_interleaved_documents,
+        "span_integrity": q_span_integrity,
+        "ner_mentions": q_ner_mentions,
+        "entity_linking": q_entity_linking,
+        "triples": q_triples,
+        "triples_dedup": q_triples_dedup,
+        "predicate_counts": q_predicate_counts,
+    }
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: the end-to-end KG-construction query at sf0.001."""
+    return q_triples(spark, "/root/testdata/sf0.001")

@@ -239,6 +239,6 @@ sp AS (
 spans AS (
   SELECT doc AS doc_id,
          CAST(row_number() OVER (PARTITION BY doc ORDER BY seq) - 1 AS INT) AS pos,
-         kind, stext AS text, media_ref, CAST(off AS INT) AS offset
+         kind, stext AS text, media_ref, CAST(off AS INT) AS "offset"
   FROM sp
 )""".strip()

@@ -1,0 +1,88 @@
+"""Gazetteer construction — the broadcast match-key dimension.
+
+Reference semantics: the Ontology hash indexes `_name_index` /
+`_synonym_index` / `_alt_id_index` (models.py:3134-3296, lookups
+models.py:2849/2886/2954) are dict lookups that are broadcast hash joins
+in disguise (SURVEY §2.3). Here the exploded (surface, term_id,
+match_kind) table *is* the index; Spark broadcasts it under
+autoBroadcastJoinThreshold and every mention->term lookup becomes a BHJ.
+
+Keys are normalized lower/trim exactly as the reference index build does
+(models.py:3196-3242); obsolete terms are excluded unless requested
+(include_deprecated default false, configs/default_config.yaml:75).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import ontology_data as OD
+
+GAZ_SCHEMA = ("surface string, term_id string, match_kind string, "
+              "namespace string, ontology_id string, rank int")
+
+TERMS_SCHEMA = (
+    "id string, name string, definition string, synonyms array<string>, "
+    "namespace string, is_obsolete boolean, replaced_by string, "
+    "alt_ids array<string>, xrefs array<string>, parents array<string>, "
+    "ontology_id string")
+
+RELS_SCHEMA = ("id string, subject string, predicate string, object string, "
+               "confidence double, evidence string, source string, "
+               "ontology_id string")
+
+
+def terms_df(spark: SparkSession) -> DataFrame:
+    rows = [tuple(t.values()) for t in OD.terms()]
+    return spark.createDataFrame(rows, TERMS_SCHEMA)
+
+
+def relationships_df(spark: SparkSession) -> DataFrame:
+    rows = [tuple(r.values()) for r in OD.relationships()]
+    return spark.createDataFrame(rows, RELS_SCHEMA)
+
+
+def gazetteer_df(spark: SparkSession) -> DataFrame:
+    """Exploded (surface -> term) match-key table with linking priority.
+
+    Equivalent derivation from terms_df (what a production job does when
+    the ontology arrives as a table rather than constants):
+        terms.select(explode of name + synonyms) with lower(trim(key))
+    Here the deterministic constants are materialized directly so the
+    pandas oracle and DuckDB oracle share byte-identical data.
+    """
+    rows = [
+        (g["surface"], g["term_id"], g["match_kind"], g["namespace"],
+         g["ontology_id"], OD.MATCH_KIND_RANK[g["match_kind"]])
+        for g in OD.gazetteer()
+    ]
+    return spark.createDataFrame(rows, GAZ_SCHEMA)
+
+
+def gazetteer_from_terms(terms: DataFrame) -> DataFrame:
+    """Derive the gazetteer from an arbitrary terms table (the scale path:
+    ontology loaded from OBO/OWL/CSV into a table, exploded, broadcast).
+
+    Mirrors _build_indexes (models.py:3134): name index + synonym index,
+    lower/trimmed keys, obsolete excluded."""
+    live = terms.filter(~F.col("is_obsolete"))
+    names = live.select(
+        F.lower(F.trim("name")).alias("surface"), F.col("id").alias("term_id"),
+        F.lit("name").alias("match_kind"), "namespace", "ontology_id",
+        F.lit(OD.MATCH_KIND_RANK["name"]).alias("rank"))
+    syns = live.select(
+        F.explode("synonyms").alias("syn"), F.col("id").alias("term_id"),
+        "namespace", "ontology_id"
+    ).select(
+        F.lower(F.trim("syn")).alias("surface"), "term_id",
+        F.lit("synonym").alias("match_kind"), "namespace", "ontology_id",
+        F.lit(OD.MATCH_KIND_RANK["synonym"]).alias("rank"))
+    return names.unionByName(syns)
+
+
+def alt_id_index(terms: DataFrame) -> DataFrame:
+    """alt_id -> term equi-join dimension (find_term_by_alt_id,
+    models.py:2954)."""
+    return terms.select(
+        F.explode("alt_ids").alias("alt_id"), F.col("id").alias("term_id"))

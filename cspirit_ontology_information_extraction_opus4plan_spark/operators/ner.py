@@ -1,0 +1,94 @@
+"""NER mention detection — sanctioned Arrow stage #1 (SURVEY §2.10).
+
+Reference semantics: exact-name / synonym dictionary matching against the
+ontology indexes (find_terms_by_name models.py:2849, find_terms_by_synonym
+models.py:2886, substring search find_terms models.py:2812). The reference
+walks Python dicts per string; here a single vectorized `mapInPandas` pass
+scans each span once with a compiled leftmost-longest automaton.
+
+Matching semantics (shared with the pandas oracle and the DuckDB oracle):
+  * word-boundary (\\b) matches over lower-cased text;
+  * leftmost-longest, non-overlapping — realized by a single alternation
+    regex with alternatives sorted longest-first (ontology_data.alternation),
+    which makes Python `re`, RE2 (DuckDB) and an Aho-Corasick automaton all
+    agree because the gazetteer is token-substring-free (asserted in tests).
+
+Scale notes:
+  * the automaton compiles once per executor process (module-level cache),
+    amortized over all Arrow batches — never per row (SURVEY §4.3). On a
+    real cluster the surface list ships with --py-files (deterministic
+    constants) or as a SparkContext.broadcast of the gazetteer snapshot.
+  * input is column-pruned before the Arrow boundary: only
+    (doc_id, pos, kind, text) cross into Python; spans.media_ref/offset
+    never pay the serialization cost.
+  * NER applies to kind in ('text','figure','table') — captions contribute
+    mentions (figure/table caption extraction, pdf_parser.py:1356,
+    xml_parser.py:2302/2372); references do not.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+from functools import lru_cache
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..ontology_data import alternation, surfaces
+
+MENTION_SCHEMA = ("doc_id string, pos int, kind string, m_off int, "
+                  "surface string")
+
+NER_KINDS = ("text", "figure", "table")
+
+
+@lru_cache(maxsize=4)
+def _compiled(surface_tuple: tuple[str, ...]) -> re.Pattern:
+    return re.compile(r"\b(" + alternation(list(surface_tuple)) + r")\b")
+
+
+def ner_pattern() -> str:
+    """The exact pattern string; shared with the DuckDB oracle SQL."""
+    return r"\b(" + alternation(surfaces()) + r")\b"
+
+
+def _ner_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    pat = _compiled(tuple(surfaces()))
+    for pdf in batches:
+        doc_ids, poss, kinds, offs, surfs = [], [], [], [], []
+        for doc_id, pos, kind, text in zip(
+                pdf["doc_id"], pdf["pos"], pdf["kind"], pdf["text"]):
+            if text:
+                for m in pat.finditer(text.lower()):
+                    doc_ids.append(doc_id)
+                    poss.append(pos)
+                    kinds.append(kind)
+                    offs.append(m.start())
+                    surfs.append(m.group(1))
+        yield pd.DataFrame({
+            "doc_id": doc_ids, "pos": poss, "kind": kinds,
+            "m_off": offs, "surface": surfs})
+
+
+def detect_mentions(spans: DataFrame) -> DataFrame:
+    """spans(doc_id, pos, kind, text, ...) -> mentions(doc_id, pos, kind,
+    m_off, surface). One Arrow crossing; everything before and after stays
+    JVM-side."""
+    pruned = spans.filter(F.col("kind").isin(*NER_KINDS)) \
+                  .select("doc_id", "pos", "kind", "text")
+    return pruned.mapInPandas(_ner_batches, schema=MENTION_SCHEMA)
+
+
+def oracle_mentions(spans_pdf: pd.DataFrame) -> pd.DataFrame:
+    """Single-process pandas oracle for the P/R harness (SURVEY §5):
+    identical semantics, independent implementation path."""
+    pat = _compiled(tuple(surfaces()))
+    rows = []
+    for r in spans_pdf.itertuples(index=False):
+        if r.kind in NER_KINDS and r.text:
+            for m in pat.finditer(r.text.lower()):
+                rows.append((r.doc_id, r.pos, r.kind, m.start(), m.group(1)))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "pos", "kind", "m_off", "surface"])
