@@ -14,7 +14,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .corpus import documents_interleaved, spans_exploded
-from .operators.gazetteer import gazetteer_df
+from .operators.canonicalize import (canonical_mapping, canonical_triples,
+                                     equivalence_edges)
+from .operators.gazetteer import gazetteer_df, terms_df
 from .operators.linking import link_mentions
 from .operators.ner import detect_mentions
 from .operators.relations import dedup_triples, extract_triples
@@ -76,6 +78,19 @@ def q_predicate_counts(spark, sf_dir):
         F.count("*").alias("n"))
 
 
+def q_equivalence_edges(spark, sf_dir):
+    return equivalence_edges(terms_df(spark))
+
+
+def q_canonical_entities(spark, sf_dir):
+    return canonical_mapping(terms_df(spark))
+
+
+def q_canonical_triples(spark, sf_dir):
+    dedup = dedup_triples(triples_df(spark, sf_dir))
+    return canonical_triples(dedup, canonical_mapping(terms_df(spark)))
+
+
 def queries() -> dict[str, QueryFn]:
     return {
         "interleaved_documents": q_interleaved_documents,
@@ -85,6 +100,9 @@ def queries() -> dict[str, QueryFn]:
         "triples": q_triples,
         "triples_dedup": q_triples_dedup,
         "predicate_counts": q_predicate_counts,
+        "entity_equivalence_edges": q_equivalence_edges,
+        "canonical_entities": q_canonical_entities,
+        "canonical_triples": q_canonical_triples,
     }
 
 

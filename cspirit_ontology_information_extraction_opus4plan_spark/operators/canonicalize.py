@@ -1,0 +1,155 @@
+"""Entity canonicalization — connected components over the equivalence graph.
+
+The reference has no CC operator (closest analog: transitive closure,
+ontology_trimmer.py:586-628); BASELINE.json's north_star mandates
+"canonicalization via connected-components (GraphFrames-style iterative
+DataFrame joins with salted keys for hub-entity skew)". This module is
+that operator, pure DataFrame API.
+
+Equivalence-edge semantics (each derivable from the reference's own data
+model, and re-derived independently by the DuckDB oracle):
+  * obsolete term -> its `replaced_by` target (Term.replaced_by,
+    models.py:246; deprecated-term redirection);
+  * two live terms sharing a normalized gazetteer surface (name or
+    synonym) — the 1:N synonym index join (_synonym_index, models.py:2886);
+  * two terms sharing an xref (Term.xrefs, models.py:249 — shared
+    cross-references identify the same external entity).
+
+Algorithm: min-label propagation to fixpoint — labels(v) starts at v;
+each round every vertex takes the min label among itself and its
+neighbors. Rounds = O(max component diameter). Per round:
+
+    prop    = edges_sym JOIN labels ON src          (label flows to dst)
+    partial = prop GROUP BY (dst, salt) MIN(label)  (map-side, salted)
+    mins    = partial GROUP BY dst MIN(label)       (final, tiny)
+    labels  = labels LEFT JOIN mins -> least(old, new)
+
+The two-phase min with `salt = pmod(xxhash64(label), S)` bounds any
+single reduce key: a hub vertex with 10^7 incoming labels at 10^12-doc
+scale splits into S partial groups before the final combine — AQE's
+skew-join split helps the join but not the aggregation, so the salt is
+explicit (SURVEY §4.1). Lineage is truncated with localCheckpoint every
+`checkpoint_every` rounds, else the loop's plan doubles per iteration.
+
+At local test scale the graph is dimension-sized; the loop, salting and
+checkpoint cadence are exactly what runs on the cluster-size graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["equivalence_edges", "connected_components", "canonical_mapping",
+           "canonical_triples"]
+
+
+def _pairs(keyed: DataFrame) -> DataFrame:
+    """keyed(key, id) -> distinct undirected pairs (src < dst) sharing key.
+    Self-join on the key; dimension-scale here, and at corpus scale the
+    same shape is a shuffle equi-join on the shared key."""
+    a = keyed.toDF("k", "src")
+    b = keyed.toDF("k", "dst")
+    return (a.join(b, "k")
+            .filter(F.col("src") < F.col("dst"))
+            .select("src", "dst").distinct())
+
+
+def equivalence_edges(terms: DataFrame) -> DataFrame:
+    """terms (TERMS_SCHEMA) -> undirected equivalence edges (src, dst)."""
+    live = terms.filter(~F.col("is_obsolete"))
+
+    surf = live.select(
+        F.explode(
+            F.array_union(
+                F.array(F.lower(F.trim("name"))),
+                F.transform("synonyms", lambda s: F.lower(F.trim(s))))
+        ).alias("k"),
+        F.col("id"))
+    xref = terms.select(F.explode("xrefs").alias("k"), F.col("id"))
+
+    repl = (terms
+            .filter(F.col("is_obsolete") & F.col("replaced_by").isNotNull())
+            .select(F.least("id", "replaced_by").alias("src"),
+                    F.greatest("id", "replaced_by").alias("dst")))
+
+    return (_pairs(surf)
+            .unionByName(_pairs(xref))
+            .unionByName(repl)
+            .distinct())
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    salt_buckets: int = 8,
+    checkpoint_every: int = 3,
+    max_iter: int = 25,
+) -> DataFrame:
+    """nodes(id) x edges(src,dst) -> (id, component) where component is the
+    min node id reachable. Deterministic; converges in O(diameter) rounds."""
+    sym = (edges.select("src", "dst")
+           .unionByName(edges.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst"))))
+    sym = sym.repartition("src").persist()
+
+    labels = nodes.select(F.col("id"), F.col("id").alias("comp"))
+    labels = labels.localCheckpoint(eager=True)
+
+    for it in range(max_iter):
+        prop = (sym.join(labels.withColumnRenamed("id", "src"), "src")
+                .select(F.col("dst").alias("id"), "comp"))
+        partial = (prop
+                   .groupBy("id", F.pmod(F.xxhash64("comp"),
+                                         F.lit(salt_buckets)).alias("_s"))
+                   .agg(F.min("comp").alias("comp")))
+        mins = partial.groupBy("id").agg(F.min("comp").alias("ncomp"))
+        new_labels = (labels.join(mins, "id", "left")
+                      .select("id",
+                              F.least("comp", F.coalesce("ncomp", "comp"))
+                              .alias("comp")))
+        new_labels = new_labels.localCheckpoint(
+            eager=True) if (it + 1) % checkpoint_every == 0 else new_labels
+
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .filter(F.col("n.comp") != F.col("o.comp"))
+                   .count())
+        labels = new_labels
+        if changed == 0:
+            break
+
+    sym.unpersist()
+    return labels.select("id", F.col("comp").alias("canonical_id"))
+
+
+def canonical_mapping(terms: DataFrame) -> DataFrame:
+    """(term_id, canonical_id) for every term in the ontology."""
+    return connected_components(
+        terms.select("id"), equivalence_edges(terms))
+
+
+def canonical_triples(triples: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Rewrite triple endpoints to canonical ids, re-dedup on the 7-tuple
+    identity (RDFTriple.__hash__ models.py:4408), drop self-loops created
+    by the merge (validate_circular_relationship models.py:1083).
+    Mapping is dimension-sized -> broadcast joins, no fact-table shuffle
+    for the rewrite itself."""
+    s_map = mapping.toDF("subject", "s_canon")
+    o_map = mapping.toDF("object", "o_canon")
+    rewritten = (triples
+                 .join(F.broadcast(s_map), "subject", "left")
+                 .join(F.broadcast(o_map), "object", "left")
+                 .select(
+                     F.coalesce("s_canon", "subject").alias("subject"),
+                     "predicate",
+                     F.coalesce("o_canon", "object").alias("object"),
+                     "subject_type", "object_type", "object_datatype",
+                     "object_language", "confidence", "support")
+                 .filter(F.col("subject") != F.col("object")))
+    key = ["subject", "predicate", "object", "subject_type", "object_type",
+           "object_datatype", "object_language"]
+    return (rewritten.groupBy(*key)
+            .agg(F.max("confidence").alias("confidence"),
+                 F.sum("support").alias("support")))

@@ -61,6 +61,65 @@ def rels_cte() -> str:
                     "ontology_id"])
 
 
+def terms_full_cte() -> str:
+    """terms_f with synonyms/xrefs as ';'-joined strings — the reference's
+    own CSV-export encoding (ontology_manager.py:1213-1233) — so the SQL
+    side re-derives exploded keys independently via string_split."""
+    rows = [
+        (_q(t["id"]), _q(t["name"]), _q(";".join(t["synonyms"])),
+         _q(";".join(t["xrefs"])), "TRUE" if t["is_obsolete"] else "FALSE",
+         _q(t["replaced_by"]))
+        for t in OD.terms()
+    ]
+    return _values(rows, "terms_f",
+                   ["id", "name", "synonyms", "xrefs", "is_obsolete",
+                    "replaced_by"])
+
+
+def cc_ctes() -> str:
+    """Equivalence edges + connected components (recursive reachability,
+    min-id label). Requires terms_f; the statement must open with
+    WITH RECURSIVE. Independent re-derivation of operators/canonicalize.py:
+    same edge semantics, different algorithm (transitive closure vs
+    iterative label propagation)."""
+    return """
+surf_k AS (
+  SELECT lower(trim(name)) AS k, id FROM terms_f WHERE NOT is_obsolete
+  UNION ALL
+  SELECT lower(trim(u.x)) AS k, id
+  FROM terms_f, unnest(string_split(synonyms, ';')) AS u(x)
+  WHERE NOT is_obsolete AND synonyms <> ''
+),
+xr_k AS (
+  SELECT u.x AS k, id FROM terms_f, unnest(string_split(xrefs, ';')) AS u(x)
+  WHERE xrefs <> ''
+),
+eq_edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT least(a.id, b.id) AS src, greatest(a.id, b.id) AS dst
+    FROM surf_k a JOIN surf_k b ON a.k = b.k AND a.id < b.id
+    UNION
+    SELECT least(a.id, b.id), greatest(a.id, b.id)
+    FROM xr_k a JOIN xr_k b ON a.k = b.k AND a.id < b.id
+    UNION
+    SELECT least(id, replaced_by), greatest(id, replaced_by)
+    FROM terms_f WHERE is_obsolete AND replaced_by IS NOT NULL
+  ) e
+),
+eq_sym AS (
+  SELECT src AS a, dst AS b FROM eq_edges
+  UNION SELECT dst, src FROM eq_edges
+),
+reach(a, b) AS (
+  SELECT id, id FROM terms_f
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN eq_sym s ON s.a = r.b
+),
+canon AS (
+  SELECT a AS id, min(b) AS canonical_id FROM reach GROUP BY a
+)""".strip()
+
+
 def link_cte() -> str:
     """Per-surface winning candidate: argmax(rank), tie -> min term_id —
     the disambiguation rule shared with operators/linking.py."""
@@ -108,6 +167,16 @@ triples AS (
 def corpus_prefix(*extra: str) -> str:
     parts = [corpus_ctes()] + [e for e in extra if e]
     return "WITH " + ",\n".join(parts)
+
+
+def recursive_prefix(*parts: str) -> str:
+    """WITH RECURSIVE prefix for statements using cc_ctes (no corpus)."""
+    return "WITH RECURSIVE " + ",\n".join(p for p in parts if p)
+
+
+def corpus_prefix_recursive(*extra: str) -> str:
+    parts = [corpus_ctes()] + [e for e in extra if e]
+    return "WITH RECURSIVE " + ",\n".join(parts)
 
 
 # ---------------------------------------------------------------------------
@@ -163,5 +232,37 @@ GROUP BY 1,2,3,4,5,6,7"""
     sqls["predicate_counts"] = corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + """
 SELECT predicate, CAST(count(*) AS BIGINT) AS n
 FROM triples GROUP BY predicate"""
+
+    sqls["entity_equivalence_edges"] = recursive_prefix(
+        terms_full_cte(), cc_ctes()) + """
+SELECT src, dst FROM eq_edges"""
+
+    sqls["canonical_entities"] = recursive_prefix(
+        terms_full_cte(), cc_ctes()) + """
+SELECT id, canonical_id FROM canon"""
+
+    sqls["canonical_triples"] = corpus_prefix_recursive(
+        gaz_cte(), link_cte(), triples_cte(), terms_full_cte(), cc_ctes()) + """
+SELECT subject, predicate, object, subject_type, object_type,
+       object_datatype, object_language,
+       max(confidence) AS confidence,
+       CAST(sum(support) AS BIGINT) AS support
+FROM (
+  SELECT coalesce(cs.canonical_id, d.subject) AS subject,
+         d.predicate,
+         coalesce(co.canonical_id, d.object) AS object,
+         d.subject_type, d.object_type, d.object_datatype,
+         d.object_language, d.confidence, d.support
+  FROM (
+    SELECT subject, predicate, object, subject_type, object_type,
+           object_datatype, object_language,
+           max(confidence) AS confidence, count(*) AS support
+    FROM triples GROUP BY 1,2,3,4,5,6,7
+  ) d
+  LEFT JOIN canon cs ON cs.id = d.subject
+  LEFT JOIN canon co ON co.id = d.object
+) r
+WHERE subject <> object
+GROUP BY 1,2,3,4,5,6,7"""
 
     return sqls
