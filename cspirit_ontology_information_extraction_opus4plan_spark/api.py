@@ -14,9 +14,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .corpus import documents_interleaved, spans_exploded
+from .ontology_data import CLOSURE_SEEDS
+from .operators import ontology_algebra as OA
 from .operators.canonicalize import (canonical_mapping, canonical_triples,
                                      equivalence_edges)
-from .operators.gazetteer import gazetteer_df, terms_df
+from .operators.gazetteer import gazetteer_df, relationships_df, terms_df
 from .operators.linking import link_mentions
 from .operators.ner import detect_mentions
 from .operators.relations import dedup_triples, extract_triples
@@ -91,6 +93,89 @@ def q_canonical_triples(spark, sf_dir):
     return canonical_triples(dedup, canonical_mapping(terms_df(spark)))
 
 
+# --- ontology algebra (SURVEY §2.2-2.8) ------------------------------------
+
+def q_ontology_stats(spark, sf_dir):
+    return OA.ontology_stats(terms_df(spark), relationships_df(spark))
+
+
+def q_predicate_distribution(spark, sf_dir):
+    return OA.predicate_distribution(relationships_df(spark))
+
+
+def q_ontology_overlap(spark, sf_dir):
+    xrefs = terms_df(spark).select(
+        F.explode("xrefs").alias("surface"), "ontology_id")
+    return OA.ontology_overlap(xrefs)
+
+
+def q_dangling_refs(spark, sf_dir):
+    return OA.dangling_references(terms_df(spark), relationships_df(spark))
+
+
+def q_duplicate_relationships(spark, sf_dir):
+    return OA.duplicate_relationships(relationships_df(spark))
+
+
+def q_mutual_edges(spark, sf_dir):
+    return OA.mutual_edges(relationships_df(spark))
+
+
+def q_confidence_trim(spark, sf_dir):
+    return OA.trim_by_confidence(
+        terms_df(spark), relationships_df(spark), 0.5
+    ).select("id", "subject", "predicate", "object", "confidence",
+             "ontology_id")
+
+
+def q_namespace_chemical(spark, sf_dir):
+    return OA.extract_namespace(terms_df(spark), "chemical") \
+             .select("id", "name", "namespace", "ontology_id")
+
+
+def q_hierarchy_roots(spark, sf_dir):
+    return OA.hierarchy_roots(terms_df(spark), relationships_df(spark))
+
+
+def q_term_depths(spark, sf_dir):
+    return OA.bfs_depths(terms_df(spark), relationships_df(spark))
+
+
+def q_ontology_max_depth(spark, sf_dir):
+    return OA.max_depth(terms_df(spark), relationships_df(spark))
+
+
+def q_dependency_closure(spark, sf_dir):
+    seeds = spark.createDataFrame([(s,) for s in CLOSURE_SEEDS], "id string")
+    return OA.dependency_closure(
+        terms_df(spark), relationships_df(spark), seeds)
+
+
+def q_term_search(spark, sf_dir):
+    return OA.term_search(terms_df(spark), "gluc")
+
+
+def _merge_sources(spark):
+    t = terms_df(spark).select("id", "name", "namespace", "ontology_id")
+    a = t.filter(F.col("ontology_id").isin("CHEBI", "GO"))
+    b = t.filter(F.col("ontology_id").isin("GO", "PO"))
+    return a, b
+
+
+def q_merge_union(spark, sf_dir):
+    a, b = _merge_sources(spark)
+    return OA.merge_union(a, b)
+
+
+def q_merge_intersection(spark, sf_dir):
+    a, b = _merge_sources(spark)
+    return OA.merge_intersection(a, b)
+
+
+def q_inverse_edges(spark, sf_dir):
+    return OA.expand_inverse_edges(relationships_df(spark))
+
+
 def queries() -> dict[str, QueryFn]:
     return {
         "interleaved_documents": q_interleaved_documents,
@@ -103,6 +188,22 @@ def queries() -> dict[str, QueryFn]:
         "entity_equivalence_edges": q_equivalence_edges,
         "canonical_entities": q_canonical_entities,
         "canonical_triples": q_canonical_triples,
+        "ontology_stats": q_ontology_stats,
+        "predicate_distribution": q_predicate_distribution,
+        "ontology_overlap": q_ontology_overlap,
+        "dangling_refs": q_dangling_refs,
+        "duplicate_relationships": q_duplicate_relationships,
+        "mutual_edges": q_mutual_edges,
+        "confidence_trim": q_confidence_trim,
+        "namespace_chemical": q_namespace_chemical,
+        "hierarchy_roots": q_hierarchy_roots,
+        "term_depths": q_term_depths,
+        "ontology_max_depth": q_ontology_max_depth,
+        "dependency_closure": q_dependency_closure,
+        "term_search": q_term_search,
+        "merge_union": q_merge_union,
+        "merge_intersection": q_merge_intersection,
+        "inverse_edges": q_inverse_edges,
     }
 
 

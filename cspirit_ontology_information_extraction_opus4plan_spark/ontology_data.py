@@ -236,6 +236,10 @@ def surfaces() -> list[str]:
     return sorted({g["surface"] for g in gazetteer()})
 
 
+# seed ids for the dependency-closure query (deep leaves; shared between
+# the Spark frontier loop and the DuckDB recursive-CTE oracle)
+CLOSURE_SEEDS = ["CHEBI:10100", "GO:20100", "PO:30100"]
+
 # match-kind priority for entity-linking disambiguation (name beats synonym,
 # mirroring the reference's exact-name-first lookup order models.py:2812-2918);
 # ties broken by min term_id. Single place both engines encode the rule.

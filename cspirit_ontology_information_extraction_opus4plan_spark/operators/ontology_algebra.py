@@ -1,0 +1,300 @@
+"""Ontology algebra — trimmer / integrator / validator / statistics
+operators re-expressed as DataFrame ops (SURVEY §2.2-2.8).
+
+Reference semantics per function, cited inline. Everything here operates
+on dimension-scale tables (the ontology), but every plan is the shape a
+corpus-scale run would use: semi/anti joins instead of collected sets,
+group-aggregates instead of dict counters, iterative frontier joins
+instead of recursive DFS.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..ontology_data import INVERSE_PREDICATES
+
+# ---------------------------------------------------------------------------
+# statistics (Ontology.get_statistics, models.py:3297-3356)
+# ---------------------------------------------------------------------------
+
+
+def ontology_stats(terms: DataFrame, rels: DataFrame) -> DataFrame:
+    """Per-ontology term/relationship/obsolete counts + orphan terms
+    (terms that appear in no relationship endpoint — orphan detection,
+    models.py:2568) + avg relationships per term."""
+    endpoints = (rels.select(F.col("subject").alias("id"))
+                 .unionByName(rels.select(F.col("object").alias("id")))
+                 .distinct())
+    orphan = terms.join(endpoints, "id", "left_anti") \
+                  .groupBy("ontology_id").agg(F.count("*").alias("orphans"))
+    t = terms.groupBy("ontology_id").agg(
+        F.count("*").alias("term_count"),
+        F.sum(F.when(F.col("is_obsolete"), 1).otherwise(0))
+        .alias("obsolete_count"))
+    # relationships attributed to the subject term's ontology prefix
+    r = (rels.withColumn(
+            "ontology_id", F.substring_index("subject", ":", 1))
+         .groupBy("ontology_id").agg(F.count("*").alias("rel_count")))
+    return (t.join(r, "ontology_id", "left")
+            .join(orphan, "ontology_id", "left")
+            .select(
+                "ontology_id", "term_count", "obsolete_count",
+                F.coalesce("rel_count", F.lit(0)).alias("rel_count"),
+                F.coalesce("orphans", F.lit(0)).alias("orphans"),
+                F.round(F.coalesce("rel_count", F.lit(0))
+                        / F.col("term_count"), 6).alias("rels_per_term")))
+
+
+def predicate_distribution(rels: DataFrame) -> DataFrame:
+    """Group-by-count over the predicate vocabulary (predicate_counts leg
+    of get_statistics, models.py:3330)."""
+    return rels.groupBy("predicate").agg(F.count("*").alias("n"))
+
+
+def ontology_overlap(keyed: DataFrame) -> DataFrame:
+    """Pairwise key overlap + Jaccard between ontologies
+    (_analyze_ontology_overlap, ontology_manager.py:1746-1809).
+    `keyed` = (surface, ontology_id); callers pass shared xrefs (cross-
+    ontology external refs) or gazetteer surfaces."""
+    s = keyed.select("surface", "ontology_id").distinct()
+    sizes = s.groupBy("ontology_id").agg(F.count("*").alias("n"))
+    a = s.toDF("surface", "ont_a")
+    b = s.toDF("surface", "ont_b")
+    shared = (a.join(b, "surface")
+              .filter(F.col("ont_a") < F.col("ont_b"))
+              .groupBy("ont_a", "ont_b").agg(F.count("*").alias("shared")))
+    return (shared
+            .join(sizes.toDF("ont_a", "n_a"), "ont_a")
+            .join(sizes.toDF("ont_b", "n_b"), "ont_b")
+            .select("ont_a", "ont_b", "shared",
+                    F.round(F.col("shared")
+                            / (F.col("n_a") + F.col("n_b") - F.col("shared")),
+                            6).alias("jaccard")))
+
+
+# ---------------------------------------------------------------------------
+# validators (validators.py, models.py:2523-2618)
+# ---------------------------------------------------------------------------
+
+
+def dangling_references(terms: DataFrame, rels: DataFrame) -> DataFrame:
+    """Relationships with an endpoint that is not a known term id
+    (_check_relationship_references validators.py:233) — anti-join per
+    side, union, flagged with which side dangles."""
+    ids = terms.select("id")
+    no_subj = (rels.join(ids.withColumnRenamed("id", "subject"),
+                         "subject", "left_anti")
+               .select("id", "subject", "predicate", "object",
+                       F.lit("subject").alias("dangling_side")))
+    no_obj = (rels.join(ids.withColumnRenamed("id", "object"),
+                        "object", "left_anti")
+              .select("id", "subject", "predicate", "object",
+                      F.lit("object").alias("dangling_side")))
+    return no_subj.unionByName(no_obj)
+
+
+def duplicate_relationships(rels: DataFrame) -> DataFrame:
+    """(subject, predicate, object) groups with >1 relationship row
+    (_detect_duplicate_relationships models.py:2592)."""
+    return (rels.groupBy("subject", "predicate", "object")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > 1))
+
+
+def mutual_edges(rels: DataFrame) -> DataFrame:
+    """2-cycles among same-predicate edges (cycle detection,
+    validators.py:253; the synthetic graph plants one regulates 2-cycle).
+    Self-join on swapped endpoints; src<dst keeps one row per cycle."""
+    e = rels.select("subject", "predicate", "object").distinct()
+    rev = e.toDF("object", "predicate", "subject")
+    return (e.join(rev, ["subject", "predicate", "object"])
+            .filter(F.col("subject") < F.col("object"))
+            .select(F.col("subject").alias("a"), "predicate",
+                    F.col("object").alias("b")))
+
+
+def validate_term_ids(terms: DataFrame) -> DataFrame:
+    """Id-format validation (^[A-Za-z]+:\\d+$, models.py:298): quarantine
+    rows rather than abort (error-recovery semantics,
+    parsers/__init__.py:1059)."""
+    return terms.withColumn(
+        "id_valid", F.col("id").rlike(r"^[A-Za-z]+:\d+$"))
+
+
+# ---------------------------------------------------------------------------
+# trimmer (ontology_trimmer.py)
+# ---------------------------------------------------------------------------
+
+
+def trim_by_confidence(terms: DataFrame, rels: DataFrame,
+                       min_confidence: float = 0.5) -> DataFrame:
+    """Relationship trim: confidence >= t (ontology_trimmer.py:651-655)
+    AND both endpoints exist among kept terms (relationship-closure filter,
+    ontology_trimmer.py:629-658) — double left_semi join."""
+    ids = terms.select("id")
+    return (rels.filter(F.col("confidence") >= F.lit(min_confidence))
+            .join(ids.withColumnRenamed("id", "subject"),
+                  "subject", "left_semi")
+            .join(ids.withColumnRenamed("id", "object"),
+                  "object", "left_semi"))
+
+
+def extract_namespace(terms: DataFrame, namespace: str,
+                      include_deprecated: bool = False) -> DataFrame:
+    """Namespace projection (_extract_by_namespace ontology_trimmer.py:290)
+    + obsolete filter (include_deprecated, configs/default_config.yaml:75)."""
+    out = terms.filter(F.col("namespace") == namespace)
+    if not include_deprecated:
+        out = out.filter(~F.col("is_obsolete"))
+    return out
+
+
+def hierarchy_roots(terms: DataFrame, rels: DataFrame) -> DataFrame:
+    """Root terms = never an is_a subject (models.py:3370-3377;
+    _find_root_terms ontology_trimmer.py:697) — left_anti join."""
+    isa_subjects = rels.filter(F.col("predicate") == "is_a") \
+                       .select(F.col("subject").alias("id")).distinct()
+    return terms.join(isa_subjects, "id", "left_anti") \
+                .select("id", "name", "ontology_id")
+
+
+def bfs_depths(terms: DataFrame, rels: DataFrame,
+               max_iter: int = 32) -> DataFrame:
+    """(id, depth) = min is_a-distance from a root — the reference's
+    recursive DFS (_calculate_max_depth models.py:3359-3408) as an
+    iterative frontier join: depth 0 at roots, each round children of the
+    frontier gain depth+1 unless already labeled shallower. O(max depth)
+    rounds; frontier shrinks monotonically; localCheckpoint truncates
+    lineage like the CC loop (SURVEY §4.2)."""
+    down = (rels.filter(F.col("predicate") == "is_a")
+            .select(F.col("object").alias("parent"),
+                    F.col("subject").alias("child"))
+            .distinct().persist())
+    labeled = hierarchy_roots(terms, rels) \
+        .select("id", F.lit(0).alias("depth"))
+    frontier = labeled
+    for it in range(max_iter):
+        nxt = (down.join(frontier.withColumnRenamed("id", "parent"), "parent")
+               .select(F.col("child").alias("id"),
+                       (F.col("depth") + 1).alias("depth"))
+               .groupBy("id").agg(F.min("depth").alias("depth"))
+               .join(labeled, "id", "left_anti"))
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        labeled = labeled.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    down.unpersist()
+    return labeled
+
+
+def max_depth(terms: DataFrame, rels: DataFrame) -> DataFrame:
+    """Per-ontology max hierarchy depth (get_statistics max_depth leg,
+    models.py:3359)."""
+    depths = bfs_depths(terms, rels)
+    return (depths
+            .withColumn("ontology_id", F.substring_index("id", ":", 1))
+            .groupBy("ontology_id").agg(F.max("depth").alias("max_depth")))
+
+
+def dependency_closure(terms: DataFrame, rels: DataFrame,
+                       seeds: DataFrame, max_iter: int = 32) -> DataFrame:
+    """Ancestor closure of a seed id set over is_a — term-list extraction
+    with dependency resolution (_extract_by_term_list trimmer.py:228,
+    _resolve_dependencies :586-628). Frontier join to fixpoint."""
+    up = (rels.filter(F.col("predicate") == "is_a")
+          .select(F.col("subject").alias("child"),
+                  F.col("object").alias("parent"))
+          .distinct().persist())
+    seen = seeds.select("id").distinct()
+    frontier = seen
+    for it in range(max_iter):
+        nxt = (up.join(frontier.withColumnRenamed("id", "child"), "child")
+               .select(F.col("parent").alias("id")).distinct()
+               .join(seen, "id", "left_anti")
+               .localCheckpoint(eager=True))
+        if nxt.isEmpty():
+            break
+        seen = seen.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    up.unpersist()
+    return seen
+
+
+def term_search(terms: DataFrame, query: str) -> DataFrame:
+    """Substring search over name/definition/synonyms (find_terms,
+    models.py:2812) — the theta-join-as-filter form; matched_in reports
+    the first matching field, mirroring the reference's search order."""
+    q = query.lower()
+    name_hit = F.contains(F.lower("name"), F.lit(q))
+    def_hit = F.contains(F.lower(F.coalesce("definition", F.lit(""))),
+                         F.lit(q))
+    syn_hit = F.exists("synonyms", lambda s: F.contains(F.lower(s), F.lit(q)))
+    return (terms
+            .filter(name_hit | def_hit | syn_hit)
+            .select("id", "name",
+                    F.when(name_hit, "name")
+                     .when(def_hit, "definition")
+                     .otherwise("synonym").alias("matched_in")))
+
+
+# ---------------------------------------------------------------------------
+# integrator (ontology_integrator.py)
+# ---------------------------------------------------------------------------
+
+
+def merge_union(source_a: DataFrame, source_b: DataFrame) -> DataFrame:
+    """Union merge with priority conflict resolution
+    (_merge_union ontology_integrator.py:246; PRIORITY strategy :435):
+    same id in both -> higher-priority source wins; window row_number
+    replaces the reference's per-id dict probing."""
+    a = source_a.withColumn("priority", F.lit(1)) \
+                .withColumn("src", F.lit("A"))
+    b = source_b.withColumn("priority", F.lit(2)) \
+                .withColumn("src", F.lit("B"))
+    w = Window.partitionBy("id").orderBy(F.desc("priority"), F.asc("src"))
+    return (a.unionByName(b)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn", "priority"))
+
+
+def merge_intersection(source_a: DataFrame, source_b: DataFrame) -> DataFrame:
+    """Intersection merge (_merge_intersection ontology_integrator.py:321):
+    keep only ids present in every source, KEEP_FIRST resolution (source
+    A's row). groupBy-count beats chained intersect (one shuffle)."""
+    common = (source_a.select("id")
+              .unionByName(source_b.select("id"))
+              .groupBy("id").agg(F.count("*").alias("n"))
+              .filter(F.col("n") >= 2)
+              .select("id"))
+    return source_a.join(common, "id", "left_semi") \
+                   .withColumn("src", F.lit("A"))
+
+
+# ---------------------------------------------------------------------------
+# inverse edges (get_inverse, models.py:1576-1631)
+# ---------------------------------------------------------------------------
+
+
+def expand_inverse_edges(rels: DataFrame) -> DataFrame:
+    """Emit inverse rows (swap subject/object, map predicate, id prefixed
+    INV — models.py:1625-1631); non-invertible predicates (is_a) pass
+    through only forward."""
+    items = []
+    for k, v in sorted(INVERSE_PREDICATES.items()):
+        items.extend([F.lit(k), F.lit(v)])
+    inv_map = F.create_map(*items)
+    base = rels.select("id", "subject", "predicate", "object", "confidence")
+    inv = (base
+           .withColumn("inv_pred", inv_map[F.col("predicate")])
+           .filter(F.col("inv_pred").isNotNull())
+           .select(
+               F.concat(F.lit("INV"), F.col("id")).alias("id"),
+               F.col("object").alias("subject"),
+               F.col("inv_pred").alias("predicate"),
+               F.col("subject").alias("object"),
+               "confidence"))
+    return base.unionByName(inv)

@@ -66,14 +66,15 @@ def terms_full_cte() -> str:
     own CSV-export encoding (ontology_manager.py:1213-1233) — so the SQL
     side re-derives exploded keys independently via string_split."""
     rows = [
-        (_q(t["id"]), _q(t["name"]), _q(";".join(t["synonyms"])),
-         _q(";".join(t["xrefs"])), "TRUE" if t["is_obsolete"] else "FALSE",
-         _q(t["replaced_by"]))
+        (_q(t["id"]), _q(t["name"]), _q(t["definition"]),
+         _q(";".join(t["synonyms"])), _q(";".join(t["xrefs"])),
+         _q(t["namespace"]), "TRUE" if t["is_obsolete"] else "FALSE",
+         _q(t["replaced_by"]), _q(t["ontology_id"]))
         for t in OD.terms()
     ]
     return _values(rows, "terms_f",
-                   ["id", "name", "synonyms", "xrefs", "is_obsolete",
-                    "replaced_by"])
+                   ["id", "name", "definition", "synonyms", "xrefs",
+                    "namespace", "is_obsolete", "replaced_by", "ontology_id"])
 
 
 def cc_ctes() -> str:
@@ -264,5 +265,165 @@ FROM (
 ) r
 WHERE subject <> object
 GROUP BY 1,2,3,4,5,6,7"""
+
+    # --- ontology algebra --------------------------------------------------
+    tf, rd = terms_full_cte(), rels_cte()
+
+    sqls["ontology_stats"] = "WITH " + ",\n".join([tf, rd]) + """
+, endp AS (SELECT subject AS id FROM rels_d UNION SELECT object FROM rels_d),
+tc AS (
+  SELECT ontology_id, count(*) AS term_count,
+         sum(CASE WHEN is_obsolete THEN 1 ELSE 0 END) AS obsolete_count
+  FROM terms_f GROUP BY ontology_id),
+rc AS (
+  SELECT split_part(subject, ':', 1) AS ontology_id, count(*) AS rel_count
+  FROM rels_d GROUP BY 1),
+orph AS (
+  SELECT ontology_id, count(*) AS orphans FROM terms_f
+  WHERE id NOT IN (SELECT id FROM endp) GROUP BY ontology_id)
+SELECT tc.ontology_id,
+       CAST(term_count AS BIGINT) AS term_count,
+       CAST(obsolete_count AS BIGINT) AS obsolete_count,
+       CAST(coalesce(rel_count, 0) AS BIGINT) AS rel_count,
+       CAST(coalesce(orphans, 0) AS BIGINT) AS orphans,
+       round(CAST(coalesce(rel_count, 0) AS DOUBLE) / term_count, 6)
+         AS rels_per_term
+FROM tc LEFT JOIN rc USING (ontology_id) LEFT JOIN orph USING (ontology_id)"""
+
+    sqls["predicate_distribution"] = "WITH " + rd + """
+SELECT predicate, CAST(count(*) AS BIGINT) AS n FROM rels_d GROUP BY 1"""
+
+    sqls["ontology_overlap"] = "WITH " + tf + """
+, s AS (
+  SELECT DISTINCT u.x AS surface, ontology_id
+  FROM terms_f, unnest(string_split(xrefs, ';')) AS u(x) WHERE xrefs <> ''),
+sz AS (SELECT ontology_id, count(*) AS n FROM s GROUP BY 1),
+sh AS (
+  SELECT a.ontology_id AS ont_a, b.ontology_id AS ont_b, count(*) AS shared
+  FROM s a JOIN s b ON a.surface = b.surface AND a.ontology_id < b.ontology_id
+  GROUP BY 1, 2)
+SELECT ont_a, ont_b, CAST(shared AS BIGINT) AS shared,
+       round(CAST(shared AS DOUBLE) / (na.n + nb.n - shared), 6) AS jaccard
+FROM sh JOIN sz na ON na.ontology_id = ont_a
+        JOIN sz nb ON nb.ontology_id = ont_b"""
+
+    sqls["dangling_refs"] = "WITH " + ",\n".join([tf, rd]) + """
+SELECT id, subject, predicate, object, 'subject' AS dangling_side
+FROM rels_d WHERE subject NOT IN (SELECT id FROM terms_f)
+UNION ALL
+SELECT id, subject, predicate, object, 'object' AS dangling_side
+FROM rels_d WHERE object NOT IN (SELECT id FROM terms_f)"""
+
+    sqls["duplicate_relationships"] = "WITH " + rd + """
+SELECT subject, predicate, object, CAST(count(*) AS BIGINT) AS n
+FROM rels_d GROUP BY 1, 2, 3 HAVING count(*) > 1"""
+
+    sqls["mutual_edges"] = "WITH " + rd + """
+, e AS (SELECT DISTINCT subject, predicate, object FROM rels_d)
+SELECT a.subject AS a, a.predicate, a.object AS b
+FROM e a JOIN e b
+  ON a.subject = b.object AND a.object = b.subject
+ AND a.predicate = b.predicate
+WHERE a.subject < a.object"""
+
+    sqls["confidence_trim"] = "WITH " + ",\n".join([tf, rd]) + """
+SELECT r.id, r.subject, r.predicate, r.object, r.confidence, r.ontology_id
+FROM rels_d r
+WHERE r.confidence >= 0.5
+  AND r.subject IN (SELECT id FROM terms_f)
+  AND r.object  IN (SELECT id FROM terms_f)"""
+
+    sqls["namespace_chemical"] = "WITH " + tf + """
+SELECT id, name, namespace, ontology_id FROM terms_f
+WHERE namespace = 'chemical' AND NOT is_obsolete"""
+
+    roots_cte = """
+roots AS (
+  SELECT id, name, ontology_id FROM terms_f
+  WHERE id NOT IN (SELECT subject FROM rels_d WHERE predicate = 'is_a'))
+""".strip()
+
+    sqls["hierarchy_roots"] = "WITH " + ",\n".join([tf, rd, roots_cte]) + """
+SELECT id, name, ontology_id FROM roots"""
+
+    walk_cte = """
+walk(id, depth) AS (
+  SELECT id, 0 FROM roots
+  UNION
+  SELECT r.subject, w.depth + 1
+  FROM walk w JOIN rels_d r ON r.predicate = 'is_a' AND r.object = w.id
+),
+depths AS (SELECT id, CAST(min(depth) AS INT) AS depth FROM walk GROUP BY id)
+""".strip()
+
+    sqls["term_depths"] = ("WITH RECURSIVE "
+                           + ",\n".join([tf, rd, roots_cte, walk_cte])
+                           + "\nSELECT id, depth FROM depths")
+
+    sqls["ontology_max_depth"] = ("WITH RECURSIVE "
+                                  + ",\n".join([tf, rd, roots_cte, walk_cte])
+                                  + """
+SELECT split_part(id, ':', 1) AS ontology_id,
+       CAST(max(depth) AS INT) AS max_depth
+FROM depths GROUP BY 1""")
+
+    seeds_values = ",".join(f"({_q(s)})" for s in OD.CLOSURE_SEEDS)
+    sqls["dependency_closure"] = ("WITH RECURSIVE " + rd + f"""
+, seeds(id) AS (SELECT * FROM (VALUES {seeds_values})),
+anc(id) AS (
+  SELECT id FROM seeds
+  UNION
+  SELECT r.object
+  FROM anc a JOIN rels_d r ON r.predicate = 'is_a' AND r.subject = a.id
+)
+SELECT id FROM anc""")
+
+    sqls["term_search"] = "WITH " + tf + """
+SELECT id, name,
+       CASE WHEN lower(name) LIKE '%gluc%' THEN 'name'
+            WHEN lower(coalesce(definition, '')) LIKE '%gluc%'
+              THEN 'definition'
+            ELSE 'synonym' END AS matched_in
+FROM terms_f
+WHERE lower(name) LIKE '%gluc%'
+   OR lower(coalesce(definition, '')) LIKE '%gluc%'
+   OR EXISTS (SELECT 1 FROM unnest(string_split(synonyms, ';')) AS u(x)
+              WHERE synonyms <> '' AND lower(u.x) LIKE '%gluc%')"""
+
+    merge_src = """
+src_a AS (
+  SELECT id, name, namespace, ontology_id FROM terms_f
+  WHERE ontology_id IN ('CHEBI', 'GO')),
+src_b AS (
+  SELECT id, name, namespace, ontology_id FROM terms_f
+  WHERE ontology_id IN ('GO', 'PO'))
+""".strip()
+
+    sqls["merge_union"] = "WITH " + ",\n".join([tf, merge_src]) + """
+SELECT id, name, namespace, ontology_id, src FROM (
+  SELECT u.*, row_number() OVER (
+    PARTITION BY id ORDER BY priority DESC, src ASC) AS rn
+  FROM (
+    SELECT *, 1 AS priority, 'A' AS src FROM src_a
+    UNION ALL
+    SELECT *, 2 AS priority, 'B' AS src FROM src_b
+  ) u
+) t WHERE rn = 1"""
+
+    sqls["merge_intersection"] = "WITH " + ",\n".join([tf, merge_src]) + """
+SELECT a.id, a.name, a.namespace, a.ontology_id, 'A' AS src
+FROM src_a a WHERE a.id IN (SELECT id FROM src_b)"""
+
+    inv_case = " ".join(
+        f"WHEN {_q(k)} THEN {_q(v)}"
+        for k, v in sorted(OD.INVERSE_PREDICATES.items()))
+    sqls["inverse_edges"] = "WITH " + rd + f"""
+SELECT id, subject, predicate, object, confidence FROM rels_d
+UNION ALL
+SELECT 'INV' || id AS id, object AS subject,
+       CASE predicate {inv_case} END AS predicate,
+       subject AS object, confidence
+FROM rels_d
+WHERE CASE predicate {inv_case} END IS NOT NULL"""
 
     return sqls
