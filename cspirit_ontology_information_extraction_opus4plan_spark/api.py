@@ -93,6 +93,17 @@ def q_canonical_triples(spark, sf_dir):
     return canonical_triples(dedup, canonical_mapping(terms_df(spark)))
 
 
+def q_fuzzy_linking(spark, sf_dir):
+    """Arrow stage #3: blocked broadcast candidate join + combined
+    levenshtein/trigram-jaccard scoring + deterministic top-3."""
+    from .operators.fuzzy import fuzzy_candidates
+    surfaces = detect_mentions(spans_exploded(spark, sf_dir)) \
+        .select("surface").distinct()
+    cands = gazetteer_df(spark).select(
+        F.col("surface").alias("candidate"), "term_id").distinct()
+    return fuzzy_candidates(surfaces, cands)
+
+
 # --- ontology algebra (SURVEY §2.2-2.8) ------------------------------------
 
 def q_ontology_stats(spark, sf_dir):
@@ -185,6 +196,7 @@ def queries() -> dict[str, QueryFn]:
         "triples": q_triples,
         "triples_dedup": q_triples_dedup,
         "predicate_counts": q_predicate_counts,
+        "fuzzy_linking": q_fuzzy_linking,
         "entity_equivalence_edges": q_equivalence_edges,
         "canonical_entities": q_canonical_entities,
         "canonical_triples": q_canonical_triples,

@@ -266,6 +266,44 @@ FROM (
 WHERE subject <> object
 GROUP BY 1,2,3,4,5,6,7"""
 
+    sqls["fuzzy_linking"] = corpus_prefix(gaz_cte()) + f"""
+, msurf AS (
+  SELECT DISTINCT surface FROM (
+    SELECT unnest(regexp_extract_all(lower(text), {_q(pat)}, 1)) AS surface
+    FROM spans WHERE kind IN ('text','figure','table')) t),
+cand AS (SELECT DISTINCT surface AS candidate, term_id FROM gaz),
+pairs AS (
+  SELECT m.surface, c.candidate, c.term_id,
+         length(m.surface) AS mlen, length(c.candidate) AS clen
+  FROM msurf m JOIN cand c
+    ON substring(m.surface, 1, 1) = substring(c.candidate, 1, 1)
+   AND abs(length(m.surface) - length(c.candidate)) <= 2),
+strs AS (SELECT surface AS s FROM msurf UNION SELECT candidate FROM cand),
+idx AS (SELECT CAST(t.i AS INT) AS i FROM generate_series(1, 64) t(i)),
+tg AS (
+  SELECT DISTINCT s,
+         CASE WHEN length(s) >= 3 THEN substring(s, i, 3) ELSE s END AS g
+  FROM strs JOIN idx ON i <= greatest(length(s) - 2, 1)),
+tcnt AS (SELECT s, count(*) AS n FROM tg GROUP BY s),
+inter AS (
+  SELECT a.s AS sa, b.s AS sb, count(*) AS i
+  FROM tg a JOIN tg b ON a.g = b.g GROUP BY 1, 2),
+scored AS (
+  SELECT p.surface, p.candidate, p.term_id,
+    round(((1 - CAST(levenshtein(p.surface, p.candidate) AS DOUBLE)
+                / greatest(mlen, clen))
+           + (CAST(coalesce(i.i, 0) AS DOUBLE)
+              / (ca.n + cb.n - coalesce(i.i, 0)))) / 2, 6) AS score
+  FROM pairs p
+  JOIN tcnt ca ON ca.s = p.surface
+  JOIN tcnt cb ON cb.s = p.candidate
+  LEFT JOIN inter i ON i.sa = p.surface AND i.sb = p.candidate)
+SELECT surface, candidate, term_id, score, CAST(rank AS INT) AS rank FROM (
+  SELECT scored.*, row_number() OVER (
+    PARTITION BY surface ORDER BY score DESC, term_id ASC, candidate ASC
+  ) AS rank FROM scored) r
+WHERE rank <= 3"""
+
     # --- ontology algebra --------------------------------------------------
     tf, rd = terms_full_cte(), rels_cte()
 
