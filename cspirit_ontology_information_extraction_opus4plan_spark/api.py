@@ -104,6 +104,74 @@ def q_fuzzy_linking(spark, sf_dir):
     return fuzzy_candidates(surfaces, cands)
 
 
+# --- training-data text ops (documents corpus) -----------------------------
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+
+
+def q_doc_exact_dedup(spark, sf_dir):
+    from .operators.textops import augmented_docs, exact_dedup_groups
+    return exact_dedup_groups(augmented_docs(spark, sf_dir))
+
+
+def q_doc_minhash_lsh(spark, sf_dir):
+    from .operators.textops import augmented_docs, minhash_lsh_pairs
+    return minhash_lsh_pairs(augmented_docs(spark, sf_dir))
+
+
+def q_doc_simhash_clusters(spark, sf_dir):
+    from .operators.textops import augmented_docs, simhash_clusters
+    return simhash_clusters(augmented_docs(spark, sf_dir))
+
+
+def q_doc_token_stats(spark, sf_dir):
+    from .operators.textops import token_stats
+    return token_stats(_docs(spark, sf_dir))
+
+
+def q_doc_quality(spark, sf_dir):
+    from .operators.textops import quality_scores
+    return quality_scores(_docs(spark, sf_dir))
+
+
+def q_doc_lang_id(spark, sf_dir):
+    from .operators.textops import lang_id
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from .operators.textops import fingerprints
+    return fingerprints(_docs(spark, sf_dir))
+
+
+# --- multimodal media plumbing ----------------------------------------------
+
+def q_media_features(spark, sf_dir):
+    from .operators.multimodal import (extract_media_features, fetch_media,
+                                       media_spans)
+    return extract_media_features(
+        fetch_media(media_spans(spans_exploded(spark, sf_dir))))
+
+
+def q_media_inventory(spark, sf_dir):
+    from .operators.multimodal import media_inventory
+    return media_inventory(spans_exploded(spark, sf_dir))
+
+
+# --- embedding similarity search -------------------------------------------
+
+def q_ann_topk(spark, sf_dir):
+    from .operators.similarity import brute_force_topk, load_embeddings
+    return brute_force_topk(load_embeddings(spark, sf_dir))
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    from .operators.similarity import load_embeddings, lsh_topk
+    return lsh_topk(load_embeddings(spark, sf_dir))
+
+
 # --- ontology algebra (SURVEY §2.2-2.8) ------------------------------------
 
 def q_ontology_stats(spark, sf_dir):
@@ -216,6 +284,17 @@ def queries() -> dict[str, QueryFn]:
         "merge_union": q_merge_union,
         "merge_intersection": q_merge_intersection,
         "inverse_edges": q_inverse_edges,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_minhash_lsh": q_doc_minhash_lsh,
+        "doc_simhash_clusters": q_doc_simhash_clusters,
+        "doc_token_stats": q_doc_token_stats,
+        "doc_quality": q_doc_quality,
+        "doc_lang_id": q_doc_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "ann_topk": q_ann_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "media_features": q_media_features,
+        "media_inventory": q_media_inventory,
     }
 
 

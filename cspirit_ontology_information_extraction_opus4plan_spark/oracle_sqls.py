@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from . import ontology_data as OD
 from .corpus import corpus_ctes
+from .operators import textops as TX
 from .operators.ner import ner_pattern
 
 
@@ -178,6 +179,206 @@ def recursive_prefix(*parts: str) -> str:
 def corpus_prefix_recursive(*extra: str) -> str:
     parts = [corpus_ctes()] + [e for e in extra if e]
     return "WITH RECURSIVE " + ",\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# textops CTE builders (tokenization / shingling rules mirrored from
+# operators/textops.py — same md5 + lexicographic-min hashing)
+# ---------------------------------------------------------------------------
+
+ADOC_CTE = """
+adoc AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 17 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' near duplicate copy'
+  FROM documents WHERE doc_id % 10 = 5
+)""".strip()
+
+
+def tok_cte(src: str) -> str:
+    return f"""
+tok AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     t -> t <> '') AS toks
+  FROM {src}
+)""".strip()
+
+
+def _sh_expr(w: int) -> str:
+    return (f"CASE WHEN len(toks) >= {w} THEN "
+            f"list_transform(generate_series(1, len(toks) - {w - 1}), "
+            f"i -> array_to_string(toks[i:i + {w - 1}], ' ')) "
+            f"ELSE [array_to_string(toks, ' ')] END")
+
+
+def _textops_sqls() -> dict[str, str]:
+    sqls = {}
+
+    sqls["doc_exact_dedup"] = f"WITH {ADOC_CTE}" + """
+SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS keep_doc_id
+FROM adoc GROUP BY 1 HAVING count(*) > 1"""
+
+    r = TX.MINHASH_K // TX.MINHASH_BANDS
+    mh_exprs = ",".join(
+        f"list_min(list_transform(sh, s -> md5('{i}:' || s)))"
+        for i in range(TX.MINHASH_K))
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_idx, "
+        f"md5({' || '.join(f'mh[{b * r + j + 1}]' for j in range(r))})"
+        f" AS band_key FROM sig"
+        for b in range(TX.MINHASH_BANDS))
+    sqls["doc_minhash_lsh"] = (
+        f"WITH {ADOC_CTE},\n{tok_cte('adoc')},\n"
+        f"sg AS (SELECT doc_id, {_sh_expr(TX.SHINGLE_W)} AS sh FROM tok),\n"
+        f"sig AS (SELECT doc_id, [{mh_exprs}] AS mh FROM sg),\n"
+        f"bands AS (\n{band_selects}\n),\n"
+        """cand AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id),
+sets_ AS (SELECT doc_id, list_distinct(sh) AS s FROM sg)
+SELECT a, b, jaccard FROM (
+  SELECT a, b,
+         round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+               / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))),
+               6) AS jaccard
+  FROM cand JOIN sets_ sa ON sa.doc_id = a JOIN sets_ sb ON sb.doc_id = b
+) v WHERE jaccard >= """ + str(TX.NEAR_DUP_THRESHOLD))
+
+    bits = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(td, t -> CASE WHEN "
+        f"substring(md5(t), {k + 1}, 1) >= '8' THEN 1 ELSE -1 END)) > 0 "
+        f"THEN {1 << k} ELSE 0 END)"
+        for k in range(16))
+    sqls["doc_simhash_clusters"] = (
+        f"WITH {ADOC_CTE},\n{tok_cte('adoc')},\n"
+        f"sh AS (SELECT doc_id, CAST({bits} AS INT) AS simhash "
+        f"FROM (SELECT doc_id, list_distinct(toks) AS td FROM tok) d)\n"
+        """SELECT simhash, CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS min_doc
+FROM sh GROUP BY 1 HAVING count(*) > 1""")
+
+    sqls["doc_token_stats"] = f"WITH {tok_cte('documents')}" + """
+SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+       CAST(length(text) AS INT) AS n_chars,
+       round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+             / len(toks), 6) AS avg_token_len
+FROM tok"""
+
+    stops = ",".join(_q(s) for s in TX.STOPWORDS_EN)
+    sqls["doc_quality"] = f"WITH {tok_cte('documents')}" + f"""
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_tokens,
+       round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+             / length(text), 6) AS punct_ratio,
+       round(len(list_filter(toks, t -> list_contains([{stops}], t)))
+             / len(toks), 6) AS stop_ratio,
+       round(0.4 * least(len(toks) / 100.0, 1.0)
+             + 0.3 * (1 - length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                          / length(text))
+             + 0.3 * (len(list_filter(toks, t -> list_contains([{stops}], t)))
+                      / len(toks)), 6) AS quality_score
+FROM tok"""
+
+    langs = sorted(TX.LANG_WORDLISTS)
+    hit_exprs = ",\n       ".join(
+        f"CAST(len(list_filter(toks, t -> list_contains("
+        f"[{','.join(_q(w) for w in TX.LANG_WORDLISTS[la])}], t))) AS INT)"
+        f" AS h_{la}"
+        for la in langs)
+    best = "greatest(" + ", ".join(f"h_{la}" for la in langs) + ")"
+    pred_whens = " ".join(
+        f"WHEN h_{la} = {best} THEN '{la}'" for la in langs)
+    sqls["doc_lang_id"] = (
+        f"WITH {tok_cte('documents')},\n"
+        f"h AS (SELECT doc_id,\n       {hit_exprs}\nFROM tok)\n"
+        f"SELECT doc_id,\n"
+        f"       CASE WHEN {best} < 2 THEN 'und' {pred_whens} END"
+        f" AS lang_pred,\n"
+        f"       {', '.join(f'h_{la}' for la in langs)}\nFROM h")
+
+    sqls["doc_fingerprint"] = (
+        f"WITH {tok_cte('documents')},\n"
+        f"sg AS (SELECT doc_id, {_sh_expr(TX.FP_SHINGLE_W)} AS sh FROM tok)\n"
+        "SELECT doc_id, list_min(list_transform(sh, s -> md5(s)))"
+        " AS fingerprint\nFROM sg")
+
+    return sqls
+
+
+# ---------------------------------------------------------------------------
+# embedding similarity oracles (explicit left-assoc expressions — see
+# operators/similarity.py float-parity note)
+# ---------------------------------------------------------------------------
+
+
+def _ann_sqls() -> dict[str, str]:
+    from .operators import similarity as SIM
+
+    def el(t: str, i: int) -> str:
+        return f"CAST({t}.embedding[{i + 1}] AS DOUBLE)"
+
+    def el_q(i: int) -> str:
+        return f"CAST(q.q_emb[{i + 1}] AS DOUBLE)"
+
+    n2 = " + ".join(f"{el('e', i)} * {el('e', i)}" for i in range(SIM.DIM))
+    dot = " + ".join(f"{el_q(i)} * {el('v', i)}" for i in range(SIM.DIM))
+
+    def bucket(t: str) -> str:
+        signs = SIM.plane_signs()
+        bits = []
+        for p in range(SIM.N_PLANES):
+            terms = " + ".join(
+                (el(t, i) if s > 0 else f"(-{el(t, i)})")
+                for i, s in enumerate(signs[p]))
+            bits.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << p} "
+                        f"ELSE 0 END)")
+        return " + ".join(bits)
+
+    rank_tail = f"""
+SELECT q_id, neighbor_id, round(cosine, 6) AS score,
+       CAST(rank AS INT) AS rank
+FROM (
+  SELECT q_id, neighbor_id, cosine, row_number() OVER (
+    PARTITION BY q_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored) r
+WHERE rank <= {SIM.TOP_K}""".strip()
+
+    sqls = {}
+    sqls["ann_topk"] = f"""
+WITH vn AS (
+  SELECT e.vec_id, e.embedding, ({n2}) AS n2 FROM embeddings e),
+q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb, n2 AS qn2
+  FROM vn WHERE vec_id % {SIM.QUERY_MOD} = 0),
+pairs AS (
+  SELECT q.q_id, v.vec_id AS neighbor_id, ({dot}) AS dot,
+         q.qn2, v.n2 AS vn2
+  FROM vn v JOIN q ON v.vec_id <> q.q_id),
+scored AS (
+  SELECT q_id, neighbor_id, dot / sqrt(qn2 * vn2) AS cosine FROM pairs)
+{rank_tail}""".strip()
+
+    sqls["ann_lsh_topk"] = f"""
+WITH vn AS (
+  SELECT e.vec_id, e.embedding, ({n2}) AS n2, ({bucket('e')}) AS bucket
+  FROM embeddings e),
+q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb, n2 AS qn2, bucket
+  FROM vn WHERE vec_id % {SIM.QUERY_MOD} = 0),
+pairs AS (
+  SELECT q.q_id, v.vec_id AS neighbor_id, ({dot}) AS dot,
+         q.qn2, v.n2 AS vn2
+  FROM vn v JOIN q ON v.bucket = q.bucket AND v.vec_id <> q.q_id),
+scored AS (
+  SELECT q_id, neighbor_id, dot / sqrt(qn2 * vn2) AS cosine FROM pairs)
+{rank_tail}""".strip()
+    return sqls
 
 
 # ---------------------------------------------------------------------------
@@ -463,5 +664,28 @@ SELECT 'INV' || id AS id, object AS subject,
        subject AS object, confidence
 FROM rels_d
 WHERE CASE predicate {inv_case} END IS NOT NULL"""
+
+    def hv(pos: int) -> str:
+        return f"(strpos('0123456789abcdef', substring(h, {pos}, 1)) - 1)"
+
+    sqls["media_features"] = corpus_prefix() + f"""
+, mf AS (
+  SELECT doc_id, pos, kind, media_ref, md5(media_ref) AS h
+  FROM spans WHERE kind IN ('figure', 'table') AND media_ref <> '')
+SELECT doc_id, pos, kind, media_ref,
+       CAST(64 + {hv(1)} * 16 + {hv(2)} AS INT) AS width,
+       CAST(64 + {hv(3)} * 16 + {hv(4)} AS INT) AS height,
+       CAST(1 + ({hv(5)} * 16 + {hv(6)}) % 4 AS INT) AS n_channels,
+       CAST(16 AS INT) AS content_len
+FROM mf"""
+
+    sqls["media_inventory"] = corpus_prefix() + """
+SELECT kind, CAST(count(*) AS BIGINT) AS n_media,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM spans WHERE kind IN ('figure', 'table') AND media_ref <> ''
+GROUP BY kind"""
+
+    sqls.update(_textops_sqls())
+    sqls.update(_ann_sqls())
 
     return sqls

@@ -1,0 +1,86 @@
+"""Training-data ops: dedup recall on planted duplicates, ANN sanity,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cspirit_ontology_information_extraction_opus4plan_spark.corpus import (
+    spans_exploded,
+)
+from cspirit_ontology_information_extraction_opus4plan_spark.operators import (
+    multimodal,
+    similarity,
+    textops,
+)
+
+
+@pytest.fixture(scope="module")
+def adocs(spark, sf_dir):
+    return textops.augmented_docs(spark, sf_dir).persist()
+
+
+def test_exact_dedup_finds_all_planted_copies(spark, sf_dir, adocs):
+    n_planted = adocs.filter(F.col("doc_id") >= 1000000) \
+                     .filter(F.col("doc_id") < 2000000).count()
+    groups = textops.exact_dedup_groups(adocs).collect()
+    assert len(groups) == n_planted  # source texts are all distinct
+    assert all(g["n_docs"] == 2 for g in groups)
+    # keeper is always the original (min doc_id)
+    assert all(g["keep_doc_id"] < 1000000 for g in groups)
+
+
+def test_minhash_recalls_planted_near_dups(spark, sf_dir, adocs):
+    pairs = {(r["a"], r["b"])
+             for r in textops.minhash_lsh_pairs(adocs).collect()}
+    exact_ids = [r["doc_id"] for r in
+                 adocs.filter((F.col("doc_id") % 17 == 0)
+                              & (F.col("doc_id") < 1000000)).collect()]
+    # exact copies have jaccard 1.0 and identical signatures -> always found
+    for d in exact_ids:
+        assert (d, d + 1000000) in pairs
+    # near copies (3 appended words) must be mostly recalled
+    near_ids = [r["doc_id"] for r in
+                adocs.filter((F.col("doc_id") % 10 == 5)
+                             & (F.col("doc_id") < 1000000)).collect()]
+    hit = sum((d, d + 2000000) in pairs for d in near_ids)
+    assert hit / len(near_ids) >= 0.8
+
+
+def test_simhash_identical_for_exact_copies(spark, sf_dir, adocs):
+    clusters = textops.simhash_clusters(adocs).collect()
+    n_exact = adocs.filter(F.col("doc_id") >= 1000000) \
+                   .filter(F.col("doc_id") < 2000000).count()
+    assert len(clusters) >= n_exact
+
+
+def test_ann_lsh_is_subset_of_brute_force_candidates(spark, sf_dir):
+    emb = similarity.load_embeddings(spark, sf_dir)
+    bf = similarity.brute_force_topk(emb).collect()
+    # rank-1 by brute force has the highest score per query
+    by_q = {}
+    for r in bf:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        assert all(r["neighbor_id"] != q for r in rows)
+    # LSH results agree with brute-force scores where both return a pair
+    lsh = similarity.lsh_topk(emb).collect()
+    bf_scores = {(r["q_id"], r["neighbor_id"]): r["score"] for r in bf}
+    for r in lsh:
+        k = (r["q_id"], r["neighbor_id"])
+        if k in bf_scores:
+            assert abs(bf_scores[k] - r["score"]) < 1e-9
+
+
+def test_media_decoder_gate(spark, sf_dir):
+    spans = spans_exploded(spark, sf_dir)
+    media = multimodal.fetch_media(multimodal.media_spans(spans))
+    with pytest.raises(NotImplementedError):
+        multimodal.extract_media_features(media, decoder="pil")
+    feats = multimodal.extract_media_features(media).limit(5).collect()
+    assert all(64 <= r["width"] <= 319 and r["content_len"] == 16
+               for r in feats)
