@@ -1,0 +1,122 @@
+"""Resumable triple materialization — per-partition checkpoints with
+lineage + metrics (BASELINE.json north_rule: "resumable from checkpoint
+with per-partition lineage + metrics").
+
+Reference analog: the parsers' continue-on-error / progress-reporting
+machinery (ParseResult parsers/__init__.py:392, ProgressReporter :234)
+— re-expressed as batch-idempotent partitioned writes (SURVEY §2.9):
+
+  * output partitioned by `part_id = pmod(xxhash64(doc_id), n_parts)` —
+    content-addressed, stable under retries and re-runs;
+  * ONE Spark job per (re)run covering all pending partitions, written
+    with dynamic partition overwrite (idempotent per partition — a
+    mid-job kill leaves partial partitions that the next run simply
+    overwrites);
+  * a checkpoint marker per completed partition carrying lineage
+    (inputs, parameters) + metrics (row count, wall time) — here JSON
+    files beside the output; on a cluster, rows in an Iceberg
+    `checkpoints` table with the pending set derived by anti-join;
+  * resume = rerun: pending = all partitions minus marked ones.
+
+Determinism: triple content is a pure function of (sf_dir, code), and
+ids are content-addressed (operators/relations.py), so resumed output
+is byte-identical to a single-shot run — asserted by the kill/resume
+pytest.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CKPT_DIR = "_checkpoints"
+
+
+def with_part_id(df: DataFrame, n_parts: int) -> DataFrame:
+    return df.withColumn(
+        "part_id", F.pmod(F.xxhash64("doc_id"), F.lit(n_parts)).cast("int"))
+
+
+def _marker_path(out_dir: str, part_id: int) -> str:
+    return os.path.join(out_dir, CKPT_DIR, f"part_{part_id:05d}.json")
+
+
+def completed_partitions(out_dir: str, n_parts: int) -> list[int]:
+    return [k for k in range(n_parts)
+            if os.path.exists(_marker_path(out_dir, k))]
+
+
+def pending_partitions(out_dir: str, n_parts: int) -> list[int]:
+    done = set(completed_partitions(out_dir, n_parts))
+    return [k for k in range(n_parts) if k not in done]
+
+
+def materialize_triples(
+    spark: SparkSession,
+    triples: DataFrame,
+    out_dir: str,
+    *,
+    sf_dir: str,
+    n_parts: int = 16,
+    only_parts: list[int] | None = None,
+) -> dict:
+    """Write `triples` to `out_dir` partitioned by part_id, checkpointing
+    each completed partition. Re-running resumes: completed partitions
+    are skipped (not even scanned — the pending filter prunes them).
+    `only_parts` restricts the run (the kill-simulation hook for tests).
+
+    Returns a summary dict {written: [...], skipped: [...], rows: n}."""
+    t0 = time.time()
+    pending = pending_partitions(out_dir, n_parts)
+    if only_parts is not None:
+        pending = [k for k in pending if k in only_parts]
+    done = completed_partitions(out_dir, n_parts)
+    if not pending:
+        return {"written": [], "skipped": done, "rows": 0, "wall_s": 0.0}
+
+    parted = with_part_id(triples, n_parts) \
+        .filter(F.col("part_id").isin(pending))
+
+    # one job, dynamic partition overwrite -> idempotent per partition
+    (parted
+     .repartition(len(pending), "part_id")
+     .write
+     .partitionBy("part_id")
+     .option("partitionOverwriteMode", "dynamic")
+     .mode("overwrite")
+     .parquet(out_dir))
+
+    # per-partition metrics from the written files (cheap scan of counts)
+    counts = {
+        r["part_id"]: r["n"]
+        for r in spark.read.parquet(out_dir)
+        .filter(F.col("part_id").isin(pending))
+        .groupBy("part_id").agg(F.count("*").alias("n")).collect()
+    }
+    wall = round(time.time() - t0, 3)
+    os.makedirs(os.path.join(out_dir, CKPT_DIR), exist_ok=True)
+    for k in pending:
+        marker = {
+            "part_id": k,
+            "status": "complete",
+            "metrics": {"n_rows": int(counts.get(k, 0)),
+                        "run_wall_s": wall},
+            "lineage": {
+                "input_sf_dir": sf_dir,
+                "n_parts": n_parts,
+                "partitioner": "pmod(xxhash64(doc_id), n_parts)",
+                "finished_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                             time.gmtime()),
+            },
+        }
+        tmp = _marker_path(out_dir, k) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(marker, f)
+        os.replace(tmp, _marker_path(out_dir, k))  # atomic publish
+
+    return {"written": pending, "skipped": done,
+            "rows": int(sum(counts.values())), "wall_s": wall}
