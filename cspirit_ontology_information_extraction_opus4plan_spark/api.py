@@ -146,6 +146,18 @@ def q_doc_fingerprint(spark, sf_dir):
     return fingerprints(_docs(spark, sf_dir))
 
 
+# --- serialization sinks ----------------------------------------------------
+
+def q_ntriples(spark, sf_dir):
+    from .operators.sinks import to_ntriples
+    return to_ntriples(dedup_triples(triples_df(spark, sf_dir)))
+
+
+def q_terms_csv(spark, sf_dir):
+    from .operators.sinks import terms_csv_rows
+    return terms_csv_rows(terms_df(spark))
+
+
 # --- multimodal media plumbing ----------------------------------------------
 
 def q_media_features(spark, sf_dir):
@@ -295,6 +307,8 @@ def queries() -> dict[str, QueryFn]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "media_features": q_media_features,
         "media_inventory": q_media_inventory,
+        "ntriples": q_ntriples,
+        "terms_csv": q_terms_csv,
     }
 
 

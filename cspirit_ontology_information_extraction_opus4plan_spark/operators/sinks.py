@@ -1,0 +1,115 @@
+"""Serialization sinks — N-Triples / Turtle lines, CSV / JSON exports
+(SURVEY §2.1).
+
+Reference semantics: RDFTriple.to_ntriples (models.py:4185 and :4604 —
+later definition wins) escapes backslash, quote, newline, CR, tab and
+suffixes literals with ^^<datatype> / @lang; to_turtle (models.py:4547)
+uses prefixed names. CSV export writes terms + relationships sections
+with ';'-joined synonyms (ontology_manager.py:1213-1233); JSON export
+is to_dict per model (ontology_manager.py:1196).
+
+All sinks are pure column expressions (concat/regexp_replace) feeding
+`df.write.text/csv/json` — serialization costs one codegen'd projection,
+no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _escape_literal(c: Column) -> Column:
+    """N-Triples literal escaping (models.py:4204-4212): backslash first,
+    then quote, LF, CR, TAB."""
+    c = F.regexp_replace(c, r"\\", r"\\\\")
+    c = F.regexp_replace(c, '"', r'\\"')
+    c = F.regexp_replace(c, "\n", r"\\n")
+    c = F.regexp_replace(c, "\r", r"\\r")
+    c = F.regexp_replace(c, "\t", r"\\t")
+    return c
+
+
+def _uri(kind: str, ident: Column) -> Column:
+    return F.concat(F.lit(f"<urn:{kind}:"), ident, F.lit(">"))
+
+
+def _term(ident: Column, node_type: Column, datatype: Column,
+          lang: Column, kind: str) -> Column:
+    """Serialize one node: uri | bnode (models.py:3840-3880 node types) |
+    literal with optional ^^<dt> / @lang (mutually exclusive,
+    models.py:4219-4224: language wins if both set)."""
+    literal = F.concat(
+        F.lit('"'), _escape_literal(ident), F.lit('"'),
+        F.when(lang.isNotNull(), F.concat(F.lit("@"), lang))
+         .when(datatype.isNotNull(),
+               F.concat(F.lit("^^<"), datatype, F.lit(">")))
+         .otherwise(F.lit("")))
+    return (F.when(node_type == "uri", _uri(kind, ident))
+            .when(node_type == "bnode", F.concat(F.lit("_:"), ident))
+            .otherwise(literal))
+
+
+def to_ntriples(triples: DataFrame) -> DataFrame:
+    """One N-Triples line per row: `<s> <p> o .`"""
+    line = F.concat(
+        _term(F.col("subject"), F.col("subject_type"),
+              F.lit(None).cast("string"), F.lit(None).cast("string"), "ont"),
+        F.lit(" "),
+        _uri("pred", F.col("predicate")),
+        F.lit(" "),
+        _term(F.col("object"), F.col("object_type"),
+              F.col("object_datatype"), F.col("object_language"), "ont"),
+        F.lit(" ."))
+    return triples.select(line.alias("line"))
+
+
+def to_turtle(triples: DataFrame) -> DataFrame:
+    """Prefixed-name Turtle lines (models.py:4547); ':' in local names is
+    mapped to '_' to stay within PN_LOCAL."""
+    def pn(prefix: str, c: Column) -> Column:
+        return F.concat(F.lit(prefix + ":"),
+                        F.regexp_replace(c, ":", "_"))
+    line = F.concat(
+        F.when(F.col("subject_type") == "uri", pn("ont", F.col("subject")))
+         .otherwise(F.concat(F.lit("_:"), F.col("subject"))),
+        F.lit(" "),
+        pn("pred", F.col("predicate")),
+        F.lit(" "),
+        F.when(F.col("object_type") == "uri", pn("ont", F.col("object")))
+         .when(F.col("object_type") == "bnode",
+               F.concat(F.lit("_:"), F.col("object")))
+         .otherwise(F.concat(F.lit('"'), _escape_literal(F.col("object")),
+                             F.lit('"'))),
+        F.lit(" ."))
+    return triples.select(line.alias("line"))
+
+
+def terms_csv_rows(terms: DataFrame) -> DataFrame:
+    """The reference CSV export's terms section
+    (ontology_manager.py:1229-1233): id,name,definition,synonyms
+    (';'-joined),namespace,is_obsolete."""
+    return terms.select(
+        "id", "name", "definition",
+        F.concat_ws(";", "synonyms").alias("synonyms"),
+        "namespace", "is_obsolete")
+
+
+def write_ontology_csv(terms: DataFrame, rels: DataFrame,
+                       out_dir: str) -> None:
+    """Two-table CSV export (the reference's two-section file becomes two
+    distributed CSV datasets — a single-file section sandwich does not
+    parallelize)."""
+    terms_csv_rows(terms).write.mode("overwrite") \
+        .option("header", "true").csv(f"{out_dir}/terms")
+    rels.select("id", "subject", "predicate", "object", "confidence") \
+        .write.mode("overwrite") \
+        .option("header", "true").csv(f"{out_dir}/relationships")
+
+
+def terms_json(terms: DataFrame) -> DataFrame:
+    """One JSON document per term (export_ontology_json analog,
+    ontology_manager.py:1196) — to_json(struct(*)) keeps field order."""
+    return terms.select(
+        F.to_json(F.struct(*[F.col(c) for c in terms.columns]))
+        .alias("doc"))

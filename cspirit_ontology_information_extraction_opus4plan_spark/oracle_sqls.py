@@ -665,6 +665,34 @@ SELECT 'INV' || id AS id, object AS subject,
 FROM rels_d
 WHERE CASE predicate {inv_case} END IS NOT NULL"""
 
+    sqls["ntriples"] = corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + """
+, dedup AS (
+  SELECT subject, predicate, object, subject_type, object_type,
+         object_datatype, object_language
+  FROM triples
+  GROUP BY 1,2,3,4,5,6,7)
+SELECT
+  (CASE WHEN subject_type = 'uri' THEN '<urn:ont:' || subject || '>'
+        WHEN subject_type = 'bnode' THEN '_:' || subject
+        ELSE '"' || subject || '"' END)
+  || ' ' || '<urn:pred:' || predicate || '>'
+  || ' ' ||
+  (CASE WHEN object_type = 'uri' THEN '<urn:ont:' || object || '>'
+        WHEN object_type = 'bnode' THEN '_:' || object
+        ELSE '"' || object || '"'
+             || CASE WHEN object_language IS NOT NULL
+                       THEN '@' || object_language
+                     WHEN object_datatype IS NOT NULL
+                       THEN '^^<' || object_datatype || '>'
+                     ELSE '' END
+   END)
+  || ' .' AS line
+FROM dedup"""
+
+    sqls["terms_csv"] = "WITH " + terms_full_cte() + """
+SELECT id, name, definition, synonyms, namespace, is_obsolete
+FROM terms_f"""
+
     def hv(pos: int) -> str:
         return f"(strpos('0123456789abcdef', substring(h, {pos}, 1)) - 1)"
 

@@ -1,0 +1,66 @@
+"""Serialization sinks: escaping branches, literal suffixes, CSV/JSON
+round-trips (reference to_ntriples models.py:4185, CSV export
+ontology_manager.py:1213)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cspirit_ontology_information_extraction_opus4plan_spark.operators.gazetteer import (
+    relationships_df,
+    terms_df,
+)
+from cspirit_ontology_information_extraction_opus4plan_spark.operators.sinks import (
+    terms_json,
+    to_ntriples,
+    to_turtle,
+    write_ontology_csv,
+)
+
+TRIPLE_SCHEMA = ("subject string, predicate string, object string, "
+                 "subject_type string, object_type string, "
+                 "object_datatype string, object_language string")
+
+
+def _lines(df):
+    return [r["line"] for r in df.collect()]
+
+
+def test_ntriples_literal_escaping_and_suffixes(spark):
+    rows = [
+        ("CHEBI:1", "is_a", "CHEBI:2", "uri", "uri", None, None),
+        ("CHEBI:1", "has_role", 'say "hi"\n\\x', "uri", "literal",
+         None, None),
+        ("CHEBI:1", "has_role", "42", "uri", "literal",
+         "http://www.w3.org/2001/XMLSchema#integer", None),
+        ("CHEBI:1", "has_role", "bonjour", "uri", "literal", None, "fr"),
+        ("_b0", "is_a", "CHEBI:2", "bnode", "uri", None, None),
+    ]
+    got = _lines(to_ntriples(spark.createDataFrame(rows, TRIPLE_SCHEMA)))
+    assert got[0] == "<urn:ont:CHEBI:1> <urn:pred:is_a> <urn:ont:CHEBI:2> ."
+    assert got[1] == ('<urn:ont:CHEBI:1> <urn:pred:has_role> '
+                      '"say \\"hi\\"\\n\\\\x" .')
+    assert got[2].endswith(
+        '"42"^^<http://www.w3.org/2001/XMLSchema#integer> .')
+    # language tag wins over datatype position (models.py:4219-4224)
+    assert got[3].endswith('"bonjour"@fr .')
+    assert got[4].startswith("_:_b0 ")
+
+
+def test_turtle_prefixed_names(spark):
+    rows = [("CHEBI:1", "is_a", "CHEBI:2", "uri", "uri", None, None)]
+    got = _lines(to_turtle(spark.createDataFrame(rows, TRIPLE_SCHEMA)))
+    assert got == ["ont:CHEBI_1 pred:is_a ont:CHEBI_2 ."]
+
+
+def test_csv_and_json_round_trip(spark, tmp_path):
+    out = str(tmp_path / "csv")
+    write_ontology_csv(terms_df(spark), relationships_df(spark), out)
+    terms_back = (spark.read.option("header", "true").csv(f"{out}/terms"))
+    assert terms_back.count() == terms_df(spark).count()
+    assert ";" in (terms_back.filter(F.col("id") == "CHEBI:10001")
+                   .first()["synonyms"])
+
+    docs = terms_json(terms_df(spark))
+    parsed = docs.select(F.get_json_object("doc", "$.id").alias("id"))
+    assert parsed.filter(F.col("id").isNull()).count() == 0
