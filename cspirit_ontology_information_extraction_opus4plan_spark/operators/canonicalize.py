@@ -28,8 +28,9 @@ The two-phase min with `salt = pmod(xxhash64(label), S)` bounds any
 single reduce key: a hub vertex with 10^7 incoming labels at 10^12-doc
 scale splits into S partial groups before the final combine — AQE's
 skew-join split helps the join but not the aggregation, so the salt is
-explicit (SURVEY §4.1). Lineage is truncated with localCheckpoint every
-`checkpoint_every` rounds, else the loop's plan doubles per iteration.
+explicit (SURVEY §4.1). Lineage is truncated with an eager
+localCheckpoint every round (the checkpointed frame also serves the
+convergence count), else the loop's plan doubles per iteration.
 
 At local test scale the graph is dimension-sized; the loop, salting and
 checkpoint cadence are exactly what runs on the cluster-size graph.
@@ -84,7 +85,6 @@ def connected_components(
     edges: DataFrame,
     *,
     salt_buckets: int = 8,
-    checkpoint_every: int = 3,
     max_iter: int = 25,
 ) -> DataFrame:
     """nodes(id) x edges(src,dst) -> (id, component) where component is the
@@ -105,18 +105,15 @@ def connected_components(
                                          F.lit(salt_buckets)).alias("_s"))
                    .agg(F.min("comp").alias("comp")))
         mins = partial.groupBy("id").agg(F.min("comp").alias("ncomp"))
-        new_labels = (labels.join(mins, "id", "left")
-                      .select("id",
-                              F.least("comp", F.coalesce("ncomp", "comp"))
-                              .alias("comp")))
-        new_labels = new_labels.localCheckpoint(
-            eager=True) if (it + 1) % checkpoint_every == 0 else new_labels
-
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "id")
-                   .filter(F.col("n.comp") != F.col("o.comp"))
-                   .count())
-        labels = new_labels
+        # carry the old label through, so convergence is a filter+count on
+        # the checkpointed frame — no extra old-vs-new join per round
+        stepped = (labels.join(mins, "id", "left")
+                   .select("id", F.col("comp").alias("old"),
+                           F.least("comp", F.coalesce("ncomp", "comp"))
+                           .alias("comp"))
+                   .localCheckpoint(eager=True))
+        changed = stepped.filter(F.col("comp") != F.col("old")).count()
+        labels = stepped.select("id", "comp")
         if changed == 0:
             break
 

@@ -7,31 +7,47 @@ rule shared by the Spark plan, the pandas oracle, and the DuckDB oracle:
 
     best candidate per mention = argmax(match_kind rank), tie -> min term_id
 
-realized as a window `row_number()==1` over (rank desc, term_id asc) —
-the reference's best-of pattern (_parse_with_all_formats
-reference_parser.py:480; figure dedup pdf_parser.py:1632).
+realized as an argmax aggregate: min(struct(-rank, term_id, ...)) per
+mention — the reference's best-of pattern (_parse_with_all_formats
+reference_parser.py:480; figure dedup pdf_parser.py:1632) without a
+window.
 
-Scale: gazetteer is dimension-sized (|ontology| << |corpus|) -> broadcast
-hash join, no shuffle of the mention fact table for the join itself; the
-argmax window partitions by mention key which is already well-distributed
-(doc_id dominates the key), so no skew salting is needed *here* — hub
-skew bites in connected components (canonicalize.py) instead.
+Scale / plan shape: gazetteer is dimension-sized (|ontology| <<
+|corpus|) -> broadcast hash join, no shuffle for the join itself. The
+mention table is hash-partitioned ONCE on (doc_id, pos) before the
+join; the argmax groupBy on (doc_id, pos, m_off) and the downstream
+relation-extraction join on (doc_id, pos) are both satisfied by that
+clustering (subset partitioning), so the whole
+NER -> link -> argmax -> relation join path runs on a single exchange
+of the mention table (verified in tests/test_plans.py). A row_number
+window here would add a second full shuffle on the near-unique
+(doc_id, pos, m_off) key. Hub skew bites in connected components
+(canonicalize.py), not here — doc_id dominates the partition key.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
 def link_mentions(mentions: DataFrame, gaz: DataFrame) -> DataFrame:
     """mentions(doc_id,pos,kind,m_off,surface) x gaz(surface,term_id,
-    match_kind,rank,...) -> linked mentions with the winning candidate."""
-    cand = mentions.join(F.broadcast(gaz), "surface", "inner")
-    w = (Window.partitionBy("doc_id", "pos", "m_off")
-         .orderBy(F.desc("rank"), F.asc("term_id")))
-    return (cand.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1).drop("rn"))
+    match_kind,rank,...) -> winning candidate per mention:
+    argmax(rank), tie -> min term_id (encoded as struct-min over
+    (-rank, term_id, match_kind) — total order, deterministic)."""
+    cand = (mentions.repartition("doc_id", "pos")
+            .join(F.broadcast(gaz), "surface", "inner"))
+    return (cand
+            .groupBy("doc_id", "pos", "m_off", "kind", "surface")
+            .agg(F.min(F.struct(
+                (-F.col("rank")).alias("neg_rank"),
+                F.col("term_id"),
+                F.col("match_kind"))).alias("b"))
+            .select("doc_id", "pos", "m_off", "kind", "surface",
+                    F.col("b.term_id").alias("term_id"),
+                    F.col("b.match_kind").alias("match_kind"),
+                    (-F.col("b.neg_rank")).alias("rank")))
 
 
 def candidates_scored(mentions: DataFrame, gaz: DataFrame) -> DataFrame:

@@ -120,12 +120,16 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     moves 2 longs + 32B hash, not document bodies)."""
     r = MINHASH_K // MINHASH_BANDS
     sig = docs.select("doc_id", *minhash_signature(tokens_col()))
+    # persist: the band table feeds a self-join and the shingle table two
+    # probe joins — without it Catalyst re-derives the full md5 x K x
+    # shingles pipeline once per join branch (measured 3x slower). These
+    # are narrow projections (ids + hashes), cheap to hold.
     bands = sig.select(
         "doc_id",
         F.posexplode(F.array(*[
             F.md5(F.concat(*[F.col(f"mh{b * r + j}") for j in range(r)]))
             for b in range(MINHASH_BANDS)
-        ])).alias("band_idx", "band_key"))
+        ])).alias("band_idx", "band_key")).persist()
     a = bands.toDF("a", "band_idx", "band_key")
     b = bands.toDF("b", "band_idx", "band_key")
     cand = (a.join(b, ["band_idx", "band_key"])
@@ -134,7 +138,8 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
 
     sets_ = docs.select(
         "doc_id",
-        F.array_distinct(_shingles(tokens_col(), SHINGLE_W)).alias("sh"))
+        F.array_distinct(_shingles(tokens_col(), SHINGLE_W)).alias("sh")
+    ).persist()
     out = (cand
            .join(sets_.toDF("a", "sh_a"), "a")
            .join(sets_.toDF("b", "sh_b"), "b")
