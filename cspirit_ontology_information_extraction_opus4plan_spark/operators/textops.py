@@ -41,6 +41,21 @@ SHINGLE_W = 3           # word shingle width for near-dup jaccard
 FP_SHINGLE_W = 5        # fingerprint shingle width
 NEAR_DUP_THRESHOLD = 0.5
 
+# MinHash permutation family: one md5 per shingle, then K orderings of the
+# hex string obtained by permuting the digit alphabet with `translate`
+# (identical builtin in Spark and DuckDB — the oracle shares these
+# constants via oracle_sqls). Hardcoded so the family is stable across
+# runs/engines. 12 fixed permutations of '0123456789abcdef'.
+HEX_DIGITS = "0123456789abcdef"
+MINHASH_PERMS = [
+    "97b46fe3c28da051", "d235860c9fb74a1e", "7a5836ebcd901f42",
+    "3e7c09fa65d4b182", "b1f3a0de58c62947", "5c02e84b7f1d3a96",
+    "ea415d09c3b872f6", "08d67c3fae49b215", "f42b91c7d8605e3a",
+    "61a9e5023cf4d7b8", "c8503f6b21ae97d4", "2df7b8146e0ac935",
+]
+assert len(MINHASH_PERMS) == MINHASH_K
+assert all(sorted(p) == sorted(HEX_DIGITS) for p in MINHASH_PERMS)
+
 
 def tokens_col(text: str = "text") -> Column:
     """Lowercased whitespace tokens, empties dropped — the tokenization
@@ -50,12 +65,23 @@ def tokens_col(text: str = "text") -> Column:
 
 
 def _shingles(tokens: Column, w: int) -> Column:
-    """Word w-grams joined by single spaces; whole text if shorter."""
+    """Word w-grams joined by single spaces; whole text if shorter.
+
+    O(n) construction: zip the token array with its own w-1 shifted
+    slices. The naive `transform(sequence(1, n-w+1), i -> array_join(
+    slice(tokens, i, w)))` form is a trap twice over — slice-per-element
+    is O(n^2), and `tokens` (a regex split) sits INSIDE the lambda, so
+    Spark's interpreted higher-order-function eval re-runs the split per
+    element (measured 3-4x slower at sf0.1). Here `tokens` appears only
+    at top level, once per shift."""
     n = F.size(tokens)
+    zipped = tokens
+    for k in range(1, w):
+        zipped = F.zip_with(
+            zipped, F.slice(tokens, k + 1, F.greatest(n - k, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b))
     return F.when(
-        n >= w,
-        F.transform(F.sequence(F.lit(1), n - w + 1),
-                    lambda i: F.array_join(F.slice(tokens, i, w), " "))
+        n >= w, F.slice(zipped, 1, n - w + 1)
     ).otherwise(F.array(F.array_join(tokens, " ")))
 
 
@@ -92,22 +118,27 @@ def exact_dedup_groups(docs: DataFrame) -> DataFrame:
 # --- MinHash + LSH near-dup ------------------------------------------------
 
 
-def minhash_signature(tokens: Column) -> list[Column]:
-    """K min-hashes over word shingles. Hash family: md5(i ':' shingle),
-    minimum taken lexicographically over hex strings — total order
-    identical in the JVM and every oracle engine (no integer overflow
-    semantics to reconcile)."""
-    sh = _shingles(tokens, SHINGLE_W)
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh{K-1}) via ONE md5 per distinct shingle.
 
-    # NB: closure factory, never `lambda s, i=i:` — a second (default)
-    # parameter makes Spark's HOFs pass the array *index* column into it,
-    # silently clobbering the default.
-    def mh(i: int):
-        return F.array_min(F.transform(
-            sh, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
-        ).alias(f"mh{i}")
-
-    return [mh(i) for i in range(MINHASH_K)]
+    Shape: explode distinct shingles -> base = md5(shingle) -> K permuted
+    orderings via translate(base, hex, perm_i) -> groupBy(doc_id).min
+    per i. min over a permuted-alphabet hex string is a min-hash under
+    that digit ordering; duplicates can be dropped before hashing because
+    min() ignores multiplicity. The explode+partial-agg shape is the
+    scalable one: map-side combine reduces each partition to one row per
+    doc before the shuffle, and the single-md5 family replaced a K-md5
+    family that recomputed the whole tokenize->shingle pipeline per
+    column (12x redundant work, measured 6x slower end-to-end)."""
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(_shingles(tokens_col(), SHINGLE_W)))
+        .alias("s"))
+    base = sh.select("doc_id", F.md5("s").alias("h"))
+    return base.groupBy("doc_id").agg(*[
+        F.min(F.translate("h", HEX_DIGITS, MINHASH_PERMS[i]))
+        .alias(f"mh{i}")
+        for i in range(MINHASH_K)])
 
 
 def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
@@ -119,9 +150,9 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     sets instead of carrying them through the shuffle (cheaper: band join
     moves 2 longs + 32B hash, not document bodies)."""
     r = MINHASH_K // MINHASH_BANDS
-    sig = docs.select("doc_id", *minhash_signature(tokens_col()))
+    sig = minhash_signatures(docs)
     # persist: the band table feeds a self-join and the shingle table two
-    # probe joins — without it Catalyst re-derives the full md5 x K x
+    # probe joins — without it Catalyst re-derives the full md5 x
     # shingles pipeline once per join branch (measured 3x slower). These
     # are narrow projections (ids + hashes), cheap to hold.
     bands = sig.select(
@@ -155,31 +186,33 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
 # --- SimHash ---------------------------------------------------------------
 
 
-def simhash_col(tokens: Column) -> Column:
-    """16-bit SimHash: per distinct token, hex digit k of md5(token)
-    contributes +1/-1 to bit k by its high bit (>= '8'); simhash = sum of
-    2^k over positive bits. Pure string/arith ops — identical in SQL."""
-    toks = F.array_distinct(tokens)
-
-    def contrib(k: int) -> Column:
-        return F.aggregate(
-            toks, F.lit(0),
-            lambda acc, t: acc + F.when(
-                F.substring(F.md5(t), k + 1, 1) >= "8", 1).otherwise(-1))
-
-    bits = [F.when(contrib(k) > 0, F.lit(1 << k)).otherwise(0)
-            for k in range(16)]
-    total = bits[0]
-    for c in bits[1:]:
-        total = total + c
-    return total
-
-
 def simhash_clusters(docs: DataFrame) -> DataFrame:
-    """Documents sharing a SimHash value (exact-duplicate recall demo;
-    hamming-banded pair generation is the minhash path's job)."""
-    return (docs
-            .select("doc_id", simhash_col(tokens_col()).alias("simhash"))
+    """Documents sharing a 16-bit SimHash (exact-duplicate recall demo;
+    hamming-banded pair generation is the minhash path's job).
+
+    Per distinct token, hex digit k of md5(token) contributes +1/-1 to
+    bit k by its high bit (>= '8'); simhash = sum of 2^k over positive
+    bit-sums. Shape: explode distinct tokens -> ONE md5 per token -> 16
+    signed contributions -> groupBy(doc_id).sum (map-side combinable)
+    -> bits. The single-projection `aggregate(toks, ...)` form computed
+    16 interpreted array-folds x one md5 each per row — this computes
+    one md5 per token total and keeps the agg JVM-codegen'd."""
+    tok = docs.select(
+        "doc_id",
+        F.explode_outer(F.array_distinct(tokens_col())).alias("t"))
+    h = tok.select("doc_id", F.md5("t").alias("h"))
+    contribs = h.groupBy("doc_id").agg(*[
+        F.sum(F.when(F.col("h").isNull(), 0)
+              .when(F.substring("h", k + 1, 1) >= "8", 1)
+              .otherwise(-1)).alias(f"c{k}")
+        for k in range(16)])
+    simhash = contribs.select(
+        "doc_id",
+        sum([F.when(F.col(f"c{k}") > 0, F.lit(1 << k)).otherwise(0)
+             for k in range(1, 16)],
+            F.when(F.col("c0") > 0, F.lit(1)).otherwise(0))
+        .alias("simhash"))
+    return (simhash
             .groupBy("simhash")
             .agg(F.count("*").alias("n_docs"),
                  F.min("doc_id").alias("min_doc"))

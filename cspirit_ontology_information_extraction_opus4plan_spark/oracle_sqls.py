@@ -223,18 +223,23 @@ SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_docs,
 FROM adoc GROUP BY 1 HAVING count(*) > 1"""
 
     r = TX.MINHASH_K // TX.MINHASH_BANDS
+    # same one-md5 permuted-alphabet family as minhash_signatures():
+    # base = md5(shingle); mh_i = min(translate(base, hex, perm_i))
     mh_exprs = ",".join(
-        f"list_min(list_transform(sh, s -> md5('{i}:' || s)))"
+        f"min(translate(h, '{TX.HEX_DIGITS}', '{TX.MINHASH_PERMS[i]}'))"
+        f" AS mh{i}"
         for i in range(TX.MINHASH_K))
     band_selects = "\n  UNION ALL\n".join(
         f"  SELECT doc_id, {b} AS band_idx, "
-        f"md5({' || '.join(f'mh[{b * r + j + 1}]' for j in range(r))})"
+        f"md5({' || '.join(f'mh{b * r + j}' for j in range(r))})"
         f" AS band_key FROM sig"
         for b in range(TX.MINHASH_BANDS))
     sqls["doc_minhash_lsh"] = (
         f"WITH {ADOC_CTE},\n{tok_cte('adoc')},\n"
         f"sg AS (SELECT doc_id, {_sh_expr(TX.SHINGLE_W)} AS sh FROM tok),\n"
-        f"sig AS (SELECT doc_id, [{mh_exprs}] AS mh FROM sg),\n"
+        f"shx AS (SELECT doc_id, md5(unnest(list_distinct(sh))) AS h"
+        f" FROM sg),\n"
+        f"sig AS (SELECT doc_id, {mh_exprs} FROM shx GROUP BY doc_id),\n"
         f"bands AS (\n{band_selects}\n),\n"
         """cand AS (
   SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
