@@ -5,29 +5,39 @@ random-hyperplane-LSH bucketed variant over the `embeddings` table
 No reference analog (the reference has no vector ops); this is the
 similarity-search leg of the training-data pipeline surface.
 
-Float-parity design: every dot product / norm is an *explicit
-left-associative 64-term column expression* over elements cast to
-double. Addition order is therefore fixed and identical in Spark and in
-the oracle SQL (both parse `a + b + c` left-assoc), so cosine values are
-bit-identical across engines — no nondeterministic SUM() over unnested
-rows, no implementation-defined list_sum.
+Float-parity design: every dot product / norm / projection is a
+**left-associative 64-step accumulation in float64**, evaluated as 64
+vectorized numpy elementwise ops inside an Arrow-batched kernel. Each
+numpy step is one IEEE-754 double op per lane, so the result is
+bit-identical to the oracle SQL's explicit `a0*b0 + a1*b1 + ...`
+left-assoc expression — no BLAS matmul (whose blocked accumulation
+order differs), no nondeterministic SUM() over unnested rows.
 
-Scale notes: the brute-force path broadcasts the (small) query set and
-streams the corpus once — the standard exact re-rank kernel. The LSH
-path buckets both sides by an 8-bit hyperplane signature first, turning
-the cross product into an equi-join on bucket (shuffle bounded by 256
-keys; at 10^12 scale use more planes so buckets stay executor-sized).
-Hyperplane signs are deterministic md5-derived constants compiled at
-plan-build time — shared verbatim with the oracle SQL builder.
+Scale notes: the brute-force path broadcasts the (small, assumed
+executor-memory-sized) query matrix once per executor and streams the
+corpus through a single mapInPandas Gram kernel; each Arrow batch
+prunes to its LOCAL top-k per query under the final total order
+(cosine desc, neighbor asc), so the shuffle into the global rank
+window carries only n_batches * n_queries * k rows — never the full
+pair cross product. The LSH path buckets both sides by an 8-bit
+hyperplane signature first, turning the cross product into an
+equi-join on bucket (shuffle bounded by 256 keys; at 10^12 scale use
+more planes so buckets stay executor-sized); within-bucket dots use a
+vectorized scalar pandas UDF over the joined pairs. Hyperplane signs
+are deterministic md5-derived constants compiled at plan-build time —
+shared verbatim with the oracle SQL builder.
 """
 
 from __future__ import annotations
 
 import hashlib
-from functools import reduce
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import (DoubleType, IntegerType, LongType,
+                               StructField, StructType)
 
 DIM = 64
 TOP_K = 5
@@ -45,32 +55,42 @@ def plane_signs() -> list[list[int]]:
     ]
 
 
-def _el(col: str, i: int) -> Column:
-    return F.col(col)[i].cast("double")
+# --- numpy kernels (left-assoc float64, bit-identical to the SQL) ----------
 
 
-def _dot(a: str, b: str) -> Column:
-    return reduce(lambda x, y: x + y,
-                  [_el(a, i) * _el(b, i) for i in range(DIM)])
+def _np_norm2(A: np.ndarray) -> np.ndarray:
+    acc = A[:, 0] * A[:, 0]
+    for i in range(1, DIM):
+        acc = acc + A[:, i] * A[:, i]
+    return acc
 
 
-def _norm2(a: str) -> Column:
-    return reduce(lambda x, y: x + y,
-                  [_el(a, i) * _el(a, i) for i in range(DIM)])
+def _np_dot_rows(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Row-wise dot of two (n, DIM) matrices, left-assoc per row."""
+    acc = A[:, 0] * B[:, 0]
+    for i in range(1, DIM):
+        acc = acc + A[:, i] * B[:, i]
+    return acc
 
 
-def _proj(a: str, signs: list[int]) -> Column:
-    terms = [(_el(a, i) if s > 0 else -_el(a, i))
-             for i, s in enumerate(signs)]
-    return reduce(lambda x, y: x + y, terms)
+def _np_buckets(A: np.ndarray, signs: np.ndarray) -> np.ndarray:
+    """8-bit signature per row: bit p set iff sum_i(sign[p,i]*a_i) > 0,
+    accumulated left-assoc (x + (-a) and x - a are the same IEEE op)."""
+    out = np.zeros(len(A), dtype=np.int64)
+    for p in range(N_PLANES):
+        acc = A[:, 0] * signs[p, 0]
+        for i in range(1, DIM):
+            acc = acc + A[:, i] * signs[p, i]
+        out |= (acc > 0).astype(np.int64) << p
+    return out
+
+
+def _stack(col: pd.Series) -> np.ndarray:
+    return np.stack(col.to_numpy()).astype(np.float64)
 
 
 def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-
-
-def _with_norm(df: DataFrame) -> DataFrame:
-    return df.select("vec_id", "embedding", _norm2("embedding").alias("n2"))
 
 
 def _ranked(pairs: DataFrame, k: int) -> DataFrame:
@@ -85,35 +105,93 @@ def _ranked(pairs: DataFrame, k: int) -> DataFrame:
                     F.round("cosine", 6).alias("score"), "rank"))
 
 
+_PAIR_SCHEMA = StructType([
+    StructField("q_id", LongType()),
+    StructField("neighbor_id", LongType()),
+    StructField("dot", DoubleType()),
+    StructField("qn2", DoubleType()),
+    StructField("vn2", DoubleType()),
+])
+
+
 def brute_force_topk(emb: DataFrame, k: int = TOP_K,
                      query_mod: int = QUERY_MOD) -> DataFrame:
-    """Exact cosine top-k: broadcast query set x full scan, window per
-    query. The baseline every ANN variant is measured against."""
-    v = _with_norm(emb)
-    q = (v.filter(F.col("vec_id") % query_mod == 0)
-         .select(F.col("vec_id").alias("q_id"),
-                 F.col("embedding").alias("q_emb"),
-                 F.col("n2").alias("qn2")))
-    pairs = (v.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
-             .select("q_id", F.col("vec_id").alias("neighbor_id"),
-                     _dot("q_emb", "embedding").alias("dot"),
-                     "qn2", F.col("n2").alias("vn2")))
+    """Exact cosine top-k: broadcast query matrix x one corpus pass
+    through a mapInPandas Gram kernel with per-batch local top-k
+    pruning; global window re-ranks the per-batch winners. Any global
+    top-k row is necessarily in its batch's local top-k under the same
+    (cosine desc, neighbor asc) order, so pruning is lossless."""
+    spark = emb.sparkSession
+    qpdf = (emb.filter(F.col("vec_id") % query_mod == 0)
+            .select("vec_id", "embedding").toPandas())
+    Q = _stack(qpdf["embedding"])
+    qids = qpdf["vec_id"].to_numpy()
+    qn2 = _np_norm2(Q)
+    bq = spark.sparkContext.broadcast((qids, Q, qn2))
+
+    def gram(batches):
+        qids, Q, qn2 = bq.value
+        nq = len(qids)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = _stack(pdf["embedding"])
+            vids = pdf["vec_id"].to_numpy()
+            # (n_rows, n_q) Gram block, 64 left-assoc accumulation steps
+            acc = A[:, 0:1] * Q[None, :, 0]
+            for i in range(1, DIM):
+                acc = acc + A[:, i:i + 1] * Q[None, :, i]
+            vn2 = _np_norm2(A)
+            cos = acc / np.sqrt(qn2[None, :] * vn2[:, None])
+            cos[vids[:, None] == qids[None, :]] = -np.inf  # drop self
+            kk = min(k, len(vids))
+            order = np.lexsort(
+                (np.broadcast_to(vids[:, None], cos.shape), -cos),
+                axis=0)[:kk]
+            rows = order.ravel(order="F")
+            qcol = np.repeat(np.arange(nq), kk)
+            keep = cos[rows, qcol] > -np.inf
+            yield pd.DataFrame({
+                "q_id": qids[qcol[keep]],
+                "neighbor_id": vids[rows[keep]],
+                "dot": acc[rows[keep], qcol[keep]],
+                "qn2": qn2[qcol[keep]],
+                "vn2": vn2[rows[keep]],
+            })
+
+    pairs = emb.select("vec_id", "embedding").mapInPandas(gram, _PAIR_SCHEMA)
     return _ranked(pairs, k)
 
 
+@F.pandas_udf(DoubleType())
+def _dot_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(_np_dot_rows(_stack(a), _stack(b)))
+
+
+@F.pandas_udf(DoubleType())
+def _norm2_udf(a: pd.Series) -> pd.Series:
+    return pd.Series(_np_norm2(_stack(a)))
+
+
+@F.pandas_udf(IntegerType())
+def _bucket_udf(a: pd.Series) -> pd.Series:
+    signs = np.array(plane_signs(), dtype=np.float64)
+    return pd.Series(_np_buckets(_stack(a), signs).astype(np.int32))
+
+
 def lsh_bucket_col(col: str) -> Column:
-    """8-bit signature: bit p set iff projection onto plane p > 0."""
-    signs = plane_signs()
-    bits = [F.when(_proj(col, signs[p]) > 0, F.lit(1 << p)).otherwise(0)
-            for p in range(N_PLANES)]
-    return reduce(lambda x, y: x + y, bits)
+    """8-bit hyperplane signature (vectorized Arrow UDF)."""
+    return _bucket_udf(F.col(col))
 
 
 def lsh_topk(emb: DataFrame, k: int = TOP_K,
              query_mod: int = QUERY_MOD) -> DataFrame:
-    """ANN: candidates restricted to the query's LSH bucket (equi-join on
-    the 8-bit signature), exact cosine re-rank within bucket."""
-    v = _with_norm(emb).withColumn("bucket", lsh_bucket_col("embedding"))
+    """ANN: candidates restricted to the query's LSH bucket (equi-join
+    on the 8-bit signature), exact cosine re-rank within bucket via the
+    vectorized pair-dot UDF."""
+    v = emb.select("vec_id", "embedding",
+                   _norm2_udf("embedding").alias("n2"),
+                   lsh_bucket_col("embedding").alias("bucket"))
     q = (v.filter(F.col("vec_id") % query_mod == 0)
          .select(F.col("vec_id").alias("q_id"),
                  F.col("embedding").alias("q_emb"),
@@ -121,6 +199,6 @@ def lsh_topk(emb: DataFrame, k: int = TOP_K,
     pairs = (v.join(F.broadcast(q), "bucket")
              .filter(F.col("vec_id") != F.col("q_id"))
              .select("q_id", F.col("vec_id").alias("neighbor_id"),
-                     _dot("q_emb", "embedding").alias("dot"),
+                     _dot_udf("q_emb", "embedding").alias("dot"),
                      "qn2", F.col("n2").alias("vn2")))
     return _ranked(pairs, k)
