@@ -15,7 +15,9 @@ from pyspark.sql import functions as F
 
 from .corpus import documents_interleaved, spans_exploded
 from .ontology_data import CLOSURE_SEEDS
+from .operators import content_stats as CS
 from .operators import ontology_algebra as OA
+from .operators import textmeta as TM
 from .operators.canonicalize import (canonical_mapping, canonical_triples,
                                      equivalence_edges)
 from .operators.gazetteer import gazetteer_df, relationships_df, terms_df
@@ -267,6 +269,50 @@ def q_inverse_edges(spark, sf_dir):
     return OA.expand_inverse_edges(relationships_df(spark))
 
 
+def q_merge_selective(spark, sf_dir):
+    a, b = _merge_sources(spark)
+    return OA.merge_selective(a, b, ["chemical", "biological_process"])
+
+
+def q_term_quarantine(spark, sf_dir):
+    return OA.quarantine_terms(OA.corrupt_terms(
+        terms_df(spark).select("id", "name", "namespace")))
+
+
+def q_citation_fields(spark, sf_dir):
+    return TM.citation_fields(spans_exploded(spark, sf_dir))
+
+
+def q_caption_types(spark, sf_dir):
+    return TM.classify_captions(spans_exploded(spark, sf_dir))
+
+
+def q_doc_keywords(spark, sf_dir):
+    return TM.doc_keywords(spans_exploded(spark, sf_dir))
+
+
+def q_doc_domains(spark, sf_dir):
+    return TM.doc_domains(spans_exploded(spark, sf_dir),
+                          gazetteer_df(spark))
+
+
+def q_format_detect(spark, sf_dir):
+    return TM.detect_formats(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_event_value_stats(spark, sf_dir):
+    return CS.value_distribution(CS.load_events(spark, sf_dir))
+
+
+def q_event_outliers(spark, sf_dir):
+    return CS.iqr_outliers(CS.load_events(spark, sf_dir))
+
+
+def q_event_correlation(spark, sf_dir):
+    return CS.value_prop_correlation(CS.load_events(spark, sf_dir))
+
+
 def queries() -> dict[str, QueryFn]:
     return {
         "interleaved_documents": q_interleaved_documents,
@@ -296,6 +342,16 @@ def queries() -> dict[str, QueryFn]:
         "merge_union": q_merge_union,
         "merge_intersection": q_merge_intersection,
         "inverse_edges": q_inverse_edges,
+        "merge_selective": q_merge_selective,
+        "term_quarantine": q_term_quarantine,
+        "citation_fields": q_citation_fields,
+        "caption_types": q_caption_types,
+        "doc_keywords": q_doc_keywords,
+        "doc_domains": q_doc_domains,
+        "format_detect": q_format_detect,
+        "event_value_stats": q_event_value_stats,
+        "event_outliers": q_event_outliers,
+        "event_correlation": q_event_correlation,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_simhash_clusters": q_doc_simhash_clusters,

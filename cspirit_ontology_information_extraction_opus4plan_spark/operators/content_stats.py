@@ -1,0 +1,68 @@
+"""Numeric content statistics over the `events` table — the Spark
+re-expression of the reference's StatisticalAnalyzer
+(parsers/content_utils.py:125 analyze_distribution, :158 detect_outliers,
+:191 correlation_analysis) and the numeric table-summary path
+(metadata_framework.py:381).
+
+All three are single groupBy aggregations (map-side combinable) or a
+join against per-group quantiles — no windows, no collects; the shapes
+hold at any scale because the per-group state is O(groups), not O(rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+IQR_FACTOR = 1.5  # Tukey fences, content_utils.py:158
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def value_distribution(events: DataFrame) -> DataFrame:
+    """Per event_type distribution summary: n, mean, stddev (sample),
+    min/max, interpolated quartiles (analyze_distribution's
+    mean/median/stdev/min/max/quartiles)."""
+    q = F.percentile("value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return (events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 6).alias("mean_v"),
+        F.round(F.stddev_samp("value"), 6).alias("stddev_v"),
+        F.round(F.min("value"), 6).alias("min_v"),
+        F.round(F.max("value"), 6).alias("max_v"),
+        F.round(q[0], 6).alias("q1"),
+        F.round(q[1], 6).alias("median_v"),
+        F.round(q[2], 6).alias("q3")))
+
+
+def iqr_outliers(events: DataFrame) -> DataFrame:
+    """IQR-method outliers per event_type: value outside
+    [q1 - 1.5*iqr, q3 + 1.5*iqr] (detect_outliers). Per-group fences
+    are a tiny aggregate broadcast back against the stream — the
+    window-free shape from SURVEY §2.4."""
+    q = F.percentile("value", F.array(F.lit(0.25), F.lit(0.75)))
+    fences = (events.groupBy("event_type")
+              .agg(q[0].alias("q1"), q[1].alias("q3"))
+              .select("event_type", "q1", "q3",
+                      (F.col("q1") - IQR_FACTOR * (F.col("q3") - F.col("q1")))
+                      .alias("lo"),
+                      (F.col("q3") + IQR_FACTOR * (F.col("q3") - F.col("q1")))
+                      .alias("hi")))
+    return (events.join(F.broadcast(fences.select("event_type", "lo", "hi")),
+                        "event_type")
+            .filter((F.col("value") < F.col("lo"))
+                    | (F.col("value") > F.col("hi")))
+            .select("event_id", "event_type", "value"))
+
+
+def value_prop_correlation(events: DataFrame) -> DataFrame:
+    """Pearson r between `value` and the numeric JSON prop `k` per
+    event_type (correlation_analysis + the reference's ubiquitous JSON
+    field access, mapped to get_json_object)."""
+    k = F.get_json_object("props", "$.k").cast("double")
+    return (events.select("event_type", "value", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.corr("value", "k"), 6).alias("pearson_r")))

@@ -123,6 +123,45 @@ def validate_term_ids(terms: DataFrame) -> DataFrame:
         "id_valid", F.col("id").rlike(r"^[A-Za-z]+:\d+$"))
 
 
+KNOWN_NAMESPACES = ["chemical", "biological_process", "anatomy", "organism"]
+
+
+def corrupt_terms(terms: DataFrame) -> DataFrame:
+    """Deterministically damaged copy of the terms table — the
+    validation-pipeline test corpus (the clean synthetic ontology would
+    yield an empty quarantine). seq = numeric id suffix: seq%7==3 ->
+    lowercased id (breaks the id-format rule), seq%11==5 -> blank name,
+    seq%13==8 -> bogus namespace."""
+    seq = F.regexp_extract("id", r"(\d+)$", 1).cast("long")
+    return terms.select(
+        F.when(seq % 7 == 3, F.lower("id")).otherwise(F.col("id"))
+        .alias("id"),
+        F.when(seq % 11 == 5, F.lit("")).otherwise(F.col("name"))
+        .alias("name"),
+        F.when(seq % 13 == 8, F.lit("ns_unknown"))
+        .otherwise(F.col("namespace")).alias("namespace"))
+
+
+def quarantine_terms(terms: DataFrame) -> DataFrame:
+    """Validation pipeline as quarantine rows, one (id, rule) per
+    violation (ValidationPipeline validators.py:551; id regex
+    models.py:298, non-empty name models.py:272, namespace membership).
+    Violations accumulate to a table instead of aborting the load —
+    the reference's error-recovery posture, and the only shape that
+    works when one bad row in 10^12 must not kill the job."""
+    checks = [
+        ("id_format", ~F.col("id").rlike(r"^[A-Z]+:\d+$")),
+        ("empty_name", F.trim(F.col("name")) == ""),
+        ("unknown_namespace", ~F.col("namespace").isin(*KNOWN_NAMESPACES)),
+    ]
+    viol = F.filter(
+        F.array(*[F.when(cond, F.lit(rule)) for rule, cond in checks]),
+        lambda x: x.isNotNull())
+    return (terms.select("id", "name", "namespace",
+                         F.explode(viol).alias("rule"))
+            .select(F.col("id").alias("term_id"), "rule"))
+
+
 # ---------------------------------------------------------------------------
 # trimmer (ontology_trimmer.py)
 # ---------------------------------------------------------------------------
@@ -259,6 +298,16 @@ def merge_union(source_a: DataFrame, source_b: DataFrame) -> DataFrame:
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .drop("rn", "priority"))
+
+
+def merge_selective(source_a: DataFrame, source_b: DataFrame,
+                    namespaces: list[str]) -> DataFrame:
+    """Selective merge (_merge_selective ontology_integrator.py:416):
+    union merge restricted to terms whose namespace is in the selected
+    set — filter pushes below the union/dedup, so only selected rows
+    ever shuffle."""
+    keep = F.col("namespace").isin(*namespaces)
+    return merge_union(source_a.filter(keep), source_b.filter(keep))
 
 
 def merge_intersection(source_a: DataFrame, source_b: DataFrame) -> DataFrame:

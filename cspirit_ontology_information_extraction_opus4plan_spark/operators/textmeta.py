@@ -1,0 +1,160 @@
+"""Document-metadata text operators over the interleaved-span corpus:
+citation-field extraction, figure/table caption classification,
+stopword-filtered keyword extraction, domain identification, and
+content-format sniffing.
+
+Reference analogs (SURVEY §2.7 / §2.1):
+  - citation id/field patterns — parsers/__init__.py:1844
+    (_get_default_citation_patterns) and reference_patterns.py:85-782
+  - figure/table type classification keyword chains —
+    metadata_framework.py:346/:357, pdf_parser.py:1704/:2295
+  - keyword extraction (stopword-filtered tokens) —
+    metadata_framework.py:370
+  - domain keyword identification (>=2 hits) — content_utils.py:67
+  - content-format sniffing — parsers/__init__.py:9211,
+    OWLParser.detect_format :2655
+
+Every function is pure column expressions (regexp_extract / CASE
+chains / array ops) — JVM-side, codegen-friendly, no UDFs. Patterns
+are written in the RE2-compatible subset so the DuckDB oracle runs
+the same regexes verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textops import STOPWORDS_EN
+
+# citation field patterns (shared with the oracle builder)
+CIT_PATTERNS = {
+    "authors": r"^([a-z ,]+) \(",
+    "doi": r"doi:(10\.\d{4}/[a-z]+\.\d+)",
+    "year": r"\((\d{4})\)",
+    "volume": r", (\d+)\(",
+    "issue": r"\((\d)\),",
+    "page_start": r" (\d+)-\d+\.",
+    "page_end": r" \d+-(\d+)\.",
+}
+
+# caption-type keyword chain, first match wins (classify_figure_type /
+# classify_table_type keyword chains; most keywords simply never fire on
+# the synthetic corpus, mirroring the reference's long chains)
+CAPTION_TYPES = [
+    ("microscopy", "microscopy"),
+    ("western blot", "blot"),
+    ("bar chart", "bar_chart"),
+    ("flow chart", "flow_chart"),
+    ("quantification", "quantification"),
+    ("comparison", "comparison"),
+    ("distribution", "distribution"),
+]
+
+MIN_DOMAIN_HITS = 2  # identify_domain's >=2-keyword rule
+
+
+def _clean_tokens(text_col) -> F.Column:
+    """Lowercase whitespace tokens with sentence punctuation stripped —
+    the keyword-extraction tokenization (shared with the oracle)."""
+    cleaned = F.regexp_replace(F.lower(F.trim(text_col)), r"[.,()]", "")
+    return F.filter(F.split(cleaned, r"\s+"), lambda t: t != "")
+
+
+def citation_fields(spans: DataFrame) -> DataFrame:
+    """Structured fields from reference-span citation strings."""
+    ref = spans.filter(F.col("kind") == "reference")
+    return ref.select(
+        "doc_id",
+        F.regexp_extract("text", CIT_PATTERNS["authors"], 1).alias("authors"),
+        F.regexp_extract("text", CIT_PATTERNS["doi"], 1).alias("doi"),
+        F.regexp_extract("text", CIT_PATTERNS["year"], 1).cast("int")
+        .alias("year"),
+        F.regexp_extract("text", CIT_PATTERNS["volume"], 1).cast("int")
+        .alias("volume"),
+        F.regexp_extract("text", CIT_PATTERNS["issue"], 1).cast("int")
+        .alias("issue"),
+        F.regexp_extract("text", CIT_PATTERNS["page_start"], 1).cast("int")
+        .alias("page_start"),
+        F.regexp_extract("text", CIT_PATTERNS["page_end"], 1).cast("int")
+        .alias("page_end"))
+
+
+def classify_captions(spans: DataFrame) -> DataFrame:
+    """Figure/table media type by caption keyword, first-match-wins."""
+    cap = F.lower("text")
+    expr = None
+    for kw, label in CAPTION_TYPES:
+        clause = F.when(cap.contains(kw), label)
+        expr = clause if expr is None else expr.when(cap.contains(kw), label)
+    expr = expr.otherwise("other")
+    return (spans.filter(F.col("kind").isin("figure", "table"))
+            .select("doc_id", "kind", "media_ref",
+                    expr.alias("media_type")))
+
+
+def doc_keywords(spans: DataFrame) -> DataFrame:
+    """Global keyword document-frequency: per doc, distinct cleaned
+    tokens minus stopwords; then count docs per keyword. One explode +
+    one map-side-combinable groupBy."""
+    toks = F.array_except(F.array_distinct(_clean_tokens(F.col("text"))),
+                          F.array([F.lit(s) for s in STOPWORDS_EN]))
+    per_doc = (spans.select("doc_id", F.explode(toks).alias("keyword"))
+               .distinct())
+    return per_doc.groupBy("keyword").agg(
+        F.count("*").alias("n_docs"))
+
+
+def doc_domains(spans: DataFrame, gazetteer: DataFrame) -> DataFrame:
+    """Domains with >= MIN_DOMAIN_HITS distinct keyword hits per doc.
+    Keyword table = single-word gazetteer surfaces with their namespace,
+    broadcast against the exploded token stream."""
+    vocab = (gazetteer.filter(~F.col("surface").contains(" "))
+             .select(F.col("surface").alias("keyword"), "namespace")
+             .distinct())
+    toks = (spans.select(
+        "doc_id",
+        F.explode(F.array_distinct(_clean_tokens(F.col("text"))))
+        .alias("keyword")).distinct())
+    hits = (toks.join(F.broadcast(vocab), "keyword")
+            .groupBy("doc_id", "namespace")
+            .agg(F.countDistinct("keyword").alias("n_hits")))
+    return hits.filter(F.col("n_hits") >= MIN_DOMAIN_HITS).select(
+        "doc_id", F.col("namespace").alias("domain"), "n_hits")
+
+
+def _sample_content(doc_id) -> F.Column:
+    """Deterministic per-doc content sample covering the four sniffable
+    formats (the corpus carries no raw ontology payloads, so the
+    detector is exercised on synthesized ones — same expressions in the
+    oracle)."""
+    ds = doc_id.cast("string")
+    return (F.when(doc_id % 4 == 0, F.concat(
+                F.lit('{"@context": {"ex": "http://example.org/"}, '
+                      '"@id": "ex:'), ds, F.lit('"}')))
+            .when(doc_id % 4 == 1, F.concat(
+                F.lit('<?xml version="1.0"?><rdf:RDF><owl:Class '
+                      'rdf:about="http://example.org/'), ds,
+                F.lit('"/></rdf:RDF>')))
+            .when(doc_id % 4 == 2, F.concat(
+                F.lit("@prefix ex: <http://example.org/> . ex:"), ds,
+                F.lit(" a ex:Thing .")))
+            .otherwise(F.concat(
+                F.lit("<http://example.org/s/"), ds,
+                F.lit('> <http://example.org/p> "o" .'))))
+
+
+def detect_formats(docs: DataFrame) -> DataFrame:
+    """Content-sniffing chain: '{' + '@context' -> json-ld; XML decl ->
+    owl if owl: present else rdf-xml; '@prefix' -> turtle; N-Triples
+    line shape -> ntriples; else unknown."""
+    content = _sample_content(F.col("doc_id"))
+    fmt = (F.when(content.startswith("{") & content.contains("@context"),
+                  "json-ld")
+           .when(content.startswith("<?xml") & content.contains("owl:"),
+                 "owl")
+           .when(content.startswith("<?xml"), "rdf-xml")
+           .when(content.startswith("@prefix"), "turtle")
+           .when(content.rlike(r"^<[^>]+> <[^>]+> "), "ntriples")
+           .otherwise("unknown"))
+    return docs.select("doc_id", fmt.alias("fmt"))

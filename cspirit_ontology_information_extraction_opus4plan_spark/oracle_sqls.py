@@ -390,6 +390,164 @@ scored AS (
 # full oracle statements, keyed like queries()
 # ---------------------------------------------------------------------------
 
+def _meta_sqls() -> dict[str, str]:
+    """Oracles for textmeta / content_stats / merge_selective /
+    quarantine (operators/textmeta.py, content_stats.py,
+    ontology_algebra.py)."""
+    from .operators import content_stats as CS
+    from .operators import ontology_algebra as OA
+    from .operators import textmeta as TM
+
+    sqls = {}
+    P = TM.CIT_PATTERNS
+    sqls["citation_fields"] = corpus_prefix() + f"""
+SELECT doc_id,
+       regexp_extract(text, '{P["authors"]}', 1) AS authors,
+       regexp_extract(text, '{P["doi"]}', 1) AS doi,
+       TRY_CAST(regexp_extract(text, '{P["year"]}', 1) AS INT) AS year,
+       TRY_CAST(regexp_extract(text, '{P["volume"]}', 1) AS INT) AS volume,
+       TRY_CAST(regexp_extract(text, '{P["issue"]}', 1) AS INT) AS issue,
+       TRY_CAST(regexp_extract(text, '{P["page_start"]}', 1) AS INT)
+         AS page_start,
+       TRY_CAST(regexp_extract(text, '{P["page_end"]}', 1) AS INT)
+         AS page_end
+FROM spans WHERE kind = 'reference'"""
+
+    cap_case = " ".join(
+        f"WHEN contains(lower(text), {_q(kw)}) THEN {_q(label)}"
+        for kw, label in TM.CAPTION_TYPES)
+    sqls["caption_types"] = corpus_prefix() + f"""
+SELECT doc_id, kind, media_ref,
+       CASE {cap_case} ELSE 'other' END AS media_type
+FROM spans WHERE kind IN ('figure', 'table')"""
+
+    ctok = ("list_filter(regexp_split_to_array(regexp_replace(lower(trim("
+            "text)), '[.,()]', '', 'g'), '\\s+'), t -> t <> '')")
+    stops = ",".join(_q(s) for s in TX.STOPWORDS_EN)
+    kw_cte = f"""
+kw AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct({ctok})) AS keyword
+  FROM spans)
+""".strip()
+    sqls["doc_keywords"] = corpus_prefix(kw_cte) + f"""
+SELECT keyword, CAST(count(*) AS BIGINT) AS n_docs
+FROM kw WHERE keyword NOT IN ({stops})
+GROUP BY keyword"""
+
+    sqls["doc_domains"] = corpus_prefix(gaz_cte(), kw_cte) + f"""
+SELECT doc_id, namespace AS domain,
+       CAST(count(DISTINCT keyword) AS BIGINT) AS n_hits
+FROM kw JOIN (SELECT DISTINCT surface AS keyword, namespace FROM gaz
+              WHERE surface NOT LIKE '% %') v USING (keyword)
+GROUP BY doc_id, namespace
+HAVING count(DISTINCT keyword) >= {TM.MIN_DOMAIN_HITS}"""
+
+    sqls["format_detect"] = """
+WITH content_s AS (
+  SELECT doc_id,
+         CASE
+           WHEN doc_id % 4 = 0 THEN
+             '{"@context": {"ex": "http://example.org/"}, "@id": "ex:'
+             || CAST(doc_id AS VARCHAR) || '"}'
+           WHEN doc_id % 4 = 1 THEN
+             '<?xml version="1.0"?><rdf:RDF><owl:Class rdf:about='
+             || '"http://example.org/' || CAST(doc_id AS VARCHAR)
+             || '"/></rdf:RDF>'
+           WHEN doc_id % 4 = 2 THEN
+             '@prefix ex: <http://example.org/> . ex:'
+             || CAST(doc_id AS VARCHAR) || ' a ex:Thing .'
+           ELSE '<http://example.org/s/' || CAST(doc_id AS VARCHAR)
+             || '> <http://example.org/p> "o" .'
+         END AS content
+  FROM documents)
+SELECT doc_id,
+       CASE
+         WHEN starts_with(content, '{') AND contains(content, '@context')
+           THEN 'json-ld'
+         WHEN starts_with(content, '<?xml') AND contains(content, 'owl:')
+           THEN 'owl'
+         WHEN starts_with(content, '<?xml') THEN 'rdf-xml'
+         WHEN starts_with(content, '@prefix') THEN 'turtle'
+         WHEN regexp_matches(content, '^<[^>]+> <[^>]+> ')
+           THEN 'ntriples'
+         ELSE 'unknown'
+       END AS fmt
+FROM content_s"""
+
+    sqls["event_value_stats"] = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(avg(value), 6) AS mean_v,
+       round(stddev_samp(value), 6) AS stddev_v,
+       round(min(value), 6) AS min_v,
+       round(max(value), 6) AS max_v,
+       round(quantile_cont(value, 0.25), 6) AS q1,
+       round(quantile_cont(value, 0.5), 6) AS median_v,
+       round(quantile_cont(value, 0.75), 6) AS q3
+FROM events GROUP BY event_type"""
+
+    sqls["event_outliers"] = f"""
+WITH fences AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25)
+           - {CS.IQR_FACTOR} * (quantile_cont(value, 0.75)
+                         - quantile_cont(value, 0.25)) AS lo,
+         quantile_cont(value, 0.75)
+           + {CS.IQR_FACTOR} * (quantile_cont(value, 0.75)
+                         - quantile_cont(value, 0.25)) AS hi
+  FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type, e.value
+FROM events e JOIN fences f USING (event_type)
+WHERE e.value < f.lo OR e.value > f.hi"""
+
+    sqls["event_correlation"] = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(corr(value,
+                  TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)),
+             6) AS pearson_r
+FROM events GROUP BY event_type"""
+
+    tf = terms_full_cte()
+    merge_src = """
+src_a AS (
+  SELECT id, name, namespace, ontology_id FROM terms_f
+  WHERE ontology_id IN ('CHEBI', 'GO')),
+src_b AS (
+  SELECT id, name, namespace, ontology_id FROM terms_f
+  WHERE ontology_id IN ('GO', 'PO'))
+""".strip()
+    sqls["merge_selective"] = "WITH " + ",\n".join([tf, merge_src]) + """
+SELECT id, name, namespace, ontology_id, src FROM (
+  SELECT u.*, row_number() OVER (
+    PARTITION BY id ORDER BY priority DESC, src ASC) AS rn
+  FROM (
+    SELECT *, 1 AS priority, 'A' AS src FROM src_a
+    WHERE namespace IN ('chemical', 'biological_process')
+    UNION ALL
+    SELECT *, 2 AS priority, 'B' AS src FROM src_b
+    WHERE namespace IN ('chemical', 'biological_process')
+  ) u
+) t WHERE rn = 1"""
+
+    ns = ",".join(_q(n) for n in OA.KNOWN_NAMESPACES)
+    sqls["term_quarantine"] = "WITH " + terms_cte() + f""",
+corrupted AS (
+  SELECT CASE WHEN CAST(regexp_extract(id, '(\\d+)$', 1) AS BIGINT) % 7 = 3
+              THEN lower(id) ELSE id END AS id,
+         CASE WHEN CAST(regexp_extract(id, '(\\d+)$', 1) AS BIGINT) % 11 = 5
+              THEN '' ELSE name END AS name,
+         CASE WHEN CAST(regexp_extract(id, '(\\d+)$', 1) AS BIGINT) % 13 = 8
+              THEN 'ns_unknown' ELSE namespace END AS namespace
+  FROM terms_d)
+SELECT id AS term_id, 'id_format' AS rule FROM corrupted
+WHERE NOT regexp_matches(id, '^[A-Z]+:\\d+$')
+UNION ALL
+SELECT id, 'empty_name' FROM corrupted WHERE trim(name) = ''
+UNION ALL
+SELECT id, 'unknown_namespace' FROM corrupted
+WHERE namespace NOT IN ({ns})"""
+    return sqls
+
+
 def oracle_sql() -> dict[str, str]:
     pat = ner_pattern()
     sqls: dict[str, str] = {}
@@ -720,5 +878,6 @@ GROUP BY kind"""
 
     sqls.update(_textops_sqls())
     sqls.update(_ann_sqls())
+    sqls.update(_meta_sqls())
 
     return sqls
