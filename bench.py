@@ -90,21 +90,105 @@ def bench_at(master: str, sf_dir: str, shuffle_partitions: int) -> dict:
         spark.stop()
 
 
+def make_scaled_input(sf_dir: str, mult: int,
+                      text_mult: int = 1) -> str:
+    """Replicate the documents table mult x with offset doc_ids (each
+    replica gets distinct deterministic span content via the id-mod
+    arithmetic) and optionally inflate each text text_mult x, so the
+    scaling run is compute-bound, not overhead-bound — a 4-second job
+    cannot evidence core scaling, and doc-count replication alone tops
+    out at the DOC:%06d id space while per-core work stays too small
+    against ~4 s of fixed stage-scheduling overhead. Cached on disk
+    keyed by (sf, mult, text_mult)."""
+    from pyspark.sql import functions as F
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out_dir = os.path.join(REPO, ".bench_scaled",
+                           f"{tag}_x{mult}_t{text_mult}")
+    marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(marker):
+        return out_dir
+    spark = get_spark("kg_bench_scale", master="local[8]",
+                      shuffle_partitions=8)
+    try:
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        cols = d.columns
+        # offset = next power of 10 above max id, so replica ids stay
+        # disjoint AND total width stays within the corpus' 6-digit
+        # DOC:%06d id space (Spark lpad TRUNCATES overlong strings —
+        # a 10M offset silently collides every replica onto the same
+        # 6-char prefix and the linking join explodes quadratically)
+        max_id = d.agg(F.max("doc_id")).collect()[0][0]
+        offset = 10 ** len(str(max_id))
+        if mult * offset > 1_000_000:
+            raise ValueError(
+                f"mult={mult} x offset={offset} exceeds the DOC:%06d id "
+                f"space; lower SPARK_GRAFT_MULT or use a smaller sf")
+        reps = d.crossJoin(
+            spark.range(mult).withColumnRenamed("id", "rep"))
+        scaled = reps.select(
+            (F.col("doc_id") + F.col("rep") * F.lit(offset))
+            .alias("doc_id"),
+            *[c for c in cols if c != "doc_id"])
+        if text_mult > 1:
+            scaled = (scaled
+                      .withColumn("text", F.array_join(
+                          F.array_repeat(F.col("text"), text_mult), " "))
+                      .withColumn("n_chars", F.length("text")
+                                  .cast(dict(d.dtypes)["n_chars"])))
+        (scaled.repartition(64, "doc_id")
+         .write.mode("overwrite")
+         .parquet(os.path.join(out_dir, "documents.parquet")))
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    finally:
+        spark.stop()
+    return out_dir
+
+
+def pipeline_at(master: str, sf_dir: str, shuffle_partitions: int) -> dict:
+    """Steady-state time of the end-to-end KG pipeline (the north-rule
+    metric query) at the given parallelism. Warm-up runs the SAME input
+    once untimed: a tiny-sf warm-up leaves most of the Python worker
+    pool cold (too few tasks), and the ~10 s pandas-import storm of 32
+    cold workers then lands inside the measured window — at real scale
+    worker startup is O(1) against O(data) work, so steady-state is the
+    honest number. Best of 2 timed runs."""
+    spark = get_spark("kg_bench", master=master,
+                      shuffle_partitions=shuffle_partitions)
+    try:
+        q = api.queries()["triples_dedup"]
+        n = q(spark, sf_dir).count()  # warm JVM, Arrow + full worker pool
+        wall = min(_timed(q, spark, sf_dir) for _ in range(2))
+        return {"n_triples": n, "wall_s": round(wall, 3),
+                "triples_per_sec": round(n / max(wall, 1e-9), 1)}
+    finally:
+        spark.stop()
+
+
+def _timed(q, spark, sf_dir: str) -> float:
+    t0 = time.time()
+    q(spark, sf_dir).count()
+    return time.time() - t0
+
+
 def main() -> None:
     if "--scaling" in sys.argv:
-        n_lo = int(os.environ.get("SPARK_GRAFT_SCALE_N", "8"))
+        n_lo = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
+        mult = int(os.environ.get("SPARK_GRAFT_MULT", "32"))
+        text_mult = int(os.environ.get("SPARK_GRAFT_TEXT_MULT", "8"))
         n_hi = 4 * n_lo
-        lo = bench_at(f"local[{n_lo}]", SF_DIR, n_lo)
-        hi = bench_at(f"local[{n_hi}]", SF_DIR, n_hi)
+        scaled_dir = make_scaled_input(SF_DIR, mult, text_mult)
+        lo = pipeline_at(f"local[{n_lo}]", scaled_dir, 2 * n_lo)
+        hi = pipeline_at(f"local[{n_hi}]", scaled_dir, 2 * n_hi)
         eff = (hi["triples_per_sec"] / max(lo["triples_per_sec"], 1e-9)) / (
             n_hi / n_lo)
         out = {
             "metric": "scaling_efficiency", "value": round(eff, 3),
-            "unit": "ratio", "sf": _sf_from_dir(SF_DIR),
+            "unit": "ratio", "sf": _sf_from_dir(SF_DIR), "mult": mult, "text_mult": text_mult,
             "n_cores": [n_lo, n_hi],
+            "n_triples": hi["n_triples"],
             "triples_per_sec": [lo["triples_per_sec"], hi["triples_per_sec"]],
-            "queries": {f"local[{n_lo}]": lo["times"],
-                        f"local[{n_hi}]": hi["times"]},
+            "wall_s": [lo["wall_s"], hi["wall_s"]],
         }
         print(json.dumps(out))
         return

@@ -17,6 +17,7 @@ from .corpus import documents_interleaved, spans_exploded
 from .ontology_data import CLOSURE_SEEDS
 from .operators import content_stats as CS
 from .operators import ontology_algebra as OA
+from .operators import serde as SR
 from .operators import textmeta as TM
 from .operators.canonicalize import (canonical_mapping, canonical_triples,
                                      equivalence_edges)
@@ -269,6 +270,24 @@ def q_inverse_edges(spark, sf_dir):
     return OA.expand_inverse_edges(relationships_df(spark))
 
 
+def q_csv_roundtrip(spark, sf_dir):
+    return SR.csv_roundtrip(terms_df(spark))
+
+
+def q_jsonld_expand(spark, sf_dir):
+    return SR.jsonld_expand(terms_df(spark))
+
+
+def q_cycle_triads(spark, sf_dir):
+    edges = (relationships_df(spark)
+             .filter(F.col("predicate") == "is_a")
+             .select(F.col("subject").alias("src"),
+                     F.col("object").alias("dst"))
+             .unionByName(spark.createDataFrame(
+                 OA.PLANTED_CYCLE, "src string, dst string")))
+    return OA.cycle_triads(edges)
+
+
 def q_merge_selective(spark, sf_dir):
     a, b = _merge_sources(spark)
     return OA.merge_selective(a, b, ["chemical", "biological_process"])
@@ -343,6 +362,9 @@ def queries() -> dict[str, QueryFn]:
         "merge_intersection": q_merge_intersection,
         "inverse_edges": q_inverse_edges,
         "merge_selective": q_merge_selective,
+        "csv_roundtrip": q_csv_roundtrip,
+        "jsonld_expand": q_jsonld_expand,
+        "cycle_triads": q_cycle_triads,
         "term_quarantine": q_term_quarantine,
         "citation_fields": q_citation_fields,
         "caption_types": q_caption_types,

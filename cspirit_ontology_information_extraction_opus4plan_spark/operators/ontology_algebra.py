@@ -125,6 +125,28 @@ def validate_term_ids(terms: DataFrame) -> DataFrame:
 
 KNOWN_NAMESPACES = ["chemical", "biological_process", "anatomy", "organism"]
 
+# deterministic planted 3-cycle, disjoint from the real (acyclic) is_a
+# graph — the cycle-detection test corpus (validators.py:253 finds cycle
+# chains by DFS; the DataFrame analog is a fixed-length join chain)
+PLANTED_CYCLE = [("CYC:1", "CYC:2"), ("CYC:2", "CYC:3"),
+                 ("CYC:3", "CYC:1")]
+
+
+def cycle_triads(edges: DataFrame) -> DataFrame:
+    """Directed 3-cycles a->b->c->a over (src, dst) edges; one row per
+    cycle (canonical rotation: a is the least node). Fixed-length join
+    chain — bounded cycle search; unbounded cycles surface as
+    non-convergence in the CC loop instead (SURVEY §2.8). Each join is
+    an equi-join on a node id; at scale the edge list shuffles on src
+    like any adjacency join."""
+    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = edges.select(F.col("src").alias("c"), F.col("dst").alias("a2"))
+    return (e1.join(e2, "b").join(e3, "c")
+            .filter((F.col("a2") == F.col("a"))
+                    & (F.col("a") < F.col("b")) & (F.col("a") < F.col("c")))
+            .select("a", "b", "c"))
+
 
 def corrupt_terms(terms: DataFrame) -> DataFrame:
     """Deterministically damaged copy of the terms table — the

@@ -506,6 +506,31 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n,
              6) AS pearson_r
 FROM events GROUP BY event_type"""
 
+    from .operators import serde as SR
+    sqls["csv_roundtrip"] = "WITH " + terms_full_cte() + """
+SELECT id, name, definition, synonyms,
+       CASE WHEN synonyms = '' THEN 0
+            ELSE CAST(len(string_split(synonyms, ';')) AS INT)
+       END AS n_synonyms,
+       namespace, is_obsolete
+FROM terms_f"""
+
+    sqls["jsonld_expand"] = "WITH " + terms_full_cte() + f"""
+SELECT id, name, '{SR.OBO_BASE}' || replace(id, ':', '_') AS uri
+FROM terms_f"""
+
+    planted = ",".join(f"({_q(s)}, {_q(d)})" for s, d in OA.PLANTED_CYCLE)
+    sqls["cycle_triads"] = "WITH " + rels_cte() + f""",
+edges AS (
+  SELECT subject AS src, object AS dst FROM rels_d WHERE predicate = 'is_a'
+  UNION ALL
+  SELECT * FROM (VALUES {planted}) v(src, dst))
+SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+FROM edges e1
+JOIN edges e2 ON e2.src = e1.dst
+JOIN edges e3 ON e3.src = e2.dst AND e3.dst = e1.src
+WHERE e1.src < e1.dst AND e1.src < e2.dst"""
+
     tf = terms_full_cte()
     merge_src = """
 src_a AS (
