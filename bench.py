@@ -158,9 +158,13 @@ def pipeline_at(master: str, sf_dir: str, shuffle_partitions: int) -> dict:
     try:
         q = api.queries()["triples_dedup"]
         n = q(spark, sf_dir).count()  # warm JVM, Arrow + full worker pool
+        # replica corpora saturate the (s,p,o) space, so the post-dedup
+        # count under-states work done; throughput uses emitted triples
+        n_emitted = api.queries()["triples"](spark, sf_dir).count()
         wall = min(_timed(q, spark, sf_dir) for _ in range(2))
-        return {"n_triples": n, "wall_s": round(wall, 3),
-                "triples_per_sec": round(n / max(wall, 1e-9), 1)}
+        return {"n_triples": n, "n_emitted": n_emitted,
+                "wall_s": round(wall, 3),
+                "triples_per_sec": round(n_emitted / max(wall, 1e-9), 1)}
     finally:
         spark.stop()
 
@@ -187,6 +191,7 @@ def main() -> None:
             "unit": "ratio", "sf": _sf_from_dir(SF_DIR), "mult": mult, "text_mult": text_mult,
             "n_cores": [n_lo, n_hi],
             "n_triples": hi["n_triples"],
+            "n_emitted": hi["n_emitted"],
             "triples_per_sec": [lo["triples_per_sec"], hi["triples_per_sec"]],
             "wall_s": [lo["wall_s"], hi["wall_s"]],
         }

@@ -270,6 +270,24 @@ def q_inverse_edges(spark, sf_dir):
     return OA.expand_inverse_edges(relationships_df(spark))
 
 
+def q_ntriples_parse(spark, sf_dir):
+    lines = q_ntriples(spark, sf_dir)
+    return SR.parse_ntriples(lines)
+
+
+def q_text_normalize(spark, sf_dir):
+    return TM.normalize_texts(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_alt_id_lookup(spark, sf_dir):
+    t = terms_df(spark)
+    probes = (t.select(F.explode("alt_ids").alias("alt_id"))
+              .filter(F.regexp_extract("alt_id", r"(\d+)$", 1)
+                      .cast("long") % 3 == 0))
+    return OA.alt_id_lookup(t, probes)
+
+
 def q_csv_roundtrip(spark, sf_dir):
     return SR.csv_roundtrip(terms_df(spark))
 
@@ -363,6 +381,9 @@ def queries() -> dict[str, QueryFn]:
         "inverse_edges": q_inverse_edges,
         "merge_selective": q_merge_selective,
         "csv_roundtrip": q_csv_roundtrip,
+        "ntriples_parse": q_ntriples_parse,
+        "text_normalize": q_text_normalize,
+        "alt_id_lookup": q_alt_id_lookup,
         "jsonld_expand": q_jsonld_expand,
         "cycle_triads": q_cycle_triads,
         "term_quarantine": q_term_quarantine,

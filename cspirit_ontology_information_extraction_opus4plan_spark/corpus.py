@@ -43,7 +43,8 @@ from pyspark.sql import functions as F
 
 from .ontology_data import PREDICATE_PHRASES, surfaces
 
-__all__ = ["documents_interleaved", "spans_exploded", "corpus_ctes", "N_SURF"]
+__all__ = ["documents_interleaved", "interleave_docs", "spans_exploded",
+           "explode_spans", "corpus_ctes", "N_SURF"]
 
 N_SURF = len(surfaces())
 
@@ -64,6 +65,14 @@ def documents_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
     deployment would use for any per-row dictionary substitution (never an
     800-literal in-plan array, which blows up the expression tree)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return interleave_docs(docs)
+
+
+def interleave_docs(docs: DataFrame) -> DataFrame:
+    """Span synthesis over an already-loaded flat documents DataFrame —
+    the entry point the Structured Streaming path shares (foreachBatch
+    hands us a batch DataFrame, not a directory)."""
+    spark = docs.sparkSession
     surf = _surf_df(spark)
     n = N_SURF
     d = F.col("doc_id")
@@ -150,8 +159,11 @@ def documents_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
 def spans_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exploded view (doc_id, pos, kind, text, media_ref, offset); pos is
     the array position — the 'order' leg of the span invariant."""
-    df = documents_interleaved(spark, sf_dir)
-    return df.select(
+    return explode_spans(documents_interleaved(spark, sf_dir))
+
+
+def explode_spans(nested: DataFrame) -> DataFrame:
+    return nested.select(
         "doc_id", F.posexplode("spans").alias("pos", "s")
     ).select("doc_id", "pos", "s.kind", "s.text", "s.media_ref", "s.offset")
 

@@ -125,6 +125,17 @@ def validate_term_ids(terms: DataFrame) -> DataFrame:
 
 KNOWN_NAMESPACES = ["chemical", "biological_process", "anatomy", "organism"]
 
+def alt_id_lookup(terms: DataFrame, probes: DataFrame) -> DataFrame:
+    """The reference's `_alt_id_index[alt_id]` lookup
+    (find_term_by_alt_id models.py:2954) as a broadcast equi-join of a
+    probe column against the exploded (alt_id, term_id) index — the
+    SURVEY §2.3 dict-lookup-is-a-join mapping."""
+    index = terms.select(F.explode("alt_ids").alias("alt_id"),
+                         F.col("id").alias("term_id"), "name")
+    return probes.join(F.broadcast(index), "alt_id", "inner") \
+                 .select("alt_id", "term_id", "name")
+
+
 # deterministic planted 3-cycle, disjoint from the real (acyclic) is_a
 # graph — the cycle-detection test corpus (validators.py:253 finds cycle
 # chains by DFS; the DataFrame analog is a fixed-length join chain)

@@ -51,6 +51,34 @@ def csv_roundtrip(terms: DataFrame) -> DataFrame:
                         p["is_obsolete"].alias("is_obsolete"))
 
 
+NT_SUBJ_URI = r"^<urn:ont:([^>]+)>"
+NT_PRED = r"<urn:pred:([^>]+)>"
+NT_OBJ_URI = r" <urn:ont:([^>]+)> \.$"
+NT_OBJ_LIT = r' "((?:[^"\\]|\\.)*)"(?:@[a-z-]+|\^\^<[^>]+>)? \.$'
+NT_SUBJ_BNODE = r"^_:(\S+)"
+
+
+def parse_ntriples(lines: DataFrame) -> DataFrame:
+    """N-Triples source: parse serialized lines back into
+    (subject, predicate, object, object_type) — the bulk-RDF read path
+    of SURVEY §2.1 (OWL/RDF source via spark.read.text + parse; here
+    the parse is pure regexp_extract, no rdflib). Handles uri / bnode /
+    literal objects; the corpus emits only uri-uri triples, so the
+    literal branch mirrors the reference's grammar without firing."""
+    ln = F.col("line")
+    subj_uri = F.regexp_extract(ln, NT_SUBJ_URI, 1)
+    subj_bn = F.regexp_extract(ln, NT_SUBJ_BNODE, 1)
+    obj_uri = F.regexp_extract(ln, NT_OBJ_URI, 1)
+    obj_lit = F.regexp_extract(ln, NT_OBJ_LIT, 1)
+    return lines.select(
+        F.when(subj_uri != "", subj_uri).otherwise(subj_bn)
+        .alias("subject"),
+        F.regexp_extract(ln, NT_PRED, 1).alias("predicate"),
+        F.when(obj_uri != "", obj_uri).otherwise(obj_lit).alias("object"),
+        F.when(obj_uri != "", "uri").otherwise("literal")
+        .alias("object_type"))
+
+
 def jsonld_expand(terms: DataFrame) -> DataFrame:
     """terms -> JSON doc -> from_json parse -> CURIE-to-IRI expansion
     (CHEBI:10001 -> <obo>/CHEBI_10001), the JSON-LD expand step with a

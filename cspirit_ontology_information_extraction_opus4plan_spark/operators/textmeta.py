@@ -15,15 +15,21 @@ Reference analogs (SURVEY §2.7 / §2.1):
     OWLParser.detect_format :2655
 
 Every function is pure column expressions (regexp_extract / CASE
-chains / array ops) — JVM-side, codegen-friendly, no UDFs. Patterns
-are written in the RE2-compatible subset so the DuckDB oracle runs
-the same regexes verbatim.
+chains / array ops) — JVM-side, codegen-friendly — except unicode NFC
+normalization, which has no Spark builtin and is the one sanctioned
+vectorized pandas UDF here (SURVEY §2.7 maps _normalize_unicode to
+exactly that). Patterns are written in the RE2-compatible subset so
+the DuckDB oracle runs the same regexes verbatim.
 """
 
 from __future__ import annotations
 
+import unicodedata
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
 
 from .textops import STOPWORDS_EN
 
@@ -142,6 +148,32 @@ def _sample_content(doc_id) -> F.Column:
             .otherwise(F.concat(
                 F.lit("<http://example.org/s/"), ds,
                 F.lit('> <http://example.org/p> "o" .'))))
+
+
+# deterministic decoration exercising every normalizer: a hyphenated
+# line break, run-on whitespace, a combining acute accent (NFC target),
+# and strippable special characters
+NORM_DECORATION = " over-\n  spaced   cafe\u0301 ~end"  # decomposed e+accent
+
+
+@F.pandas_udf(StringType())
+def _nfc_udf(s: pd.Series) -> pd.Series:
+    return s.map(lambda x: unicodedata.normalize("NFC", x)
+                 if x is not None else None)
+
+
+def normalize_texts(docs: DataFrame) -> DataFrame:
+    """The reference's text-normalizer chain (SURVEY §2.7:
+    _normalize_whitespace :1885, _remove_hyphenation :1907,
+    _normalize_unicode :1925, _clean_special_characters :1942) as an
+    ordered list of column transforms + one Arrow NFC pass."""
+    x = F.concat(F.col("text"), F.lit(NORM_DECORATION))
+    x = F.regexp_replace(x, r"-\n\s*", "")      # de-hyphenate
+    x = F.regexp_replace(x, r"[~^|]", "")       # special-char clean
+    x = F.regexp_replace(x, r"\s+", " ")        # whitespace collapse
+    x = _nfc_udf(F.trim(x))                     # unicode NFC
+    return docs.select("doc_id", x.alias("text_norm"),
+                       F.length(x).alias("n_chars_norm"))
 
 
 def detect_formats(docs: DataFrame) -> DataFrame:

@@ -531,6 +531,38 @@ JOIN edges e2 ON e2.src = e1.dst
 JOIN edges e3 ON e3.src = e2.dst AND e3.dst = e1.src
 WHERE e1.src < e1.dst AND e1.src < e2.dst"""
 
+    # ntriples_parse must invert the serializer, so its oracle is the
+    # pre-serialization triple set itself (independent of the regexes)
+    sqls["ntriples_parse"] = corpus_prefix(
+        gaz_cte(), link_cte(), triples_cte()) + """
+SELECT subject, predicate, object, object_type
+FROM triples
+GROUP BY 1,2,3,4"""
+
+    sqls["text_normalize"] = """
+WITH deco AS (
+  SELECT doc_id,
+         text || ' over-' || chr(10) || '  spaced   cafe' || chr(769)
+              || ' ~end' AS t
+  FROM documents),
+norm AS (
+  SELECT doc_id,
+         nfc_normalize(trim(regexp_replace(regexp_replace(regexp_replace(
+             t, '-\\n\\s*', '', 'g'), '[~^|]', '', 'g'), '\\s+', ' ', 'g')))
+           AS text_norm
+  FROM deco)
+SELECT doc_id, text_norm, CAST(length(text_norm) AS INT) AS n_chars_norm
+FROM norm"""
+
+    alt_rows = [
+        (_q(a), _q(t["id"]), _q(t["name"]))
+        for t in OD.terms() for a in t["alt_ids"]
+    ]
+    sqls["alt_id_lookup"] = ("WITH " + _values(
+        alt_rows, "alt_d", ["alt_id", "term_id", "name"]) + r"""
+SELECT alt_id, term_id, name FROM alt_d
+WHERE CAST(regexp_extract(alt_id, '(\d+)$', 1) AS BIGINT) % 3 = 0""")
+
     tf = terms_full_cte()
     merge_src = """
 src_a AS (

@@ -1,0 +1,62 @@
+"""Structured Streaming ingestion for the KG pipeline.
+
+The reference is batch-only (SURVEY §2.9: parse_stream fully reads its
+handle; no watermarks/event-time semantics exist to reproduce), and the
+north rule's resumability requirement is met by the batch idempotent
+writes in plans/checkpointing.py. This module is the *incremental
+ingestion* face of the same engine: new document files landing in a
+directory flow through the identical NER -> link -> extract stages via
+``foreachBatch`` — one code path for batch and streaming, which is the
+Spark-idiomatic way to run a batch-defined pipeline continuously.
+
+Exactly-once: the stream checkpoint (WAL + source offsets) makes each
+input file processed once; triples append per micro-batch, and the
+7-tuple dedup is applied by readers (dedup is a global property the
+batch `dedup_triples` provides; a streaming global dedup would need
+stateful dropDuplicates over an unbounded key space — deliberately NOT
+done, matching the partition-append + read-side-dedup design of the
+batch materializer).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..corpus import explode_spans, interleave_docs
+from ..operators.gazetteer import gazetteer_df
+from ..operators.linking import link_mentions
+from ..operators.ner import detect_mentions
+from ..operators.relations import extract_triples
+
+DOCS_SCHEMA = ("doc_id bigint, text string, lang string, source string, "
+               "n_chars bigint")
+
+
+def triples_from_docs(docs: DataFrame) -> DataFrame:
+    """Flat documents -> triples; shared by batch and every micro-batch."""
+    spans = explode_spans(interleave_docs(docs))
+    linked = link_mentions(detect_mentions(spans),
+                           gazetteer_df(docs.sparkSession))
+    return extract_triples(spans, linked)
+
+
+def stream_triples(spark: SparkSession, input_dir: str, out_dir: str,
+                   checkpoint_dir: str, trigger_available_now: bool = True):
+    """readStream over a documents directory -> foreachBatch(pipeline)
+    -> parquet append. Returns the started StreamingQuery (caller
+    awaits/stops). availableNow drains what exists and stops — the
+    backfill-then-incremental pattern."""
+    stream = (spark.readStream.schema(DOCS_SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(input_dir))
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        (triples_from_docs(batch_df)
+         .write.mode("append").parquet(out_dir))
+
+    writer = (stream.writeStream
+              .foreachBatch(process)
+              .option("checkpointLocation", checkpoint_dir))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
