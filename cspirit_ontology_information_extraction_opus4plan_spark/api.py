@@ -338,6 +338,11 @@ def q_format_detect(spark, sf_dir):
         spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def q_table_quality(spark, sf_dir):
+    return CS.table_quality(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+
+
 def q_event_value_stats(spark, sf_dir):
     return CS.value_distribution(CS.load_events(spark, sf_dir))
 
@@ -392,6 +397,7 @@ def queries() -> dict[str, QueryFn]:
         "doc_keywords": q_doc_keywords,
         "doc_domains": q_doc_domains,
         "format_detect": q_format_detect,
+        "table_quality": q_table_quality,
         "event_value_stats": q_event_value_stats,
         "event_outliers": q_event_outliers,
         "event_correlation": q_event_correlation,

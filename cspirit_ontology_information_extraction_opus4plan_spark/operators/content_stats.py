@@ -57,6 +57,31 @@ def iqr_outliers(events: DataFrame) -> DataFrame:
             .select("event_id", "event_type", "value"))
 
 
+TABLE_QUALITY_COLS = ["l_quantity", "l_extendedprice", "l_discount",
+                      "l_tax"]
+
+
+def table_quality(lineitem: DataFrame) -> DataFrame:
+    """Per-column numeric summary + completeness ratio over a parsed
+    table (_generate_data_summary content_utils.py:462,
+    _calculate_data_quality :496, analyze_numerical_data
+    metadata_framework.py:381). One `stack` melt + one
+    map-side-combinable groupBy — the unpivot never materializes the
+    wide row twice."""
+    n = len(TABLE_QUALITY_COLS)
+    pairs = ", ".join(f"'{c}', cast({c} as double)"
+                      for c in TABLE_QUALITY_COLS)
+    melted = lineitem.select(
+        F.expr(f"stack({n}, {pairs}) as (col_name, v)"))
+    return (melted.groupBy("col_name").agg(
+        F.count("*").alias("n_rows"),
+        F.count("v").alias("n_present"),
+        F.round(F.count("v") / F.count("*"), 6).alias("completeness"),
+        F.round(F.avg("v"), 6).alias("mean_v"),
+        F.round(F.min("v"), 6).alias("min_v"),
+        F.round(F.max("v"), 6).alias("max_v")))
+
+
 def value_prop_correlation(events: DataFrame) -> DataFrame:
     """Pearson r between `value` and the numeric JSON prop `k` per
     event_type (correlation_analysis + the reference's ubiquitous JSON

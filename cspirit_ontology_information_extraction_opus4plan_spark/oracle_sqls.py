@@ -474,6 +474,20 @@ SELECT doc_id,
        END AS fmt
 FROM content_s"""
 
+    melt = "\n  UNION ALL\n".join(
+        f"  SELECT '{c}' AS col_name, CAST({c} AS DOUBLE) AS v FROM lineitem"
+        for c in CS.TABLE_QUALITY_COLS)
+    sqls["table_quality"] = f"""
+WITH melted AS (
+{melt})
+SELECT col_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(v) AS BIGINT) AS n_present,
+       round(CAST(count(v) AS DOUBLE) / count(*), 6) AS completeness,
+       round(avg(v), 6) AS mean_v,
+       round(min(v), 6) AS min_v,
+       round(max(v), 6) AS max_v
+FROM melted GROUP BY col_name"""
+
     sqls["event_value_stats"] = """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        round(avg(value), 6) AS mean_v,
