@@ -76,9 +76,11 @@ def bench_at(master: str, sf_dir: str, shuffle_partitions: int) -> dict:
     spark = get_spark("kg_bench", master=master,
                       shuffle_partitions=shuffle_partitions)
     try:
-        # warm the JVM + Arrow workers once at tiny scale so we measure the
-        # job, not process startup
-        run_once(spark, "/root/testdata/sf0.001")
+        # warm the JVM + Arrow workers + codegen/JIT once at sf0.01 —
+        # sf0.001 leaves the heavy expression classes (MinHash md5 x
+        # translate, ANN kernels) below JIT thresholds and their first
+        # sf0.1 run then pays several seconds of compilation
+        run_once(spark, "/root/testdata/sf0.01")
         t0 = time.time()
         times, n_triples = run_once(spark, sf_dir)
         total = time.time() - t0
