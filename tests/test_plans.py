@@ -53,3 +53,41 @@ def test_python_only_vectorized(triples_plan):
 def test_no_cartesian_products(triples_plan):
     assert "CartesianProduct" not in triples_plan
     assert "BroadcastNestedLoopJoin" not in triples_plan
+
+
+# --- plan shapes of the newer operator families -----------------------------
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ann_brute_force_is_one_arrow_stage(spark, sf_dir):
+    plan = _plan(api.q_ann_topk(spark, sf_dir))
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_doc_domains_vocab_broadcasts(spark, sf_dir):
+    plan = _plan(api.q_doc_domains(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_has_no_nested_loop_joins(spark, sf_dir):
+    plan = _plan(api.q_doc_minhash_lsh(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_table_quality_single_aggregation_shuffle(spark, sf_dir):
+    plan = _plan(api.q_table_quality(spark, sf_dir))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_event_outliers_fences_broadcast(spark, sf_dir):
+    plan = _plan(api.q_event_outliers(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
