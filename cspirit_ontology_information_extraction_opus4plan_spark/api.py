@@ -177,6 +177,20 @@ def q_media_inventory(spark, sf_dir):
 
 # --- embedding similarity search -------------------------------------------
 
+def q_doc_bpe_tokens(spark, sf_dir):
+    from .operators.textops import bpe_token_counts
+    return bpe_token_counts(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_doc_embedding_neardup(spark, sf_dir):
+    from .operators.similarity import (augmented_embeddings,
+                                       embedding_neardup_pairs,
+                                       load_embeddings)
+    return embedding_neardup_pairs(
+        augmented_embeddings(load_embeddings(spark, sf_dir)))
+
+
 def q_ann_topk(spark, sf_dir):
     from .operators.similarity import brute_force_topk, load_embeddings
     return brute_force_topk(load_embeddings(spark, sf_dir))
@@ -413,6 +427,8 @@ def queries() -> dict[str, QueryFn]:
         "doc_quality": q_doc_quality,
         "doc_lang_id": q_doc_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "doc_bpe_tokens": q_doc_bpe_tokens,
+        "doc_embedding_neardup": q_doc_embedding_neardup,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "media_features": q_media_features,

@@ -184,6 +184,43 @@ def lsh_bucket_col(col: str) -> Column:
     return _bucket_udf(F.col(col))
 
 
+NEARDUP_COS = 0.9
+
+
+def augmented_embeddings(emb: DataFrame) -> DataFrame:
+    """embeddings + planted duplicates (vec_id%25==0 copied to
+    id+1000000) — random vectors never reach near-dup cosine, so the
+    detector needs planted positives; rebuilt identically by the
+    oracle SQL (the augmented_docs pattern)."""
+    dup = (emb.filter(F.col("vec_id") % 25 == 0)
+           .select((F.col("vec_id") + 1000000).alias("vec_id"),
+                   "embedding"))
+    return emb.select("vec_id", "embedding").unionByName(dup)
+
+
+def embedding_neardup_pairs(emb: DataFrame,
+                            threshold: float = NEARDUP_COS) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: candidate pairs from
+    the LSH bucket equi-join (symmetric, a<b), exact cosine >= threshold.
+    The dedup-by-embedding leg of the training-data surface — same
+    bucket-bounded shuffle as lsh_topk, no global window needed."""
+    v = emb.select("vec_id", "embedding",
+                   _norm2_udf("embedding").alias("n2"),
+                   lsh_bucket_col("embedding").alias("bucket"))
+    a = v.select(F.col("vec_id").alias("a"),
+                 F.col("embedding").alias("emb_a"),
+                 F.col("n2").alias("n2_a"), "bucket")
+    b = v.select(F.col("vec_id").alias("b"),
+                 F.col("embedding").alias("emb_b"),
+                 F.col("n2").alias("n2_b"), "bucket")
+    pairs = (a.join(b, "bucket").filter(F.col("a") < F.col("b"))
+             .withColumn("cosine",
+                         _dot_udf("emb_a", "emb_b")
+                         / F.sqrt(F.col("n2_a") * F.col("n2_b"))))
+    return (pairs.filter(F.col("cosine") >= threshold)
+            .select("a", "b", F.round("cosine", 6).alias("score")))
+
+
 def lsh_topk(emb: DataFrame, k: int = TOP_K,
              query_mod: int = QUERY_MOD) -> DataFrame:
     """ANN: candidates restricted to the query's LSH bucket (equi-join

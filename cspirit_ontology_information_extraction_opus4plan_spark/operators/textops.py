@@ -233,6 +233,23 @@ def token_stats(docs: DataFrame) -> DataFrame:
             / F.size(toks), 6).alias("avg_token_len"))
 
 
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def bpe_token_counts(docs: DataFrame) -> DataFrame:
+    """Sub-word-ish token counting next to whitespace word counts: the
+    BPE-style pre-tokenizer regex (letter runs | digit runs | single
+    punctuation) applied with regexp_extract_all — the training-data
+    token-budget estimator."""
+    words = tokens_col()
+    sub = F.regexp_extract_all(F.lower("text"), F.lit(BPE_ISH_PATTERN), 0)
+    return docs.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.size(sub).alias("n_subtokens"),
+        F.round(F.size(sub) / F.size(words), 6).alias("subtoken_ratio"))
+
+
 def quality_scores(docs: DataFrame) -> DataFrame:
     """Quality heuristics (reference analog: text-complexity metrics
     content_utils.py:94): length, punctuation density, stopword ratio,

@@ -268,6 +268,15 @@ SELECT a, b, jaccard FROM (
        min(doc_id) AS min_doc
 FROM sh GROUP BY 1 HAVING count(*) > 1""")
 
+    sqls["doc_bpe_tokens"] = f"WITH {tok_cte('documents')}" + f"""
+SELECT doc_id, CAST(len(toks) AS INT) AS n_words,
+       CAST(len(regexp_extract_all(lower(text), '{TX.BPE_ISH_PATTERN}'))
+            AS INT) AS n_subtokens,
+       round(CAST(len(regexp_extract_all(lower(text),
+                                         '{TX.BPE_ISH_PATTERN}'))
+                  AS DOUBLE) / len(toks), 6) AS subtoken_ratio
+FROM tok"""
+
     sqls["doc_token_stats"] = f"WITH {tok_cte('documents')}" + """
 SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
        CAST(length(text) AS INT) AS n_chars,
@@ -354,7 +363,24 @@ FROM (
   FROM scored) r
 WHERE rank <= {SIM.TOP_K}""".strip()
 
+    dot_ab = " + ".join(
+        f"CAST(a.embedding[{i + 1}] AS DOUBLE) "
+        f"* CAST(b.embedding[{i + 1}] AS DOUBLE)"
+        for i in range(SIM.DIM))
     sqls = {}
+    sqls["doc_embedding_neardup"] = f"""
+WITH aemb AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 25 = 0),
+vn AS (
+  SELECT e.vec_id, e.embedding, ({n2}) AS n2, ({bucket('e')}) AS bucket
+  FROM aemb e)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(({dot_ab}) / sqrt(a.n2 * b.n2), 6) AS score
+FROM vn a JOIN vn b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE ({dot_ab}) / sqrt(a.n2 * b.n2) >= {SIM.NEARDUP_COS}"""
+
     sqls["ann_topk"] = f"""
 WITH vn AS (
   SELECT e.vec_id, e.embedding, ({n2}) AS n2 FROM embeddings e),
