@@ -107,6 +107,17 @@ def q_fuzzy_linking(spark, sf_dir):
     return fuzzy_candidates(surfaces, cands)
 
 
+def q_tfidf_linking(spark, sf_dir):
+    """TF-IDF leg of the north-star scoring stage: IDF-weighted token
+    Jaccard over the same blocked candidate pairs."""
+    from .operators.fuzzy import tfidf_candidates
+    surfaces = detect_mentions(spans_exploded(spark, sf_dir)) \
+        .select("surface").distinct()
+    cands = gazetteer_df(spark).select(
+        F.col("surface").alias("candidate"), "term_id").distinct()
+    return tfidf_candidates(surfaces, cands)
+
+
 # --- training-data text ops (documents corpus) -----------------------------
 
 def _docs(spark, sf_dir):
@@ -383,6 +394,7 @@ def queries() -> dict[str, QueryFn]:
         "triples_dedup": q_triples_dedup,
         "predicate_counts": q_predicate_counts,
         "fuzzy_linking": q_fuzzy_linking,
+        "tfidf_linking": q_tfidf_linking,
         "entity_equivalence_edges": q_equivalence_edges,
         "canonical_entities": q_canonical_entities,
         "canonical_triples": q_canonical_triples,

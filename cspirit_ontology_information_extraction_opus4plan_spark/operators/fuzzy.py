@@ -52,6 +52,66 @@ def trigram_jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series([trigram_jaccard_py(x, y) for x, y in zip(a, b)])
 
 
+def tfidf_candidates(mention_surfaces: DataFrame, candidates: DataFrame,
+                     top_k: int = 3, length_band: int = 4) -> DataFrame:
+    """TF-IDF similarity leg of the north-star scoring stage:
+    score = sum(idf over shared tokens) / sum(idf over union tokens)
+    (IDF-weighted Jaccard over word tokens).
+
+    idf = ln(N / df) over the candidate vocabulary — computed
+    driver-side from the dimension-sized candidate set (the same
+    broadcast-scale assumption as the gazetteer itself) and shipped to
+    executors inside the Arrow UDF closure; tokens unseen in the
+    vocabulary get df=1. Python sums run over SORTED tokens so the
+    float addition order is reproducible; the oracle's SQL SUM may
+    reorder, which is why scores round to 6 dp. Candidate generation is
+    the same first-char block + length band as fuzzy_candidates (wider
+    band: token overlap tolerates length drift better than
+    levenshtein)."""
+    import math
+    from collections import Counter
+
+    cand_rows = [r["candidate"] for r in
+                 candidates.select("candidate").distinct().collect()]
+    n_cand = len(cand_rows)
+    df_counts = Counter(
+        tok for c in cand_rows for tok in set(c.split()))
+    idf = {t: math.log(n_cand / d) for t, d in df_counts.items()}
+    default_idf = math.log(n_cand)
+
+    @pandas_udf(DoubleType())
+    def tfidf_sim(a: pd.Series, b: pd.Series) -> pd.Series:
+        def score(x: str, y: str) -> float:
+            tx, ty = set(x.split()), set(y.split())
+            union = sorted(tx | ty)
+            shared = tx & ty
+            den = 0.0
+            num = 0.0
+            for t in union:
+                w = idf.get(t, default_idf)
+                den = den + w
+                if t in shared:
+                    num = num + w
+            return num / den if den else 0.0
+        return pd.Series([score(x, y) for x, y in zip(a, b)])
+
+    m = mention_surfaces.select(
+        "surface", F.substring("surface", 1, 1).alias("blk"),
+        F.length("surface").alias("mlen"))
+    c = candidates.select(
+        "candidate", "term_id", F.substring("candidate", 1, 1).alias("blk"),
+        F.length("candidate").alias("clen"))
+    pairs = (m.join(F.broadcast(c), "blk")
+             .filter(F.abs(F.col("mlen") - F.col("clen")) <= length_band))
+    scored = pairs.withColumn(
+        "score", F.round(tfidf_sim("surface", "candidate"), 6))
+    w = Window.partitionBy("surface").orderBy(
+        F.desc("score"), F.asc("term_id"), F.asc("candidate"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter((F.col("rank") <= top_k) & (F.col("score") > 0))
+            .select("surface", "candidate", "term_id", "score", "rank"))
+
+
 def fuzzy_candidates(mention_surfaces: DataFrame, candidates: DataFrame,
                      top_k: int = 3, length_band: int = 2) -> DataFrame:
     """mention_surfaces(surface) x candidates(candidate, term_id) ->

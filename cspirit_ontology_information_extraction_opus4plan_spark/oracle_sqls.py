@@ -789,6 +789,48 @@ SELECT surface, candidate, term_id, score, CAST(rank AS INT) AS rank FROM (
   ) AS rank FROM scored) r
 WHERE rank <= 3"""
 
+    sqls["tfidf_linking"] = corpus_prefix(gaz_cte()) + f"""
+, msurf AS (
+  SELECT DISTINCT surface FROM (
+    SELECT unnest(regexp_extract_all(lower(text), {_q(pat)}, 1)) AS surface
+    FROM spans WHERE kind IN ('text','figure','table')) t),
+cand AS (SELECT DISTINCT surface AS candidate, term_id FROM gaz),
+cdist AS (SELECT DISTINCT candidate FROM cand),
+ctok AS (
+  SELECT candidate,
+         unnest(list_distinct(string_split(candidate, ' '))) AS tok
+  FROM cdist),
+idf AS (
+  SELECT tok, ln((SELECT count(*) FROM cdist) * 1.0
+                 / count(DISTINCT candidate)) AS w
+  FROM ctok GROUP BY tok),
+pairs AS (
+  SELECT m.surface, c.candidate, c.term_id
+  FROM msurf m JOIN cand c
+    ON substring(m.surface, 1, 1) = substring(c.candidate, 1, 1)
+   AND abs(length(m.surface) - length(c.candidate)) <= 4),
+ptok AS (
+  SELECT surface, candidate, term_id,
+         unnest(list_distinct(string_split(surface, ' ')
+                              || string_split(candidate, ' '))) AS tok
+  FROM pairs),
+pscore AS (
+  SELECT surface, candidate, term_id,
+         round(sum(CASE WHEN list_contains(string_split(surface, ' '), tok)
+                         AND list_contains(string_split(candidate, ' '),
+                                           tok)
+                   THEN w ELSE 0 END)
+               / sum(w), 6) AS score
+  FROM (SELECT pt.*,
+               coalesce(i.w, ln((SELECT count(*) FROM cdist))) AS w
+        FROM ptok pt LEFT JOIN idf i USING (tok)) x
+  GROUP BY 1, 2, 3)
+SELECT surface, candidate, term_id, score, CAST(rank AS INT) AS rank FROM (
+  SELECT pscore.*, row_number() OVER (
+    PARTITION BY surface ORDER BY score DESC, term_id ASC, candidate ASC
+  ) AS rank FROM pscore) r
+WHERE rank <= 3 AND score > 0"""
+
     # --- ontology algebra --------------------------------------------------
     tf, rd = terms_full_cte(), rels_cte()
 
