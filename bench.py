@@ -34,6 +34,7 @@ from cspirit_ontology_information_extraction_opus4plan_spark.session import (  #
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SCALING_CACHE = os.path.join(REPO, ".bench_scaled", "last_scaling.json")
 
 # headline queries: the end-to-end pipeline plus its dominant stages
 HEADLINE = [
@@ -198,6 +199,9 @@ def main() -> None:
             "wall_s": [lo["wall_s"], hi["wall_s"]],
         }
         print(json.dumps(out))
+        os.makedirs(os.path.join(REPO, ".bench_scaled"), exist_ok=True)
+        with open(SCALING_CACHE, "w") as fh:
+            json.dump(out, fh)
         return
 
     res = bench_at(f"local[{CPUS}]", SF_DIR, CPUS)
@@ -210,6 +214,15 @@ def main() -> None:
         "n_triples": res["n_triples"],
         "wall_s": res["wall_s"],
     }
+    # attach the most recent --scaling result so the per-round BENCH
+    # record carries the north-rule N-vs-4N evidence (see BASELINE.md
+    # "Measured" for the methodology and run-to-run spread)
+    if os.path.exists(SCALING_CACHE):
+        try:
+            with open(SCALING_CACHE) as fh:
+                out["scaling"] = json.load(fh)
+        except (OSError, ValueError):
+            pass
     print(json.dumps(out))
 
 
