@@ -11,10 +11,12 @@ full pipeline at the bench scale factor and dividing emitted triples by
 wall time.
 
 `--scaling` mode runs the same end-to-end job at local[N] and local[4N]
-(default N=8 -> 32) on identical input and reports throughput at both plus
-efficiency = (T_4N / T_N) / 4 — the sandbox proxy for the north rule's
-two-cluster-size criterion (no real cluster here). Results land in
-BENCH/BASELINE.md via tools/update_bench_md.py or --write-md.
+(default N=2 -> 8; see BASELINE.md "Measured" for why not 8 -> 32 on
+this host) on an identical compute-bound replicated input and reports
+throughput at both plus efficiency = (T_4N / T_N) / 4 — the sandbox
+proxy for the north rule's two-cluster-size criterion (no real cluster
+here). The result is cached and attached to subsequent default runs
+under the "scaling" key; prose methodology lives in BASELINE.md.
 """
 
 from __future__ import annotations
