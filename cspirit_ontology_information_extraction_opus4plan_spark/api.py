@@ -13,7 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .corpus import documents_interleaved, spans_exploded
+from .corpus import spans_exploded
 from .ontology_data import CLOSURE_SEEDS
 from .operators import content_stats as CS
 from .operators import ontology_algebra as OA
