@@ -202,8 +202,25 @@ def main() -> None:
         }
         print(json.dumps(out))
         os.makedirs(os.path.join(REPO, ".bench_scaled"), exist_ok=True)
+        history = []
+        if os.path.exists(SCALING_CACHE):
+            try:
+                with open(SCALING_CACHE) as fh:
+                    prev = json.load(fh)
+                history = prev.get("runs", [prev] if "value" in prev else [])
+            except (OSError, ValueError):
+                pass
+        history.append(out)
+        vals = sorted(r["value"] for r in history)
+        summary = {
+            "metric": "scaling_efficiency",
+            "runs": history,
+            "n_runs": len(history),
+            "median_value": vals[len(vals) // 2],
+            "best_value": vals[-1],
+        }
         with open(SCALING_CACHE, "w") as fh:
-            json.dump(out, fh)
+            json.dump(summary, fh)
         return
 
     res = bench_at(f"local[{CPUS}]", SF_DIR, CPUS)

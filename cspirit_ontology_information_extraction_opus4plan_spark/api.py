@@ -341,6 +341,10 @@ def q_term_quarantine(spark, sf_dir):
         terms_df(spark).select("id", "name", "namespace")))
 
 
+def q_uri_lang_validation(spark, sf_dir):
+    return OA.uri_lang_violations(terms_df(spark).select("id"))
+
+
 def q_citation_fields(spark, sf_dir):
     return TM.citation_fields(spans_exploded(spark, sf_dir))
 
@@ -422,6 +426,7 @@ def queries() -> dict[str, QueryFn]:
         "jsonld_expand": q_jsonld_expand,
         "cycle_triads": q_cycle_triads,
         "term_quarantine": q_term_quarantine,
+        "uri_lang_validation": q_uri_lang_validation,
         "citation_fields": q_citation_fields,
         "caption_types": q_caption_types,
         "doc_keywords": q_doc_keywords,

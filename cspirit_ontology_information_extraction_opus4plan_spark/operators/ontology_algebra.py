@@ -125,6 +125,36 @@ def validate_term_ids(terms: DataFrame) -> DataFrame:
 
 KNOWN_NAMESPACES = ["chemical", "biological_process", "anatomy", "organism"]
 
+URI_PATTERN = r"^[a-z][a-z0-9+.-]*:\S+$"
+LANG_TAG_PATTERN = r"^[a-zA-Z]{1,8}(-[a-zA-Z0-9]{1,8})*$"
+
+
+def uri_lang_violations(terms: DataFrame) -> DataFrame:
+    """URI-validity and language-tag checks (models.py:3959 URI format,
+    :4026 lang tags) over a deterministically decorated node set:
+    seq%6==2 gets a malformed URI (embedded space), seq%8 picks the
+    language tag (0 -> 'en' valid, 1 -> 'EN-us-' trailing hyphen,
+    else none). Violations quarantine as (term_id, rule) rows like
+    quarantine_terms — the truth-table tests of the reference's model
+    validators, re-expressed as rlike columns."""
+    seq = F.regexp_extract("id", r"(\d+)$", 1).cast("long")
+    uri = F.when(seq % 6 == 2, F.concat(F.lit("urn:ont bad:"), F.col("id"))
+                 ).otherwise(F.concat(F.lit("urn:ont:"), F.col("id")))
+    lang = (F.when(seq % 8 == 0, "en")
+            .when(seq % 8 == 1, "EN-us-")
+            .otherwise(F.lit(None).cast("string")))
+    checks = [
+        ("invalid_uri", ~uri.rlike(URI_PATTERN)),
+        ("invalid_lang_tag", lang.isNotNull()
+         & ~lang.rlike(LANG_TAG_PATTERN)),
+    ]
+    viol = F.filter(
+        F.array(*[F.when(cond, F.lit(rule)) for rule, cond in checks]),
+        lambda x: x.isNotNull())
+    return terms.select(F.col("id").alias("term_id"),
+                        F.explode(viol).alias("rule"))
+
+
 def alt_id_lookup(terms: DataFrame, probes: DataFrame) -> DataFrame:
     """The reference's `_alt_id_index[alt_id]` lookup
     (find_term_by_alt_id models.py:2954) as a broadcast equi-join of a

@@ -627,6 +627,21 @@ FROM norm"""
 SELECT alt_id, term_id, name FROM alt_d
 WHERE CAST(regexp_extract(alt_id, '(\d+)$', 1) AS BIGINT) % 3 = 0""")
 
+    sqls["uri_lang_validation"] = "WITH " + terms_cte() + r""",
+deco AS (
+  SELECT id,
+         CASE WHEN CAST(regexp_extract(id, '(\d+)$', 1) AS BIGINT) % 6 = 2
+              THEN 'urn:ont bad:' || id ELSE 'urn:ont:' || id END AS uri,
+         CASE CAST(regexp_extract(id, '(\d+)$', 1) AS BIGINT) % 8
+              WHEN 0 THEN 'en' WHEN 1 THEN 'EN-us-' ELSE NULL END AS lang
+  FROM terms_d)
+SELECT id AS term_id, 'invalid_uri' AS rule FROM deco
+WHERE NOT regexp_matches(uri, '^[a-z][a-z0-9+.-]*:\S+$')
+UNION ALL
+SELECT id, 'invalid_lang_tag' FROM deco
+WHERE lang IS NOT NULL
+  AND NOT regexp_matches(lang, '^[a-zA-Z]{1,8}(-[a-zA-Z0-9]{1,8})*$')"""
+
     tf = terms_full_cte()
     merge_src = """
 src_a AS (
