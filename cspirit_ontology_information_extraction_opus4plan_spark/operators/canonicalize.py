@@ -97,6 +97,7 @@ def connected_components(
     labels = nodes.select(F.col("id"), F.col("id").alias("comp"))
     labels = labels.localCheckpoint(eager=True)
 
+    converged = False
     for it in range(max_iter):
         prop = (sym.join(labels.withColumnRenamed("id", "src"), "src")
                 .select(F.col("dst").alias("id"), "comp"))
@@ -110,14 +111,32 @@ def connected_components(
         stepped = (labels.join(mins, "id", "left")
                    .select("id", F.col("comp").alias("old"),
                            F.least("comp", F.coalesce("ncomp", "comp"))
+                           .alias("comp")))
+        # pointer-jumping shortcut: comp <- label(comp). Plain neighbor
+        # propagation moves labels one hop per round (O(diameter) rounds
+        # — silently wrong on a >max_iter-diameter chain); composing the
+        # label map with itself each round makes the hop distance double,
+        # O(log diameter) total (the PRAM shortcutting step GraphFrames'
+        # large/small-star achieves; one extra self-join per round).
+        jump = stepped.select(F.col("id").alias("jid"),
+                              F.col("comp").alias("jcomp"))
+        stepped = (stepped.join(jump, stepped.comp == jump.jid, "left")
+                   .select("id", "old",
+                           F.least("comp", F.coalesce("jcomp", "comp"))
                            .alias("comp"))
                    .localCheckpoint(eager=True))
         changed = stepped.filter(F.col("comp") != F.col("old")).count()
         labels = stepped.select("id", "comp")
         if changed == 0:
+            converged = True
             break
 
     sym.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"— raise max_iter (labels move >= 2x per round, so this "
+            f"graph's component diameter exceeds ~2^{max_iter})")
     return labels.select("id", F.col("comp").alias("canonical_id"))
 
 
