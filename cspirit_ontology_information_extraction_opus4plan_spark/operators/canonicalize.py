@@ -41,8 +41,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["equivalence_edges", "connected_components", "canonical_mapping",
-           "canonical_triples"]
+__all__ = ["equivalence_edges", "equivalence_star_edges",
+           "connected_components", "canonical_mapping", "canonical_triples"]
 
 
 def _pairs(keyed: DataFrame) -> DataFrame:
@@ -56,10 +56,10 @@ def _pairs(keyed: DataFrame) -> DataFrame:
             .select("src", "dst").distinct())
 
 
-def equivalence_edges(terms: DataFrame) -> DataFrame:
-    """terms (TERMS_SCHEMA) -> undirected equivalence edges (src, dst)."""
+def _keyed_nodes(terms: DataFrame) -> tuple[DataFrame, DataFrame,
+                                            DataFrame]:
+    """The three equivalence sources as (key, id) / explicit-edge sets."""
     live = terms.filter(~F.col("is_obsolete"))
-
     surf = live.select(
         F.explode(
             F.array_union(
@@ -68,14 +68,42 @@ def equivalence_edges(terms: DataFrame) -> DataFrame:
         ).alias("k"),
         F.col("id"))
     xref = terms.select(F.explode("xrefs").alias("k"), F.col("id"))
-
     repl = (terms
             .filter(F.col("is_obsolete") & F.col("replaced_by").isNotNull())
             .select(F.least("id", "replaced_by").alias("src"),
                     F.greatest("id", "replaced_by").alias("dst")))
+    return surf, xref, repl
 
+
+def equivalence_edges(terms: DataFrame) -> DataFrame:
+    """terms (TERMS_SCHEMA) -> undirected equivalence edges (src, dst) —
+    the full pairwise view (the reference's 1:N synonym-index semantics,
+    models.py:2886). For CC input use equivalence_star_edges: a key
+    shared by K terms makes K^2 pairs here but only K-1 star edges
+    there, with identical components."""
+    surf, xref, repl = _keyed_nodes(terms)
     return (_pairs(surf)
             .unionByName(_pairs(xref))
+            .unionByName(repl)
+            .distinct())
+
+
+def _star(keyed: DataFrame) -> DataFrame:
+    """keyed(key, id) -> star edges (min id per key <-> other ids).
+    Same connected components as the K^2 pairwise clique, O(K) edges —
+    a hub surface shared by 10^5 entities at corpus scale must not
+    materialize 10^10 pairs before CC even starts."""
+    hub = keyed.groupBy("k").agg(F.min("id").alias("src"))
+    return (keyed.join(hub, "k")
+            .filter(F.col("id") != F.col("src"))
+            .select("src", F.col("id").alias("dst")).distinct())
+
+
+def equivalence_star_edges(terms: DataFrame) -> DataFrame:
+    """Component-equivalent O(K)-per-key edge set feeding CC."""
+    surf, xref, repl = _keyed_nodes(terms)
+    return (_star(surf)
+            .unionByName(_star(xref))
             .unionByName(repl)
             .distinct())
 
@@ -143,7 +171,7 @@ def connected_components(
 def canonical_mapping(terms: DataFrame) -> DataFrame:
     """(term_id, canonical_id) for every term in the ontology."""
     return connected_components(
-        terms.select("id"), equivalence_edges(terms))
+        terms.select("id"), equivalence_star_edges(terms))
 
 
 def canonical_triples(triples: DataFrame, mapping: DataFrame) -> DataFrame:

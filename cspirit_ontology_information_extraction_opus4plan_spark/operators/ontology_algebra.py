@@ -277,6 +277,7 @@ def bfs_depths(terms: DataFrame, rels: DataFrame,
     labeled = hierarchy_roots(terms, rels) \
         .select("id", F.lit(0).alias("depth"))
     frontier = labeled
+    done = False
     for it in range(max_iter):
         nxt = (down.join(frontier.withColumnRenamed("id", "parent"), "parent")
                .select(F.col("child").alias("id"),
@@ -285,10 +286,16 @@ def bfs_depths(terms: DataFrame, rels: DataFrame,
                .join(labeled, "id", "left_anti"))
         nxt = nxt.localCheckpoint(eager=True)
         if nxt.isEmpty():
+            done = True
             break
         labeled = labeled.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     down.unpersist()
+    if not done:
+        raise RuntimeError(
+            f"bfs_depths frontier still active after {max_iter} rounds — "
+            f"hierarchy deeper than max_iter (a silent cap would return "
+            f"depths missing the deepest terms)")
     return labeled
 
 
@@ -312,16 +319,22 @@ def dependency_closure(terms: DataFrame, rels: DataFrame,
           .distinct().persist())
     seen = seeds.select("id").distinct()
     frontier = seen
+    done = False
     for it in range(max_iter):
         nxt = (up.join(frontier.withColumnRenamed("id", "child"), "child")
                .select(F.col("parent").alias("id")).distinct()
                .join(seen, "id", "left_anti")
                .localCheckpoint(eager=True))
         if nxt.isEmpty():
+            done = True
             break
         seen = seen.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     up.unpersist()
+    if not done:
+        raise RuntimeError(
+            f"dependency_closure frontier still active after {max_iter} "
+            f"rounds — incomplete closure would silently drop ancestors")
     return seen
 
 
