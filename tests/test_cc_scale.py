@@ -16,6 +16,25 @@ CHAIN_BASE = 1_000_000
 CHAIN_N = 2_000
 
 
+def test_star_edges_give_same_components_as_pairwise(spark):
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.canonicalize import (
+        connected_components as cc,
+        equivalence_edges,
+        equivalence_star_edges,
+    )
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.gazetteer import (
+        terms_df,
+    )
+
+    terms = terms_df(spark)
+    nodes = terms.select("id")
+    a = cc(nodes, equivalence_edges(terms)).toPandas() \
+        .sort_values("id").reset_index(drop=True)
+    b = cc(nodes, equivalence_star_edges(terms)).toPandas() \
+        .sort_values("id").reset_index(drop=True)
+    assert a.equals(b)
+
+
 def test_cc_star_and_long_chain(spark):
     star_edges = spark.range(1, STAR_N).select(
         F.lit(0).alias("src"), F.col("id").alias("dst"))
