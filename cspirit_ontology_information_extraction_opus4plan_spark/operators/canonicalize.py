@@ -136,23 +136,25 @@ def connected_components(
         mins = partial.groupBy("id").agg(F.min("comp").alias("ncomp"))
         # carry the old label through, so convergence is a filter+count on
         # the checkpointed frame — no extra old-vs-new join per round
-        stepped = (labels.join(mins, "id", "left")
-                   .select("id", F.col("comp").alias("old"),
-                           F.least("comp", F.coalesce("ncomp", "comp"))
-                           .alias("comp")))
+        half = (labels.join(mins, "id", "left")
+                .select("id", F.col("comp").alias("old"),
+                        F.least("comp", F.coalesce("ncomp", "comp"))
+                        .alias("comp"))
+                .persist())  # both sides of the jump self-join read this
         # pointer-jumping shortcut: comp <- label(comp). Plain neighbor
         # propagation moves labels one hop per round (O(diameter) rounds
         # — silently wrong on a >max_iter-diameter chain); composing the
         # label map with itself each round makes the hop distance double,
         # O(log diameter) total (the PRAM shortcutting step GraphFrames'
         # large/small-star achieves; one extra self-join per round).
-        jump = stepped.select(F.col("id").alias("jid"),
-                              F.col("comp").alias("jcomp"))
-        stepped = (stepped.join(jump, stepped.comp == jump.jid, "left")
+        jump = half.select(F.col("id").alias("jid"),
+                           F.col("comp").alias("jcomp"))
+        stepped = (half.join(jump, half.comp == jump.jid, "left")
                    .select("id", "old",
                            F.least("comp", F.coalesce("jcomp", "comp"))
                            .alias("comp"))
                    .localCheckpoint(eager=True))
+        half.unpersist()
         changed = stepped.filter(F.col("comp") != F.col("old")).count()
         labels = stepped.select("id", "comp")
         if changed == 0:
