@@ -212,11 +212,14 @@ def main() -> None:
                 pass
         history.append(out)
         vals = sorted(r["value"] for r in history)
+        n = len(vals)
+        median = (vals[n // 2] if n % 2
+                  else round((vals[n // 2 - 1] + vals[n // 2]) / 2, 3))
         summary = {
             "metric": "scaling_efficiency",
             "runs": history,
-            "n_runs": len(history),
-            "median_value": vals[len(vals) // 2],
+            "n_runs": n,
+            "median_value": median,
             "best_value": vals[-1],
         }
         with open(SCALING_CACHE, "w") as fh:

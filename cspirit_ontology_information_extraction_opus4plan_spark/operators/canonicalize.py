@@ -126,7 +126,10 @@ def connected_components(
     labels = labels.localCheckpoint(eager=True)
 
     converged = False
-    for it in range(max_iter):
+    # max_iter + 1: a run whose labels reach the fixpoint exactly on
+    # round max_iter needs one extra verification round to observe
+    # changed == 0 — without it, complete results would be rejected
+    for it in range(max_iter + 1):
         prop = (sym.join(labels.withColumnRenamed("id", "src"), "src")
                 .select(F.col("dst").alias("id"), "comp"))
         partial = (prop

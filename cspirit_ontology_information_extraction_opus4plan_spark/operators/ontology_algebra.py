@@ -278,7 +278,10 @@ def bfs_depths(terms: DataFrame, rels: DataFrame,
         .select("id", F.lit(0).alias("depth"))
     frontier = labeled
     done = False
-    for it in range(max_iter):
+    # max_iter + 1: the last depth can be assigned on round max_iter-1,
+    # and one extra round is needed to observe the empty frontier —
+    # otherwise a complete result is rejected as truncated
+    for it in range(max_iter + 1):
         nxt = (down.join(frontier.withColumnRenamed("id", "parent"), "parent")
                .select(F.col("child").alias("id"),
                        (F.col("depth") + 1).alias("depth"))
@@ -320,7 +323,7 @@ def dependency_closure(terms: DataFrame, rels: DataFrame,
     seen = seeds.select("id").distinct()
     frontier = seen
     done = False
-    for it in range(max_iter):
+    for it in range(max_iter + 1):  # +1 verification round, see bfs_depths
         nxt = (up.join(frontier.withColumnRenamed("id", "child"), "child")
                .select(F.col("parent").alias("id")).distinct()
                .join(seen, "id", "left_anti")

@@ -44,7 +44,7 @@ def csv_roundtrip(terms: DataFrame) -> DataFrame:
                         p["name"].alias("name"),
                         p["definition"].alias("definition"),
                         syn.alias("synonyms"),
-                        F.when(F.coalesce(syn, F.lit("")) == "", 0)
+                        F.when(syn == "", 0)
                         .otherwise(F.size(F.split(syn, ";")))
                         .alias("n_synonyms"),
                         p["namespace"].alias("namespace"),

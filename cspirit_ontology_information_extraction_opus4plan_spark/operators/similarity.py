@@ -204,9 +204,11 @@ def embedding_neardup_pairs(emb: DataFrame,
     the LSH bucket equi-join (symmetric, a<b), exact cosine >= threshold.
     The dedup-by-embedding leg of the training-data surface — same
     bucket-bounded shuffle as lsh_topk, no global window needed."""
+    # persist: both self-join sides read v, and its two Arrow UDF
+    # columns would otherwise run twice over the whole table
     v = emb.select("vec_id", "embedding",
                    _norm2_udf("embedding").alias("n2"),
-                   lsh_bucket_col("embedding").alias("bucket"))
+                   lsh_bucket_col("embedding").alias("bucket")).persist()
     a = v.select(F.col("vec_id").alias("a"),
                  F.col("embedding").alias("emb_a"),
                  F.col("n2").alias("n2_a"), "bucket")

@@ -189,7 +189,10 @@ def cross_references(spans: DataFrame) -> DataFrame:
     labels = (spans.filter(F.col("kind").isin("figure", "table"))
               .select("doc_id", "kind", "media_ref",
                       F.regexp_extract("text", r"^((figure|table) \d+)", 1)
-                      .alias("label")))
+                      .alias("label"))
+              # a caption whose label regex misses yields '' and
+              # contains('') is true for EVERY text span — drop it
+              .filter(F.col("label") != ""))
     seq = F.regexp_extract("doc_id", r"(\d+)$", 1).cast("long")
     texts = (spans.filter(F.col("kind") == "text")
              .select("doc_id",

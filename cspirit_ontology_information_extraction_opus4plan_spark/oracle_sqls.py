@@ -470,9 +470,11 @@ HAVING count(DISTINCT keyword) >= {TM.MIN_DOMAIN_HITS}"""
 
     sqls["cross_references"] = corpus_prefix() + r"""
 , labels AS (
-  SELECT doc_id, kind, media_ref,
-         regexp_extract(text, '^((figure|table) \d+)', 1) AS label
-  FROM spans WHERE kind IN ('figure', 'table')),
+  SELECT doc_id, kind, media_ref, label FROM (
+    SELECT doc_id, kind, media_ref,
+           regexp_extract(text, '^((figure|table) \d+)', 1) AS label
+    FROM spans WHERE kind IN ('figure', 'table')) x
+  WHERE label <> ''),
 texts AS (
   SELECT doc_id,
          CASE WHEN CAST(regexp_extract(doc_id, '(\d+)$', 1) AS BIGINT)

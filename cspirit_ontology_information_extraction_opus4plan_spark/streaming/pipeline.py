@@ -10,11 +10,13 @@ directory flow through the identical NER -> link -> extract stages via
 Spark-idiomatic way to run a batch-defined pipeline continuously.
 
 Exactly-once: the stream checkpoint (WAL + source offsets) makes each
-input file processed once; triples append per micro-batch, and the
+input file processed once, and each micro-batch writes to its own
+``batch_id=N`` subdirectory with overwrite — so a crash-replay of an
+already-written batch is idempotent rather than at-least-once. The
 7-tuple dedup is applied by readers (dedup is a global property the
 batch `dedup_triples` provides; a streaming global dedup would need
 stateful dropDuplicates over an unbounded key space — deliberately NOT
-done, matching the partition-append + read-side-dedup design of the
+done, matching the partition-overwrite + read-side-dedup design of the
 batch materializer).
 """
 
@@ -51,8 +53,14 @@ def stream_triples(spark: SparkSession, input_dir: str, out_dir: str,
               .parquet(input_dir))
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        # per-batch subdirectory + overwrite = idempotent under replay:
+        # if the driver dies after the write but before the stream
+        # checkpoint commits this batch's offsets, the replay overwrites
+        # the same subdir instead of appending duplicates (a blind
+        # append would silently inflate dedup support counts downstream)
         (triples_from_docs(batch_df)
-         .write.mode("append").parquet(out_dir))
+         .write.mode("overwrite")
+         .parquet(f"{out_dir}/batch_id={batch_id}"))
 
     writer = (stream.writeStream
               .foreachBatch(process)

@@ -37,7 +37,8 @@ def test_stream_matches_batch_and_is_exactly_once(spark, sf_dir, staged):
     q = stream_triples(spark, in_dir, out_dir, ckpt)
     q.awaitTermination(120)
 
-    got = spark.read.parquet(out_dir).toPandas()
+    # batch_id is a physical idempotency key (partition dir), not data
+    got = spark.read.parquet(out_dir).drop("batch_id").toPandas()
     want = triples_from_docs(
         spark.read.parquet(f"{sf_dir}/documents.parquet")).toPandas()
     assert len(got) == len(want) > 0
