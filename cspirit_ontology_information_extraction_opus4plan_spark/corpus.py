@@ -173,13 +173,21 @@ def explode_spans(nested: DataFrame) -> DataFrame:
 # `documents` view; these CTEs rebuild the identical exploded spans table.
 # ---------------------------------------------------------------------------
 
-def _values(rows, alias, cols) -> str:
+def sql_values(rows, alias, cols) -> str:
+    """VALUES-CTE builder shared with oracle_sqls (single SQL-escaping
+    implementation — two copies drifting apart would make the corpus CTE
+    and the oracle silently disagree)."""
     body = ",".join("(" + ",".join(vals) + ")" for vals in rows)
     return f"{alias}({','.join(cols)}) AS (SELECT * FROM (VALUES {body}))"
 
 
-def _q(s: str) -> str:
-    return "'" + s.replace("'", "''") + "'"
+def sql_quote(s) -> str:
+    if s is None:
+        return "NULL"
+    return "'" + str(s).replace("'", "''") + "'"
+
+
+_values, _q = sql_values, sql_quote  # internal aliases
 
 
 def corpus_ctes() -> str:

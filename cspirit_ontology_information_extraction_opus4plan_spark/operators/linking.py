@@ -48,14 +48,3 @@ def link_mentions(mentions: DataFrame, gaz: DataFrame) -> DataFrame:
                     F.col("b.term_id").alias("term_id"),
                     F.col("b.match_kind").alias("match_kind"),
                     (-F.col("b.neg_rank")).alias("rank")))
-
-
-def candidates_scored(mentions: DataFrame, gaz: DataFrame) -> DataFrame:
-    """All (mention, candidate) pairs with scores — the pre-argmax view
-    (north_star's candidate scoring stage), kept JVM-side: the score is a
-    column expression, not a UDF, because match-kind priority + fuzzy
-    string equality on exact keys needs no Python. A TF-IDF / edit-distance
-    scorer for *approximate* surfaces would slot in here as the sanctioned
-    Arrow stage #3 (see fuzzy.py)."""
-    return (mentions.join(F.broadcast(gaz), "surface", "inner")
-            .withColumn("score", F.col("rank").cast("double")))

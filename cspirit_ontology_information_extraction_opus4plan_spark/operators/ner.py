@@ -79,16 +79,3 @@ def detect_mentions(spans: DataFrame) -> DataFrame:
     pruned = spans.filter(F.col("kind").isin(*NER_KINDS)) \
                   .select("doc_id", "pos", "kind", "text")
     return pruned.mapInPandas(_ner_batches, schema=MENTION_SCHEMA)
-
-
-def oracle_mentions(spans_pdf: pd.DataFrame) -> pd.DataFrame:
-    """Single-process pandas oracle for the P/R harness (SURVEY §5):
-    identical semantics, independent implementation path."""
-    pat = _compiled(tuple(surfaces()))
-    rows = []
-    for r in spans_pdf.itertuples(index=False):
-        if r.kind in NER_KINDS and r.text:
-            for m in pat.finditer(r.text.lower()):
-                rows.append((r.doc_id, r.pos, r.kind, m.start(), m.group(1)))
-    return pd.DataFrame(
-        rows, columns=["doc_id", "pos", "kind", "m_off", "surface"])

@@ -48,11 +48,23 @@ def extract_triples(spans: DataFrame, linked_mentions: DataFrame) -> DataFrame:
     an equi-join on (doc_id, pos) with the mention table, then a single
     hash aggregate using conditional struct-min/max (max_by/min_by on
     m_off) — one shuffle on (doc_id, pos), no window, no Python."""
+    # all matching happens on lower(text): the NER stage lowercases
+    # before scanning, so mention m_off and phrase p0 must share the
+    # lowercased coordinate system (and the phrase vocabulary is
+    # lowercase — raw-text matching would miss 'Regulates'). p0 comes
+    # from regexp_instr of the SAME word-bounded pattern that selected
+    # the phrase — locate(phrase, text) would anchor to an earlier
+    # in-word occurrence ('is a' inside 'axis aligns'). The docstring's
+    # exactly-one-phrase rule is enforced with regexp_count, not
+    # silently first-match.
+    lc = F.lower("text")
     ts = (spans
           .filter(F.col("kind") == "text")
-          .withColumn("phrase", F.regexp_extract("text", PHRASE_PATTERN, 1))
+          .withColumn("lc", lc)
+          .withColumn("phrase", F.regexp_extract("lc", PHRASE_PATTERN, 1))
           .filter(F.col("phrase") != "")
-          .withColumn("p0", F.expr("locate(phrase, text) - 1"))
+          .filter(F.regexp_count("lc", F.lit(PHRASE_PATTERN)) == 1)
+          .withColumn("p0", F.regexp_instr("lc", F.lit(PHRASE_PATTERN)) - 1)
           .select("doc_id", "pos", "text", "phrase", "p0",
                   F.length("phrase").alias("plen")))
 
@@ -91,32 +103,6 @@ def extract_triples(spans: DataFrame, linked_mentions: DataFrame) -> DataFrame:
         "triple_id",
         F.concat(F.lit("TRP:"), F.md5(F.concat_ws(
             "|", "doc_id", "pos", "subject", "predicate", "object"))))
-
-
-def with_inverse_edges(triples: DataFrame) -> DataFrame:
-    """Inverse-edge expansion (get_inverse models.py:1576; inverse rows swap
-    subject/object, models.py:1625-1631). Broadcast map + union — is_a and
-    other non-invertible predicates pass through only in the original
-    direction."""
-    from ..ontology_data import INVERSE_PREDICATES
-    items = []
-    for k, v in sorted(INVERSE_PREDICATES.items()):
-        items.extend([F.lit(k), F.lit(v)])
-    inv_map = F.create_map(*items)
-    inv = (triples
-           .withColumn("inv_pred", inv_map[F.col("predicate")])
-           .filter(F.col("inv_pred").isNotNull())
-           .select(
-               "doc_id", "pos",
-               F.col("object").alias("subject"),
-               F.col("inv_pred").alias("predicate"),
-               F.col("subject").alias("object"),
-               "subject_type", "object_type", "object_datatype",
-               "object_language", "confidence", "evidence")
-           .withColumn("triple_id", F.concat(F.lit("TRP:"), F.md5(
-               F.concat_ws("|", "doc_id", "pos", "subject", "predicate",
-                           "object")))))
-    return triples.unionByName(inv.select(*triples.columns))
 
 
 def dedup_triples(triples: DataFrame) -> DataFrame:

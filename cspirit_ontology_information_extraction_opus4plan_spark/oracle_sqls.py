@@ -15,15 +15,10 @@ from .operators import textops as TX
 from .operators.ner import ner_pattern
 
 
-def _q(s) -> str:
-    if s is None:
-        return "NULL"
-    return "'" + str(s).replace("'", "''") + "'"
-
-
-def _values(rows, alias, cols) -> str:
-    body = ",".join("(" + ",".join(vals) + ")" for vals in rows)
-    return f"{alias}({','.join(cols)}) AS (SELECT * FROM (VALUES {body}))"
+# single shared SQL-escaping implementation (corpus.py) — see
+# corpus.sql_values docstring for why there must be exactly one
+from .corpus import sql_quote as _q  # noqa: E402
+from .corpus import sql_values as _values  # noqa: E402
 
 
 def gaz_cte() -> str:

@@ -45,6 +45,27 @@ def _marker_path(out_dir: str, part_id: int) -> str:
     return os.path.join(out_dir, CKPT_DIR, f"part_{part_id:05d}.json")
 
 
+def _validate_existing_markers(out_dir: str, n_parts: int) -> None:
+    """A marker written under a different n_parts means the existing
+    partition layout is incompatible — resuming would mix pmod-K and
+    pmod-N data (duplicates + losses) while reporting success. Refuse."""
+    ckpt = os.path.join(out_dir, CKPT_DIR)
+    if not os.path.isdir(ckpt):
+        return
+    for name in sorted(os.listdir(ckpt)):
+        if not name.endswith(".json"):
+            continue
+        with open(os.path.join(ckpt, name)) as f:
+            marker = json.load(f)
+        prev = marker.get("lineage", {}).get("n_parts")
+        if prev is not None and prev != n_parts:
+            raise ValueError(
+                f"checkpoints in {out_dir} were written with "
+                f"n_parts={prev}, but this run uses n_parts={n_parts}; "
+                f"clear the output directory or rerun with --parts {prev}")
+        return  # all markers share one run config; first one suffices
+
+
 def completed_partitions(out_dir: str, n_parts: int) -> list[int]:
     return [k for k in range(n_parts)
             if os.path.exists(_marker_path(out_dir, k))]
@@ -71,6 +92,7 @@ def materialize_triples(
 
     Returns a summary dict {written: [...], skipped: [...], rows: n}."""
     t0 = time.time()
+    _validate_existing_markers(out_dir, n_parts)
     pending = pending_partitions(out_dir, n_parts)
     if only_parts is not None:
         pending = [k for k in pending if k in only_parts]
@@ -90,13 +112,20 @@ def materialize_triples(
      .mode("overwrite")
      .parquet(out_dir))
 
-    # per-partition metrics from the written files (cheap scan of counts)
-    counts = {
-        r["part_id"]: r["n"]
-        for r in spark.read.parquet(out_dir)
-        .filter(F.col("part_id").isin(pending))
-        .groupBy("part_id").agg(F.count("*").alias("n")).collect()
-    }
+    # per-partition metrics from the written files (cheap scan of counts).
+    # An all-empty input writes no parquet files at all, and reading the
+    # bare directory raises (unable to infer schema) — that run is still
+    # complete with zero rows, and must publish its markers or every
+    # rerun would crash the same way forever.
+    try:
+        counts = {
+            r["part_id"]: r["n"]
+            for r in spark.read.parquet(out_dir)
+            .filter(F.col("part_id").isin(pending))
+            .groupBy("part_id").agg(F.count("*").alias("n")).collect()
+        }
+    except Exception:
+        counts = {}
     wall = round(time.time() - t0, 3)
     os.makedirs(os.path.join(out_dir, CKPT_DIR), exist_ok=True)
     for k in pending:
