@@ -60,14 +60,21 @@ def _keyed_nodes(terms: DataFrame) -> tuple[DataFrame, DataFrame,
                                             DataFrame]:
     """The three equivalence sources as (key, id) / explicit-edge sets."""
     live = terms.filter(~F.col("is_obsolete"))
-    surf = live.select(
+    # coalesce(synonyms, []): a NULL synonym array would null the whole
+    # array_union and silently drop the term's NAME key too; blank keys
+    # are filtered so unrelated no-name terms don't fuse on k=''
+    surf = (live.select(
         F.explode(
             F.array_union(
                 F.array(F.lower(F.trim("name"))),
-                F.transform("synonyms", lambda s: F.lower(F.trim(s))))
+                F.transform(F.coalesce("synonyms",
+                                       F.array().cast("array<string>")),
+                            lambda s: F.lower(F.trim(s))))
         ).alias("k"),
         F.col("id"))
-    xref = terms.select(F.explode("xrefs").alias("k"), F.col("id"))
+        .filter(F.col("k").isNotNull() & (F.col("k") != "")))
+    xref = (terms.select(F.explode("xrefs").alias("k"), F.col("id"))
+            .filter(F.col("k").isNotNull() & (F.col("k") != "")))
     repl = (terms
             .filter(F.col("is_obsolete") & F.col("replaced_by").isNotNull())
             .select(F.least("id", "replaced_by").alias("src"),

@@ -212,10 +212,16 @@ def quarantine_terms(terms: DataFrame) -> DataFrame:
     Violations accumulate to a table instead of aborting the load —
     the reference's error-recovery posture, and the only shape that
     works when one bad row in 10^12 must not kill the job."""
+    # null-safe: rlike(NULL) / trim(NULL)='' / ~isin(NULL) all evaluate
+    # to NULL, so a maximally malformed all-NULL row would pass every
+    # check silently — exactly the row a validator exists to catch
     checks = [
-        ("id_format", ~F.col("id").rlike(r"^[A-Z]+:\d+$")),
-        ("empty_name", F.trim(F.col("name")) == ""),
-        ("unknown_namespace", ~F.col("namespace").isin(*KNOWN_NAMESPACES)),
+        ("id_format", F.col("id").isNull()
+         | ~F.col("id").rlike(r"^[A-Z]+:\d+$")),
+        ("empty_name", F.col("name").isNull()
+         | (F.trim(F.col("name")) == "")),
+        ("unknown_namespace", F.col("namespace").isNull()
+         | ~F.col("namespace").isin(*KNOWN_NAMESPACES)),
     ]
     viol = F.filter(
         F.array(*[F.when(cond, F.lit(rule)) for rule, cond in checks]),
@@ -269,7 +275,13 @@ def bfs_depths(terms: DataFrame, rels: DataFrame,
     iterative frontier join: depth 0 at roots, each round children of the
     frontier gain depth+1 unless already labeled shallower. O(max depth)
     rounds; frontier shrinks monotonically; localCheckpoint truncates
-    lineage like the CC loop (SURVEY §4.2)."""
+    lineage like the CC loop (SURVEY §4.2).
+
+    Reachability semantics: terms with no path from any root — e.g.
+    members of an isolated is_a cycle — carry NO depth row, matching
+    the reference's DFS which only walks root-reachable paths (its
+    cycle guard stops, it does not invent a depth). Cycle detection is
+    cycle_triads/mutual_edges' job, not this one's."""
     down = (rels.filter(F.col("predicate") == "is_a")
             .select(F.col("object").alias("parent"),
                     F.col("subject").alias("child"))
@@ -393,8 +405,11 @@ def merge_intersection(source_a: DataFrame, source_b: DataFrame) -> DataFrame:
     """Intersection merge (_merge_intersection ontology_integrator.py:321):
     keep only ids present in every source, KEEP_FIRST resolution (source
     A's row). groupBy-count beats chained intersect (one shuffle)."""
-    common = (source_a.select("id")
-              .unionByName(source_b.select("id"))
+    # distinct per source first: an id duplicated WITHIN one source must
+    # not count as present in both (the 'ids present in all sources'
+    # contract breaks exactly on the dirty-input case)
+    common = (source_a.select("id").distinct()
+              .unionByName(source_b.select("id").distinct())
               .groupBy("id").agg(F.count("*").alias("n"))
               .filter(F.col("n") >= 2)
               .select("id"))

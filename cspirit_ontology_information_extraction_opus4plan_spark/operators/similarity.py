@@ -204,11 +204,13 @@ def embedding_neardup_pairs(emb: DataFrame,
     the LSH bucket equi-join (symmetric, a<b), exact cosine >= threshold.
     The dedup-by-embedding leg of the training-data surface — same
     bucket-bounded shuffle as lsh_topk, no global window needed."""
-    # persist: both self-join sides read v, and its two Arrow UDF
-    # columns would otherwise run twice over the whole table
+    # localCheckpoint: both self-join sides read v, and its two Arrow
+    # UDF columns would otherwise run twice over the whole table; an
+    # un-unpersistable Dataset.persist would leak a CacheManager entry
     v = emb.select("vec_id", "embedding",
                    _norm2_udf("embedding").alias("n2"),
-                   lsh_bucket_col("embedding").alias("bucket")).persist()
+                   lsh_bucket_col("embedding").alias("bucket")) \
+        .localCheckpoint(eager=True)
     a = v.select(F.col("vec_id").alias("a"),
                  F.col("embedding").alias("emb_a"),
                  F.col("n2").alias("n2_a"), "bucket")

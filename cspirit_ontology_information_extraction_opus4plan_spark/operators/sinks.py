@@ -79,8 +79,17 @@ def to_turtle(triples: DataFrame) -> DataFrame:
         F.when(F.col("object_type") == "uri", pn("ont", F.col("object")))
          .when(F.col("object_type") == "bnode",
                F.concat(F.lit("_:"), F.col("object")))
-         .otherwise(F.concat(F.lit('"'), _escape_literal(F.col("object")),
-                             F.lit('"'))),
+         .otherwise(F.concat(
+             F.lit('"'), _escape_literal(F.col("object")), F.lit('"'),
+             # same @lang / ^^<dt> suffix rule as to_ntriples
+             # (models.py:4219-4224: language wins if both set) — a
+             # Turtle export without them is lossy for typed literals
+             F.when(F.col("object_language").isNotNull(),
+                    F.concat(F.lit("@"), F.col("object_language")))
+              .when(F.col("object_datatype").isNotNull(),
+                    F.concat(F.lit("^^<"), F.col("object_datatype"),
+                             F.lit(">")))
+              .otherwise(F.lit("")))),
         F.lit(" ."))
     return triples.select(line.alias("line"))
 

@@ -151,16 +151,20 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     moves 2 longs + 32B hash, not document bodies)."""
     r = MINHASH_K // MINHASH_BANDS
     sig = minhash_signatures(docs)
-    # persist: the band table feeds a self-join and the shingle table two
-    # probe joins — without it Catalyst re-derives the full md5 x
-    # shingles pipeline once per join branch (measured 3x slower). These
-    # are narrow projections (ids + hashes), cheap to hold.
+    # localCheckpoint (NOT persist): the band table feeds a self-join
+    # and the shingle table two probe joins — without materialization
+    # Catalyst re-derives the full md5 x shingles pipeline once per join
+    # branch (measured 3x slower). Dataset.persist would pin a
+    # CacheManager entry this function can never safely unpersist (the
+    # returned plan is lazy), leaking cache across a long session;
+    # localCheckpoint blocks are RDD-level and reclaimed by the
+    # ContextCleaner once the result is garbage-collected.
     bands = sig.select(
         "doc_id",
         F.posexplode(F.array(*[
             F.md5(F.concat(*[F.col(f"mh{b * r + j}") for j in range(r)]))
             for b in range(MINHASH_BANDS)
-        ])).alias("band_idx", "band_key")).persist()
+        ])).alias("band_idx", "band_key")).localCheckpoint(eager=True)
     a = bands.toDF("a", "band_idx", "band_key")
     b = bands.toDF("b", "band_idx", "band_key")
     cand = (a.join(b, ["band_idx", "band_key"])
@@ -170,7 +174,7 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     sets_ = docs.select(
         "doc_id",
         F.array_distinct(_shingles(tokens_col(), SHINGLE_W)).alias("sh")
-    ).persist()
+    ).localCheckpoint(eager=True)
     out = (cand
            .join(sets_.toDF("a", "sh_a"), "a")
            .join(sets_.toDF("b", "sh_b"), "b")
@@ -223,14 +227,18 @@ def simhash_clusters(docs: DataFrame) -> DataFrame:
 
 
 def token_stats(docs: DataFrame) -> DataFrame:
+    # try_divide everywhere a denominator can be 0 (empty/whitespace-only
+    # doc): Spark 4 runs ANSI mode by default, where x/0 THROWS and one
+    # degenerate row in 10^12 would kill the stage; NULL is the right
+    # per-row answer
     toks = tokens_col()
     return docs.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.length("text").alias("n_chars"),
-        F.round(
-            F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
-            / F.size(toks), 6).alias("avg_token_len"))
+        F.round(F.try_divide(
+            F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)),
+            F.size(toks)), 6).alias("avg_token_len"))
 
 
 BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
@@ -247,7 +255,8 @@ def bpe_token_counts(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.size(words).alias("n_words"),
         F.size(sub).alias("n_subtokens"),
-        F.round(F.size(sub) / F.size(words), 6).alias("subtoken_ratio"))
+        F.round(F.try_divide(F.size(sub), F.size(words)), 6)
+        .alias("subtoken_ratio"))  # try_divide: empty doc, ANSI mode
 
 
 def quality_scores(docs: DataFrame) -> DataFrame:
@@ -259,12 +268,14 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     punct = F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
     stop_hits = F.size(F.filter(
         toks, lambda t: t.isin(*STOPWORDS_EN)))
-    punct_ratio = F.round(punct / F.length("text"), 6)
-    stop_ratio = F.round(stop_hits / n_tok, 6)
+    # try_divide: empty/punctuation-only docs have length 0 or 0 tokens,
+    # and ANSI-mode division would abort the stage on one bad row
+    punct_ratio = F.round(F.try_divide(punct, F.length("text")), 6)
+    stop_ratio = F.round(F.try_divide(stop_hits, n_tok), 6)
     score = F.round(
         0.4 * F.least(n_tok / F.lit(100.0), F.lit(1.0))
-        + 0.3 * (1 - punct / F.length("text"))
-        + 0.3 * (stop_hits / n_tok), 6)
+        + 0.3 * (1 - F.try_divide(punct, F.length("text")))
+        + 0.3 * F.try_divide(stop_hits, n_tok), 6)
     return docs.select(
         "doc_id", n_tok.alias("n_tokens"),
         punct_ratio.alias("punct_ratio"), stop_ratio.alias("stop_ratio"),
