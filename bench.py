@@ -82,8 +82,12 @@ def bench_at(master: str, sf_dir: str, shuffle_partitions: int) -> dict:
         # warm the JVM + Arrow workers + codegen/JIT once at sf0.01 —
         # sf0.001 leaves the heavy expression classes (MinHash md5 x
         # translate, ANN kernels) below JIT thresholds and their first
-        # sf0.1 run then pays several seconds of compilation
-        run_once(spark, "/root/testdata/sf0.01")
+        # sf0.1 run then pays several seconds of compilation. The
+        # warm-up dir is derived from SF_DIR's parent (sibling sf0.01)
+        # so the bench runs on hosts without /root/testdata.
+        warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")),
+                                "sf0.01")
+        run_once(spark, warm_dir if os.path.isdir(warm_dir) else sf_dir)
         t0 = time.time()
         times, n_triples = run_once(spark, sf_dir)
         total = time.time() - t0

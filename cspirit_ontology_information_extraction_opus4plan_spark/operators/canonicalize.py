@@ -174,9 +174,11 @@ def connected_components(
     sym.unpersist()
     if not converged:
         raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds "
-            f"— raise max_iter (labels move >= 2x per round, so this "
-            f"graph's component diameter exceeds ~2^{max_iter})")
+            f"connected_components did not converge within max_iter="
+            f"{max_iter} productive rounds plus one verification round "
+            f"({max_iter + 1} total) — raise max_iter (labels move >= 2x "
+            f"per round, so this graph's component diameter exceeds "
+            f"~2^{max_iter})")
     return labels.select("id", F.col("comp").alias("canonical_id"))
 
 

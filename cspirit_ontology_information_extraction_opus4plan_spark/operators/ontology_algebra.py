@@ -308,9 +308,10 @@ def bfs_depths(terms: DataFrame, rels: DataFrame,
     down.unpersist()
     if not done:
         raise RuntimeError(
-            f"bfs_depths frontier still active after {max_iter} rounds — "
-            f"hierarchy deeper than max_iter (a silent cap would return "
-            f"depths missing the deepest terms)")
+            f"bfs_depths frontier still active after max_iter={max_iter} "
+            f"productive rounds plus one verification round "
+            f"({max_iter + 1} total) — hierarchy deeper than max_iter "
+            f"(a silent cap would return depths missing the deepest terms)")
     return labeled
 
 
@@ -348,8 +349,10 @@ def dependency_closure(terms: DataFrame, rels: DataFrame,
     up.unpersist()
     if not done:
         raise RuntimeError(
-            f"dependency_closure frontier still active after {max_iter} "
-            f"rounds — incomplete closure would silently drop ancestors")
+            f"dependency_closure frontier still active after max_iter="
+            f"{max_iter} productive rounds plus one verification round "
+            f"({max_iter + 1} total) — incomplete closure would silently "
+            f"drop ancestors")
     return seen
 
 

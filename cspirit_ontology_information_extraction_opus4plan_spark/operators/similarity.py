@@ -13,19 +13,32 @@ bit-identical to the oracle SQL's explicit `a0*b0 + a1*b1 + ...`
 left-assoc expression — no BLAS matmul (whose blocked accumulation
 order differs), no nondeterministic SUM() over unnested rows.
 
-Scale notes: the brute-force path broadcasts the (small, assumed
-executor-memory-sized) query matrix once per executor and streams the
-corpus through a single mapInPandas Gram kernel; each Arrow batch
-prunes to its LOCAL top-k per query under the final total order
-(cosine desc, neighbor asc), so the shuffle into the global rank
-window carries only n_batches * n_queries * k rows — never the full
-pair cross product. The LSH path buckets both sides by an 8-bit
-hyperplane signature first, turning the cross product into an
-equi-join on bucket (shuffle bounded by 256 keys; at 10^12 scale use
-more planes so buckets stay executor-sized); within-bucket dots use a
-vectorized scalar pandas UDF over the joined pairs. Hyperplane signs
-are deterministic md5-derived constants compiled at plan-build time —
-shared verbatim with the oracle SQL builder.
+Scale notes: the query side is a **bounded table** — a fixed COUNT of
+query vectors (default the N_QUERIES lowest vec_ids; production
+callers pass their own query DataFrame), never a fixed FRACTION of
+the corpus. The driver collect + broadcast is therefore O(n_queries *
+dim) regardless of corpus size — at 10^12 rows the collected set is
+still N_QUERIES rows. (A fixed-modulus query set was the round-1
+scale-killer: 5% of a 100-TB corpus collected to the driver.) For a
+query load that DOES grow with the corpus, block-partition the query
+matrix and run the Gram computation as a bucket equi-join like the
+LSH path — do not widen the broadcast. Broadcasts are cached per
+distinct query set (module-level) so repeated calls in one session
+reuse one broadcast instead of leaking a new one per call.
+
+The brute-force path broadcasts the bounded query matrix once per
+executor and streams the corpus through a single mapInPandas Gram
+kernel; each Arrow batch prunes to its LOCAL top-k per query under
+the final total order (cosine desc, neighbor asc), so the shuffle
+into the global rank window carries only n_batches * n_queries * k
+rows — never the full pair cross product. The LSH path buckets both
+sides by an 8-bit hyperplane signature first, turning the cross
+product into an equi-join on bucket (shuffle bounded by 256 keys; at
+10^12 scale use more planes so buckets stay executor-sized);
+within-bucket dots use a vectorized scalar pandas UDF over the joined
+pairs. Hyperplane signs are deterministic md5-derived constants
+compiled at plan-build time — shared verbatim with the oracle SQL
+builder.
 """
 
 from __future__ import annotations
@@ -42,7 +55,9 @@ from pyspark.sql.types import (DoubleType, IntegerType, LongType,
 DIM = 64
 TOP_K = 5
 N_PLANES = 8
-QUERY_MOD = 20  # query set = vec_id % QUERY_MOD == 0
+# bounded demo query set: the N_QUERIES lowest vec_ids — a fixed COUNT
+# (independent of corpus size), not a fixed fraction
+N_QUERIES = 25
 
 
 def plane_signs() -> list[list[int]]:
@@ -114,20 +129,55 @@ _PAIR_SCHEMA = StructType([
 ])
 
 
+def default_queries(emb: DataFrame, n_queries: int = N_QUERIES) -> DataFrame:
+    """The bounded demo query table: the n_queries lowest vec_ids.
+    Bounded by construction — the filter is on a constant, so the
+    collected set never grows with the corpus."""
+    return emb.filter(F.col("vec_id") < n_queries) \
+              .select("vec_id", "embedding")
+
+
+# per-distinct-query-set broadcast cache: repeated topk calls in one
+# session reuse one broadcast instead of leaking a new one per call
+_QUERY_BCAST: dict[str, object] = {}
+
+
+def _query_broadcast(spark, qids: np.ndarray, Q: np.ndarray,
+                     qn2: np.ndarray):
+    key = hashlib.md5(qids.tobytes() + Q.tobytes()).hexdigest()
+    bq = _QUERY_BCAST.get(key)
+    if bq is None:
+        bq = spark.sparkContext.broadcast((qids, Q, qn2))
+        _QUERY_BCAST[key] = bq
+    return bq
+
+
+def _empty_ranked(spark) -> DataFrame:
+    return spark.createDataFrame(
+        [], "q_id bigint, neighbor_id bigint, score double, rank int")
+
+
 def brute_force_topk(emb: DataFrame, k: int = TOP_K,
-                     query_mod: int = QUERY_MOD) -> DataFrame:
-    """Exact cosine top-k: broadcast query matrix x one corpus pass
-    through a mapInPandas Gram kernel with per-batch local top-k
+                     queries: DataFrame | None = None) -> DataFrame:
+    """Exact cosine top-k: broadcast BOUNDED query matrix x one corpus
+    pass through a mapInPandas Gram kernel with per-batch local top-k
     pruning; global window re-ranks the per-batch winners. Any global
     top-k row is necessarily in its batch's local top-k under the same
-    (cosine desc, neighbor asc) order, so pruning is lossless."""
+    (cosine desc, neighbor asc) order, so pruning is lossless.
+
+    `queries` is a (vec_id, embedding) DataFrame of FIXED size (defaults
+    to default_queries); the driver collect is O(len(queries) * DIM)
+    regardless of corpus size."""
     spark = emb.sparkSession
-    qpdf = (emb.filter(F.col("vec_id") % query_mod == 0)
-            .select("vec_id", "embedding").toPandas())
+    if queries is None:
+        queries = default_queries(emb)
+    qpdf = queries.select("vec_id", "embedding").toPandas()
+    if len(qpdf) == 0:
+        return _empty_ranked(spark)
     Q = _stack(qpdf["embedding"])
     qids = qpdf["vec_id"].to_numpy()
     qn2 = _np_norm2(Q)
-    bq = spark.sparkContext.broadcast((qids, Q, qn2))
+    bq = _query_broadcast(spark, qids, Q, qn2)
 
     def gram(batches):
         qids, Q, qn2 = bq.value
@@ -226,14 +276,17 @@ def embedding_neardup_pairs(emb: DataFrame,
 
 
 def lsh_topk(emb: DataFrame, k: int = TOP_K,
-             query_mod: int = QUERY_MOD) -> DataFrame:
+             n_queries: int = N_QUERIES) -> DataFrame:
     """ANN: candidates restricted to the query's LSH bucket (equi-join
     on the 8-bit signature), exact cosine re-rank within bucket via the
-    vectorized pair-dot UDF."""
+    vectorized pair-dot UDF. The query side is the bounded
+    lowest-vec_id set, so the broadcast hint is genuinely
+    dimension-sized; a corpus-scale query load would drop the hint and
+    let the bucket equi-join shuffle both sides."""
     v = emb.select("vec_id", "embedding",
                    _norm2_udf("embedding").alias("n2"),
                    lsh_bucket_col("embedding").alias("bucket"))
-    q = (v.filter(F.col("vec_id") % query_mod == 0)
+    q = (v.filter(F.col("vec_id") < n_queries)
          .select(F.col("vec_id").alias("q_id"),
                  F.col("embedding").alias("q_emb"),
                  F.col("n2").alias("qn2"), "bucket"))

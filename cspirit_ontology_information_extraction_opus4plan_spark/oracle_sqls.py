@@ -381,7 +381,7 @@ WITH vn AS (
   SELECT e.vec_id, e.embedding, ({n2}) AS n2 FROM embeddings e),
 q AS (
   SELECT vec_id AS q_id, embedding AS q_emb, n2 AS qn2
-  FROM vn WHERE vec_id % {SIM.QUERY_MOD} = 0),
+  FROM vn WHERE vec_id < {SIM.N_QUERIES}),
 pairs AS (
   SELECT q.q_id, v.vec_id AS neighbor_id, ({dot}) AS dot,
          q.qn2, v.n2 AS vn2
@@ -396,7 +396,7 @@ WITH vn AS (
   FROM embeddings e),
 q AS (
   SELECT vec_id AS q_id, embedding AS q_emb, n2 AS qn2, bucket
-  FROM vn WHERE vec_id % {SIM.QUERY_MOD} = 0),
+  FROM vn WHERE vec_id < {SIM.N_QUERIES}),
 pairs AS (
   SELECT q.q_id, v.vec_id AS neighbor_id, ({dot}) AS dot,
          q.qn2, v.n2 AS vn2

@@ -113,18 +113,23 @@ def materialize_triples(
      .parquet(out_dir))
 
     # per-partition metrics from the written files (cheap scan of counts).
-    # An all-empty input writes no parquet files at all, and reading the
-    # bare directory raises (unable to infer schema) — that run is still
-    # complete with zero rows, and must publish its markers or every
-    # rerun would crash the same way forever.
-    try:
+    # An all-empty input writes no parquet files at all (only the
+    # partition dirs are absent), and reading the bare directory raises
+    # (unable to infer schema) — that run is still complete with zero
+    # rows and must publish its markers. The empty case is detected
+    # explicitly (no part_id=* dirs on disk) instead of a blanket
+    # except: a transient/corruption read error must propagate, not be
+    # recorded as a successful zero-row run.
+    has_data = any(name.startswith("part_id=")
+                   for name in os.listdir(out_dir))
+    if has_data:
         counts = {
             r["part_id"]: r["n"]
             for r in spark.read.parquet(out_dir)
             .filter(F.col("part_id").isin(pending))
             .groupBy("part_id").agg(F.count("*").alias("n")).collect()
         }
-    except Exception:
+    else:
         counts = {}
     wall = round(time.time() - t0, 3)
     os.makedirs(os.path.join(out_dir, CKPT_DIR), exist_ok=True)

@@ -22,6 +22,8 @@ batch materializer).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ..corpus import explode_spans, interleave_docs
@@ -48,6 +50,21 @@ def stream_triples(spark: SparkSession, input_dir: str, out_dir: str,
     -> parquet append. Returns the started StreamingQuery (caller
     awaits/stops). availableNow drains what exists and stops — the
     backfill-then-incremental pattern."""
+    # batch_id=N overwrite idempotency holds only while checkpoint_dir
+    # and out_dir stay paired: a fresh checkpoint over an existing
+    # out_dir restarts batch ids at 0 and silently overwrites SOME old
+    # batch dirs while leaving others — a mixed old/new triples table.
+    # Refuse the mismatch instead.
+    if os.path.isdir(out_dir) and any(
+            name.startswith("batch_id=") for name in os.listdir(out_dir)):
+        ckpt_populated = os.path.isdir(checkpoint_dir) and os.listdir(
+            checkpoint_dir)
+        if not ckpt_populated:
+            raise ValueError(
+                f"out_dir {out_dir} already holds batch_id=* output but "
+                f"checkpoint_dir {checkpoint_dir} is empty — restarting "
+                f"would reuse batch ids and mix old and new batches; "
+                f"clear out_dir or reuse the original checkpoint_dir")
     stream = (spark.readStream.schema(DOCS_SCHEMA)
               .option("maxFilesPerTrigger", 1)
               .parquet(input_dir))

@@ -76,6 +76,39 @@ def test_ann_lsh_is_subset_of_brute_force_candidates(spark, sf_dir):
             assert abs(bf_scores[k] - r["score"]) < 1e-9
 
 
+def test_ann_query_side_is_bounded(spark, sf_dir):
+    """The round-1 scale-killer regression gate: the query side must be a
+    bounded table (fixed count), never a fixed fraction of the corpus —
+    growing the corpus must NOT grow the driver-collected query set."""
+    emb = similarity.load_embeddings(spark, sf_dir)
+    big = emb.unionByName(
+        emb.select((F.col("vec_id") + 10_000).alias("vec_id"),
+                   "embedding", *[c for c in emb.columns
+                                  if c not in ("vec_id", "embedding")]))
+    q_small = similarity.default_queries(emb).count()
+    q_big = similarity.default_queries(big).count()
+    assert q_small == q_big == similarity.N_QUERIES
+
+
+def test_ann_empty_query_set_returns_empty(spark, sf_dir):
+    emb = similarity.load_embeddings(spark, sf_dir)
+    none = emb.filter(F.col("vec_id") < 0).select("vec_id", "embedding")
+    out = similarity.brute_force_topk(emb, queries=none)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "q_id", "neighbor_id", "score", "rank"]
+
+
+def test_ann_broadcast_reused_across_calls(spark, sf_dir):
+    """Repeated calls with the same query set must not leak one broadcast
+    per call (ADVICE round 1)."""
+    emb = similarity.load_embeddings(spark, sf_dir)
+    similarity.brute_force_topk(emb).count()
+    n_before = len(similarity._QUERY_BCAST)
+    similarity.brute_force_topk(emb).count()
+    assert len(similarity._QUERY_BCAST) == n_before
+
+
 def test_media_decoder_gate(spark, sf_dir):
     spans = spans_exploded(spark, sf_dir)
     media = multimodal.fetch_media(multimodal.media_spans(spans))
