@@ -140,6 +140,11 @@ def q_doc_simhash_clusters(spark, sf_dir):
     return simhash_clusters(augmented_docs(spark, sf_dir))
 
 
+def q_doc_simhash_neardup(spark, sf_dir):
+    from .operators.textops import augmented_docs, simhash_neardup_pairs
+    return simhash_neardup_pairs(augmented_docs(spark, sf_dir))
+
+
 def q_doc_token_stats(spark, sf_dir):
     from .operators.textops import token_stats
     return token_stats(_docs(spark, sf_dir))
@@ -440,6 +445,7 @@ def queries() -> dict[str, QueryFn]:
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_simhash_clusters": q_doc_simhash_clusters,
+        "doc_simhash_neardup": q_doc_simhash_neardup,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
         "doc_lang_id": q_doc_lang_id,

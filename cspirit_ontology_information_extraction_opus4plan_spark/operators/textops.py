@@ -223,6 +223,88 @@ def simhash_clusters(docs: DataFrame) -> DataFrame:
             .filter(F.col("n_docs") > 1))
 
 
+# --- 64-bit SimHash with banded hamming join (the scale path) ---------------
+
+SIMHASH64_BANDS = 4      # 4 x 16-bit bands; candidates share >=1 band
+HAMMING_MAX = 3          # classic 64-bit simhash near-dup radius
+
+
+def _bit_test(h: Column, k: int) -> Column:
+    """Bit k (0..63) of the 64-bit token hash, read as 2 bits per md5 hex
+    digit: digit i = k//2; even k -> the digit's high bit (>= '8'),
+    odd k -> its second bit (in 4-7 / c-f). One md5 per token, no conv()."""
+    d = F.substring(h, k // 2 + 1, 1)
+    if k % 2 == 0:
+        return d >= "8"
+    return d.isin("4", "5", "6", "7", "c", "d", "e", "f")
+
+
+def simhash64_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, band0..band3) — 64-bit SimHash split into 4 x 16-bit band
+    values. Same explode->one-md5->map-side-combinable-sum shape as
+    simhash_clusters, widened to 64 bit positions; band ints stay
+    non-negative (bit 15 is the band's top bit), so no sign traps."""
+    tok = docs.select(
+        "doc_id",
+        F.explode_outer(F.array_distinct(tokens_col())).alias("t"))
+    h = tok.select("doc_id", F.md5("t").alias("h"))
+    contribs = h.groupBy("doc_id").agg(*[
+        F.sum(F.when(F.col("h").isNull(), 0)
+              .when(_bit_test(F.col("h"), k), 1)
+              .otherwise(-1)).alias(f"c{k}")
+        for k in range(64)])
+
+    def band(b: int) -> Column:
+        acc = F.when(F.col(f"c{b * 16}") > 0, F.lit(1)).otherwise(0)
+        for j in range(1, 16):
+            acc = acc + F.when(F.col(f"c{b * 16 + j}") > 0,
+                               F.lit(1 << j)).otherwise(0)
+        return acc.cast("int")
+
+    return contribs.select(
+        "doc_id", *[band(b).alias(f"band{b}")
+                    for b in range(SIMHASH64_BANDS)])
+
+
+def simhash_neardup_pairs(docs: DataFrame,
+                          max_hamming: int = HAMMING_MAX) -> DataFrame:
+    """SimHash near-duplicate pairs at scale: 64-bit signature, candidate
+    pairs from a banded equi-join (a pair within hamming distance
+    <= SIMHASH64_BANDS - 1 shares at least one intact 16-bit band, by
+    pigeonhole), verified with the true hamming distance over all 64
+    bits (bit_count of per-band xor). Replaces the 16-bit
+    exact-equality demo (simhash_clusters) whose 65,536-bucket space
+    saturates beyond ~1e5 docs: band values here range over 2^16 EACH
+    and candidates need full equality on one band, so bucket occupancy
+    stays bounded as the corpus grows (add bands/bits to grow the key
+    space further, exactly like minhash_lsh_pairs).
+
+    Reference analog: near-dup detection is the training-data extension
+    surface (no reference op); the banded-join shape mirrors
+    _merge_and_deduplicate semantics done at corpus scale."""
+    bands = simhash64_bands(docs).localCheckpoint(eager=True)
+    bx = bands.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"band{b}")
+                               for b in range(SIMHASH64_BANDS)]))
+        .alias("band_idx", "band_val"))
+    a = bx.toDF("a", "band_idx", "band_val")
+    b = bx.toDF("b", "band_idx", "band_val")
+    cand = (a.join(b, ["band_idx", "band_val"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b").distinct())
+    ba = bands.toDF("a", *[f"a{i}" for i in range(SIMHASH64_BANDS)])
+    bb = bands.toDF("b", *[f"b{i}" for i in range(SIMHASH64_BANDS)])
+    hamming = F.bit_count(F.col("a0").bitwiseXOR(F.col("b0")))
+    for i in range(1, SIMHASH64_BANDS):
+        hamming = hamming + F.bit_count(
+            F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}")))
+    return (cand.join(ba, "a").join(bb, "b")
+            .withColumn("hamming", hamming.cast("int"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("a", "b", "hamming"))
+
+
 # --- text analysis ---------------------------------------------------------
 
 

@@ -263,6 +263,49 @@ SELECT a, b, jaccard FROM (
        min(doc_id) AS min_doc
 FROM sh GROUP BY 1 HAVING count(*) > 1""")
 
+    # 64-bit simhash: same 2-bits-per-md5-hex-digit rule as
+    # textops._bit_test, independent recursion-free re-derivation
+    def bit64(k: int) -> str:
+        i = k // 2 + 1
+        if k % 2 == 0:
+            return f"substring(h, {i}, 1) >= '8'"
+        return (f"substring(h, {i}, 1) IN "
+                f"('4','5','6','7','c','d','e','f')")
+
+    c_exprs = ",\n  ".join(
+        f"sum(CASE WHEN {bit64(k)} THEN 1 ELSE -1 END) AS c{k}"
+        for k in range(64))
+    band_exprs = ",\n  ".join(
+        "CAST(" + " + ".join(
+            f"(CASE WHEN coalesce(c{b * 16 + j}, 0) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(16)) + f" AS INT) AS band{b}"
+        for b in range(TX.SIMHASH64_BANDS))
+    bx_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_idx, band{b} AS band_val FROM bands"
+        for b in range(TX.SIMHASH64_BANDS))
+    ham = " + ".join(
+        f"bit_count(xor(ba.band{i}, bb.band{i}))"
+        for i in range(TX.SIMHASH64_BANDS))
+    sqls["doc_simhash_neardup"] = (
+        f"WITH {ADOC_CTE},\n{tok_cte('adoc')},\n"
+        "tokh AS (SELECT doc_id, md5(unnest(list_distinct(toks))) AS h"
+        " FROM tok),\n"
+        f"contrib AS (SELECT doc_id,\n  {c_exprs}\nFROM tokh"
+        " GROUP BY doc_id),\n"
+        f"bands AS (SELECT t.doc_id,\n  {band_exprs}\n"
+        "FROM (SELECT DISTINCT doc_id FROM tok) t"
+        " LEFT JOIN contrib USING (doc_id)),\n"
+        f"bx AS (\n{bx_selects}\n),\n"
+        """cand AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM bx a JOIN bx b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id)
+SELECT a, b, CAST(""" + ham + f""" AS INT) AS hamming
+FROM cand JOIN bands ba ON ba.doc_id = a JOIN bands bb ON bb.doc_id = b
+WHERE {ham} <= {TX.HAMMING_MAX}""")
+
     sqls["doc_bpe_tokens"] = f"WITH {tok_cte('documents')}" + f"""
 SELECT doc_id, CAST(len(toks) AS INT) AS n_words,
        CAST(len(regexp_extract_all(lower(text), '{TX.BPE_ISH_PATTERN}'))

@@ -76,6 +76,19 @@ def test_ann_lsh_is_subset_of_brute_force_candidates(spark, sf_dir):
             assert abs(bf_scores[k] - r["score"]) < 1e-9
 
 
+def test_simhash64_neardup_recalls_exact_copies(spark, sf_dir, adocs):
+    """Every planted exact copy must surface at hamming 0 (identical
+    token set -> identical 64-bit signature -> all 4 bands equal)."""
+    pairs = {(r["a"], r["b"]): r["hamming"]
+             for r in textops.simhash_neardup_pairs(adocs).collect()}
+    exact_ids = [r["doc_id"] for r in
+                 adocs.filter((F.col("doc_id") % 17 == 0)
+                              & (F.col("doc_id") < 1000000)).collect()]
+    for d in exact_ids:
+        assert pairs.get((d, d + 1000000)) == 0
+    assert all(h <= textops.HAMMING_MAX for h in pairs.values())
+
+
 def test_ann_query_side_is_bounded(spark, sf_dir):
     """The round-1 scale-killer regression gate: the query side must be a
     bounded table (fixed count), never a fixed fraction of the corpus —
