@@ -305,6 +305,28 @@ def q_ntriples_parse(spark, sf_dir):
     return SR.parse_ntriples(lines)
 
 
+def q_turtle_parse(spark, sf_dir):
+    """Turtle source round-trip: dedup'd triples -> to_turtle lines ->
+    regexp parse back (OWLParser.parse Turtle leg)."""
+    from .operators.sinks import to_turtle
+    lines = to_turtle(dedup_triples(triples_df(spark, sf_dir)))
+    return SR.parse_turtle(lines)
+
+
+def q_rdfxml_parse(spark, sf_dir):
+    """RDF/XML source: terms serialized to RDF/XML docs, batch-parsed
+    back via the one-Arrow-stage etree parser."""
+    return SR.parse_rdfxml(SR.rdfxml_docs(terms_df(spark)))
+
+
+def q_jsonld_compact(spark, sf_dir):
+    return SR.jsonld_compact(terms_df(spark))
+
+
+def q_jsonld_flatten(spark, sf_dir):
+    return SR.jsonld_flatten(terms_df(spark))
+
+
 def q_text_normalize(spark, sf_dir):
     return TM.normalize_texts(
         spark.read.parquet(f"{sf_dir}/documents.parquet"))
@@ -426,6 +448,10 @@ def queries() -> dict[str, QueryFn]:
         "merge_selective": q_merge_selective,
         "csv_roundtrip": q_csv_roundtrip,
         "ntriples_parse": q_ntriples_parse,
+        "turtle_parse": q_turtle_parse,
+        "rdfxml_parse": q_rdfxml_parse,
+        "jsonld_compact": q_jsonld_compact,
+        "jsonld_flatten": q_jsonld_flatten,
         "text_normalize": q_text_normalize,
         "alt_id_lookup": q_alt_id_lookup,
         "jsonld_expand": q_jsonld_expand,

@@ -15,6 +15,9 @@ oracle (reading the source table directly) asserts.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -79,6 +82,121 @@ def parse_ntriples(lines: DataFrame) -> DataFrame:
         .alias("object_type"))
 
 
+# --- Turtle source ----------------------------------------------------------
+
+TTL_SUBJ = r"^ont:(\S+)"
+TTL_SUBJ_BNODE = r"^_:(\S+)"
+TTL_PRED = r" pred:(\S+) "
+TTL_OBJ_URI = r" ont:(\S+) \.$"
+TTL_OBJ_LIT = r' "((?:[^"\\]|\\.)*)"(?:@[a-z-]+|\^\^<[^>]+>)? \.$'
+
+
+def _uncurie(local: F.Column) -> F.Column:
+    """Invert to_turtle's PN_LOCAL mapping: the serialized local name has
+    its id colon written as '_' (ids match ^[A-Za-z]+:\\d+$, so exactly
+    the first underscore after the alpha prefix is the colon)."""
+    return F.regexp_replace(local, r"^([A-Za-z]+)_", "$1:")
+
+
+def parse_turtle(lines: DataFrame) -> DataFrame:
+    """Turtle source: parse prefixed-name triple lines back into
+    (subject, predicate, object, object_type) — the Turtle leg of the
+    reference's six-format OWLParser.parse (parsers/__init__.py:2738,
+    format routing :2655), as pure regexp_extract over spark.read.text
+    lines (no rdflib; the prefixed-triple-per-line subset is regular).
+    Handles uri / bnode / literal objects with @lang / ^^<dt> suffixes,
+    mirroring parse_ntriples."""
+    ln = F.col("line")
+    subj_uri = F.regexp_extract(ln, TTL_SUBJ, 1)
+    subj_bn = F.regexp_extract(ln, TTL_SUBJ_BNODE, 1)
+    obj_uri = F.regexp_extract(ln, TTL_OBJ_URI, 1)
+    obj_lit = F.regexp_extract(ln, TTL_OBJ_LIT, 1)
+    return lines.select(
+        F.when(subj_uri != "", _uncurie(subj_uri)).otherwise(subj_bn)
+        .alias("subject"),
+        F.regexp_extract(ln, TTL_PRED, 1).alias("predicate"),
+        F.when(obj_uri != "", _uncurie(obj_uri)).otherwise(obj_lit)
+        .alias("object"),
+        F.when(obj_uri != "", "uri").otherwise("literal")
+        .alias("object_type"))
+
+
+# --- RDF/XML source ----------------------------------------------------------
+
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDFS_NS = "http://www.w3.org/2000/01/rdf-schema#"
+RDFXML_BASE = "urn:graft"
+
+RDFXML_TRIPLE_SCHEMA = ("subject string, predicate string, object string, "
+                        "object_type string")
+
+
+def rdfxml_docs(terms: DataFrame) -> DataFrame:
+    """Serialize terms to RDF/XML document strings — the input synthesis
+    for the bulk RDF/XML read path (the corpus carries no raw ontology
+    payloads). One rdf:Description per term with rdfs:label and, when a
+    parent exists, rdfs:subClassOf. Names are [a-z0-9 ] by construction
+    (ontology_data), so no XML escaping is required — asserted cheap."""
+    # try_element_at: root terms have an EMPTY parents array, and ANSI
+    # mode makes plain element_at throw on the out-of-bounds index
+    parent = F.try_element_at("parents", F.lit(1))
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?>'
+              f'<rdf:RDF xmlns:rdf="{RDF_NS}" xmlns:rdfs="{RDFS_NS}">'
+              f'<rdf:Description rdf:about="{RDFXML_BASE}#'),
+        F.col("id"), F.lit('"><rdfs:label>'), F.col("name"),
+        F.lit("</rdfs:label>"),
+        F.when(parent.isNotNull(),
+               F.concat(F.lit(f'<rdfs:subClassOf rdf:resource='
+                              f'"{RDFXML_BASE}#'),
+                        parent, F.lit('"/>')))
+        .otherwise(F.lit("")),
+        F.lit("</rdf:Description></rdf:RDF>"))
+    return terms.select(xml.alias("xml"))
+
+
+def _rdfxml_batches(batches: Iterator[pd.DataFrame]
+                    ) -> Iterator[pd.DataFrame]:
+    import xml.etree.ElementTree as ET
+    rdf, rdfs = "{%s}" % RDF_NS, "{%s}" % RDFS_NS
+    for pdf in batches:
+        subs, preds, objs, otypes = [], [], [], []
+
+        def emit(s, p, o, t):
+            subs.append(s)
+            preds.append(p)
+            objs.append(o)
+            otypes.append(t)
+
+        for xml in pdf["xml"]:
+            root = ET.fromstring(xml)
+            for desc in root.iter(rdf + "Description"):
+                about = desc.attrib[rdf + "about"]
+                subj = about.split("#", 1)[1]
+                label = desc.find(rdfs + "label")
+                if label is not None and label.text:
+                    emit(subj, "label", label.text, "literal")
+                for sc in desc.findall(rdfs + "subClassOf"):
+                    res = sc.attrib[rdf + "resource"]
+                    emit(subj, "is_a", res.split("#", 1)[1], "uri")
+        yield pd.DataFrame({"subject": subs, "predicate": preds,
+                            "object": objs, "object_type": otypes})
+
+
+def parse_rdfxml(docs: DataFrame) -> DataFrame:
+    """RDF/XML source: batch etree parse via one mapInPandas stage —
+    the RDF/XML leg of OWLParser.parse (parsers/__init__.py:2738).
+    Reproduces the reference's model-conversion quirks deliberately:
+    only rdfs:subClassOf is kept among relationships and rewritten to
+    predicate 'is_a' (extract_relationships :3686-3722), URIs are
+    stripped to their #fragment (:3670-3676, :3740-3746), and
+    rdfs:label becomes a literal triple (owlready2 synthesis path
+    :4190). One Arrow crossing; each batch amortizes the parser over
+    many documents — the SURVEY §2.1 mapInPandas+etree mapping."""
+    return docs.select("xml").mapInPandas(
+        _rdfxml_batches, schema=RDFXML_TRIPLE_SCHEMA)
+
+
 def jsonld_expand(terms: DataFrame) -> DataFrame:
     """terms -> JSON doc -> from_json parse -> CURIE-to-IRI expansion
     (CHEBI:10001 -> <obo>/CHEBI_10001), the JSON-LD expand step with a
@@ -90,3 +208,46 @@ def jsonld_expand(terms: DataFrame) -> DataFrame:
         p["id"].alias("id"), p["name"].alias("name"),
         F.concat(F.lit(OBO_BASE), F.translate(p["id"], ":", "_"))
         .alias("uri"))
+
+
+def jsonld_compact(terms: DataFrame) -> DataFrame:
+    """JSON-LD compact (parsers/__init__.py:7708): the expanded document
+    (full IRIs) is compacted back to CURIEs under the constant context
+    {"obo": OBO_BASE}. Inverse of jsonld_expand's IRI expansion —
+    compact(expand(x)) round-trips, which is what the oracle asserts.
+    Prefix substitution is a startswith + substring (no regex — the IRI
+    base contains regex metacharacters)."""
+    doc = F.to_json(F.struct(
+        F.concat(F.lit(OBO_BASE), F.translate("id", ":", "_"))
+        .alias("id_iri"),
+        F.col("name")))
+    p = F.from_json(doc, "id_iri string, name string")
+    iri = p["id_iri"]
+    curie = F.when(
+        iri.startswith(OBO_BASE),
+        F.concat(F.lit("obo:"), F.substring(iri, len(OBO_BASE) + 1, 2048))
+    ).otherwise(iri)
+    return terms.select("id", p["name"].alias("name"),
+                        curie.alias("curie"))
+
+
+def jsonld_flatten(terms: DataFrame) -> DataFrame:
+    """JSON-LD flatten (parsers/__init__.py:7777): a @graph-nested
+    document per ontology is flattened back to one row per node.
+    The nested doc is built with collect_list(struct) -> to_json and
+    re-parsed with from_json + explode, so the flatten step exercises
+    Spark's real nested-JSON codec; node-set output is independent of
+    the (nondeterministic) array order inside the doc."""
+    nested = terms.groupBy("ontology_id").agg(
+        F.to_json(F.struct(
+            F.col("ontology_id").alias("graph_id"),
+            F.collect_list(F.struct("id", "name")).alias("graph")))
+        .alias("doc"))
+    schema = "graph_id string, graph array<struct<id:string,name:string>>"
+    p = F.from_json("doc", schema)
+    return (nested
+            .select(p["graph_id"].alias("ontology_id"),
+                    F.explode(p["graph"]).alias("node"))
+            .select("ontology_id",
+                    F.col("node.id").alias("node_id"),
+                    F.col("node.name").alias("name")))

@@ -635,13 +635,32 @@ JOIN edges e2 ON e2.src = e1.dst
 JOIN edges e3 ON e3.src = e2.dst AND e3.dst = e1.src
 WHERE e1.src < e1.dst AND e1.src < e2.dst"""
 
-    # ntriples_parse must invert the serializer, so its oracle is the
-    # pre-serialization triple set itself (independent of the regexes)
+    # ntriples_parse / turtle_parse must invert their serializers, so the
+    # oracle is the pre-serialization triple set itself (independent of
+    # the parse regexes)
     sqls["ntriples_parse"] = corpus_prefix(
         gaz_cte(), link_cte(), triples_cte()) + """
 SELECT subject, predicate, object, object_type
 FROM triples
 GROUP BY 1,2,3,4"""
+
+    sqls["turtle_parse"] = sqls["ntriples_parse"]
+
+    # rdfxml_parse: expected triples derived directly from the terms
+    # dimension (label literal per term; subClassOf -> is_a per parent),
+    # independent of the XML serialization + etree parse under test
+    sqls["rdfxml_parse"] = "WITH " + terms_cte() + """
+SELECT id AS subject, 'label' AS predicate, name AS object,
+       'literal' AS object_type
+FROM terms_d
+UNION ALL
+SELECT id, 'is_a', parent, 'uri' FROM terms_d WHERE parent IS NOT NULL"""
+
+    sqls["jsonld_compact"] = "WITH " + terms_full_cte() + """
+SELECT id, name, 'obo:' || replace(id, ':', '_') AS curie FROM terms_f"""
+
+    sqls["jsonld_flatten"] = "WITH " + terms_full_cte() + """
+SELECT ontology_id, id AS node_id, name FROM terms_f"""
 
     sqls["text_normalize"] = """
 WITH deco AS (
