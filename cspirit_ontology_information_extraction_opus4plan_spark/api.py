@@ -376,6 +376,25 @@ def q_citation_fields(spark, sf_dir):
     return TM.citation_fields(spans_exploded(spark, sf_dir))
 
 
+def q_doc_sections(spark, sf_dir):
+    """Section identification: the reference's 8 header patterns over a
+    deterministically sectioned full text, with content boundaries and
+    per-section confidence (pdf_parser.identify_sections)."""
+    from .operators import sections as SE
+    return SE.identify_sections(SE.sectioned_docs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")))
+
+
+def q_citation_format_detect(spark, sf_dir):
+    """APA/MLA/IEEE per-format confidence + best-format argmax
+    (reference_parser._parse_with_all_formats)."""
+    from .operators import sections as SE
+    return SE.detect_citation_format(SE.citation_samples(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")))
+
+
 def q_caption_types(spark, sf_dir):
     return TM.classify_captions(spans_exploded(spark, sf_dir))
 
@@ -459,6 +478,8 @@ def queries() -> dict[str, QueryFn]:
         "term_quarantine": q_term_quarantine,
         "uri_lang_validation": q_uri_lang_validation,
         "citation_fields": q_citation_fields,
+        "doc_sections": q_doc_sections,
+        "citation_format_detect": q_citation_format_detect,
         "caption_types": q_caption_types,
         "doc_keywords": q_doc_keywords,
         "doc_domains": q_doc_domains,

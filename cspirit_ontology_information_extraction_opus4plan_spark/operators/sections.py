@@ -1,0 +1,456 @@
+"""Section identification + citation-format detection (SURVEY §2.7).
+
+Reference semantics:
+  * the 8 case-insensitive section-header patterns
+    (_get_default_section_patterns, parsers/__init__.py:1801-1843):
+    a header is a line containing ONLY the section word (+ optional
+    colon), matched multiline;
+  * section content = text from the header to the next header
+    (identify_sections, pdf_parser.py:796-853); confidence =
+    0.7 - 0.3 if wc<10 elif +0.1 if wc>100, + 0.05 per section-keyword
+    hit, clamped to [0,1] (_calculate_section_confidence,
+    pdf_parser.py:859-889);
+  * citation-format detection APA/MLA/IEEE with per-format confidence
+    and best-format selection (ReferenceParser._parse_with_all_formats,
+    parsers/reference_parser.py:480; format handlers
+    parsers/citation_formats/{apa,mla,ieee}_handler.py; CitationDetector
+    scoring parsers/reference_patterns.py:85-782).
+
+The corpus carries no section headers or multi-format citations, so
+each operator pairs with a deterministic synthesis step
+(sectioned_docs / citation_samples) — the decoration lives HERE, next
+to the operator but outside its core, and is rebuilt identically by the
+SQL fragments this module also exports (single-spec rule, see
+corpus.py). Every detection step is pure column expressions: regex
+line tests, window lead for the next-header boundary, group aggregates.
+All patterns are RE2-compatible so DuckDB runs them verbatim.
+
+Scale notes: line explode + per-doc window + boundary join all key on
+doc_id — embarrassingly parallel per document, shuffle bounded by the
+line count, no UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textops import tokens_col
+
+# --- shared constants (mirrored verbatim into the oracle SQL) ---------------
+
+# the reference's 8 patterns, parsers/__init__.py:1801-1843 (alternatives
+# verbatim; the line-anchored shell ^\s*(?:...)\s*:?\s*$ is applied with
+# (?i) inline so Spark's Java regex and DuckDB's RE2 agree)
+SECTION_ALTS = {
+    "abstract": r"abstract|summary|overview",
+    "introduction": r"introduction|background|overview",
+    "methods": r"methods?|methodology|approach|experimental",
+    "results": r"results?|findings|outcomes",
+    "discussion": r"discussion|analysis|interpretation",
+    "conclusion": r"conclusions?|summary|final\s+remarks?",
+    "references": r"references?|bibliography|works?\s+cited",
+    "acknowledgments": r"acknowledgments?|acknowledgements?|thanks",
+}
+
+SECTION_ORDER = list(SECTION_ALTS)
+
+# section keywords for the confidence bonus (pdf_parser.py:872-879)
+SECTION_KEYWORDS = {
+    "abstract": ["abstract", "summary", "background", "objective"],
+    "introduction": ["introduction", "background", "motivation"],
+    "methods": ["method", "approach", "technique", "procedure"],
+    "results": ["result", "finding", "outcome", "data"],
+    "discussion": ["discussion", "analysis", "interpretation"],
+    "conclusion": ["conclusion", "summary", "future work"],
+}
+
+# synthesis: unambiguous header variants (each matches exactly one
+# pattern — 'summary'/'overview' are deliberately excluded because the
+# reference's patterns claim them for two sections)
+SYNTH_VARIANTS = {
+    "abstract": ["abstract"],
+    "introduction": ["introduction", "background"],
+    "methods": ["methods", "methodology", "approach"],
+    "results": ["results", "findings"],
+    "discussion": ["discussion", "interpretation"],
+    "conclusion": ["conclusions", "final remarks"],
+    "references": ["references", "bibliography"],
+    "acknowledgments": ["acknowledgments", "thanks"],
+}
+
+# (section, presence-modulus) — None = always present; else present when
+# doc_id % m == 0
+SECTION_PLAN = [
+    ("abstract", None),
+    ("introduction", None),
+    ("methods", 2),
+    ("results", 3),
+    ("discussion", 4),
+    ("conclusion", 5),
+    ("references", None),
+    ("acknowledgments", 7),
+]
+
+
+def section_line_pattern(section: str) -> str:
+    return r"(?i)^\s*(?:" + SECTION_ALTS[section] + r")\s*:?\s*$"
+
+
+# --- deterministic sectioned-document synthesis ------------------------------
+
+
+def sectioned_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, full_text): headers on their own lines, one content line
+    per section. Variant/case/colon/content-length all chosen by
+    (doc_id + section_index) mod arithmetic — rebuilt identically by
+    sections_synth_sql()."""
+    d = F.col("doc_id")
+    toks = tokens_col("text")
+    parts = []
+    for j, (sec, mod) in enumerate(SECTION_PLAN):
+        variants = SYNTH_VARIANTS[sec]
+        vsel = F.lit(variants[0])
+        if len(variants) > 1:
+            expr = None
+            for vi, v in enumerate(variants):
+                cond = (d + j) % len(variants) == vi
+                expr = (F.when(cond, F.lit(v)) if expr is None
+                        else expr.when(cond, F.lit(v)))
+            vsel = expr
+        style = (d + j) % 3
+        header = (F.when(style == 1, F.upper(vsel))
+                  .when(style == 2,
+                        F.concat(F.upper(F.substring(vsel, 1, 1)),
+                                 F.substring(vsel, 2, 8192)))
+                  .otherwise(vsel))
+        header = F.when((d + j) % 2 == 1,
+                        F.concat(header, F.lit(":"))).otherwise(header)
+        c = (d + j) % 3
+        content = (F.when(c == 0, F.array_join(F.slice(toks, 1, 5), " "))
+                   .when(c == 1, F.col("text"))
+                   .otherwise(F.concat_ws(" ", *([F.col("text")] * 5))))
+        part = F.concat(header, F.lit("\n"), content)
+        if mod is not None:
+            part = F.when(d % mod == 0, part)
+        parts.append(part)
+    full = F.array_join(
+        F.filter(F.array(*parts), lambda x: x.isNotNull()), "\n")
+    return docs.select("doc_id", full.alias("full_text"))
+
+
+def sections_synth_sql() -> str:
+    """DuckDB CTE 'synth(doc_id, full_text)' rebuilding sectioned_docs
+    from the flat documents view (same spec, independent expression)."""
+    parts = []
+    for j, (sec, mod) in enumerate(SECTION_PLAN):
+        variants = SYNTH_VARIANTS[sec]
+        if len(variants) > 1:
+            whens = " ".join(f"WHEN {vi} THEN '{v}'"
+                             for vi, v in enumerate(variants))
+            vsel = f"(CASE (doc_id + {j}) % {len(variants)} {whens} END)"
+        else:
+            vsel = f"'{variants[0]}'"
+        header = (f"(CASE (doc_id + {j}) % 3 "
+                  f"WHEN 1 THEN upper({vsel}) "
+                  f"WHEN 2 THEN upper(substring({vsel}, 1, 1)) "
+                  f"|| substring({vsel}, 2) "
+                  f"ELSE {vsel} END)")
+        header = (f"({header} || CASE WHEN (doc_id + {j}) % 2 = 1 "
+                  f"THEN ':' ELSE '' END)")
+        # long content: text joined 5x with single spaces
+        long5 = " || ' ' || ".join(["text"] * 5)
+        content = (f"(CASE (doc_id + {j}) % 3 "
+                   f"WHEN 0 THEN array_to_string(toks[1:5], ' ') "
+                   f"WHEN 1 THEN text ELSE {long5} END)")
+        part = f"{header} || chr(10) || {content}"
+        if mod is not None:
+            part = f"CASE WHEN doc_id % {mod} = 0 THEN {part} END"
+        parts.append(part)
+    plist = ",\n      ".join(parts)
+    return f"""
+tokd AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     t -> t <> '') AS toks
+  FROM documents),
+synth AS (
+  SELECT doc_id, array_to_string(list_filter(
+      [{plist}],
+      x -> x IS NOT NULL), chr(10)) AS full_text
+  FROM tokd)""".strip()
+
+
+# --- the section-identification operator -------------------------------------
+
+
+def identify_sections(sectioned: DataFrame) -> DataFrame:
+    """(doc_id, full_text) -> (doc_id, section, start_line, end_line,
+    word_count, confidence). start_line = first content line after the
+    header (the reference's match.end()), end_line = next header line
+    (exclusive) or the line count; confidence per
+    _calculate_section_confidence."""
+    # localCheckpoint: three downstream branches (headers, line counts,
+    # content join) would each re-derive the synthesis + split + the
+    # 8-regex header test otherwise (same rationale as minhash_lsh_pairs)
+    lines = sectioned.select(
+        F.col("doc_id"),
+        F.posexplode(F.split("full_text", "\n")).alias("line_idx", "line")
+    ).localCheckpoint(eager=True)
+
+    # every pattern is tested independently — a line matching two
+    # patterns yields two header rows, exactly like the reference's
+    # per-pattern finditer loop
+    matched = F.filter(
+        F.array(*[F.when(F.col("line").rlike(section_line_pattern(s)),
+                         F.lit(s))
+                  for s in SECTION_ORDER]),
+        lambda x: x.isNotNull())
+    headers = lines.select(
+        "doc_id", "line_idx", F.explode(matched).alias("section"))
+
+    # boundary = next DISTINCT header line (any section), else line count
+    hdr_lines = headers.select("doc_id", "line_idx").distinct()
+    w = Window.partitionBy("doc_id").orderBy("line_idx")
+    bounds = hdr_lines.withColumn("next_idx",
+                                  F.lead("line_idx").over(w))
+    n_lines = lines.groupBy("doc_id").agg(
+        (F.max("line_idx") + 1).alias("n_lines"))
+    spans = (headers.join(bounds, ["doc_id", "line_idx"])
+             .join(n_lines, "doc_id")
+             .select("doc_id", "section",
+                     (F.col("line_idx") + 1).alias("start_line"),
+                     F.coalesce("next_idx", "n_lines").alias("end_line")))
+
+    content = (lines.join(
+        spans.select("doc_id", "section", "start_line", "end_line"),
+        ["doc_id"])
+        .filter((F.col("line_idx") >= F.col("start_line"))
+                & (F.col("line_idx") < F.col("end_line")))
+        .groupBy("doc_id", "section", "start_line", "end_line")
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct("line_idx", "line"))),
+                lambda s: s["line"]), " ").alias("content")))
+
+    out = spans.join(content,
+                     ["doc_id", "section", "start_line", "end_line"],
+                     "left")
+    wc = F.size(F.filter(F.split(F.coalesce("content", F.lit("")), r"\s+"),
+                         lambda t: t != ""))
+    hits = _keyword_hits(F.lower(F.coalesce("content", F.lit(""))))
+    conf = (F.lit(0.7)
+            + F.when(wc < 10, -0.3).when(wc > 100, 0.1).otherwise(0.0)
+            + 0.05 * hits)
+    return out.select(
+        "doc_id", "section", "start_line", "end_line",
+        wc.alias("word_count"),
+        F.round(F.least(F.lit(1.0), F.greatest(F.lit(0.0), conf)), 6)
+        .alias("confidence"))
+
+
+def _keyword_hits(content_lower: Column) -> Column:
+    expr = F.lit(0)
+    for sec in SECTION_ORDER:
+        kws = SECTION_KEYWORDS.get(sec)
+        if not kws:
+            continue
+        sec_hits = sum(
+            (F.when(content_lower.contains(kw), 1).otherwise(0)
+             for kw in kws[1:]),
+            F.when(content_lower.contains(kws[0]), 1).otherwise(0))
+        expr = F.when(F.col("section") == sec, sec_hits).otherwise(expr)
+    return expr
+
+
+def sections_oracle_tail() -> str:
+    """SQL re-derivation of identify_sections over the synth CTE."""
+    hdr_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, line_idx, '{s}' AS section FROM lines "
+        f"WHERE regexp_matches(line, '{section_line_pattern(s)}')"
+        for s in SECTION_ORDER)
+    kw_cases = []
+    for sec in SECTION_ORDER:
+        kws = SECTION_KEYWORDS.get(sec)
+        if not kws:
+            continue
+        hit = " + ".join(
+            f"(CASE WHEN contains(lower(coalesce(content, '')), '{kw}') "
+            f"THEN 1 ELSE 0 END)" for kw in kws)
+        kw_cases.append(f"WHEN s.section = '{sec}' THEN {hit}")
+    hits = "(CASE " + " ".join(kw_cases) + " ELSE 0 END)"
+    wc = ("len(list_filter(regexp_split_to_array("
+          "coalesce(content, ''), '\\s+'), t -> t <> ''))")
+    conf = (f"0.7 + (CASE WHEN {wc} < 10 THEN -0.3 "
+            f"WHEN {wc} > 100 THEN 0.1 ELSE 0.0 END) + 0.05 * {hits}")
+    return f"""
+idx AS (SELECT CAST(t.i AS INT) AS i FROM generate_series(1, 64) t(i)),
+lines AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS line_idx, parts[i] AS line
+  FROM (SELECT doc_id, string_split(full_text, chr(10)) AS parts
+        FROM synth) p
+  JOIN idx ON i <= len(parts)),
+headers AS (
+{hdr_selects}),
+hdr_lines AS (SELECT DISTINCT doc_id, line_idx FROM headers),
+bounds AS (
+  SELECT doc_id, line_idx,
+         lead(line_idx) OVER (PARTITION BY doc_id ORDER BY line_idx)
+           AS next_idx
+  FROM hdr_lines),
+nl AS (SELECT doc_id, max(line_idx) + 1 AS n_lines FROM lines
+       GROUP BY doc_id),
+spans AS (
+  SELECT h.doc_id, h.section,
+         CAST(h.line_idx + 1 AS INT) AS start_line,
+         CAST(coalesce(b.next_idx, nl.n_lines) AS INT) AS end_line
+  FROM headers h
+  JOIN bounds b ON b.doc_id = h.doc_id AND b.line_idx = h.line_idx
+  JOIN nl ON nl.doc_id = h.doc_id),
+content_agg AS (
+  SELECT s.doc_id, s.section, s.start_line, s.end_line,
+         string_agg(l.line, ' ' ORDER BY l.line_idx) AS content
+  FROM spans s JOIN lines l
+    ON l.doc_id = s.doc_id
+   AND l.line_idx >= s.start_line AND l.line_idx < s.end_line
+  GROUP BY 1, 2, 3, 4)
+SELECT s.doc_id, s.section AS section, s.start_line, s.end_line,
+       CAST({wc} AS INT) AS word_count,
+       round(least(1.0, greatest(0.0, {conf})), 6) AS confidence
+FROM spans s LEFT JOIN content_agg c
+  ON c.doc_id = s.doc_id AND c.section = s.section
+ AND c.start_line = s.start_line AND c.end_line = s.end_line""".strip()
+
+
+# --- citation-format detection (APA / MLA / IEEE) ----------------------------
+
+# per-format feature regexes (RE2-safe, shared with the oracle);
+# confidence = hits / n_features, best format = argmax with alphabetical
+# tie-break — the reference's best-format selection
+# (reference_parser.py:480 over the citation_formats handlers)
+FORMAT_FEATURES = {
+    "apa": [
+        r"^[a-z ,]+ \(\d{4}\)\.",      # authors (year).
+        r"\d+\(\d+\),",                # volume(issue),
+        r" \d+-\d+\.$",                # pages.
+    ],
+    "ieee": [
+        r"^\[\d+\]",                   # [n] marker
+        r'"[^"]+,"',                   # "title,"
+        r"pp\. \d+-\d+",               # pp. pages
+        r"\d{4}\.$",                   # trailing year.
+    ],
+    "mla": [
+        r"^[a-z]+, [a-z]+",            # surname, given
+        r'"[^"]+\."',                  # "title."
+        r"vol\. \d+, no\. \d+",        # vol./no.
+        r"pp\. \d+-\d+",               # pp. pages
+    ],
+}
+FORMATS = sorted(FORMAT_FEATURES)
+
+
+def citation_samples(docs: DataFrame) -> DataFrame:
+    """(doc_id, citation): one citation per doc, format chosen by
+    doc_id % 3 (0=apa, 1=ieee, 2=mla) — deterministic synthesis shared
+    with citation_synth_sql()."""
+    d = F.col("doc_id")
+    topic = F.regexp_extract(F.lower(F.trim("text")), r"^(\w+)", 1)
+    year = (d % 30 + 1990).cast("string")
+    vol = (d % 50 + 1).cast("string")
+    no = (d % 4 + 1).cast("string")
+    p0 = (d % 90 + 100).cast("string")
+    p1 = (d % 90 + 110).cast("string")
+    apa = F.concat(F.lit("smith j, doe a ("), year,
+                   F.lit("). studies on "), topic,
+                   F.lit(". journal of synthetic data, "), vol,
+                   F.lit("("), no, F.lit("), "), p0, F.lit("-"), p1,
+                   F.lit("."))
+    ieee = F.concat(F.lit("["), (d % 9 + 1).cast("string"),
+                    F.lit('] j. smith and a. doe, "studies on '), topic,
+                    F.lit('," journal of synthetic data, vol. '), vol,
+                    F.lit(", no. "), no, F.lit(", pp. "), p0, F.lit("-"),
+                    p1, F.lit(", "), year, F.lit("."))
+    mla = F.concat(F.lit('smith, john, and alice doe. "studies on '),
+                   topic, F.lit('." journal of synthetic data, vol. '),
+                   vol, F.lit(", no. "), no, F.lit(", "), year,
+                   F.lit(", pp. "), p0, F.lit("-"), p1, F.lit("."))
+    cit = (F.when(d % 3 == 0, apa)
+           .when(d % 3 == 1, ieee)
+           .otherwise(mla))
+    return docs.select("doc_id", cit.alias("citation"))
+
+
+def citation_synth_sql() -> str:
+    topic = "regexp_extract(lower(trim(text)), '^(\\w+)', 1)"
+    year = "CAST(doc_id % 30 + 1990 AS VARCHAR)"
+    vol = "CAST(doc_id % 50 + 1 AS VARCHAR)"
+    no = "CAST(doc_id % 4 + 1 AS VARCHAR)"
+    p0 = "CAST(doc_id % 90 + 100 AS VARCHAR)"
+    p1 = "CAST(doc_id % 90 + 110 AS VARCHAR)"
+    apa = (f"'smith j, doe a (' || {year} || '). studies on ' || {topic} "
+           f"|| '. journal of synthetic data, ' || {vol} || '(' || {no} "
+           f"|| '), ' || {p0} || '-' || {p1} || '.'")
+    ieee = (f"'[' || CAST(doc_id % 9 + 1 AS VARCHAR) "
+            f"|| '] j. smith and a. doe, \"studies on ' || {topic} "
+            f"|| ',\" journal of synthetic data, vol. ' || {vol} "
+            f"|| ', no. ' || {no} || ', pp. ' || {p0} || '-' || {p1} "
+            f"|| ', ' || {year} || '.'")
+    mla = (f"'smith, john, and alice doe. \"studies on ' || {topic} "
+           f"|| '.\" journal of synthetic data, vol. ' || {vol} "
+           f"|| ', no. ' || {no} || ', ' || {year} || ', pp. ' || {p0} "
+           f"|| '-' || {p1} || '.'")
+    return f"""
+cits AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN {apa} WHEN 1 THEN {ieee}
+              ELSE {mla} END AS citation
+  FROM documents)""".strip()
+
+
+def detect_citation_format(cits: DataFrame) -> DataFrame:
+    """(doc_id, citation) -> per-format confidences + argmax best format
+    (alphabetical tie-break). Pure rlike feature counting — the
+    CitationDetector scoring re-expressed columnar."""
+    c = F.col("citation")
+    confs = {}
+    for fmt in FORMATS:
+        feats = FORMAT_FEATURES[fmt]
+        hits = sum(
+            (F.when(c.rlike(p), 1).otherwise(0) for p in feats[1:]),
+            F.when(c.rlike(feats[0]), 1).otherwise(0))
+        confs[fmt] = F.round(hits / F.lit(float(len(feats))), 6)
+    d = cits.select("doc_id", "citation",
+                    *[confs[f].alias(f"conf_{f}") for f in FORMATS])
+    best = F.greatest(*[F.col(f"conf_{f}") for f in FORMATS])
+    pick = F.when(F.lit(False), "x")
+    for f in FORMATS:  # alphabetical order = tie-break
+        pick = pick.when(F.col(f"conf_{f}") == best, f)
+    return d.select("doc_id",
+                    *[F.col(f"conf_{f}") for f in FORMATS],
+                    pick.alias("best_format"),
+                    best.alias("best_conf"))
+
+
+def citation_oracle_tail() -> str:
+    conf_exprs = []
+    for fmt in FORMATS:
+        feats = FORMAT_FEATURES[fmt]
+        hits = " + ".join(
+            "(CASE WHEN regexp_matches(citation, '{}') THEN 1 ELSE 0 END)"
+            .format(p.replace("'", "''")) for p in feats)
+        conf_exprs.append(
+            f"round(({hits}) / {float(len(feats))}, 6) AS conf_{fmt}")
+    best = "greatest(" + ", ".join(f"conf_{f}" for f in FORMATS) + ")"
+    pick = " ".join(
+        f"WHEN conf_{f} = {best} THEN '{f}'" for f in FORMATS)
+    return f"""
+scored AS (
+  SELECT doc_id, citation,
+         {', '.join(conf_exprs)}
+  FROM cits)
+SELECT doc_id, {', '.join(f'conf_{f}' for f in FORMATS)},
+       CASE {pick} END AS best_format,
+       {best} AS best_conf
+FROM scored""".strip()
