@@ -412,6 +412,25 @@ def q_cross_references(spark, sf_dir):
     return TM.cross_references(spans_exploded(spark, sf_dir))
 
 
+def q_media_dedup_merge(spark, sf_dir):
+    """Figure/table dedup-and-merge by (doc, kind, number): longest
+    caption, averaged confidence (pdf_parser._merge_and_deduplicate)."""
+    from .operators.media import media_dedup_merge
+    return media_dedup_merge(spans_exploded(spark, sf_dir))
+
+
+def q_caption_cleanup(spark, sf_dir):
+    """Caption cleanup + general roman-numeral label conversion."""
+    from .operators.media import caption_cleanup
+    return caption_cleanup(spans_exploded(spark, sf_dir))
+
+
+def q_scientific_notation(spark, sf_dir):
+    """Scientific-notation / numeric extraction over text spans."""
+    from .operators.media import scientific_notation
+    return scientific_notation(spans_exploded(spark, sf_dir))
+
+
 def q_format_detect(spark, sf_dir):
     return TM.detect_formats(
         spark.read.parquet(f"{sf_dir}/documents.parquet"))
@@ -484,6 +503,9 @@ def queries() -> dict[str, QueryFn]:
         "doc_keywords": q_doc_keywords,
         "doc_domains": q_doc_domains,
         "cross_references": q_cross_references,
+        "media_dedup_merge": q_media_dedup_merge,
+        "caption_cleanup": q_caption_cleanup,
+        "scientific_notation": q_scientific_notation,
         "format_detect": q_format_detect,
         "table_quality": q_table_quality,
         "event_value_stats": q_event_value_stats,

@@ -1,0 +1,203 @@
+"""Figure/table candidate dedup-and-merge, caption cleanup with roman
+numerals, and scientific-notation extraction (SURVEY §2.5 / §2.7).
+
+Reference semantics:
+  * _merge_and_deduplicate_figures (pdf_parser.py:1632) groups
+    candidates by number; _merge_figure_data (:1661) keeps the
+    best-by-confidence row, takes the LONGEST caption, and AVERAGES the
+    confidences (tables: :2209/:2238 — same shape);
+  * _calculate_figure_confidence (pdf_parser.py:1602): base 0.7,
+    +0.1 if len(caption)>50 elif -0.2 if len<10, +0.1 if the number is
+    all digits elif +0.05 if digits+letter, +0.05 once if any quality
+    indicator appears, clamped to [0.1, 1.0];
+  * _clean_caption (pdf_parser.py:1569): collapse whitespace, strip
+    leading/trailing [:\\-.s]+ runs;
+  * _roman_to_int (pdf_parser.py:1586): right-to-left accumulation with
+    subtractive prefixes — implemented here as a general column
+    expression (zip the char-value array with its own shift), not a
+    bounded lookup table;
+  * scientific-notation / numeric extraction (content_utils.py:59/79).
+
+The corpus has exactly one candidate per (doc, kind, number), so the
+dedup-merge input plants a second, lower-quality candidate per
+figure for docs with seq%6==0 (decoration lives here, outside the
+operator core; the oracle rebuilds it). Everything is pure column
+expressions — groupBy max_by/avg for the merge, no windows over the
+corpus, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# quality indicators, pdf_parser.py:1616-1620 (bonus applied ONCE)
+QUALITY_INDICATORS = [
+    "shows", "illustrates", "depicts", "represents", "displays",
+    "comparison", "distribution", "relationship", "analysis",
+]
+
+NUMBER_PATTERN = r"^(?:figure|table) (\d+[a-z]?)"
+
+ROMAN_VALUES = [("i", 1), ("v", 5), ("x", 10), ("l", 50),
+                ("c", 100), ("d", 500), ("m", 1000)]
+
+
+def clean_caption(c: Column) -> Column:
+    """_clean_caption pdf_parser.py:1569: whitespace collapse + strip
+    leading/trailing punctuation runs."""
+    c = F.regexp_replace(F.trim(c), r"\s+", " ")
+    c = F.regexp_replace(c, r"^[:\-.\s]+", "")
+    c = F.regexp_replace(c, r"[:\-.\s]+$", "")
+    return F.trim(c)
+
+
+def figure_confidence(caption: Column, number: Column) -> Column:
+    """_calculate_figure_confidence pdf_parser.py:1602 as one column
+    expression (same branch order: length elif, number elif, single
+    indicator bonus)."""
+    ln = F.length(caption)
+    conf = (F.lit(0.7)
+            + F.when(ln > 50, 0.1).when(ln < 10, -0.2).otherwise(0.0)
+            + F.when(number.rlike(r"^\d+$"), 0.1)
+            .when(number.rlike(r"^\d+[a-z]$"), 0.05).otherwise(0.0))
+    any_ind = None
+    low = F.lower(caption)
+    for ind in QUALITY_INDICATORS:
+        hit = low.contains(ind)
+        any_ind = hit if any_ind is None else (any_ind | hit)
+    conf = conf + F.when(any_ind, 0.05).otherwise(0.0)
+    return F.least(F.lit(1.0), F.greatest(F.lit(0.1), conf))
+
+
+def media_candidates(spans: DataFrame) -> DataFrame:
+    """Figure/table spans -> extraction candidates, with a planted
+    second (short-caption, 'pattern'-method) candidate per figure for
+    docs with seq%6==0 — the dual pattern+library extraction whose
+    conflicts _merge_and_deduplicate resolves (pdf_parser.py:1327-1683).
+    """
+    base = (spans.filter(F.col("kind").isin("figure", "table"))
+            .select("doc_id", "kind",
+                    F.regexp_extract("text", NUMBER_PATTERN, 1)
+                    .alias("number"),
+                    clean_caption(F.col("text")).alias("caption"),
+                    F.lit("library").alias("method"))
+            .filter(F.col("number") != ""))
+    seq = F.regexp_extract("doc_id", r"(\d+)$", 1).cast("long")
+    planted = (base.filter((F.col("kind") == "figure") & (seq % 6 == 0))
+               .select("doc_id", "kind", "number",
+                       F.substring("caption", 1, 9).alias("caption"),
+                       F.lit("pattern").alias("method")))
+    return base.unionByName(planted)
+
+
+def media_dedup_merge(spans: DataFrame) -> DataFrame:
+    """Group candidates by (doc_id, kind, number); keep the longest
+    caption (ties -> lexicographically greatest, a deterministic
+    refinement of the reference's max(key=len)), average the
+    confidences, count candidates. One map-side-combinable groupBy —
+    the dedup shape that survives 10^12 docs (the reference's
+    per-document dict grouping becomes the aggregation key)."""
+    cand = media_candidates(spans).withColumn(
+        "confidence", figure_confidence(F.col("caption"), F.col("number")))
+    return (cand.groupBy("doc_id", "kind", "number")
+            .agg(F.max_by("caption",
+                          F.struct(F.length("caption"), F.col("caption")))
+                 .alias("caption"),
+                 F.round(F.avg("confidence"), 6).alias("confidence"),
+                 F.count("*").alias("n_candidates")))
+
+
+# --- caption cleanup + roman numerals ----------------------------------------
+
+
+def roman_to_int_col(roman: Column) -> Column:
+    """General roman-numeral conversion (_roman_to_int pdf_parser.py:1586)
+    as a column expression: map chars to values, then subtract a value
+    when the NEXT value is larger (zip the value array with its own
+    1-shift) — no bounded lookup table, same algorithm as the reference's
+    reversed-scan accumulation."""
+    n = F.length(roman)
+    vals = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: _roman_char_value(roman.substr(i, F.lit(1))))
+    nxt = F.concat(F.slice(vals, 2, 0x7FFFFFF0), F.array(F.lit(0)))
+    signed = F.zip_with(vals, nxt,
+                        lambda a, b: F.when(a < b, -a).otherwise(a))
+    return F.when(n > 0, F.aggregate(signed, F.lit(0), lambda acc, x:
+                                     acc + x)).otherwise(F.lit(None))
+
+
+def _roman_char_value(c: Column) -> Column:
+    expr = F.lit(0)
+    for ch, v in ROMAN_VALUES:
+        expr = F.when(F.lower(c) == ch, v).otherwise(expr)
+    return expr
+
+
+def roman_decorated_media(spans: DataFrame) -> DataFrame:
+    """Media spans with docs seq%2==1 rewritten to roman-numeral labels
+    ('figure iv. ...') — the caption-cleanup test corpus (roman labels
+    appear in real scans; the synthetic corpus has only digits)."""
+    seq = F.regexp_extract("doc_id", r"(\d+)$", 1).cast("long")
+    romans = ["i", "ii", "iii", "iv", "v", "vi", "vii", "viii", "ix",
+              "x", "xi", "xii"]
+    rsel = None
+    for i, r in enumerate(romans):
+        cond = seq % 12 == i
+        rsel = F.when(cond, F.lit(r)) if rsel is None else rsel.when(
+            cond, F.lit(r))
+    kindword = F.regexp_extract("text", r"^(figure|table)", 1)
+    rest = F.regexp_replace("text", r"^(figure|table) \d+", "")
+    text = F.when(seq % 2 == 1,
+                  F.concat(kindword, F.lit(" "), rsel, rest)) \
+        .otherwise(F.col("text"))
+    return (spans.filter(F.col("kind").isin("figure", "table"))
+            .select("doc_id", "kind", "media_ref", text.alias("text")))
+
+
+LABEL_PATTERN = r"^(?:figure|table) (\d+|[ivxlcdm]+)\b"
+
+
+def caption_cleanup(spans: DataFrame) -> DataFrame:
+    """(doc_id, kind, media_ref, number_int, clean_caption): extract the
+    digit-or-roman label, convert romans with the general algorithm,
+    clean the caption text (_clean_caption + _roman_to_int)."""
+    decorated = roman_decorated_media(spans)
+    label = F.regexp_extract("text", LABEL_PATTERN, 1)
+    num = F.when(label.rlike(r"^\d+$"), label.cast("int")) \
+        .otherwise(roman_to_int_col(label))
+    return decorated.select(
+        "doc_id", "kind", "media_ref",
+        num.cast("int").alias("number_int"),
+        clean_caption(F.col("text")).alias("clean_caption"))
+
+
+# --- scientific-notation / numeric extraction --------------------------------
+
+SCI_PATTERN = r"[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?"
+
+
+def sci_decorated_texts(spans: DataFrame) -> DataFrame:
+    """Text spans with docs seq%9==0 carrying an appended measurement
+    clause — guarantees scientific-notation positives (content_utils
+    numeric extraction has no corpus analog otherwise)."""
+    seq = F.regexp_extract("doc_id", r"(\d+)$", 1).cast("long")
+    t = F.when(seq % 9 == 0,
+               F.concat("text", F.lit(" measured 1.5e-3 mol against "),
+                        ((seq % 7) + 2).cast("string"),
+                        F.lit(".25 controls")))\
+        .otherwise(F.col("text"))
+    return (spans.filter(F.col("kind") == "text")
+            .select("doc_id", "pos", t.alias("text")))
+
+
+def scientific_notation(spans: DataFrame) -> DataFrame:
+    """Numeric + scientific-notation extraction (content_utils.py:59/79):
+    regexp_extract_all over text spans, one output row per extracted
+    number with its double value."""
+    nums = F.regexp_extract_all(F.col("text"), F.lit(SCI_PATTERN), 0)
+    return (sci_decorated_texts(spans)
+            .select("doc_id", "pos", F.explode(nums).alias("raw"))
+            .select("doc_id", "pos", "raw",
+                    F.round(F.col("raw").cast("double"), 6).alias("value")))

@@ -749,6 +749,108 @@ WHERE namespace NOT IN ({ns})"""
     return sqls
 
 
+def _media_sqls() -> dict[str, str]:
+    """Oracles for operators/media.py (dedup-merge, caption cleanup,
+    scientific notation)."""
+    from .operators import media as MD
+
+    sqls = {}
+    clean = ("trim(regexp_replace(regexp_replace(regexp_replace("
+             "trim(text), '\\s+', ' ', 'g'), '^[:\\-.\\s]+', ''), "
+             "'[:\\-.\\s]+$', ''))")
+    ind = " OR ".join(
+        f"contains(lower(caption), '{i}')" for i in MD.QUALITY_INDICATORS)
+    conf = (
+        "least(1.0, greatest(0.1, 0.7"
+        " + (CASE WHEN length(caption) > 50 THEN 0.1"
+        " WHEN length(caption) < 10 THEN -0.2 ELSE 0.0 END)"
+        " + (CASE WHEN regexp_matches(number, '^\\d+$') THEN 0.1"
+        " WHEN regexp_matches(number, '^\\d+[a-z]$') THEN 0.05"
+        " ELSE 0.0 END)"
+        f" + (CASE WHEN {ind} THEN 0.05 ELSE 0.0 END)))")
+    sqls["media_dedup_merge"] = corpus_prefix() + f"""
+, mbase AS (
+  SELECT doc_id, kind,
+         regexp_extract(text, '{MD.NUMBER_PATTERN}', 1) AS number,
+         {clean} AS caption, 'library' AS method
+  FROM spans WHERE kind IN ('figure', 'table')
+    AND regexp_extract(text, '{MD.NUMBER_PATTERN}', 1) <> ''),
+mcand AS (
+  SELECT * FROM mbase
+  UNION ALL
+  SELECT doc_id, kind, number, substring(caption, 1, 9), 'pattern'
+  FROM mbase
+  WHERE kind = 'figure'
+    AND CAST(regexp_extract(doc_id, '(\\d+)$', 1) AS BIGINT) % 6 = 0),
+scored AS (SELECT mcand.*, {conf} AS confidence FROM mcand),
+best AS (
+  SELECT doc_id, kind, number, caption, row_number() OVER (
+    PARTITION BY doc_id, kind, number
+    ORDER BY length(caption) DESC, caption DESC) AS rn
+  FROM scored)
+SELECT s.doc_id, s.kind, s.number, b.caption,
+       round(avg(s.confidence), 6) AS confidence,
+       CAST(count(*) AS BIGINT) AS n_candidates
+FROM scored s
+JOIN best b ON b.doc_id = s.doc_id AND b.kind = s.kind
+ AND b.number = s.number AND b.rn = 1
+GROUP BY 1, 2, 3, 4"""
+
+    # roman synthesis (CASE map) + general parse (char-value zip-shift)
+    romans = ["i", "ii", "iii", "iv", "v", "vi", "vii", "viii", "ix",
+              "x", "xi", "xii"]
+    rsel = "CASE seq % 12 " + " ".join(
+        f"WHEN {i} THEN '{r}'" for i, r in enumerate(romans)) + " END"
+
+    def rv(pos: str) -> str:
+        whens = " ".join(f"WHEN '{ch}' THEN {v}"
+                         for ch, v in MD.ROMAN_VALUES)
+        return f"(CASE substring(label, {pos}, 1) {whens} ELSE 0 END)"
+
+    roman_sum = (
+        "list_sum(list_transform(range(1, length(label) + 1), p -> "
+        f"CASE WHEN {rv('p')} < {rv('p + 1')} THEN -{rv('p')} "
+        f"ELSE {rv('p')} END))")
+    sqls["caption_cleanup"] = corpus_prefix() + f"""
+, mdeco AS (
+  SELECT doc_id, kind, media_ref,
+         CASE WHEN seq % 2 = 1
+              THEN regexp_extract(text, '^(figure|table)', 1) || ' '
+                   || {rsel}
+                   || regexp_replace(text, '^(figure|table) \\d+', '')
+              ELSE text END AS text
+  FROM (SELECT s.*, CAST(regexp_extract(doc_id, '(\\d+)$', 1) AS BIGINT)
+               AS seq
+        FROM spans s WHERE kind IN ('figure', 'table')) d),
+lbl AS (
+  SELECT doc_id, kind, media_ref, text,
+         regexp_extract(text, '{MD.LABEL_PATTERN}', 1) AS label
+  FROM mdeco)
+SELECT doc_id, kind, media_ref,
+       CAST(CASE WHEN regexp_matches(label, '^\\d+$')
+                 THEN CAST(label AS INT)
+                 ELSE {roman_sum} END AS INT) AS number_int,
+       {clean} AS clean_caption
+FROM lbl"""
+
+    sqls["scientific_notation"] = corpus_prefix() + f"""
+, stext AS (
+  SELECT doc_id, pos,
+         CASE WHEN seq % 9 = 0
+              THEN text || ' measured 1.5e-3 mol against '
+                   || CAST(seq % 7 + 2 AS VARCHAR) || '.25 controls'
+              ELSE text END AS text
+  FROM (SELECT s.*, CAST(regexp_extract(doc_id, '(\\d+)$', 1) AS BIGINT)
+               AS seq
+        FROM spans s WHERE kind = 'text') d)
+SELECT doc_id, pos, raw, round(TRY_CAST(raw AS DOUBLE), 6) AS value
+FROM (
+  SELECT doc_id, pos,
+         unnest(regexp_extract_all(text, '{MD.SCI_PATTERN}')) AS raw
+  FROM stext) u"""
+    return sqls
+
+
 def oracle_sql() -> dict[str, str]:
     pat = ner_pattern()
     sqls: dict[str, str] = {}
@@ -1122,5 +1224,6 @@ GROUP BY kind"""
     sqls.update(_textops_sqls())
     sqls.update(_ann_sqls())
     sqls.update(_meta_sqls())
+    sqls.update(_media_sqls())
 
     return sqls
