@@ -358,6 +358,29 @@ def q_cycle_triads(spark, sf_dir):
     return OA.cycle_triads(edges)
 
 
+def q_cycle_chains(spark, sf_dir):
+    """General cycle detection returning chains up to length 6, over
+    is_a edges + planted 2/3/4/5-cycles."""
+    edges = (relationships_df(spark)
+             .filter(F.col("predicate") == "is_a")
+             .select(F.col("subject").alias("src"),
+                     F.col("object").alias("dst"))
+             .unionByName(spark.createDataFrame(
+                 OA.PLANTED_CYCLE + OA.PLANTED_CHAINS,
+                 "src string, dst string")))
+    return OA.cycle_chains(edges)
+
+
+def q_set_difference(spark, sf_dir):
+    a, b = _merge_sources(spark)
+    return OA.unique_per_source(a, b)
+
+
+def q_merge_stats(spark, sf_dir):
+    a, b = _merge_sources(spark)
+    return OA.merge_statistics(a, b)
+
+
 def q_merge_selective(spark, sf_dir):
     a, b = _merge_sources(spark)
     return OA.merge_selective(a, b, ["chemical", "biological_process"])
@@ -494,6 +517,9 @@ def queries() -> dict[str, QueryFn]:
         "alt_id_lookup": q_alt_id_lookup,
         "jsonld_expand": q_jsonld_expand,
         "cycle_triads": q_cycle_triads,
+        "cycle_chains": q_cycle_chains,
+        "set_difference": q_set_difference,
+        "merge_stats": q_merge_stats,
         "term_quarantine": q_term_quarantine,
         "uri_lang_validation": q_uri_lang_validation,
         "citation_fields": q_citation_fields,

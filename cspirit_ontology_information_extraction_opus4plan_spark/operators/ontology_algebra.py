@@ -189,6 +189,83 @@ def cycle_triads(edges: DataFrame) -> DataFrame:
             .select("a", "b", "c"))
 
 
+# planted variable-length cycles (2, 4, 5) for general cycle detection,
+# disjoint from PLANTED_CYCLE's triangle and from the acyclic is_a graph
+PLANTED_CHAINS = [
+    ("CYD:1", "CYD:2"), ("CYD:2", "CYD:1"),
+    ("CYE:1", "CYE:2"), ("CYE:2", "CYE:3"), ("CYE:3", "CYE:4"),
+    ("CYE:4", "CYE:1"),
+    ("CYF:1", "CYF:2"), ("CYF:2", "CYF:3"), ("CYF:3", "CYF:4"),
+    ("CYF:4", "CYF:5"), ("CYF:5", "CYF:1"),
+]
+
+
+def cycle_chains(edges: DataFrame, max_len: int = 6) -> DataFrame:
+    """Directed cycles up to length max_len, returned as canonical node
+    chains — the reference's DFS-with-recursion-stack cycle detection
+    that returns the cycle paths (validators.py:253-300), re-expressed
+    as a bounded iterative path extension.
+
+    Canonicalization/pruning in one rule: every path starts at its
+    minimum node (each extension requires the new node > start), so
+    each cycle is found exactly once, rotations never duplicate, and
+    the search space is cut by ~1/len. Fixed max_len-1 join rounds —
+    no convergence loop; each round is an equi-join on the current
+    node, shuffling like any adjacency join at scale. Unbounded-length
+    cycles remain the CC loop's non-convergence guard's job."""
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    frontier = (e.filter(F.col("dst") > F.col("src"))
+                .select(F.col("src").alias("start"),
+                        F.col("dst").alias("cur"),
+                        F.array("src", "dst").alias("path")))
+    chains = None
+    for _depth in range(2, max_len + 1):
+        nxt = (frontier.join(e, frontier.cur == e.src)
+               .select("start", F.col("dst").alias("cur2"), "path"))
+        closed = (nxt.filter(F.col("cur2") == F.col("start"))
+                  .select(F.array_join("path", "->").alias("chain"),
+                          F.size("path").alias("cycle_len")))
+        chains = closed if chains is None else chains.unionByName(closed)
+        frontier = (nxt.filter((F.col("cur2") > F.col("start"))
+                               & ~F.array_contains("path", F.col("cur2")))
+                    .select("start", F.col("cur2").alias("cur"),
+                            F.array_append("path", F.col("cur2"))
+                            .alias("path")))
+    return chains
+
+
+def unique_per_source(source_a: DataFrame, source_b: DataFrame) -> DataFrame:
+    """Set difference per source — ids present in exactly one source
+    (set.difference unique-terms, ontology_manager.py:1779-1785) as two
+    left_anti joins."""
+    ua = (source_a.join(source_b.select("id"), "id", "left_anti")
+          .withColumn("src", F.lit("A")))
+    ub = (source_b.join(source_a.select("id"), "id", "left_anti")
+          .withColumn("src", F.lit("B")))
+    return ua.unionByName(ub)
+
+
+def merge_statistics(source_a: DataFrame, source_b: DataFrame) -> DataFrame:
+    """Merge statistics (_calculate_merge_statistics
+    ontology_integrator.py:654): per-source term counts, conflicts
+    (ids in both = rows the union merge must resolve), uniques, union
+    size — one full-outer join + one aggregate."""
+    a = source_a.select("id").distinct().withColumn("in_a", F.lit(1))
+    b = source_b.select("id").distinct().withColumn("in_b", F.lit(1))
+    j = a.join(b, "id", "full")
+    return j.agg(
+        F.count("in_a").alias("n_a"),
+        F.count("in_b").alias("n_b"),
+        F.sum(F.when(F.col("in_a").isNotNull()
+                     & F.col("in_b").isNotNull(), 1).otherwise(0))
+        .alias("n_conflicts"),
+        F.sum(F.when(F.col("in_b").isNull(), 1).otherwise(0))
+        .alias("n_only_a"),
+        F.sum(F.when(F.col("in_a").isNull(), 1).otherwise(0))
+        .alias("n_only_b"),
+        F.count("*").alias("n_union"))
+
+
 def corrupt_terms(terms: DataFrame) -> DataFrame:
     """Deterministically damaged copy of the terms table — the
     validation-pipeline test corpus (the clean synthetic ontology would

@@ -629,6 +629,27 @@ FROM terms_f"""
 SELECT id, name, '{SR.OBO_BASE}' || replace(id, ':', '_') AS uri
 FROM terms_f"""
 
+    planted_all = ",".join(
+        f"({_q(s)}, {_q(d)})"
+        for s, d in OA.PLANTED_CYCLE + OA.PLANTED_CHAINS)
+    sqls["cycle_chains"] = "WITH RECURSIVE " + rels_cte() + f""",
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT subject AS src, object AS dst FROM rels_d
+    WHERE predicate = 'is_a'
+    UNION ALL
+    SELECT * FROM (VALUES {planted_all}) v(src, dst)) e),
+walk(start, cur, path) AS (
+  SELECT src, dst, [src, dst] FROM edges WHERE dst > src
+  UNION ALL
+  SELECT w.start, e.dst, list_append(w.path, e.dst)
+  FROM walk w JOIN edges e ON e.src = w.cur
+  WHERE e.dst > w.start AND NOT list_contains(w.path, e.dst)
+    AND len(w.path) < 6)
+SELECT array_to_string(w.path, '->') AS chain,
+       CAST(len(w.path) AS INT) AS cycle_len
+FROM walk w JOIN edges e ON e.src = w.cur AND e.dst = w.start"""
+
     planted = ",".join(f"({_q(s)}, {_q(d)})" for s, d in OA.PLANTED_CYCLE)
     sqls["cycle_triads"] = "WITH " + rels_cte() + f""",
 edges AS (
@@ -728,6 +749,27 @@ SELECT id, name, namespace, ontology_id, src FROM (
     WHERE namespace IN ('chemical', 'biological_process')
   ) u
 ) t WHERE rn = 1"""
+
+    sqls["set_difference"] = "WITH " + ",\n".join([tf, merge_src]) + """
+SELECT id, name, namespace, ontology_id, 'A' AS src FROM src_a
+WHERE id NOT IN (SELECT id FROM src_b)
+UNION ALL
+SELECT id, name, namespace, ontology_id, 'B' FROM src_b
+WHERE id NOT IN (SELECT id FROM src_a)"""
+
+    sqls["merge_stats"] = "WITH " + ",\n".join([tf, merge_src]) + """
+, ia AS (SELECT DISTINCT id FROM src_a),
+ib AS (SELECT DISTINCT id FROM src_b)
+SELECT CAST(count(ia.id) AS BIGINT) AS n_a,
+       CAST(count(ib.id) AS BIGINT) AS n_b,
+       CAST(sum(CASE WHEN ia.id IS NOT NULL AND ib.id IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_conflicts,
+       CAST(sum(CASE WHEN ib.id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_only_a,
+       CAST(sum(CASE WHEN ia.id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_only_b,
+       CAST(count(*) AS BIGINT) AS n_union
+FROM ia FULL OUTER JOIN ib ON ia.id = ib.id"""
 
     ns = ",".join(_q(n) for n in OA.KNOWN_NAMESPACES)
     sqls["term_quarantine"] = "WITH " + terms_cte() + f""",
