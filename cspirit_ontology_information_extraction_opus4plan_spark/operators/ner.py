@@ -49,24 +49,52 @@ def _compiled(surface_tuple: tuple[str, ...]) -> re.Pattern:
     return re.compile(r"\b(" + alternation(list(surface_tuple)) + r")\b")
 
 
+# above this many surfaces, CPython `re` alternation (which retries
+# alternatives per position) loses to the linear-scan automaton; below
+# it the C regex engine's constant factor wins. The outputs are
+# identical (tests/test_automaton.py) — this is purely a cost switch.
+AC_SURFACE_THRESHOLD = 5000
+
+
+@lru_cache(maxsize=4)
+def _compiled_ac(surface_tuple: tuple[str, ...]):
+    from .automaton import AhoCorasick
+    return AhoCorasick(surface_tuple)
+
+
+def _matcher(surface_tuple: tuple[str, ...]):
+    """text -> [(offset, surface), ...]; regex alternation for small
+    gazetteers, Aho-Corasick beyond AC_SURFACE_THRESHOLD (a real
+    1e5-1e6-surface ontology). Both compile once per executor process
+    via the lru_cache."""
+    if len(surface_tuple) >= AC_SURFACE_THRESHOLD:
+        return _compiled_ac(surface_tuple).finditer
+    pat = _compiled(surface_tuple)
+
+    def finditer(text: str) -> list[tuple[int, str]]:
+        return [(m.start(), m.group(1)) for m in pat.finditer(text)]
+
+    return finditer
+
+
 def ner_pattern() -> str:
     """The exact pattern string; shared with the DuckDB oracle SQL."""
     return r"\b(" + alternation(surfaces()) + r")\b"
 
 
 def _ner_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    pat = _compiled(tuple(surfaces()))
+    find = _matcher(tuple(surfaces()))
     for pdf in batches:
         doc_ids, poss, kinds, offs, surfs = [], [], [], [], []
         for doc_id, pos, kind, text in zip(
                 pdf["doc_id"], pdf["pos"], pdf["kind"], pdf["text"]):
             if text:
-                for m in pat.finditer(text.lower()):
+                for off, surf in find(text.lower()):
                     doc_ids.append(doc_id)
                     poss.append(pos)
                     kinds.append(kind)
-                    offs.append(m.start())
-                    surfs.append(m.group(1))
+                    offs.append(off)
+                    surfs.append(surf)
         yield pd.DataFrame({
             "doc_id": doc_ids, "pos": poss, "kind": kinds,
             "m_off": offs, "surface": surfs})
