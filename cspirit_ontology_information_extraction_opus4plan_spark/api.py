@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import decorations as DE
 from .corpus import spans_exploded
 from .ontology_data import CLOSURE_SEEDS
 from .operators import content_stats as CS
@@ -126,23 +127,23 @@ def _docs(spark, sf_dir):
 
 
 def q_doc_exact_dedup(spark, sf_dir):
-    from .operators.textops import augmented_docs, exact_dedup_groups
-    return exact_dedup_groups(augmented_docs(spark, sf_dir))
+    from .operators.textops import exact_dedup_groups
+    return exact_dedup_groups(DE.augmented_docs(spark, sf_dir))
 
 
 def q_doc_minhash_lsh(spark, sf_dir):
-    from .operators.textops import augmented_docs, minhash_lsh_pairs
-    return minhash_lsh_pairs(augmented_docs(spark, sf_dir))
+    from .operators.textops import minhash_lsh_pairs
+    return minhash_lsh_pairs(DE.augmented_docs(spark, sf_dir))
 
 
 def q_doc_simhash_clusters(spark, sf_dir):
-    from .operators.textops import augmented_docs, simhash_clusters
-    return simhash_clusters(augmented_docs(spark, sf_dir))
+    from .operators.textops import simhash_clusters
+    return simhash_clusters(DE.augmented_docs(spark, sf_dir))
 
 
 def q_doc_simhash_neardup(spark, sf_dir):
-    from .operators.textops import augmented_docs, simhash_neardup_pairs
-    return simhash_neardup_pairs(augmented_docs(spark, sf_dir))
+    from .operators.textops import simhash_neardup_pairs
+    return simhash_neardup_pairs(DE.augmented_docs(spark, sf_dir))
 
 
 def q_doc_token_stats(spark, sf_dir):
@@ -200,11 +201,10 @@ def q_doc_bpe_tokens(spark, sf_dir):
 
 
 def q_doc_embedding_neardup(spark, sf_dir):
-    from .operators.similarity import (augmented_embeddings,
-                                       embedding_neardup_pairs,
+    from .operators.similarity import (embedding_neardup_pairs,
                                        load_embeddings)
     return embedding_neardup_pairs(
-        augmented_embeddings(load_embeddings(spark, sf_dir)))
+        DE.augmented_embeddings(load_embeddings(spark, sf_dir)))
 
 
 def q_ann_topk(spark, sf_dir):
@@ -328,8 +328,8 @@ def q_jsonld_flatten(spark, sf_dir):
 
 
 def q_text_normalize(spark, sf_dir):
-    return TM.normalize_texts(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return TM.normalize_texts(DE.norm_decorated_docs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")))
 
 
 def q_alt_id_lookup(spark, sf_dir):
@@ -387,12 +387,13 @@ def q_merge_selective(spark, sf_dir):
 
 
 def q_term_quarantine(spark, sf_dir):
-    return OA.quarantine_terms(OA.corrupt_terms(
+    return OA.quarantine_terms(DE.corrupt_terms(
         terms_df(spark).select("id", "name", "namespace")))
 
 
 def q_uri_lang_validation(spark, sf_dir):
-    return OA.uri_lang_violations(terms_df(spark).select("id"))
+    return OA.uri_lang_violations(
+        DE.decorated_uri_lang(terms_df(spark).select("id")))
 
 
 def q_citation_fields(spark, sf_dir):
@@ -404,7 +405,7 @@ def q_doc_sections(spark, sf_dir):
     deterministically sectioned full text, with content boundaries and
     per-section confidence (pdf_parser.identify_sections)."""
     from .operators import sections as SE
-    return SE.identify_sections(SE.sectioned_docs(
+    return SE.identify_sections(DE.sectioned_docs(
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .select("doc_id", "text")))
 
@@ -413,7 +414,7 @@ def q_citation_format_detect(spark, sf_dir):
     """APA/MLA/IEEE per-format confidence + best-format argmax
     (reference_parser._parse_with_all_formats)."""
     from .operators import sections as SE
-    return SE.detect_citation_format(SE.citation_samples(
+    return SE.detect_citation_format(DE.citation_samples(
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .select("doc_id", "text")))
 
@@ -432,31 +433,35 @@ def q_doc_domains(spark, sf_dir):
 
 
 def q_cross_references(spark, sf_dir):
-    return TM.cross_references(spans_exploded(spark, sf_dir))
+    spans = spans_exploded(spark, sf_dir)
+    return TM.cross_references(spans, DE.crossref_decorated_texts(spans))
 
 
 def q_media_dedup_merge(spark, sf_dir):
     """Figure/table dedup-and-merge by (doc, kind, number): longest
     caption, averaged confidence (pdf_parser._merge_and_deduplicate)."""
-    from .operators.media import media_dedup_merge
-    return media_dedup_merge(spans_exploded(spark, sf_dir))
+    from .operators.media import extract_media_candidates, media_dedup_merge
+    return media_dedup_merge(DE.plant_media_candidates(
+        extract_media_candidates(spans_exploded(spark, sf_dir))))
 
 
 def q_caption_cleanup(spark, sf_dir):
     """Caption cleanup + general roman-numeral label conversion."""
     from .operators.media import caption_cleanup
-    return caption_cleanup(spans_exploded(spark, sf_dir))
+    return caption_cleanup(
+        DE.roman_decorated_media(spans_exploded(spark, sf_dir)))
 
 
 def q_scientific_notation(spark, sf_dir):
     """Scientific-notation / numeric extraction over text spans."""
     from .operators.media import scientific_notation
-    return scientific_notation(spans_exploded(spark, sf_dir))
+    return scientific_notation(
+        DE.sci_decorated_texts(spans_exploded(spark, sf_dir)))
 
 
 def q_format_detect(spark, sf_dir):
-    return TM.detect_formats(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return TM.detect_formats(DE.format_samples(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")))
 
 
 def q_table_quality(spark, sf_dir):

@@ -18,12 +18,12 @@ Reference semantics:
     bounded lookup table;
   * scientific-notation / numeric extraction (content_utils.py:59/79).
 
-The corpus has exactly one candidate per (doc, kind, number), so the
-dedup-merge input plants a second, lower-quality candidate per
-figure for docs with seq%6==0 (decoration lives here, outside the
-operator core; the oracle rebuilds it). Everything is pure column
-expressions — groupBy max_by/avg for the merge, no windows over the
-corpus, no Python.
+Every operator here is pure over its inputs; the demo corpora that
+exercise them (planted conflicting candidates, roman-numeral labels,
+measurement clauses) live in decorations.py and are composed only by
+api.py's oracle-gated queries. Everything is column expressions —
+groupBy max_by/avg for the merge, no windows over the corpus, no
+Python.
 """
 
 from __future__ import annotations
@@ -70,35 +70,31 @@ def figure_confidence(caption: Column, number: Column) -> Column:
     return F.least(F.lit(1.0), F.greatest(F.lit(0.1), conf))
 
 
-def media_candidates(spans: DataFrame) -> DataFrame:
-    """Figure/table spans -> extraction candidates, with a planted
-    second (short-caption, 'pattern'-method) candidate per figure for
-    docs with seq%6==0 — the dual pattern+library extraction whose
-    conflicts _merge_and_deduplicate resolves (pdf_parser.py:1327-1683).
-    """
-    base = (spans.filter(F.col("kind").isin("figure", "table"))
+def extract_media_candidates(spans: DataFrame) -> DataFrame:
+    """Figure/table spans -> extraction candidates (doc_id, kind,
+    number, caption, method). Pure; the demo query plants a second
+    conflicting candidate per figure via
+    decorations.plant_media_candidates — the dual pattern+library
+    extraction whose conflicts _merge_and_deduplicate resolves
+    (pdf_parser.py:1327-1683)."""
+    return (spans.filter(F.col("kind").isin("figure", "table"))
             .select("doc_id", "kind",
                     F.regexp_extract("text", NUMBER_PATTERN, 1)
                     .alias("number"),
                     clean_caption(F.col("text")).alias("caption"),
                     F.lit("library").alias("method"))
             .filter(F.col("number") != ""))
-    seq = F.regexp_extract("doc_id", r"(\d+)$", 1).cast("long")
-    planted = (base.filter((F.col("kind") == "figure") & (seq % 6 == 0))
-               .select("doc_id", "kind", "number",
-                       F.substring("caption", 1, 9).alias("caption"),
-                       F.lit("pattern").alias("method")))
-    return base.unionByName(planted)
 
 
-def media_dedup_merge(spans: DataFrame) -> DataFrame:
-    """Group candidates by (doc_id, kind, number); keep the longest
-    caption (ties -> lexicographically greatest, a deterministic
-    refinement of the reference's max(key=len)), average the
-    confidences, count candidates. One map-side-combinable groupBy —
-    the dedup shape that survives 10^12 docs (the reference's
-    per-document dict grouping becomes the aggregation key)."""
-    cand = media_candidates(spans).withColumn(
+def media_dedup_merge(candidates: DataFrame) -> DataFrame:
+    """Group candidates (doc_id, kind, number, caption, method) by
+    (doc_id, kind, number); keep the longest caption (ties ->
+    lexicographically greatest, a deterministic refinement of the
+    reference's max(key=len)), average the confidences, count
+    candidates. One map-side-combinable groupBy — the dedup shape that
+    survives 10^12 docs (the reference's per-document dict grouping
+    becomes the aggregation key)."""
+    cand = candidates.withColumn(
         "confidence", figure_confidence(F.col("caption"), F.col("number")))
     return (cand.groupBy("doc_id", "kind", "number")
             .agg(F.max_by("caption",
@@ -135,39 +131,19 @@ def _roman_char_value(c: Column) -> Column:
     return expr
 
 
-def roman_decorated_media(spans: DataFrame) -> DataFrame:
-    """Media spans with docs seq%2==1 rewritten to roman-numeral labels
-    ('figure iv. ...') — the caption-cleanup test corpus (roman labels
-    appear in real scans; the synthetic corpus has only digits)."""
-    seq = F.regexp_extract("doc_id", r"(\d+)$", 1).cast("long")
-    romans = ["i", "ii", "iii", "iv", "v", "vi", "vii", "viii", "ix",
-              "x", "xi", "xii"]
-    rsel = None
-    for i, r in enumerate(romans):
-        cond = seq % 12 == i
-        rsel = F.when(cond, F.lit(r)) if rsel is None else rsel.when(
-            cond, F.lit(r))
-    kindword = F.regexp_extract("text", r"^(figure|table)", 1)
-    rest = F.regexp_replace("text", r"^(figure|table) \d+", "")
-    text = F.when(seq % 2 == 1,
-                  F.concat(kindword, F.lit(" "), rsel, rest)) \
-        .otherwise(F.col("text"))
-    return (spans.filter(F.col("kind").isin("figure", "table"))
-            .select("doc_id", "kind", "media_ref", text.alias("text")))
-
-
 LABEL_PATTERN = r"^(?:figure|table) (\d+|[ivxlcdm]+)\b"
 
 
-def caption_cleanup(spans: DataFrame) -> DataFrame:
-    """(doc_id, kind, media_ref, number_int, clean_caption): extract the
-    digit-or-roman label, convert romans with the general algorithm,
-    clean the caption text (_clean_caption + _roman_to_int)."""
-    decorated = roman_decorated_media(spans)
+def caption_cleanup(media: DataFrame) -> DataFrame:
+    """(doc_id, kind, media_ref, text) -> (doc_id, kind, media_ref,
+    number_int, clean_caption): extract the digit-or-roman label,
+    convert romans with the general algorithm, clean the caption text
+    (_clean_caption + _roman_to_int). Pure; the roman-labeled demo
+    corpus comes from decorations.roman_decorated_media."""
     label = F.regexp_extract("text", LABEL_PATTERN, 1)
     num = F.when(label.rlike(r"^\d+$"), label.cast("int")) \
         .otherwise(roman_to_int_col(label))
-    return decorated.select(
+    return media.select(
         "doc_id", "kind", "media_ref",
         num.cast("int").alias("number_int"),
         clean_caption(F.col("text")).alias("clean_caption"))
@@ -178,26 +154,13 @@ def caption_cleanup(spans: DataFrame) -> DataFrame:
 SCI_PATTERN = r"[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?"
 
 
-def sci_decorated_texts(spans: DataFrame) -> DataFrame:
-    """Text spans with docs seq%9==0 carrying an appended measurement
-    clause — guarantees scientific-notation positives (content_utils
-    numeric extraction has no corpus analog otherwise)."""
-    seq = F.regexp_extract("doc_id", r"(\d+)$", 1).cast("long")
-    t = F.when(seq % 9 == 0,
-               F.concat("text", F.lit(" measured 1.5e-3 mol against "),
-                        ((seq % 7) + 2).cast("string"),
-                        F.lit(".25 controls")))\
-        .otherwise(F.col("text"))
-    return (spans.filter(F.col("kind") == "text")
-            .select("doc_id", "pos", t.alias("text")))
-
-
-def scientific_notation(spans: DataFrame) -> DataFrame:
+def scientific_notation(texts: DataFrame) -> DataFrame:
     """Numeric + scientific-notation extraction (content_utils.py:59/79):
-    regexp_extract_all over text spans, one output row per extracted
-    number with its double value."""
+    regexp_extract_all over (doc_id, pos, text) rows, one output row per
+    extracted number with its double value. Pure; the measurement-clause
+    demo corpus comes from decorations.sci_decorated_texts."""
     nums = F.regexp_extract_all(F.col("text"), F.lit(SCI_PATTERN), 0)
-    return (sci_decorated_texts(spans)
+    return (texts
             .select("doc_id", "pos", F.explode(nums).alias("raw"))
             .select("doc_id", "pos", "raw",
                     F.round(F.col("raw").cast("double"), 6).alias("value")))

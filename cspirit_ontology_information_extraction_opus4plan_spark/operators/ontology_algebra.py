@@ -129,20 +129,14 @@ URI_PATTERN = r"^[a-z][a-z0-9+.-]*:\S+$"
 LANG_TAG_PATTERN = r"^[a-zA-Z]{1,8}(-[a-zA-Z0-9]{1,8})*$"
 
 
-def uri_lang_violations(terms: DataFrame) -> DataFrame:
+def uri_lang_violations(nodes: DataFrame) -> DataFrame:
     """URI-validity and language-tag checks (models.py:3959 URI format,
-    :4026 lang tags) over a deterministically decorated node set:
-    seq%6==2 gets a malformed URI (embedded space), seq%8 picks the
-    language tag (0 -> 'en' valid, 1 -> 'EN-us-' trailing hyphen,
-    else none). Violations quarantine as (term_id, rule) rows like
-    quarantine_terms — the truth-table tests of the reference's model
-    validators, re-expressed as rlike columns."""
-    seq = F.regexp_extract("id", r"(\d+)$", 1).cast("long")
-    uri = F.when(seq % 6 == 2, F.concat(F.lit("urn:ont bad:"), F.col("id"))
-                 ).otherwise(F.concat(F.lit("urn:ont:"), F.col("id")))
-    lang = (F.when(seq % 8 == 0, "en")
-            .when(seq % 8 == 1, "EN-us-")
-            .otherwise(F.lit(None).cast("string")))
+    :4026 lang tags) over (term_id, uri, lang) rows. Violations
+    quarantine as (term_id, rule) rows like quarantine_terms — the
+    truth-table tests of the reference's model validators, re-expressed
+    as rlike columns. Pure; the decorated demo node set comes from
+    decorations.decorated_uri_lang."""
+    uri, lang = F.col("uri"), F.col("lang")
     checks = [
         ("invalid_uri", ~uri.rlike(URI_PATTERN)),
         ("invalid_lang_tag", lang.isNotNull()
@@ -151,8 +145,7 @@ def uri_lang_violations(terms: DataFrame) -> DataFrame:
     viol = F.filter(
         F.array(*[F.when(cond, F.lit(rule)) for rule, cond in checks]),
         lambda x: x.isNotNull())
-    return terms.select(F.col("id").alias("term_id"),
-                        F.explode(viol).alias("rule"))
+    return nodes.select("term_id", F.explode(viol).alias("rule"))
 
 
 def alt_id_lookup(terms: DataFrame, probes: DataFrame) -> DataFrame:
@@ -266,20 +259,8 @@ def merge_statistics(source_a: DataFrame, source_b: DataFrame) -> DataFrame:
         F.count("*").alias("n_union"))
 
 
-def corrupt_terms(terms: DataFrame) -> DataFrame:
-    """Deterministically damaged copy of the terms table — the
-    validation-pipeline test corpus (the clean synthetic ontology would
-    yield an empty quarantine). seq = numeric id suffix: seq%7==3 ->
-    lowercased id (breaks the id-format rule), seq%11==5 -> blank name,
-    seq%13==8 -> bogus namespace."""
-    seq = F.regexp_extract("id", r"(\d+)$", 1).cast("long")
-    return terms.select(
-        F.when(seq % 7 == 3, F.lower("id")).otherwise(F.col("id"))
-        .alias("id"),
-        F.when(seq % 11 == 5, F.lit("")).otherwise(F.col("name"))
-        .alias("name"),
-        F.when(seq % 13 == 8, F.lit("ns_unknown"))
-        .otherwise(F.col("namespace")).alias("namespace"))
+# (the deterministically damaged terms table quarantine_terms is demoed
+# on lives in decorations.corrupt_terms)
 
 
 def quarantine_terms(terms: DataFrame) -> DataFrame:

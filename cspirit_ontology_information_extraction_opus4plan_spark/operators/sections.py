@@ -16,14 +16,14 @@ Reference semantics:
     parsers/citation_formats/{apa,mla,ieee}_handler.py; CitationDetector
     scoring parsers/reference_patterns.py:85-782).
 
-The corpus carries no section headers or multi-format citations, so
-each operator pairs with a deterministic synthesis step
-(sectioned_docs / citation_samples) — the decoration lives HERE, next
-to the operator but outside its core, and is rebuilt identically by the
-SQL fragments this module also exports (single-spec rule, see
-corpus.py). Every detection step is pure column expressions: regex
-line tests, window lead for the next-header boundary, group aggregates.
-All patterns are RE2-compatible so DuckDB runs them verbatim.
+Operators here are PURE over their inputs ((doc_id, full_text) /
+(doc_id, citation)); the corpus carries no section headers or
+multi-format citations, so api.py's demo queries feed them
+decorations.sectioned_docs / decorations.citation_samples (rebuilt
+identically by SQL fragments there — single-spec rule, see corpus.py).
+Every detection step is pure column expressions: regex line tests,
+window lead for the next-header boundary, group aggregates. All
+patterns are RE2-compatible so DuckDB runs them verbatim.
 
 Scale notes: line explode + per-doc window + boundary join all key on
 doc_id — embarrassingly parallel per document, shuffle bounded by the
@@ -65,120 +65,9 @@ SECTION_KEYWORDS = {
     "conclusion": ["conclusion", "summary", "future work"],
 }
 
-# synthesis: unambiguous header variants (each matches exactly one
-# pattern — 'summary'/'overview' are deliberately excluded because the
-# reference's patterns claim them for two sections)
-SYNTH_VARIANTS = {
-    "abstract": ["abstract"],
-    "introduction": ["introduction", "background"],
-    "methods": ["methods", "methodology", "approach"],
-    "results": ["results", "findings"],
-    "discussion": ["discussion", "interpretation"],
-    "conclusion": ["conclusions", "final remarks"],
-    "references": ["references", "bibliography"],
-    "acknowledgments": ["acknowledgments", "thanks"],
-}
-
-# (section, presence-modulus) — None = always present; else present when
-# doc_id % m == 0
-SECTION_PLAN = [
-    ("abstract", None),
-    ("introduction", None),
-    ("methods", 2),
-    ("results", 3),
-    ("discussion", 4),
-    ("conclusion", 5),
-    ("references", None),
-    ("acknowledgments", 7),
-]
-
 
 def section_line_pattern(section: str) -> str:
     return r"(?i)^\s*(?:" + SECTION_ALTS[section] + r")\s*:?\s*$"
-
-
-# --- deterministic sectioned-document synthesis ------------------------------
-
-
-def sectioned_docs(docs: DataFrame) -> DataFrame:
-    """(doc_id, full_text): headers on their own lines, one content line
-    per section. Variant/case/colon/content-length all chosen by
-    (doc_id + section_index) mod arithmetic — rebuilt identically by
-    sections_synth_sql()."""
-    d = F.col("doc_id")
-    toks = tokens_col("text")
-    parts = []
-    for j, (sec, mod) in enumerate(SECTION_PLAN):
-        variants = SYNTH_VARIANTS[sec]
-        vsel = F.lit(variants[0])
-        if len(variants) > 1:
-            expr = None
-            for vi, v in enumerate(variants):
-                cond = (d + j) % len(variants) == vi
-                expr = (F.when(cond, F.lit(v)) if expr is None
-                        else expr.when(cond, F.lit(v)))
-            vsel = expr
-        style = (d + j) % 3
-        header = (F.when(style == 1, F.upper(vsel))
-                  .when(style == 2,
-                        F.concat(F.upper(F.substring(vsel, 1, 1)),
-                                 F.substring(vsel, 2, 8192)))
-                  .otherwise(vsel))
-        header = F.when((d + j) % 2 == 1,
-                        F.concat(header, F.lit(":"))).otherwise(header)
-        c = (d + j) % 3
-        content = (F.when(c == 0, F.array_join(F.slice(toks, 1, 5), " "))
-                   .when(c == 1, F.col("text"))
-                   .otherwise(F.concat_ws(" ", *([F.col("text")] * 5))))
-        part = F.concat(header, F.lit("\n"), content)
-        if mod is not None:
-            part = F.when(d % mod == 0, part)
-        parts.append(part)
-    full = F.array_join(
-        F.filter(F.array(*parts), lambda x: x.isNotNull()), "\n")
-    return docs.select("doc_id", full.alias("full_text"))
-
-
-def sections_synth_sql() -> str:
-    """DuckDB CTE 'synth(doc_id, full_text)' rebuilding sectioned_docs
-    from the flat documents view (same spec, independent expression)."""
-    parts = []
-    for j, (sec, mod) in enumerate(SECTION_PLAN):
-        variants = SYNTH_VARIANTS[sec]
-        if len(variants) > 1:
-            whens = " ".join(f"WHEN {vi} THEN '{v}'"
-                             for vi, v in enumerate(variants))
-            vsel = f"(CASE (doc_id + {j}) % {len(variants)} {whens} END)"
-        else:
-            vsel = f"'{variants[0]}'"
-        header = (f"(CASE (doc_id + {j}) % 3 "
-                  f"WHEN 1 THEN upper({vsel}) "
-                  f"WHEN 2 THEN upper(substring({vsel}, 1, 1)) "
-                  f"|| substring({vsel}, 2) "
-                  f"ELSE {vsel} END)")
-        header = (f"({header} || CASE WHEN (doc_id + {j}) % 2 = 1 "
-                  f"THEN ':' ELSE '' END)")
-        # long content: text joined 5x with single spaces
-        long5 = " || ' ' || ".join(["text"] * 5)
-        content = (f"(CASE (doc_id + {j}) % 3 "
-                   f"WHEN 0 THEN array_to_string(toks[1:5], ' ') "
-                   f"WHEN 1 THEN text ELSE {long5} END)")
-        part = f"{header} || chr(10) || {content}"
-        if mod is not None:
-            part = f"CASE WHEN doc_id % {mod} = 0 THEN {part} END"
-        parts.append(part)
-    plist = ",\n      ".join(parts)
-    return f"""
-tokd AS (
-  SELECT doc_id, text,
-         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
-                     t -> t <> '') AS toks
-  FROM documents),
-synth AS (
-  SELECT doc_id, array_to_string(list_filter(
-      [{plist}],
-      x -> x IS NOT NULL), chr(10)) AS full_text
-  FROM tokd)""".strip()
 
 
 # --- the section-identification operator -------------------------------------
@@ -349,64 +238,6 @@ FORMAT_FEATURES = {
     ],
 }
 FORMATS = sorted(FORMAT_FEATURES)
-
-
-def citation_samples(docs: DataFrame) -> DataFrame:
-    """(doc_id, citation): one citation per doc, format chosen by
-    doc_id % 3 (0=apa, 1=ieee, 2=mla) — deterministic synthesis shared
-    with citation_synth_sql()."""
-    d = F.col("doc_id")
-    topic = F.regexp_extract(F.lower(F.trim("text")), r"^(\w+)", 1)
-    year = (d % 30 + 1990).cast("string")
-    vol = (d % 50 + 1).cast("string")
-    no = (d % 4 + 1).cast("string")
-    p0 = (d % 90 + 100).cast("string")
-    p1 = (d % 90 + 110).cast("string")
-    apa = F.concat(F.lit("smith j, doe a ("), year,
-                   F.lit("). studies on "), topic,
-                   F.lit(". journal of synthetic data, "), vol,
-                   F.lit("("), no, F.lit("), "), p0, F.lit("-"), p1,
-                   F.lit("."))
-    ieee = F.concat(F.lit("["), (d % 9 + 1).cast("string"),
-                    F.lit('] j. smith and a. doe, "studies on '), topic,
-                    F.lit('," journal of synthetic data, vol. '), vol,
-                    F.lit(", no. "), no, F.lit(", pp. "), p0, F.lit("-"),
-                    p1, F.lit(", "), year, F.lit("."))
-    mla = F.concat(F.lit('smith, john, and alice doe. "studies on '),
-                   topic, F.lit('." journal of synthetic data, vol. '),
-                   vol, F.lit(", no. "), no, F.lit(", "), year,
-                   F.lit(", pp. "), p0, F.lit("-"), p1, F.lit("."))
-    cit = (F.when(d % 3 == 0, apa)
-           .when(d % 3 == 1, ieee)
-           .otherwise(mla))
-    return docs.select("doc_id", cit.alias("citation"))
-
-
-def citation_synth_sql() -> str:
-    topic = "regexp_extract(lower(trim(text)), '^(\\w+)', 1)"
-    year = "CAST(doc_id % 30 + 1990 AS VARCHAR)"
-    vol = "CAST(doc_id % 50 + 1 AS VARCHAR)"
-    no = "CAST(doc_id % 4 + 1 AS VARCHAR)"
-    p0 = "CAST(doc_id % 90 + 100 AS VARCHAR)"
-    p1 = "CAST(doc_id % 90 + 110 AS VARCHAR)"
-    apa = (f"'smith j, doe a (' || {year} || '). studies on ' || {topic} "
-           f"|| '. journal of synthetic data, ' || {vol} || '(' || {no} "
-           f"|| '), ' || {p0} || '-' || {p1} || '.'")
-    ieee = (f"'[' || CAST(doc_id % 9 + 1 AS VARCHAR) "
-            f"|| '] j. smith and a. doe, \"studies on ' || {topic} "
-            f"|| ',\" journal of synthetic data, vol. ' || {vol} "
-            f"|| ', no. ' || {no} || ', pp. ' || {p0} || '-' || {p1} "
-            f"|| ', ' || {year} || '.'")
-    mla = (f"'smith, john, and alice doe. \"studies on ' || {topic} "
-           f"|| '.\" journal of synthetic data, vol. ' || {vol} "
-           f"|| ', no. ' || {no} || ', ' || {year} || ', pp. ' || {p0} "
-           f"|| '-' || {p1} || '.'")
-    return f"""
-cits AS (
-  SELECT doc_id,
-         CASE doc_id % 3 WHEN 0 THEN {apa} WHEN 1 THEN {ieee}
-              ELSE {mla} END AS citation
-  FROM documents)""".strip()
 
 
 def detect_citation_format(cits: DataFrame) -> DataFrame:

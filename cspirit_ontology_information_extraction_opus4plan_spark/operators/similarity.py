@@ -235,17 +235,8 @@ def lsh_bucket_col(col: str) -> Column:
 
 
 NEARDUP_COS = 0.9
-
-
-def augmented_embeddings(emb: DataFrame) -> DataFrame:
-    """embeddings + planted duplicates (vec_id%25==0 copied to
-    id+1000000) — random vectors never reach near-dup cosine, so the
-    detector needs planted positives; rebuilt identically by the
-    oracle SQL (the augmented_docs pattern)."""
-    dup = (emb.filter(F.col("vec_id") % 25 == 0)
-           .select((F.col("vec_id") + 1000000).alias("vec_id"),
-                   "embedding"))
-    return emb.select("vec_id", "embedding").unionByName(dup)
+# (the planted-duplicate embeddings corpus lives in
+# decorations.augmented_embeddings)
 
 
 def embedding_neardup_pairs(emb: DataFrame,

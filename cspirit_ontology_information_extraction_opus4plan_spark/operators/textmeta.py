@@ -129,33 +129,6 @@ def doc_domains(spans: DataFrame, gazetteer: DataFrame) -> DataFrame:
         "doc_id", F.col("namespace").alias("domain"), "n_hits")
 
 
-def _sample_content(doc_id) -> F.Column:
-    """Deterministic per-doc content sample covering the four sniffable
-    formats (the corpus carries no raw ontology payloads, so the
-    detector is exercised on synthesized ones — same expressions in the
-    oracle)."""
-    ds = doc_id.cast("string")
-    return (F.when(doc_id % 4 == 0, F.concat(
-                F.lit('{"@context": {"ex": "http://example.org/"}, '
-                      '"@id": "ex:'), ds, F.lit('"}')))
-            .when(doc_id % 4 == 1, F.concat(
-                F.lit('<?xml version="1.0"?><rdf:RDF><owl:Class '
-                      'rdf:about="http://example.org/'), ds,
-                F.lit('"/></rdf:RDF>')))
-            .when(doc_id % 4 == 2, F.concat(
-                F.lit("@prefix ex: <http://example.org/> . ex:"), ds,
-                F.lit(" a ex:Thing .")))
-            .otherwise(F.concat(
-                F.lit("<http://example.org/s/"), ds,
-                F.lit('> <http://example.org/p> "o" .'))))
-
-
-# deterministic decoration exercising every normalizer: a hyphenated
-# line break, run-on whitespace, a combining acute accent (NFC target),
-# and strippable special characters
-NORM_DECORATION = " over-\n  spaced   cafe\u0301 ~end"  # decomposed e+accent
-
-
 @F.pandas_udf(StringType())
 def _nfc_udf(s: pd.Series) -> pd.Series:
     return s.map(lambda x: unicodedata.normalize("NFC", x)
@@ -166,8 +139,10 @@ def normalize_texts(docs: DataFrame) -> DataFrame:
     """The reference's text-normalizer chain (SURVEY §2.7:
     _normalize_whitespace :1885, _remove_hyphenation :1907,
     _normalize_unicode :1925, _clean_special_characters :1942) as an
-    ordered list of column transforms + one Arrow NFC pass."""
-    x = F.concat(F.col("text"), F.lit(NORM_DECORATION))
+    ordered list of column transforms + one Arrow NFC pass. Pure over
+    (doc_id, text); the normalizer-exercising demo suffix is applied by
+    decorations.norm_decorated_docs before this operator."""
+    x = F.col("text")
     x = F.regexp_replace(x, r"-\n\s*", "")      # de-hyphenate
     x = F.regexp_replace(x, r"[~^|]", "")       # special-char clean
     x = F.regexp_replace(x, r"\s+", " ")        # whitespace collapse
@@ -176,16 +151,15 @@ def normalize_texts(docs: DataFrame) -> DataFrame:
                        F.length(x).alias("n_chars_norm"))
 
 
-def cross_references(spans: DataFrame) -> DataFrame:
+def cross_references(spans: DataFrame, texts: DataFrame) -> DataFrame:
     """Figure/table cross-references (_find_cross_references
     pdf_parser.py:1260, xml_parser.py:2657): for each media span's label
     ("figure 1" / "table 1" from its caption), count label-variant
-    mentions in the same document's text spans. The label-variant
-    dimension is tiny -> broadcast join against the text-span stream.
-    The synthetic text spans never reference media, so docs with
-    doc_id%6==0 get a deterministic '(see figure 1)' decoration —
-    applied here, never to the corpus itself (the span-sequence
-    invariant is untouchable)."""
+    mentions in `texts` (doc_id, text) rows of the same document. The
+    label-variant dimension is tiny -> broadcast join against the
+    text stream. Pure over its inputs; the demo query passes
+    decorations.crossref_decorated_texts since the synthetic text spans
+    never reference media."""
     labels = (spans.filter(F.col("kind").isin("figure", "table"))
               .select("doc_id", "kind", "media_ref",
                       F.regexp_extract("text", r"^((figure|table) \d+)", 1)
@@ -193,28 +167,24 @@ def cross_references(spans: DataFrame) -> DataFrame:
               # a caption whose label regex misses yields '' and
               # contains('') is true for EVERY text span — drop it
               .filter(F.col("label") != ""))
-    seq = F.regexp_extract("doc_id", r"(\d+)$", 1).cast("long")
-    texts = (spans.filter(F.col("kind") == "text")
-             .select("doc_id",
-                     F.when(seq % 6 == 0,
-                            F.concat("text", F.lit(" (see figure 1)")))
-                     .otherwise(F.col("text")).alias("text")))
     # variants: "figure 1" and "fig. 1" (the reference's label-variant
     # table); contains() over lowered text
     hit = (F.lower("text").contains(F.col("label"))
            | F.lower("text").contains(
                F.regexp_replace("label", "^figure", "fig.")))
-    joined = texts.join(F.broadcast(labels), "doc_id")
+    joined = texts.select("doc_id", "text").join(F.broadcast(labels),
+                                                 "doc_id")
     return (joined.groupBy("doc_id", "kind", "media_ref", "label")
             .agg(F.sum(F.when(hit, 1).otherwise(0)).alias("n_mentions"))
             .filter(F.col("n_mentions") > 0))
 
 
-def detect_formats(docs: DataFrame) -> DataFrame:
-    """Content-sniffing chain: '{' + '@context' -> json-ld; XML decl ->
-    owl if owl: present else rdf-xml; '@prefix' -> turtle; N-Triples
-    line shape -> ntriples; else unknown."""
-    content = _sample_content(F.col("doc_id"))
+def detect_formats(contents: DataFrame) -> DataFrame:
+    """Content-sniffing chain over (doc_id, content): '{' + '@context'
+    -> json-ld; XML decl -> owl if owl: present else rdf-xml;
+    '@prefix' -> turtle; N-Triples line shape -> ntriples; else
+    unknown. Pure; the demo query feeds decorations.format_samples."""
+    content = F.col("content")
     fmt = (F.when(content.startswith("{") & content.contains("@context"),
                   "json-ld")
            .when(content.startswith("<?xml") & content.contains("owl:"),
@@ -223,4 +193,4 @@ def detect_formats(docs: DataFrame) -> DataFrame:
            .when(content.startswith("@prefix"), "turtle")
            .when(content.rlike(r"^<[^>]+> <[^>]+> "), "ntriples")
            .otherwise("unknown"))
-    return docs.select("doc_id", fmt.alias("fmt"))
+    return contents.select("doc_id", fmt.alias("fmt"))

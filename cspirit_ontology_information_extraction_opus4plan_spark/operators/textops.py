@@ -18,7 +18,7 @@ combinable). No window over the full corpus, no driver collect.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # --- shared vocabulary (mirrored in oracle_sqls) ---------------------------
@@ -85,20 +85,9 @@ def _shingles(tokens: Column, w: int) -> Column:
     ).otherwise(F.array(F.array_join(tokens, " ")))
 
 
-def augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents + planted duplicates, the dedup-op test corpus:
-    exact copy for doc_id%17==0 (id+1000000), near copy (3 appended
-    words) for doc_id%10==5 (id+2000000). Deterministic; rebuilt
-    identically by the oracle SQL."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
-        .select("doc_id", "text")
-    exact = (d.filter(F.col("doc_id") % 17 == 0)
-             .select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
-    near = (d.filter(F.col("doc_id") % 10 == 5)
-            .select((F.col("doc_id") + 2000000).alias("doc_id"),
-                    F.concat("text", F.lit(" near duplicate copy"))
-                    .alias("text")))
-    return d.unionByName(exact).unionByName(near)
+# (the planted-duplicate corpus these dedup ops are demoed on lives in
+# decorations.augmented_docs — operators here are pure functions of
+# whatever (doc_id, text) frame they are given)
 
 
 # --- exact dedup -----------------------------------------------------------

@@ -532,10 +532,11 @@ HAVING sum(CASE WHEN contains(lower(t.text), l.label)
                               regexp_replace(l.label, '^figure', 'fig.'))
                 THEN 1 ELSE 0 END) > 0"""
 
+    from . import decorations as DE
     from .operators import sections as SE
-    sqls["doc_sections"] = ("WITH " + SE.sections_synth_sql() + ",\n"
+    sqls["doc_sections"] = ("WITH " + DE.sections_synth_sql() + ",\n"
                             + SE.sections_oracle_tail())
-    sqls["citation_format_detect"] = ("WITH " + SE.citation_synth_sql()
+    sqls["citation_format_detect"] = ("WITH " + DE.citation_synth_sql()
                                       + ",\n" + SE.citation_oracle_tail())
 
     sqls["format_detect"] = """

@@ -18,7 +18,11 @@ from cspirit_ontology_information_extraction_opus4plan_spark.operators import (
 
 @pytest.fixture(scope="module")
 def adocs(spark, sf_dir):
-    return textops.augmented_docs(spark, sf_dir).persist()
+    from cspirit_ontology_information_extraction_opus4plan_spark import (
+        decorations,
+    )
+
+    return decorations.augmented_docs(spark, sf_dir).persist()
 
 
 def test_exact_dedup_finds_all_planted_copies(spark, sf_dir, adocs):
