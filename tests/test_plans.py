@@ -91,3 +91,41 @@ def test_table_quality_single_aggregation_shuffle(spark, sf_dir):
 def test_event_outliers_fences_broadcast(spark, sf_dir):
     plan = _plan(api.q_event_outliers(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_simhash_neardup_is_banded_equijoin(spark, sf_dir):
+    """Candidates must come from the band equi-join — never an all-pairs
+    product — and the whole path stays JVM-side."""
+    plan = _plan(api.q_doc_simhash_neardup(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan  # pure column expressions
+
+
+def test_rdfxml_parse_is_one_arrow_stage(spark, sf_dir):
+    plan = _plan(api.q_rdfxml_parse(spark, sf_dir))
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_media_dedup_merge_single_aggregation_exchange(spark, sf_dir):
+    """The merge is one map-side-combinable groupBy over the candidate
+    union — exactly one hash-partitioning exchange."""
+    import re as _re
+    plan = _plan(api.q_media_dedup_merge(spark, sf_dir))
+    assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_ann_lsh_query_side_filter_is_bounded_constant(spark, sf_dir):
+    """Regression gate for the round-1 scale-killer: the LSH query side
+    must filter on a CONSTANT id bound (bounded table), not a modulus
+    fraction of the corpus."""
+    import re as _re
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators import (
+        similarity,
+    )
+    plan = _plan(api.q_ann_lsh_topk(spark, sf_dir))
+    assert _re.search(rf"vec_id#\d+L? < {similarity.N_QUERIES}\)", plan)
+    assert not _re.search(r"vec_id#\d+L? % ", plan)

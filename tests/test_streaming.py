@@ -49,3 +49,8 @@ def test_stream_matches_batch_and_is_exactly_once(spark, sf_dir, staged):
     q2.awaitTermination(120)
     again = spark.read.parquet(out_dir).toPandas()
     assert len(again) == len(want)
+
+    # a FRESH checkpoint over the existing out_dir would restart batch
+    # ids at 0 and silently mix old/new batches — must refuse (ADVICE r1)
+    with pytest.raises(ValueError, match="batch_id"):
+        stream_triples(spark, in_dir, out_dir, str(ckpt) + "_fresh")
