@@ -319,6 +319,52 @@ def q_rdfxml_parse(spark, sf_dir):
     return SR.parse_rdfxml(SR.rdfxml_docs(terms_df(spark)))
 
 
+def _mixed_files(spark, sf_dir):
+    """The parser-registry demo input: one KG run serialized three ways
+    (+ planted malformed lines). localCheckpoint: the files frame feeds
+    one branch per registered format plus the stats count — without
+    materialization each branch re-derives the full NER->triple
+    pipeline."""
+    from .operators.sinks import to_ntriples, to_turtle
+    t = dedup_triples(triples_df(spark, sf_dir)).localCheckpoint(eager=True)
+    files = DE.mixed_format_files(to_ntriples(t), to_turtle(t),
+                                  SR.rdfxml_docs(terms_df(spark)),
+                                  terms_df(spark))
+    return files.localCheckpoint(eager=True)
+
+
+def q_format_route(spark, sf_dir):
+    """Extension-then-content-sniff parser dispatch over a mixed-format
+    file table; the successfully parsed triples, format-tagged."""
+    return SR.parse_auto(_mixed_files(spark, sf_dir)) \
+        .filter(F.col("subject") != "")
+
+
+def q_parse_stats(spark, sf_dir):
+    return SR.parse_stats(_mixed_files(spark, sf_dir))
+
+
+def q_conversion_filter(spark, sf_dir):
+    """Class/property/individual conversion groups with the reference's
+    include flags + name-regex filters: all kinds included, class names
+    gated to ^[a-m], properties to is_a|part_of."""
+    t = terms_df(spark)
+    return SR.conversion_filter(
+        SR.conversion_triples(t, relationships_df(spark),
+                              DE.planted_individuals(t)),
+        class_filter="^[a-m]", property_filter="^(is_a|part_of)$")
+
+
+def q_custom_filter(spark, sf_dir):
+    return OA.apply_named_filter(terms_df(spark), "active_long_chemical") \
+        .select("id", "name", "namespace")
+
+
+def q_doc_ngram_jaccard(spark, sf_dir):
+    from .operators.textops import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(DE.augmented_docs(spark, sf_dir))
+
+
 def q_jsonld_compact(spark, sf_dir):
     return SR.jsonld_compact(terms_df(spark))
 
@@ -503,15 +549,14 @@ def queries() -> dict[str, QueryFn]:
         "tfidf_linking": q_tfidf_linking,
         "canonical_entities": q_canonical_entities,
         "canonical_triples": q_canonical_triples,
-        # --- training-data / ANN / multimodal surface — 13
+        # --- training-data / ANN / multimodal surface — 13 (incl. ngram-jaccard)
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_simhash_neardup": q_doc_simhash_neardup,
+        "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
         "doc_lang_id": q_doc_lang_id,
-        "doc_fingerprint": q_doc_fingerprint,
-        "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_embedding_neardup": q_doc_embedding_neardup,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -526,14 +571,16 @@ def queries() -> dict[str, QueryFn]:
         "cycle_chains": q_cycle_chains,
         "turtle_parse": q_turtle_parse,
         "rdfxml_parse": q_rdfxml_parse,
-        # --- sources / sinks — 6
+        # --- sources / sinks / registry routing — 8
         "ntriples": q_ntriples,
         "terms_csv": q_terms_csv,
         "csv_roundtrip": q_csv_roundtrip,
         "ntriples_parse": q_ntriples_parse,
         "jsonld_expand": q_jsonld_expand,
-        "jsonld_compact": q_jsonld_compact,
-        # --- core ontology algebra — 12
+        "format_route": q_format_route,
+        "parse_stats": q_parse_stats,
+        "conversion_filter": q_conversion_filter,
+        # --- core ontology algebra — 11
         "ontology_stats": q_ontology_stats,
         "ontology_overlap": q_ontology_overlap,
         "dangling_refs": q_dangling_refs,
@@ -544,7 +591,6 @@ def queries() -> dict[str, QueryFn]:
         "dependency_closure": q_dependency_closure,
         "term_search": q_term_search,
         "merge_union": q_merge_union,
-        "merge_intersection": q_merge_intersection,
         "inverse_edges": q_inverse_edges,
         # --- validation + normalization — 2  (gate boundary: 50)
         "term_quarantine": q_term_quarantine,
@@ -559,7 +605,12 @@ def queries() -> dict[str, QueryFn]:
         "ontology_max_depth": q_ontology_max_depth,
         "mutual_edges": q_mutual_edges,
         "cycle_triads": q_cycle_triads,
+        "merge_intersection": q_merge_intersection,
         "merge_selective": q_merge_selective,
+        "custom_filter": q_custom_filter,
+        "jsonld_compact": q_jsonld_compact,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_bpe_tokens": q_doc_bpe_tokens,
         "set_difference": q_set_difference,
         "merge_stats": q_merge_stats,
         "alt_id_lookup": q_alt_id_lookup,

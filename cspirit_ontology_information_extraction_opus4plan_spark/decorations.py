@@ -94,6 +94,47 @@ def format_samples(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", content.alias("content"))
 
 
+def mixed_format_files(nt_lines: DataFrame, ttl_lines: DataFrame,
+                       xml_docs: DataFrame,
+                       terms: DataFrame) -> DataFrame:
+    """(path, payload) mixed-format file table for the parser-registry
+    routing demo: N-Triples lines under 'dump.nt', Turtle lines under
+    'dump.ttl', RDF/XML docs under the extension-LESS path 'export_terms'
+    (forcing the content-sniff fallback), plus one planted malformed
+    line per line format for every seq%10==0 term (the parse-failure
+    corpus for parse_stats). Rebuilt identically by the oracle SQL."""
+    seq = F.regexp_extract("id", r"(\d+)$", 1).cast("long")
+    bad = terms.filter(seq % 10 == 0).select(
+        F.concat(F.lit("garbage "), F.col("id")).alias("payload"))
+    parts = [
+        nt_lines.select(F.lit("dump.nt").alias("path"),
+                        F.col("line").alias("payload")),
+        ttl_lines.select(F.lit("dump.ttl").alias("path"),
+                         F.col("line").alias("payload")),
+        xml_docs.select(F.lit("export_terms").alias("path"),
+                        F.col("xml").alias("payload")),
+        bad.select(F.lit("dump.nt").alias("path"), "payload"),
+        bad.select(F.lit("dump.ttl").alias("path"), "payload"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def planted_individuals(terms: DataFrame) -> DataFrame:
+    """(ind_id, class_id, name): every seq%5==0 term spawns one OWL
+    named individual ('IND:<seq>', instance of the term, name + '
+    specimen') — the synthetic ontology holds classes only, so the
+    individual-conversion group needs planted members."""
+    seq = F.regexp_extract("id", r"(\d+)$", 1).cast("long")
+    return (terms.filter(seq % 5 == 0)
+            .select(F.concat(F.lit("IND:"), seq.cast("string"))
+                    .alias("ind_id"),
+                    F.col("id").alias("class_id"),
+                    F.concat("name", F.lit(" specimen")).alias("name")))
+
+
 def crossref_decorated_texts(spans: DataFrame) -> DataFrame:
     """(doc_id, text): the corpus text spans, docs with seq%6==0 given a
     deterministic '(see figure 1)' mention — the cross-reference

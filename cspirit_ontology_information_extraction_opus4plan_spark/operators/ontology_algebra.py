@@ -307,6 +307,30 @@ def trim_by_confidence(terms: DataFrame, rels: DataFrame,
                   "object", "left_semi"))
 
 
+# named custom-filter registry — the arbitrary-predicate escape hatch
+# (_extract_by_custom_filter ontology_trimmer.py:418 takes a callable;
+# here a registered name maps to a SQL boolean expression so the
+# predicate stays inside Catalyst — codegen'd, pushdown-eligible — and
+# is addressable from config/driver code by name. A genuinely
+# non-expressible predicate would register a pandas_udf column instead.)
+FILTER_REGISTRY: dict[str, str] = {}
+
+
+def register_filter(name: str, sql_predicate: str) -> None:
+    FILTER_REGISTRY[name] = sql_predicate
+
+
+register_filter(
+    "active_long_chemical",
+    "namespace = 'chemical' AND NOT is_obsolete AND length(name) >= 8")
+
+
+def apply_named_filter(df: DataFrame, name: str) -> DataFrame:
+    """Filter by a registered named predicate; unknown names raise
+    KeyError (a silent pass-through would claim filtering happened)."""
+    return df.filter(F.expr(FILTER_REGISTRY[name]))
+
+
 def extract_namespace(terms: DataFrame, namespace: str,
                       include_deprecated: bool = False) -> DataFrame:
     """Namespace projection (_extract_by_namespace ontology_trimmer.py:290)

@@ -15,7 +15,7 @@ oracle (reading the source table directly) asserts.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -195,6 +195,202 @@ def parse_rdfxml(docs: DataFrame) -> DataFrame:
     many documents — the SURVEY §2.1 mapInPandas+etree mapping."""
     return docs.select("xml").mapInPandas(
         _rdfxml_batches, schema=RDFXML_TRIPLE_SCHEMA)
+
+
+# --- parser registry + format autodetect + routed parse ---------------------
+
+# extension -> registry format (detect_format_from_extension,
+# parsers/__init__.py:9144 — extension wins over content sniffing)
+EXTENSION_FORMATS = {
+    "nt": "ntriples", "ntriples": "ntriples",
+    "ttl": "turtle", "n3": "turtle",
+    "owl": "rdfxml", "rdf": "rdfxml", "xml": "rdfxml",
+}
+
+# format name -> parser over a (payload) column — the reference's
+# format->parser-class registry (get_parser_for_format
+# parsers/__init__.py:9291). Values are DataFrame->DataFrame callables so
+# user formats slot in beside the built-ins; the dispatch is per-BRANCH
+# (one filtered scan per registered format, unioned), never per-row
+# Python.
+PARSER_REGISTRY: dict[str, "Callable[[DataFrame], DataFrame]"] = {}
+
+
+def register_parser(fmt: str, fn: "Callable[[DataFrame], DataFrame]"
+                    ) -> None:
+    PARSER_REGISTRY[fmt] = fn
+
+
+register_parser(
+    "ntriples",
+    lambda df: parse_ntriples(df.select(F.col("payload").alias("line"))))
+register_parser(
+    "turtle",
+    lambda df: parse_turtle(df.select(F.col("payload").alias("line"))))
+register_parser(
+    "rdfxml",
+    lambda df: parse_rdfxml(df.select(F.col("payload").alias("xml"))))
+
+
+def detect_format_by_extension(path: F.Column) -> F.Column:
+    """Map a file path's extension through EXTENSION_FORMATS; NULL for
+    unknown/absent extensions (the caller falls back to content
+    sniffing — auto_detect_parser parsers/__init__.py:9361 tries
+    extension :9144 first, then content :9211)."""
+    ext = F.lower(F.regexp_extract(path, r"\.([A-Za-z0-9]+)$", 1))
+    pairs = [F.lit(x) for kv in EXTENSION_FORMATS.items() for x in kv]
+    # try_element_at: a plain element_at throws on missing keys under
+    # ANSI mode; unknown extensions must yield NULL, not an error
+    return F.try_element_at(F.create_map(*pairs), ext)
+
+
+def sniff_format(payload: F.Column) -> F.Column:
+    """Content-sniff fallback onto registry format names
+    (OWLParser.detect_format parsers/__init__.py:2655; the query-facing
+    sniffer with the reference's full label set is
+    textmeta.detect_formats)."""
+    return (F.when(payload.startswith("<?xml"), "rdfxml")
+            .when(payload.startswith("@prefix"), "turtle")
+            .when(payload.rlike(r"^<[^>]+> <[^>]+> "), "ntriples")
+            .otherwise(F.lit(None).cast("string")))
+
+
+def route_formats(files: DataFrame) -> DataFrame:
+    """(path, payload) -> (path, payload, fmt): extension first, content
+    sniff for extension-less/unknown paths."""
+    return files.withColumn(
+        "fmt", F.coalesce(detect_format_by_extension(F.col("path")),
+                          sniff_format(F.col("payload"))))
+
+
+def parse_auto(files: DataFrame) -> DataFrame:
+    """Routed multi-format parse (auto_detect_parser + parse,
+    parsers/__init__.py:9361): one filtered branch per registered
+    format — each branch's format predicate sits directly above the
+    scan (pushdown-eligible), outputs union to
+    (fmt, subject, predicate, object, object_type). Rows whose format
+    is unknown to the registry are dropped here; parse_stats accounts
+    for them."""
+    tagged = route_formats(files)
+    branches = [
+        fn(tagged.filter(F.col("fmt") == name))
+        .select(F.lit(name).alias("fmt"), "subject", "predicate",
+                "object", "object_type")
+        for name, fn in sorted(PARSER_REGISTRY.items())
+    ]
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def parse_stats(files: DataFrame) -> DataFrame:
+    """Load/parse statistics (ParserStatistics totals / success rate /
+    format distribution, parsers/__init__.py:316-390; manager rollups
+    ontology_manager.py:1604/:1676) — the deterministic subset (load
+    times are wall-clock, not a semantic; per-partition run walls live
+    in the checkpoint markers, plans/checkpointing.py).
+
+    Line formats parse 1:1, so a failed line is a parse row with an
+    empty subject (every grammar regex missed); document formats (rdfxml)
+    fan out to many triples and fail loudly in the Arrow stage instead.
+    Both aggregates are map-side combinable; the final join is
+    format-cardinality (tiny)."""
+    ins = route_formats(files).groupBy("fmt") \
+        .agg(F.count("*").alias("n_inputs"))
+    outs = parse_auto(files).groupBy("fmt").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("subject") == "", 1).otherwise(0))
+        .alias("n_failed"))
+    return (ins.join(outs, "fmt", "left")
+            .select("fmt", "n_inputs",
+                    (F.coalesce("n_rows", F.lit(0))
+                     - F.coalesce("n_failed", F.lit(0)))
+                    .alias("n_triples"),
+                    F.coalesce("n_failed", F.lit(0)).alias("n_failed"),
+                    F.round(F.lit(1) - F.coalesce("n_failed", F.lit(0))
+                            / F.col("n_inputs"), 6)
+                    .alias("success_rate")))
+
+
+# --- conversion filters (class / property / individual groups) ---------------
+
+
+def conversion_triples(terms: DataFrame, rels: DataFrame,
+                       individuals: DataFrame) -> DataFrame:
+    """OWL->triple conversion with entity-kind groups — the reference's
+    extraction trio `_extract_class_triples` /
+    `_extract_property_triples` / `_extract_individual_triples`
+    (parsers/__init__.py:4115/:4190/:4248): classes emit
+    rdf:type/rdfs:label/rdfs:subClassOf, properties are the distinct
+    predicates typed owl:ObjectProperty, individuals emit
+    rdf:type <class> + rdfs:label. Columns (subject, predicate, object,
+    entity_kind, entity_name); entity_name feeds the
+    class_filter/property_filter regexes (options :2640-2641). Pure
+    unions of projections — no shuffle except the tiny
+    distinct-predicates aggregate."""
+    parent = F.try_element_at("parents", F.lit(1))
+    cls = terms.select(
+        F.col("id").alias("subject"), F.lit("rdf:type").alias("predicate"),
+        F.lit("owl:Class").alias("object"),
+        F.lit("class").alias("entity_kind"),
+        F.col("name").alias("entity_name"))
+    lbl = terms.select(
+        F.col("id").alias("subject"),
+        F.lit("rdfs:label").alias("predicate"),
+        F.col("name").alias("object"), F.lit("class").alias("entity_kind"),
+        F.col("name").alias("entity_name"))
+    sub = terms.select(
+        F.col("id").alias("subject"),
+        F.lit("rdfs:subClassOf").alias("predicate"),
+        parent.alias("object"), F.lit("class").alias("entity_kind"),
+        F.col("name").alias("entity_name")).filter(
+        F.col("object").isNotNull())
+    prop = rels.select("predicate").distinct().select(
+        F.col("predicate").alias("subject"),
+        F.lit("rdf:type").alias("predicate"),
+        F.lit("owl:ObjectProperty").alias("object"),
+        F.lit("property").alias("entity_kind"),
+        F.col("subject").alias("entity_name"))
+    ind_t = individuals.select(
+        F.col("ind_id").alias("subject"),
+        F.lit("rdf:type").alias("predicate"),
+        F.col("class_id").alias("object"),
+        F.lit("individual").alias("entity_kind"),
+        F.col("name").alias("entity_name"))
+    ind_l = individuals.select(
+        F.col("ind_id").alias("subject"),
+        F.lit("rdfs:label").alias("predicate"),
+        F.col("name").alias("object"),
+        F.lit("individual").alias("entity_kind"),
+        F.col("name").alias("entity_name"))
+    out = cls
+    for part in (lbl, sub, prop, ind_t, ind_l):
+        out = out.unionByName(part)
+    return out
+
+
+def conversion_filter(tr: DataFrame, *, include_classes: bool = True,
+                      include_properties: bool = True,
+                      include_individuals: bool = True,
+                      class_filter: str | None = None,
+                      property_filter: str | None = None) -> DataFrame:
+    """The reference's conversion-filter options
+    (parsers/__init__.py:2636-2641 include_classes/properties/
+    individuals + class_filter/property_filter regexes, applied
+    :4068-4100): kind gating plus per-kind name-regex filters, all as
+    pushdown-eligible column predicates."""
+    kinds = [k for k, inc in (("class", include_classes),
+                              ("property", include_properties),
+                              ("individual", include_individuals)) if inc]
+    out = tr.filter(F.col("entity_kind").isin(kinds))
+    if class_filter is not None:
+        out = out.filter((F.col("entity_kind") != "class")
+                         | F.col("entity_name").rlike(class_filter))
+    if property_filter is not None:
+        out = out.filter((F.col("entity_kind") != "property")
+                         | F.col("entity_name").rlike(property_filter))
+    return out
 
 
 def jsonld_expand(terms: DataFrame) -> DataFrame:

@@ -122,3 +122,34 @@ def terms_json(terms: DataFrame) -> DataFrame:
     return terms.select(
         F.to_json(F.struct(*[F.col(c) for c in terms.columns]))
         .alias("doc"))
+
+
+def export_ontology(terms: DataFrame, rels: DataFrame, triples: DataFrame,
+                    out_dir: str,
+                    formats: tuple[str, ...] = ("csv", "json", "ntriples",
+                                                "turtle", "rdfxml")
+                    ) -> dict[str, str]:
+    """Combined multi-format export — the reference's one-call
+    `export_ontology(format=...)` dispatch (ontology_manager.py:1196
+    json, :1213 csv, :1270 owl/rdf-xml) fanned out over the registered
+    sinks. Each format is an independent distributed write under
+    out_dir/<format>; returns {format: path}. Unknown format names
+    raise (a silent skip would report an export that never happened)."""
+    from .serde import rdfxml_docs
+    paths: dict[str, str] = {}
+    for fmt in formats:
+        path = f"{out_dir}/{fmt}"
+        if fmt == "csv":
+            write_ontology_csv(terms, rels, path)
+        elif fmt == "json":
+            terms_json(terms).write.mode("overwrite").text(path)
+        elif fmt == "ntriples":
+            to_ntriples(triples).write.mode("overwrite").text(path)
+        elif fmt == "turtle":
+            to_turtle(triples).write.mode("overwrite").text(path)
+        elif fmt == "rdfxml":
+            rdfxml_docs(terms).write.mode("overwrite").text(path)
+        else:
+            raise ValueError(f"unknown export format: {fmt}")
+        paths[fmt] = path
+    return paths

@@ -176,6 +176,54 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     return out
 
 
+# --- exact n-gram Jaccard (inverted-index join) ----------------------------
+
+# shingles appearing in more docs than this are dropped from CANDIDATE
+# GENERATION only (verification always uses full sets)
+NGRAM_DF_CAP = 50
+
+
+def ngram_jaccard_pairs(docs: DataFrame,
+                        threshold: float = NEAR_DUP_THRESHOLD,
+                        df_cap: int = NGRAM_DF_CAP) -> DataFrame:
+    """Exact n-gram Jaccard near-dup — the non-approximate sibling of
+    minhash_lsh_pairs: candidates from an inverted-index equi-join on
+    shared shingles, verified with exact |A∩B|/|A∪B| over the FULL
+    shingle sets.
+
+    Scale shape: the candidate join is equi on the shingle value, so
+    there is never an all-pairs product; the document-frequency cap
+    (the prefix-filtering idea from set-similarity joins) drops
+    ubiquitous shingles from candidate generation — a shingle shared by
+    thousands of docs generates a quadratic candidate block while
+    contributing almost nothing to any single pair's similarity. The
+    cap is part of the operator's declared semantics (a pair similar
+    ONLY through super-cap shingles is not reported), mirrored exactly
+    by the oracle. Verification re-joins the full set arrays, as in
+    minhash_lsh_pairs (band join moves ids, not documents)."""
+    sets_ = docs.select(
+        "doc_id",
+        F.array_distinct(_shingles(tokens_col(), SHINGLE_W)).alias("sh")
+    ).localCheckpoint(eager=True)
+    inv = sets_.select("doc_id", F.explode("sh").alias("s"))
+    rare = (inv.groupBy("s").agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= df_cap).select("s"))
+    capped = inv.join(rare, "s", "left_semi")
+    a = capped.toDF("s", "a")
+    b = capped.toDF("s", "b")
+    cand = (a.join(b, "s").filter(F.col("a") < F.col("b"))
+            .select("a", "b").distinct())
+    return (cand
+            .join(sets_.toDF("a", "sh_a"), "a")
+            .join(sets_.toDF("b", "sh_b"), "b")
+            .withColumn(
+                "jaccard",
+                F.round(F.size(F.array_intersect("sh_a", "sh_b"))
+                        / F.size(F.array_union("sh_a", "sh_b")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("a", "b", "jaccard"))
+
+
 # --- SimHash ---------------------------------------------------------------
 
 

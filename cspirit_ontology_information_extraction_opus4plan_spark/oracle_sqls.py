@@ -250,6 +250,29 @@ SELECT a, b, jaccard FROM (
   FROM cand JOIN sets_ sa ON sa.doc_id = a JOIN sets_ sb ON sb.doc_id = b
 ) v WHERE jaccard >= """ + str(TX.NEAR_DUP_THRESHOLD))
 
+    # doc_ngram_jaccard: inverted-index candidates over sub-cap
+    # shingles, exact jaccard over the full distinct-shingle sets —
+    # independent re-derivation of textops.ngram_jaccard_pairs
+    sqls["doc_ngram_jaccard"] = (
+        f"WITH {ADOC_CTE},\n{tok_cte('adoc')},\n"
+        f"sg AS (SELECT doc_id, list_distinct({_sh_expr(TX.SHINGLE_W)})"
+        f" AS sh FROM tok),\n"
+        "inv AS (SELECT doc_id, unnest(sh) AS s FROM sg),\n"
+        f"rare AS (SELECT s FROM inv GROUP BY s"
+        f" HAVING count(*) <= {TX.NGRAM_DF_CAP}),\n"
+        "capped AS (SELECT i.doc_id, i.s FROM inv i"
+        " JOIN rare r ON r.s = i.s),\n"
+        """cand AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id)
+SELECT a, b, jaccard FROM (
+  SELECT a, b,
+         round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / (len(sa.sh) + len(sb.sh)
+                  - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+  FROM cand JOIN sg sa ON sa.doc_id = a JOIN sg sb ON sb.doc_id = b
+) v WHERE jaccard >= """ + str(TX.NEAR_DUP_THRESHOLD))
+
     bits = " + ".join(
         f"(CASE WHEN list_sum(list_transform(td, t -> CASE WHEN "
         f"substring(md5(t), {k + 1}, 1) >= '8' THEN 1 ELSE -1 END)) > 0 "
@@ -673,6 +696,91 @@ FROM triples
 GROUP BY 1,2,3,4"""
 
     sqls["turtle_parse"] = sqls["ntriples_parse"]
+
+    # format_route: the registry dispatch must recover, per format tag,
+    # exactly what each serializer was fed — triples for .nt/.ttl, the
+    # terms-derived label/is_a rows for the sniffed RDF/XML docs
+    # (planted garbage lines parse to empty subjects and are filtered)
+    _parsed = """
+parsed AS (
+  SELECT subject, predicate, object, object_type
+  FROM triples GROUP BY 1,2,3,4)""".strip()
+    sqls["format_route"] = corpus_prefix(
+        gaz_cte(), link_cte(), triples_cte(), terms_cte(), _parsed) + """
+SELECT 'ntriples' AS fmt, subject, predicate, object, object_type
+FROM parsed
+UNION ALL
+SELECT 'turtle', subject, predicate, object, object_type FROM parsed
+UNION ALL
+SELECT 'rdfxml', id, 'label', name, 'literal' FROM terms_d
+UNION ALL
+SELECT 'rdfxml', id, 'is_a', parent, 'uri' FROM terms_d
+WHERE parent IS NOT NULL"""
+
+    # parse_stats: expected per-format totals derived from the known
+    # synthesis — line formats carry one planted garbage line per
+    # seq%10==0 term; rdfxml contributes one label per term + one is_a
+    # per parented term and cannot fail silently
+    sqls["parse_stats"] = corpus_prefix(
+        gaz_cte(), link_cte(), triples_cte(), terms_cte(), _parsed) + """,
+nt AS (SELECT count(*) AS n FROM parsed),
+bad AS (SELECT count(*) AS n FROM terms_d
+        WHERE CAST(regexp_extract(id, '(\\d+)$', 1) AS BIGINT) % 10 = 0),
+tno AS (SELECT count(*) AS n FROM terms_d),
+tpar AS (SELECT count(*) AS n FROM terms_d WHERE parent IS NOT NULL)
+SELECT 'ntriples' AS fmt, nt.n + bad.n AS n_inputs, nt.n AS n_triples,
+       bad.n AS n_failed,
+       round(1 - CAST(bad.n AS DOUBLE) / (nt.n + bad.n), 6) AS success_rate
+FROM nt, bad
+UNION ALL
+SELECT 'turtle', nt.n + bad.n, nt.n, bad.n,
+       round(1 - CAST(bad.n AS DOUBLE) / (nt.n + bad.n), 6)
+FROM nt, bad
+UNION ALL
+SELECT 'rdfxml', tno.n, tno.n + tpar.n, CAST(0 AS BIGINT),
+       CAST(1.0 AS DOUBLE)
+FROM tno, tpar"""
+
+    # conversion_filter: class/property/individual groups re-derived
+    # from the dimension CTEs, same include flags + name regexes as the
+    # query (class names ^[a-m], properties is_a|part_of)
+    sqls["conversion_filter"] = "WITH " + ",\n".join([
+        terms_cte(), rels_cte(), """
+tseq AS (
+  SELECT id, name, parent,
+         CAST(regexp_extract(id, '(\\d+)$', 1) AS BIGINT) AS seq
+  FROM terms_d),
+conv AS (
+  SELECT id AS subject, 'rdf:type' AS predicate, 'owl:Class' AS object,
+         'class' AS entity_kind, name AS entity_name FROM terms_d
+  UNION ALL
+  SELECT id, 'rdfs:label', name, 'class', name FROM terms_d
+  UNION ALL
+  SELECT id, 'rdfs:subClassOf', parent, 'class', name FROM terms_d
+  WHERE parent IS NOT NULL
+  UNION ALL
+  SELECT predicate, 'rdf:type', 'owl:ObjectProperty', 'property',
+         predicate
+  FROM (SELECT DISTINCT predicate FROM rels_d) p
+  UNION ALL
+  SELECT 'IND:' || CAST(seq AS VARCHAR), 'rdf:type', id, 'individual',
+         name || ' specimen'
+  FROM tseq WHERE seq % 5 = 0
+  UNION ALL
+  SELECT 'IND:' || CAST(seq AS VARCHAR), 'rdfs:label',
+         name || ' specimen', 'individual', name || ' specimen'
+  FROM tseq WHERE seq % 5 = 0)""".strip()]) + """
+SELECT subject, predicate, object, entity_kind, entity_name
+FROM conv
+WHERE (entity_kind <> 'class' OR regexp_matches(entity_name, '^[a-m]'))
+  AND (entity_kind <> 'property'
+       OR regexp_matches(entity_name, '^(is_a|part_of)$'))"""
+
+    # custom_filter: the registered named predicate, re-stated literally
+    sqls["custom_filter"] = "WITH " + terms_cte() + """
+SELECT id, name, namespace
+FROM terms_d
+WHERE namespace = 'chemical' AND NOT is_obsolete AND length(name) >= 8"""
 
     # rdfxml_parse: expected triples derived directly from the terms
     # dimension (label literal per term; subClassOf -> is_a per parent),

@@ -129,3 +129,22 @@ def test_ann_lsh_query_side_filter_is_bounded_constant(spark, sf_dir):
     plan = _plan(api.q_ann_lsh_topk(spark, sf_dir))
     assert _re.search(rf"vec_id#\d+L? < {similarity.N_QUERIES}\)", plan)
     assert not _re.search(r"vec_id#\d+L? % ", plan)
+
+
+def test_format_route_one_arrow_stage_no_cartesian(spark, sf_dir):
+    """The registry dispatch is branch-per-format: exactly one
+    MapInPandas (the rdfxml branch), everything else JVM-side."""
+    plan = _plan(api.q_format_route(spark, sf_dir))
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_jaccard_is_invertedindex_equijoin(spark, sf_dir):
+    """Candidates come from the shingle equi-join — no all-pairs
+    product, no Python stages."""
+    plan = _plan(api.q_doc_ngram_jaccard(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan

@@ -64,3 +64,39 @@ def test_csv_and_json_round_trip(spark, tmp_path):
     docs = terms_json(terms_df(spark))
     parsed = docs.select(F.get_json_object("doc", "$.id").alias("id"))
     assert parsed.filter(F.col("id").isNull()).count() == 0
+
+
+def test_export_ontology_combined(spark, tmp_path):
+    """One-call multi-format export (ontology_manager.py:1196/:1213/
+    :1270): every requested format lands on disk and the line formats
+    round-trip through their own parsers."""
+    import pytest
+
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.serde import (
+        parse_ntriples,
+        parse_rdfxml,
+    )
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.sinks import (
+        export_ontology,
+    )
+
+    triples = spark.createDataFrame(
+        [("CHEBI:1", "is_a", "CHEBI:2", "uri", "uri", None, None)],
+        TRIPLE_SCHEMA)
+    out = str(tmp_path / "export")
+    paths = export_ontology(terms_df(spark), relationships_df(spark),
+                            triples, out)
+    assert set(paths) == {"csv", "json", "ntriples", "turtle", "rdfxml"}
+
+    nt_back = parse_ntriples(
+        spark.read.text(paths["ntriples"]).withColumnRenamed("value", "line"))
+    assert nt_back.collect()[0]["subject"] == "CHEBI:1"
+    xml_back = parse_rdfxml(
+        spark.read.text(paths["rdfxml"]).withColumnRenamed("value", "xml"))
+    n_terms = terms_df(spark).count()
+    assert xml_back.filter(F.col("predicate") == "label").count() == n_terms
+    assert spark.read.text(paths["json"]).count() == n_terms
+
+    with pytest.raises(ValueError, match="unknown export format"):
+        export_ontology(terms_df(spark), relationships_df(spark), triples,
+                        out, formats=("parquetish",))
