@@ -217,6 +217,13 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_topk(load_embeddings(spark, sf_dir))
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN: bounded centroid set, Arrow assignment pass, probed-list
+    equi-join re-rank."""
+    from .operators.similarity import ivf_topk, load_embeddings
+    return ivf_topk(load_embeddings(spark, sf_dir))
+
+
 # --- ontology algebra (SURVEY §2.2-2.8) ------------------------------------
 
 def q_ontology_stats(spark, sf_dir):
@@ -556,10 +563,10 @@ def queries() -> dict[str, QueryFn]:
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
-        "doc_lang_id": q_doc_lang_id,
         "doc_embedding_neardup": q_doc_embedding_neardup,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "media_features": q_media_features,
         "media_inventory": q_media_inventory,
         # --- round-2 reference operators — 8
@@ -611,6 +618,7 @@ def queries() -> dict[str, QueryFn]:
         "jsonld_compact": q_jsonld_compact,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_bpe_tokens": q_doc_bpe_tokens,
+        "doc_lang_id": q_doc_lang_id,
         "set_difference": q_set_difference,
         "merge_stats": q_merge_stats,
         "alt_id_lookup": q_alt_id_lookup,

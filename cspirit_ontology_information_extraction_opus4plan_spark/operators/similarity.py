@@ -266,6 +266,96 @@ def embedding_neardup_pairs(emb: DataFrame,
             .select("a", "b", F.round("cosine", 6).alias("score")))
 
 
+# --- IVF (inverted-file) ANN ------------------------------------------------
+
+# deterministic "training" stub: centroids are a fixed bounded id range
+# of corpus vectors (production would run distributed KMeans and persist
+# the centroid table; everything downstream is identical)
+IVF_C_BASE = 100
+N_CENTROIDS = 16
+N_PROBE = 4
+
+
+def _centroid_matrix(emb: DataFrame):
+    """Collect the BOUNDED centroid set (N_CENTROIDS rows regardless of
+    corpus size), sorted by c_id so argmax tie-breaks to the lowest id."""
+    cpdf = (emb.filter((F.col("vec_id") >= IVF_C_BASE)
+                       & (F.col("vec_id") < IVF_C_BASE + N_CENTROIDS))
+            .select("vec_id", "embedding")
+            .toPandas().sort_values("vec_id"))
+    if len(cpdf) == 0:
+        raise ValueError(
+            f"no centroid vectors in [{IVF_C_BASE}, "
+            f"{IVF_C_BASE + N_CENTROIDS}) — corpus too small for the "
+            f"demo centroid range")
+    C = _stack(cpdf["embedding"])
+    return cpdf["vec_id"].to_numpy(), C, _np_norm2(C)
+
+
+def _centroid_cos(A: np.ndarray, C: np.ndarray,
+                  cn2: np.ndarray) -> np.ndarray:
+    """(n, n_cent) cosine block, left-assoc accumulation per lane."""
+    acc = A[:, 0:1] * C[None, :, 0]
+    for i in range(1, DIM):
+        acc = acc + A[:, i:i + 1] * C[None, :, i]
+    return acc / np.sqrt(cn2[None, :] * _np_norm2(A)[:, None])
+
+
+def ivf_topk(emb: DataFrame, k: int = TOP_K,
+             n_queries: int = N_QUERIES,
+             n_probe: int = N_PROBE) -> DataFrame:
+    """IVF ANN: assign every corpus vector to its nearest centroid's
+    inverted list (one vectorized Arrow pass, broadcast bounded
+    centroid matrix), probe the top-`n_probe` lists per query, exact
+    cosine re-rank within the probed lists via the pair-dot UDF + the
+    shared rank window.
+
+    Scale shape: the corpus never self-joins — candidates come from the
+    (list_id) equi-join against the bounded query probe table, so the
+    shuffle is bounded by the probed fraction (~n_probe/n_centroids of
+    the corpus). The centroid collect is O(N_CENTROIDS * DIM), fixed.
+    At 10^12 rows, centroid count grows ~sqrt(n) (still driver-sized)
+    and assignment stays a map-only pass. Ties in the nearest-centroid
+    argmax break to the lowest c_id (same rule as the oracle's
+    row_number ORDER BY cosine DESC, c_id ASC)."""
+    spark = emb.sparkSession
+    c_ids, C, cn2 = _centroid_matrix(emb)
+    bc = spark.sparkContext.broadcast((c_ids, C, cn2))
+
+    @F.pandas_udf(LongType())
+    def assign_udf(a: pd.Series) -> pd.Series:
+        c_ids, C, cn2 = bc.value
+        cos = _centroid_cos(_stack(a), C, cn2)
+        # argmax takes the FIRST max; columns are c_id-ascending
+        return pd.Series(c_ids[np.argmax(cos, axis=1)])
+
+    @F.pandas_udf("array<bigint>")
+    def probe_udf(a: pd.Series) -> pd.Series:
+        c_ids, C, cn2 = bc.value
+        cos = _centroid_cos(_stack(a), C, cn2)
+        nc = cos.shape[1]
+        # per row: order by (cosine desc, c_id asc), keep first n_probe
+        order = np.lexsort(
+            (np.broadcast_to(c_ids[None, :], cos.shape), -cos), axis=1)
+        keep = order[:, :min(n_probe, nc)]
+        return pd.Series(list(c_ids[keep]))
+
+    v = emb.select("vec_id", "embedding",
+                   _norm2_udf("embedding").alias("n2"))
+    assigned = v.withColumn("list_id", assign_udf("embedding"))
+    q = (v.filter(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_emb"),
+                 F.col("n2").alias("qn2"),
+                 F.explode(probe_udf("embedding")).alias("list_id")))
+    pairs = (assigned.join(F.broadcast(q), "list_id")
+             .filter(F.col("vec_id") != F.col("q_id"))
+             .select("q_id", F.col("vec_id").alias("neighbor_id"),
+                     _dot_udf("q_emb", "embedding").alias("dot"),
+                     "qn2", F.col("n2").alias("vn2")))
+    return _ranked(pairs, k)
+
+
 def lsh_topk(emb: DataFrame, k: int = TOP_K,
              n_queries: int = N_QUERIES) -> DataFrame:
     """ANN: candidates restricted to the query's LSH bucket (equi-join

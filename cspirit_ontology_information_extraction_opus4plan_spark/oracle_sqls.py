@@ -470,6 +470,49 @@ pairs AS (
 scored AS (
   SELECT q_id, neighbor_id, dot / sqrt(qn2 * vn2) AS cosine FROM pairs)
 {rank_tail}""".strip()
+
+    # IVF: nearest-centroid assignment (argmax as row_number over the
+    # tiny vec x centroid cross product — oracle-side only; the engine
+    # assigns in one Arrow pass), top-N_PROBE probed lists per query,
+    # exact re-rank inside the probed lists
+    dot_vc = " + ".join(f"{el('v', i)} * CAST(c.c_emb[{i + 1}] AS DOUBLE)"
+                        for i in range(SIM.DIM))
+    dot_qc = " + ".join(f"{el_q(i)} * CAST(c.c_emb[{i + 1}] AS DOUBLE)"
+                        for i in range(SIM.DIM))
+    sqls["ann_ivf_topk"] = f"""
+WITH vn AS (
+  SELECT e.vec_id, e.embedding, ({n2}) AS n2 FROM embeddings e),
+cents AS (
+  SELECT vec_id AS c_id, embedding AS c_emb, n2 AS cn2
+  FROM vn WHERE vec_id >= {SIM.IVF_C_BASE}
+    AND vec_id < {SIM.IVF_C_BASE + SIM.N_CENTROIDS}),
+asg AS (
+  SELECT vec_id, c_id AS list_id FROM (
+    SELECT v.vec_id, c.c_id, row_number() OVER (
+      PARTITION BY v.vec_id
+      ORDER BY ({dot_vc}) / sqrt(c.cn2 * v.n2) DESC, c.c_id ASC) AS rn
+    FROM vn v CROSS JOIN cents c) a
+  WHERE rn = 1),
+q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb, n2 AS qn2
+  FROM vn WHERE vec_id < {SIM.N_QUERIES}),
+probe AS (
+  SELECT q_id, c_id AS list_id FROM (
+    SELECT q.q_id, c.c_id, row_number() OVER (
+      PARTITION BY q.q_id
+      ORDER BY ({dot_qc}) / sqrt(c.cn2 * q.qn2) DESC, c.c_id ASC) AS rn
+    FROM q CROSS JOIN cents c) p
+  WHERE rn <= {SIM.N_PROBE}),
+pairs AS (
+  SELECT q.q_id, v.vec_id AS neighbor_id, ({dot}) AS dot,
+         q.qn2, v.n2 AS vn2
+  FROM q
+  JOIN probe p ON p.q_id = q.q_id
+  JOIN asg a ON a.list_id = p.list_id
+  JOIN vn v ON v.vec_id = a.vec_id AND v.vec_id <> q.q_id),
+scored AS (
+  SELECT q_id, neighbor_id, dot / sqrt(qn2 * vn2) AS cosine FROM pairs)
+{rank_tail}""".strip()
     return sqls
 
 

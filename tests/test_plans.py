@@ -148,3 +148,18 @@ def test_ngram_jaccard_is_invertedindex_equijoin(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
     assert "MapInPandas" not in plan
+
+
+def test_ann_ivf_no_corpus_crossjoin_bounded_query(spark, sf_dir):
+    """IVF candidates come from the probed-list equi-join: no cartesian
+    product anywhere (the oracle's vec x centroid cross join is
+    oracle-side only), query side bounded by a constant id limit."""
+    import re as _re
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators import (
+        similarity,
+    )
+    plan = _plan(api.q_ann_ivf_topk(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert _re.search(rf"vec_id#\d+L? < {similarity.N_QUERIES}\)", plan)
