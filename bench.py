@@ -48,6 +48,9 @@ HEADLINE = [
     "canonical_entities", # connected-components canonicalization (if present)
     "doc_minhash_lsh",    # near-dup detection over documents (if present)
     "ann_topk",           # embedding brute-force cosine top-k (if present)
+    "ann_ivf_topk",       # IVF probed-list ANN (if present)
+    "doc_ngram_jaccard",  # exact inverted-index jaccard dedup (if present)
+    "format_route",       # registry-dispatch multi-format parse (if present)
 ]
 
 
