@@ -326,6 +326,51 @@ def q_rdfxml_parse(spark, sf_dir):
     return SR.parse_rdfxml(SR.rdfxml_docs(terms_df(spark)))
 
 
+def q_jats_parse(spark, sf_dir):
+    """XML (PMC/JATS) source: structural etree parse of synthesized
+    JATS/PMC articles into title/abstract/sections/figures; malformed
+    documents quarantine as parse_error rows (XMLParser.parse)."""
+    from .operators.xmlsource import parse_jats
+    return parse_jats(DE.jats_docs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")))
+
+
+def _url_files(spark, sf_dir):
+    """URL-addressed payload table: one KG run serialized three ways
+    behind http/file/s3 locators. localCheckpoint: parse_url_sources
+    fans out one branch per registered format."""
+    from .operators.sinks import to_ntriples, to_turtle
+    t = dedup_triples(triples_df(spark, sf_dir)).localCheckpoint(eager=True)
+    files = DE.url_format_files(to_ntriples(t), to_turtle(t),
+                                SR.rdfxml_docs(terms_df(spark)))
+    return files.localCheckpoint(eager=True)
+
+
+def q_url_route(spark, sf_dir):
+    """URL source routing: scheme extraction + extension-of-path (query
+    string/fragment stripped) with content-sniff fallback, per-URL
+    payload counts."""
+    return SR.url_route_summary(_url_files(spark, sf_dir))
+
+
+def q_url_parse(spark, sf_dir):
+    """Routed parse over the URL-addressed payloads (the reference's
+    fetch-then-auto-parse URL leg, ontology_manager.py:196-206)."""
+    return SR.parse_url_sources(_url_files(spark, sf_dir))
+
+
+def q_content_guards(spark, sf_dir):
+    """Content-size + encoding guards over real byte payloads (BOM
+    sniff, UTF-8 validity, size cap -> status column)."""
+    from .operators.guards import content_guards
+    return content_guards(
+        DE.encoded_payloads(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text")),
+        max_bytes=DE.GUARD_MAX_BYTES)
+
+
 def _mixed_files(spark, sf_dir):
     """The parser-registry demo input: one KG run serialized three ways
     (+ planted malformed lines). localCheckpoint: the files frame feeds
@@ -576,13 +621,15 @@ def queries() -> dict[str, QueryFn]:
         "caption_cleanup": q_caption_cleanup,
         "scientific_notation": q_scientific_notation,
         "cycle_chains": q_cycle_chains,
-        "turtle_parse": q_turtle_parse,
-        "rdfxml_parse": q_rdfxml_parse,
+        "jats_parse": q_jats_parse,
+        "content_guards": q_content_guards,
         # --- sources / sinks / registry routing — 8
+        # (ntriples_parse/turtle_parse/rdfxml_parse moved past the gate:
+        # format_route exercises the identical registry parsers in-gate)
         "ntriples": q_ntriples,
         "terms_csv": q_terms_csv,
         "csv_roundtrip": q_csv_roundtrip,
-        "ntriples_parse": q_ntriples_parse,
+        "url_route": q_url_route,
         "jsonld_expand": q_jsonld_expand,
         "format_route": q_format_route,
         "parse_stats": q_parse_stats,
@@ -635,6 +682,10 @@ def queries() -> dict[str, QueryFn]:
         "event_outliers": q_event_outliers,
         "event_correlation": q_event_correlation,
         "doc_simhash_clusters": q_doc_simhash_clusters,
+        "ntriples_parse": q_ntriples_parse,
+        "turtle_parse": q_turtle_parse,
+        "rdfxml_parse": q_rdfxml_parse,
+        "url_parse": q_url_parse,
     }
 
 

@@ -122,6 +122,97 @@ def mixed_format_files(nt_lines: DataFrame, ttl_lines: DataFrame,
     return out
 
 
+def jats_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, xml): JATS-ish article per document, the synthesis side
+    of the XML source (the corpus carries no raw XML payloads — same
+    pattern as rdfxml_docs). Structure derived from (doc_id, text) by
+    mod arithmetic, rebuilt row-for-row by the oracle SQL:
+    title = first 3 tokens, abstract = first 6, an intro <sec> with the
+    full text, a methods <sec> (tokens 2-5) when doc_id%2==0, a <fig>
+    caption when doc_id%3==0; doc_id%5==0 wraps in <pmc-articleset>
+    (schema 'pmc'), and doc_id%23==7 drops the closing tags (the
+    malformed-input corpus for parse_safe). Text is printable ASCII
+    with no <>&'\" by corpus construction, so no XML escaping."""
+    d = F.col("doc_id")
+    toks = tokens_col("text")
+    title = F.array_join(F.slice(toks, 1, 3), " ")
+    abstract = F.array_join(F.slice(toks, 1, 6), " ")
+    methods = F.array_join(F.slice(toks, 2, 4), " ")
+    front = F.concat(
+        F.lit("<front><article-meta><article-id>"), d.cast("string"),
+        F.lit("</article-id><title-group><article-title>"), title,
+        F.lit("</article-title></title-group><abstract><p>"), abstract,
+        F.lit("</p></abstract></article-meta></front>"))
+    body = F.concat(
+        F.lit('<body><sec sec-type="intro"><title>Introduction</title>'
+              "<p>"), F.col("text"), F.lit("</p></sec>"),
+        F.when(d % 2 == 0, F.concat(
+            F.lit('<sec sec-type="methods"><title>Methods</title><p>'),
+            methods, F.lit("</p></sec>"))).otherwise(F.lit("")),
+        F.when(d % 3 == 0, F.concat(
+            F.lit('<fig id="F1"><caption><p>figure of '),
+            F.element_at(toks, 1),
+            F.lit("</p></caption></fig>"))).otherwise(F.lit("")),
+        F.lit("</body>"))
+    pmc = d % 5 == 0
+    opening = F.when(pmc, '<pmc-articleset><article dtd-version="1.3">') \
+        .otherwise(F.lit('<article dtd-version="1.3">'))
+    closing = F.when(d % 23 == 7, "") \
+        .when(pmc, F.lit("</article></pmc-articleset>")) \
+        .otherwise(F.lit("</article>"))
+    xml = F.concat(opening, front, body, closing)
+    return docs.select("doc_id", xml.alias("xml"))
+
+
+def url_format_files(nt_lines: DataFrame, ttl_lines: DataFrame,
+                     xml_docs: DataFrame) -> DataFrame:
+    """(url, payload) for the URL-source routing demo: the same three
+    serializations as mixed_format_files, addressed by URL — an http
+    URL with a query string, a file URL with a fragment, and an
+    extension-less s3 key (content-sniff fallback). Rebuilt identically
+    by the oracle SQL."""
+    parts = [
+        nt_lines.select(
+            F.lit("https://onto.example.org/dump.nt?v=2").alias("url"),
+            F.col("line").alias("payload")),
+        ttl_lines.select(
+            F.lit("file:///data/exports/dump.ttl#part1").alias("url"),
+            F.col("line").alias("payload")),
+        xml_docs.select(
+            F.lit("s3://kg-bucket/export_terms").alias("url"),
+            F.col("xml").alias("payload")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# byte-size ceiling for the content-size guard demo: corpus text is
+# 44-577 ASCII chars, so plain/BOM/UTF-16 payloads stay well under it
+# and the 100x-repeated payloads (>=4400 bytes) always exceed it
+GUARD_MAX_BYTES = 2048
+
+
+def encoded_payloads(docs: DataFrame) -> DataFrame:
+    """(doc_id, content binary): the content-guard test corpus.
+    doc_id%6 picks the encoding treatment — 1: UTF-8 with BOM, 2:
+    UTF-16LE with BOM, 3: UTF-8 with a trailing 0xFF (invalid), 4: text
+    repeated 100x (oversized), else plain UTF-8. The guard inspects
+    real bytes; the oracle recomputes the expected classification from
+    this spec (text is pure ASCII, so byte arithmetic is exact)."""
+    d = F.col("doc_id")
+    utf8 = F.encode("text", "UTF-8")
+    content = (
+        F.when(d % 6 == 1, F.concat(F.lit(b"\xef\xbb\xbf"), utf8))
+        .when(d % 6 == 2, F.concat(F.lit(b"\xff\xfe"),
+                                   F.encode("text", "UTF-16LE")))
+        .when(d % 6 == 3, F.concat(utf8, F.lit(b"\xff")))
+        .when(d % 6 == 4, F.encode(F.repeat("text", 100), "UTF-8"))
+        .otherwise(utf8))
+    return docs.select("doc_id", content.alias("content"))
+
+
 def planted_individuals(terms: DataFrame) -> DataFrame:
     """(ind_id, class_id, name): every seq%5==0 term spawns one OWL
     named individual ('IND:<seq>', instance of the term, name + '

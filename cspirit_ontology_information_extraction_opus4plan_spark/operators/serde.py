@@ -263,15 +263,13 @@ def route_formats(files: DataFrame) -> DataFrame:
                           sniff_format(F.col("payload"))))
 
 
-def parse_auto(files: DataFrame) -> DataFrame:
-    """Routed multi-format parse (auto_detect_parser + parse,
-    parsers/__init__.py:9361): one filtered branch per registered
-    format — each branch's format predicate sits directly above the
-    scan (pushdown-eligible), outputs union to
-    (fmt, subject, predicate, object, object_type). Rows whose format
-    is unknown to the registry are dropped here; parse_stats accounts
-    for them."""
-    tagged = route_formats(files)
+def dispatch_parsers(tagged: DataFrame) -> DataFrame:
+    """Branch dispatch over an already-routed (.., payload, fmt) frame:
+    one filtered branch per registered format — each branch's format
+    predicate sits directly above the scan (pushdown-eligible), outputs
+    union to (fmt, subject, predicate, object, object_type). Rows whose
+    format is unknown to the registry are dropped here; parse_stats
+    accounts for them."""
     branches = [
         fn(tagged.filter(F.col("fmt") == name))
         .select(F.lit(name).alias("fmt"), "subject", "predicate",
@@ -282,6 +280,12 @@ def parse_auto(files: DataFrame) -> DataFrame:
     for b in branches[1:]:
         out = out.unionByName(b)
     return out
+
+
+def parse_auto(files: DataFrame) -> DataFrame:
+    """Routed multi-format parse (auto_detect_parser + parse,
+    parsers/__init__.py:9361) over a (path, payload) file table."""
+    return dispatch_parsers(route_formats(files))
 
 
 def parse_stats(files: DataFrame) -> DataFrame:
@@ -311,6 +315,48 @@ def parse_stats(files: DataFrame) -> DataFrame:
                     F.round(F.lit(1) - F.coalesce("n_failed", F.lit(0))
                             / F.col("n_inputs"), 6)
                     .alias("success_rate")))
+
+
+# --- URL source --------------------------------------------------------------
+
+
+def url_scheme(url: F.Column) -> F.Column:
+    """'https://host/x' -> 'https', 'file:///x' -> 'file'; '' for a
+    bare path with no scheme."""
+    return F.regexp_extract(url, r"^([a-z][a-z0-9+.-]*)://", 1)
+
+
+def route_url_sources(files: DataFrame) -> DataFrame:
+    """(url, payload) -> (url, payload, scheme, fmt): the URL leg of
+    the source loader. The reference fetches http(s) sources and feeds
+    the body through the same auto-detected parser as local files
+    (ontology_manager.load_ontology :196-206 requests fallback;
+    auto_detect_parser parsers/__init__.py:9361 routes by source path).
+    Here the fetch is the storage layer's job (spark.read against the
+    object store reads the payloads); the URL contributes routing
+    metadata only — extension of the path component with query string
+    and fragment stripped, content sniff as the fallback for
+    extension-less keys. Pure column expressions, no Python."""
+    path = F.regexp_replace(F.col("url"), r"[?#].*$", "")
+    return files.select(
+        "url", "payload", url_scheme(F.col("url")).alias("scheme"),
+        F.coalesce(detect_format_by_extension(path),
+                   sniff_format(F.col("payload"))).alias("fmt"))
+
+
+def url_route_summary(files: DataFrame) -> DataFrame:
+    """Routing table: one row per distinct URL with scheme, resolved
+    format, payload count. Map-side combinable count; URL cardinality
+    (the group key) is the number of source locations, not rows."""
+    return (route_url_sources(files)
+            .groupBy("url", "scheme", "fmt")
+            .agg(F.count("*").cast("int").alias("n_payloads")))
+
+
+def parse_url_sources(files: DataFrame) -> DataFrame:
+    """Routed parse over URL-addressed payloads — the same per-format
+    branch dispatch as parse_auto, fed by URL routing."""
+    return dispatch_parsers(route_url_sources(files))
 
 
 # --- conversion filters (class / property / individual groups) ---------------

@@ -784,6 +784,97 @@ SELECT 'rdfxml', tno.n, tno.n + tpar.n, CAST(0 AS BIGINT),
        CAST(1.0 AS DOUBLE)
 FROM tno, tpar"""
 
+    # url_route: the three URL-addressed serializations of one KG run
+    # (decorations.url_format_files) — scheme + format + payload count
+    # recomputed from the known synthesis (nt/ttl carry one line per
+    # dedup'd triple; the extension-less s3 key carries one RDF/XML doc
+    # per term and resolves via content sniff)
+    sqls["url_route"] = corpus_prefix(
+        gaz_cte(), link_cte(), triples_cte(), terms_cte(), _parsed) + """,
+np AS (SELECT count(*) AS n FROM parsed),
+nt AS (SELECT count(*) AS n FROM terms_d)
+SELECT 'https://onto.example.org/dump.nt?v=2' AS url, 'https' AS scheme,
+       'ntriples' AS fmt, CAST(np.n AS INT) AS n_payloads FROM np
+UNION ALL
+SELECT 'file:///data/exports/dump.ttl#part1', 'file', 'turtle',
+       CAST(np.n AS INT) FROM np
+UNION ALL
+SELECT 's3://kg-bucket/export_terms', 's3', 'rdfxml',
+       CAST(nt.n AS INT) FROM nt"""
+
+    # url_parse: the registry dispatch over the URL corpus recovers
+    # exactly what each serializer was fed (no planted garbage here,
+    # unlike format_route)
+    sqls["url_parse"] = corpus_prefix(
+        gaz_cte(), link_cte(), triples_cte(), terms_cte(), _parsed) + """
+SELECT 'ntriples' AS fmt, subject, predicate, object, object_type
+FROM parsed
+UNION ALL
+SELECT 'turtle', subject, predicate, object, object_type FROM parsed
+UNION ALL
+SELECT 'rdfxml', id, 'label', name, 'literal' FROM terms_d
+UNION ALL
+SELECT 'rdfxml', id, 'is_a', parent, 'uri' FROM terms_d
+WHERE parent IS NOT NULL"""
+
+    # jats_parse: the expected element rows re-derived from the
+    # decorations.jats_docs synthesis spec — title = first 3 lowered
+    # tokens, abstract first 6, intro section carries the raw text,
+    # methods (tokens 2-5) when doc_id%2=0, a figure caption when
+    # doc_id%3=0; doc_id%23=7 drops closing tags and must surface as a
+    # parse_error row; doc_id%5=0 wraps in <pmc-articleset> -> 'pmc'
+    sqls["jats_parse"] = f"WITH {tok_cte('documents')}" + """,
+base AS (
+  SELECT doc_id, text, toks, doc_id % 23 = 7 AS malformed,
+         CASE WHEN doc_id % 5 = 0 THEN 'pmc' ELSE 'jats' END AS sch
+  FROM tok)
+SELECT doc_id, 'unknown' AS xml_schema, 'parse_error' AS elem,
+       CAST(NULL AS VARCHAR) AS sec_type, CAST(NULL AS VARCHAR) AS content,
+       CAST(-1 AS INT) AS pos
+FROM base WHERE malformed
+UNION ALL
+SELECT doc_id, sch, 'title', NULL, array_to_string(toks[1:3], ' '),
+       CAST(0 AS INT)
+FROM base WHERE NOT malformed
+UNION ALL
+SELECT doc_id, sch, 'abstract', NULL, array_to_string(toks[1:6], ' '),
+       CAST(1 AS INT)
+FROM base WHERE NOT malformed
+UNION ALL
+SELECT doc_id, sch, 'section', 'intro', text, CAST(2 AS INT)
+FROM base WHERE NOT malformed
+UNION ALL
+SELECT doc_id, sch, 'section', 'methods',
+       array_to_string(toks[2:5], ' '), CAST(3 AS INT)
+FROM base WHERE NOT malformed AND doc_id % 2 = 0
+UNION ALL
+SELECT doc_id, sch, 'figure', NULL, 'figure of ' || toks[1],
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS INT)
+FROM base WHERE NOT malformed AND doc_id % 3 = 0"""
+
+    # content_guards: expected byte counts / encodings recomputed from
+    # the decorations.encoded_payloads spec (text is pure ASCII so byte
+    # arithmetic is exact: BOM +3, UTF-16LE 2+2n, trailing 0xFF +1,
+    # 100x repeat 100n); the guard itself reads real bytes
+    from . import decorations as DEC
+    sqls["content_guards"] = f"""
+WITH b AS (
+  SELECT doc_id, octet_length(encode(text)) AS len, doc_id % 6 AS m
+  FROM documents),
+c AS (
+  SELECT doc_id,
+         CAST(CASE m WHEN 1 THEN len + 3 WHEN 2 THEN 2 + 2 * len
+                     WHEN 3 THEN len + 1 WHEN 4 THEN 100 * len
+                     ELSE len END AS INT) AS n_bytes,
+         CASE m WHEN 1 THEN 'utf-8-bom' WHEN 2 THEN 'utf-16le'
+                WHEN 3 THEN 'invalid' ELSE 'utf-8' END AS encoding
+  FROM b)
+SELECT doc_id, n_bytes, encoding,
+       CASE WHEN n_bytes > {DEC.GUARD_MAX_BYTES} THEN 'oversized'
+            WHEN encoding = 'invalid' THEN 'rejected'
+            ELSE 'ok' END AS status
+FROM c"""
+
     # conversion_filter: class/property/individual groups re-derived
     # from the dimension CTEs, same include flags + name regexes as the
     # query (class names ^[a-m], properties is_a|part_of)
