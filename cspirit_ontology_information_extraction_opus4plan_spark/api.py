@@ -371,6 +371,15 @@ def q_content_guards(spark, sf_dir):
         max_bytes=DE.GUARD_MAX_BYTES)
 
 
+def q_owl_export(spark, sf_dir):
+    """OWL/RDF-XML sink blocks: preamble + ontology metadata + one
+    owl:Class per term + one owl:ObjectProperty per relationship
+    (ontology_manager._export_ontology_owl)."""
+    from .operators.sinks import to_owl_rdfxml
+    return to_owl_rdfxml(terms_df(spark), relationships_df(spark),
+                         "PLANT_MERGED", "merged plant ontology")
+
+
 def _mixed_files(spark, sf_dir):
     """The parser-registry demo input: one KG run serialized three ways
     (+ planted malformed lines). localCheckpoint: the files frame feeds
@@ -686,6 +695,7 @@ def queries() -> dict[str, QueryFn]:
         "turtle_parse": q_turtle_parse,
         "rdfxml_parse": q_rdfxml_parse,
         "url_parse": q_url_parse,
+        "owl_export": q_owl_export,
     }
 
 

@@ -124,10 +124,70 @@ def terms_json(terms: DataFrame) -> DataFrame:
         .alias("doc"))
 
 
+OWL_PREAMBLE = (
+    '<?xml version="1.0"?>\n'
+    '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"\n'
+    '         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"\n'
+    '         xmlns:owl="http://www.w3.org/2002/07/owl#">')
+
+
+def to_owl_rdfxml(terms: DataFrame, rels: DataFrame, ontology_id: str,
+                  ontology_name: str) -> DataFrame:
+    """OWL/RDF-XML sink (`_export_ontology_owl` ontology_manager.py:
+    1270-1335): preamble + one owl:Ontology metadata block + one
+    owl:Class block per term (rdfs:label, rdfs:comment when a
+    definition exists, rdfs:isDefinedBy for the namespace) + one
+    owl:ObjectProperty block per relationship (rdfs:domain/range).
+
+    Distributed form: (sect, part_key, block) rows — block-per-row so
+    every worker serializes its partition independently; a writer
+    orders by (sect, part_key) and joins blocks with blank lines to
+    recover the reference's exact document. The three constant rows
+    (preamble, ontology metadata, footer) are a bounded driver-side
+    frame; class/property blocks are pure column concat, no Python."""
+    spark = terms.sparkSession
+    head = spark.createDataFrame(
+        [(0, "", OWL_PREAMBLE),
+         (1, ontology_id,
+          f'  <owl:Ontology rdf:about="#{ontology_id}">\n'
+          f'    <rdfs:label>{ontology_name}</rdfs:label>\n'
+          f'  </owl:Ontology>'),
+         (4, "", "</rdf:RDF>")],
+        "sect int, part_key string, block string")
+    present = lambda c: F.col(c).isNotNull() & (F.col(c) != "")  # noqa: E731
+    cls = terms.select(
+        F.lit(2).alias("sect"), F.col("id").alias("part_key"),
+        F.concat(
+            F.lit('  <owl:Class rdf:about="#'), F.col("id"),
+            F.lit('">\n    <rdfs:label>'), F.col("name"),
+            F.lit('</rdfs:label>'),
+            F.when(present("definition"),
+                   F.concat(F.lit('\n    <rdfs:comment>'),
+                            F.col("definition"),
+                            F.lit('</rdfs:comment>'))).otherwise(F.lit("")),
+            F.when(present("namespace"),
+                   F.concat(F.lit('\n    <rdfs:isDefinedBy>'),
+                            F.col("namespace"),
+                            F.lit('</rdfs:isDefinedBy>')))
+            .otherwise(F.lit("")),
+            F.lit('\n  </owl:Class>')).alias("block"))
+    props = rels.select(
+        F.lit(3).alias("sect"), F.col("id").alias("part_key"),
+        F.concat(
+            F.lit('  <owl:ObjectProperty rdf:about="#'),
+            F.col("predicate"),
+            F.lit('">\n    <rdfs:domain rdf:resource="#'),
+            F.col("subject"),
+            F.lit('"/>\n    <rdfs:range rdf:resource="#'),
+            F.col("object"),
+            F.lit('"/>\n  </owl:ObjectProperty>')).alias("block"))
+    return head.unionByName(cls).unionByName(props)
+
+
 def export_ontology(terms: DataFrame, rels: DataFrame, triples: DataFrame,
                     out_dir: str,
                     formats: tuple[str, ...] = ("csv", "json", "ntriples",
-                                                "turtle", "rdfxml")
+                                                "turtle", "rdfxml", "owl")
                     ) -> dict[str, str]:
     """Combined multi-format export — the reference's one-call
     `export_ontology(format=...)` dispatch (ontology_manager.py:1196
@@ -149,6 +209,10 @@ def export_ontology(terms: DataFrame, rels: DataFrame, triples: DataFrame,
             to_turtle(triples).write.mode("overwrite").text(path)
         elif fmt == "rdfxml":
             rdfxml_docs(terms).write.mode("overwrite").text(path)
+        elif fmt == "owl":
+            (to_owl_rdfxml(terms, rels, "EXPORT", "exported ontology")
+             .sortWithinPartitions("sect", "part_key")
+             .select("block").write.mode("overwrite").text(path))
         else:
             raise ValueError(f"unknown export format: {fmt}")
         paths[fmt] = path

@@ -875,6 +875,42 @@ SELECT doc_id, n_bytes, encoding,
             ELSE 'ok' END AS status
 FROM c"""
 
+    # owl_export: every sink block re-derived from the dimension CTEs —
+    # definitions/namespaces are always present in the synthetic terms,
+    # so the optional comment/isDefinedBy lines always appear; string
+    # literals carry real newlines (block-per-row document form)
+    from .operators import sinks as SK
+    sqls["owl_export"] = "WITH " + terms_full_cte() + ",\n" + rels_cte() + f"""
+SELECT 0 AS sect, '' AS part_key, {_q(SK.OWL_PREAMBLE)} AS block
+UNION ALL
+SELECT 1, 'PLANT_MERGED',
+       '  <owl:Ontology rdf:about="#PLANT_MERGED">' || chr(10) ||
+       '    <rdfs:label>merged plant ontology</rdfs:label>' || chr(10) ||
+       '  </owl:Ontology>'
+UNION ALL
+SELECT 2, id,
+       '  <owl:Class rdf:about="#' || id || '">' || chr(10) ||
+       '    <rdfs:label>' || name || '</rdfs:label>' ||
+       CASE WHEN definition <> '' THEN chr(10) ||
+            '    <rdfs:comment>' || definition || '</rdfs:comment>'
+            ELSE '' END ||
+       CASE WHEN namespace <> '' THEN chr(10) ||
+            '    <rdfs:isDefinedBy>' || namespace || '</rdfs:isDefinedBy>'
+            ELSE '' END ||
+       chr(10) || '  </owl:Class>'
+FROM terms_f
+UNION ALL
+SELECT 3, id,
+       '  <owl:ObjectProperty rdf:about="#' || predicate || '">'
+       || chr(10) ||
+       '    <rdfs:domain rdf:resource="#' || subject || '"/>'
+       || chr(10) ||
+       '    <rdfs:range rdf:resource="#' || object || '"/>'
+       || chr(10) || '  </owl:ObjectProperty>'
+FROM rels_d
+UNION ALL
+SELECT 4, '', '</rdf:RDF>'"""
+
     # conversion_filter: class/property/individual groups re-derived
     # from the dimension CTEs, same include flags + name regexes as the
     # query (class names ^[a-m], properties is_a|part_of)

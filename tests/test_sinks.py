@@ -86,7 +86,8 @@ def test_export_ontology_combined(spark, tmp_path):
     out = str(tmp_path / "export")
     paths = export_ontology(terms_df(spark), relationships_df(spark),
                             triples, out)
-    assert set(paths) == {"csv", "json", "ntriples", "turtle", "rdfxml"}
+    assert set(paths) == {"csv", "json", "ntriples", "turtle", "rdfxml",
+                          "owl"}
 
     nt_back = parse_ntriples(
         spark.read.text(paths["ntriples"]).withColumnRenamed("value", "line"))
@@ -100,3 +101,29 @@ def test_export_ontology_combined(spark, tmp_path):
     with pytest.raises(ValueError, match="unknown export format"):
         export_ontology(terms_df(spark), relationships_df(spark), triples,
                         out, formats=("parquetish",))
+
+
+def test_owl_export_document_is_wellformed_xml(spark):
+    """Joining the ordered sink blocks must reproduce a well-formed
+    OWL/RDF-XML document with one owl:Class per term and one
+    owl:ObjectProperty per relationship (the reference's exact
+    document shape, ontology_manager.py:1270)."""
+    import xml.etree.ElementTree as ET
+
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.gazetteer import (
+        relationships_df,
+        terms_df,
+    )
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.sinks import (
+        to_owl_rdfxml,
+    )
+
+    terms, rels = terms_df(spark), relationships_df(spark)
+    blocks = (to_owl_rdfxml(terms, rels, "ONT", "test ontology")
+              .orderBy("sect", "part_key").collect())
+    doc = "\n\n".join(r["block"] for r in blocks)
+    root = ET.fromstring(doc)
+    owl = "{http://www.w3.org/2002/07/owl#}"
+    assert len(root.findall(owl + "Class")) == terms.count()
+    assert len(root.findall(owl + "ObjectProperty")) == rels.count()
+    assert len(root.findall(owl + "Ontology")) == 1
