@@ -226,6 +226,27 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 # --- ontology algebra (SURVEY §2.2-2.8) ------------------------------------
 
+def q_doc_token_pack(spark, sf_dir):
+    """Sequence packing: per-bucket running token offsets assign each
+    doc to a fixed-budget context-window pack (no global sort)."""
+    from .operators.textops import token_pack_assignments
+    return token_pack_assignments(_docs(spark, sf_dir))
+
+
+def q_pack_fill_stats(spark, sf_dir):
+    from .operators.textops import pack_fill_stats
+    return pack_fill_stats(_docs(spark, sf_dir))
+
+
+def q_doc_hash_sample(spark, sf_dir):
+    """Deterministic md5-threshold stratified sampling by language
+    (reproducible corpus rebalancing, broadcast rates dimension)."""
+    from .operators.textops import hash_stratified_sample
+    return hash_stratified_sample(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang"))
+
+
 def q_ontology_stats(spark, sf_dir):
     return OA.ontology_stats(terms_df(spark), relationships_df(spark))
 
@@ -619,10 +640,10 @@ def queries() -> dict[str, QueryFn]:
         "doc_quality": q_doc_quality,
         "doc_embedding_neardup": q_doc_embedding_neardup,
         "ann_topk": q_ann_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "media_features": q_media_features,
-        "media_inventory": q_media_inventory,
+        "doc_token_pack": q_doc_token_pack,
+        "doc_hash_sample": q_doc_hash_sample,
         # --- round-2 reference operators — 8
         "doc_sections": q_doc_sections,
         "citation_format_detect": q_citation_format_detect,
@@ -696,6 +717,9 @@ def queries() -> dict[str, QueryFn]:
         "rdfxml_parse": q_rdfxml_parse,
         "url_parse": q_url_parse,
         "owl_export": q_owl_export,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "media_inventory": q_media_inventory,
+        "pack_fill_stats": q_pack_fill_stats,
     }
 
 

@@ -431,3 +431,95 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id",
         F.array_min(F.transform(sh, F.md5)).alias("fingerprint"))
+
+
+# --- sequence packing (token-budget context windows) -----------------------
+
+PACK_BUDGET = 512       # tokens per pack (context window)
+PACK_BUCKETS = 8        # independent packing streams
+
+
+def token_pack_assignments(docs: DataFrame, budget: int = PACK_BUDGET,
+                           n_buckets: int = PACK_BUCKETS) -> DataFrame:
+    """Sequence packing for LLM pretraining: documents are concatenated
+    in deterministic order and split into fixed token-budget packs; a
+    document belongs to the pack where its first token lands (next-fit
+    with boundary overflow — no doc is split, a doc straddling the
+    boundary stays in the pack it starts in).
+
+    Beyond-the-reference training-pipeline operator (no counterpart in
+    aim2_project): packing is what turns a filtered corpus into
+    fixed-length training sequences.
+
+    Scale shape: docs are sharded into n_buckets independent packing
+    streams (doc_id mod), so the only window sort is PER BUCKET — there
+    is no global sort, and n_buckets scales with the cluster (one
+    running-sum window per bucket partition). Output is one row per doc:
+    (doc_id, n_tokens, bucket, start_offset, pack_id)."""
+    from pyspark.sql import Window
+    n = F.size(tokens_col("text"))
+    w = (Window.partitionBy("bucket").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (docs
+            .select("doc_id", n.alias("n_tokens"),
+                    (F.col("doc_id") % n_buckets).cast("int")
+                    .alias("bucket"))
+            .withColumn("start_offset",
+                        F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+                        .cast("bigint"))
+            .withColumn("pack_id",
+                        F.floor(F.col("start_offset") / budget)
+                        .cast("int")))
+
+
+def pack_fill_stats(docs: DataFrame, budget: int = PACK_BUDGET,
+                    n_buckets: int = PACK_BUCKETS) -> DataFrame:
+    """Per-pack packing efficiency: doc count, token total, fill ratio
+    (can exceed 1.0 — boundary-straddling docs overflow their pack)."""
+    return (token_pack_assignments(docs, budget, n_buckets)
+            .groupBy("bucket", "pack_id")
+            .agg(F.count("*").cast("int").alias("n_docs"),
+                 F.sum("n_tokens").cast("bigint").alias("pack_tokens"))
+            .withColumn("fill_ratio",
+                        F.round(F.col("pack_tokens") / budget, 6)))
+
+
+# --- deterministic hash-stratified sampling --------------------------------
+
+SAMPLE_SEED = "corpus-v1"
+# per-language keep rates: the usual corpus rebalance (upweight the
+# target language, downsample the rest)
+SAMPLE_RATES = {"en": 0.9, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 0.25}
+
+
+def _rate_to_hex(rate: float) -> str:
+    """Keep-threshold as a 4-hex-digit string: a row survives when the
+    first 4 md5 hex digits of its key compare below it (lexicographic
+    == numeric for fixed-width lowercase hex)."""
+    return format(min(int(rate * 16 ** 4), 16 ** 4 - 1), "04x")
+
+
+def hash_stratified_sample(docs: DataFrame,
+                           rates: dict[str, float] | None = None,
+                           seed: str = SAMPLE_SEED) -> DataFrame:
+    """Deterministic stratified sampling by content hash — the
+    reproducible form of corpus downsampling (same row set on every
+    run, on any cluster, under any partitioning; no RNG state). A row
+    is kept when md5(doc_id || seed) falls under its stratum's
+    threshold; changing the seed draws an independent sample.
+
+    Beyond-the-reference training-pipeline operator. The rates table
+    joins as a broadcast dimension (stratum cardinality), the hash is
+    one JVM md5 per row, and unknown strata drop (inner join) — the
+    keep decision never shuffles the corpus."""
+    spark = docs.sparkSession
+    rates = SAMPLE_RATES if rates is None else rates
+    rdf = spark.createDataFrame(
+        sorted((la, _rate_to_hex(r)) for la, r in rates.items()),
+        "lang string, thr_hex string")
+    h = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(seed))), 1, 4)
+    return (docs.select("doc_id", "lang", h.alias("h4"))
+            .join(F.broadcast(rdf), "lang")
+            .filter(F.col("h4") < F.col("thr_hex"))
+            .select("doc_id", "lang", "h4"))

@@ -383,6 +383,47 @@ FROM tok"""
         "SELECT doc_id, list_min(list_transform(sh, s -> md5(s)))"
         " AS fingerprint\nFROM sg")
 
+    # sequence packing: same per-bucket running-sum window re-derived in
+    # SQL (next-fit with boundary overflow; pack = floor(start/budget))
+    _pack_base = f"""
+a AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+             CAST(doc_id % {TX.PACK_BUCKETS} AS INT) AS bucket
+      FROM tok),
+b AS (SELECT doc_id, n_tokens, bucket,
+             CAST(COALESCE(sum(n_tokens) OVER (
+                    PARTITION BY bucket ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS start_offset
+      FROM a),
+c AS (SELECT doc_id, n_tokens, bucket, start_offset,
+             CAST(FLOOR(start_offset / {TX.PACK_BUDGET}) AS INT)
+               AS pack_id
+      FROM b)""".strip()
+    sqls["doc_token_pack"] = (
+        f"WITH {tok_cte('documents')},\n{_pack_base}\n"
+        "SELECT doc_id, n_tokens, bucket, start_offset, pack_id FROM c")
+    sqls["pack_fill_stats"] = (
+        f"WITH {tok_cte('documents')},\n{_pack_base}\n"
+        f"SELECT bucket, pack_id, CAST(count(*) AS INT) AS n_docs,\n"
+        f"       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,\n"
+        f"       round(CAST(sum(n_tokens) AS BIGINT)"
+        f" / {TX.PACK_BUDGET}, 6) AS fill_ratio\n"
+        f"FROM c GROUP BY bucket, pack_id")
+
+    # hash-stratified sample: identical md5 threshold rule (Spark and
+    # DuckDB md5 agree byte-for-byte on the same string input)
+    whens = " ".join(
+        f"WHEN '{la}' THEN '{TX._rate_to_hex(r)}'"
+        for la, r in sorted(TX.SAMPLE_RATES.items()))
+    sqls["doc_hash_sample"] = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         substring(md5(CAST(doc_id AS VARCHAR) || '{TX.SAMPLE_SEED}'),
+                   1, 4) AS h4,
+         CASE lang {whens} END AS thr
+  FROM documents)
+SELECT doc_id, lang, h4 FROM s WHERE h4 < thr"""
+
     return sqls
 
 

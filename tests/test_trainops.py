@@ -134,3 +134,56 @@ def test_media_decoder_gate(spark, sf_dir):
     feats = multimodal.extract_media_features(media).limit(5).collect()
     assert all(64 <= r["width"] <= 319 and r["content_len"] == 16
                for r in feats)
+
+
+def test_token_pack_greedy_invariants(spark):
+    """Hand-checkable packing: sequential docs in one bucket, budget 10.
+    Token counts 4,5,3,6,2 -> offsets 0,4,9,12,18 -> packs 0,0,0,1,1."""
+    docs = spark.createDataFrame(
+        [(i * textops.PACK_BUCKETS, " ".join(["w"] * n))
+         for i, n in enumerate([4, 5, 3, 6, 2])],
+        "doc_id bigint, text string")
+    got = {r["doc_id"] // textops.PACK_BUCKETS:
+           (r["start_offset"], r["pack_id"])
+           for r in textops.token_pack_assignments(docs, budget=10)
+           .collect()}
+    assert got == {0: (0, 0), 1: (4, 0), 2: (9, 0), 3: (12, 1),
+                   4: (18, 1)}
+
+
+def test_token_pack_no_global_sort(spark, sf_dir):
+    """The only exchange is the bucket hash partition — packing must
+    never sort the whole corpus on one stream."""
+    plan = (textops.token_pack_assignments(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text"))
+        ._jdf.queryExecution().executedPlan().toString())
+    import re
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert exchanges == ["hashpartitioning"]
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_hash_sample_deterministic_and_rate_accurate(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "lang")
+    s1 = textops.hash_stratified_sample(docs)
+    s2 = textops.hash_stratified_sample(docs)
+    ids1 = sorted(r["doc_id"] for r in s1.collect())
+    assert ids1 == sorted(r["doc_id"] for r in s2.collect())
+    # seed change draws a different (overlapping but not identical) set
+    s3 = textops.hash_stratified_sample(docs, seed="other-seed")
+    assert ids1 != sorted(r["doc_id"] for r in s3.collect())
+    # per-stratum keep rate within binomial noise of the target
+    n_en = docs.filter(F.col("lang") == "en").count()
+    k_en = s1.filter(F.col("lang") == "en").count()
+    assert abs(k_en / n_en - textops.SAMPLE_RATES["en"]) < 0.2
+
+
+def test_hash_sample_rates_broadcast(spark, sf_dir):
+    plan = (textops.hash_stratified_sample(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang"))
+        ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
