@@ -724,6 +724,54 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n,
              6) AS pearson_r
 FROM events GROUP BY event_type"""
 
+    # event_windows: epoch-aligned tumbling buckets recomputed from raw
+    # epoch arithmetic (make_timestamp keeps the naive-timestamp type,
+    # matching Spark's window struct fields)
+    from .streaming import pipeline as SP
+    tumble_s = 6 * 3600
+    assert SP.TUMBLE_DUR == "6 hours"
+    sqls["event_windows"] = f"""
+WITH w AS (
+  SELECT make_timestamp(CAST(floor(epoch(ts) / {tumble_s}) * {tumble_s}
+                             AS BIGINT) * 1000000) AS window_start,
+         event_type, value
+  FROM events)
+SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S.%f') AS window_start,
+       strftime(window_start + INTERVAL {tumble_s} SECOND,
+                '%Y-%m-%d %H:%M:%S.%f') AS window_end,
+       event_type, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM w GROUP BY 1, 2, 3"""
+
+    # event_sessions: gap-merged sessions re-derived independently via
+    # the islands technique — a new session starts when the gap to the
+    # previous event is >= the session gap (session windows are
+    # [start, last + gap), so an event landing exactly at the window
+    # end opens a new session)
+    gap_s = 8 * 3600
+    assert SP.SESSION_GAP == "8 hours"
+    sqls["event_sessions"] = f"""
+WITH e AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL {gap_s} SECOND
+              THEN 1 ELSE 0 END AS new_s
+  FROM events),
+s AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(max(ts) + INTERVAL {gap_s} SECOND,
+                '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM s GROUP BY user_id, sid"""
+
     from .operators import serde as SR
     sqls["csv_roundtrip"] = "WITH " + terms_full_cte() + """
 SELECT id, name, definition, synonyms,

@@ -25,6 +25,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..corpus import explode_spans, interleave_docs
 from ..operators.gazetteer import gazetteer_df
@@ -85,3 +86,59 @@ def stream_triples(spark: SparkSession, input_dir: str, out_dir: str,
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# --- event-time windowed aggregation + sessionization -----------------------
+#
+# Beyond the batch-only reference: the Structured Streaming event-time
+# surface (tumbling windows + watermark late-data handling, session
+# windows). Both operators take EITHER a batch or a streaming frame —
+# `F.window` / `F.session_window` are plan nodes, so the one definition
+# serves the oracle-gated batch queries and the watermarked streams
+# (tested by replaying the events table file-by-file).
+
+EVENTS_SCHEMA = ("event_id bigint, ts timestamp, user_id bigint, "
+                 "event_type string, value double, props string")
+
+TUMBLE_DUR = "6 hours"
+SESSION_GAP = "8 hours"
+LATE_WATERMARK = "12 hours"
+
+
+def windowed_event_counts(events: DataFrame,
+                          window_dur: str = TUMBLE_DUR,
+                          watermark: str | None = None) -> DataFrame:
+    """Tumbling event-time windows per event_type: count + value total.
+    With `watermark` set (streaming), state for windows older than
+    max(event time) - watermark is finalized and late rows beyond it
+    are dropped; batch callers leave it None (watermark is a no-op on
+    batch plans anyway). Epoch-aligned windows — the oracle recomputes
+    them with time_bucket."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    w = F.window("ts", window_dur)
+    return (src.groupBy(w.alias("win"), "event_type")
+            .agg(F.count("*").cast("bigint").alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("total_value"))
+            .select(F.col("win.start").alias("window_start"),
+                    F.col("win.end").alias("window_end"),
+                    "event_type", "n_events", "total_value"))
+
+
+def sessionized_events(events: DataFrame,
+                       gap: str = SESSION_GAP,
+                       watermark: str | None = None) -> DataFrame:
+    """Per-user session windows (gap-merged event-time sessions): the
+    built-in session_window plan node — Spark merges events whose gaps
+    are under `gap` into [min ts, max ts + gap) windows, in one
+    stateful aggregation (no self-join, no per-user sort exported to
+    the caller). The oracle re-derives sessions independently with the
+    SQL islands technique (lag + gap flag + running sum)."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    w = F.session_window("ts", gap)
+    return (src.groupBy(w.alias("win"), "user_id")
+            .agg(F.count("*").cast("bigint").alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("total_value"))
+            .select("user_id",
+                    F.col("win.start").alias("session_start"),
+                    F.col("win.end").alias("session_end"),
+                    "n_events", "total_value"))

@@ -54,3 +54,98 @@ def test_stream_matches_batch_and_is_exactly_once(spark, sf_dir, staged):
     # ids at 0 and silently mix old/new batches — must refuse (ADVICE r1)
     with pytest.raises(ValueError, match="batch_id"):
         stream_triples(spark, in_dir, out_dir, str(ckpt) + "_fresh")
+
+
+# --- event-time windows over a replayed stream ------------------------------
+
+from cspirit_ontology_information_extraction_opus4plan_spark.streaming.pipeline import (  # noqa: E402
+    EVENTS_SCHEMA,
+    LATE_WATERMARK,
+    sessionized_events,
+    windowed_event_counts,
+)
+
+
+@pytest.fixture()
+def event_files(tmp_path, spark, sf_dir):
+    """Events table split into two files along event time, so the
+    watermark advances between micro-batches on replay."""
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .toPandas().sort_values("ts").reset_index(drop=True))
+    ev["ts"] = ev["ts"].astype("datetime64[us]")  # schema says micros
+    in_dir = tmp_path / "ev"
+    in_dir.mkdir()
+    half = len(ev) // 2
+    ev.iloc[:half].to_parquet(in_dir / "a.parquet", index=False)
+    ev.iloc[half:].to_parquet(in_dir / "b.parquet", index=False)
+    return str(in_dir), ev
+
+
+def _drain_complete(spark, out_df, name):
+    q = (out_df.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.table(name).toPandas()
+
+
+@pytest.mark.parametrize("op,keys", [
+    (windowed_event_counts, ["window_start", "event_type"]),
+    (sessionized_events, ["user_id", "session_start"]),
+])
+def test_stream_windows_match_batch(spark, sf_dir, event_files, op, keys):
+    in_dir, _ = event_files
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(in_dir)
+    got = _drain_complete(spark, op(stream, watermark=LATE_WATERMARK),
+                          f"mem_{op.__name__}")
+    want = op(spark.read.parquet(f"{sf_dir}/events.parquet")).toPandas()
+    assert len(got) == len(want) > 0
+    for df in (got, want):
+        for c in df.columns:
+            if str(df[c].dtype).startswith("datetime"):
+                df[c] = df[c].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append mode + watermark: a row arriving after the watermark has
+    passed its window is dropped, not aggregated."""
+    import os
+
+    import numpy as np
+
+    t0 = pd.Timestamp("2024-03-01 00:00:00")
+    mk = lambda ts, eid: {"event_id": eid, "ts": ts, "user_id": 1,
+                          "event_type": "view", "value": 1.0, "props": ""}
+    in_dir = tmp_path / "late"
+    in_dir.mkdir()
+
+    def _write(rows, path):
+        df = pd.DataFrame(rows)
+        df["ts"] = df["ts"].astype("datetime64[us]")  # schema says micros
+        df.to_parquet(path, index=False)
+
+    # batch 1: rows at t0 and t0+2d -> watermark advances to t0+2d-12h
+    _write([mk(t0, 1), mk(t0 + pd.Timedelta("2d"), 2)], in_dir / "a.parquet")
+    # batch 2: a too-late row (t0-1d, far below the watermark) plus a
+    # fresh row that advances event time further so earlier windows emit
+    _write([mk(t0 - pd.Timedelta("1d"), 3), mk(t0 + pd.Timedelta("3d"), 4)],
+           in_dir / "b.parquet")
+    os.utime(in_dir / "a.parquet", (1, 1))
+    os.utime(in_dir / "b.parquet", (2, 2))
+
+    stream = (spark.readStream.schema(EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(str(in_dir)))
+    out = windowed_event_counts(stream, watermark=LATE_WATERMARK)
+    q = (out.writeStream.format("memory").queryName("mem_late")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.table("mem_late").toPandas()
+
+    emitted = set(got["window_start"].astype("datetime64[us]"))
+    assert t0.to_datetime64() in np.array(list(emitted))
+    # the late row's window must NOT appear
+    assert (t0 - pd.Timedelta("1d")).to_datetime64() not in np.array(
+        list(emitted))
+    # and the on-time t0 window counted only its one on-time row
+    row = got[got["window_start"].astype("datetime64[us]") == t0]
+    assert row["n_events"].tolist() == [1]
