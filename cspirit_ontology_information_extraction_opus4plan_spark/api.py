@@ -650,6 +650,15 @@ def q_event_sessions(spark, sf_dir):
         "n_events", "total_value")
 
 
+def q_event_asof(spark, sf_dir):
+    """Point-in-time as-of join: each non-purchase event picks up the
+    user's most recent at-or-before purchase. Oracle is DuckDB's
+    native ASOF LEFT JOIN; the Spark side is the union-tag +
+    carry-forward window (operators/asof.py) — no theta-join blow-up."""
+    from .operators.asof import last_purchase_features
+    return last_purchase_features(CS.load_events(spark, sf_dir))
+
+
 def queries() -> dict[str, QueryFn]:
     """Ordered so the driver's CORRECTNESS gate (which covered exactly
     the first 50 entries in round 1) lands one green row per
@@ -763,6 +772,7 @@ def queries() -> dict[str, QueryFn]:
         "pack_fill_stats": q_pack_fill_stats,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_quality": q_doc_quality,
+        "event_asof": q_event_asof,
     }
 
 

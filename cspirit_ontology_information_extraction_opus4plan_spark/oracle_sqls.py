@@ -772,6 +772,21 @@ SELECT user_id,
        round(sum(value), 6) AS total_value
 FROM s GROUP BY user_id, sid"""
 
+    # event_asof: DuckDB's native ASOF LEFT JOIN is the independent
+    # re-derivation of the union-tag carry-forward window. Right side
+    # deduped to one row per (user, ts) in both engines so exact-ts
+    # ties cannot diverge.
+    sqls["event_asof"] = """
+WITH p AS (
+  SELECT user_id, ts, max(event_id) AS purchase_event_id,
+         arg_max(value, event_id) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+l AS (SELECT * FROM events WHERE event_type <> 'purchase')
+SELECT l.event_id, l.user_id, l.event_type,
+       p.purchase_event_id AS last_purchase_event_id,
+       round(p.purchase_value, 6) AS last_purchase_value
+FROM l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts >= p.ts"""
+
     from .operators import serde as SR
     sqls["csv_roundtrip"] = "WITH " + terms_full_cte() + """
 SELECT id, name, definition, synonyms,

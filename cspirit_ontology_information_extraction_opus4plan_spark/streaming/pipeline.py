@@ -142,3 +142,37 @@ def sessionized_events(events: DataFrame,
                     F.col("win.start").alias("session_start"),
                     F.col("win.end").alias("session_end"),
                     "n_events", "total_value"))
+
+
+# --- custom stateful operator: applyInPandasWithState ----------------------
+
+RUNNING_TOTALS_SCHEMA = ("user_id bigint, n_events bigint, "
+                         "total_value double")
+_STATE_SCHEMA = "n bigint, tot double"
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Cross-micro-batch running totals per user — the custom stateful
+    operator class (applyInPandasWithState): arbitrary per-key state
+    that `groupBy().agg()` can't express incrementally when the update
+    logic is imperative. State is O(1) per user (count + sum), Arrow
+    batches in/out (no per-row Python), keys partitioned by the state
+    store — one row per user per micro-batch it appears in, carrying
+    the cumulative totals so far. Batch equivalent for testing: plain
+    groupBy count/sum."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdf_iter, state):
+        n, tot = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            tot += float(pdf["value"].sum())
+        state.update((n, tot))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "total_value": [round(tot, 6)]})
+
+    return (events.groupBy("user_id")
+            .applyInPandasWithState(update, RUNNING_TOTALS_SCHEMA,
+                                    _STATE_SCHEMA, "update",
+                                    GroupStateTimeout.NoTimeout))

@@ -149,3 +149,41 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # and the on-time t0 window counted only its one on-time row
     row = got[got["window_start"].astype("datetime64[us]") == t0]
     assert row["n_events"].tolist() == [1]
+
+
+def test_stateful_running_totals(spark, event_files):
+    """applyInPandasWithState: state carries across micro-batches —
+    after draining two files one at a time, each user's final update
+    equals the batch groupBy totals over the whole input."""
+    from cspirit_ontology_information_extraction_opus4plan_spark.streaming.pipeline import (
+        running_user_totals,
+    )
+
+    in_dir, ev = event_files
+    stream = (spark.readStream.schema(EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    q = (running_user_totals(stream)
+         .writeStream.format("memory").queryName("mem_totals")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.table("mem_totals").toPandas()
+
+    # memory sink appends every per-batch update; the final state per
+    # user is the row with the largest (nondecreasing) n_events
+    final = (got.sort_values("n_events").groupby("user_id").tail(1)
+             .set_index("user_id").sort_index())
+    want = (ev.groupby("user_id")
+            .agg(n_events=("event_id", "size"), total_value=("value", "sum"))
+            .sort_index())
+    assert len(final) == len(want)
+    assert (final["n_events"] == want["n_events"]).all()
+    assert (final["total_value"].round(4)
+            == want["total_value"].round(4)).all()
+    # state really did cross batches: some user present in BOTH files
+    # must have emitted two updates with increasing counts
+    both = set(ev.iloc[:len(ev) // 2]["user_id"]) & set(
+        ev.iloc[len(ev) // 2:]["user_id"])
+    assert both
+    u = next(iter(both))
+    counts = sorted(got[got["user_id"] == u]["n_events"])
+    assert len(counts) == 2 and counts[0] < counts[1]
