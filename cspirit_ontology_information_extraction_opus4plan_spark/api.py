@@ -708,7 +708,7 @@ def queries() -> dict[str, QueryFn]:
         # format_route exercises the identical registry parsers in-gate)
         "ntriples": q_ntriples,
         "terms_csv": q_terms_csv,
-        "csv_roundtrip": q_csv_roundtrip,
+        "event_asof": q_event_asof,
         "url_route": q_url_route,
         "jsonld_expand": q_jsonld_expand,
         "format_route": q_format_route,
@@ -772,7 +772,7 @@ def queries() -> dict[str, QueryFn]:
         "pack_fill_stats": q_pack_fill_stats,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_quality": q_doc_quality,
-        "event_asof": q_event_asof,
+        "csv_roundtrip": q_csv_roundtrip,
     }
 
 

@@ -14,15 +14,18 @@ input file processed once, and each micro-batch writes to its own
 ``batch_id=N`` subdirectory with overwrite — so a crash-replay of an
 already-written batch is idempotent rather than at-least-once. The
 7-tuple dedup is applied by readers (dedup is a global property the
-batch `dedup_triples` provides; a streaming global dedup would need
+batch `dedup_triples` provides; a streaming GLOBAL dedup would need
 stateful dropDuplicates over an unbounded key space — deliberately NOT
 done, matching the partition-overwrite + read-side-dedup design of the
-batch materializer).
+batch materializer). The bounded-state variant IS provided:
+`dedup_events_within_watermark` suppresses re-deliveries inside the
+watermark horizon with state that expires as the watermark advances.
 """
 
 from __future__ import annotations
 
 import os
+from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -176,3 +179,19 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             .applyInPandasWithState(update, RUNNING_TOTALS_SCHEMA,
                                     _STATE_SCHEMA, "update",
                                     GroupStateTimeout.NoTimeout))
+
+
+def dedup_events_within_watermark(events: DataFrame,
+                                  watermark: str = LATE_WATERMARK,
+                                  keys: Sequence[str] = ("event_id",)
+                                  ) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state: dropDuplicatesWithinWatermark
+    keeps a key's dedup state only until the watermark passes its event
+    time, so re-deliveries inside the watermark horizon (the realistic
+    at-least-once-source case: source retries, overlapping file drops)
+    are suppressed without the unbounded key-space state a plain
+    streaming dropDuplicates would accumulate. Complements the batch
+    materializer's read-side 7-tuple dedup (module docstring): readers
+    still own *global* dedup; this bounds the duplicate volume they see."""
+    return (events.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(list(keys)))

@@ -187,3 +187,40 @@ def test_stateful_running_totals(spark, event_files):
     u = next(iter(both))
     counts = sorted(got[got["user_id"] == u]["n_events"])
     assert len(counts) == 2 and counts[0] < counts[1]
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    """Cross-batch re-delivery of the same event_id inside the
+    watermark horizon is suppressed; state stays bounded by design."""
+    from cspirit_ontology_information_extraction_opus4plan_spark.streaming.pipeline import (
+        dedup_events_within_watermark,
+    )
+
+    t0 = pd.Timestamp("2024-03-01 00:00:00")
+    mk = lambda ts, eid: {"event_id": eid, "ts": ts, "user_id": 1,
+                          "event_type": "view", "value": 1.0, "props": ""}
+    in_dir = tmp_path / "dups"
+    in_dir.mkdir()
+
+    def _write(rows, path):
+        df = pd.DataFrame(rows)
+        df["ts"] = df["ts"].astype("datetime64[us]")
+        df.to_parquet(path, index=False)
+
+    import os
+    # batch 1: events 1 and 2; batch 2 re-delivers event 2 (same ts,
+    # within the 12h watermark) and adds fresh event 3
+    _write([mk(t0, 1), mk(t0 + pd.Timedelta("1h"), 2)], in_dir / "a.parquet")
+    _write([mk(t0 + pd.Timedelta("1h"), 2), mk(t0 + pd.Timedelta("2h"), 3)],
+           in_dir / "b.parquet")
+    os.utime(in_dir / "a.parquet", (1, 1))
+    os.utime(in_dir / "b.parquet", (2, 2))
+
+    stream = (spark.readStream.schema(EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(str(in_dir)))
+    q = (dedup_events_within_watermark(stream)
+         .writeStream.format("memory").queryName("mem_dedup")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.table("mem_dedup").toPandas()
+    assert sorted(got["event_id"]) == [1, 2, 3]  # the re-delivery is gone
