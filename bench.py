@@ -157,6 +157,33 @@ def make_scaled_input(sf_dir: str, mult: int,
     return out_dir
 
 
+def _burn(dur: float) -> int:
+    """Tight pure-Python loop for `dur` seconds; returns iterations."""
+    t0 = time.time()
+    n = 0
+    x = 0
+    while time.time() - t0 < dur:
+        for i in range(10_000):
+            x = (x * 1103515245 + i) & 0x7FFFFFFF
+        n += 10_000
+    return n
+
+
+def cpu_probe(n_procs: int, dur: float = 1.5) -> float:
+    """Aggregate host CPU delivery at n_procs processes (ops/s summed
+    across workers). Run immediately before each timed leg: the sandbox
+    hypervisor delivers cores burstily, and an efficiency ratio taken in
+    a throttled window understates the ENGINE. Recording the probe with
+    every run turns 'the host was slow' from an assertion into data —
+    probe_ratio ~= 1 means the host really delivered 4x compute from
+    2->8 procs in that window; a low probe_ratio caps ANY program's
+    achievable scaling in the same window."""
+    from multiprocessing import Pool
+    with Pool(n_procs) as pool:
+        counts = pool.map(_burn, [dur] * n_procs)
+    return round(sum(counts) / dur, 0)
+
+
 def pipeline_at(master: str, sf_dir: str, shuffle_partitions: int) -> dict:
     """Steady-state time of the end-to-end KG pipeline (the north-rule
     metric query) at the given parallelism. Warm-up runs the SAME input
@@ -194,10 +221,16 @@ def main() -> None:
         text_mult = int(os.environ.get("SPARK_GRAFT_TEXT_MULT", "8"))
         n_hi = 4 * n_lo
         scaled_dir = make_scaled_input(SF_DIR, mult, text_mult)
+        probe_lo = cpu_probe(n_lo)
         lo = pipeline_at(f"local[{n_lo}]", scaled_dir, 2 * n_lo)
+        probe_hi = cpu_probe(n_hi)
         hi = pipeline_at(f"local[{n_hi}]", scaled_dir, 2 * n_hi)
         eff = (hi["triples_per_sec"] / max(lo["triples_per_sec"], 1e-9)) / (
             n_hi / n_lo)
+        # host CPU delivery in the same windows as the two legs:
+        # 1.0 = the host really delivered n_hi/n_lo x compute
+        probe_ratio = round((probe_hi / max(probe_lo, 1e-9))
+                            / (n_hi / n_lo), 3)
         out = {
             "metric": "scaling_efficiency", "value": round(eff, 3),
             "unit": "ratio", "sf": _sf_from_dir(SF_DIR), "mult": mult, "text_mult": text_mult,
@@ -206,6 +239,8 @@ def main() -> None:
             "n_emitted": hi["n_emitted"],
             "triples_per_sec": [lo["triples_per_sec"], hi["triples_per_sec"]],
             "wall_s": [lo["wall_s"], hi["wall_s"]],
+            "cpu_probe_ops": [probe_lo, probe_hi],
+            "cpu_probe_ratio": probe_ratio,
         }
         print(json.dumps(out))
         os.makedirs(os.path.join(REPO, ".bench_scaled"), exist_ok=True)

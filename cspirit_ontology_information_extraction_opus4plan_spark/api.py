@@ -650,6 +650,25 @@ def q_event_sessions(spark, sf_dir):
         "n_events", "total_value")
 
 
+def q_doc_pii_redact(spark, sf_dir):
+    """PII redaction (emails/IPv4/phones -> class tokens + counts) over
+    the deterministically PII-decorated corpus; pure codegen'd column
+    expressions, no shuffle."""
+    from .operators.pii import redact_pii
+    return redact_pii(DE.pii_decorated_docs(_docs(spark, sf_dir)))
+
+
+def q_doc_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: corpus docs sharing any word 8-gram
+    with the benchmark set (originals of the planted exact copies), via
+    broadcast shingle semi-join — the corpus never shuffles on the
+    shingle."""
+    from .operators.pii import contaminated_docs
+    adoc = DE.augmented_docs(spark, sf_dir)
+    is_bench = (F.col("doc_id") % 17 == 0) & (F.col("doc_id") < 1000000)
+    return contaminated_docs(adoc.filter(~is_bench), adoc.filter(is_bench))
+
+
 def q_event_asof(spark, sf_dir):
     """Point-in-time as-of join: each non-purchase event picks up the
     user's most recent at-or-before purchase. Oracle is DuckDB's
@@ -773,6 +792,8 @@ def queries() -> dict[str, QueryFn]:
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_quality": q_doc_quality,
         "csv_roundtrip": q_csv_roundtrip,
+        "doc_pii_redact": q_doc_pii_redact,
+        "doc_decontaminate": q_doc_decontaminate,
     }
 
 

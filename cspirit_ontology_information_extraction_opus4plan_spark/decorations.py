@@ -497,3 +497,32 @@ cits AS (
          CASE doc_id % 3 WHEN 0 THEN {apa} WHEN 1 THEN {ieee}
               ELSE {mla} END AS citation
   FROM documents)""".strip()
+
+
+# ---------------------------------------------------------------------------
+# PII decoration (redaction-operator corpus)
+# ---------------------------------------------------------------------------
+
+
+def pii_decorated_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) with deterministic planted PII: an email for
+    doc_id%7==0, an IPv4 for %11==0, a US phone for %13==3 (mod classes
+    overlap, exercising multi-class rows). Rebuilt identically by the
+    oracle SQL (PII_CTE)."""
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 7 == 0, F.concat(
+                F.lit(" contact user"), ds, F.lit("@example.com")))
+            .otherwise(F.lit("")),
+            F.when(did % 11 == 0, F.concat(
+                F.lit(" from 10."), (did % 250).cast("string"),
+                F.lit(".0.1"))).otherwise(F.lit("")),
+            F.when(did % 13 == 3, F.concat(
+                F.lit(" call 555-010-"),
+                F.lpad((did % 10000).cast("string"), 4, "0")))
+            .otherwise(F.lit("")),
+        ).alias("text"))

@@ -424,6 +424,50 @@ WITH s AS (
   FROM documents)
 SELECT doc_id, lang, h4 FROM s WHERE h4 < thr"""
 
+    # PII redaction over the deterministically decorated corpus
+    # (decorations.pii_decorated_docs); patterns are the shared
+    # Java-regex/RE2-compatible subset in operators/pii.py
+    from .operators import pii as PI
+    em, ip, ph = (PI.PII_PATTERNS["email"], PI.PII_PATTERNS["ipv4"],
+                  PI.PII_PATTERNS["phone"])
+    sqls["doc_pii_redact"] = f"""
+WITH pdoc AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0 THEN ' contact user'
+                 || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' from 10.'
+                 || CAST(doc_id % 250 AS VARCHAR) || '.0.1'
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 3 THEN ' call 555-010-'
+                 || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS text
+  FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(
+         text, '{em}', '[EMAIL]', 'g'), '{ip}', '[IP]', 'g'),
+         '{ph}', '[PHONE]', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(text, '{em}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '{ip}')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '{ph}')) AS BIGINT) AS n_phone
+FROM pdoc"""
+
+    # decontamination: benchmark = the original docs whose exact copies
+    # were planted by ADOC (doc_id%17==0), so every planted copy shares
+    # all its 8-grams and must be flagged
+    bench_pred = "doc_id % 17 = 0 AND doc_id < 1000000"
+    sqls["doc_decontaminate"] = (
+        f"WITH {ADOC_CTE},\n{tok_cte('adoc')},\n"
+        f"sg AS (SELECT doc_id, list_distinct({_sh_expr(PI.DECON_W)})"
+        f" AS sh FROM tok),\n"
+        f"bench AS (SELECT DISTINCT unnest(sh) AS s FROM sg"
+        f" WHERE {bench_pred}),\n"
+        f"corp AS (SELECT doc_id, unnest(sh) AS s FROM sg"
+        f" WHERE NOT ({bench_pred}))\n"
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits\n"
+        "FROM corp JOIN bench USING (s) GROUP BY doc_id")
+
     return sqls
 
 
