@@ -669,6 +669,45 @@ def q_doc_decontaminate(spark, sf_dir):
     return contaminated_docs(adoc.filter(~is_bench), adoc.filter(is_bench))
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_event_range_join(spark, sf_dir):
+    """Bucketed interval-containment join: 4-hour maintenance windows
+    anchored at every 37th purchase event, each counting the events it
+    contains. Equi-join on the time bucket — never a nested loop."""
+    from .operators.olap import interval_join
+    ev = CS.load_events(spark, sf_dir)
+    win = (ev.filter((F.col("event_type") == "purchase")
+                     & (F.col("event_id") % 37 == 0))
+           .select(F.col("event_id").alias("window_id"),
+                   F.col("ts").alias("w_start"),
+                   (F.col("ts") + F.expr("INTERVAL 4 HOURS"))
+                   .alias("w_end")))
+    pts = ev.select("ts", "value")
+    j = interval_join(pts, win, "ts", "w_start", "w_end",
+                      bucket_width=4 * 3600)
+    return j.groupBy("window_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"))
+
+
+def q_event_rollup(spark, sf_dir):
+    """One-pass hierarchical totals: (event_type, day) cells + per-type
+    subtotals + grand total, '(all)' labels shared with the oracle."""
+    from .operators.olap import rollup_totals
+    ev = _events_ntz(spark, sf_dir)
+    return rollup_totals(ev, F.date_format("ts", "yyyy-MM-dd"))
+
+
+def q_event_pivot(spark, sf_dir):
+    """user_id x event_type count matrix with a declared pivot value
+    list (no distinct-values pre-job; stable columns for the oracle)."""
+    from .operators.olap import pivot_counts
+    return pivot_counts(CS.load_events(spark, sf_dir), "user_id",
+                        "event_type", EVENT_TYPES)
+
+
 def q_event_asof(spark, sf_dir):
     """Point-in-time as-of join: each non-purchase event picks up the
     user's most recent at-or-before purchase. Oracle is DuckDB's
@@ -794,6 +833,9 @@ def queries() -> dict[str, QueryFn]:
         "csv_roundtrip": q_csv_roundtrip,
         "doc_pii_redact": q_doc_pii_redact,
         "doc_decontaminate": q_doc_decontaminate,
+        "event_range_join": q_event_range_join,
+        "event_rollup": q_event_rollup,
+        "event_pivot": q_event_pivot,
     }
 
 

@@ -1,0 +1,88 @@
+"""OLAP-style analytics operators over the events table: bucketed
+range (interval-containment) join, rollup with hierarchical totals,
+and pivot. No reference counterpart (the reference has no temporal or
+multi-level aggregation surface); these complete the analytics-engine
+operator families alongside asof.py.
+
+Scale shapes:
+* interval_join — Spark plans a raw `l.ts BETWEEN r.start AND r.end`
+  predicate as BroadcastNestedLoopJoin (O(|L|*|R|) compares) unless the
+  right side is broadcast-small. The bucketed form is the scale path:
+  intervals explode to the W-wide buckets they cover (an interval of
+  length <= W covers <= 2), points map to exactly one bucket, and the
+  join is EQUI on the bucket — shuffle-partitionable, AQE-skew-
+  splittable, never a nested loop. Bucket width trades explode fan-out
+  (len/W rows per interval) against per-bucket selectivity; pass W of
+  the same order as the typical interval length.
+* rollup / pivot — single wide aggregations; rollup's grouping sets
+  are computed in one pass (no union of re-scans), pivot's value set
+  is declared explicitly so Spark skips the distinct-values job and
+  the column set is stable for the oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def interval_join(left: DataFrame, right: DataFrame,
+                  left_ts: str, right_start: str, right_end: str,
+                  bucket_width: int,
+                  epoch: Column | None = None) -> DataFrame:
+    """Equi-join-by-bucket containment join: rows of `left` paired with
+    every `right` interval containing them (start <= ts < end, epoch
+    seconds). Returns all columns of both sides (names must not clash).
+    """
+    # exact integer micros, not cast("long") seconds: a fractional-
+    # second interval end truncated to seconds would drop the final
+    # bucket and silently lose containments. The cast makes NTZ inputs
+    # work too (unix_micros rejects TIMESTAMP_NTZ); it shifts both
+    # sides by the same session-tz offset, so containment is invariant.
+    wus = bucket_width * 1_000_000
+
+    def _us(c: str) -> Column:
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    lb = left.withColumn("__bkt", F.floor(_us(left_ts) / wus))
+    rb = right.withColumn(
+        "__bkt",
+        F.explode(F.sequence(
+            F.floor(_us(right_start) / wus),
+            # end is exclusive: an interval ending exactly on a bucket
+            # edge does not reach into that bucket
+            F.floor((_us(right_end) - 1) / wus))))
+    return (lb.join(rb, "__bkt")
+            .filter((F.col(left_ts) >= F.col(right_start))
+                    & (F.col(left_ts) < F.col(right_end)))
+            .drop("__bkt"))
+
+
+ALL_LABEL = "(all)"  # rollup subtotal marker, shared with the oracle
+
+
+def rollup_totals(events: DataFrame, day_col: Column,
+                  levels: Sequence[str] = ("event_type",)) -> DataFrame:
+    """One-pass hierarchical totals over (levels..., day): per-group
+    rows plus per-prefix subtotals plus the grand total, aggregated
+    level labels coalesced to '(all)' (null group markers stringify
+    differently across engines)."""
+    base = events.withColumn("__day", day_col)
+    out = (base.rollup(*levels, "__day")
+           .agg(F.count("*").cast("bigint").alias("n_events"),
+                F.round(F.sum("value"), 6).alias("total_value")))
+    sel = [F.coalesce(F.col(c), F.lit(ALL_LABEL)).alias(c) for c in levels]
+    sel.append(F.coalesce(F.col("__day"), F.lit(ALL_LABEL)).alias("day"))
+    return out.select(*sel, "n_events", "total_value")
+
+
+def pivot_counts(events: DataFrame, key: str, pivot_col: str,
+                 values: Sequence[str]) -> DataFrame:
+    """key x pivot_col count matrix with an explicit (stable, oracle-
+    shared) pivot value list; absent combinations are 0, not null."""
+    out = (events.groupBy(key)
+           .pivot(pivot_col, list(values)).count()
+           .na.fill(0, list(values)))
+    return out.select(key, *[F.col(v).cast("bigint").alias(f"n_{v}")
+                             for v in values])

@@ -816,6 +816,40 @@ SELECT user_id,
        round(sum(value), 6) AS total_value
 FROM s GROUP BY user_id, sid"""
 
+    # event_range_join: the oracle re-derives containment with a plain
+    # BETWEEN theta-join (fine at oracle scale); the Spark side is the
+    # bucketed equi-join
+    sqls["event_range_join"] = """
+WITH w AS (
+  SELECT event_id AS window_id, ts AS ws, ts + INTERVAL 4 HOUR AS we
+  FROM events WHERE event_type = 'purchase' AND event_id % 37 = 0)
+SELECT window_id, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(e.value), 6) AS total_value
+FROM events e JOIN w ON e.ts >= w.ws AND e.ts < w.we
+GROUP BY window_id"""
+
+    # event_rollup: GROUP BY ROLLUP with '(all)' labels (events carry
+    # no null event_type, so coalesce marks only the subtotal rows)
+    sqls["event_rollup"] = """
+WITH e AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value
+           FROM events)
+SELECT coalesce(event_type, '(all)') AS event_type,
+       coalesce(day, '(all)') AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM e GROUP BY ROLLUP(event_type, day)"""
+
+    # event_pivot: conditional aggregation, one column per declared
+    # event type (same value list as the Spark pivot)
+    pivot_cols = ",\n       ".join(
+        f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT)"
+        f" AS n_{t}"
+        for t in ["click", "error", "purchase", "signup", "view"])
+    sqls["event_pivot"] = f"""
+SELECT user_id,
+       {pivot_cols}
+FROM events GROUP BY user_id"""
+
     # event_asof: DuckDB's native ASOF LEFT JOIN is the independent
     # re-derivation of the union-tag carry-forward window. Right side
     # deduped to one row per (user, ts) in both engines so exact-ts

@@ -1,0 +1,58 @@
+"""interval_join containment semantics (boundary inclusivity,
+fractional-second ends, bucket-spanning intervals) and the equi-join
+plan shape; rollup/pivot are covered by the oracle gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from cspirit_ontology_information_extraction_opus4plan_spark.operators.olap import (
+    interval_join,
+)
+
+def TS(x):
+    import datetime
+    return datetime.datetime.fromisoformat(x)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    pts = spark.createDataFrame(
+        [(1, TS("2024-01-01 00:00:00")),       # == start: IN
+         (2, TS("2024-01-01 03:59:59.999999")),  # just under end: IN
+         (3, TS("2024-01-01 04:00:00")),       # == end (exclusive): OUT
+         (4, TS("2024-01-01 07:30:00")),       # inside second window
+         (5, TS("2023-12-31 23:59:59"))],      # before any window: OUT
+        "pid int, ts timestamp")
+    win = spark.createDataFrame(
+        [(10, TS("2024-01-01 00:00:00"), TS("2024-01-01 04:00:00")),
+         # fractional-second end crossing a 4h bucket edge
+         (11, TS("2024-01-01 04:30:00"), TS("2024-01-01 08:00:00.5"))],
+        "wid int, ws timestamp, we timestamp")
+    return pts, win
+
+
+def test_containment_boundaries(spark, frames):
+    pts, win = frames
+    out = interval_join(pts, win, "ts", "ws", "we", bucket_width=4 * 3600)
+    pairs = {(r["pid"], r["wid"]) for r in out.collect()}
+    assert pairs == {(1, 10), (2, 10), (4, 11)}
+
+
+def test_fractional_end_reaches_final_bucket(spark, frames):
+    """A point in the bucket that only the fractional tail of the
+    interval touches must still match (the cast-to-seconds trap)."""
+    pts = spark.createDataFrame(
+        [(9, TS("2024-01-01 08:00:00.25"))], "pid int, ts timestamp")
+    _, win = frames
+    out = interval_join(pts, win, "ts", "ws", "we", bucket_width=4 * 3600)
+    assert {(r["pid"], r["wid"]) for r in out.collect()} == {(9, 11)}
+
+
+def test_plan_is_equi_join(spark, frames):
+    pts, win = frames
+    plan = (interval_join(pts, win, "ts", "ws", "we", bucket_width=4 * 3600)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
