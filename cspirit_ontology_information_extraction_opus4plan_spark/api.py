@@ -669,6 +669,39 @@ def q_doc_decontaminate(spark, sf_dir):
     return contaminated_docs(adoc.filter(~is_bench), adoc.filter(is_bench))
 
 
+def q_doc_neardup_resolve(spark, sf_dir):
+    """Near-dup RESOLUTION (not just pair detection): MinHash-LSH pairs
+    -> connected components over the pair graph (CC state bounded by
+    paired docs, never the corpus) -> keep best-by-quality per cluster
+    (tie -> min doc_id). One verdict row per doc."""
+    from .operators.curation import neardup_resolve
+    return neardup_resolve(DE.augmented_docs(spark, sf_dir))
+
+
+def _curation_split(spark, sf_dir):
+    adoc = DE.augmented_docs(spark, sf_dir)
+    is_bench = (F.col("doc_id") % 17 == 0) & (F.col("doc_id") < 1000000)
+    return adoc.filter(~is_bench), adoc.filter(is_bench)
+
+
+def q_doc_curation_funnel(spark, sf_dir):
+    """Multi-stage curation verdict per doc: language gate, quality
+    gate, exact-dup lineage, benchmark contamination, combined kept
+    flag — one corpus scan for the per-row gates, md5 groupBy + hash
+    join for lineage, broadcast shingle semi-join for contamination."""
+    from .operators.curation import curation_funnel
+    corpus, bench = _curation_split(spark, sf_dir)
+    return curation_funnel(corpus, bench)
+
+
+def q_doc_curation_stats(spark, sf_dir):
+    """One-row survival summary of the curation funnel (the per-stage
+    counts a pipeline dashboard tracks per corpus snapshot)."""
+    from .operators.curation import curation_funnel, curation_stage_stats
+    corpus, bench = _curation_split(spark, sf_dir)
+    return curation_stage_stats(curation_funnel(corpus, bench))
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -745,7 +778,10 @@ def queries() -> dict[str, QueryFn]:
         "doc_simhash_neardup": q_doc_simhash_neardup,
         "event_windows": q_event_windows,
         "doc_token_stats": q_doc_token_stats,
-        "event_sessions": q_event_sessions,
+        "doc_pii_redact": q_doc_pii_redact,
+        "doc_decontaminate": q_doc_decontaminate,
+        "doc_curation_funnel": q_doc_curation_funnel,
+        "doc_neardup_resolve": q_doc_neardup_resolve,
         "doc_embedding_neardup": q_doc_embedding_neardup,
         "ann_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -756,30 +792,27 @@ def queries() -> dict[str, QueryFn]:
         "doc_sections": q_doc_sections,
         "citation_format_detect": q_citation_format_detect,
         "media_dedup_merge": q_media_dedup_merge,
-        "caption_cleanup": q_caption_cleanup,
         "scientific_notation": q_scientific_notation,
+        "event_range_join": q_event_range_join,
+        "event_rollup": q_event_rollup,
         "cycle_chains": q_cycle_chains,
         "jats_parse": q_jats_parse,
         "content_guards": q_content_guards,
         # --- sources / sinks / registry routing — 8
-        # (ntriples_parse/turtle_parse/rdfxml_parse moved past the gate:
-        # format_route exercises the identical registry parsers in-gate)
+        # (ntriples_parse moved past the gate: format_route exercises
+        # the identical registry parser in-gate)
         "ntriples": q_ntriples,
-        "terms_csv": q_terms_csv,
+        "turtle_parse": q_turtle_parse,
+        "rdfxml_parse": q_rdfxml_parse,
         "event_asof": q_event_asof,
-        "url_route": q_url_route,
         "jsonld_expand": q_jsonld_expand,
         "format_route": q_format_route,
         "parse_stats": q_parse_stats,
         "conversion_filter": q_conversion_filter,
         # --- core ontology algebra — 11
         "ontology_stats": q_ontology_stats,
-        "ontology_overlap": q_ontology_overlap,
         "dangling_refs": q_dangling_refs,
-        "duplicate_relationships": q_duplicate_relationships,
-        "confidence_trim": q_confidence_trim,
         "namespace_chemical": q_namespace_chemical,
-        "term_depths": q_term_depths,
         "dependency_closure": q_dependency_closure,
         "term_search": q_term_search,
         "merge_union": q_merge_union,
@@ -789,6 +822,14 @@ def queries() -> dict[str, QueryFn]:
         "text_normalize": q_text_normalize,
         # --- beyond the gate window: secondary variants and views,
         # --- locally verified (tools/verify_queries.py)
+        "event_sessions": q_event_sessions,
+        "caption_cleanup": q_caption_cleanup,
+        "terms_csv": q_terms_csv,
+        "url_route": q_url_route,
+        "ontology_overlap": q_ontology_overlap,
+        "duplicate_relationships": q_duplicate_relationships,
+        "confidence_trim": q_confidence_trim,
+        "term_depths": q_term_depths,
         "span_integrity": q_span_integrity,
         "predicate_counts": q_predicate_counts,
         "predicate_distribution": q_predicate_distribution,
@@ -821,8 +862,6 @@ def queries() -> dict[str, QueryFn]:
         "event_correlation": q_event_correlation,
         "doc_simhash_clusters": q_doc_simhash_clusters,
         "ntriples_parse": q_ntriples_parse,
-        "turtle_parse": q_turtle_parse,
-        "rdfxml_parse": q_rdfxml_parse,
         "url_parse": q_url_parse,
         "owl_export": q_owl_export,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -831,11 +870,8 @@ def queries() -> dict[str, QueryFn]:
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_quality": q_doc_quality,
         "csv_roundtrip": q_csv_roundtrip,
-        "doc_pii_redact": q_doc_pii_redact,
-        "doc_decontaminate": q_doc_decontaminate,
-        "event_range_join": q_event_range_join,
-        "event_rollup": q_event_rollup,
         "event_pivot": q_event_pivot,
+        "doc_curation_stats": q_doc_curation_stats,
     }
 
 

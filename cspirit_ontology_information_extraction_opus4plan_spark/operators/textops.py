@@ -378,6 +378,19 @@ def bpe_token_counts(docs: DataFrame) -> DataFrame:
         .alias("subtoken_ratio"))  # try_divide: empty doc, ANSI mode
 
 
+def quality_score_col(text: str = "text") -> Column:
+    """The combined quality score as a reusable per-row Column (single
+    source of truth shared by quality_scores and the curation funnel)."""
+    toks = tokens_col(text)
+    n_tok = F.size(toks)
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_EN)))
+    return F.round(
+        0.4 * F.least(n_tok / F.lit(100.0), F.lit(1.0))
+        + 0.3 * (1 - F.try_divide(punct, F.length(text)))
+        + 0.3 * F.try_divide(stop_hits, n_tok), 6)
+
+
 def quality_scores(docs: DataFrame) -> DataFrame:
     """Quality heuristics (reference analog: text-complexity metrics
     content_utils.py:94): length, punctuation density, stopword ratio,
@@ -391,14 +404,24 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     # and ANSI-mode division would abort the stage on one bad row
     punct_ratio = F.round(F.try_divide(punct, F.length("text")), 6)
     stop_ratio = F.round(F.try_divide(stop_hits, n_tok), 6)
-    score = F.round(
-        0.4 * F.least(n_tok / F.lit(100.0), F.lit(1.0))
-        + 0.3 * (1 - F.try_divide(punct, F.length("text")))
-        + 0.3 * F.try_divide(stop_hits, n_tok), 6)
     return docs.select(
         "doc_id", n_tok.alias("n_tokens"),
         punct_ratio.alias("punct_ratio"), stop_ratio.alias("stop_ratio"),
-        score.alias("quality_score"))
+        quality_score_col().alias("quality_score"))
+
+
+def lang_pred_col(text: str = "text") -> Column:
+    """Predicted language as a reusable per-row Column: >= 2 wordlist
+    hits required, argmax hits, alphabetical tie-break, else 'und'."""
+    toks = tokens_col(text)
+    langs = sorted(LANG_WORDLISTS)
+    hit_cols = {la: F.size(F.filter(
+        toks, lambda t: t.isin(*LANG_WORDLISTS[la]))) for la in langs}
+    best = F.greatest(*[hit_cols[la] for la in langs])
+    pred = F.when(best < 2, "und")
+    for la in langs:
+        pred = pred.when(hit_cols[la] == best, la)
+    return pred
 
 
 def lang_id(docs: DataFrame) -> DataFrame:

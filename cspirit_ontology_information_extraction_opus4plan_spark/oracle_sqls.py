@@ -192,9 +192,9 @@ adoc AS (
 )""".strip()
 
 
-def tok_cte(src: str) -> str:
+def tok_cte(src: str, name: str = "tok") -> str:
     return f"""
-tok AS (
+{name} AS (
   SELECT doc_id, text,
          list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
                      t -> t <> '') AS toks
@@ -209,17 +209,26 @@ def _sh_expr(w: int) -> str:
             f"ELSE [array_to_string(toks, ' ')] END")
 
 
-def _textops_sqls() -> dict[str, str]:
-    sqls = {}
+def _quality_expr() -> str:
+    """The combined quality score over (text, toks) — textually identical
+    to the doc_quality oracle's quality_score column (textops.
+    quality_score_col is the Spark twin)."""
+    stops = ",".join(_q(s) for s in TX.STOPWORDS_EN)
+    return (
+        "round(0.4 * least(len(toks) / 100.0, 1.0)"
+        " + 0.3 * (1 - length(regexp_replace(text, '[^.,;:!?]', '', 'g'))"
+        " / length(text))"
+        f" + 0.3 * (len(list_filter(toks, t -> list_contains([{stops}], t)))"
+        " / len(toks)), 6)")
 
-    sqls["doc_exact_dedup"] = f"WITH {ADOC_CTE}" + """
-SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_docs,
-       min(doc_id) AS keep_doc_id
-FROM adoc GROUP BY 1 HAVING count(*) > 1"""
 
+def _minhash_pair_ctes() -> str:
+    """Reusable CTE chain adoc -> tok -> sg -> shx -> sig -> bands ->
+    cand -> sets_ -> pairs(a, b, jaccard): the verified MinHash-LSH
+    near-dup pairs over the augmented corpus (same one-md5
+    permuted-alphabet family as textops.minhash_signatures: base =
+    md5(shingle); mh_i = min(translate(base, hex, perm_i)))."""
     r = TX.MINHASH_K // TX.MINHASH_BANDS
-    # same one-md5 permuted-alphabet family as minhash_signatures():
-    # base = md5(shingle); mh_i = min(translate(base, hex, perm_i))
     mh_exprs = ",".join(
         f"min(translate(h, '{TX.HEX_DIGITS}', '{TX.MINHASH_PERMS[i]}'))"
         f" AS mh{i}"
@@ -229,8 +238,8 @@ FROM adoc GROUP BY 1 HAVING count(*) > 1"""
         f"md5({' || '.join(f'mh{b * r + j}' for j in range(r))})"
         f" AS band_key FROM sig"
         for b in range(TX.MINHASH_BANDS))
-    sqls["doc_minhash_lsh"] = (
-        f"WITH {ADOC_CTE},\n{tok_cte('adoc')},\n"
+    return (
+        f"{ADOC_CTE},\n{tok_cte('adoc')},\n"
         f"sg AS (SELECT doc_id, {_sh_expr(TX.SHINGLE_W)} AS sh FROM tok),\n"
         f"shx AS (SELECT doc_id, md5(unnest(list_distinct(sh))) AS h"
         f" FROM sg),\n"
@@ -241,14 +250,27 @@ FROM adoc GROUP BY 1 HAVING count(*) > 1"""
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.band_key = b.band_key
    AND a.doc_id < b.doc_id),
-sets_ AS (SELECT doc_id, list_distinct(sh) AS s FROM sg)
-SELECT a, b, jaccard FROM (
+sets_ AS (SELECT doc_id, list_distinct(sh) AS s FROM sg),
+pairs AS (SELECT a, b, jaccard FROM (
   SELECT a, b,
          round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
                / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))),
                6) AS jaccard
   FROM cand JOIN sets_ sa ON sa.doc_id = a JOIN sets_ sb ON sb.doc_id = b
-) v WHERE jaccard >= """ + str(TX.NEAR_DUP_THRESHOLD))
+) v WHERE jaccard >= """ + str(TX.NEAR_DUP_THRESHOLD) + ")")
+
+
+def _textops_sqls() -> dict[str, str]:
+    sqls = {}
+
+    sqls["doc_exact_dedup"] = f"WITH {ADOC_CTE}" + """
+SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS keep_doc_id
+FROM adoc GROUP BY 1 HAVING count(*) > 1"""
+
+    sqls["doc_minhash_lsh"] = (
+        f"WITH {_minhash_pair_ctes()}\n"
+        "SELECT a, b, jaccard FROM pairs")
 
     # doc_ngram_jaccard: inverted-index candidates over sub-cap
     # shingles, exact jaccard over the full distinct-shingle sets —
@@ -468,6 +490,97 @@ FROM pdoc"""
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits\n"
         "FROM corp JOIN bench USING (s) GROUP BY doc_id")
 
+    return sqls
+
+
+# ---------------------------------------------------------------------------
+# curation-composition oracles (operators/curation.py): near-dup
+# resolution = pairs -> recursive reachability (min-id label) -> quality
+# argmax; funnel = per-row gates + md5 lineage + bench shingle join
+# ---------------------------------------------------------------------------
+
+
+def _curation_sqls() -> dict[str, str]:
+    from .operators import curation as CU
+    from .operators import pii as PI
+
+    sqls = {}
+
+    sqls["doc_neardup_resolve"] = (
+        "WITH RECURSIVE " + _minhash_pair_ctes() + ",\n"
+        "psym AS (SELECT a AS x, b AS y FROM pairs"
+        " UNION SELECT b, a FROM pairs),\n"
+        "pn AS (SELECT DISTINCT x AS id FROM psym),\n"
+        "reach(ra, rb) AS (SELECT id, id FROM pn\n"
+        "  UNION SELECT r.ra, s.y FROM reach r JOIN psym s ON s.x = r.rb),\n"
+        "canon AS (SELECT ra AS id, min(rb) AS cid FROM reach GROUP BY ra),\n"
+        f"qual AS (SELECT doc_id, {_quality_expr()} AS quality_score"
+        " FROM tok),\n"
+        "lab AS (SELECT q.doc_id, coalesce(c.cid, q.doc_id) AS cluster_id,"
+        " q.quality_score FROM qual q LEFT JOIN canon c ON c.id = q.doc_id)\n"
+        "SELECT doc_id, cluster_id, cluster_size, quality_score,\n"
+        "       CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INT) AS keep\n"
+        "FROM (SELECT lab.*,\n"
+        "        row_number() OVER (PARTITION BY cluster_id\n"
+        "          ORDER BY coalesce(quality_score, -1) DESC, doc_id ASC)"
+        " AS rn,\n"
+        "        CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)"
+        " AS cluster_size\n"
+        "      FROM lab) t")
+
+    bench_pred = "doc_id % 17 = 0 AND doc_id < 1000000"
+    langs = sorted(TX.LANG_WORDLISTS)
+    hit_exprs = ",\n       ".join(
+        f"CAST(len(list_filter(toks, t -> list_contains("
+        f"[{','.join(_q(w) for w in TX.LANG_WORDLISTS[la])}], t))) AS INT)"
+        f" AS h_{la}" for la in langs)
+    best = "greatest(" + ", ".join(f"h_{la}" for la in langs) + ")"
+    pred_whens = " ".join(
+        f"WHEN h_{la} = {best} THEN '{la}'" for la in langs)
+    lang_pred = f"CASE WHEN {best} < 2 THEN 'und' {pred_whens} END"
+    w = PI.DECON_W
+    funnel = (
+        f"WITH {ADOC_CTE},\n"
+        f"corp AS (SELECT doc_id, text FROM adoc"
+        f" WHERE NOT ({bench_pred})),\n"
+        f"{tok_cte('corp')},\n"
+        f"hh AS (SELECT doc_id, text, toks,\n       {hit_exprs}\n"
+        f"FROM tok),\n"
+        f"f AS (SELECT doc_id, md5(text) AS th,\n"
+        f"        CASE WHEN ({lang_pred}) = 'en' THEN 1 ELSE 0 END"
+        f" AS lang_ok,\n"
+        f"        CASE WHEN coalesce({_quality_expr()} >="
+        f" {CU.QUALITY_MIN}, FALSE) THEN 1 ELSE 0 END AS quality_ok\n"
+        f"      FROM hh),\n"
+        f"k AS (SELECT th, min(doc_id) AS keep_id FROM f GROUP BY th),\n"
+        f"{tok_cte(f'(SELECT doc_id, text FROM adoc WHERE {bench_pred}) bs', 'btok')},\n"
+        f"bsh AS (SELECT DISTINCT unnest(list_distinct({_sh_expr(w)}))"
+        f" AS s FROM btok),\n"
+        f"csh AS (SELECT doc_id, unnest(list_distinct({_sh_expr(w)}))"
+        f" AS s FROM tok),\n"
+        f"ch AS (SELECT DISTINCT c.doc_id FROM csh c JOIN bsh USING (s))\n"
+        "SELECT f.doc_id,\n"
+        "       CAST(lang_ok AS INT) AS lang_ok,\n"
+        "       CAST(quality_ok AS INT) AS quality_ok,\n"
+        "       CAST(CASE WHEN f.doc_id <> k.keep_id THEN 1 ELSE 0 END"
+        " AS INT) AS dup_loser,\n"
+        "       CAST(CASE WHEN ch.doc_id IS NOT NULL THEN 1 ELSE 0 END"
+        " AS INT) AS contaminated,\n"
+        "       CAST(CASE WHEN lang_ok = 1 AND quality_ok = 1"
+        " AND f.doc_id = k.keep_id AND ch.doc_id IS NULL"
+        " THEN 1 ELSE 0 END AS INT) AS kept\n"
+        "FROM f JOIN k ON k.th = f.th"
+        " LEFT JOIN ch ON ch.doc_id = f.doc_id")
+    sqls["doc_curation_funnel"] = funnel
+    sqls["doc_curation_stats"] = (
+        f"WITH fl AS ({funnel})\n"
+        "SELECT CAST(count(*) AS BIGINT) AS n_docs,\n"
+        "       CAST(sum(lang_ok) AS BIGINT) AS n_lang_ok,\n"
+        "       CAST(sum(quality_ok) AS BIGINT) AS n_quality_ok,\n"
+        "       CAST(sum(dup_loser) AS BIGINT) AS n_dup_losers,\n"
+        "       CAST(sum(contaminated) AS BIGINT) AS n_contaminated,\n"
+        "       CAST(sum(kept) AS BIGINT) AS n_kept\n"
+        "FROM fl")
     return sqls
 
 
@@ -1725,6 +1838,7 @@ FROM spans WHERE kind IN ('figure', 'table') AND media_ref <> ''
 GROUP BY kind"""
 
     sqls.update(_textops_sqls())
+    sqls.update(_curation_sqls())
     sqls.update(_ann_sqls())
     sqls.update(_meta_sqls())
     sqls.update(_media_sqls())
