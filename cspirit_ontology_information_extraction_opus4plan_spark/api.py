@@ -192,6 +192,23 @@ def q_media_inventory(spark, sf_dir):
     return media_inventory(spans_exploded(spark, sf_dir))
 
 
+def q_media_resize(spark, sf_dir):
+    """Aspect-preserving resize plumbing: decode dims (stub), cap the
+    longer edge at RESIZE_MAX_DIM, integer target box."""
+    from .operators.multimodal import fetch_media, media_spans, resize_media
+    return resize_media(
+        fetch_media(media_spans(spans_exploded(spark, sf_dir))))
+
+
+def q_media_frame_sample(spark, sf_dir):
+    """Frame-sampling plumbing: one row per sampled frame (row-exploding
+    Arrow stage), evenly strided, at most FRAME_SAMPLE_MAX per payload."""
+    from .operators.multimodal import (fetch_media, media_spans,
+                                       sample_frames)
+    return sample_frames(
+        fetch_media(media_spans(spans_exploded(spark, sf_dir))))
+
+
 # --- embedding similarity search -------------------------------------------
 
 def q_doc_bpe_tokens(spark, sf_dir):
@@ -866,6 +883,8 @@ def queries() -> dict[str, QueryFn]:
         "owl_export": q_owl_export,
         "ann_lsh_topk": q_ann_lsh_topk,
         "media_inventory": q_media_inventory,
+        "media_resize": q_media_resize,
+        "media_frame_sample": q_media_frame_sample,
         "pack_fill_stats": q_pack_fill_stats,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_quality": q_doc_quality,

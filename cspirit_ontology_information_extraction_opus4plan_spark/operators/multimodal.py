@@ -82,6 +82,102 @@ def extract_media_features(media_with_content: DataFrame,
         _stub_features, schema=FEATURE_SCHEMA)
 
 
+RESIZE_MAX_DIM = 224
+
+RESIZE_SCHEMA = ("doc_id string, pos int, kind string, media_ref string, "
+                 "width int, height int, out_width int, out_height int")
+
+
+def resize_media(media_with_content: DataFrame,
+                 max_dim: int = RESIZE_MAX_DIM,
+                 decoder: str = "stub") -> DataFrame:
+    """Resize plumbing: decode dims, cap the longer edge at max_dim
+    preserving aspect ratio, emit target dims. A real decoder does
+    `PIL.Image.resize((out_w, out_h))` on the bytes in the same batch
+    loop; the stub derives source dims from the payload exactly like
+    _stub_features and computes the target box with INTEGER arithmetic
+    ((w * max_dim) // longer_edge — no float rounding to disagree with
+    the SQL oracle). One Arrow crossing, one output row per input row."""
+    if decoder != "stub":
+        raise NotImplementedError(
+            f"decoder={decoder!r}: image decode/resize libraries are not "
+            "available in this environment; only the deterministic 'stub' "
+            "decoder runs here (identical Spark plumbing).")
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ow, oh, ws, hs = [], [], [], []
+            for content in pdf["content"]:
+                b = bytes(content)
+                w, h = 64 + b[0], 64 + b[1]
+                longer = max(w, h)
+                if longer > max_dim:
+                    ow.append((w * max_dim) // longer)
+                    oh.append((h * max_dim) // longer)
+                else:
+                    ow.append(w)
+                    oh.append(h)
+                ws.append(w)
+                hs.append(h)
+            out = pdf[["doc_id", "pos", "kind", "media_ref"]].copy()
+            for k, v in (("width", ws), ("height", hs),
+                         ("out_width", ow), ("out_height", oh)):
+                out[k] = pd.Series(v, index=pdf.index, dtype="int32")
+            yield out
+
+    return media_with_content.mapInPandas(resize, schema=RESIZE_SCHEMA)
+
+
+FRAME_SAMPLE_MAX = 4
+FRAME_MS = 40  # 25 fps stand-in
+
+FRAME_SCHEMA = ("doc_id string, pos int, media_ref string, "
+                "n_frames int, frame_idx int, ts_ms int")
+
+
+def sample_frames(media_with_content: DataFrame,
+                  max_frames: int = FRAME_SAMPLE_MAX,
+                  decoder: str = "stub") -> DataFrame:
+    """Frame-sampling plumbing (video payloads): decode the frame count,
+    take evenly-strided frames capped at max_frames, emit ONE ROW PER
+    SAMPLED FRAME — the row-exploding Arrow batch shape a real
+    keyframe/fps sampler needs (input rows fan out; the output schema
+    carries the frame index + timestamp, a real decoder adds the frame
+    bytes column). Stub frame count = 8 + byte3(md5 payload) % 56, so
+    4..60-frame 'videos'; stride = ceil(n / max_frames) keeps at most
+    max_frames frames, always including frame 0."""
+    if decoder != "stub":
+        raise NotImplementedError(
+            f"decoder={decoder!r}: video decode libraries are not "
+            "available in this environment; only the deterministic 'stub' "
+            "decoder runs here (identical Spark plumbing).")
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "pos": [], "media_ref": [],
+                    "n_frames": [], "frame_idx": []}
+            for doc_id, pos, ref, content in zip(
+                    pdf["doc_id"], pdf["pos"], pdf["media_ref"],
+                    pdf["content"]):
+                b = bytes(content)
+                n = 8 + b[3] % 56
+                stride = -(-n // max_frames)  # ceil
+                for idx in range(0, n, stride):
+                    rows["doc_id"].append(doc_id)
+                    rows["pos"].append(pos)
+                    rows["media_ref"].append(ref)
+                    rows["n_frames"].append(n)
+                    rows["frame_idx"].append(idx)
+            out = pd.DataFrame(rows)
+            out["pos"] = out["pos"].astype("int32")
+            for k in ("n_frames", "frame_idx"):
+                out[k] = out[k].astype("int32")
+            out["ts_ms"] = (out["frame_idx"] * FRAME_MS).astype("int32")
+            yield out
+
+    return media_with_content.mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
 def media_inventory(spans: DataFrame) -> DataFrame:
     """Per-kind media counts (extraction summary analog,
     metadata_framework.py:695)."""

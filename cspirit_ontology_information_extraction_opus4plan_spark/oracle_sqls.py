@@ -1837,6 +1837,44 @@ SELECT kind, CAST(count(*) AS BIGINT) AS n_media,
 FROM spans WHERE kind IN ('figure', 'table') AND media_ref <> ''
 GROUP BY kind"""
 
+    from .operators import multimodal as MM
+    # resize: same stub dims as media_features; target box is pure
+    # integer arithmetic ((w * max_dim) // longer edge), mirrored here
+    # with DuckDB's // integer division
+    sqls["media_resize"] = corpus_prefix() + f"""
+, mf AS (
+  SELECT doc_id, pos, kind, media_ref, md5(media_ref) AS h
+  FROM spans WHERE kind IN ('figure', 'table') AND media_ref <> ''),
+dims AS (
+  SELECT doc_id, pos, kind, media_ref,
+         CAST(64 + {hv(1)} * 16 + {hv(2)} AS INT) AS width,
+         CAST(64 + {hv(3)} * 16 + {hv(4)} AS INT) AS height
+  FROM mf)
+SELECT doc_id, pos, kind, media_ref, width, height,
+       CAST(CASE WHEN greatest(width, height) > {MM.RESIZE_MAX_DIM}
+            THEN (width * {MM.RESIZE_MAX_DIM}) // greatest(width, height)
+            ELSE width END AS INT) AS out_width,
+       CAST(CASE WHEN greatest(width, height) > {MM.RESIZE_MAX_DIM}
+            THEN (height * {MM.RESIZE_MAX_DIM}) // greatest(width, height)
+            ELSE height END AS INT) AS out_height
+FROM dims"""
+
+    # frame sampling: n_frames = 8 + byte3 % 56 (hex digits 7-8 of the
+    # payload md5), stride = ceil(n / max), frames 0, stride, 2*stride..
+    sqls["media_frame_sample"] = corpus_prefix() + f"""
+, mf AS (
+  SELECT doc_id, pos, media_ref, md5(media_ref) AS h
+  FROM spans WHERE kind IN ('figure', 'table') AND media_ref <> ''),
+vids AS (
+  SELECT doc_id, pos, media_ref,
+         CAST(8 + ({hv(7)} * 16 + {hv(8)}) % 56 AS INT) AS n_frames
+  FROM mf)
+SELECT doc_id, pos, media_ref, n_frames,
+       CAST(fi AS INT) AS frame_idx,
+       CAST(fi * {MM.FRAME_MS} AS INT) AS ts_ms
+FROM vids, LATERAL unnest(range(0, n_frames,
+    CAST(ceil(n_frames / {float(MM.FRAME_SAMPLE_MAX)}) AS INT))) AS t(fi)"""
+
     sqls.update(_textops_sqls())
     sqls.update(_curation_sqls())
     sqls.update(_ann_sqls())
