@@ -264,6 +264,15 @@ def q_doc_hash_sample(spark, sf_dir):
         .select("doc_id", "lang"))
 
 
+def q_doc_boilerplate_strip(spark, sf_dir):
+    """C4-style segment-level boilerplate removal: drop segments
+    occurring in more than BOILER_DF_CAP docs, rebuild text in order."""
+    from .operators.textops import strip_boilerplate
+    return strip_boilerplate(DE.boilerplate_docs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")))
+
+
 def q_ontology_stats(spark, sf_dir):
     return OA.ontology_stats(terms_df(spark), relationships_df(spark))
 
@@ -891,6 +900,7 @@ def queries() -> dict[str, QueryFn]:
         "csv_roundtrip": q_csv_roundtrip,
         "event_pivot": q_event_pivot,
         "doc_curation_stats": q_doc_curation_stats,
+        "doc_boilerplate_strip": q_doc_boilerplate_strip,
     }
 
 

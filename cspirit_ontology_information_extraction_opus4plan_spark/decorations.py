@@ -526,3 +526,37 @@ def pii_decorated_docs(docs: DataFrame) -> DataFrame:
                 F.lpad((did % 10000).cast("string"), 4, "0")))
             .otherwise(F.lit("")),
         ).alias("text"))
+
+
+# ---------------------------------------------------------------------------
+# boilerplate decoration (segment-stripping corpus)
+# ---------------------------------------------------------------------------
+
+BOILERPLATE_SEGMENTS = (
+    "subscribe to our newsletter for weekly updates",
+    "all rights reserved contact us for licensing",
+    "click here to accept cookies and continue",
+)
+
+
+def boilerplate_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) with planted ' | '-delimited boilerplate segments:
+    doc_id%5==0 gets segment 0 prepended, doc_id%7==0 gets segment
+    (doc_id%3) appended (mod classes overlap). Each doc's own text stays
+    one unique segment, so only the planted segments cross the
+    document-frequency cap. Rebuilt identically by the oracle SQL."""
+    did = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.when(did % 5 == 0,
+                   F.lit(BOILERPLATE_SEGMENTS[0] + " | "))
+            .otherwise(F.lit("")),
+            F.col("text"),
+            F.when(did % 7 == 0, F.concat(
+                F.lit(" | "),
+                F.element_at(F.array(*[F.lit(s) for s in
+                                       BOILERPLATE_SEGMENTS]),
+                             (did % 3 + 1).cast("int"))))
+            .otherwise(F.lit("")),
+        ).alias("text"))

@@ -571,3 +571,51 @@ def hash_stratified_sample(docs: DataFrame,
             .join(F.broadcast(rdf), "lang")
             .filter(F.col("h4") < F.col("thr_hex"))
             .select("doc_id", "lang", "h4"))
+
+
+# --- boilerplate stripping ---------------------------------------------------
+
+# a segment appearing in more docs than this is boilerplate
+BOILER_DF_CAP = 3
+BOILER_SEP = " | "
+
+
+def strip_boilerplate(docs: DataFrame,
+                      df_cap: int = BOILER_DF_CAP) -> DataFrame:
+    """C4-style line-level boilerplate removal: split each doc into
+    BOILER_SEP-delimited segments, drop every segment that occurs in
+    more than df_cap documents (nav bars, cookie banners, license
+    footers repeat across a site; body text does not), reassemble the
+    survivors in original order.
+
+    Returns (doc_id, clean_text, n_kept, n_stripped). Scale shape: the
+    document-frequency pass is a map-side-combinable groupBy on the
+    segment; the frequent set (tiny by construction — it's the segments
+    shared by >df_cap docs) joins back as a BROADCAST hash anti-join
+    against the posexploded segments, and one groupBy(doc_id) rebuilds
+    the text with sort_array(struct(pos, seg)) — order-exact without a
+    window. The corpus shuffles once (the rebuild); the frequent set
+    never leaves the executors."""
+    segs = docs.select(
+        "doc_id", F.split("text", r" \| ").alias("segs"))
+    exploded = segs.select(
+        "doc_id", F.posexplode("segs").alias("pos", "seg"))
+    frequent = (exploded.select("doc_id", "seg").distinct()
+                .groupBy("seg").agg(F.count("*").alias("df"))
+                .filter(F.col("df") > df_cap)
+                .select("seg"))
+    kept = exploded.join(F.broadcast(frequent), "seg", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "seg"))),
+                lambda x: x["seg"]),
+            BOILER_SEP).alias("clean_text"),
+        F.count("*").cast("int").alias("n_kept"))
+    totals = segs.select("doc_id", F.size("segs").alias("n_segs"))
+    return (totals.join(rebuilt, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    (F.col("n_segs") - F.coalesce("n_kept", F.lit(0)))
+                    .cast("int").alias("n_stripped")))

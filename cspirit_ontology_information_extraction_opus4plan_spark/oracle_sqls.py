@@ -490,6 +490,34 @@ FROM pdoc"""
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits\n"
         "FROM corp JOIN bench USING (s) GROUP BY doc_id")
 
+    # boilerplate stripping over the decorated corpus
+    # (decorations.boilerplate_docs); list_filter preserves original
+    # segment order = Spark's sort_array(struct(pos, seg)) rebuild
+    from . import decorations as DC
+    s0, s1, s2 = (_q(s) for s in DC.BOILERPLATE_SEGMENTS)
+    sqls["doc_boilerplate_strip"] = f"""
+WITH bdoc AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 5 = 0 THEN {s0} || ' | ' ELSE '' END)
+         || text
+         || (CASE WHEN doc_id % 7 = 0 THEN ' | ' ||
+               (CASE doc_id % 3 WHEN 0 THEN {s0} WHEN 1 THEN {s1}
+                ELSE {s2} END)
+             ELSE '' END) AS text
+  FROM documents),
+segs AS (SELECT doc_id, string_split(text, ' | ') AS segs FROM bdoc),
+ex AS (SELECT DISTINCT doc_id, unnest(segs) AS seg FROM segs),
+freq AS (SELECT seg FROM (SELECT seg, count(*) AS df FROM ex GROUP BY seg)
+         WHERE df > {TX.BOILER_DF_CAP}),
+fl AS (SELECT coalesce(list(seg), []) AS bps FROM freq),
+cl AS (SELECT doc_id, segs,
+              list_filter(segs, s -> NOT list_contains(bps, s)) AS kept
+       FROM segs, fl)
+SELECT doc_id, array_to_string(kept, ' | ') AS clean_text,
+       CAST(len(kept) AS INT) AS n_kept,
+       CAST(len(segs) - len(kept) AS INT) AS n_stripped
+FROM cl"""
+
     return sqls
 
 
