@@ -51,6 +51,7 @@ HEADLINE = [
     "ann_ivf_topk",       # IVF probed-list ANN (if present)
     "doc_ngram_jaccard",  # exact inverted-index jaccard dedup (if present)
     "format_route",       # registry-dispatch multi-format parse (if present)
+    "doc_curation_funnel",  # lang/quality/dup/contamination verdict (if present)
 ]
 
 

@@ -1,75 +1,68 @@
 #!/usr/bin/env python
-"""spark-submit entrypoint: end-to-end KG construction with resumable
-per-partition checkpointing.
+"""spark-submit entrypoint: end-to-end KG construction with resumable,
+checkpointed output.
 
-Cluster launch (north_rule launch mode):
+Runs the flagship pipeline (interleaved corpus -> NER -> linking ->
+relation extraction -> 7-tuple dedup; api.py) and materializes the
+triples through plans/checkpointing.materialize_triples — partitioned by
+pmod(xxhash64(doc_id), n_parts) with a lineage+metrics marker per
+completed partition. Re-running the same command resumes: completed
+partitions are pruned before the scan, pending ones are rewritten
+idempotently (dynamic partition overwrite).
 
-    cd /root/repo && zip -qr /tmp/engine.zip \
-        cspirit_ontology_information_extraction_opus4plan_spark
-    spark-submit --py-files /tmp/engine.zip \
-        jobs/kg_construct_job.py \
-        --sf-dir /root/testdata/sf0.01 --out /tmp/kg_out --parts 16
+Cluster usage (the local default mirrors this):
+    spark-submit --py-files cspirit_spark.zip jobs/kg_construct_job.py \
+        --sf-dir /data/sfN --out /data/triples --parts 4096
 
-Local smoke (no cluster here): same command; spark-submit defaults to
-local[*]. Prints one JSON summary line on stdout.
-
-Rerunning the identical command resumes: completed partitions are
-skipped via their checkpoint markers.
+On a real cluster, size --parts so each partition holds a few hundred MB
+of output (the resume granularity AND the retry blast radius), and pass
+--canonical to rewrite through the connected-components canonicalizer.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
-    ap.add_argument("--out", required=True)
-    ap.add_argument("--parts", type=int, default=16)
-    ap.add_argument("--canonicalize", action="store_true",
-                    help="rewrite triples through connected-components "
-                         "canonical ids before materializing")
-    args = ap.parse_args()
+from cspirit_ontology_information_extraction_opus4plan_spark import api  # noqa: E402
+from cspirit_ontology_information_extraction_opus4plan_spark.plans.checkpointing import (  # noqa: E402
+    materialize_triples,
+)
+from cspirit_ontology_information_extraction_opus4plan_spark.session import (  # noqa: E402
+    get_spark,
+)
 
-    # spark-submit provides the session config (master, executors, py-files)
-    from pyspark.sql import SparkSession
-    spark = (SparkSession.builder.appName("kg_construct")
-             .config("spark.sql.adaptive.enabled", "true")
-             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-             .getOrCreate())
-    spark.sparkContext.setLogLevel("WARN")
 
-    from cspirit_ontology_information_extraction_opus4plan_spark import api
-    from cspirit_ontology_information_extraction_opus4plan_spark.operators.canonicalize import (  # noqa: E501
-        canonical_mapping,
-        canonical_triples,
-    )
-    from cspirit_ontology_information_extraction_opus4plan_spark.operators.gazetteer import (  # noqa: E501
-        terms_df,
-    )
-    from cspirit_ontology_information_extraction_opus4plan_spark.operators.relations import (  # noqa: E501
-        dedup_triples,
-    )
-    from cspirit_ontology_information_extraction_opus4plan_spark.plans.checkpointing import (  # noqa: E501
-        materialize_triples,
-    )
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01",
+                   help="input directory holding documents.parquet etc.")
+    p.add_argument("--out", required=True,
+                   help="output directory for the partitioned triple table")
+    p.add_argument("--parts", type=int, default=16,
+                   help="number of pmod(xxhash64(doc_id)) output partitions")
+    p.add_argument("--master", default=None,
+                   help="Spark master (default: local[$SPARK_GRAFT_CPUS])")
+    args = p.parse_args(argv)
 
-    triples = api.triples_df(spark, args.sf_dir)
-    if args.canonicalize:
-        # canonical rewrite loses doc_id; keep the per-doc table for
-        # partitioned materialization and write canonical separately
-        canon = canonical_triples(dedup_triples(triples),
-                                  canonical_mapping(terms_df(spark)))
-        canon.write.mode("overwrite").parquet(args.out + "_canonical")
-
-    summary = materialize_triples(
-        spark, triples, args.out, sf_dir=args.sf_dir, n_parts=args.parts)
-    print(json.dumps({"job": "kg_construct", **summary}))
-    spark.stop()
+    spark = get_spark("kg_construct_job", master=args.master)
+    try:
+        # per-document triples (doc_id retained: it is the partitioner
+        # key and the provenance column; the 7-tuple corpus-level dedup
+        # is a downstream view over this table, api.q_triples_dedup)
+        summary = materialize_triples(
+            spark, api.triples_df(spark, args.sf_dir), args.out,
+            sf_dir=args.sf_dir, n_parts=args.parts)
+        print(json.dumps(summary))
+        return 0
+    finally:
+        spark.stop()
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    raise SystemExit(main())
