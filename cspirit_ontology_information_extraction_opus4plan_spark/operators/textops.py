@@ -133,21 +133,32 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
 def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     """Banded-LSH candidate pairs verified by true shingle Jaccard.
 
-    signature -> band keys (md5 of r concatenated rows) -> explode ->
-    self-join per (band_idx, band_key) -> distinct pairs -> verify with
-    exact |A∩B|/|A∪B| >= threshold. The verify join re-derives shingle
-    sets instead of carrying them through the shuffle (cheaper: band join
-    moves 2 longs + 32B hash, not document bodies)."""
+    shingle sets (ONE tokenize+shingle pass, checkpointed) -> signature
+    -> band keys (md5 of r concatenated rows) -> explode -> self-join
+    per (band_idx, band_key) -> distinct pairs -> verify with exact
+    |A∩B|/|A∪B| >= threshold against the SAME checkpointed sets (band
+    join moves 2 longs + 32B hash, not document bodies; the verify
+    probes reread RDD blocks, not the corpus)."""
     r = MINHASH_K // MINHASH_BANDS
-    sig = minhash_signatures(docs)
-    # localCheckpoint (NOT persist): the band table feeds a self-join
-    # and the shingle table two probe joins — without materialization
-    # Catalyst re-derives the full md5 x shingles pipeline once per join
-    # branch (measured 3x slower). Dataset.persist would pin a
-    # CacheManager entry this function can never safely unpersist (the
-    # returned plan is lazy), leaking cache across a long session;
-    # localCheckpoint blocks are RDD-level and reclaimed by the
-    # ContextCleaner once the result is garbage-collected.
+    # localCheckpoint (NOT persist): sets_ feeds the signature branch
+    # AND two verify probe joins — without materialization Catalyst
+    # re-derives the tokenize -> zip_with-shingle -> distinct pipeline
+    # once per branch (it used to run twice; deriving the signature
+    # from the checkpointed sets makes it exactly once per corpus).
+    # Dataset.persist would pin a CacheManager entry this function can
+    # never safely unpersist (the returned plan is lazy), leaking cache
+    # across a long session; localCheckpoint blocks are RDD-level and
+    # reclaimed by the ContextCleaner once the result is gc'd.
+    sets_ = docs.select(
+        "doc_id",
+        F.array_distinct(_shingles(tokens_col(), SHINGLE_W)).alias("sh")
+    ).localCheckpoint(eager=True)
+    base = (sets_.select("doc_id", F.explode("sh").alias("s"))
+            .select("doc_id", F.md5("s").alias("h")))
+    sig = base.groupBy("doc_id").agg(*[
+        F.min(F.translate("h", HEX_DIGITS, MINHASH_PERMS[i]))
+        .alias(f"mh{i}")
+        for i in range(MINHASH_K)])
     bands = sig.select(
         "doc_id",
         F.posexplode(F.array(*[
@@ -160,10 +171,6 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
             .filter(F.col("a") < F.col("b"))
             .select("a", "b").distinct())
 
-    sets_ = docs.select(
-        "doc_id",
-        F.array_distinct(_shingles(tokens_col(), SHINGLE_W)).alias("sh")
-    ).localCheckpoint(eager=True)
     out = (cand
            .join(sets_.toDF("a", "sh_a"), "a")
            .join(sets_.toDF("b", "sh_b"), "b")
