@@ -690,9 +690,8 @@ def q_doc_decontaminate(spark, sf_dir):
     broadcast shingle semi-join — the corpus never shuffles on the
     shingle."""
     from .operators.pii import contaminated_docs
-    adoc = DE.augmented_docs(spark, sf_dir)
-    is_bench = (F.col("doc_id") % 17 == 0) & (F.col("doc_id") < 1000000)
-    return contaminated_docs(adoc.filter(~is_bench), adoc.filter(is_bench))
+    corpus, bench = _curation_split(spark, sf_dir)
+    return contaminated_docs(corpus, bench)
 
 
 def q_doc_neardup_resolve(spark, sf_dir):
@@ -705,6 +704,11 @@ def q_doc_neardup_resolve(spark, sf_dir):
 
 
 def _curation_split(spark, sf_dir):
+    """(corpus, benchmark) split of the augmented docs — benchmark = the
+    originals of the planted exact copies. The ONE definition shared by
+    q_doc_decontaminate and the curation funnel (their oracles share the
+    same predicate); diverging copies would let the two queries disagree
+    on which docs are 'benchmark' while each still matched its oracle."""
     adoc = DE.augmented_docs(spark, sf_dir)
     is_bench = (F.col("doc_id") % 17 == 0) & (F.col("doc_id") < 1000000)
     return adoc.filter(~is_bench), adoc.filter(is_bench)

@@ -144,7 +144,7 @@ def sample_frames(media_with_content: DataFrame,
     keyframe/fps sampler needs (input rows fan out; the output schema
     carries the frame index + timestamp, a real decoder adds the frame
     bytes column). Stub frame count = 8 + byte3(md5 payload) % 56, so
-    4..60-frame 'videos'; stride = ceil(n / max_frames) keeps at most
+    8..63-frame 'videos'; stride = ceil(n / max_frames) keeps at most
     max_frames frames, always including frame 0."""
     if decoder != "stub":
         raise NotImplementedError(

@@ -107,27 +107,34 @@ def exact_dedup_groups(docs: DataFrame) -> DataFrame:
 # --- MinHash + LSH near-dup ------------------------------------------------
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, mh0..mh{K-1}) via ONE md5 per distinct shingle.
-
-    Shape: explode distinct shingles -> base = md5(shingle) -> K permuted
-    orderings via translate(base, hex, perm_i) -> groupBy(doc_id).min
-    per i. min over a permuted-alphabet hex string is a min-hash under
-    that digit ordering; duplicates can be dropped before hashing because
-    min() ignores multiplicity. The explode+partial-agg shape is the
-    scalable one: map-side combine reduces each partition to one row per
-    doc before the shuffle, and the single-md5 family replaced a K-md5
-    family that recomputed the whole tokenize->shingle pipeline per
-    column (12x redundant work, measured 6x slower end-to-end)."""
-    sh = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(_shingles(tokens_col(), SHINGLE_W)))
-        .alias("s"))
-    base = sh.select("doc_id", F.md5("s").alias("h"))
+def _signatures_from_hashes(base: DataFrame) -> DataFrame:
+    """(doc_id, h=md5(shingle)) -> (doc_id, mh0..mh{K-1}): min over K
+    permuted-alphabet orderings of the hex string = a min-hash under
+    that digit ordering. Map-side combine reduces each partition to one
+    row per doc before the shuffle. The ONE signature family —
+    minhash_signatures and minhash_lsh_pairs both build on it."""
     return base.groupBy("doc_id").agg(*[
         F.min(F.translate("h", HEX_DIGITS, MINHASH_PERMS[i]))
         .alias(f"mh{i}")
         for i in range(MINHASH_K)])
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh{K-1}) via ONE md5 per distinct shingle.
+
+    Shape: explode distinct shingles -> base = md5(shingle) -> K permuted
+    orderings via translate (_signatures_from_hashes). Duplicates can be
+    dropped before hashing because min() ignores multiplicity. The
+    explode+partial-agg shape is the scalable one, and the single-md5
+    family replaced a K-md5 family that recomputed the whole
+    tokenize->shingle pipeline per column (12x redundant work, measured
+    6x slower end-to-end)."""
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(_shingles(tokens_col(), SHINGLE_W)))
+        .alias("s"))
+    return _signatures_from_hashes(
+        sh.select("doc_id", F.md5("s").alias("h")))
 
 
 def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
@@ -153,12 +160,9 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.array_distinct(_shingles(tokens_col(), SHINGLE_W)).alias("sh")
     ).localCheckpoint(eager=True)
-    base = (sets_.select("doc_id", F.explode("sh").alias("s"))
-            .select("doc_id", F.md5("s").alias("h")))
-    sig = base.groupBy("doc_id").agg(*[
-        F.min(F.translate("h", HEX_DIGITS, MINHASH_PERMS[i]))
-        .alias(f"mh{i}")
-        for i in range(MINHASH_K)])
+    sig = _signatures_from_hashes(
+        sets_.select("doc_id", F.explode("sh").alias("s"))
+        .select("doc_id", F.md5("s").alias("h")))
     bands = sig.select(
         "doc_id",
         F.posexplode(F.array(*[
@@ -219,7 +223,10 @@ def ngram_jaccard_pairs(docs: DataFrame,
     full-array verification join. Exact: only pairs that cannot pass
     are pruned. Measured at sf0.1: 1.53M candidates -> 1.2k verified
     (the array join was 17 s of a 23 s query; now it runs on the 1.2k).
-    Per-doc size frames are doc-cardinality aggregates -> broadcast."""
+    The per-doc size frame is corpus-cardinality (3 ints per doc), so it
+    carries NO broadcast hint — at sandbox scale AQE broadcasts it from
+    its measured size, at 10^8 docs it is too big to force onto the
+    driver and the join correctly degrades to a shuffle."""
     sets_ = docs.select(
         "doc_id",
         F.array_distinct(_shingles(tokens_col(), SHINGLE_W)).alias("sh")
@@ -240,8 +247,8 @@ def ngram_jaccard_pairs(docs: DataFrame,
             .groupBy("a", "b").agg(F.count("*").alias("c")))
     ub_i = F.col("c") + F.least("ns_a", "ns_b")
     pruned = (cand
-              .join(F.broadcast(sizes.toDF("a", "nf_a", "ns_a")), "a")
-              .join(F.broadcast(sizes.toDF("b", "nf_b", "ns_b")), "b")
+              .join(sizes.toDF("a", "nf_a", "ns_a"), "a")
+              .join(sizes.toDF("b", "nf_b", "ns_b"), "b")
               .filter(ub_i / (F.col("nf_a") + F.col("nf_b") - ub_i)
                       >= threshold)
               .select("a", "b"))
@@ -442,13 +449,19 @@ def quality_scores(docs: DataFrame) -> DataFrame:
         quality_score_col().alias("quality_score"))
 
 
-def lang_pred_col(text: str = "text") -> Column:
-    """Predicted language as a reusable per-row Column: >= 2 wordlist
-    hits required, argmax hits, alphabetical tie-break, else 'und'."""
+def _lang_hits(text: str = "text") -> dict[str, Column]:
+    """Per-language wordlist hit counts (insertion order = sorted)."""
     toks = tokens_col(text)
-    langs = sorted(LANG_WORDLISTS)
-    hit_cols = {la: F.size(F.filter(
-        toks, lambda t: t.isin(*LANG_WORDLISTS[la]))) for la in langs}
+    return {la: F.size(F.filter(
+        toks, lambda t: t.isin(*LANG_WORDLISTS[la])))
+        for la in sorted(LANG_WORDLISTS)}
+
+
+def _lang_pred(hit_cols: dict[str, Column]) -> Column:
+    """>= 2 hits required, argmax hits, alphabetical tie-break, else
+    'und' — the ONE prediction rule (lang_id and the curation funnel
+    must never diverge on it)."""
+    langs = sorted(hit_cols)
     best = F.greatest(*[hit_cols[la] for la in langs])
     pred = F.when(best < 2, "und")
     for la in langs:
@@ -456,24 +469,20 @@ def lang_pred_col(text: str = "text") -> Column:
     return pred
 
 
+def lang_pred_col(text: str = "text") -> Column:
+    """Predicted language as a reusable per-row Column."""
+    return _lang_pred(_lang_hits(text))
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     """Wordlist-hit language ID: >= 2 hits required (the reference's
     domain-keyword rule, identify_domain content_utils.py:67), argmax
-    hits, alphabetical tie-break, else 'und'."""
-    toks = tokens_col()
-
-    def hits(words: list[str]) -> Column:
-        return F.size(F.filter(toks, lambda t: t.isin(*words)))
-
-    hit_cols = {lang: hits(words)
-                for lang, words in sorted(LANG_WORDLISTS.items())}
-    d = docs.select("doc_id", *[c.alias(f"h_{la}") for la, c in
-                                hit_cols.items()])
+    hits, alphabetical tie-break, else 'und'. Same rule as
+    lang_pred_col, applied over the materialized hit columns."""
     langs = sorted(LANG_WORDLISTS)
-    best = F.greatest(*[F.col(f"h_{la}") for la in langs])
-    pred = F.when(best < 2, "und")
-    for la in langs:
-        pred = pred.when(F.col(f"h_{la}") == best, la)
+    d = docs.select("doc_id", *[c.alias(f"h_{la}") for la, c in
+                                _lang_hits().items()])
+    pred = _lang_pred({la: F.col(f"h_{la}") for la in langs})
     return d.select("doc_id", pred.alias("lang_pred"),
                     *[F.col(f"h_{la}") for la in langs])
 

@@ -15,8 +15,10 @@ Cluster usage (the local default mirrors this):
         --sf-dir /data/sfN --out /data/triples --parts 4096
 
 On a real cluster, size --parts so each partition holds a few hundred MB
-of output (the resume granularity AND the retry blast radius), and pass
---canonical to rewrite through the connected-components canonicalizer.
+of output (the resume granularity AND the retry blast radius). The
+corpus-level 7-tuple dedup and the connected-components canonical
+rewrite remain downstream views over this table (api.q_triples_dedup,
+api.q_canonical_triples).
 """
 
 from __future__ import annotations
@@ -25,6 +27,8 @@ import argparse
 import json
 import os
 import sys
+
+from pyspark.sql import SparkSession
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -47,10 +51,25 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--parts", type=int, default=16,
                    help="number of pmod(xxhash64(doc_id)) output partitions")
     p.add_argument("--master", default=None,
-                   help="Spark master (default: local[$SPARK_GRAFT_CPUS])")
+                   help="Spark master override; when omitted, a "
+                        "spark-submit-provided master is respected and "
+                        "plain-python runs fall back to the tuned "
+                        "local[$SPARK_GRAFT_CPUS] session")
     args = p.parse_args(argv)
 
-    spark = get_spark("kg_construct_job", master=args.master)
+    if args.master:
+        spark = get_spark("kg_construct_job", master=args.master)
+    else:
+        # under spark-submit, --master/spark-defaults populate the conf
+        # and an app-side .master() call would silently override it
+        # (running the whole build single-node on the driver); only
+        # fall back to the tuned local session when no master is
+        # configured at all (plain `python jobs/kg_construct_job.py`)
+        try:
+            spark = (SparkSession.builder
+                     .appName("kg_construct_job").getOrCreate())
+        except Exception:  # "master must be set": not under spark-submit
+            spark = get_spark("kg_construct_job")
     try:
         # per-document triples (doc_id retained: it is the partitioner
         # key and the provenance column; the 7-tuple corpus-level dedup
