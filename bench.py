@@ -279,13 +279,27 @@ def main() -> None:
         "n_triples": res["n_triples"],
         "wall_s": res["wall_s"],
     }
-    # attach the most recent --scaling result so the per-round BENCH
-    # record carries the north-rule N-vs-4N evidence (see BASELINE.md
-    # "Measured" for the methodology and run-to-run spread)
+    # attach a compact scaling SUMMARY so the per-round BENCH record
+    # carries the north-rule N-vs-4N evidence (BASELINE.md "Measured")
+    # without overflowing the driver's single-line capture window —
+    # the full run history lives only in .bench_scaled/last_scaling.json
     if os.path.exists(SCALING_CACHE):
         try:
             with open(SCALING_CACHE) as fh:
-                out["scaling"] = json.load(fh)
+                sc = json.load(fh)
+            runs = sc.get("runs", [])
+            out["scaling"] = {
+                "metric": "scaling_efficiency",
+                "n_runs": sc.get("n_runs", len(runs)),
+                "median_value": sc.get("median_value"),
+                "best_value": sc.get("best_value"),
+                "last_runs": [
+                    {k: r.get(k) for k in
+                     ("value", "n_cores", "triples_per_sec",
+                      "cpu_probe_ratio")}
+                    for r in runs[-3:]
+                ],
+            }
         except (OSError, ValueError):
             pass
     print(json.dumps(out))

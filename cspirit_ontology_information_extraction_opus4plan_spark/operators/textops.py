@@ -606,12 +606,14 @@ def strip_boilerplate(docs: DataFrame,
 
     Returns (doc_id, clean_text, n_kept, n_stripped). Scale shape: the
     document-frequency pass is a map-side-combinable groupBy on the
-    segment; the frequent set (tiny by construction — it's the segments
-    shared by >df_cap docs) joins back as a BROADCAST hash anti-join
-    against the posexploded segments, and one groupBy(doc_id) rebuilds
-    the text with sort_array(struct(pos, seg)) — order-exact without a
-    window. The corpus shuffles once (the rebuild); the frequent set
-    never leaves the executors."""
+    segment; the frequent set joins back as a PLAIN left_anti equi-join
+    on the segment — no broadcast hint, because at web scale the set of
+    segments repeated across >df_cap documents is itself huge (billions
+    of distinct nav/footer lines across a crawl) and forcing it onto
+    every executor OOMs. AQE still picks a broadcast strategy at
+    runtime whenever the set really is small. One groupBy(doc_id)
+    rebuilds the text with sort_array(struct(pos, seg)) — order-exact
+    without a window."""
     segs = docs.select(
         "doc_id", F.split("text", r" \| ").alias("segs"))
     exploded = segs.select(
@@ -620,7 +622,7 @@ def strip_boilerplate(docs: DataFrame,
                 .groupBy("seg").agg(F.count("*").alias("df"))
                 .filter(F.col("df") > df_cap)
                 .select("seg"))
-    kept = exploded.join(F.broadcast(frequent), "seg", "left_anti")
+    kept = exploded.join(frequent, "seg", "left_anti")
     rebuilt = kept.groupBy("doc_id").agg(
         F.array_join(
             F.transform(
