@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _TAG, _TS, _SEQ = "__asof_tag", "__asof_ts", "__asof_seq"
+_PAYLOAD = "__asof_payload"
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str] | str,
@@ -51,6 +52,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str] | str,
     `right_seq` breaks exact (key, ts) ties deterministically — the
     right row with the greatest seq wins; pass a unique id column when
     duplicates are possible.
+
+    All payload columns are carried forward as ONE struct with a single
+    last(ignorenulls=True): per-column carries would compose a row from
+    different right rows whenever a right row holds NULL in one payload
+    column (each column finding its own most-recent non-null) — the
+    struct itself is never null on right rows, so the matched values
+    always come from the same right row, nullable fields included.
     """
     keys = [on] if isinstance(on, str) else list(on)
     if not payload:
@@ -62,17 +70,19 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str] | str,
         F.col(right_ts).alias(_TS),
         F.lit(0).alias(_TAG),
         (F.col(right_seq) if right_seq else F.lit(0)).alias(_SEQ),
-        *[F.col(c).alias(out_names[c]) for c in payload])
+        F.struct(*[F.col(c).alias(out_names[c]) for c in payload])
+        .alias(_PAYLOAD))
     l = (left.withColumn(_TS, F.col(left_ts))
          .withColumn(_TAG, F.lit(1)).withColumn(_SEQ, F.lit(0)))
 
     u = l.unionByName(r, allowMissingColumns=True)
     w = (Window.partitionBy(*keys).orderBy(_TS, _TAG, _SEQ)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    u = u.withColumn(_PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w))
+    u = u.filter(F.col(_TAG) == 1)
     for c in payload:
-        u = u.withColumn(out_names[c],
-                         F.last(out_names[c], ignorenulls=True).over(w))
-    return u.filter(F.col(_TAG) == 1).drop(_TAG, _TS, _SEQ)
+        u = u.withColumn(out_names[c], F.col(_PAYLOAD)[out_names[c]])
+    return u.drop(_TAG, _TS, _SEQ, _PAYLOAD)
 
 
 def last_purchase_features(events: DataFrame) -> DataFrame:

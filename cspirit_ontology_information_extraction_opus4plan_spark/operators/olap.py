@@ -29,8 +29,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 def interval_join(left: DataFrame, right: DataFrame,
                   left_ts: str, right_start: str, right_end: str,
-                  bucket_width: int,
-                  epoch: Column | None = None) -> DataFrame:
+                  bucket_width: int) -> DataFrame:
     """Equi-join-by-bucket containment join: rows of `left` paired with
     every `right` interval containing them (start <= ts < end, epoch
     seconds). Returns all columns of both sides (names must not clash).

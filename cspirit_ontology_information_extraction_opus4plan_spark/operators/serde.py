@@ -169,7 +169,16 @@ def _rdfxml_batches(batches: Iterator[pd.DataFrame]
             otypes.append(t)
 
         for xml in pdf["xml"]:
-            root = ET.fromstring(xml)
+            try:
+                root = ET.fromstring(xml)
+            except ET.ParseError:
+                # quarantine, don't abort: parse_auto content-sniffs any
+                # '<?xml' payload here, so one malformed document in a
+                # mixed-format file table must become a countable failed
+                # row (subject='' is the parse_stats failure marker),
+                # matching xmlsource.parse_jats and the guards.py rule
+                emit("", "parse_error", "", "error")
+                continue
             for desc in root.iter(rdf + "Description"):
                 about = desc.attrib[rdf + "about"]
                 subj = about.split("#", 1)[1]
@@ -297,7 +306,7 @@ def parse_stats(files: DataFrame) -> DataFrame:
 
     Line formats parse 1:1, so a failed line is a parse row with an
     empty subject (every grammar regex missed); document formats (rdfxml)
-    fan out to many triples and fail loudly in the Arrow stage instead.
+    quarantine malformed documents as one empty-subject row each.
     Both aggregates are map-side combinable; the final join is
     format-cardinality (tiny)."""
     ins = route_formats(files).groupBy("fmt") \

@@ -36,6 +36,21 @@ from pyspark.sql import functions as F
 CKPT_DIR = "_checkpoints"
 
 
+def fs_list_names(spark: SparkSession, path: str) -> list[str]:
+    """Child names of `path` via Hadoop's FileSystem API — resolves the
+    scheme (file://, hdfs://, s3a://...) like spark.read does, so probes
+    against the output location agree with what the write produced.
+    Returns [] for a nonexistent path. Driver-local os.listdir would
+    raise (or silently probe the wrong filesystem) for the remote
+    --out paths the spark-submit job advertises."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(hpath)]
+
+
 def with_part_id(df: DataFrame, n_parts: int) -> DataFrame:
     return df.withColumn(
         "part_id", F.pmod(F.xxhash64("doc_id"), F.lit(n_parts)).cast("int"))
@@ -117,11 +132,11 @@ def materialize_triples(
     # partition dirs are absent), and reading the bare directory raises
     # (unable to infer schema) — that run is still complete with zero
     # rows and must publish its markers. The empty case is detected
-    # explicitly (no part_id=* dirs on disk) instead of a blanket
-    # except: a transient/corruption read error must propagate, not be
-    # recorded as a successful zero-row run.
+    # explicitly (no part_id=* dirs at the output location) instead of
+    # a blanket except: a transient/corruption read error must
+    # propagate, not be recorded as a successful zero-row run.
     has_data = any(name.startswith("part_id=")
-                   for name in os.listdir(out_dir))
+                   for name in fs_list_names(spark, out_dir))
     if has_data:
         counts = {
             r["part_id"]: r["n"]

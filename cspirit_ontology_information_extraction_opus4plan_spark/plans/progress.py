@@ -108,8 +108,12 @@ def run_with_progress(spark: SparkSession, action: Callable[[], object],
     def poll() -> None:
         while not done.wait(poll_interval_s):
             if reporter.is_cancelled():
+                # keep re-issuing until the action returns: a cancel
+                # landing between two jobs of a multi-job action (or
+                # before the first job is submitted) would otherwise
+                # leave later jobs in the group to launch uncancelled
                 sc.cancelJobGroup(group)
-                return
+                continue
             total = completed = active = 0
             for jid in tracker.getJobIdsForGroup(group):
                 jinfo = tracker.getJobInfo(jid)

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from ..corpus import explode_spans, interleave_docs
 from ..operators.gazetteer import gazetteer_df
+from ..plans.checkpointing import fs_list_names
 from ..operators.linking import link_mentions
 from ..operators.ner import detect_mentions
 from ..operators.relations import extract_triples
@@ -59,10 +60,9 @@ def stream_triples(spark: SparkSession, input_dir: str, out_dir: str,
     # out_dir restarts batch ids at 0 and silently overwrites SOME old
     # batch dirs while leaving others — a mixed old/new triples table.
     # Refuse the mismatch instead.
-    if os.path.isdir(out_dir) and any(
-            name.startswith("batch_id=") for name in os.listdir(out_dir)):
-        ckpt_populated = os.path.isdir(checkpoint_dir) and os.listdir(
-            checkpoint_dir)
+    if any(name.startswith("batch_id=")
+           for name in fs_list_names(spark, out_dir)):
+        ckpt_populated = fs_list_names(spark, checkpoint_dir)
         if not ckpt_populated:
             raise ValueError(
                 f"out_dir {out_dir} already holds batch_id=* output but "
