@@ -472,6 +472,32 @@ def citation_samples(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", cit.alias("citation"))
 
 
+CSV_TYPED_HEADER = "term_id,name,synonyms,category,seq,score,is_obsolete"
+
+
+def csv_typed_files(terms: DataFrame) -> DataFrame:
+    """(path, payload): one typed CSV document serialized from the terms
+    dimension — the type-inference demo input. Column design hits every
+    reference inference branch: CURIE ids, ';'-list synonyms, a
+    'category' header, integer/float numerics, boolean literals, plain
+    strings. Values are [a-z0-9 ;.]-clean by corpus construction, so no
+    CSV quoting is needed. The oracle derives expected types directly
+    from the dimension (the rdfxml_parse pattern)."""
+    seq = F.regexp_extract("id", r"(\d+)$", 1).cast("long")
+    row = F.concat_ws(
+        ",",
+        F.col("id"), F.col("name"), F.concat_ws(";", "synonyms"),
+        F.col("namespace"), seq.cast("string"),
+        F.concat(seq.cast("string"), F.lit("."),
+                 (seq % 10).cast("string")),
+        F.when(F.col("is_obsolete"), "true").otherwise("false"))
+    return (terms.groupBy().agg(
+        F.concat(F.lit(CSV_TYPED_HEADER + "\n"),
+                 F.array_join(F.sort_array(F.collect_list(row)), "\n"))
+        .alias("payload"))
+        .select(F.lit("terms.csv").alias("path"), "payload"))
+
+
 def citation_synth_sql() -> str:
     topic = "regexp_extract(lower(trim(text)), '^(\\w+)', 1)"
     year = "CAST(doc_id % 30 + 1990 AS VARCHAR)"

@@ -24,10 +24,15 @@ orders right (0) before left (1) at equal timestamps, so ties match
 (`<=` semantics, like ASOF JOIN's `l.ts >= r.ts`).
 
 Skew note (100-TB): a hub key lands in one task, like any per-key
-window. Carry-forward is a prefix scan, so a hub key can be range-split
-by time with a boundary hand-off (two-pass: per-split last value, then
-a tiny broadcast of split boundaries) — not implemented here; AQE
-handles moderate skew and the window state is O(1) per row either way.
+window. Carry-forward is a prefix scan, so `split_bucket_s` range-
+splits each key's timeline into fixed buckets with a boundary
+hand-off: pass 1 aggregates the last right payload per (key, bucket)
+and a per-key window over the BUCKET-level rows (O(buckets), not
+O(rows)) computes each bucket's carry-in; pass 2 seeds that carry-in
+as a synthetic first row and runs the carry-forward window partitioned
+by (key, bucket) — a hub key becomes many tasks. Identical output to
+the unsplit path (pinned by test). AQE handles moderate skew without
+it; the window state is O(1) per row either way.
 """
 
 from __future__ import annotations
@@ -38,13 +43,14 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _TAG, _TS, _SEQ = "__asof_tag", "__asof_ts", "__asof_seq"
-_PAYLOAD = "__asof_payload"
+_PAYLOAD, _BKT = "__asof_payload", "__asof_bkt"
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str] | str,
               left_ts: str = "ts", right_ts: str = "ts",
               payload: Sequence[str] = (), right_seq: str | None = None,
-              prefix: str = "asof_") -> DataFrame:
+              prefix: str = "asof_",
+              split_bucket_s: int | None = None) -> DataFrame:
     """Left as-of-backward join: every `left` row gains `prefix<c>` for
     each payload column `c` of `right`, taken from the latest right row
     with right_ts <= left_ts on the same key(s) (null when none).
@@ -52,6 +58,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str] | str,
     `right_seq` breaks exact (key, ts) ties deterministically — the
     right row with the greatest seq wins; pass a unique id column when
     duplicates are possible.
+
+    `split_bucket_s` enables the hub-key range split (module docstring):
+    the carry-forward window partitions by (key, time-bucket) instead of
+    key alone, with per-bucket carry-ins handed off through a bucket-
+    level aggregate — set it when one key can hold a task-breaking share
+    of the rows. Output is identical either way.
 
     All payload columns are carried forward as ONE struct with a single
     last(ignorenulls=True): per-column carries would compose a row from
@@ -76,16 +88,43 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str] | str,
          .withColumn(_TAG, F.lit(1)).withColumn(_SEQ, F.lit(0)))
 
     u = l.unionByName(r, allowMissingColumns=True)
-    w = (Window.partitionBy(*keys).orderBy(_TS, _TAG, _SEQ)
+    if split_bucket_s is None:
+        part_cols = list(keys)
+    else:
+        # range split: bucket the timeline, hand the last right payload
+        # of all earlier buckets in as a synthetic first row per bucket
+        wus = split_bucket_s * 1_000_000
+        u = u.withColumn(
+            _BKT, F.floor(F.unix_micros(F.col(_TS).cast("timestamp")) / wus))
+        rights = u.filter(F.col(_TAG) == 0)
+        bucket_last = rights.groupBy(*keys, _BKT).agg(
+            F.max_by(_PAYLOAD, F.struct(_TS, _SEQ)).alias("__bl"))
+        grid = u.select(*keys, _BKT).distinct()
+        wb = (Window.partitionBy(*keys).orderBy(_BKT)
+              .rowsBetween(Window.unboundedPreceding, -1))
+        seeds = (grid.join(bucket_last, [*keys, _BKT], "left")
+                 .withColumn(_PAYLOAD,
+                             F.last("__bl", ignorenulls=True).over(wb))
+                 .filter(F.col(_PAYLOAD).isNotNull())
+                 .select(*keys, _BKT,
+                         F.lit(None).cast(u.schema[_TS].dataType).alias(_TS),
+                         F.lit(-1).alias(_TAG), F.lit(0).alias(_SEQ),
+                         _PAYLOAD))
+        u = u.unionByName(seeds, allowMissingColumns=True)
+        part_cols = [*keys, _BKT]
+    # seeds carry _TS = NULL, which sorts FIRST ascending — before every
+    # real row of the bucket, as a strictly-earlier-bucket value must
+    w = (Window.partitionBy(*part_cols).orderBy(_TS, _TAG, _SEQ)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     u = u.withColumn(_PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w))
     u = u.filter(F.col(_TAG) == 1)
     for c in payload:
         u = u.withColumn(out_names[c], F.col(_PAYLOAD)[out_names[c]])
-    return u.drop(_TAG, _TS, _SEQ, _PAYLOAD)
+    return u.drop(_TAG, _TS, _SEQ, _BKT, _PAYLOAD)
 
 
-def last_purchase_features(events: DataFrame) -> DataFrame:
+def last_purchase_features(events: DataFrame,
+                           split_bucket_s: int | None = None) -> DataFrame:
     """Point-in-time feature: for each non-purchase event, the user's
     most recent at-or-before purchase (its event_id and value). The
     oracle is DuckDB's native ASOF LEFT JOIN over the same frames."""
@@ -98,7 +137,8 @@ def last_purchase_features(events: DataFrame) -> DataFrame:
     rest = events.filter(F.col("event_type") != "purchase")
     out = asof_join(rest, purchases, on="user_id",
                     payload=["purchase_event_id", "purchase_value"],
-                    right_seq="purchase_event_id", prefix="last_")
+                    right_seq="purchase_event_id", prefix="last_",
+                    split_bucket_s=split_bucket_s)
     return out.select(
         "event_id", "user_id", "event_type",
         F.col("last_purchase_event_id").alias("last_purchase_event_id"),

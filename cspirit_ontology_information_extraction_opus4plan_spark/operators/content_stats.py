@@ -57,6 +57,30 @@ def iqr_outliers(events: DataFrame) -> DataFrame:
             .select("event_id", "event_type", "value"))
 
 
+ZSCORE_SIGMA = 3.0  # 3-sigma rule, content_utils.py:185
+ZSCORE_MIN_N = 4    # detect_outliers returns [] below 4 values (:160)
+
+
+def zscore_outliers(events: DataFrame) -> DataFrame:
+    """Z-score-method outliers per event_type: |value - mean| / stddev
+    > 3 (detect_outliers(method='zscore') content_utils.py:179-187,
+    sample stddev like statistics.stdev). Groups with fewer than 4
+    values or zero spread emit nothing, mirroring the reference's
+    guards. Same window-free shape as iqr_outliers: per-group moments
+    are a tiny aggregate broadcast back against the stream."""
+    stats = (events.groupBy("event_type")
+             .agg(F.count("*").alias("n"),
+                  F.avg("value").alias("mean_v"),
+                  F.stddev_samp("value").alias("std_v"))
+             .filter((F.col("n") >= ZSCORE_MIN_N) & (F.col("std_v") > 0)))
+    return (events.join(
+        F.broadcast(stats.select("event_type", "mean_v", "std_v")),
+        "event_type")
+        .filter(F.abs((F.col("value") - F.col("mean_v")) / F.col("std_v"))
+                > ZSCORE_SIGMA)
+        .select("event_id", "event_type", "value"))
+
+
 TABLE_QUALITY_COLS = ["l_quantity", "l_extendedprice", "l_discount",
                       "l_tax"]
 

@@ -240,10 +240,10 @@ FORMAT_FEATURES = {
 FORMATS = sorted(FORMAT_FEATURES)
 
 
-def detect_citation_format(cits: DataFrame) -> DataFrame:
-    """(doc_id, citation) -> per-format confidences + argmax best format
-    (alphabetical tie-break). Pure rlike feature counting — the
-    CitationDetector scoring re-expressed columnar."""
+def score_citation_formats(cits: DataFrame) -> DataFrame:
+    """(doc_id, citation) -> citation + per-format confidences + argmax
+    best format (alphabetical tie-break). Pure rlike feature counting —
+    the CitationDetector scoring re-expressed columnar."""
     c = F.col("citation")
     confs = {}
     for fmt in FORMATS:
@@ -258,10 +258,143 @@ def detect_citation_format(cits: DataFrame) -> DataFrame:
     pick = F.when(F.lit(False), "x")
     for f in FORMATS:  # alphabetical order = tie-break
         pick = pick.when(F.col(f"conf_{f}") == best, f)
-    return d.select("doc_id",
+    return d.select("doc_id", "citation",
                     *[F.col(f"conf_{f}") for f in FORMATS],
                     pick.alias("best_format"),
                     best.alias("best_conf"))
+
+
+def detect_citation_format(cits: DataFrame) -> DataFrame:
+    return score_citation_formats(cits).drop("citation")
+
+
+# --- per-format fielded extraction (APA / MLA / IEEE handlers) ---------------
+
+# per-format field regexes (RE2-safe, shared with the oracle) — the
+# format handlers' parse_citation field extraction
+# (citation_formats/{apa,mla,ieee}_handler.py parse_citation; routed by
+# best detected format like _parse_with_auto_detection
+# reference_parser.py:414)
+FIELD_PATTERNS = {
+    "apa": {
+        # authors (year). title. journal, vol(issue), p0-p1.
+        "authors": r"^([a-z ,]+) \(\d{4}\)",
+        "year": r"\((\d{4})\)\.",
+        "title": r"\(\d{4}\)\. ([^.]+)\.",
+        "journal": r"\. ([a-z ]+), \d+\(",
+        "volume": r", (\d+)\(",
+        "issue": r"\((\d+)\),",
+        "page_start": r" (\d+)-\d+\.$",
+        "page_end": r" \d+-(\d+)\.$",
+    },
+    "ieee": {
+        # [n] authors, "title," journal, vol. v, no. i, pp. p0-p1, year.
+        "authors": r'^\[\d+\] ([^"]+), "',
+        "year": r", (\d{4})\.$",
+        "title": r'"([^"]+),"',
+        "journal": r'," ([a-z ]+), vol\. ',
+        "volume": r"vol\. (\d+)",
+        "issue": r"no\. (\d+)",
+        "page_start": r"pp\. (\d+)-\d+",
+        "page_end": r"pp\. \d+-(\d+)",
+    },
+    "mla": {
+        # authors. "title." journal, vol. v, no. i, year, pp. p0-p1.
+        "authors": r'^([a-z, ]+)\. "',
+        "year": r", (\d{4}), pp\.",
+        "title": r'"([^"]+)\."',
+        "journal": r'\." ([a-z ]+), vol\.',
+        "volume": r"vol\. (\d+)",
+        "issue": r"no\. (\d+)",
+        "page_start": r"pp\. (\d+)-\d+\.$",
+        "page_end": r"pp\. \d+-(\d+)\.$",
+    },
+}
+CITATION_FIELDS = ["authors", "year", "title", "journal",
+                   "volume", "issue", "page_start", "page_end"]
+INT_FIELDS = {"year", "volume", "issue", "page_start", "page_end"}
+CONF_FIELDS = ["authors", "year", "title", "journal"]
+
+
+def parse_citation_fields(cits: DataFrame) -> DataFrame:
+    """Fielded per-format citation parsing: detect the best format
+    (score_citation_formats), then extract authors/year/title/journal/
+    volume/issue/pages with THAT format's regexes, plus a per-field
+    confidence = best-format confidence when the field matched, 0.0
+    otherwise (CitationMetadata.set_confidence per extracted field,
+    base_handler.py; field patterns per handler). All codegen regex —
+    one branch per format per field, no Python."""
+    s = score_citation_formats(cits)
+    c = F.col("citation")
+    fields = {}
+    for fld in CITATION_FIELDS:
+        expr = F.when(F.lit(False), "x")
+        for fmt in FORMATS:
+            expr = expr.when(
+                F.col("best_format") == fmt,
+                F.regexp_extract(c, FIELD_PATTERNS[fmt][fld], 1))
+        fields[fld] = expr.otherwise(F.lit(""))
+    d = s.select(
+        "doc_id", "best_format", "best_conf",
+        *[(F.when(fields[f] != "", fields[f]).cast("int")
+           if f in INT_FIELDS else fields[f]).alias(f)
+          for f in CITATION_FIELDS])
+    matched = {"authors": F.col("authors") != "",
+               "year": F.col("year").isNotNull(),
+               "title": F.col("title") != "",
+               "journal": F.col("journal") != ""}
+    return d.select(
+        "doc_id", "best_format", *CITATION_FIELDS,
+        *[F.round(F.when(matched[f], F.col("best_conf"))
+                  .otherwise(F.lit(0.0)), 6).alias(f"conf_{f}")
+          for f in CONF_FIELDS])
+
+
+def citation_fields_oracle_tail() -> str:
+    """DuckDB twin of parse_citation_fields, generated from the same
+    FORMAT_FEATURES/FIELD_PATTERNS constants (expects a `cits` CTE)."""
+    conf_exprs = []
+    for fmt in FORMATS:
+        feats = FORMAT_FEATURES[fmt]
+        hits = " + ".join(
+            "(CASE WHEN regexp_matches(citation, '{}') THEN 1 ELSE 0 END)"
+            .format(p.replace("'", "''")) for p in feats)
+        conf_exprs.append(
+            f"round(({hits}) / {float(len(feats))}, 6) AS conf_{fmt}")
+    best = "greatest(" + ", ".join(f"conf_{f}" for f in FORMATS) + ")"
+    pick = " ".join(
+        f"WHEN conf_{f} = {best} THEN '{f}'" for f in FORMATS)
+    field_exprs = []
+    for fld in CITATION_FIELDS:
+        cases = " ".join(
+            "WHEN best_format = '{}' THEN regexp_extract(citation, '{}', 1)"
+            .format(fmt, FIELD_PATTERNS[fmt][fld].replace("'", "''"))
+            for fmt in FORMATS)
+        e = f"CASE {cases} ELSE '' END"
+        if fld in INT_FIELDS:
+            e = f"CAST(nullif({e}, '') AS INT)"
+        field_exprs.append(f"{e} AS {fld}")
+    matched = {"authors": "authors <> ''", "year": "year IS NOT NULL",
+               "title": "title <> ''", "journal": "journal <> ''"}
+    conf_out = ", ".join(
+        f"round(CASE WHEN {matched[f]} THEN best_conf ELSE 0.0 END, 6)"
+        f" AS conf_{f}" for f in CONF_FIELDS)
+    return f"""
+scored AS (
+  SELECT doc_id, citation,
+         {', '.join(conf_exprs)}
+  FROM cits),
+picked AS (
+  SELECT doc_id, citation,
+         CASE {pick} END AS best_format,
+         {best} AS best_conf
+  FROM scored),
+flds AS (
+  SELECT doc_id, best_format, best_conf,
+         {', '.join(field_exprs)}
+  FROM picked)
+SELECT doc_id, best_format, {', '.join(CITATION_FIELDS)}, {conf_out}
+FROM flds""".strip()
 
 
 def citation_oracle_tail() -> str:

@@ -54,6 +54,63 @@ def csv_roundtrip(terms: DataFrame) -> DataFrame:
                         p["is_obsolete"].alias("is_obsolete"))
 
 
+# boolean literal set for CSV type inference (parsers/__init__.py:5753)
+CSV_BOOLEAN_VALUES = ["true", "false", "yes", "no", "1", "0",
+                      "t", "f", "y", "n"]
+CSV_NUMERIC_FRAC = 0.8   # >80% parseable floats -> numeric (:5745)
+CSV_CURIE_RE = r"^[A-Z]+:\d+"  # ontology-id value shape (:5726)
+
+
+def infer_csv_types(files: DataFrame) -> DataFrame:
+    """CSV header + column-type inference over (path, payload) CSV
+    documents -> (path, col_name, inferred_type), reproducing the
+    reference's custom inference rules (CSVParser.infer_column_types
+    parsers/__init__.py:5668, _infer_single_column_type :5719): an
+    'id'-named column of PREFIX:NUMBER values -> ontology_id;
+    synonym/alias columns -> list; categor*/type columns -> category;
+    >80% float-parseable -> integer (no '.' anywhere) else float; all
+    values in the boolean lexicon -> boolean; else string. These are
+    ontology-domain types spark.read.csv's inferSchema cannot produce,
+    so the rules run as column aggregates.
+
+    Deliberate deviation, documented: the reference samples the first
+    10/20/100 rows per rule (a single-process perf shortcut whose answer
+    depends on row order); here each rule aggregates over ALL rows —
+    order-independent and map-side combinable, the distributed-correct
+    reading. Header row = line 0 (the reference's csv.Sniffer falls back
+    to headers-present on its synthetic inputs)."""
+    lines = files.select(
+        "path", F.posexplode(F.split("payload", "\n")).alias("idx", "line"))
+    hdr = (lines.filter(F.col("idx") == 0)
+           .select("path", F.posexplode(F.split("line", ","))
+                   .alias("col_pos", "col_name")))
+    vals = (lines.filter(F.col("idx") > 0)
+            .select("path", F.posexplode(F.split("line", ","))
+                    .alias("col_pos", "value"))
+            .filter(F.trim("value") != "")  # non-empty sample (:5698)
+            .withColumn("value", F.trim("value")))
+    v = F.col("value")
+    per_col = vals.groupBy("path", "col_pos").agg(
+        F.min(F.when(v.rlike(CSV_CURIE_RE), 1).otherwise(0)).alias("curie_all"),
+        F.avg(F.when(v.try_cast("double").isNotNull(), 1.0)
+              .otherwise(0.0)).alias("num_frac"),
+        F.min(F.when(v.contains("."), 0).otherwise(1)).alias("no_dot_all"),
+        F.min(F.when(F.lower(v).isin(CSV_BOOLEAN_VALUES), 1).otherwise(0))
+        .alias("bool_all"))
+    j = hdr.join(per_col, ["path", "col_pos"], "left")
+    name = F.lower("col_name")
+    inferred = (
+        F.when(F.col("curie_all").isNull(), "string")  # no non-empty values
+        .when(name.contains("id") & (F.col("curie_all") == 1), "ontology_id")
+        .when(name.contains("synonym") | name.contains("alias"), "list")
+        .when(name.contains("categor") | name.contains("type"), "category")
+        .when(F.col("num_frac") > CSV_NUMERIC_FRAC,
+              F.when(F.col("no_dot_all") == 1, "integer").otherwise("float"))
+        .when(F.col("bool_all") == 1, "boolean")
+        .otherwise("string"))
+    return j.select("path", "col_name", inferred.alias("inferred_type"))
+
+
 NT_SUBJ_URI = r"^<urn:ont:([^>]+)>"
 NT_PRED = r"<urn:pred:([^>]+)>"
 NT_OBJ_URI = r" <urn:ont:([^>]+)> \.$"
@@ -308,10 +365,11 @@ def parse_stats(files: DataFrame) -> DataFrame:
     empty subject (every grammar regex missed); document formats (rdfxml)
     quarantine malformed documents as one empty-subject row each.
     Both aggregates are map-side combinable; the final join is
-    format-cardinality (tiny)."""
-    ins = route_formats(files).groupBy("fmt") \
-        .agg(F.count("*").alias("n_inputs"))
-    outs = parse_auto(files).groupBy("fmt").agg(
+    format-cardinality (tiny). Routing runs once and feeds both the
+    input counts and the dispatch."""
+    routed = route_formats(files)
+    ins = routed.groupBy("fmt").agg(F.count("*").alias("n_inputs"))
+    outs = dispatch_parsers(routed).groupBy("fmt").agg(
         F.count("*").alias("n_rows"),
         F.sum(F.when(F.col("subject") == "", 1).otherwise(0))
         .alias("n_failed"))
@@ -480,6 +538,39 @@ def jsonld_compact(terms: DataFrame) -> DataFrame:
     ).otherwise(iri)
     return terms.select("id", p["name"].alias("name"),
                         curie.alias("curie"))
+
+
+# non-IRI @context entries planted beside the prefix map — term aliases
+# the reference's http(s) filter must drop (get_namespaces keeps only
+# string values starting with http:// or https://)
+JSONLD_CONTEXT_ALIASES = {"label": "rdfs:label", "deprecated": "owl:deprecated"}
+
+
+def jsonld_namespaces(terms: DataFrame) -> DataFrame:
+    """JSON-LD @context namespace extraction (get_namespaces
+    parsers/__init__.py:7274): per ontology, a @context document maps
+    each CURIE prefix to its IRI base (plus non-IRI term aliases); the
+    document round-trips through Spark's JSON codec and only entries
+    whose value starts with http:// or https:// survive — the
+    reference's prefix->URI filter. Output (ontology_id, prefix, uri);
+    the groupBy state is O(prefixes), trivially scale-safe."""
+    pref = F.split("id", ":")[0]
+    entries = F.struct(
+        F.lower(pref).alias("key"),
+        F.concat(F.lit(OBO_BASE), pref, F.lit("_")).alias("value"))
+    ctx = terms.groupBy("ontology_id").agg(
+        F.map_from_entries(F.array_distinct(F.collect_list(entries)))
+        .alias("m"))
+    alias_map = F.create_map(*[
+        F.lit(x) for kv in sorted(JSONLD_CONTEXT_ALIASES.items())
+        for x in kv])
+    doc = F.to_json(F.struct(
+        F.map_concat(F.col("m"), alias_map).alias("@context")))
+    p = F.from_json(doc, "`@context` map<string,string>")
+    return (ctx.select("ontology_id",
+                       F.explode(p["@context"]).alias("prefix", "uri"))
+            .filter(F.col("uri").startswith("http://")
+                    | F.col("uri").startswith("https://")))
 
 
 def jsonld_flatten(terms: DataFrame) -> DataFrame:

@@ -1908,5 +1908,80 @@ FROM vids, LATERAL unnest(range(0, n_frames,
     sqls.update(_ann_sqls())
     sqls.update(_meta_sqls())
     sqls.update(_media_sqls())
+    sqls.update(_round3_sqls())
+    # the split variant must be row-identical to the unsplit as-of join
+    sqls["event_asof_split"] = sqls["event_asof"]
 
+    return sqls
+
+
+def _round3_sqls() -> dict[str, str]:
+    from . import decorations as DE
+    from .operators import content_stats as CS
+    from .operators import sections as SE
+    from .operators import serde as SR
+    sqls: dict[str, str] = {}
+
+    sqls["citation_fields_by_format"] = ("WITH " + DE.citation_synth_sql()
+                                         + ",\n"
+                                         + SE.citation_fields_oracle_tail())
+
+    sqls["event_outliers_zscore"] = f"""
+WITH stats AS (
+  SELECT event_type, avg(value) AS mean_v, stddev_samp(value) AS std_v
+  FROM events GROUP BY event_type
+  HAVING count(*) >= {CS.ZSCORE_MIN_N} AND stddev_samp(value) > 0)
+SELECT e.event_id, e.event_type, e.value
+FROM events e JOIN stats s USING (event_type)
+WHERE abs((e.value - s.mean_v) / s.std_v) > {CS.ZSCORE_SIGMA}"""
+
+    # expected prefix->IRI rows derived directly from the terms
+    # dimension (the rdfxml_parse pattern): the planted non-IRI
+    # @context aliases are exactly what the operator's filter drops
+    sqls["jsonld_namespaces"] = "WITH " + terms_cte() + f"""
+SELECT DISTINCT ontology_id,
+       lower(string_split(id, ':')[1]) AS prefix,
+       '{SR.OBO_BASE}' || string_split(id, ':')[1] || '_' AS uri
+FROM terms_d"""
+
+    # csv_infer: expected (path, col_name, inferred_type) — the same
+    # full-scan inference rules applied to the dimension columns the
+    # CSV document serializes (values are comma-free by construction,
+    # so the split round-trip is lossless)
+    curie, bools = SR.CSV_CURIE_RE, ", ".join(
+        f"'{b}'" for b in SR.CSV_BOOLEAN_VALUES)
+
+    def _infer(col_name: str, vals: str) -> str:
+        name = col_name.lower()
+        return f"""
+  SELECT 'terms.csv' AS path, '{col_name}' AS col_name,
+    CASE
+      WHEN count(*) = 0 THEN 'string'
+      WHEN {int('id' in name)} = 1
+           AND min(CASE WHEN regexp_matches(v, '{curie}')
+                   THEN 1 ELSE 0 END) = 1 THEN 'ontology_id'
+      WHEN {int('synonym' in name or 'alias' in name)} = 1 THEN 'list'
+      WHEN {int('categor' in name or 'type' in name)} = 1 THEN 'category'
+      WHEN avg(CASE WHEN TRY_CAST(v AS DOUBLE) IS NOT NULL
+               THEN 1.0 ELSE 0.0 END) > {SR.CSV_NUMERIC_FRAC} THEN
+        CASE WHEN min(CASE WHEN contains(v, '.') THEN 0 ELSE 1 END) = 1
+             THEN 'integer' ELSE 'float' END
+      WHEN min(CASE WHEN lower(v) IN ({bools}) THEN 1 ELSE 0 END) = 1
+           THEN 'boolean'
+      ELSE 'string'
+    END AS inferred_type
+  FROM (SELECT trim({vals}) AS v FROM terms_f) WHERE trim(v) <> ''"""
+
+    seq = "regexp_extract(id, '(\\d+)$', 1)"
+    cols = [
+        ("term_id", "id"), ("name", "name"), ("synonyms", "synonyms"),
+        ("category", "namespace"), ("seq", seq),
+        ("score", f"{seq} || '.' || CAST(CAST({seq} AS BIGINT) % 10 "
+                  "AS VARCHAR)"),
+        ("is_obsolete", "CASE WHEN is_obsolete THEN 'true' ELSE 'false' "
+                        "END"),
+    ]
+    sqls["csv_infer"] = ("WITH " + terms_full_cte()
+                         + "\nUNION ALL".join(_infer(c, v)
+                                              for c, v in cols))
     return sqls

@@ -53,6 +53,45 @@ def test_asof_requires_payload(frames):
         asof_join(left, right, on="key")
 
 
+def test_asof_null_payload_field_same_row(spark):
+    """A right row with NULL in one payload column must still supply ALL
+    payload values (row-level semantics): the matched seq=2 row carries
+    price=NULL, not seq from row 2 and price from row 1 (the per-column
+    carry bug the struct carry-forward fixes)."""
+    left = spark.createDataFrame([(1, 10, "x")],
+                                 "key int, ts int, name string")
+    right = spark.createDataFrame(
+        [(1, 4, 1, 40.0), (1, 8, 2, None)],
+        "key int, ts int, seq int, price double")
+    out = asof_join(left, right, on="key", payload=["price", "seq"],
+                    right_seq="seq").toPandas()
+    row = out.iloc[0]
+    assert row["asof_seq"] == 2
+    assert pd.isna(row["asof_price"])
+
+
+def test_asof_hub_key_split_identical(spark):
+    """Range-splitting a hub key (one key holding nearly every row,
+    including buckets with no right rows, forcing the boundary
+    hand-off) returns exactly the unsplit output."""
+    left = spark.createDataFrame(
+        [(1, t, f"L{t:03d}") for t in range(0, 100, 3)] + [(2, 50, "o")],
+        "key int, ts int, name string")
+    right = spark.createDataFrame(
+        [(1, t, t, float(t)) for t in range(0, 100, 25)]
+        + [(2, 49, 1, 9.0)],
+        "key int, ts int, seq int, price double")
+    cols = ["key", "ts", "name", "asof_price"]
+
+    def run(**kw):
+        return (asof_join(left, right, on="key", payload=["price"],
+                          right_seq="seq", **kw)
+                .toPandas()[cols]
+                .sort_values(cols[:3]).reset_index(drop=True))
+
+    pd.testing.assert_frame_equal(run(), run(split_bucket_s=10))
+
+
 def test_asof_plan_has_no_join(frames):
     """The whole point: an as-of is ONE shuffle + window, not a join
     node that can blow up per-key."""
