@@ -65,3 +65,27 @@ def test_callback_registry_add_remove_clear(spark):
     rep.clear_callbacks()
     rep._report(ProgressInfo(0, 2, 2))
     assert len(b) == 1
+
+
+def test_cancel_before_first_job_still_kills_action(spark, sf_dir):
+    """A cancel that lands BEFORE the action submits its (first) job
+    must still kill that job: the poller re-issues cancelJobGroup every
+    tick until the action returns, instead of firing once into an empty
+    group and letting the real work run to completion (round-2 advice).
+    """
+    import time
+
+    rep = ProgressReporter()
+    rep.add_callback(lambda p: rep.cancel())  # fires on the first tick
+    df = api.q_triples_dedup(spark, sf_dir)
+    completed = []
+
+    def action():
+        time.sleep(0.5)          # cancel arrives while no job exists
+        n = df.count()
+        completed.append(n)      # reached only if the job survived
+        return n
+
+    with pytest.raises(OperationCancelled):
+        run_with_progress(spark, action, rep, poll_interval_s=0.05)
+    assert not completed, "job ran to completion despite early cancel"

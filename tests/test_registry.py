@@ -61,3 +61,47 @@ def test_named_filter_unknown_name_raises(spark):
         OA.apply_named_filter(terms_df(spark), "no_such_filter")
     got = OA.apply_named_filter(terms_df(spark), "active_long_chemical")
     assert got.filter(F.col("namespace") != "chemical").count() == 0
+
+
+def test_rdfxml_malformed_payload_quarantines(spark):
+    """One malformed XML document in a routed mixed-format table must
+    become a countable empty-subject row (the parse_stats failure
+    marker), not abort the job — the guards.py rule; matches
+    xmlsource.parse_jats."""
+    docs = spark.createDataFrame(
+        [('<?xml version="1.0"?><rdf:RDF '
+          'xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+          'xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#">'
+          '<rdf:Description rdf:about="urn:x#A">'
+          '<rdfs:label>alpha</rdfs:label></rdf:Description></rdf:RDF>',),
+         ('<?xml version="1.0"?><rdf:RDF <<< not xml',)],
+        "xml string")
+    rows = SR.parse_rdfxml(docs).collect()
+    subs = sorted(r["subject"] for r in rows)
+    assert subs == ["", "A"]
+    bad = [r for r in rows if r["subject"] == ""][0]
+    assert bad["predicate"] == "parse_error"
+
+
+def test_csv_infer_hits_every_type_branch(spark):
+    """infer_csv_types over a hand-built payload: one column per
+    reference inference rule, including the no-non-empty-values ->
+    string fallback."""
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.serde import (
+        infer_csv_types,
+    )
+    payload = "\n".join([
+        "term_id,synonyms,category,n,score,flag,word,empty",
+        "CHEBI:1,a;b,chem,1,1.5,true,x,",
+        "GO:2,c,bio,2,2.5,no,2026,",
+        "GO:3,,bio,3,3.5,f,zz,",
+    ])
+    files = spark.createDataFrame([("t.csv", payload)],
+                                  "path string, payload string")
+    got = {r["col_name"]: r["inferred_type"]
+           for r in infer_csv_types(files).collect()}
+    assert got == {
+        "term_id": "ontology_id", "synonyms": "list",
+        "category": "category", "n": "integer", "score": "float",
+        "flag": "boolean", "word": "string", "empty": "string",
+    }
