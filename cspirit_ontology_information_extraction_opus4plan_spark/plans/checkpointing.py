@@ -13,9 +13,11 @@ machinery (ParseResult parsers/__init__.py:392, ProgressReporter :234)
     mid-job kill leaves partial partitions that the next run simply
     overwrites);
   * a checkpoint marker per completed partition carrying lineage
-    (inputs, parameters) + metrics (row count, wall time) — here JSON
-    files beside the output; on a cluster, rows in an Iceberg
-    `checkpoints` table with the pending set derived by anti-join;
+    (inputs, parameters) + metrics (row count, wall time) — JSON
+    files beside the output, read/written through Hadoop's
+    FileSystem API so hdfs:///s3a:// output paths work; a bigger
+    deployment would keep rows in an Iceberg `checkpoints` table
+    with the pending set derived by anti-join;
   * resume = rerun: pending = all partitions minus marked ones.
 
 Determinism: triple content is a pure function of (sf_dir, code), and
@@ -27,7 +29,6 @@ pytest.
 from __future__ import annotations
 
 import json
-import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,19 +37,53 @@ from pyspark.sql import functions as F
 CKPT_DIR = "_checkpoints"
 
 
-def fs_list_names(spark: SparkSession, path: str) -> list[str]:
-    """Child names of `path` via Hadoop's FileSystem API — resolves the
-    scheme (file://, hdfs://, s3a://...) like spark.read does, so probes
-    against the output location agree with what the write produced.
-    Returns [] for a nonexistent path. Driver-local os.listdir would
-    raise (or silently probe the wrong filesystem) for the remote
+def _fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for `path` via Hadoop's FileSystem API —
+    resolves the scheme (file://, hdfs://, s3a://...) like spark.read
+    does, so every probe/read/write against the output location agrees
+    with what the distributed write produced. Driver-local os.* would
+    raise (or silently touch the wrong filesystem) for the remote
     --out paths the spark-submit job advertises."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    hpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def fs_list_names(spark: SparkSession, path: str) -> list[str]:
+    """Child names of `path` (see _fs); [] for a nonexistent path."""
+    fs, hpath = _fs(spark, path)
     if not fs.exists(hpath):
         return []
     return [st.getPath().getName() for st in fs.listStatus(hpath)]
+
+
+def _fs_read_json(spark: SparkSession, path: str) -> dict:
+    fs, hpath = _fs(spark, path)
+    stream = fs.open(hpath)
+    try:
+        text = spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(text)
+
+
+def _fs_write_json_atomic(spark: SparkSession, path: str,
+                          obj: dict) -> None:
+    """Write to <path>.tmp then rename — the same atomic-publish
+    contract the local os.replace gave, through the output path's own
+    filesystem."""
+    fs, dst = _fs(spark, path)
+    _, tmp = _fs(spark, path + ".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(obj).encode("utf-8")))
+    finally:
+        out.close()
+    if fs.exists(dst):
+        fs.delete(dst, False)
+    if not fs.rename(tmp, dst):
+        raise IOError(f"atomic publish failed: rename {path}.tmp -> "
+                      f"{path}")
 
 
 def with_part_id(df: DataFrame, n_parts: int) -> DataFrame:
@@ -57,21 +92,19 @@ def with_part_id(df: DataFrame, n_parts: int) -> DataFrame:
 
 
 def _marker_path(out_dir: str, part_id: int) -> str:
-    return os.path.join(out_dir, CKPT_DIR, f"part_{part_id:05d}.json")
+    return f"{out_dir.rstrip('/')}/{CKPT_DIR}/part_{part_id:05d}.json"
 
 
-def _validate_existing_markers(out_dir: str, n_parts: int) -> None:
+def _validate_existing_markers(spark: SparkSession, out_dir: str,
+                               n_parts: int) -> None:
     """A marker written under a different n_parts means the existing
     partition layout is incompatible — resuming would mix pmod-K and
     pmod-N data (duplicates + losses) while reporting success. Refuse."""
-    ckpt = os.path.join(out_dir, CKPT_DIR)
-    if not os.path.isdir(ckpt):
-        return
-    for name in sorted(os.listdir(ckpt)):
+    ckpt = f"{out_dir.rstrip('/')}/{CKPT_DIR}"
+    for name in sorted(fs_list_names(spark, ckpt)):
         if not name.endswith(".json"):
             continue
-        with open(os.path.join(ckpt, name)) as f:
-            marker = json.load(f)
+        marker = _fs_read_json(spark, f"{ckpt}/{name}")
         prev = marker.get("lineage", {}).get("n_parts")
         if prev is not None and prev != n_parts:
             raise ValueError(
@@ -81,13 +114,16 @@ def _validate_existing_markers(out_dir: str, n_parts: int) -> None:
         return  # all markers share one run config; first one suffices
 
 
-def completed_partitions(out_dir: str, n_parts: int) -> list[int]:
+def completed_partitions(spark: SparkSession, out_dir: str,
+                         n_parts: int) -> list[int]:
+    have = set(fs_list_names(spark, f"{out_dir.rstrip('/')}/{CKPT_DIR}"))
     return [k for k in range(n_parts)
-            if os.path.exists(_marker_path(out_dir, k))]
+            if f"part_{k:05d}.json" in have]
 
 
-def pending_partitions(out_dir: str, n_parts: int) -> list[int]:
-    done = set(completed_partitions(out_dir, n_parts))
+def pending_partitions(spark: SparkSession, out_dir: str,
+                       n_parts: int) -> list[int]:
+    done = set(completed_partitions(spark, out_dir, n_parts))
     return [k for k in range(n_parts) if k not in done]
 
 
@@ -107,11 +143,11 @@ def materialize_triples(
 
     Returns a summary dict {written: [...], skipped: [...], rows: n}."""
     t0 = time.time()
-    _validate_existing_markers(out_dir, n_parts)
-    pending = pending_partitions(out_dir, n_parts)
+    _validate_existing_markers(spark, out_dir, n_parts)
+    pending = pending_partitions(spark, out_dir, n_parts)
     if only_parts is not None:
         pending = [k for k in pending if k in only_parts]
-    done = completed_partitions(out_dir, n_parts)
+    done = completed_partitions(spark, out_dir, n_parts)
     if not pending:
         return {"written": [], "skipped": done, "rows": 0, "wall_s": 0.0}
 
@@ -147,7 +183,6 @@ def materialize_triples(
     else:
         counts = {}
     wall = round(time.time() - t0, 3)
-    os.makedirs(os.path.join(out_dir, CKPT_DIR), exist_ok=True)
     for k in pending:
         marker = {
             "part_id": k,
@@ -162,10 +197,7 @@ def materialize_triples(
                                              time.gmtime()),
             },
         }
-        tmp = _marker_path(out_dir, k) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(marker, f)
-        os.replace(tmp, _marker_path(out_dir, k))  # atomic publish
+        _fs_write_json_atomic(spark, _marker_path(out_dir, k), marker)
 
     return {"written": pending, "skipped": done,
             "rows": int(sum(counts.values())), "wall_s": wall}

@@ -35,7 +35,7 @@ def test_kill_and_resume_identical(spark, sf_dir, tmp_path):
                                 n_parts=N_PARTS,
                                 only_parts=list(range(N_PARTS // 2)))
     assert sorted(s2["written"]) == list(range(N_PARTS // 2))
-    assert CK.pending_partitions(part, N_PARTS) == \
+    assert CK.pending_partitions(spark, part, N_PARTS) == \
         list(range(N_PARTS // 2, N_PARTS))
 
     # resume: remaining partitions only; completed ones skipped
