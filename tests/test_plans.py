@@ -180,3 +180,31 @@ def test_boilerplate_strip_no_forced_broadcast(spark, sf_dir):
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_citation_fields_stay_codegen(spark, sf_dir):
+    """Fielded citation parsing is per-format regex CASE chains — pure
+    column expressions, no Python stage, no join at all."""
+    plan = _plan(api.q_citation_fields_by_format(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert node not in plan, node
+
+
+def test_zscore_outliers_moments_broadcast(spark, sf_dir):
+    plan = _plan(api.q_event_outliers_zscore(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_split_plan_has_no_join_on_event_stream(spark, sf_dir):
+    """The split variant adds the bucket-level carry aggregate but must
+    keep the event stream join-free: the only joins allowed are the
+    bucket-grid/seed legs (key-bucket cardinality), never a row-level
+    theta join; and no nested-loop/cartesian anywhere."""
+    plan = _plan(api.q_event_asof_split(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
