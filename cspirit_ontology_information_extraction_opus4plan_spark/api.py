@@ -827,6 +827,40 @@ def q_csv_infer(spark, sf_dir):
     return SR.infer_csv_types(DE.csv_typed_files(terms_df(spark)))
 
 
+def q_doc_repetition(spark, sf_dir):
+    """Gopher-style repetition quality filter: per-doc dup-word /
+    dup-3-gram fractions + top-2-gram share with keep/drop verdict,
+    over the planted-repetition corpus so every rule has positives."""
+    from .operators.textops import repetition_metrics
+    return repetition_metrics(DE.repetitive_docs(_docs(spark, sf_dir)))
+
+
+def q_doc_mixture_sample(spark, sf_dir):
+    """Temperature-scaled (alpha=0.5) language-mixture sampling: tempered
+    per-domain rates from the corpus counts, deterministic md5 keep."""
+    from .operators.textops import mixture_temperature_sample
+    return mixture_temperature_sample(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang"))
+
+
+def q_entity_cooccurrence(spark, sf_dir):
+    """Document-level entity co-occurrence edges with PMI weights over
+    the linked-mention table (relation discovery next to the
+    pattern-based extractor)."""
+    from .operators.linking import cooccurrence_edges
+    return cooccurrence_edges(
+        _linked_mentions(spark, sf_dir).select("doc_id", "term_id"))
+
+
+def q_triple_subject_skew(spark, sf_dir):
+    """Shuffle-key skew probe over the deduplicated triple store: top
+    hub subjects + global key-distribution summary — the diagnostic
+    that sizes canonicalize.py's hub salting."""
+    return CS.key_skew_profile(
+        dedup_triples(triples_df(spark, sf_dir)), "subject")
+
+
 def queries() -> dict[str, QueryFn]:
     """Ordered so the driver's CORRECTNESS gate (which covered exactly
     the first 50 entries in round 1) lands one green row per
@@ -958,6 +992,11 @@ def queries() -> dict[str, QueryFn]:
         "jsonld_namespaces": q_jsonld_namespaces,
         "csv_infer": q_csv_infer,
         "event_asof_split": q_event_asof_split,
+        # --- round-3 training-pipeline / KG diagnostics
+        "doc_repetition": q_doc_repetition,
+        "doc_mixture_sample": q_doc_mixture_sample,
+        "entity_cooccurrence": q_entity_cooccurrence,
+        "triple_subject_skew": q_triple_subject_skew,
     }
 
 

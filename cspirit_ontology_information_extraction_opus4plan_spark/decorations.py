@@ -586,3 +586,48 @@ def boilerplate_docs(docs: DataFrame) -> DataFrame:
                              (did % 3 + 1).cast("int"))))
             .otherwise(F.lit("")),
         ).alias("text"))
+
+
+# --- planted repetition (Gopher-rule demo corpus) ---------------------------
+
+REP_PHRASE = "lorem ipsum dolor sit amet"   # 5-word run, repeated 12x
+REP_FILLER = "filler"                       # 1 word, repeated 40x
+REP_PHRASE_N = 12
+REP_FILLER_N = 40
+
+
+def repetitive_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) with planted repetition so every Gopher rule has
+    positives: doc_id%11==3 gets REP_PHRASE appended REP_PHRASE_N times
+    (saturates dup-3gram fraction and top-2gram share); doc_id%13==4
+    gets REP_FILLER appended REP_FILLER_N times (saturates dup-word
+    fraction). Mod classes may overlap; the oracle CTE rebuilds the
+    same corpus."""
+    did = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 11 == 3,
+                   F.repeat(F.lit(" " + REP_PHRASE), REP_PHRASE_N))
+            .otherwise(F.lit("")),
+            F.when(did % 13 == 4,
+                   F.repeat(F.lit(" " + REP_FILLER), REP_FILLER_N))
+            .otherwise(F.lit("")),
+        ).alias("text"))
+
+
+def repetitive_docs_sql() -> str:
+    """DuckDB twin of repetitive_docs over the documents view."""
+    return f"""
+rdoc AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 11 = 3
+                 THEN repeat(' {REP_PHRASE}', {REP_PHRASE_N})
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 4
+                 THEN repeat(' {REP_FILLER}', {REP_FILLER_N})
+                 ELSE '' END AS text
+  FROM documents
+)""".strip()

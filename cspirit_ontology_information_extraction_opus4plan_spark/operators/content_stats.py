@@ -115,3 +115,40 @@ def value_prop_correlation(events: DataFrame) -> DataFrame:
             .groupBy("event_type")
             .agg(F.count("*").alias("n"),
                  F.round(F.corr("value", "k"), 6).alias("pearson_r")))
+
+
+SKEW_TOP_K = 10
+
+
+def key_skew_profile(df: DataFrame, key: str,
+                     top_k: int = SKEW_TOP_K) -> DataFrame:
+    """Join/shuffle-key skew diagnostic: the top-k heaviest values of
+    `key` with their row share, against the global key-distribution
+    summary (n_keys, mean, stddev, max, max/mean skew ratio). This is
+    the probe a 100-TB run consults before choosing a salting factor
+    for the key (canonicalize.py salts hub entities; asof.py splits
+    hub users — this operator is how those hubs are found).
+
+    Scale shape: per-key counts are one map-side-combinable groupBy;
+    the global summary uses only streaming aggregates (count / avg /
+    stddev / max — deliberately no exact percentile, whose O(n_keys)
+    reduce-side buffer would not survive billions of keys) and comes
+    back as a 1-row broadcast; top-k is orderBy+limit, which Spark
+    plans as TakeOrderedAndProject (per-partition heap of k, no global
+    sort shuffle)."""
+    counts = df.groupBy(F.col(key).cast("string").alias("key_value")) \
+        .agg(F.count("*").alias("n"))
+    summary = counts.agg(
+        F.sum("n").alias("total_rows"),
+        F.count("*").alias("n_keys"),
+        F.round(F.avg("n"), 6).alias("mean_n"),
+        F.round(F.stddev_samp("n"), 6).alias("stddev_n"),
+        F.max("n").alias("max_n"))
+    top = counts.orderBy(F.desc("n"), F.asc("key_value")).limit(top_k)
+    return (top.crossJoin(F.broadcast(summary))
+            .select("key_value", "n",
+                    F.round(F.col("n") / F.col("total_rows"), 6)
+                    .alias("share"),
+                    "total_rows", "n_keys", "mean_n", "stddev_n", "max_n",
+                    F.round(F.col("max_n") / F.col("mean_n"), 6)
+                    .alias("skew_ratio")))

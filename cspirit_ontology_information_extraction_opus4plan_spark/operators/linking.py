@@ -48,3 +48,44 @@ def link_mentions(mentions: DataFrame, gaz: DataFrame) -> DataFrame:
                     F.col("b.term_id").alias("term_id"),
                     F.col("b.match_kind").alias("match_kind"),
                     (-F.col("b.neg_rank")).alias("rank")))
+
+
+COOC_MIN_SUPPORT = 2    # pairs seen in fewer docs are noise
+
+
+def cooccurrence_edges(linked: DataFrame,
+                       min_support: int = COOC_MIN_SUPPORT) -> DataFrame:
+    """Document-level entity co-occurrence edges with PMI weights —
+    the relation-discovery complement to the pattern-based triple
+    extractor: pairs of linked ontology terms that appear in the same
+    document more often than chance, scored by pointwise mutual
+    information ln(n_ab * N / (n_a * n_b)).
+
+    Scale shape: the per-doc distinct (doc_id, term_id) table
+    self-joins on doc_id only — fan-out bounded by entities-per-doc
+    (documents are bounded, the corpus is not), never a corpus cross
+    join. Pair counting is a map-side-combinable groupBy on the
+    (term_a, term_b) key; term marginals are a dimension-sized
+    aggregate joined back broadcast; the doc total is a 1-row
+    broadcast. Hub terms fan out in the pair groupBy, where AQE skew
+    handling applies — not in the doc-keyed join."""
+    d = linked.select("doc_id", "term_id").distinct()
+    marg = d.groupBy("term_id").agg(F.count("*").alias("n_t"))
+    tot = d.agg(F.countDistinct("doc_id").alias("n_docs"))
+    a, b = d.alias("a"), d.alias("b")
+    pairs = (a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+                    & (F.col("a.term_id") < F.col("b.term_id")))
+             .groupBy(F.col("a.term_id").alias("term_a"),
+                      F.col("b.term_id").alias("term_b"))
+             .agg(F.count("*").alias("n_ab"))
+             .filter(F.col("n_ab") >= min_support))
+    return (pairs
+            .join(F.broadcast(marg.withColumnRenamed("n_t", "n_a")),
+                  F.col("term_a") == F.col("term_id")).drop("term_id")
+            .join(F.broadcast(marg.withColumnRenamed("n_t", "n_b")),
+                  F.col("term_b") == F.col("term_id")).drop("term_id")
+            .crossJoin(F.broadcast(tot))
+            .select("term_a", "term_b", "n_ab", "n_a", "n_b",
+                    F.round(F.log(F.col("n_ab") * F.col("n_docs")
+                                  / (F.col("n_a") * F.col("n_b"))), 6)
+                    .alias("pmi")))

@@ -637,3 +637,116 @@ def strip_boilerplate(docs: DataFrame,
                     F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
                     (F.col("n_segs") - F.coalesce("n_kept", F.lit(0)))
                     .cast("int").alias("n_stripped")))
+
+
+# --- repetition quality (Gopher-style rules) --------------------------------
+
+# Thresholds in the spirit of the Gopher corpus rules (Rae et al. 2021,
+# "Scaling Language Models", table A1): documents dominated by repeated
+# words / n-grams are template spam, not prose. Values tuned so the
+# synthetic corpus populates both verdicts.
+REP_DUP_WORD_MAX = 0.80     # fraction of non-distinct word occurrences
+REP_DUP_3GRAM_MAX = 0.30    # fraction of non-distinct 3-gram occurrences
+REP_TOP_2GRAM_MAX = 0.08    # share of the single most frequent 2-gram
+
+
+def repetition_metrics(docs: DataFrame) -> DataFrame:
+    """Per-document repetition statistics + keep/drop verdict — the
+    Gopher-style repetition family of quality filters a training-data
+    pipeline runs before near-dedup.
+
+    Columns: (doc_id, n_words, dup_word_frac, dup_3gram_frac,
+    top_2gram, top_2gram_share, verdict).
+
+    Scale shape: dup_word_frac and dup_3gram_frac are pure per-row
+    column expressions (array_distinct over the token / shingle arrays
+    built once at top level — no lambda-recompute trap). The
+    top-2-gram mode cannot be a per-row expression without an O(n^2)
+    nested higher-order scan, so it runs as the canonical distributed
+    argmax: explode 2-grams -> map-side-combinable count keyed
+    (doc_id, gram) -> struct-max per doc. Both branches then join on
+    doc_id; everything is keyed by document, so no global state and no
+    window over the corpus."""
+    toks = tokens_col()
+    per_row = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_words"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        _shingles(toks, 3).alias("g3"),
+    ).select(
+        "doc_id", "n_words",
+        F.round(1 - F.col("n_distinct") / F.greatest("n_words", F.lit(1)),
+                6).alias("dup_word_frac"),
+        F.round(1 - F.size(F.array_distinct("g3"))
+                / F.greatest(F.size("g3"), F.lit(1)),
+                6).alias("dup_3gram_frac"))
+    ex2 = docs.select(
+        "doc_id", F.explode(_shingles(tokens_col(), 2)).alias("g2"))
+    top = (ex2.groupBy("doc_id", "g2").agg(F.count("*").alias("c"))
+           .groupBy("doc_id")
+           .agg(F.max(F.struct(F.col("c"), F.col("g2"))).alias("b"),
+                F.sum("c").alias("n_2grams"))
+           .select("doc_id",
+                   F.col("b.g2").alias("top_2gram"),
+                   F.round(F.col("b.c") / F.col("n_2grams"), 6)
+                   .alias("top_2gram_share")))
+    out = per_row.join(top, "doc_id")
+    keep = ((F.col("dup_word_frac") <= REP_DUP_WORD_MAX)
+            & (F.col("dup_3gram_frac") <= REP_DUP_3GRAM_MAX)
+            & (F.col("top_2gram_share") <= REP_TOP_2GRAM_MAX))
+    return out.select(
+        "doc_id", "n_words", "dup_word_frac", "dup_3gram_frac",
+        "top_2gram", "top_2gram_share",
+        F.when(keep, F.lit("keep")).otherwise(F.lit("drop"))
+        .alias("verdict"))
+
+
+# --- temperature-scaled domain mixture sampling ------------------------------
+
+MIX_SEED = "mixture-v1"
+MIX_TARGET_FRAC = 0.5   # sample half the corpus, rebalanced
+
+
+def mixture_temperature_sample(docs: DataFrame,
+                               target_frac: float = MIX_TARGET_FRAC,
+                               seed: str = MIX_SEED) -> DataFrame:
+    """Temperature-scaled (alpha = 0.5) domain mixture sampling: the
+    multilingual-LLM recipe that up-weights low-resource domains.
+    Domain d with n_d docs gets mixture weight w_d = sqrt(n_d) /
+    sum_d' sqrt(n_d'); its keep rate is min(1, target_frac * N * w_d /
+    n_d) so the sample totals ~target_frac * N docs distributed by the
+    tempered weights instead of the raw counts. The keep decision is
+    the same deterministic md5-threshold rule as
+    hash_stratified_sample: reproducible on any cluster under any
+    partitioning, no RNG state.
+
+    alpha is fixed at 0.5 because sqrt is IEEE-correctly-rounded —
+    Spark and the DuckDB oracle agree bitwise, which a pow(n, alpha)
+    for general alpha would not guarantee.
+
+    Scale shape: the domain dimension (groupBy lang) is map-side
+    combinable and tiny; the 1-row total cross-joins back as a
+    broadcast; the per-row keep is one md5 + string compare. The
+    corpus itself never shuffles."""
+    by = docs.groupBy("lang").agg(F.count("*").alias("n_l"))
+    tot = by.agg(F.sum("n_l").alias("n_total"),
+                 F.sum(F.sqrt("n_l")).alias("s_sqrt"))
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(target_frac) * F.col("n_total") * F.sqrt("n_l")
+        / (F.col("s_sqrt") * F.col("n_l")))
+    dims = (by.crossJoin(F.broadcast(tot))
+            .select("lang", "n_l", rate.alias("rate"))
+            .select("lang", "n_l",
+                    F.round("rate", 6).alias("rate"),
+                    F.format_string(
+                        "%04x",
+                        F.least(F.lit(65535),
+                                F.floor(F.col("rate") * 65536)).cast("int"))
+                    .alias("thr_hex")))
+    h4 = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(seed))), 1, 4)
+    return (docs.select("doc_id", "lang", h4.alias("h4"))
+            .join(F.broadcast(dims), "lang")
+            .filter(F.col("h4") < F.col("thr_hex"))
+            .select("doc_id", "lang", "h4", "thr_hex"))

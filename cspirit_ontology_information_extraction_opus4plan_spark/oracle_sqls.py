@@ -1984,4 +1984,114 @@ FROM terms_d"""
     sqls["csv_infer"] = ("WITH " + terms_full_cte()
                          + "\nUNION ALL".join(_infer(c, v)
                                               for c, v in cols))
+
+    # Gopher-style repetition metrics over the planted-repetition corpus
+    # (same tokenization + shingle rules as the dedup family)
+    sqls["doc_repetition"] = f"""
+WITH {DE.repetitive_docs_sql()},
+{tok_cte('rdoc')},
+base AS (
+  SELECT doc_id, toks, len(toks) AS n_words,
+         {_sh_expr(3)} AS g3, {_sh_expr(2)} AS g2
+  FROM tok),
+perrow AS (
+  SELECT doc_id, CAST(n_words AS INT) AS n_words,
+         round(1 - CAST(len(list_distinct(toks)) AS DOUBLE)
+               / greatest(n_words, 1), 6) AS dup_word_frac,
+         round(1 - CAST(len(list_distinct(g3)) AS DOUBLE)
+               / greatest(len(g3), 1), 6) AS dup_3gram_frac
+  FROM base),
+ex2 AS (SELECT doc_id, unnest(g2) AS g FROM base),
+cnt AS (SELECT doc_id, g, count(*) AS c FROM ex2 GROUP BY 1, 2),
+top AS (
+  SELECT doc_id, g AS top_2gram,
+         round(CAST(c AS DOUBLE) / n2, 6) AS top_2gram_share
+  FROM (
+    SELECT doc_id, g, c, sum(c) OVER (PARTITION BY doc_id) AS n2,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY c DESC, g DESC) AS rn
+    FROM cnt) t WHERE rn = 1)
+SELECT p.doc_id, p.n_words, p.dup_word_frac, p.dup_3gram_frac,
+       t.top_2gram, t.top_2gram_share,
+       CASE WHEN p.dup_word_frac <= {TX.REP_DUP_WORD_MAX}
+             AND p.dup_3gram_frac <= {TX.REP_DUP_3GRAM_MAX}
+             AND t.top_2gram_share <= {TX.REP_TOP_2GRAM_MAX}
+            THEN 'keep' ELSE 'drop' END AS verdict
+FROM perrow p JOIN top t USING (doc_id)"""
+
+    # temperature-scaled (alpha = 0.5) language-mixture sampling
+    sqls["doc_mixture_sample"] = f"""
+WITH by_l AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
+tot AS (SELECT CAST(sum(n_l) AS BIGINT) AS n_total,
+               sum(sqrt(n_l)) AS s_sqrt FROM by_l),
+dims AS (
+  SELECT lang,
+         round(least(1.0, {TX.MIX_TARGET_FRAC} * n_total * sqrt(n_l)
+                          / (s_sqrt * n_l)), 6) AS rate
+  FROM by_l, tot),
+dims2 AS (
+  SELECT lang,
+         printf('%04x', CAST(least(65535, floor(rate * 65536)) AS INT))
+         AS thr_hex
+  FROM dims)
+SELECT d.doc_id, d.lang,
+       substring(md5(CAST(d.doc_id AS VARCHAR) || '{TX.MIX_SEED}'),
+                 1, 4) AS h4,
+       thr_hex
+FROM documents d JOIN dims2 USING (lang)
+WHERE substring(md5(CAST(d.doc_id AS VARCHAR) || '{TX.MIX_SEED}'),
+                1, 4) < thr_hex"""
+
+    # document-level entity co-occurrence with PMI weights
+    from .operators.linking import COOC_MIN_SUPPORT
+    pat = ner_pattern()
+    sqls["entity_cooccurrence"] = (
+        corpus_prefix(gaz_cte(), link_cte()) + f""",
+ment AS (
+  SELECT DISTINCT m.doc_id, l.term_id
+  FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), {_q(pat)}, 1)) AS surface
+    FROM spans WHERE kind IN ('text', 'figure', 'table')) m
+  JOIN link l ON l.surface = m.surface),
+marg AS (SELECT term_id, CAST(count(*) AS BIGINT) AS n
+         FROM ment GROUP BY term_id),
+tot AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM ment),
+pairs AS (
+  SELECT a.term_id AS term_a, b.term_id AS term_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM ment a JOIN ment b
+    ON a.doc_id = b.doc_id AND a.term_id < b.term_id
+  GROUP BY 1, 2 HAVING count(*) >= {COOC_MIN_SUPPORT})
+SELECT term_a, term_b, n_ab, ma.n AS n_a, mb.n AS n_b,
+       round(ln(CAST(n_ab AS DOUBLE) * n_docs / (ma.n * mb.n)), 6) AS pmi
+FROM pairs
+JOIN marg ma ON ma.term_id = term_a
+JOIN marg mb ON mb.term_id = term_b, tot""")
+
+    # shuffle-key skew probe over the deduplicated triple store
+    sqls["triple_subject_skew"] = (
+        corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + f""",
+dt AS (
+  SELECT subject, predicate, object, subject_type, object_type,
+         object_datatype, object_language,
+         max(confidence) AS confidence, count(*) AS support
+  FROM triples GROUP BY 1, 2, 3, 4, 5, 6, 7),
+cnts AS (SELECT CAST(subject AS VARCHAR) AS key_value,
+                CAST(count(*) AS BIGINT) AS n
+         FROM dt GROUP BY 1),
+summ AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total_rows,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         round(avg(n), 6) AS mean_n,
+         round(stddev_samp(n), 6) AS stddev_n,
+         CAST(max(n) AS BIGINT) AS max_n
+  FROM cnts),
+top AS (SELECT key_value, n FROM cnts
+        ORDER BY n DESC, key_value ASC LIMIT {CS.SKEW_TOP_K})
+SELECT key_value, n, round(CAST(n AS DOUBLE) / total_rows, 6) AS share,
+       total_rows, n_keys, mean_n, stddev_n, max_n,
+       round(max_n / mean_n, 6) AS skew_ratio
+FROM top, summ""")
+
     return sqls

@@ -208,3 +208,36 @@ def test_asof_split_plan_has_no_join_on_event_stream(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_skew_profile_topk_is_heap_not_sort(spark, sf_dir):
+    """Top-k must plan as TakeOrderedAndProject (per-partition heap),
+    never a global Sort over the key-count table."""
+    plan = _plan(api.q_triple_subject_skew(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cooccurrence_joins_stay_bounded(spark, sf_dir):
+    """Pair generation joins on doc_id only; marginals and the doc
+    total come back broadcast. No cartesian product, no Python."""
+    plan = _plan(api.q_entity_cooccurrence(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_mixture_sample_corpus_never_shuffles(spark, sf_dir):
+    """The keep decision is a broadcast-dimension join + row-local md5:
+    the corpus side must not sort-merge."""
+    plan = _plan(api.q_doc_mixture_sample(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_repetition_metrics_no_python_stage(spark, sf_dir):
+    plan = _plan(api.q_doc_repetition(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan

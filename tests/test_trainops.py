@@ -187,3 +187,99 @@ def test_hash_sample_rates_broadcast(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# --- round-3 additions: repetition quality + mixture sampling ----------------
+
+
+def test_repetition_flags_planted_docs(spark, sf_dir):
+    from cspirit_ontology_information_extraction_opus4plan_spark import (
+        decorations,
+    )
+
+    docs = decorations.repetitive_docs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text"))
+    rep = textops.repetition_metrics(docs).collect()
+    by_id = {r["doc_id"]: r for r in rep}
+    phrase = [r for r in rep if r["doc_id"] % 11 == 3]
+    filler = [r for r in rep if r["doc_id"] % 13 == 4]
+    assert phrase and filler
+    # repeated 5-word phrase saturates the 3-gram and top-2-gram rules
+    assert all(r["verdict"] == "drop" for r in phrase)
+    assert all(r["dup_3gram_frac"] > textops.REP_DUP_3GRAM_MAX
+               for r in phrase)
+    # repeated single filler word saturates the dup-word rule
+    assert all(r["dup_word_frac"] > textops.REP_DUP_WORD_MAX
+               or r["verdict"] == "drop" for r in filler)
+    # undecorated docs keep unless organically repetitive
+    clean = [r for r in rep
+             if r["doc_id"] % 11 != 3 and r["doc_id"] % 13 != 4]
+    assert sum(r["verdict"] == "keep" for r in clean) > len(clean) * 0.8
+    # metrics are fractions
+    for r in by_id.values():
+        assert 0.0 <= r["dup_word_frac"] <= 1.0
+        assert 0.0 <= r["dup_3gram_frac"] <= 1.0
+        assert 0.0 < r["top_2gram_share"] <= 1.0
+
+
+def test_mixture_sample_tempers_language_skew(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "lang")
+    n = docs.count()
+    kept = textops.mixture_temperature_sample(docs)
+    n_kept = kept.count()
+    # totals ~target_frac of the corpus (md5 keep is Bernoulli-exact
+    # per stratum; allow generous tolerance at small n)
+    assert abs(n_kept / n - textops.MIX_TARGET_FRAC) < 0.12
+    # tempering: the dominant language keeps at a LOWER rate than the
+    # rarest one (sqrt weighting upsamples low-resource domains)
+    by_lang = {r["lang"]: r["count"]
+               for r in docs.groupBy("lang").count().collect()}
+    kept_by = {r["lang"]: r["count"]
+               for r in kept.groupBy("lang").count().collect()}
+    hi = max(by_lang, key=by_lang.get)
+    lo = min(by_lang, key=by_lang.get)
+    assert kept_by[lo] / by_lang[lo] > kept_by[hi] / by_lang[hi]
+    # deterministic: same rows on a re-run
+    again = {r["doc_id"]
+             for r in textops.mixture_temperature_sample(docs).collect()}
+    assert again == {r["doc_id"] for r in kept.collect()}
+
+
+def test_cooccurrence_edges_pmi_math(spark, sf_dir):
+    from cspirit_ontology_information_extraction_opus4plan_spark import api
+    import math
+
+    edges = api.q_entity_cooccurrence(spark, sf_dir).collect()
+    assert edges
+    linked = api._linked_mentions(spark, sf_dir) \
+        .select("doc_id", "term_id").distinct()
+    n_docs = linked.select("doc_id").distinct().count()
+    marg = {r["term_id"]: r["n"] for r in
+            linked.groupBy("term_id").agg(F.count("*").alias("n"))
+            .collect()}
+    for e in edges[:20]:
+        assert e["term_a"] < e["term_b"]          # canonical pair order
+        assert e["n_ab"] >= 2                     # min support
+        assert e["n_a"] == marg[e["term_a"]]
+        assert e["n_b"] == marg[e["term_b"]]
+        want = round(math.log(e["n_ab"] * n_docs
+                              / (e["n_a"] * e["n_b"])), 6)
+        assert abs(e["pmi"] - want) < 1e-9
+
+
+def test_skew_profile_finds_hub_subject(spark, sf_dir):
+    from cspirit_ontology_information_extraction_opus4plan_spark import api
+
+    rows = api.q_triple_subject_skew(spark, sf_dir).collect()
+    assert len(rows) == 10
+    top = max(rows, key=lambda r: r["n"])
+    # the corpus plants CHEBI:10001 as the hub subject; the probe must
+    # surface it with max_n == its count and a large skew ratio
+    assert top["key_value"] == "CHEBI:10001"
+    assert top["n"] == top["max_n"]
+    assert top["skew_ratio"] > 10
+    assert all(r["total_rows"] == rows[0]["total_rows"] for r in rows)
+    assert abs(sum(r["share"] for r in rows)
+               - sum(r["n"] for r in rows) / rows[0]["total_rows"]) < 1e-4
