@@ -50,6 +50,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="output directory for the partitioned triple table")
     p.add_argument("--parts", type=int, default=16,
                    help="number of pmod(xxhash64(doc_id)) output partitions")
+    p.add_argument("--publish", default=None, metavar="DIR",
+                   help="optionally also publish the deduplicated graph "
+                        "in its SERVING layout (predicate-partitioned, "
+                        "subject-bucketed + sorted; "
+                        "checkpointing.publish_graph_layout)")
     p.add_argument("--master", default=None,
                    help="Spark master override; when omitted, a "
                         "spark-submit-provided master is respected and "
@@ -77,6 +82,12 @@ def main(argv: list[str] | None = None) -> int:
         summary = materialize_triples(
             spark, api.triples_df(spark, args.sf_dir), args.out,
             sf_dir=args.sf_dir, n_parts=args.parts)
+        if args.publish:
+            from cspirit_ontology_information_extraction_opus4plan_spark.plans.checkpointing import (  # noqa: E501
+                publish_graph_layout,
+            )
+            summary["publish"] = publish_graph_layout(
+                api.q_triples_dedup(spark, args.sf_dir), args.publish)
         print(json.dumps(summary))
         return 0
     finally:

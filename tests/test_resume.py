@@ -58,3 +58,38 @@ def test_kill_and_resume_identical(spark, sf_dir, tmp_path):
     s4 = CK.materialize_triples(spark, triples, part,
                                 sf_dir=sf_dir, n_parts=N_PARTS)
     assert s4["written"] == []
+
+
+def test_graph_serving_layout(spark, sf_dir, tmp_path):
+    """publish_graph_layout: predicate-pruned, subject-sorted, bounded
+    file count — the Iceberg partition-spec/sort-order analog."""
+    from pyspark.sql import functions as F
+
+    triples = api.q_triples_dedup(spark, sf_dir)
+    out = str(tmp_path / "graph")
+    stats = CK.publish_graph_layout(triples, out, files_per_predicate=3)
+    assert stats["rows"] == triples.count()
+
+    back = spark.read.parquet(out)
+    preds = [r["predicate"] for r in
+             triples.select("predicate").distinct().collect()]
+    assert stats["n_predicates"] == len(preds)
+    # bounded files per predicate directory
+    assert stats["n_files"] <= 3 * len(preds)
+
+    # partition pruning: the per-predicate filter reaches the scan as a
+    # partition filter, not a data filter
+    one = back.filter(F.col("predicate") == preds[0])
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(predicate" in plan
+    assert one.count() == \
+        triples.filter(F.col("predicate") == preds[0]).count()
+
+    # subject-sorted within every file (parquet min/max stats usable)
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+    for f in _glob.glob(f"{out}/predicate=*/*.parquet"):
+        subj = pq.read_table(f, columns=["subject"])["subject"] \
+            .to_pylist()
+        assert subj == sorted(subj)
