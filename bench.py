@@ -52,6 +52,8 @@ HEADLINE = [
     "doc_ngram_jaccard",  # exact inverted-index jaccard dedup (if present)
     "format_route",       # registry-dispatch multi-format parse (if present)
     "doc_curation_funnel",  # lang/quality/dup/contamination verdict (if present)
+    "doc_repetition",     # Gopher repetition rules (if present)
+    "entity_cooccurrence",  # doc-level PMI edges (if present)
 ]
 
 
