@@ -861,6 +861,33 @@ def q_triple_subject_skew(spark, sf_dir):
         dedup_triples(triples_df(spark, sf_dir)), "subject")
 
 
+def q_triple_merge_upsert(spark, sf_dir):
+    """Re-crawl MERGE INTO over the canonical triple store: existing =
+    the even-doc half-corpus publication, incoming = the full re-crawl;
+    rows come back tagged insert / update / unchanged (Iceberg MERGE
+    analog, null-safe 7-tuple key)."""
+    from .operators.relations import merge_triples_incremental
+    # one extraction pass feeds both sides (localCheckpoint: without it
+    # the NER->link->extract pipeline runs twice, once per branch)
+    t = triples_df(spark, sf_dir).localCheckpoint(eager=True)
+    doc_num = F.substring("doc_id", 5, 6).cast("int")
+    even = t.filter(doc_num % 2 == 0)
+    # the re-crawl saw the doc_id%10==0 shard twice (dup shards are
+    # routine in crawl deltas): those triples gain support -> 'update'
+    incoming = t.unionByName(t.filter(doc_num % 10 == 0))
+    return merge_triples_incremental(dedup_triples(even),
+                                     dedup_triples(incoming))
+
+
+def q_kg_negative_samples(spark, sf_dir):
+    """Deterministic tail-corruption negative sampling over the triple
+    store (TransE-style contrastive training pairs, md5-indexed into
+    the ontology vocabulary, accidental positives anti-joined away)."""
+    from .operators.relations import negative_samples
+    return negative_samples(dedup_triples(triples_df(spark, sf_dir)),
+                            terms_df(spark))
+
+
 def queries() -> dict[str, QueryFn]:
     """Ordered so the driver's CORRECTNESS gate (which covered exactly
     the first 50 entries in round 1) lands one green row per
@@ -997,6 +1024,8 @@ def queries() -> dict[str, QueryFn]:
         "doc_mixture_sample": q_doc_mixture_sample,
         "entity_cooccurrence": q_entity_cooccurrence,
         "triple_subject_skew": q_triple_subject_skew,
+        "triple_merge_upsert": q_triple_merge_upsert,
+        "kg_negative_samples": q_kg_negative_samples,
     }
 
 

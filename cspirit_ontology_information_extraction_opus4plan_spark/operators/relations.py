@@ -115,3 +115,111 @@ def dedup_triples(triples: DataFrame) -> DataFrame:
     return (triples.groupBy(*key)
             .agg(F.max("confidence").alias("confidence"),
                  F.count("*").alias("support")))
+
+
+TRIPLE_KEY = ["subject", "predicate", "object", "subject_type",
+              "object_type", "object_datatype", "object_language"]
+
+
+def merge_triples_incremental(existing: DataFrame,
+                              incoming: DataFrame) -> DataFrame:
+    """MERGE INTO for the canonical triple store — the re-crawl upsert:
+    given the published table and a fresh extraction run (both in
+    dedup_triples' (7-tuple key, confidence, support) shape), emit the
+    merged table with an `action` tag per row: 'insert' (key only in
+    incoming), 'update' (key in both and the evidence changed —
+    support grew or a higher confidence arrived), 'unchanged'.
+    Confidence merges by max, support by max-of-counts (the incoming
+    run re-extracts the whole corpus, so counts supersede rather than
+    add; an append-log source would sum instead).
+
+    The Iceberg analog is `MERGE INTO graph USING incoming ON <7-tuple>
+    WHEN MATCHED THEN UPDATE ... WHEN NOT MATCHED THEN INSERT ...`.
+    Scale shape: one full-outer equi-join on the triple key — both
+    sides hash-partition on the same key, no broadcast of the big
+    table, no window; rows only in `existing` survive untagged as
+    'unchanged' (a re-crawl does not delete: retractions are a
+    downstream tombstone pass)."""
+    e = existing.select(
+        *TRIPLE_KEY,
+        F.col("confidence").alias("conf_e"),
+        F.col("support").alias("sup_e")).alias("e")
+    i = incoming.select(
+        *TRIPLE_KEY,
+        F.col("confidence").alias("conf_i"),
+        F.col("support").alias("sup_i")).alias("i")
+    # null-safe key equality: object_datatype / object_language are NULL
+    # for uri objects, and NULL = NULL must match (Iceberg MERGE ON
+    # semantics use IS NOT DISTINCT FROM); <=> keys still plan as a
+    # hash-partitioned equi-join
+    cond = None
+    for c in TRIPLE_KEY:
+        p = F.col(f"e.{c}").eqNullSafe(F.col(f"i.{c}"))
+        cond = p if cond is None else cond & p
+    j = e.join(i, cond, "full_outer")
+    changed = (F.col("sup_i") != F.col("sup_e")) \
+        | (F.col("conf_i") > F.col("conf_e"))
+    return j.select(
+        *[F.coalesce(F.col(f"e.{c}"), F.col(f"i.{c}")).alias(c)
+          for c in TRIPLE_KEY],
+        F.greatest(F.coalesce("conf_e", F.lit(0.0)),
+                   F.coalesce("conf_i", F.lit(0.0))).alias("confidence"),
+        F.greatest(F.coalesce("sup_e", F.lit(0)),
+                   F.coalesce("sup_i", F.lit(0))).alias("support"),
+        F.when(F.col("sup_e").isNull(), F.lit("insert"))
+        .when(F.col("sup_i").isNull(), F.lit("unchanged"))
+        .when(changed, F.lit("update"))
+        .otherwise(F.lit("unchanged")).alias("action"))
+
+
+NEG_SAMPLES_K = 2
+NEG_SEED = "negsample-v1"
+
+
+def negative_samples(triples: DataFrame, terms: DataFrame,
+                     k: int = NEG_SAMPLES_K,
+                     seed: str = NEG_SEED) -> DataFrame:
+    """Deterministic negative sampling for KG-embedding training:
+    for every true (subject, predicate, object) emit k corrupted-tail
+    candidates whose object is a pseudo-random ontology term — the
+    standard contrastive recipe (TransE-style tail corruption), made
+    reproducible by hashing instead of RNG: candidate i picks the term
+    at index conv(md5(subject|predicate|object|i|seed)[:4], 16) mod
+    n_terms in the id-ordered term vocabulary. Accidental positives
+    (a corrupted triple that exists) and self-objects are dropped by
+    a left_anti join against the true table.
+
+    Scale shape: the term vocabulary is the bounded ontology dimension
+    — its row_number index is a one-partition window over thousands of
+    rows, never the corpus (documented dimension-side sort); corrupted
+    rows join to it broadcast on the index, and the anti-join
+    hash-partitions on the triple key. Everything else is per-row
+    md5 + arithmetic."""
+    from pyspark.sql import Window
+
+    vocab = terms.select("id").distinct().withColumn(
+        "term_seq",
+        F.row_number().over(Window.orderBy("id")) - 1)
+    n_terms = vocab.count()  # bounded dimension (ontology size)
+    base = triples.select("subject", "predicate", "object").distinct()
+    cand = base.select(
+        "subject", "predicate", "object",
+        F.explode(F.array(*[F.lit(i) for i in range(k)]))
+        .alias("sample_idx"))
+    pick = F.conv(F.substring(F.md5(F.concat_ws(
+        "|", "subject", "predicate", "object",
+        F.col("sample_idx").cast("string"), F.lit(seed))), 1, 4),
+        16, 10).cast("long") % n_terms
+    cand = cand.withColumn("pick_seq", pick)
+    neg = (cand.join(F.broadcast(vocab),
+                     cand.pick_seq == vocab.term_seq)
+           .select("subject", "predicate", "object", "sample_idx",
+                   F.col("id").alias("neg_object"))
+           .filter(F.col("neg_object") != F.col("object"))
+           .filter(F.col("neg_object") != F.col("subject")))
+    true_keys = base.select(
+        "subject", "predicate", F.col("object").alias("neg_object"))
+    return (neg.join(true_keys, ["subject", "predicate", "neg_object"],
+                     "left_anti")
+            .select("subject", "predicate", "object", "sample_idx",
+                    "neg_object"))

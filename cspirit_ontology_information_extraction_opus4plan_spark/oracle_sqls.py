@@ -2094,4 +2094,78 @@ SELECT key_value, n, round(CAST(n AS DOUBLE) / total_rows, 6) AS share,
        round(max_n / mean_n, 6) AS skew_ratio
 FROM top, summ""")
 
+    # re-crawl MERGE INTO over the canonical triple store
+    key7 = ("subject, predicate, object, subject_type, object_type, "
+            "object_datatype, object_language")
+    dedup = (f"SELECT {key7}, max(confidence) AS confidence, "
+             f"CAST(count(*) AS BIGINT) AS support FROM {{src}} "
+             f"GROUP BY {key7}")
+    nsd = " AND ".join(
+        f"e.{c} IS NOT DISTINCT FROM i.{c}"
+        for c in ("subject", "predicate", "object", "subject_type",
+                  "object_type", "object_datatype", "object_language"))
+    keyc = ", ".join(
+        f"coalesce(e.{c}, i.{c}) AS {c}"
+        for c in ("subject", "predicate", "object", "subject_type",
+                  "object_type", "object_datatype", "object_language"))
+    sqls["triple_merge_upsert"] = (
+        corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + f""",
+tr_even AS (SELECT * FROM triples
+            WHERE CAST(substring(doc_id, 5) AS INT) % 2 = 0),
+tr_in AS (SELECT * FROM triples
+          UNION ALL
+          SELECT * FROM triples
+          WHERE CAST(substring(doc_id, 5) AS INT) % 10 = 0),
+de AS ({dedup.format(src='tr_even')}),
+di AS ({dedup.format(src='tr_in')})
+SELECT {keyc},
+       greatest(coalesce(e.confidence, 0.0), coalesce(i.confidence, 0.0))
+         AS confidence,
+       CAST(greatest(coalesce(e.support, 0), coalesce(i.support, 0))
+            AS BIGINT) AS support,
+       CASE WHEN e.support IS NULL THEN 'insert'
+            WHEN i.support IS NULL THEN 'unchanged'
+            WHEN i.support <> e.support OR i.confidence > e.confidence
+              THEN 'update'
+            ELSE 'unchanged' END AS action
+FROM de e FULL OUTER JOIN di i ON {nsd}""")
+
+    # deterministic tail-corruption negative sampling
+    from .operators.relations import NEG_SAMPLES_K, NEG_SEED
+
+    def _hv(pos: int) -> str:
+        return (f"(strpos('0123456789abcdef', substring(h, {pos}, 1))"
+                f" - 1)")
+
+    idxs = " UNION ALL ".join(f"SELECT {i} AS sample_idx"
+                              for i in range(NEG_SAMPLES_K))
+    sqls["kg_negative_samples"] = (
+        corpus_prefix(gaz_cte(), link_cte(), triples_cte(), terms_cte())
+        + f""",
+dt AS (SELECT DISTINCT subject, predicate, object FROM triples),
+vocab AS (
+  SELECT id, row_number() OVER (ORDER BY id) - 1 AS term_seq
+  FROM (SELECT DISTINCT id FROM terms_d) v),
+nv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM vocab),
+cand AS (
+  SELECT subject, predicate, object, sample_idx,
+         md5(subject || '|' || predicate || '|' || object || '|'
+             || CAST(sample_idx AS VARCHAR) || '|' || '{NEG_SEED}') AS h
+  FROM dt, ({idxs}) s),
+picked AS (
+  SELECT subject, predicate, object, sample_idx,
+         ({_hv(1)} * 4096 + {_hv(2)} * 256 + {_hv(3)} * 16 + {_hv(4)})
+           % (SELECT n FROM nv) AS pick_seq
+  FROM cand),
+neg AS (
+  SELECT p.subject, p.predicate, p.object, p.sample_idx,
+         v.id AS neg_object
+  FROM picked p JOIN vocab v ON v.term_seq = p.pick_seq
+  WHERE v.id <> p.object AND v.id <> p.subject)
+SELECT n.subject, n.predicate, n.object, n.sample_idx, n.neg_object
+FROM neg n
+ANTI JOIN dt t
+  ON t.subject = n.subject AND t.predicate = n.predicate
+ AND t.object = n.neg_object""")
+
     return sqls

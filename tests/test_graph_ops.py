@@ -26,3 +26,68 @@ def test_cycle_chains_ignores_acyclic_edges(spark):
         [("A:1", "A:2"), ("A:2", "A:3"), ("A:1", "A:3")],
         "src string, dst string")
     assert OA.cycle_chains(edges).count() == 0
+
+
+# --- triple-store maintenance ops (round 3) ---------------------------------
+
+
+def test_merge_upsert_actions(spark):
+    """Hand-checkable MERGE: null-safe keys, max-merge of evidence."""
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.relations import (  # noqa: E501
+        merge_triples_incremental,
+    )
+
+    schema = ("subject string, predicate string, object string, "
+              "subject_type string, object_type string, "
+              "object_datatype string, object_language string, "
+              "confidence double, support long")
+    # note row A carries NULL datatype/language — must match null-safely
+    existing = spark.createDataFrame([
+        ("A", "is_a", "B", "uri", "uri", None, None, 0.9, 1),
+        ("C", "is_a", "D", "uri", "uri", None, None, 1.0, 2),
+        ("E", "is_a", "F", "uri", "uri", None, None, 1.0, 1),
+    ], schema)
+    incoming = spark.createDataFrame([
+        ("A", "is_a", "B", "uri", "uri", None, None, 1.0, 1),   # conf up
+        ("C", "is_a", "D", "uri", "uri", None, None, 1.0, 2),   # same
+        ("G", "is_a", "H", "uri", "uri", None, None, 0.9, 1),   # new
+    ], schema)
+    got = {(r["subject"]): (r["action"], r["confidence"], r["support"])
+           for r in merge_triples_incremental(existing, incoming)
+           .collect()}
+    assert got == {
+        "A": ("update", 1.0, 1),
+        "C": ("unchanged", 1.0, 2),
+        "E": ("unchanged", 1.0, 1),   # re-crawl does not delete
+        "G": ("insert", 0.9, 1),
+    }
+
+
+def test_negative_samples_contract(spark, sf_dir):
+    from cspirit_ontology_information_extraction_opus4plan_spark import (
+        api,
+    )
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.relations import (  # noqa: E501
+        NEG_SAMPLES_K,
+    )
+
+    neg = api.q_kg_negative_samples(spark, sf_dir)
+    rows = neg.collect()
+    assert rows
+    true = {(r["subject"], r["predicate"], r["object"])
+            for r in api.q_triples_dedup(spark, sf_dir)
+            .select("subject", "predicate", "object").collect()}
+    seen = {}
+    for r in rows:
+        # never an accidental positive, never a self-loop
+        assert (r["subject"], r["predicate"], r["neg_object"]) not in true
+        assert r["neg_object"] != r["subject"]
+        assert r["neg_object"] != r["object"]
+        assert 0 <= r["sample_idx"] < NEG_SAMPLES_K
+        key = (r["subject"], r["predicate"], r["object"], r["sample_idx"])
+        assert key not in seen   # at most one candidate per slot
+        seen[key] = r["neg_object"]
+    # deterministic across runs
+    again = {(r["subject"], r["predicate"], r["object"], r["sample_idx"]):
+             r["neg_object"] for r in neg.collect()}
+    assert again == seen

@@ -241,3 +241,21 @@ def test_repetition_metrics_no_python_stage(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "MapInPandas" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_merge_upsert_is_shuffled_equi_join(spark, sf_dir):
+    """The null-safe 7-tuple MERGE key must still plan as a hash/sort
+    equi-join on the key — never a nested-loop over the store."""
+    plan = _plan(api.q_triple_merge_upsert(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_negative_samples_vocab_broadcast(spark, sf_dir):
+    """Corrupted rows pick from the bounded vocabulary by broadcast
+    index join; the anti-join against true triples is the only
+    corpus-keyed exchange."""
+    plan = _plan(api.q_kg_negative_samples(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
