@@ -122,16 +122,20 @@ TRIPLE_KEY = ["subject", "predicate", "object", "subject_type",
 
 
 def merge_triples_incremental(existing: DataFrame,
-                              incoming: DataFrame) -> DataFrame:
+                              incoming: DataFrame,
+                              mode: str = "recrawl") -> DataFrame:
     """MERGE INTO for the canonical triple store — the re-crawl upsert:
     given the published table and a fresh extraction run (both in
     dedup_triples' (7-tuple key, confidence, support) shape), emit the
     merged table with an `action` tag per row: 'insert' (key only in
     incoming), 'update' (key in both and the evidence changed —
     support grew or a higher confidence arrived), 'unchanged'.
-    Confidence merges by max, support by max-of-counts (the incoming
-    run re-extracts the whole corpus, so counts supersede rather than
-    add; an append-log source would sum instead).
+    Confidence merges by max. Support depends on `mode`:
+      * 'recrawl' (default): max-of-counts — the incoming run
+        re-extracts the whole corpus, so counts supersede;
+      * 'append': sum-of-counts — the incoming batch holds only NEW
+        documents (a streaming micro-batch), so its evidence adds, and
+        any matched key is an 'update'.
 
     The Iceberg analog is `MERGE INTO graph USING incoming ON <7-tuple>
     WHEN MATCHED THEN UPDATE ... WHEN NOT MATCHED THEN INSERT ...`.
@@ -156,16 +160,24 @@ def merge_triples_incremental(existing: DataFrame,
     for c in TRIPLE_KEY:
         p = F.col(f"e.{c}").eqNullSafe(F.col(f"i.{c}"))
         cond = p if cond is None else cond & p
+    if mode not in ("recrawl", "append"):
+        raise ValueError(f"unknown merge mode {mode!r}")
     j = e.join(i, cond, "full_outer")
-    changed = (F.col("sup_i") != F.col("sup_e")) \
-        | (F.col("conf_i") > F.col("conf_e"))
+    if mode == "recrawl":
+        changed = (F.col("sup_i") != F.col("sup_e")) \
+            | (F.col("conf_i") > F.col("conf_e"))
+        support = F.greatest(F.coalesce("sup_e", F.lit(0)),
+                             F.coalesce("sup_i", F.lit(0)))
+    else:  # append: new evidence always changes a matched key
+        changed = F.lit(True)
+        support = (F.coalesce("sup_e", F.lit(0))
+                   + F.coalesce("sup_i", F.lit(0)))
     return j.select(
         *[F.coalesce(F.col(f"e.{c}"), F.col(f"i.{c}")).alias(c)
           for c in TRIPLE_KEY],
         F.greatest(F.coalesce("conf_e", F.lit(0.0)),
                    F.coalesce("conf_i", F.lit(0.0))).alias("confidence"),
-        F.greatest(F.coalesce("sup_e", F.lit(0)),
-                   F.coalesce("sup_i", F.lit(0))).alias("support"),
+        support.alias("support"),
         F.when(F.col("sup_e").isNull(), F.lit("insert"))
         .when(F.col("sup_i").isNull(), F.lit("unchanged"))
         .when(changed, F.lit("update"))

@@ -195,3 +195,84 @@ def dedup_events_within_watermark(events: DataFrame,
     still own *global* dedup; this bounds the duplicate volume they see."""
     return (events.withWatermark("ts", watermark)
             .dropDuplicatesWithinWatermark(list(keys)))
+
+
+# --- streaming MERGE INTO the canonical store --------------------------------
+
+STORE_POINTER = "_latest.json"
+
+
+def current_store(spark: SparkSession, store_dir: str) -> DataFrame | None:
+    """The latest committed canonical-store version, or None before the
+    first commit. Readers resolve through the atomic pointer marker, so
+    a half-written version dir is never visible."""
+    ptr = _read_pointer(spark, store_dir)
+    if not ptr:
+        return None
+    return spark.read.parquet(f"{store_dir}/v={ptr['version']}")
+
+
+def _read_pointer(spark: SparkSession, store_dir: str) -> dict | None:
+    """The pointer marker, or None before the first commit
+    (_fs_read_json raises on a missing path, so probe the listing)."""
+    from ..plans.checkpointing import _fs_read_json
+    if STORE_POINTER not in fs_list_names(spark, store_dir):
+        return None
+    return _fs_read_json(spark, f"{store_dir}/{STORE_POINTER}")
+
+
+def stream_merge_triples(spark: SparkSession, input_dir: str,
+                         store_dir: str, checkpoint_dir: str,
+                         trigger_available_now: bool = True):
+    """Streaming MERGE INTO: each micro-batch extracts triples from its
+    NEW documents and upserts them into a versioned canonical store via
+    relations.merge_triples_incremental(mode='append') — the
+    snapshot-chain pattern Iceberg gives MERGE for free, reproduced on
+    plain parquet so crash-replays stay exactly-once:
+
+      * version v=<batch_id> is derived from the latest COMMITTED
+        parent and written whole (overwrite);
+      * a JSON pointer marker {version, parent} commits the version
+        atomically AFTER the data lands;
+      * a replayed batch (driver died between pointer commit and the
+        stream checkpoint's offset commit) sees pointer.version ==
+        its own batch_id and re-derives from the SAME parent — support
+        counts are never double-applied.
+
+    Old versions accumulate like Iceberg snapshots; expiring them is a
+    maintenance pass (delete every v= dir except the pointer's version
+    and parent), deliberately out of the hot path. Returns the started
+    StreamingQuery."""
+    from ..operators.relations import (dedup_triples,
+                                       merge_triples_incremental)
+    from ..plans.checkpointing import _fs_write_json_atomic
+
+    stream = (spark.readStream.schema(DOCS_SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(input_dir))
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        inc = dedup_triples(triples_from_docs(batch_df))
+        ptr = _read_pointer(spark, store_dir)
+        if ptr and ptr["version"] == batch_id:     # crash replay
+            parent = ptr["parent"]
+        elif ptr:
+            parent = ptr["version"]
+        else:
+            parent = None
+        cur = (spark.read.parquet(f"{store_dir}/v={parent}")
+               if parent is not None else inc.limit(0))
+        merged = merge_triples_incremental(cur, inc, mode="append") \
+            .drop("action")
+        merged.write.mode("overwrite") \
+            .parquet(f"{store_dir}/v={batch_id}")
+        _fs_write_json_atomic(
+            spark, f"{store_dir}/{STORE_POINTER}",
+            {"version": batch_id, "parent": parent})
+
+    writer = (stream.writeStream
+              .foreachBatch(process)
+              .option("checkpointLocation", checkpoint_dir))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

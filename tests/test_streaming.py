@@ -224,3 +224,81 @@ def test_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.table("mem_dedup").toPandas()
     assert sorted(got["event_id"]) == [1, 2, 3]  # the re-delivery is gone
+
+
+def test_stream_merge_store_matches_batch_merge(spark, sf_dir, staged):
+    """Streaming MERGE INTO: after draining both staged files, the
+    committed store equals dedup_triples over the full corpus (every
+    doc appears once, so append-mode supports equal the batch counts);
+    a re-drain on the same checkpoint changes nothing; versions chain
+    through the pointer."""
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.relations import (  # noqa: E501
+        dedup_triples,
+    )
+    from cspirit_ontology_information_extraction_opus4plan_spark.streaming.pipeline import (  # noqa: E501
+        _read_pointer,
+        current_store,
+        stream_merge_triples,
+    )
+
+    in_dir, out_dir, ckpt = staged
+    store = out_dir + "_store"
+    assert current_store(spark, store) is None
+
+    q = stream_merge_triples(spark, in_dir, store, ckpt)
+    q.awaitTermination(120)
+
+    got = current_store(spark, store).toPandas()
+    want = dedup_triples(triples_from_docs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"))).toPandas()
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
+
+    # two files -> two batches -> pointer at v1 with parent v0
+    ptr = _read_pointer(spark, store)
+    assert ptr == {"version": 1, "parent": 0}
+
+    # exactly-once: a re-drain on the same checkpoint commits nothing
+    q2 = stream_merge_triples(spark, in_dir, store, ckpt)
+    q2.awaitTermination(120)
+    assert _read_pointer(spark, store) == ptr
+    again = current_store(spark, store).toPandas()
+    pd.testing.assert_frame_equal(_sorted(again), _sorted(want))
+
+
+def test_stream_merge_replay_not_double_applied(spark, sf_dir, staged):
+    """Crash replay: if the pointer already commits batch N but the
+    stream checkpoint does not, the replayed batch re-derives from the
+    SAME parent — support counts must not double."""
+    from cspirit_ontology_information_extraction_opus4plan_spark.streaming.pipeline import (  # noqa: E501
+        _read_pointer,
+        current_store,
+        stream_merge_triples,
+    )
+
+    in_dir, out_dir, ckpt = staged
+    store = out_dir + "_store"
+    q = stream_merge_triples(spark, in_dir, store, ckpt)
+    q.awaitTermination(120)
+    before = _sorted(current_store(spark, store).toPandas())
+
+    # simulate the torn state: data + pointer for v1 committed, stream
+    # offsets not — replay arrives as batch_id=1 again
+    from cspirit_ontology_information_extraction_opus4plan_spark.streaming import (  # noqa: E501
+        pipeline as SP,
+    )
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.relations import (  # noqa: E501
+        dedup_triples,
+        merge_triples_incremental,
+    )
+
+    batch1 = spark.read.parquet(in_dir).where("doc_id >= 250")
+    ptr = _read_pointer(spark, store)
+    parent = ptr["parent"] if ptr["version"] == 1 else ptr["version"]
+    inc = dedup_triples(triples_from_docs(batch1))
+    cur = spark.read.parquet(f"{store}/v={parent}")
+    merged = merge_triples_incremental(cur, inc, mode="append") \
+        .drop("action")
+    # replayed write lands on v=1 from the same parent
+    merged.write.mode("overwrite").parquet(f"{store}/v=1")
+    after = _sorted(spark.read.parquet(f"{store}/v=1").toPandas())
+    pd.testing.assert_frame_equal(after, before)
