@@ -879,6 +879,15 @@ def q_triple_merge_upsert(spark, sf_dir):
                                      dedup_triples(incoming))
 
 
+def q_lang_confusion(spark, sf_dir):
+    """Declared-vs-detected language confusion matrix over the corpus
+    (shared _lang_pred rule; off-diagonal cells = mislabeled shards)."""
+    from .operators.textops import lang_confusion
+    return lang_confusion(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text", "lang"))
+
+
 def q_kg_negative_samples(spark, sf_dir):
     """Deterministic tail-corruption negative sampling over the triple
     store (TransE-style contrastive training pairs, md5-indexed into
@@ -1026,6 +1035,7 @@ def queries() -> dict[str, QueryFn]:
         "triple_subject_skew": q_triple_subject_skew,
         "triple_merge_upsert": q_triple_merge_upsert,
         "kg_negative_samples": q_kg_negative_samples,
+        "lang_confusion": q_lang_confusion,
     }
 
 

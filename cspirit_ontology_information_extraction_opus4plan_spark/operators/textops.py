@@ -750,3 +750,20 @@ def mixture_temperature_sample(docs: DataFrame,
             .join(F.broadcast(dims), "lang")
             .filter(F.col("h4") < F.col("thr_hex"))
             .select("doc_id", "lang", "h4", "thr_hex"))
+
+
+def lang_confusion(docs: DataFrame) -> DataFrame:
+    """Declared-vs-detected language confusion matrix — the corpus-QA
+    probe a multilingual pipeline runs before trusting the `lang`
+    column (a mislabeled shard shows up as an off-diagonal hot cell;
+    'und' rows measure detector abstention). One map-side-combinable
+    groupBy on the (declared, predicted) pair; the total comes back as
+    a 1-row broadcast. Uses the ONE prediction rule (_lang_pred), so
+    this can never diverge from lang_id or the curation funnel."""
+    m = (docs.select("lang", lang_pred_col().alias("lang_pred"))
+         .groupBy("lang", "lang_pred").agg(F.count("*").alias("n")))
+    tot = m.agg(F.sum("n").alias("total"))
+    return (m.crossJoin(F.broadcast(tot))
+            .select("lang", "lang_pred", "n",
+                    F.round(F.col("n") / F.col("total"), 6).alias("share"),
+                    (F.col("lang") == F.col("lang_pred")).alias("agree")))

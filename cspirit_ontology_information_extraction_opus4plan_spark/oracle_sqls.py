@@ -399,6 +399,19 @@ FROM tok"""
         f" AS lang_pred,\n"
         f"       {', '.join(f'h_{la}' for la in langs)}\nFROM h")
 
+    sqls["lang_confusion"] = (
+        f"WITH {tok_cte('documents')},\n"
+        f"h AS (SELECT doc_id,\n       {hit_exprs}\nFROM tok),\n"
+        f"conf AS (SELECT d.lang,\n"
+        f"  CASE WHEN {best} < 2 THEN 'und' {pred_whens} END AS lang_pred\n"
+        f"  FROM h JOIN documents d USING (doc_id)),\n"
+        f"m AS (SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n\n"
+        f"      FROM conf GROUP BY 1, 2),\n"
+        f"tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM m)\n"
+        f"SELECT lang, lang_pred, n,\n"
+        f"       round(CAST(n AS DOUBLE) / total, 6) AS share,\n"
+        f"       lang = lang_pred AS agree\nFROM m, tot")
+
     sqls["doc_fingerprint"] = (
         f"WITH {tok_cte('documents')},\n"
         f"sg AS (SELECT doc_id, {_sh_expr(TX.FP_SHINGLE_W)} AS sh FROM tok)\n"

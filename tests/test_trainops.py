@@ -283,3 +283,28 @@ def test_skew_profile_finds_hub_subject(spark, sf_dir):
     assert all(r["total_rows"] == rows[0]["total_rows"] for r in rows)
     assert abs(sum(r["share"] for r in rows)
                - sum(r["n"] for r in rows) / rows[0]["total_rows"]) < 1e-4
+
+
+def test_lang_confusion_matrix_invariants(spark, sf_dir):
+    # The driver corpus declares lang labels over English-ish synthetic
+    # text, so the matrix is deliberately OFF-diagonal for non-en rows —
+    # exactly the mislabeled-shard signal the probe exists to expose.
+    # Assert the structural invariants, not corpus-specific agreement.
+    from cspirit_ontology_information_extraction_opus4plan_spark import api
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators import (
+        textops)
+
+    rows = api.q_lang_confusion(spark, sf_dir).collect()
+    assert rows
+    known = set(textops.LANG_WORDLISTS) | {"und"}
+    assert all(r["lang_pred"] in known for r in rows)
+    assert all(r["agree"] == (r["lang"] == r["lang_pred"]) for r in rows)
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+    # cells are a partition of the corpus
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r["n"] for r in rows) == n_docs
+    # the detector does fire on the English-embedded text: en→en is the
+    # largest agreeing cell and non-trivial
+    en_en = sum(r["n"] for r in rows
+                if r["lang"] == "en" and r["agree"])
+    assert en_en > 0
