@@ -888,6 +888,29 @@ def q_lang_confusion(spark, sf_dir):
         .select("doc_id", "text", "lang"))
 
 
+def q_kg_triangles(spark, sf_dir):
+    """Triangle / clustering-coefficient statistics over the entity
+    graph (degree-ordered orientation — hub-safe wedge generation)."""
+    from .operators.graphops import triangle_stats, undirected_entity_edges
+    return triangle_stats(undirected_entity_edges(
+        dedup_triples(triples_df(spark, sf_dir))))
+
+
+def q_kg_two_hop(spark, sf_dir):
+    """Per-entity 1-hop and 2-hop neighborhood sizes — the GNN-sampler
+    context-radius probe over the entity graph."""
+    from .operators.graphops import two_hop_counts, undirected_entity_edges
+    return two_hop_counts(undirected_entity_edges(
+        dedup_triples(triples_df(spark, sf_dir))))
+
+
+def q_kg_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank entity salience over the directed
+    (subject -> object) graph; deterministic unrolled recurrence."""
+    from .operators.graphops import pagerank_fixed
+    return pagerank_fixed(dedup_triples(triples_df(spark, sf_dir)))
+
+
 def q_kg_negative_samples(spark, sf_dir):
     """Deterministic tail-corruption negative sampling over the triple
     store (TransE-style contrastive training pairs, md5-indexed into
@@ -1036,6 +1059,9 @@ def queries() -> dict[str, QueryFn]:
         "triple_merge_upsert": q_triple_merge_upsert,
         "kg_negative_samples": q_kg_negative_samples,
         "lang_confusion": q_lang_confusion,
+        "kg_triangles": q_kg_triangles,
+        "kg_two_hop": q_kg_two_hop,
+        "kg_pagerank": q_kg_pagerank,
     }
 
 

@@ -1,0 +1,184 @@
+"""Graph analytics over the emitted triple store — the serving-side KG
+queries a construction pipeline runs after materialization: triangle /
+clustering-coefficient statistics (how clique-y is the extracted graph),
+k-hop neighborhood sizes (entity context radius for GNN sampling), and
+fixed-iteration PageRank (entity salience for ranking linked candidates).
+
+The reference's graph surface is hierarchy-only (ancestor closure /
+depth walks, ontology_trimmer.py:586-628); BASELINE.json's north_star
+adds the canonical graph table as a first-class product, and these are
+the standard analytics users run ON that product. All three are pure
+DataFrame compositions — shuffle equi-joins plus map-side-combinable
+aggregates, no Python on the hot path, no windows over the full graph.
+
+Scale notes (10^12-doc corpus => 10^8-10^9 node graph):
+  * triangle counting uses the degree-ordered orientation (each
+    undirected edge directed from its lower-(degree, id) endpoint), so
+    every wedge is generated at its lowest-degree apex — the classic
+    bound that keeps hub vertices from materializing deg^2 wedge rows
+    (a 10^6-degree hub would otherwise emit 10^12 wedges; oriented, its
+    out-degree is bounded by its rank among neighbors).
+  * 2-hop counts expand one frontier join then aggregate distinct —
+    the shape GraphFrames' motif 'a-b; b-c' compiles to; the per-hop
+    distinct is a map-side-combinable dedup on (node, reached).
+  * PageRank unrolls a FIXED iteration count with the rank frame
+    persisted per round (each round reads the previous exactly twice:
+    contribution join + carry), contributions flow along the edge
+    equi-join on src and reduce with a map-side-combinable sum on dst.
+    Dangling mass leaks (documented) — identical semantics on the
+    DuckDB oracle side, so the contract is explicit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["undirected_entity_edges", "triangle_stats",
+           "two_hop_counts", "pagerank_fixed"]
+
+PR_DAMPING = 0.85
+PR_ITER = 3
+
+
+def undirected_entity_edges(triples: DataFrame) -> DataFrame:
+    """Deduped triple store -> distinct undirected entity edges
+    (src < dst), uri endpoints only (literals are not graph vertices),
+    self-loops dropped. One shuffle (the distinct)."""
+    return (triples
+            .filter((F.col("subject_type") == "uri")
+                    & (F.col("object_type") == "uri")
+                    & (F.col("subject") != F.col("object")))
+            .select(F.least("subject", "object").alias("src"),
+                    F.greatest("subject", "object").alias("dst"))
+            .distinct())
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Undirected edges (src < dst, distinct) -> per-node
+    (node, degree, n_triangles, clustering) with the local clustering
+    coefficient 2T / (deg * (deg-1)) (0 when deg < 2).
+
+    Degree-ordered orientation: direct each edge from the endpoint with
+    the smaller (degree, id) to the larger; a triangle {u,v,w} is then
+    found exactly once, as the wedge at its minimum-rank vertex closed
+    by the oriented (v, w) edge. Joins are equi-joins on node ids; the
+    wedge self-join key is the apex, whose oriented out-degree is
+    O(sqrt(m)) — hub-safe.
+
+    The edge frame is read by degree, orientation and closing branches;
+    eager localCheckpoint materializes it once so a deep upstream plan
+    (the full extraction pipeline) never re-executes per branch."""
+    edges = edges.localCheckpoint(eager=True)
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg")) \
+             .withColumnRenamed("src", "node")
+
+    e = (edges
+         .join(deg.toDF("src", "dsrc"), "src")
+         .join(deg.toDF("dst", "ddst"), "dst"))
+    fwd = (F.col("dsrc") < F.col("ddst")) | (
+        (F.col("dsrc") == F.col("ddst")) & (F.col("src") < F.col("dst")))
+    oriented = e.select(
+        F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("u"),
+        F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("v"),
+        F.when(fwd, F.col("ddst")).otherwise(F.col("dsrc")).alias("dv"))
+    # three readers (wedge left, wedge right, closing edge): materialize
+    # the oriented edge list once rather than re-running its two
+    # degree joins per branch
+    oriented = oriented.localCheckpoint(eager=True)
+
+    a = oriented.toDF("u", "v", "dv")
+    b = oriented.toDF("u", "w", "dw")
+    # order the wedge's two heads by the SAME (degree, id) rank the
+    # orientation used, so the closing edge is findable as v -> w
+    wedges = (a.join(b, "u")
+              .filter((F.col("dv") < F.col("dw"))
+                      | ((F.col("dv") == F.col("dw"))
+                         & (F.col("v") < F.col("w")))))
+    closing = oriented.select(F.col("u").alias("v"),
+                              F.col("v").alias("w"))
+    tris = wedges.join(closing, ["v", "w"]).select("u", "v", "w")
+
+    per_node = (tris
+                .select(F.explode(F.array("u", "v", "w")).alias("node"))
+                .groupBy("node").agg(F.count("*").alias("n_triangles")))
+    return (deg.join(per_node, "node", "left")
+            .select("node", F.col("deg").alias("degree"),
+                    F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+                    F.round(
+                        F.when(F.col("deg") >= 2,
+                               2.0 * F.coalesce("n_triangles", F.lit(0))
+                               / (F.col("deg") * (F.col("deg") - 1)))
+                        .otherwise(F.lit(0.0)), 6).alias("clustering")))
+
+
+def two_hop_counts(edges: DataFrame) -> DataFrame:
+    """Undirected edges -> (node, n_1hop, n_2hop): distinct neighbors at
+    distance exactly 1 and at distance <= 2 (self excluded). One frontier
+    expansion join + a distinct-count aggregate — the GNN-sampler sizing
+    probe (how big is each entity's 2-hop context). Eager checkpoint on
+    the input: sym is read three times (both sides of the frontier join
+    + the 1-hop count)."""
+    edges = edges.localCheckpoint(eager=True)
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    hop2 = (sym.toDF("src", "mid")
+            .join(sym.toDF("mid", "dst"), "mid")
+            .filter(F.col("src") != F.col("dst"))
+            .select("src", "dst"))
+    reach = sym.unionByName(hop2).distinct()
+    one = sym.groupBy("src").agg(F.count("*").alias("n_1hop"))
+    both = reach.groupBy("src").agg(F.count("*").alias("n_2hop"))
+    return (one.join(both, "src")
+            .select(F.col("src").alias("node"), "n_1hop", "n_2hop"))
+
+
+def pagerank_fixed(triples: DataFrame,
+                   n_iter: int = PR_ITER,
+                   damping: float = PR_DAMPING) -> DataFrame:
+    """Deduped triple store -> (node, pagerank) after a FIXED number of
+    synchronous iterations on the directed (subject -> object) entity
+    graph: pr_{k+1}(v) = (1-d)/N + d * sum_{(u,v)} pr_k(u) / outdeg(u),
+    pr_0 = 1/N. Dangling nodes leak their mass (no redistribution) —
+    the contract is fixed-iteration and deterministic, NOT
+    converged-to-epsilon, so the DuckDB oracle can unroll the identical
+    recurrence. N is a scalar aggregate (one driver long, never a
+    collect of rows). Values rounded to 6 places."""
+    ed = (triples
+          .filter((F.col("subject_type") == "uri")
+                  & (F.col("object_type") == "uri")
+                  & (F.col("subject") != F.col("object")))
+          .select(F.col("subject").alias("s"), F.col("object").alias("o"))
+          .distinct()
+          # read by nodes, outdeg and the contribution join — truncate
+          # the upstream extraction plan once instead of 3x
+          .localCheckpoint(eager=True))
+    nodes = (ed.select(F.col("s").alias("n"))
+             .unionByName(ed.select(F.col("o").alias("n")))
+             .distinct()
+             .persist())
+    n_total = nodes.count()
+    outdeg = ed.groupBy("s").agg(F.count("*").alias("odeg"))
+    contrib_edges = ed.join(outdeg, "s").persist()
+
+    pr = nodes.select("n", F.lit(1.0 / n_total).alias("pr"))
+    base = (1.0 - damping) / n_total
+    for _ in range(n_iter):
+        c = (contrib_edges
+             .join(pr.withColumnRenamed("n", "s"), "s")
+             .groupBy("o")
+             .agg(F.sum(F.col("pr") / F.col("odeg")).alias("mass")))
+        nxt = (nodes.join(c.withColumnRenamed("o", "n"), "n", "left")
+               .select("n", (F.lit(base) + damping
+                             * F.coalesce("mass", F.lit(0.0))).alias("pr"))
+               .persist())
+        nxt.count()  # materialize before dropping the previous round
+        pr.unpersist()
+        pr = nxt
+    out = pr.select(F.col("n").alias("node"),
+                    F.round("pr", 6).alias("pagerank"))
+    nodes.unpersist()
+    contrib_edges.unpersist()
+    return out

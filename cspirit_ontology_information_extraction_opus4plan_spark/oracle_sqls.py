@@ -2181,4 +2181,80 @@ ANTI JOIN dt t
   ON t.subject = n.subject AND t.predicate = n.predicate
  AND t.object = n.neg_object""")
 
+    # --- graph analytics over the entity graph ------------------------------
+    # undirected distinct entity edges (src < dst), uri-only, no loops —
+    # the oracle lists triangles by id order (x < y < z); the Spark side
+    # uses degree-ordered orientation, which finds the identical set.
+    und_ctes = """,
+und AS (SELECT DISTINCT least(subject, object) AS src,
+               greatest(subject, object) AS dst
+        FROM triples
+        WHERE subject_type = 'uri' AND object_type = 'uri'
+          AND subject <> object),
+sym AS (SELECT src, dst FROM und
+        UNION ALL SELECT dst, src FROM und)"""
+
+    sqls["kg_triangles"] = (
+        corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + und_ctes + """,
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+        FROM sym GROUP BY 1),
+tri AS (SELECT a.src AS x, a.dst AS y, c.dst AS z
+        FROM und a
+        JOIN und c ON c.src = a.src AND c.dst > a.dst
+        JOIN und e ON e.src = a.dst AND e.dst = c.dst),
+pn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+       FROM (SELECT x AS node FROM tri
+             UNION ALL SELECT y FROM tri
+             UNION ALL SELECT z FROM tri)
+       GROUP BY 1)
+SELECT d.node, d.degree,
+       CAST(coalesce(pn.n_triangles, 0) AS BIGINT) AS n_triangles,
+       round(CASE WHEN d.degree >= 2
+                  THEN 2.0 * coalesce(pn.n_triangles, 0)
+                       / (d.degree * (d.degree - 1))
+                  ELSE 0.0 END, 6) AS clustering
+FROM deg d LEFT JOIN pn USING (node)""")
+
+    sqls["kg_two_hop"] = (
+        corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + und_ctes + """,
+hop2 AS (SELECT a.src AS src, b.dst AS dst
+         FROM sym a JOIN sym b ON b.src = a.dst
+         WHERE a.src <> b.dst),
+reach AS (SELECT DISTINCT src, dst
+          FROM (SELECT * FROM sym UNION ALL SELECT * FROM hop2)),
+one AS (SELECT src, CAST(count(*) AS BIGINT) AS n_1hop
+        FROM sym GROUP BY 1),
+two AS (SELECT src, CAST(count(*) AS BIGINT) AS n_2hop
+        FROM reach GROUP BY 1)
+SELECT one.src AS node, n_1hop, n_2hop
+FROM one JOIN two USING (src)""")
+
+    from .operators.graphops import PR_DAMPING, PR_ITER
+    pr_iters = ""
+    for i in range(1, PR_ITER + 1):
+        pr_iters += f""",
+pr{i} AS (
+  SELECT nodes.n,
+         (CAST(1.0 AS DOUBLE) - CAST({PR_DAMPING} AS DOUBLE))
+           / (SELECT cnt FROM nn)
+         + CAST({PR_DAMPING} AS DOUBLE)
+           * coalesce(sum(p.pr / od.odeg), CAST(0.0 AS DOUBLE)) AS pr
+  FROM nodes
+  LEFT JOIN ed ON ed.o = nodes.n
+  LEFT JOIN pr{i - 1} p ON p.n = ed.s
+  LEFT JOIN od ON od.s = ed.s
+  GROUP BY nodes.n)"""
+    sqls["kg_pagerank"] = (
+        corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + f""",
+ed AS (SELECT DISTINCT subject AS s, object AS o FROM triples
+       WHERE subject_type = 'uri' AND object_type = 'uri'
+         AND subject <> object),
+nodes AS (SELECT DISTINCT n
+          FROM (SELECT s AS n FROM ed UNION ALL SELECT o FROM ed)),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM nodes),
+od AS (SELECT s, CAST(count(*) AS BIGINT) AS odeg FROM ed GROUP BY 1),
+pr0 AS (SELECT n, CAST(1.0 AS DOUBLE) / (SELECT cnt FROM nn) AS pr
+        FROM nodes){pr_iters}
+SELECT n AS node, round(pr, 6) AS pagerank FROM pr{PR_ITER}""")
+
     return sqls

@@ -1,0 +1,95 @@
+from __future__ import annotations
+
+from cspirit_ontology_information_extraction_opus4plan_spark.operators import (
+    graphops,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in pairs], "src string, dst string"
+    ).distinct()
+
+
+def _triples(spark, pairs):
+    return spark.createDataFrame(
+        [(s, "rel", o, "uri", "uri", None, None, 1.0, 1) for s, o in pairs],
+        "subject string, predicate string, object string, "
+        "subject_type string, object_type string, object_datatype string, "
+        "object_language string, confidence double, support bigint")
+
+
+def test_triangle_stats_known_graph(spark):
+    # K3 (a,b,c) + pendant d on a: a has deg 3, 1 triangle,
+    # clustering 2*1/(3*2) = 1/3; b,c deg 2 clustering 1; d deg 1 -> 0
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c"), ("a", "d")])
+    rows = {r["node"]: r for r in graphops.triangle_stats(e).collect()}
+    assert rows["a"]["degree"] == 3 and rows["a"]["n_triangles"] == 1
+    assert abs(rows["a"]["clustering"] - round(1 / 3, 6)) < 1e-9
+    assert rows["b"]["n_triangles"] == 1 and rows["b"]["clustering"] == 1.0
+    assert rows["c"]["n_triangles"] == 1 and rows["c"]["clustering"] == 1.0
+    assert rows["d"]["degree"] == 1 and rows["d"]["n_triangles"] == 0
+    assert rows["d"]["clustering"] == 0.0
+
+
+def test_triangle_stats_counts_k4(spark):
+    # K4: every node in C(3,2)=3 triangles, clustering 1; 4 triangles total
+    nodes = ["a", "b", "c", "d"]
+    e = _edges(spark, [(x, y) for x in nodes for y in nodes if x < y])
+    rows = graphops.triangle_stats(e).collect()
+    assert all(r["n_triangles"] == 3 and r["degree"] == 3 for r in rows)
+    assert sum(r["n_triangles"] for r in rows) == 12  # 4 triangles x 3
+
+
+def test_two_hop_counts_path(spark):
+    # path a-b-c-d-e: c reaches {b,d} at 1 hop, {a,b,d,e} within 2
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")])
+    rows = {r["node"]: r for r in graphops.two_hop_counts(e).collect()}
+    assert rows["c"]["n_1hop"] == 2 and rows["c"]["n_2hop"] == 4
+    assert rows["a"]["n_1hop"] == 1 and rows["a"]["n_2hop"] == 2
+    assert rows["b"]["n_1hop"] == 2 and rows["b"]["n_2hop"] == 3
+
+
+def test_pagerank_fixed_star(spark):
+    # star: x,y,z -> hub. hub is a sink (dangling; its mass leaks).
+    t = _triples(spark, [("x", "hub"), ("y", "hub"), ("z", "hub")])
+    rows = {r["node"]: r["pagerank"]
+            for r in graphops.pagerank_fixed(t, n_iter=2).collect()}
+    n, d = 4, graphops.PR_DAMPING
+    leaf0 = 1 / n
+    leaf1 = (1 - d) / n                      # no in-edges
+    hub1 = (1 - d) / n + d * 3 * leaf0       # all three leaves' mass
+    hub2 = (1 - d) / n + d * 3 * leaf1
+    assert abs(rows["x"] - round(leaf1, 6)) < 1e-9
+    assert rows["x"] == rows["y"] == rows["z"]
+    assert abs(rows["hub"] - round(hub2, 6)) < 1e-9
+    # hub outranks leaves, and total mass <= 1 (dangling leak)
+    assert rows["hub"] > rows["x"]
+    assert sum(rows.values()) <= 1.0 + 1e-6
+
+
+def test_pagerank_cycle_is_uniform(spark):
+    # a->b->c->a: symmetric, pagerank stays uniform at 1/3 every iteration
+    t = _triples(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    rows = graphops.pagerank_fixed(t).collect()
+    assert all(abs(r["pagerank"] - round(1 / 3, 6)) < 1e-9 for r in rows)
+
+
+def test_undirected_entity_edges_filters(spark):
+    t = _triples(spark, [("a", "b"), ("b", "a"), ("c", "c")])
+    lit = spark.createDataFrame(
+        [("a", "p", "5", "uri", "literal", "xsd:int", None, 1.0, 1)],
+        _triples(spark, []).schema)
+    e = graphops.undirected_entity_edges(t.unionByName(lit)).collect()
+    # (a,b) and (b,a) collapse to one undirected edge; self-loop and
+    # literal-object rows are dropped
+    assert [(r["src"], r["dst"]) for r in e] == [("a", "b")]
+
+
+def test_triangle_plan_no_nested_loop(spark, sf_dir):
+    from cspirit_ontology_information_extraction_opus4plan_spark import api
+
+    plan = api.q_kg_triangles(spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
