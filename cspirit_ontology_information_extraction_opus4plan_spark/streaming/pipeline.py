@@ -266,6 +266,14 @@ def stream_merge_triples(spark: SparkSession, input_dir: str,
             .drop("action")
         merged.write.mode("overwrite") \
             .parquet(f"{store_dir}/v={batch_id}")
+        # per-version commit marker BEFORE the pointer flips: the row
+        # count re-reads only parquet footers (metadata, not data) and
+        # gives store_history/expiry an authoritative snapshot log —
+        # the role Iceberg's metadata.json + snapshot list plays
+        n_rows = spark.read.parquet(f"{store_dir}/v={batch_id}").count()
+        _fs_write_json_atomic(
+            spark, f"{store_dir}/_commit_v{batch_id}.json",
+            {"version": batch_id, "parent": parent, "n_rows": n_rows})
         _fs_write_json_atomic(
             spark, f"{store_dir}/{STORE_POINTER}",
             {"version": batch_id, "parent": parent})
@@ -276,3 +284,98 @@ def stream_merge_triples(spark: SparkSession, input_dir: str,
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# --- snapshot maintenance (the Iceberg metadata surface) ---------------------
+
+def store_history(spark: SparkSession, store_dir: str) -> list[dict]:
+    """The committed snapshot log, latest first: one dict per version
+    {version, parent, n_rows, is_current} — Iceberg's snapshot-list
+    read, reconstructed from the per-version commit markers. A version
+    dir without a marker never committed (torn write) and is invisible,
+    exactly like the pointer-based reader."""
+    ptr = _read_pointer(spark, store_dir)
+    if not ptr:
+        return []
+    from ..plans.checkpointing import _fs_read_json
+    out = []
+    for name in fs_list_names(spark, store_dir):
+        if name.startswith("_commit_v") and name.endswith(".json"):
+            c = _fs_read_json(spark, f"{store_dir}/{name}")
+            c["is_current"] = c["version"] == ptr["version"]
+            out.append(c)
+    return sorted(out, key=lambda c: c["version"], reverse=True)
+
+
+def store_at_version(spark: SparkSession, store_dir: str,
+                     version: int) -> DataFrame:
+    """Time-travel read: the store exactly as of snapshot `version`
+    (Iceberg's VERSION AS OF). Only committed versions are readable."""
+    committed = {c["version"] for c in store_history(spark, store_dir)}
+    if version not in committed:
+        raise ValueError(
+            f"version {version} is not a committed snapshot of "
+            f"{store_dir} (committed: {sorted(committed)})")
+    return spark.read.parquet(f"{store_dir}/v={version}")
+
+
+def store_changes(spark: SparkSession, store_dir: str,
+                  v_from: int, v_to: int) -> DataFrame:
+    """CDC read between two committed snapshots (Iceberg's incremental
+    changelog): triple rows tagged insert / update / delete, unchanged
+    rows dropped. A full-outer null-safe equi-join on the 7-tuple key —
+    one shuffle, no window; at store scale both sides are the published
+    snapshots, so the join key is the store's own identity."""
+    from ..operators.relations import TRIPLE_KEY
+    old = store_at_version(spark, store_dir, v_from)
+    new = store_at_version(spark, store_dir, v_to)
+    o = old.select(*TRIPLE_KEY,
+                   F.col("confidence").alias("old_confidence"),
+                   F.col("support").alias("old_support"))
+    n = new.select(*TRIPLE_KEY,
+                   F.col("confidence").alias("new_confidence"),
+                   F.col("support").alias("new_support"))
+    cond = [o[c].eqNullSafe(n[c]) for c in TRIPLE_KEY]
+    j = o.join(n, cond, "full_outer")
+    keyed = j.select(
+        *[F.coalesce(o[c], n[c]).alias(c) for c in TRIPLE_KEY],
+        "old_confidence", "old_support", "new_confidence", "new_support",
+        F.when(F.col("old_support").isNull(), F.lit("insert"))
+         .when(F.col("new_support").isNull(), F.lit("delete"))
+         .when((F.col("new_support") != F.col("old_support"))
+               | (F.col("new_confidence") != F.col("old_confidence")),
+               F.lit("update"))
+         .otherwise(F.lit("unchanged")).alias("action"))
+    return keyed.filter(F.col("action") != "unchanged")
+
+
+def expire_store_versions(spark: SparkSession, store_dir: str,
+                          keep_last: int = 2) -> list[int]:
+    """Snapshot expiry (Iceberg's expire_snapshots maintenance pass,
+    deliberately OUT of the hot path): delete every committed version
+    dir + marker except the `keep_last` most recent, and never the
+    current pointer's version or its parent (the crash-replay
+    re-derivation source). Returns the expired version numbers."""
+    ptr = _read_pointer(spark, store_dir)
+    if not ptr:
+        return []
+    keep = {ptr["version"]}
+    if ptr["parent"] is not None:
+        keep.add(ptr["parent"])
+    hist = store_history(spark, store_dir)
+    keep.update(c["version"] for c in hist[:max(keep_last, 0)])
+    from ..plans.checkpointing import _fs
+    fs, _ = _fs(spark, store_dir)
+    expired = []
+    for c in hist:
+        v = c["version"]
+        if v in keep:
+            continue
+        _, vdir = _fs(spark, f"{store_dir}/v={v}")
+        _, marker = _fs(spark, f"{store_dir}/_commit_v{v}.json")
+        if fs.exists(vdir):
+            fs.delete(vdir, True)
+        if fs.exists(marker):
+            fs.delete(marker, False)
+        expired.append(v)
+    return sorted(expired)

@@ -302,3 +302,71 @@ def test_stream_merge_replay_not_double_applied(spark, sf_dir, staged):
     merged.write.mode("overwrite").parquet(f"{store}/v=1")
     after = _sorted(spark.read.parquet(f"{store}/v=1").toPandas())
     pd.testing.assert_frame_equal(after, before)
+
+
+def test_store_snapshot_maintenance(spark, sf_dir, staged):
+    """Snapshot log + time travel + CDC changelog + expiry over the
+    versioned store — the Iceberg metadata surface on plain parquet."""
+    from cspirit_ontology_information_extraction_opus4plan_spark.streaming.pipeline import (  # noqa: E501
+        _read_pointer,
+        current_store,
+        expire_store_versions,
+        store_at_version,
+        store_changes,
+        store_history,
+        stream_merge_triples,
+    )
+
+    in_dir, out_dir, ckpt = staged
+    store = out_dir + "_store"
+    assert store_history(spark, store) == []
+
+    q = stream_merge_triples(spark, in_dir, store, ckpt)
+    q.awaitTermination(120)
+
+    hist = store_history(spark, store)
+    assert [h["version"] for h in hist] == [1, 0]
+    assert hist[0]["parent"] == 0 and hist[1]["parent"] is None
+    assert hist[0]["is_current"] and not hist[1]["is_current"]
+    assert hist[0]["n_rows"] >= hist[1]["n_rows"] > 0
+
+    # time travel: v0 is the first half-corpus store; v1 the full one
+    v0 = store_at_version(spark, store, 0)
+    v1 = store_at_version(spark, store, 1)
+    assert v0.count() == hist[1]["n_rows"]
+    assert _sorted(v1.toPandas()).equals(
+        _sorted(current_store(spark, store).toPandas()))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not a committed snapshot"):
+        store_at_version(spark, store, 99)
+
+    # changelog v0 -> v1: append-mode merge never deletes; every v1 row
+    # is either carried (unchanged/update) or new (insert)
+    ch = store_changes(spark, store, 0, 1).toPandas()
+    assert set(ch["action"]) <= {"insert", "update"}
+    n_ins = (ch["action"] == "insert").sum()
+    n_upd = (ch["action"] == "update").sum()
+    assert n_ins == hist[0]["n_rows"] - hist[1]["n_rows"]
+    assert n_upd <= hist[1]["n_rows"]
+    assert ch.loc[ch["action"] == "insert", "old_support"].isna().all()
+
+    # expiry: pointer version + parent are always kept -> nothing to
+    # expire with only two snapshots
+    assert expire_store_versions(spark, store, keep_last=1) == []
+
+    # land a third batch so v0 leaves the keep set
+    import os
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    extra = docs.iloc[: len(docs) // 4]
+    extra.to_parquet(os.path.join(in_dir, "part2.parquet"), index=False)
+    q2 = stream_merge_triples(spark, in_dir, store, ckpt)
+    q2.awaitTermination(120)
+    assert _read_pointer(spark, store) == {"version": 2, "parent": 1}
+
+    assert expire_store_versions(spark, store, keep_last=1) == [0]
+    assert [h["version"] for h in store_history(spark, store)] == [2, 1]
+    with _pytest.raises(ValueError, match="not a committed snapshot"):
+        store_at_version(spark, store, 0)
+    # the current read is untouched by expiry
+    assert current_store(spark, store).count() == \
+        store_history(spark, store)[0]["n_rows"]
