@@ -911,6 +911,25 @@ def q_kg_pagerank(spark, sf_dir):
     return pagerank_fixed(dedup_triples(triples_df(spark, sf_dir)))
 
 
+def q_kg_predicate_paths(spark, sf_dir):
+    """Relation-composition mining: 2-hop predicate-pair path counts
+    over the triple store (the SPARQL `?a p1/p2 ?c` shape, aggregated
+    into schema-discovery statistics)."""
+    from .operators.graphops import predicate_path_stats
+    return predicate_path_stats(dedup_triples(triples_df(spark, sf_dir)))
+
+
+def q_url_curation(spark, sf_dir):
+    """Crawl-side URL curation: canonicalize (case/port/fragment/
+    tracking-param/trailing-slash), blocklist by registered domain,
+    dedup by canonical URL (min doc_id keeps) — per-doc verdicts."""
+    from .operators.urlops import url_curation
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    return url_curation(DE.url_decorated_docs(docs),
+                        DE.url_blocklist(spark))
+
+
 def q_kg_negative_samples(spark, sf_dir):
     """Deterministic tail-corruption negative sampling over the triple
     store (TransE-style contrastive training pairs, md5-indexed into
@@ -1062,6 +1081,8 @@ def queries() -> dict[str, QueryFn]:
         "kg_triangles": q_kg_triangles,
         "kg_two_hop": q_kg_two_hop,
         "kg_pagerank": q_kg_pagerank,
+        "kg_predicate_paths": q_kg_predicate_paths,
+        "url_curation": q_url_curation,
     }
 
 

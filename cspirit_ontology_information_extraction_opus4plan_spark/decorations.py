@@ -631,3 +631,64 @@ rdoc AS (
                  ELSE '' END AS text
   FROM documents
 )""".strip()
+
+
+# ---------------------------------------------------------------------------
+# crawl-URL decoration (url canonicalization / curation corpus)
+# ---------------------------------------------------------------------------
+
+# the registered domains a curation run refuses (bounded dimension)
+URL_BLOCKED_DOMAINS = ["spam-net.example"]
+
+
+def url_decorated_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, url): a deterministic crawl URL per document exercising
+    every canonicalization rule — mixed-case scheme/host (%3, %2),
+    default https port (%6), trailing path slash (%5), tracking params
+    (%2), fragment (%8) — plus blocklisted hosts (%4) and canonical
+    collisions: doc i and i+260 share (i%13 host, i%20 path) and agree
+    mod 4 and mod 2 automatically (260 = 0 mod 4), so they
+    canonicalize identically -> 'dup' rows. Rebuilt identically by
+    url_decorated_docs_sql."""
+    i = F.col("doc_id")
+    url = F.concat(
+        F.when(i % 3 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(i % 2 == 0, F.lit("WWW.")).otherwise(F.lit("www.")),
+        F.lit("site"), (i % 13).cast("string"),
+        F.when(i % 4 == 0, F.lit(".spam-net.example"))
+         .otherwise(F.lit(".example.org")),
+        F.when(i % 6 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/page/"), (i % 20).cast("string"),
+        F.when(i % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(i % 2 == 0, F.lit("?utm_source=feed&ref=1"))
+         .otherwise(F.lit("")),
+        F.when(i % 8 == 0, F.lit("#sec2")).otherwise(F.lit("")))
+    return docs.select("doc_id", url.alias("url"))
+
+
+def url_blocklist(spark: SparkSession) -> DataFrame:
+    """The blocked registered-domain dimension (broadcast-scale)."""
+    return spark.createDataFrame([(d,) for d in URL_BLOCKED_DOMAINS],
+                                 "registered_domain string")
+
+
+def url_decorated_docs_sql() -> str:
+    """DuckDB twin of url_decorated_docs over the documents view."""
+    return """
+urld AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END)
+         || '://'
+         || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE 'www.' END)
+         || 'site' || CAST(doc_id % 13 AS VARCHAR)
+         || (CASE WHEN doc_id % 4 = 0 THEN '.spam-net.example'
+                  ELSE '.example.org' END)
+         || (CASE WHEN doc_id % 6 = 0 THEN ':443' ELSE '' END)
+         || '/page/' || CAST(doc_id % 20 AS VARCHAR)
+         || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+         || (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&ref=1'
+                  ELSE '' END)
+         || (CASE WHEN doc_id % 8 = 0 THEN '#sec2' ELSE '' END) AS url
+  FROM documents
+)""".strip()

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["undirected_entity_edges", "triangle_stats",
-           "two_hop_counts", "pagerank_fixed"]
+           "two_hop_counts", "pagerank_fixed", "predicate_path_stats"]
 
 PR_DAMPING = 0.85
 PR_ITER = 3
@@ -133,6 +133,37 @@ def two_hop_counts(edges: DataFrame) -> DataFrame:
     both = reach.groupBy("src").agg(F.count("*").alias("n_2hop"))
     return (one.join(both, "src")
             .select(F.col("src").alias("node"), "n_1hop", "n_2hop"))
+
+
+def predicate_path_stats(triples: DataFrame) -> DataFrame:
+    """Relation-composition mining (the SPARQL property-path shape
+    `?a p1/p2 ?c`, aggregated): for every ordered predicate pair, how
+    many 2-hop paths compose through a shared mid entity and how many
+    distinct (start, end) pairs they connect — the schema-discovery
+    probe that surfaces candidate rule patterns (e.g. located_in ∘
+    part_of) for KG completion.
+
+    One self-equi-join on the mid entity + a map-side-combinable
+    aggregate on the (p1, p2) pair; the distinct endpoint count is a
+    two-level aggregate (exact, not approx, so the oracle matches).
+    Cycles through the start node (a == c) are excluded — those are
+    inverse-pair artifacts, not composition evidence."""
+    e = (triples
+         .filter((F.col("subject_type") == "uri")
+                 & (F.col("object_type") == "uri")
+                 & (F.col("subject") != F.col("object")))
+         .select("subject", "predicate", "object")
+         .distinct()
+         .localCheckpoint(eager=True))  # both sides of the path join
+    a = e.toDF("a", "p1", "mid")
+    b = e.toDF("mid", "p2", "c")
+    paths = (a.join(b, "mid")
+             .filter(F.col("a") != F.col("c")))
+    return (paths.groupBy("p1", "p2")
+            .agg(F.count("*").alias("n_paths"),
+                 F.countDistinct(F.concat_ws("|", "a", "c"))
+                 .alias("n_endpoint_pairs"),
+                 F.countDistinct("mid").alias("n_mids")))
 
 
 def pagerank_fixed(triples: DataFrame,

@@ -1,0 +1,95 @@
+"""URL canonicalization + domain curation — the crawl-side front door
+of a training-data pipeline: before any text-level dedup runs, a web
+corpus is deduplicated BY CANONICAL URL (the same page arrives under
+scheme/case/port/tracking-param/fragment variants) and filtered against
+a domain blocklist. The reference's URL surface is routing-only
+(scheme/extension dispatch, SURVEY §2.1 URL source); these operators
+add the curation semantics over the same parsed anatomy.
+
+All pure column expressions (regexp + higher-order array filter) — one
+codegen pass per row, no Python, no shuffle until the dedup groupBy.
+The registered-domain extraction is the documented two-label
+simplification (last two host labels); a production run swaps in a
+public-suffix-list broadcast join, which changes the lookup, not the
+plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["canonicalize_urls", "url_curation"]
+
+# query params that never identify content
+TRACKING_PREFIXES = ("utm_", "fbclid", "gclid")
+
+
+def _strip_tracking(query: Column) -> Column:
+    """'a=1&utm_source=x&b=2' -> 'a=1&b=2' (order preserved)."""
+    parts = F.split(query, "&")
+    kept = F.filter(parts, lambda p: ~(
+        p.startswith(TRACKING_PREFIXES[0])
+        | p.startswith(TRACKING_PREFIXES[1])
+        | p.startswith(TRACKING_PREFIXES[2])))
+    return F.array_join(kept, "&")
+
+
+def canonicalize_urls(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    """+ (canon_url, host, registered_domain). Canonical form:
+    lowercase scheme and host, default port stripped (:443 https /
+    :80 http), fragment dropped, tracking params dropped (others kept
+    in original order), trailing path slash trimmed (root stays '/'),
+    empty path normalized to '/'."""
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*):",
+                                      1))
+    authority = F.regexp_extract(u, r"^[^:]+://([^/?#]+)", 1)
+    host = F.lower(F.regexp_replace(authority, r":\d+$", ""))
+    port = F.regexp_extract(authority, r":(\d+)$", 1)
+    keep_port = (port != "") & ~(
+        ((scheme == "https") & (port == "443"))
+        | ((scheme == "http") & (port == "80")))
+    raw_path = F.regexp_extract(u, r"^[^:]+://[^/?#]+([^?#]*)", 1)
+    path = F.when((raw_path == "") | (raw_path == "/"), F.lit("/")) \
+        .otherwise(F.regexp_replace(raw_path, r"/$", ""))
+    query = _strip_tracking(F.regexp_extract(u, r"\?([^#]*)", 1))
+    canon = F.concat(
+        scheme, F.lit("://"), host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(query != "", F.concat(F.lit("?"), query)).otherwise(
+            F.lit("")))
+    reg_dom = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    return (urls
+            .withColumn("canon_url", canon)
+            .withColumn("host", host)
+            .withColumn("registered_domain", reg_dom))
+
+
+def url_curation(urls: DataFrame, blocklist: DataFrame,
+                 url_col: str = "url",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-document URL curation verdict: 'blocked' (registered domain
+    on the blocklist), 'dup' (another kept doc canonicalizes to the
+    same URL — min id wins, ties deterministic), else 'kept'. Returns
+    (doc_id, url, canon_url, registered_domain, verdict).
+
+    Scale shape: blocklist is a genuinely bounded dimension ->
+    broadcast left-semi mark; the canonical-URL dedup is one
+    map-side-combinable min-aggregate on canon_url joined back by the
+    same key — no window over the corpus. Blocked docs are excluded
+    BEFORE the dedup group, so a blocked doc never claims keeper-ship
+    of a canonical URL shared with a clean mirror."""
+    c = canonicalize_urls(urls, url_col)
+    marked = c.join(F.broadcast(blocklist.select("registered_domain",
+                                                 F.lit(True).alias("_b"))),
+                    "registered_domain", "left")
+    keepers = (marked.filter(F.col("_b").isNull())
+               .groupBy("canon_url")
+               .agg(F.min(id_col).alias("_keeper")))
+    return (marked.join(keepers, "canon_url", "left")
+            .select(id_col, url_col, "canon_url", "registered_domain",
+                    F.when(F.col("_b").isNotNull(), F.lit("blocked"))
+                     .when(F.col(id_col) == F.col("_keeper"), F.lit("kept"))
+                     .otherwise(F.lit("dup")).alias("verdict")))

@@ -2257,4 +2257,63 @@ pr0 AS (SELECT n, CAST(1.0 AS DOUBLE) / (SELECT cnt FROM nn) AS pr
         FROM nodes){pr_iters}
 SELECT n AS node, round(pr, 6) AS pagerank FROM pr{PR_ITER}""")
 
+    sqls["kg_predicate_paths"] = (
+        corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + """,
+pe AS (SELECT DISTINCT subject, predicate, object FROM triples
+       WHERE subject_type = 'uri' AND object_type = 'uri'
+         AND subject <> object)
+SELECT a.predicate AS p1, b.predicate AS p2,
+       CAST(count(*) AS BIGINT) AS n_paths,
+       CAST(count(DISTINCT a.subject || '|' || b.object) AS BIGINT)
+         AS n_endpoint_pairs,
+       CAST(count(DISTINCT a.object) AS BIGINT) AS n_mids
+FROM pe a JOIN pe b ON b.subject = a.object
+WHERE a.subject <> b.object
+GROUP BY 1, 2""")
+
+    from .decorations import (URL_BLOCKED_DOMAINS, url_decorated_docs_sql)
+    blocked_in = ", ".join(f"'{d}'" for d in URL_BLOCKED_DOMAINS)
+    sqls["url_curation"] = f"""
+WITH {url_decorated_docs_sql()},
+parts AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*):', 1))
+           AS scheme,
+         lower(regexp_replace(
+             regexp_extract(url, '^[^:]+://([^/?#]+)', 1),
+             ':[0-9]+$', '')) AS host,
+         regexp_extract(regexp_extract(url, '^[^:]+://([^/?#]+)', 1),
+                        ':([0-9]+)$', 1) AS port,
+         regexp_extract(url, '^[^:]+://[^/?#]+([^?#]*)', 1) AS raw_path,
+         regexp_extract(url, '\\?([^#]*)', 1) AS q
+  FROM urld),
+canon AS (
+  SELECT doc_id, url,
+         scheme || '://' || host
+         || (CASE WHEN port <> ''
+                   AND NOT (scheme = 'https' AND port = '443')
+                   AND NOT (scheme = 'http' AND port = '80')
+                  THEN ':' || port ELSE '' END)
+         || (CASE WHEN raw_path = '' OR raw_path = '/' THEN '/'
+                  ELSE regexp_replace(raw_path, '/$', '') END)
+         || (CASE WHEN cq <> '' THEN '?' || cq ELSE '' END) AS canon_url,
+         regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS registered_domain
+  FROM (SELECT *,
+               array_to_string(
+                 list_filter(string_split(q, '&'),
+                             x -> NOT (starts_with(x, 'utm_')
+                                       OR starts_with(x, 'fbclid')
+                                       OR starts_with(x, 'gclid'))),
+                 '&') AS cq
+        FROM parts)),
+keepers AS (
+  SELECT canon_url, min(doc_id) AS keeper
+  FROM canon WHERE registered_domain NOT IN ({blocked_in})
+  GROUP BY 1)
+SELECT c.doc_id, c.url, c.canon_url, c.registered_domain,
+       CASE WHEN c.registered_domain IN ({blocked_in}) THEN 'blocked'
+            WHEN c.doc_id = k.keeper THEN 'kept'
+            ELSE 'dup' END AS verdict
+FROM canon c LEFT JOIN keepers k USING (canon_url)"""
+
     return sqls

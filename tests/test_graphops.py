@@ -93,3 +93,23 @@ def test_triangle_plan_no_nested_loop(spark, sf_dir):
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_predicate_path_stats_tiny(spark):
+    from pyspark.sql import functions as F
+
+    rows = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "q", "c"), ("c", "q", "a"), ("a", "p", "c")],
+        "subject string, predicate string, object string") \
+        .withColumn("subject_type", F.lit("uri")) \
+        .withColumn("object_type", F.lit("uri"))
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.graphops import (  # noqa: E501
+        predicate_path_stats,
+    )
+    got = {(r["p1"], r["p2"]): (r["n_paths"], r["n_endpoint_pairs"],
+                                r["n_mids"])
+           for r in predicate_path_stats(rows).collect()}
+    # cyclic closures (start == end) are excluded
+    assert got == {("p", "q"): (1, 1, 1),
+                   ("q", "q"): (1, 1, 1),
+                   ("q", "p"): (1, 1, 1)}
