@@ -54,6 +54,9 @@ HEADLINE = [
     "doc_curation_funnel",  # lang/quality/dup/contamination verdict (if present)
     "doc_repetition",     # Gopher repetition rules (if present)
     "entity_cooccurrence",  # doc-level PMI edges (if present)
+    "kg_pagerank",        # fixed-iteration entity salience (if present)
+    "kg_triangles",       # triangle/clustering stats (if present)
+    "url_curation",       # crawl URL canonicalize+blocklist+dedup (if present)
 ]
 
 

@@ -930,6 +930,16 @@ def q_url_curation(spark, sf_dir):
                         DE.url_blocklist(spark))
 
 
+def q_embedding_label_stats(spark, sf_dir):
+    """Per-label embedding cluster quality: count, centroid norm, mean
+    member-to-centroid cosine — the label-trust probe before mixture
+    sampling / contrastive batching."""
+    from .operators.similarity import label_embedding_stats
+    return label_embedding_stats(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding", "label"))
+
+
 def q_kg_negative_samples(spark, sf_dir):
     """Deterministic tail-corruption negative sampling over the triple
     store (TransE-style contrastive training pairs, md5-indexed into
@@ -1083,6 +1093,7 @@ def queries() -> dict[str, QueryFn]:
         "kg_pagerank": q_kg_pagerank,
         "kg_predicate_paths": q_kg_predicate_paths,
         "url_curation": q_url_curation,
+        "embedding_label_stats": q_embedding_label_stats,
     }
 
 

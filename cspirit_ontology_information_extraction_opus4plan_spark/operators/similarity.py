@@ -377,3 +377,44 @@ def lsh_topk(emb: DataFrame, k: int = TOP_K,
                      _dot_udf("q_emb", "embedding").alias("dot"),
                      "qn2", F.col("n2").alias("vn2")))
     return _ranked(pairs, k)
+
+
+def label_embedding_stats(emb: DataFrame) -> DataFrame:
+    """Per-label embedding cluster quality — the probe a training
+    pipeline runs before trusting labels for mixture sampling or
+    contrastive batching: member count, centroid L2 norm (random
+    vectors' centroid collapses toward 0; a coherent cluster's does
+    not), and mean cosine(member, centroid).
+
+    Scale shape: one posexplode pass -> per-(label, dim) avg (map-side
+    combinable; keys = labels x DIM, never corpus-sized), centroid
+    regrouped via sort_array(collect_list(struct)) over DIM-sized
+    groups, broadcast-joined back (labels are a genuine dimension),
+    then one JVM higher-order zip_with/aggregate dot per row and a
+    final label avg. No Python, no window, no self-join."""
+    ex = emb.select("label", F.posexplode("embedding").alias("d", "x"))
+    cent = (ex.groupBy("label", "d")
+            .agg(F.avg("x").alias("c"))
+            .groupBy("label")
+            .agg(F.transform(
+                F.sort_array(F.collect_list(F.struct("d", "c"))),
+                lambda s: s["c"]).alias("centroid")))
+    withc = emb.join(F.broadcast(cent), "label")
+    dot = F.aggregate(
+        F.zip_with("embedding", "centroid",
+                   lambda a, b: a.cast("double") * b),
+        F.lit(0.0), lambda acc, v: acc + v)
+    en = F.aggregate(
+        F.transform("embedding",
+                    lambda a: a.cast("double") * a.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+    cn = F.aggregate(F.transform("centroid", lambda b: b * b),
+                     F.lit(0.0), lambda acc, v: acc + v)
+    scored = withc.select(
+        "label",
+        (dot / F.sqrt(en * cn)).alias("cos"),
+        F.sqrt(cn).alias("cnorm"))
+    return (scored.groupBy("label")
+            .agg(F.count("*").cast("bigint").alias("n_vecs"),
+                 F.round(F.min("cnorm"), 6).alias("centroid_norm"),
+                 F.round(F.avg("cos"), 6).alias("mean_cos")))

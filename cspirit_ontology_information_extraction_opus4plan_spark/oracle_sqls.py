@@ -752,6 +752,28 @@ pairs AS (
 scored AS (
   SELECT q_id, neighbor_id, dot / sqrt(qn2 * vn2) AS cosine FROM pairs)
 {rank_tail}""".strip()
+
+    # per-label cluster quality: centroid per (label, dim), one dot per
+    # member row; left-assoc sums match the engine's aggregate() fold
+    cent_cols = ",\n         ".join(
+        f"avg({el('e', i)}) AS c{i}" for i in range(SIM.DIM))
+    dot_ec = " + ".join(f"{el('e', i)} * c.c{i}" for i in range(SIM.DIM))
+    cn_sum = " + ".join(f"c.c{i} * c.c{i}" for i in range(SIM.DIM))
+    sqls["embedding_label_stats"] = f"""
+WITH cent AS (
+  SELECT label,
+         {cent_cols}
+  FROM embeddings e GROUP BY label),
+scored AS (
+  SELECT e.label,
+         ({dot_ec}) AS dot,
+         ({n2}) AS en,
+         ({cn_sum}) AS cn
+  FROM embeddings e JOIN cent c USING (label))
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       round(min(sqrt(cn)), 6) AS centroid_norm,
+       round(avg(dot / sqrt(en * cn)), 6) AS mean_cos
+FROM scored GROUP BY label""".strip()
     return sqls
 
 

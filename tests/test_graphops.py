@@ -113,3 +113,25 @@ def test_predicate_path_stats_tiny(spark):
     assert got == {("p", "q"): (1, 1, 1),
                    ("q", "q"): (1, 1, 1),
                    ("q", "p"): (1, 1, 1)}
+
+
+def test_label_embedding_stats_tiny(spark):
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.similarity import (  # noqa: E501
+        label_embedding_stats,
+    )
+
+    rows = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.0, 1.0], 0),   # orthogonal pair
+         (3, [2.0, 0.0], 1), (4, [4.0, 0.0], 1)],  # colinear pair
+        "vec_id bigint, embedding array<float>, label int")
+    got = {r["label"]: r for r in label_embedding_stats(rows).collect()}
+    # label 0: centroid (.5,.5) norm sqrt(.5); cos(member, centroid) =
+    # .5/(1*sqrt(.5)) = sqrt(.5) for both members
+    import math
+    assert got[0]["n_vecs"] == 2
+    assert abs(got[0]["centroid_norm"] - round(math.sqrt(0.5), 6)) < 1e-9
+    assert abs(got[0]["mean_cos"] - round(math.sqrt(0.5), 6)) < 1e-9
+    # label 1: colinear -> centroid (3,0), every cosine exactly 1
+    assert got[1]["n_vecs"] == 2
+    assert got[1]["centroid_norm"] == 3.0
+    assert got[1]["mean_cos"] == 1.0
