@@ -259,3 +259,48 @@ def test_negative_samples_vocab_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_pagerank_no_python_no_nested_loop(spark, sf_dir):
+    """PageRank stays pure JVM: no Python stage anywhere (the triple
+    pipeline's one MapInPandas is checkpoint-truncated away), no
+    cartesian/nested-loop joins across the unrolled iterations."""
+    plan = api.q_kg_pagerank(spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_predicate_paths_single_equijoin_mapside_agg(spark, sf_dir):
+    """The property-path join is one mid-keyed equi-join; the pair
+    aggregate keeps a partial_count (map-side combine) before its
+    exchange."""
+    plan = api.q_kg_predicate_paths(spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan
+
+
+def test_url_curation_blocklist_broadcast_no_window(spark, sf_dir):
+    """The blocklist mark is a broadcast join; the canonical-URL dedup
+    is a groupBy min (no Window over the corpus); everything stays
+    codegen (no Python)."""
+    plan = api.q_url_curation(spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_embedding_label_stats_centroid_broadcast_jvm_only(spark, sf_dir):
+    """Centroids broadcast back to members; the cosine is JVM
+    higher-order-function arithmetic, not an Arrow/Python stage."""
+    plan = api.q_embedding_label_stats(spark, sf_dir)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "ArrowEvalPython" not in plan
