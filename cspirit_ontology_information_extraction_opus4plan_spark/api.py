@@ -940,6 +940,15 @@ def q_embedding_label_stats(spark, sf_dir):
         .select("vec_id", "embedding", "label"))
 
 
+def q_doc_chunking(spark, sf_dir):
+    """Fixed-width overlapping token windows (training-example
+    chunking; stride < width, lossless tail)."""
+    from .operators.textops import chunk_documents
+    return chunk_documents(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text"))
+
+
 def q_kg_negative_samples(spark, sf_dir):
     """Deterministic tail-corruption negative sampling over the triple
     store (TransE-style contrastive training pairs, md5-indexed into
@@ -1094,6 +1103,7 @@ def queries() -> dict[str, QueryFn]:
         "kg_predicate_paths": q_kg_predicate_paths,
         "url_curation": q_url_curation,
         "embedding_label_stats": q_embedding_label_stats,
+        "doc_chunking": q_doc_chunking,
     }
 
 

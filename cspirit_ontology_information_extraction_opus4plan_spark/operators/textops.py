@@ -767,3 +767,35 @@ def lang_confusion(docs: DataFrame) -> DataFrame:
             .select("lang", "lang_pred", "n",
                     F.round(F.col("n") / F.col("total"), 6).alias("share"),
                     (F.col("lang") == F.col("lang_pred")).alias("agree")))
+
+
+# --- training-chunk windowing ------------------------------------------------
+
+CHUNK_W = 64        # tokens per training chunk (context window)
+CHUNK_STRIDE = 48   # stride between chunk starts (16-token overlap)
+
+
+def chunk_documents(docs: DataFrame,
+                    width: int = CHUNK_W,
+                    stride: int = CHUNK_STRIDE) -> DataFrame:
+    """Fixed-width overlapping token windows per document — the
+    chunking pass that turns curated documents into training examples
+    (stride < width keeps cross-boundary context; the tail chunk is
+    short rather than dropped, so no token is lost).
+
+    Returns (doc_id, chunk_idx, start, n_tokens, chunk_text); docs with
+    zero tokens produce no chunks. Scale shape: ONE projection + one
+    generator explode per row — no shuffle, no window, no Python; the
+    chunk count per row is ceil(n/stride), so output size is linear in
+    corpus tokens. Uses the shared tokens_col rule, mirrored 1:1 by
+    the oracle."""
+    toks = docs.select("doc_id", tokens_col().alias("toks"))
+    n = F.size("toks")
+    starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))) \
+        .otherwise(F.array().cast("array<int>"))
+    ex = toks.select("doc_id", "toks",
+                     F.posexplode(starts).alias("chunk_idx", "start"))
+    piece = F.slice("toks", F.col("start") + 1, width)
+    return ex.select("doc_id", "chunk_idx", "start",
+                     F.size(piece).alias("n_tokens"),
+                     F.array_join(piece, " ").alias("chunk_text"))

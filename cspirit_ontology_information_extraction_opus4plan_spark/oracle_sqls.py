@@ -2338,4 +2338,20 @@ SELECT c.doc_id, c.url, c.canon_url, c.registered_domain,
             ELSE 'dup' END AS verdict
 FROM canon c LEFT JOIN keepers k USING (canon_url)"""
 
+    from .operators.textops import CHUNK_STRIDE, CHUNK_W
+    sqls["doc_chunking"] = f"""
+WITH {tok_cte('documents')},
+st AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, len(toks) - 1, {CHUNK_STRIDE}))
+           AS start
+  FROM tok WHERE len(toks) > 0)
+SELECT doc_id,
+       CAST(start // {CHUNK_STRIDE} AS INT) AS chunk_idx,
+       CAST(start AS INT) AS start,
+       CAST(len(toks[start + 1:start + {CHUNK_W}]) AS INT) AS n_tokens,
+       array_to_string(toks[start + 1:start + {CHUNK_W}], ' ')
+         AS chunk_text
+FROM st"""
+
     return sqls

@@ -308,3 +308,40 @@ def test_lang_confusion_matrix_invariants(spark, sf_dir):
     en_en = sum(r["n"] for r in rows
                 if r["lang"] == "en" and r["agree"])
     assert en_en > 0
+
+
+def test_doc_chunking_lossless_windows(spark):
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.textops import (  # noqa: E501
+        CHUNK_STRIDE,
+        CHUNK_W,
+        chunk_documents,
+    )
+
+    text = " ".join(f"t{i}" for i in range(150))  # 150 tokens
+    docs = spark.createDataFrame([(1, text), (2, "one two"), (3, "  ")],
+                                 "doc_id bigint, text string")
+    rows = chunk_documents(docs).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+
+    # doc 3 has zero tokens -> no chunks
+    assert 3 not in by_doc
+    # doc 2: one short chunk holding everything
+    assert len(by_doc[2]) == 1
+    assert by_doc[2][0]["chunk_text"] == "one two"
+    assert by_doc[2][0]["n_tokens"] == 2
+
+    c = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    # ceil(150/48) = 4 chunks at starts 0,48,96,144
+    assert [r["start"] for r in c] == [0, 48, 96, 144]
+    assert [r["chunk_idx"] for r in c] == [0, 1, 2, 3]
+    # full-width until the tail, which keeps the remaining 6 tokens
+    assert [r["n_tokens"] for r in c] == [CHUNK_W, CHUNK_W, 54, 6]
+    # lossless: every token appears in some chunk; overlap is exact
+    seen = set()
+    for r in c:
+        seen.update(r["chunk_text"].split(" "))
+    assert seen == {f"t{i}" for i in range(150)}
+    assert c[1]["chunk_text"].split(" ")[0] == "t48"
+    assert c[0]["chunk_text"].split(" ")[CHUNK_STRIDE] == "t48"
