@@ -949,6 +949,15 @@ def q_doc_chunking(spark, sf_dir):
         .select("doc_id", "text"))
 
 
+def q_doc_split(spark, sf_dir):
+    """Deterministic hash-based train/val/test assignment (stable
+    under corpus growth — no migration between splits)."""
+    from .operators.textops import train_val_test_split
+    return train_val_test_split(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id"))
+
+
 def q_kg_negative_samples(spark, sf_dir):
     """Deterministic tail-corruption negative sampling over the triple
     store (TransE-style contrastive training pairs, md5-indexed into
@@ -1104,6 +1113,7 @@ def queries() -> dict[str, QueryFn]:
         "url_curation": q_url_curation,
         "embedding_label_stats": q_embedding_label_stats,
         "doc_chunking": q_doc_chunking,
+        "doc_split": q_doc_split,
     }
 
 

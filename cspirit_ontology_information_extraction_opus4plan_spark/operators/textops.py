@@ -799,3 +799,32 @@ def chunk_documents(docs: DataFrame,
     return ex.select("doc_id", "chunk_idx", "start",
                      F.size(piece).alias("n_tokens"),
                      F.array_join(piece, " ").alias("chunk_text"))
+
+
+# --- deterministic train/val/test split -------------------------------------
+
+SPLIT_SEED = "kg-split-v1"
+SPLIT_TRAIN_HEX = "cccd"   # ~0.80 of the 16-bit hash space
+SPLIT_VAL_HEX = "e666"     # ~0.90 (val = [0.80, 0.90))
+
+
+def train_val_test_split(docs: DataFrame,
+                         seed: str = SPLIT_SEED) -> DataFrame:
+    """Deterministic corpus split by content hash: md5(doc_id || seed)
+    lands each document in exactly one of train (~80%) / val (~10%) /
+    test (~10%) — stable under re-runs, re-partitioning and corpus
+    growth (a document never migrates between splits when OTHER
+    documents are added, the property random splits lack and the reason
+    training pipelines hash rather than shuffle). Same hash family as
+    hash_stratified_sample; a different seed re-deals the assignment.
+
+    One JVM md5 + two comparisons per row; zero shuffles, zero RNG
+    state, no driver participation."""
+    h = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(seed))),
+        1, 4)
+    return docs.select(
+        "doc_id", h.alias("h4"),
+        F.when(h < SPLIT_TRAIN_HEX, F.lit("train"))
+         .when(h < SPLIT_VAL_HEX, F.lit("val"))
+         .otherwise(F.lit("test")).alias("split"))

@@ -2354,4 +2354,16 @@ SELECT doc_id,
          AS chunk_text
 FROM st"""
 
+    from .operators.textops import (SPLIT_SEED, SPLIT_TRAIN_HEX,
+                                    SPLIT_VAL_HEX)
+    sqls["doc_split"] = f"""
+SELECT doc_id, h4,
+       CASE WHEN h4 < '{SPLIT_TRAIN_HEX}' THEN 'train'
+            WHEN h4 < '{SPLIT_VAL_HEX}' THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             substring(md5(CAST(doc_id AS VARCHAR) || '{SPLIT_SEED}'),
+                       1, 4) AS h4
+      FROM documents)"""
+
     return sqls

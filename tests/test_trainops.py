@@ -345,3 +345,26 @@ def test_doc_chunking_lossless_windows(spark):
     assert seen == {f"t{i}" for i in range(150)}
     assert c[1]["chunk_text"].split(" ")[0] == "t48"
     assert c[0]["chunk_text"].split(" ")[CHUNK_STRIDE] == "t48"
+
+
+def test_doc_split_stable_and_partitioned(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    s1 = {r["doc_id"]: r["split"]
+          for r in textops.train_val_test_split(docs).collect()}
+    # every doc in exactly one split; shares near 80/10/10
+    n = len(s1)
+    from collections import Counter
+    c = Counter(s1.values())
+    assert set(c) <= {"train", "val", "test"}
+    assert 0.7 < c["train"] / n < 0.9
+    # growth stability: adding new docs never migrates an existing one
+    grown = docs.unionByName(
+        docs.select((F.col("doc_id") + 10_000_000).alias("doc_id")))
+    s2 = {r["doc_id"]: r["split"]
+          for r in textops.train_val_test_split(grown).collect()}
+    assert all(s2[d] == v for d, v in s1.items())
+    # a different seed re-deals at least some assignments
+    s3 = {r["doc_id"]: r["split"]
+          for r in textops.train_val_test_split(docs, seed="v2").collect()}
+    assert any(s3[d] != v for d, v in s1.items())
