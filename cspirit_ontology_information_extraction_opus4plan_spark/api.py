@@ -958,6 +958,15 @@ def q_doc_split(spark, sf_dir):
         .select("doc_id"))
 
 
+def q_doc_collocations(spark, sf_dir):
+    """Adjacent-token collocation PMI over the corpus (phrase mining
+    for tokenizer/vocab construction)."""
+    from .operators.textops import bigram_collocations
+    return bigram_collocations(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text"))
+
+
 def q_kg_negative_samples(spark, sf_dir):
     """Deterministic tail-corruption negative sampling over the triple
     store (TransE-style contrastive training pairs, md5-indexed into
@@ -1114,6 +1123,7 @@ def queries() -> dict[str, QueryFn]:
         "embedding_label_stats": q_embedding_label_stats,
         "doc_chunking": q_doc_chunking,
         "doc_split": q_doc_split,
+        "doc_collocations": q_doc_collocations,
     }
 
 

@@ -828,3 +828,42 @@ def train_val_test_split(docs: DataFrame,
         F.when(h < SPLIT_TRAIN_HEX, F.lit("train"))
          .when(h < SPLIT_VAL_HEX, F.lit("val"))
          .otherwise(F.lit("test")).alias("split"))
+
+
+# --- bigram collocation mining -----------------------------------------------
+
+COLLOC_MIN_N = 5   # minimum bigram occurrences to report
+
+
+def bigram_collocations(docs: DataFrame,
+                        min_n: int = COLLOC_MIN_N) -> DataFrame:
+    """Corpus-level adjacent-token collocation statistics with PMI —
+    the phrase-mining pass (multi-word expressions, named entities,
+    domain terms) a tokenizer-training / vocab-construction pipeline
+    runs over the corpus. PMI contract: ln(n_ab * T / (n_a * n_b))
+    with unigram marginals over the FULL token stream and bigram
+    counts over >=2-token documents; pairs below min_n are dropped.
+
+    Scale shape: unigram and bigram counts are map-side-combinable
+    groupBys; marginals attach via word-keyed shuffle equi-joins
+    (vocabulary is large at web scale — deliberately NOT broadcast);
+    the total is a 1-row broadcast. One shared tokens_col pass feeds
+    both streams."""
+    toks = docs.select(tokens_col().alias("toks")) \
+        .localCheckpoint(eager=True)  # unigram + bigram readers
+    uni = toks.select(F.explode("toks").alias("w"))
+    uc = uni.groupBy("w").agg(F.count("*").alias("n"))
+    tot = uni.agg(F.count("*").alias("t"))
+    sh = (toks.filter(F.size("toks") >= 2)
+          .select(F.explode(_shingles(F.col("toks"), 2)).alias("sh")))
+    sp = F.split("sh", " ")
+    bc = (sh.select(sp[0].alias("w1"), sp[1].alias("w2"))
+          .groupBy("w1", "w2").agg(F.count("*").alias("n_ab"))
+          .filter(F.col("n_ab") >= min_n))
+    j = (bc.join(uc.toDF("w1", "n_a"), "w1")
+         .join(uc.toDF("w2", "n_b"), "w2")
+         .crossJoin(F.broadcast(tot)))
+    pmi = F.log((F.col("n_ab").cast("double") * F.col("t"))
+                / (F.col("n_a").cast("double") * F.col("n_b")))
+    return j.select("w1", "w2", "n_ab", "n_a", "n_b",
+                    F.round(pmi, 6).alias("pmi"))

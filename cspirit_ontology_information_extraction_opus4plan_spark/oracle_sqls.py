@@ -2366,4 +2366,20 @@ FROM (SELECT doc_id,
                        1, 4) AS h4
       FROM documents)"""
 
+    from .operators.textops import COLLOC_MIN_N
+    sqls["doc_collocations"] = f"""
+WITH {tok_cte('documents')},
+uni AS (SELECT unnest(toks) AS w FROM tok),
+uc AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM uni GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM uni),
+sg AS (SELECT unnest({_sh_expr(2)}) AS sh FROM tok WHERE len(toks) >= 2),
+bc AS (SELECT string_split(sh, ' ')[1] AS w1,
+              string_split(sh, ' ')[2] AS w2,
+              CAST(count(*) AS BIGINT) AS n_ab
+       FROM sg GROUP BY 1, 2 HAVING count(*) >= {COLLOC_MIN_N})
+SELECT w1, w2, n_ab, a.n AS n_a, b.n AS n_b,
+       round(ln((CAST(n_ab AS DOUBLE) * t)
+                / (CAST(a.n AS DOUBLE) * b.n)), 6) AS pmi
+FROM bc JOIN uc a ON a.w = w1 JOIN uc b ON b.w = w2, tot"""
+
     return sqls

@@ -368,3 +368,22 @@ def test_doc_split_stable_and_partitioned(spark, sf_dir):
     s3 = {r["doc_id"]: r["split"]
           for r in textops.train_val_test_split(docs, seed="v2").collect()}
     assert any(s3[d] != v for d, v in s1.items())
+
+
+def test_bigram_collocations_exact_counts(spark):
+    # 6x "new york" adjacent + scattered unigrams; min_n=5 keeps only it
+    docs = spark.createDataFrame(
+        [(i, "new york is in new york state not old york")
+         for i in range(3)],
+        "doc_id bigint, text string")
+    rows = textops.bigram_collocations(docs, min_n=5).collect()
+    got = {(r["w1"], r["w2"]): r for r in rows}
+    assert ("new", "york") in got
+    r = got[("new", "york")]
+    # 2 adjacent occurrences x 3 docs; marginals over the full stream
+    assert r["n_ab"] == 6 and r["n_a"] == 6 and r["n_b"] == 9
+    import math
+    t = 30  # 10 tokens x 3 docs
+    assert abs(r["pmi"] - round(math.log(6 * t / (6 * 9)), 6)) < 1e-9
+    # "york state" occurs 3x < min_n -> dropped
+    assert ("york", "state") not in got
