@@ -379,3 +379,44 @@ def expire_store_versions(spark: SparkSession, store_dir: str,
             fs.delete(marker, False)
         expired.append(v)
     return sorted(expired)
+
+
+def compact_store_version(spark: SparkSession, store_dir: str,
+                          target_files: int = 8) -> dict:
+    """Data-file compaction (Iceberg's rewrite_data_files maintenance
+    action): rewrite the CURRENT snapshot's rows into `target_files`
+    parquet files as a NEW committed version whose parent is the
+    current one, then flip the pointer. Readers through current_store
+    never see a half-rewritten table (same atomic-pointer contract as
+    the streaming merge); time travel to the pre-compaction version
+    still works until it is expired. Rows are identical by
+    construction — only the file layout changes.
+
+    Version id = current + 1 shifted past the streaming batch-id space
+    is NOT needed: the stream derives its version from batch_id, so a
+    compaction between stream runs must not collide with a future
+    batch id. We use negative-free, collision-free ids by continuing
+    the chain at max(committed) + 1; a later stream restart on the
+    same checkpoint resumes at its own batch ids only on a FRESH
+    store, so the documented contract is: compact between ingest
+    generations, not between micro-batches of a live stream.
+
+    Returns the new commit marker dict."""
+    from ..plans.checkpointing import _fs_write_json_atomic
+    ptr = _read_pointer(spark, store_dir)
+    if not ptr:
+        raise ValueError(f"nothing to compact: {store_dir} has no "
+                         f"committed snapshot")
+    hist = store_history(spark, store_dir)
+    new_v = max(c["version"] for c in hist) + 1
+    cur = spark.read.parquet(f"{store_dir}/v={ptr['version']}")
+    (cur.repartition(target_files)
+        .write.mode("overwrite").parquet(f"{store_dir}/v={new_v}"))
+    n_rows = spark.read.parquet(f"{store_dir}/v={new_v}").count()
+    marker = {"version": new_v, "parent": ptr["version"],
+              "n_rows": n_rows, "compaction": True}
+    _fs_write_json_atomic(spark, f"{store_dir}/_commit_v{new_v}.json",
+                          marker)
+    _fs_write_json_atomic(spark, f"{store_dir}/{STORE_POINTER}",
+                          {"version": new_v, "parent": ptr["version"]})
+    return marker

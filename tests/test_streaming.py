@@ -370,3 +370,39 @@ def test_store_snapshot_maintenance(spark, sf_dir, staged):
     # the current read is untouched by expiry
     assert current_store(spark, store).count() == \
         store_history(spark, store)[0]["n_rows"]
+
+
+def test_store_compaction_preserves_rows(spark, sf_dir, staged):
+    """Compaction rewrites the current snapshot into a bounded file
+    count as a NEW committed version; rows identical, pointer flips,
+    history records the compaction, time travel to the parent works."""
+    import glob
+
+    from cspirit_ontology_information_extraction_opus4plan_spark.streaming.pipeline import (  # noqa: E501
+        _read_pointer,
+        compact_store_version,
+        current_store,
+        store_at_version,
+        store_history,
+        stream_merge_triples,
+    )
+
+    in_dir, out_dir, ckpt = staged
+    store = out_dir + "_store"
+    q = stream_merge_triples(spark, in_dir, store, ckpt)
+    q.awaitTermination(120)
+    before = _sorted(current_store(spark, store).toPandas())
+
+    marker = compact_store_version(spark, store, target_files=2)
+    assert marker["version"] == 2 and marker["parent"] == 1
+    assert marker["compaction"] is True
+    assert _read_pointer(spark, store) == {"version": 2, "parent": 1}
+
+    after = _sorted(current_store(spark, store).toPandas())
+    pd.testing.assert_frame_equal(before, after)
+    files = glob.glob(f"{store}/v=2/part-*.parquet")
+    assert len(files) == 2
+    # history shows the compaction commit; the parent is still readable
+    hist = store_history(spark, store)
+    assert hist[0]["version"] == 2 and hist[0].get("compaction") is True
+    assert store_at_version(spark, store, 1).count() == len(before)
