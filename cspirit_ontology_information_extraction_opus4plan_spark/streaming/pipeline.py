@@ -420,3 +420,46 @@ def compact_store_version(spark: SparkSession, store_dir: str,
     _fs_write_json_atomic(spark, f"{store_dir}/{STORE_POINTER}",
                           {"version": new_v, "parent": ptr["version"]})
     return marker
+
+
+# --- stream-stream join ------------------------------------------------------
+
+ATTRIB_HORIZON = "1 hour"
+
+
+def view_purchase_attribution(views: DataFrame, purchases: DataFrame,
+                              watermark: str | None = LATE_WATERMARK,
+                              horizon: str = ATTRIB_HORIZON) -> DataFrame:
+    """Watermarked stream-stream inner join — the attribution query
+    (purchase within `horizon` after a view by the same user), the one
+    streaming-algebra member the rest of this module doesn't cover.
+    State on both sides is bounded by the watermark + the time-range
+    predicate: Spark evicts view rows older than max(event time) -
+    watermark - horizon, so state never grows with the stream.
+
+    The SAME definition runs on batch frames (watermark no-op), which
+    is how the test proves the streamed result equals the batch
+    interval join. Columns: (user_id, view_id, view_ts, purchase_id,
+    purchase_ts, latency_us)."""
+    v = views.select(F.col("event_id").alias("view_id"),
+                     F.col("ts").alias("view_ts"), "user_id")
+    p = purchases.select(F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("purchase_ts"), "user_id")
+    if watermark:
+        v = v.withWatermark("view_ts", watermark)
+        p = p.withWatermark("purchase_ts", watermark)
+    return (v.join(
+        p,
+        (v["user_id"] == p["user_id"])
+        & (p["purchase_ts"] >= v["view_ts"])
+        & (p["purchase_ts"] <= v["view_ts"]
+           + F.expr(f"INTERVAL {horizon}")),
+        "inner")
+        .select(v["user_id"], "view_id", "view_ts",
+                "purchase_id", "purchase_ts",
+                # cast for NTZ inputs (unix_micros rejects TIMESTAMP_NTZ;
+                # both sides shift by the same session-tz offset, so the
+                # difference is invariant — same note as olap.interval_join)
+                (F.unix_micros(F.col("purchase_ts").cast("timestamp"))
+                 - F.unix_micros(F.col("view_ts").cast("timestamp")))
+                .cast("double").alias("latency_us")))

@@ -406,3 +406,44 @@ def test_store_compaction_preserves_rows(spark, sf_dir, staged):
     hist = store_history(spark, store)
     assert hist[0]["version"] == 2 and hist[0].get("compaction") is True
     assert store_at_version(spark, store, 1).count() == len(before)
+
+
+def test_stream_stream_attribution_matches_batch(spark, sf_dir, tmp_path):
+    """Watermarked stream-stream join: replaying the events table in
+    two chronological files yields exactly the batch interval-join
+    result (bounded state, nothing dropped, nothing duplicated)."""
+    import os
+
+    from cspirit_ontology_information_extraction_opus4plan_spark.streaming.pipeline import (  # noqa: E501
+        EVENTS_SCHEMA,
+        view_purchase_attribution,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = view_purchase_attribution(
+        ev.filter("event_type = 'view'"),
+        ev.filter("event_type = 'purchase'"),
+        watermark=None).toPandas()
+    assert len(want) > 0
+
+    # stage chronological halves so event time advances monotonically
+    in_dir = tmp_path / "ev"
+    in_dir.mkdir()
+    pdf = ev.toPandas().sort_values("ts").reset_index(drop=True)
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    half = len(pdf) // 2
+    pdf.iloc[:half].to_parquet(in_dir / "a.parquet", index=False)
+    pdf.iloc[half:].to_parquet(in_dir / "b.parquet", index=False)
+    os.utime(in_dir / "a.parquet", (1, 1))
+    os.utime(in_dir / "b.parquet", (2, 2))
+
+    stream = (spark.readStream.schema(EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(str(in_dir)))
+    joined = view_purchase_attribution(
+        stream.filter("event_type = 'view'"),
+        stream.filter("event_type = 'purchase'"))
+    q = (joined.writeStream.format("memory").queryName("mem_attrib")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = spark.table("mem_attrib").toPandas()
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
