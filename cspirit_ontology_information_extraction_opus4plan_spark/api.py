@@ -967,6 +967,23 @@ def q_doc_collocations(spark, sf_dir):
         .select("doc_id", "text"))
 
 
+def q_gazetteer_ambiguity(spark, sf_dir):
+    """Linking-QA: surfaces mapped to >1 term, with best-rank tie flag
+    (where the argmax tiebreak, not evidence, decides the link)."""
+    from .operators.gazetteer import gazetteer_ambiguity, gazetteer_df
+    return gazetteer_ambiguity(gazetteer_df(spark))
+
+
+def q_triple_provenance(spark, sf_dir):
+    """Per-(source, predicate) lineage rollup: which feed produced
+    which relations, and from how many documents."""
+    from .operators.relations import provenance_rollup
+    return provenance_rollup(
+        triples_df(spark, sf_dir),
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source"))
+
+
 def q_kg_negative_samples(spark, sf_dir):
     """Deterministic tail-corruption negative sampling over the triple
     store (TransE-style contrastive training pairs, md5-indexed into
@@ -1124,6 +1141,8 @@ def queries() -> dict[str, QueryFn]:
         "doc_chunking": q_doc_chunking,
         "doc_split": q_doc_split,
         "doc_collocations": q_doc_collocations,
+        "gazetteer_ambiguity": q_gazetteer_ambiguity,
+        "triple_provenance": q_triple_provenance,
     }
 
 

@@ -86,3 +86,26 @@ def alt_id_index(terms: DataFrame) -> DataFrame:
     models.py:2954)."""
     return terms.select(
         F.explode("alt_ids").alias("alt_id"), F.col("id").alias("term_id"))
+
+
+def gazetteer_ambiguity(gaz: DataFrame) -> DataFrame:
+    """Linking-QA probe over the match-key dimension: surfaces mapped
+    to more than one term, with namespace spread and whether the BEST
+    match-kind rank is tied across terms ('ambiguous' — the argmax in
+    link_mentions then breaks the tie deterministically by term_id,
+    and these are exactly the surfaces where that tiebreak, not
+    evidence, decides the link). Dimension-sized input -> two
+    map-side-combinable aggregates + one self-join on the surface."""
+    per = gaz.groupBy("surface").agg(
+        F.countDistinct("term_id").alias("n_terms"),
+        F.countDistinct("namespace").alias("n_namespaces"),
+        F.min("rank").alias("best_rank"))
+    ties = (gaz.join(per, "surface")
+            .filter(F.col("rank") == F.col("best_rank"))
+            .groupBy("surface")
+            .agg(F.countDistinct("term_id").alias("n_best")))
+    return (per.join(ties, "surface")
+            .filter(F.col("n_terms") > 1)
+            .select("surface", "n_terms", "n_namespaces",
+                    "best_rank", "n_best",
+                    (F.col("n_best") > 1).alias("ambiguous")))

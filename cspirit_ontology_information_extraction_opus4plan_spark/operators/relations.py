@@ -235,3 +235,19 @@ def negative_samples(triples: DataFrame, terms: DataFrame,
                      "left_anti")
             .select("subject", "predicate", "object", "sample_idx",
                     "neg_object"))
+
+
+def provenance_rollup(triples: DataFrame, docs: DataFrame) -> DataFrame:
+    """Per-(source, predicate) lineage rollup over the emitted triples:
+    triple count and distinct contributing documents — the provenance
+    answer ("which crawl/feed produced which relations") a KG serving
+    layer keeps next to the graph. One equi-join on the numeric doc id
+    (docs is the driver table; at 10^12 docs this is a plain shuffled
+    equi-join, deliberately un-broadcast) + a two-level aggregate."""
+    dnum = F.substring("doc_id", 5, 6).cast("bigint")
+    src = docs.select(F.col("doc_id").alias("dnum"), "source")
+    return (triples.withColumn("dnum", dnum)
+            .join(src, "dnum")
+            .groupBy("source", "predicate")
+            .agg(F.count("*").alias("n_triples"),
+                 F.countDistinct("dnum").alias("n_docs")))

@@ -2382,4 +2382,31 @@ SELECT w1, w2, n_ab, a.n AS n_a, b.n AS n_b,
                 / (CAST(a.n AS DOUBLE) * b.n)), 6) AS pmi
 FROM bc JOIN uc a ON a.w = w1 JOIN uc b ON b.w = w2, tot"""
 
+    sqls["gazetteer_ambiguity"] = "WITH " + gaz_cte() + """,
+per AS (
+  SELECT surface,
+         CAST(count(DISTINCT term_id) AS BIGINT) AS n_terms,
+         CAST(count(DISTINCT namespace) AS BIGINT) AS n_namespaces,
+         min(rank) AS best_rank
+  FROM gaz GROUP BY 1),
+ties AS (
+  SELECT g.surface, CAST(count(DISTINCT g.term_id) AS BIGINT) AS n_best
+  FROM gaz g JOIN per p ON p.surface = g.surface
+  WHERE g.rank = p.best_rank
+  GROUP BY 1)
+SELECT p.surface, n_terms, n_namespaces,
+       CAST(best_rank AS INT) AS best_rank, n_best,
+       n_best > 1 AS ambiguous
+FROM per p JOIN ties USING (surface)
+WHERE n_terms > 1"""
+
+    sqls["triple_provenance"] = (
+        corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + """
+SELECT d.source, t.predicate,
+       CAST(count(*) AS BIGINT) AS n_triples,
+       CAST(count(DISTINCT d.doc_id) AS BIGINT) AS n_docs
+FROM triples t
+JOIN documents d ON d.doc_id = CAST(substring(t.doc_id, 5) AS BIGINT)
+GROUP BY 1, 2""")
+
     return sqls

@@ -135,3 +135,42 @@ def test_label_embedding_stats_tiny(spark):
     assert got[1]["n_vecs"] == 2
     assert got[1]["centroid_norm"] == 3.0
     assert got[1]["mean_cos"] == 1.0
+
+
+def test_gazetteer_ambiguity_flags_rank_ties(spark):
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.gazetteer import (  # noqa: E501
+        GAZ_SCHEMA,
+        gazetteer_ambiguity,
+    )
+
+    gaz = spark.createDataFrame(
+        [("glucose", "T1", "name", "chem", "O1", 1),
+         ("glucose", "T2", "synonym", "chem", "O1", 2),   # lower-ranked
+         ("acid", "T3", "name", "chem", "O1", 1),
+         ("acid", "T4", "name", "proc", "O2", 1),          # rank tie!
+         ("unique", "T5", "name", "chem", "O1", 1)],
+        GAZ_SCHEMA)
+    rows = {r["surface"]: r for r in gazetteer_ambiguity(gaz).collect()}
+    assert set(rows) == {"glucose", "acid"}   # unique surface excluded
+    g = rows["glucose"]
+    assert g["n_terms"] == 2 and g["n_best"] == 1 and not g["ambiguous"]
+    a = rows["acid"]
+    assert (a["n_terms"], a["n_namespaces"], a["n_best"]) == (2, 2, 2)
+    assert a["ambiguous"]
+
+
+def test_provenance_rollup_counts(spark):
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.relations import (  # noqa: E501
+        provenance_rollup,
+    )
+
+    trips = spark.createDataFrame(
+        [("DOC:000001", "is_a"), ("DOC:000001", "is_a"),
+         ("DOC:000002", "is_a"), ("DOC:000003", "part_of")],
+        "doc_id string, predicate string")
+    docs = spark.createDataFrame(
+        [(1, "srcA"), (2, "srcA"), (3, "srcB")],
+        "doc_id bigint, source string")
+    got = {(r["source"], r["predicate"]): (r["n_triples"], r["n_docs"])
+           for r in provenance_rollup(trips, docs).collect()}
+    assert got == {("srcA", "is_a"): (3, 2), ("srcB", "part_of"): (1, 1)}
