@@ -984,6 +984,14 @@ def q_triple_provenance(spark, sf_dir):
         .select("doc_id", "source"))
 
 
+def q_kg_degree_histogram(spark, sf_dir):
+    """Log2-bucketed degree distribution (integer-exact buckets) — the
+    power-law probe that sizes hub salting and wedge orientation."""
+    from .operators.graphops import degree_histogram, undirected_entity_edges
+    return degree_histogram(undirected_entity_edges(
+        dedup_triples(triples_df(spark, sf_dir))))
+
+
 def q_kg_negative_samples(spark, sf_dir):
     """Deterministic tail-corruption negative sampling over the triple
     store (TransE-style contrastive training pairs, md5-indexed into
@@ -1143,6 +1151,7 @@ def queries() -> dict[str, QueryFn]:
         "doc_collocations": q_doc_collocations,
         "gazetteer_ambiguity": q_gazetteer_ambiguity,
         "triple_provenance": q_triple_provenance,
+        "kg_degree_histogram": q_kg_degree_histogram,
     }
 
 

@@ -35,7 +35,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["undirected_entity_edges", "triangle_stats",
-           "two_hop_counts", "pagerank_fixed", "predicate_path_stats"]
+           "two_hop_counts", "pagerank_fixed", "predicate_path_stats",
+           "degree_histogram"]
 
 PR_DAMPING = 0.85
 PR_ITER = 3
@@ -213,3 +214,21 @@ def pagerank_fixed(triples: DataFrame,
     nodes.unpersist()
     contrib_edges.unpersist()
     return out
+
+
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """Log2-bucketed degree distribution of the entity graph — the
+    power-law probe that sizes hub handling (salting buckets, wedge
+    orientation) before the heavy analytics run. Bucket = floor(log2
+    degree), computed INTEGER-exactly as len(bin(degree)) - 1 so the
+    engine and the oracle can never disagree at power-of-two edges
+    (float log2(8) is 2.999... in some libms). Two map-side-combinable
+    aggregates, nothing corpus-sized on the driver."""
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    b = (F.length(F.bin("deg")) - 1).cast("int")
+    return (deg.groupBy(b.alias("bucket"))
+            .agg(F.count("*").alias("n_nodes"),
+                 F.min("deg").alias("min_degree"),
+                 F.max("deg").alias("max_degree")))

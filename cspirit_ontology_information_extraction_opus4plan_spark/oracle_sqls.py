@@ -2409,4 +2409,19 @@ FROM triples t
 JOIN documents d ON d.doc_id = CAST(substring(t.doc_id, 5) AS BIGINT)
 GROUP BY 1, 2""")
 
+    sqls["kg_degree_histogram"] = (
+        corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + """,
+und AS (SELECT DISTINCT least(subject, object) AS src,
+               greatest(subject, object) AS dst
+        FROM triples
+        WHERE subject_type = 'uri' AND object_type = 'uri'
+          AND subject <> object),
+sym AS (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1)
+SELECT CAST(length(bin(deg)) - 1 AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(min(deg) AS BIGINT) AS min_degree,
+       CAST(max(deg) AS BIGINT) AS max_degree
+FROM deg GROUP BY 1""")
+
     return sqls

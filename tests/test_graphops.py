@@ -174,3 +174,16 @@ def test_provenance_rollup_counts(spark):
     got = {(r["source"], r["predicate"]): (r["n_triples"], r["n_docs"])
            for r in provenance_rollup(trips, docs).collect()}
     assert got == {("srcA", "is_a"): (3, 2), ("srcB", "part_of"): (1, 1)}
+
+
+def test_degree_histogram_buckets(spark):
+    # star: hub degree 4 (bucket 2), leaves degree 1 (bucket 0)
+    e = _edges(spark, [("hub", "a"), ("hub", "b"), ("hub", "c"),
+                       ("hub", "d")])
+    rows = {r["bucket"]: r for r in
+            graphops.degree_histogram(e).collect()}
+    assert rows[0]["n_nodes"] == 4
+    assert rows[0]["min_degree"] == rows[0]["max_degree"] == 1
+    assert rows[2]["n_nodes"] == 1
+    assert rows[2]["min_degree"] == rows[2]["max_degree"] == 4
+    assert set(rows) == {0, 2}
