@@ -304,3 +304,27 @@ def test_embedding_label_stats_centroid_broadcast_jvm_only(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "MapInPandas" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_chunking_and_split_have_zero_exchanges(spark, sf_dir):
+    """doc_chunking and doc_split are map-only by design: one generator
+    explode / one hash-threshold projection, NO shuffle — the plans
+    must contain no Exchange at all."""
+    import re
+    for q in (api.q_doc_chunking, api.q_doc_split):
+        plan = q(spark, sf_dir)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert not re.search(r"Exchange ", plan), q.__name__
+        assert "BatchEvalPython" not in plan
+
+
+def test_collocations_no_nested_loop_mapside_combine(spark, sf_dir):
+    plan = api.q_doc_collocations(spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # exactly ONE BroadcastNestedLoopJoin is sanctioned: attaching the
+    # 1-row corpus total (crossJoin of a broadcast scalar); any second
+    # one would be a real unbounded nested loop
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "partial_count" in plan          # map-side combine
+    assert "BatchEvalPython" not in plan
