@@ -992,6 +992,31 @@ def q_kg_degree_histogram(spark, sf_dir):
         dedup_triples(triples_df(spark, sf_dir))))
 
 
+def q_kg_kcore(spark, sf_dir):
+    """Fixed-round k-core peeling (onion decomposition) of the entity
+    graph: dense well-attested core vs single-mention fringe."""
+    from .operators.graphops import kcore_peel, undirected_entity_edges
+    return kcore_peel(undirected_entity_edges(
+        dedup_triples(triples_df(spark, sf_dir))))
+
+
+def q_kg_communities(spark, sf_dir):
+    """Deterministic synchronous label-propagation communities over the
+    entity graph (min-label tie break, fixed iterations)."""
+    from .operators.graphops import label_propagation, undirected_entity_edges
+    return label_propagation(undirected_entity_edges(
+        dedup_triples(triples_df(spark, sf_dir))))
+
+
+def q_kg_entity_similarity(spark, sf_dir):
+    """Structural-equivalence entity pairs: Jaccard of 1-hop neighbor
+    sets via an inverted index on the shared neighbor (df-capped mids;
+    canonicalization-suspect surfacing)."""
+    from .operators.graphops import neighbor_jaccard, undirected_entity_edges
+    return neighbor_jaccard(undirected_entity_edges(
+        dedup_triples(triples_df(spark, sf_dir))))
+
+
 def q_kg_negative_samples(spark, sf_dir):
     """Deterministic tail-corruption negative sampling over the triple
     store (TransE-style contrastive training pairs, md5-indexed into
@@ -1152,6 +1177,9 @@ def queries() -> dict[str, QueryFn]:
         "gazetteer_ambiguity": q_gazetteer_ambiguity,
         "triple_provenance": q_triple_provenance,
         "kg_degree_histogram": q_kg_degree_histogram,
+        "kg_kcore": q_kg_kcore,
+        "kg_communities": q_kg_communities,
+        "kg_entity_similarity": q_kg_entity_similarity,
     }
 
 

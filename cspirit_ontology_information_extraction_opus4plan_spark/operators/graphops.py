@@ -36,10 +36,22 @@ from pyspark.sql import functions as F
 
 __all__ = ["undirected_entity_edges", "triangle_stats",
            "two_hop_counts", "pagerank_fixed", "predicate_path_stats",
-           "degree_histogram"]
+           "degree_histogram", "kcore_peel", "label_propagation",
+           "neighbor_jaccard"]
 
 PR_DAMPING = 0.85
 PR_ITER = 3
+KCORE_K = 2
+KCORE_ROUNDS = 3
+LPA_ITER = 2
+NJ_MID_CAP = 10_000
+NJ_MIN_SHARED = 2
+
+
+def _sym(edges: DataFrame) -> DataFrame:
+    """Undirected (src < dst) edge list -> both-direction adjacency."""
+    return edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
 
 def undirected_entity_edges(triples: DataFrame) -> DataFrame:
@@ -232,3 +244,142 @@ def degree_histogram(edges: DataFrame) -> DataFrame:
             .agg(F.count("*").alias("n_nodes"),
                  F.min("deg").alias("min_degree"),
                  F.max("deg").alias("max_degree")))
+
+
+def kcore_peel(edges: DataFrame,
+               k: int = KCORE_K,
+               rounds: int = KCORE_ROUNDS) -> DataFrame:
+    """Fixed-round k-core peeling over the undirected entity graph ->
+    (node, peel_round, core_degree): the onion-decomposition probe that
+    separates the KG's dense core (well-attested entities) from its
+    sparse fringe (single-mention extractions) before expensive
+    analytics or embedding training run on it.
+
+    Each round recomputes degrees on the surviving subgraph and removes
+    every node with degree < k; `peel_round` is the 1-based round a node
+    was removed in (0 = survived all rounds), `core_degree` its degree
+    in the final surviving subgraph (0 when peeled). Like
+    pagerank_fixed, the contract is FIXED-ROUND and deterministic — not
+    converged-to-empty — so the DuckDB oracle unrolls the identical
+    recurrence; at the default k=2 three rounds already strip pendant
+    chains of length <= 3, the dominant fringe shape in extraction
+    graphs.
+
+    Scale shape: per round one map-side-combinable degree aggregate plus
+    two semi-joins on node id to trim the edge list — O(rounds)
+    shuffles, nothing driver-sized, no windows. The survivor set shrinks
+    monotonically, so later rounds cost less, and each round's frames
+    are localCheckpointed (read by both the edge trim and the next
+    round's degree pass) to keep the unrolled plan flat."""
+    edges = edges.localCheckpoint(eager=True)
+    nodes0 = (_sym(edges).select(F.col("src").alias("node")).distinct()
+              .localCheckpoint(eager=True))
+    cur = edges
+    survivors = nodes0
+    peeled = None
+    for i in range(1, rounds + 1):
+        deg = (_sym(cur).groupBy("src").agg(F.count("*").alias("d"))
+               .withColumnRenamed("src", "node"))
+        scored = (survivors.join(deg, "node", "left")
+                  .select("node", F.coalesce("d", F.lit(0)).alias("d")))
+        dropped = (scored.filter(F.col("d") < k)
+                   .select("node", F.lit(i).alias("peel_round")))
+        keep = (scored.filter(F.col("d") >= k).select("node")
+                .localCheckpoint(eager=True))
+        peeled = dropped if peeled is None else peeled.unionByName(dropped)
+        cur = (cur
+               .join(keep.withColumnRenamed("node", "src"), "src",
+                     "left_semi")
+               .join(keep.withColumnRenamed("node", "dst"), "dst",
+                     "left_semi")
+               .localCheckpoint(eager=True))
+        survivors = keep
+    fdeg = (_sym(cur).groupBy("src").agg(F.count("*").alias("cd"))
+            .withColumnRenamed("src", "node"))
+    return (nodes0
+            .join(peeled, "node", "left")
+            .join(fdeg, "node", "left")
+            .select("node",
+                    F.coalesce("peel_round", F.lit(0)).cast("int")
+                    .alias("peel_round"),
+                    F.coalesce("cd", F.lit(0)).cast("long")
+                    .alias("core_degree")))
+
+
+def label_propagation(edges: DataFrame, n_iter: int = LPA_ITER) -> DataFrame:
+    """Synchronous label propagation over the undirected entity graph ->
+    (node, community): the entity-community probe (which extracted
+    entities cluster into one topic/ontology neighborhood) used to
+    partition the KG for locality-preserving storage and GNN sampling.
+
+    label_0(v) = v's own id; label_{t+1}(v) = the most frequent label
+    among v's neighbors at t, ties broken by the SMALLEST label — the
+    synchronous update plus a total tie order makes the fixed-iteration
+    result fully deterministic (classic async LPA is run-order
+    dependent), so the DuckDB oracle unrolls the identical recurrence.
+
+    Scale shape per round: one equi-join of the adjacency against the
+    label frame (shuffle on node id) + two map-side-combinable
+    aggregates — the (node, label) count, then the argmax via a single
+    struct-min of (-count, label) (no window over the graph). Label
+    frames are localCheckpointed per round to keep the unrolled plan
+    flat. Hub nodes are plain heavy groupBy keys (combinable partials),
+    not join amplifiers."""
+    edges = edges.localCheckpoint(eager=True)
+    sym = _sym(edges)
+    lbl = (sym.select(F.col("src").alias("node")).distinct()
+           .select("node", F.col("node").alias("label"))
+           .localCheckpoint(eager=True))
+    for _ in range(n_iter):
+        cnt = (sym
+               .join(lbl.select(F.col("node").alias("dst"), "label"), "dst")
+               .groupBy("src", "label").agg(F.count("*").alias("c")))
+        pick = cnt.groupBy("src").agg(
+            F.min(F.struct((-F.col("c")).alias("nc"),
+                           F.col("label").alias("l"))).alias("m"))
+        lbl = (pick.select(F.col("src").alias("node"),
+                           F.col("m.l").alias("label"))
+               .localCheckpoint(eager=True))
+    return lbl.select("node", F.col("label").alias("community"))
+
+
+def neighbor_jaccard(edges: DataFrame,
+                     min_shared: int = NJ_MIN_SHARED,
+                     mid_cap: int = NJ_MID_CAP) -> DataFrame:
+    """Structural-equivalence entity similarity -> (a, b, n_shared,
+    n_union, jaccard) for every entity pair sharing >= min_shared
+    1-hop neighbors: the KG-side near-duplicate probe (two ontology ids
+    that attach to the same neighborhood are linking/canonicalization
+    suspects even when no edge joins them directly).
+
+    Pairs are generated through an inverted index on the shared
+    neighbor (mid) — the same equi-join shape as the document n-gram
+    join (textops.ngram_jaccard_pairs), never a corpus self-join.
+    Mids with degree > mid_cap are dropped from pair GENERATION (the
+    set-similarity stop-word prefix filter: a 10^6-degree hub would
+    emit deg^2 candidate rows while certifying almost nothing — sharing
+    a hub neighbor is not evidence of equivalence). Exact degrees still
+    feed the union size, so at sandbox scale (all mids under the cap)
+    the output is exact Jaccard; at hub scale it is the standard
+    df-capped lower bound, same contract both engine and oracle."""
+    edges = edges.localCheckpoint(eager=True)
+    sym = _sym(edges)
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    inv = sym.select(F.col("dst").alias("mid"), F.col("src").alias("member"))
+    middeg = inv.groupBy("mid").agg(F.count("*").alias("md"))
+    inv = (inv.join(middeg.filter(F.col("md") <= mid_cap).select("mid"),
+                    "mid")
+           .localCheckpoint(eager=True))  # both sides of the pair join
+    pairs = (inv.toDF("mid", "a").join(inv.toDF("mid", "b"), "mid")
+             .filter(F.col("a") < F.col("b"))
+             .groupBy("a", "b").agg(F.count("*").alias("n_shared"))
+             .filter(F.col("n_shared") >= min_shared))
+    return (pairs
+            .join(deg.toDF("a", "da"), "a")
+            .join(deg.toDF("b", "db"), "b")
+            .select("a", "b", "n_shared",
+                    (F.col("da") + F.col("db") - F.col("n_shared"))
+                    .alias("n_union"),
+                    F.round(F.col("n_shared")
+                            / (F.col("da") + F.col("db")
+                               - F.col("n_shared")), 6).alias("jaccard")))

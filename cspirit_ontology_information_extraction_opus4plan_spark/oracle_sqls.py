@@ -2424,4 +2424,96 @@ SELECT CAST(length(bin(deg)) - 1 AS INT) AS bucket,
        CAST(max(deg) AS BIGINT) AS max_degree
 FROM deg GROUP BY 1""")
 
+    # --- fixed-round k-core peeling: unroll the identical recurrence the
+    # engine runs (graphops.kcore_peel) — per round, degrees over the
+    # surviving subgraph, drop nodes with degree < k, trim edges.
+    # MATERIALIZED on every multiply-referenced round frame: each keep{i}
+    # is scanned twice and each e{i}/sym{i} feeds the next round AND the
+    # final degree pass — inlined (DuckDB's default for plain CTEs) the
+    # upstream extraction pipeline re-evaluates exponentially in the
+    # round count (measured 120 s -> 0.2 s at sf0.01).
+    from .operators.graphops import KCORE_K, KCORE_ROUNDS
+    kcore_ctes = """,
+e0 AS MATERIALIZED (SELECT src, dst FROM und),
+sym0 AS MATERIALIZED (
+    SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+nodes0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym0)"""
+    prev_keep = "nodes0"
+    for i in range(1, KCORE_ROUNDS + 1):
+        kcore_ctes += f""",
+deg{i} AS (SELECT src AS node, count(*) AS d FROM sym{i - 1} GROUP BY 1),
+sc{i} AS MATERIALIZED (
+    SELECT n.node, coalesce(d.d, 0) AS d
+    FROM {prev_keep} n LEFT JOIN deg{i} d USING (node)),
+drop{i} AS (SELECT node, {i} AS peel_round FROM sc{i} WHERE d < {KCORE_K}),
+keep{i} AS MATERIALIZED (SELECT node FROM sc{i} WHERE d >= {KCORE_K}),
+e{i} AS MATERIALIZED (
+    SELECT src, dst FROM e{i - 1}
+    WHERE src IN (SELECT node FROM keep{i})
+      AND dst IN (SELECT node FROM keep{i})),
+sym{i} AS MATERIALIZED (
+    SELECT src, dst FROM e{i} UNION ALL SELECT dst, src FROM e{i})"""
+        prev_keep = f"keep{i}"
+    drops = " UNION ALL ".join(
+        f"SELECT * FROM drop{i}" for i in range(1, KCORE_ROUNDS + 1))
+    sqls["kg_kcore"] = (
+        corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + und_ctes
+        + kcore_ctes + f""",
+fdeg AS (SELECT src AS node, count(*) AS cd
+         FROM sym{KCORE_ROUNDS} GROUP BY 1),
+peeled AS ({drops})
+SELECT n.node,
+       CAST(coalesce(p.peel_round, 0) AS INT) AS peel_round,
+       CAST(coalesce(f.cd, 0) AS BIGINT) AS core_degree
+FROM nodes0 n
+LEFT JOIN peeled p USING (node)
+LEFT JOIN fdeg f USING (node)""")
+
+    # --- synchronous label propagation: most-frequent neighbor label,
+    # ties -> smallest label (graphops.label_propagation, unrolled).
+    from .operators.graphops import LPA_ITER
+    lpa_ctes = """,
+lnodes AS (SELECT DISTINCT src AS node FROM sym),
+lbl0 AS (SELECT node, node AS label FROM lnodes)"""
+    for i in range(1, LPA_ITER + 1):
+        lpa_ctes += f""",
+g{i} AS (SELECT s.src AS node, l.label, count(*) AS c
+         FROM sym s JOIN lbl{i - 1} l ON l.node = s.dst
+         GROUP BY 1, 2),
+lbl{i} AS (SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY c DESC, label) AS rn
+    FROM g{i}) WHERE rn = 1)"""
+    sqls["kg_communities"] = (
+        corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + und_ctes
+        + lpa_ctes + f"""
+SELECT node, label AS community FROM lbl{LPA_ITER}""")
+
+    # --- structural-equivalence neighbor Jaccard: inverted index on the
+    # shared neighbor, df-capped mids (graphops.neighbor_jaccard).
+    from .operators.graphops import NJ_MID_CAP, NJ_MIN_SHARED
+    sqls["kg_entity_similarity"] = (
+        corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + und_ctes
+        + f""",
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+        FROM sym GROUP BY 1),
+inv AS (SELECT dst AS mid, src AS member FROM sym),
+md AS (SELECT mid, count(*) AS n FROM inv GROUP BY 1),
+inv2 AS (SELECT i.mid, i.member FROM inv i
+         JOIN md ON md.mid = i.mid WHERE md.n <= {NJ_MID_CAP}),
+pairs AS (SELECT x.member AS a, y.member AS b,
+                 CAST(count(*) AS BIGINT) AS n_shared
+          FROM inv2 x JOIN inv2 y
+            ON y.mid = x.mid AND x.member < y.member
+          GROUP BY 1, 2
+          HAVING count(*) >= {NJ_MIN_SHARED})
+SELECT p.a, p.b, p.n_shared,
+       CAST(da.deg + db.deg - p.n_shared AS BIGINT) AS n_union,
+       round(CAST(p.n_shared AS DOUBLE)
+             / (da.deg + db.deg - p.n_shared), 6) AS jaccard
+FROM pairs p
+JOIN deg da ON da.node = p.a
+JOIN deg db ON db.node = p.b""")
+
     return sqls

@@ -187,3 +187,68 @@ def test_degree_histogram_buckets(spark):
     assert rows[2]["n_nodes"] == 1
     assert rows[2]["min_degree"] == rows[2]["max_degree"] == 4
     assert set(rows) == {0, 2}
+
+
+def test_kcore_peel_pendant_chain(spark):
+    # K3 (a,b,c) + chain c-x-y: y (deg 1) peels in round 1, x (deg 1
+    # once y is gone) in round 2, the triangle survives with degree 2
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c"),
+                       ("c", "x"), ("x", "y")])
+    rows = {r["node"]: r for r in graphops.kcore_peel(e).collect()}
+    assert rows["y"]["peel_round"] == 1 and rows["y"]["core_degree"] == 0
+    assert rows["x"]["peel_round"] == 2 and rows["x"]["core_degree"] == 0
+    for n in ("a", "b", "c"):
+        assert rows[n]["peel_round"] == 0 and rows[n]["core_degree"] == 2
+
+
+def test_kcore_peel_fixed_rounds_not_converged(spark):
+    # a path of 8 nodes strips 2 endpoints per round; after the fixed 3
+    # rounds the middle pair is still standing (fixed-round contract,
+    # NOT converged-to-empty)
+    names = [f"n{i}" for i in range(8)]
+    e = _edges(spark, list(zip(names, names[1:])))
+    rows = {r["node"]: r for r in graphops.kcore_peel(e).collect()}
+    assert rows["n0"]["peel_round"] == 1 and rows["n7"]["peel_round"] == 1
+    assert rows["n1"]["peel_round"] == 2 and rows["n6"]["peel_round"] == 2
+    assert rows["n2"]["peel_round"] == 3 and rows["n5"]["peel_round"] == 3
+    assert rows["n3"]["peel_round"] == 0 and rows["n3"]["core_degree"] == 1
+    assert rows["n4"]["peel_round"] == 0 and rows["n4"]["core_degree"] == 1
+
+
+def test_label_propagation_disjoint_triangles(spark):
+    # two disjoint triangles each collapse to their min node id by the
+    # second synchronous round (count-then-min-label tie break)
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c"),
+                       ("x", "y"), ("y", "z"), ("x", "z")])
+    rows = {r["node"]: r["community"]
+            for r in graphops.label_propagation(e).collect()}
+    assert rows == {"a": "a", "b": "a", "c": "a",
+                    "x": "x", "y": "x", "z": "x"}
+
+
+def test_label_propagation_majority_wins(spark):
+    # hub h bonded to clique {a,b}: after round 1 a,b,h all carry 'a'
+    # (majority/min); pendant p keeps flipping with h's label
+    e = _edges(spark, [("a", "b"), ("a", "h"), ("b", "h")])
+    rows = {r["node"]: r["community"]
+            for r in graphops.label_propagation(e, n_iter=2).collect()}
+    assert rows["a"] == "a" and rows["b"] == "a" and rows["h"] == "a"
+
+
+def test_neighbor_jaccard_square(spark):
+    # 4-cycle a-b-c-d-a: opposite corners share BOTH neighbors
+    # (structural equivalence, no direct edge): jaccard 1.0
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")])
+    rows = sorted((r["a"], r["b"], r["n_shared"], r["n_union"], r["jaccard"])
+                  for r in graphops.neighbor_jaccard(e).collect())
+    assert rows == [("a", "c", 2, 2, 1.0), ("b", "d", 2, 2, 1.0)]
+
+
+def test_neighbor_jaccard_mid_cap_drops_hub(spark):
+    # star: 4 leaves share only the hub; with the hub's degree over the
+    # df cap no pairs are generated at all (stop-word prefix filter)
+    e = _edges(spark, [("h", f"l{i}") for i in range(4)])
+    full = graphops.neighbor_jaccard(e, min_shared=1).collect()
+    assert len(full) == 6  # C(4,2) leaf pairs through the hub
+    capped = graphops.neighbor_jaccard(e, min_shared=1, mid_cap=3).collect()
+    assert capped == []

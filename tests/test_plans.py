@@ -328,3 +328,34 @@ def test_collocations_no_nested_loop_mapside_combine(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert "partial_count" in plan          # map-side combine
     assert "BatchEvalPython" not in plan
+
+
+def test_kcore_no_python_no_nested_loop(spark, sf_dir):
+    """k-core peeling is degree aggregates + semi-join trims per round:
+    no Python stage survives the checkpoint truncation, no cartesian /
+    nested-loop joins anywhere in the unrolled rounds."""
+    plan = _plan(api.q_kg_kcore(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lpa_mapside_agg_no_window(spark, sf_dir):
+    """Label propagation's argmax is a struct-min groupBy with a
+    map-side partial (never a window over the graph); pure JVM."""
+    plan = _plan(api.q_kg_communities(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_neighbor_jaccard_equijoin_mapside_agg(spark, sf_dir):
+    """Pair generation is an equi-join on the shared-neighbor key (the
+    inverted-index shape, never a corpus self-cross); the pair count
+    keeps its map-side partial."""
+    plan = _plan(api.q_kg_entity_similarity(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "partial_count" in plan
