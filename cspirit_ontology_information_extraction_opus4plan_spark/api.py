@@ -940,6 +940,15 @@ def q_embedding_label_stats(spark, sf_dir):
         .select("vec_id", "embedding", "label"))
 
 
+def q_embedding_kmeans(spark, sf_dir):
+    """Distributed fixed-iteration Lloyd's k-means over the embedding
+    corpus — the 'production would run distributed KMeans' path the
+    IVF docstring stubs out: broadcast centroid matrix, map-only Arrow
+    assignment, k-row map-side-combinable centroid update."""
+    from .operators.similarity import embedding_kmeans, load_embeddings
+    return embedding_kmeans(load_embeddings(spark, sf_dir))
+
+
 def q_doc_chunking(spark, sf_dir):
     """Fixed-width overlapping token windows (training-example
     chunking; stride < width, lossless tail)."""
@@ -1171,6 +1180,7 @@ def queries() -> dict[str, QueryFn]:
         "kg_predicate_paths": q_kg_predicate_paths,
         "url_curation": q_url_curation,
         "embedding_label_stats": q_embedding_label_stats,
+        "embedding_kmeans": q_embedding_kmeans,
         "doc_chunking": q_doc_chunking,
         "doc_split": q_doc_split,
         "doc_collocations": q_doc_collocations,

@@ -379,6 +379,104 @@ def lsh_topk(emb: DataFrame, k: int = TOP_K,
     return _ranked(pairs, k)
 
 
+# --- distributed fixed-iteration Lloyd's k-means ----------------------------
+# Closes ivf_topk's acknowledged stub ("production would run distributed
+# KMeans"): this IS that distributed KMeans, in the exact shape MLlib
+# uses — broadcast k-row centroid matrix, map-only Arrow assignment,
+# map-side-combinable per-cluster partial sums, bounded k x DIM driver
+# collect per iteration. No corpus shuffle keyed on vec_id, ever.
+K_CLUSTERS = 8
+KMEANS_ITERS = 3
+
+
+def _kmeans_sq_dists(A: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """(n, k) squared-L2 block, left-assoc 64-step accumulation per
+    lane — bit-identical to the oracle's unrolled
+    `(a0-c0)*(a0-c0) + (a1-c1)*(a1-c1) + ...` expression."""
+    d = A[:, 0:1] - C[None, :, 0]
+    acc = d * d
+    for i in range(1, DIM):
+        d = A[:, i:i + 1] - C[None, :, i]
+        acc = acc + d * d
+    return acc
+
+
+def embedding_kmeans(emb: DataFrame, k: int = K_CLUSTERS,
+                     iters: int = KMEANS_ITERS) -> DataFrame:
+    """Distributed Lloyd's k-means, FIXED iteration count (deterministic
+    — no data-dependent convergence test), squared-L2 metric, init =
+    the k lowest vec_ids' vectors. Returns per-cluster
+    (c_id, n_vecs, mean_sq_dist, centroid_norm) after `iters` updates
+    plus a final assignment pass.
+
+    Scale shape (the real thing, not a demo): each iteration is one
+    map-only Arrow assignment pass over the corpus (broadcast k x DIM
+    centroid matrix, numpy left-assoc kernel — memory trap #5: a
+    512-term column expression would fall out of codegen) feeding a
+    64-column avg groupBy with k groups — map-side combinable, the
+    exchange carries k rows. The per-iteration driver collect is
+    O(k * DIM) regardless of corpus size (same bound as ivf_topk's
+    centroid matrix). Ties in the argmin break to the lowest c_id
+    (numpy argmin = first minimum over c_id-ascending columns; oracle:
+    row_number ORDER BY dist ASC, c_id ASC).
+
+    Float parity: centroid updates are per-dim avg() in both engines
+    (order-nondeterministic at ~1e-16 relative — the
+    embedding_label_stats precedent); assignment margins on this
+    corpus are >= 7e-06 at every sf (measured), eight orders above the
+    noise floor, so assignments are engine-stable and the round-6
+    output columns absorb the residue."""
+    spark = emb.sparkSession
+    v = emb.select("vec_id", "embedding")
+    cpdf = (v.filter(F.col("vec_id") < k).toPandas()
+            .sort_values("vec_id"))
+    c_ids = cpdf["vec_id"].to_numpy()
+    C = _stack(cpdf["embedding"])
+
+    def assigner(bc):
+        @F.pandas_udf(LongType())
+        def assign(a: pd.Series) -> pd.Series:
+            c_ids, C = bc.value
+            # argmin takes the FIRST min; columns are c_id-ascending
+            return pd.Series(c_ids[np.argmin(_kmeans_sq_dists(
+                _stack(a), C), axis=1)])
+        return assign
+
+    avg_cols = [F.avg(F.col("embedding").getItem(i).cast("double"))
+                .alias(f"c{i}") for i in range(DIM)]
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast((c_ids, C))
+        assigned = v.withColumn("c_id", assigner(bc)("embedding"))
+        upd = (assigned.groupBy("c_id").agg(*avg_cols)
+               .toPandas().sort_values("c_id"))
+        c_ids = upd["c_id"].to_numpy()
+        C = np.stack([upd[f"c{i}"].to_numpy() for i in range(DIM)],
+                     axis=1)
+
+    bc = spark.sparkContext.broadcast((c_ids, C))
+
+    @F.pandas_udf("c_id bigint, sq_dist double")
+    def final_assign(a: pd.Series) -> pd.DataFrame:
+        c_ids, C = bc.value
+        D = _kmeans_sq_dists(_stack(a), C)
+        j = np.argmin(D, axis=1)
+        return pd.DataFrame({"c_id": c_ids[j],
+                             "sq_dist": D[np.arange(len(j)), j]})
+
+    norm2 = _np_norm2(C)
+    norms = spark.createDataFrame(
+        [(int(c), float(n2)) for c, n2 in zip(c_ids, norm2)],
+        "c_id bigint, cn2 double")
+    out = (v.select(final_assign("embedding").alias("s"))
+           .select("s.c_id", "s.sq_dist")
+           .groupBy("c_id")
+           .agg(F.count("*").cast("bigint").alias("n_vecs"),
+                F.round(F.avg("sq_dist"), 6).alias("mean_sq_dist")))
+    return (out.join(F.broadcast(norms), "c_id")
+            .select("c_id", "n_vecs", "mean_sq_dist",
+                    F.round(F.sqrt("cn2"), 6).alias("centroid_norm")))
+
+
 def label_embedding_stats(emb: DataFrame) -> DataFrame:
     """Per-label embedding cluster quality — the probe a training
     pipeline runs before trusting labels for mixture sampling or

@@ -774,6 +774,43 @@ SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
        round(min(sqrt(cn)), 6) AS centroid_norm,
        round(avg(dot / sqrt(en * cn)), 6) AS mean_cos
 FROM scored GROUP BY label""".strip()
+
+    # fixed-iteration Lloyd's k-means: unrolled iterations, squared-L2
+    # left-assoc dist, argmin as row_number (dist ASC, c_id ASC) — the
+    # oracle-side cross join is k rows per vector, engine-side it's a
+    # broadcast numpy kernel (similarity.embedding_kmeans)
+    sq = " + ".join(
+        f"({el('e', i)} - c.c{i}) * ({el('e', i)} - c.c{i})"
+        for i in range(SIM.DIM))
+    init_cols = ", ".join(f"{el('e', i)} AS c{i}" for i in range(SIM.DIM))
+    avg_cols = ", ".join(f"avg({el('e', i)}) AS c{i}"
+                         for i in range(SIM.DIM))
+    cnorm = " + ".join(f"c.c{i} * c.c{i}" for i in range(SIM.DIM))
+    km = (f"WITH c0 AS (SELECT vec_id AS c_id, {init_cols} "
+          f"FROM embeddings e WHERE vec_id < {SIM.K_CLUSTERS})")
+    prev = "c0"
+    for t in range(1, SIM.KMEANS_ITERS + 1):
+        km += f""",
+a{t} AS (SELECT vec_id, c_id FROM (
+  SELECT e.vec_id, c.c_id, row_number() OVER (
+    PARTITION BY e.vec_id ORDER BY ({sq}) ASC, c.c_id ASC) AS rn
+  FROM embeddings e CROSS JOIN {prev} c) x WHERE rn = 1),
+c{t} AS (SELECT a.c_id, {avg_cols}
+  FROM a{t} a JOIN embeddings e USING (vec_id) GROUP BY a.c_id)"""
+        prev = f"c{t}"
+    km += f""",
+af AS (SELECT vec_id, c_id, d FROM (
+  SELECT e.vec_id, c.c_id, ({sq}) AS d, row_number() OVER (
+    PARTITION BY e.vec_id ORDER BY ({sq}) ASC, c.c_id ASC) AS rn
+  FROM embeddings e CROSS JOIN {prev} c) x WHERE rn = 1),
+norms AS (SELECT c_id, round(sqrt({cnorm}), 6) AS centroid_norm
+  FROM {prev} c)
+SELECT a.c_id, CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(a.d), 6) AS mean_sq_dist,
+       min(n.centroid_norm) AS centroid_norm
+FROM af a JOIN norms n USING (c_id)
+GROUP BY a.c_id"""
+    sqls["embedding_kmeans"] = km
     return sqls
 
 

@@ -359,3 +359,19 @@ def test_neighbor_jaccard_equijoin_mapside_agg(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
     assert "partial_count" in plan
+
+
+def test_kmeans_maponly_assign_k_row_exchange(spark, sf_dir):
+    """Lloyd's final pass: assignment is a map-only Arrow stage
+    (broadcast centroid matrix inside the UDF closure — no join against
+    a centroid table, no corpus shuffle keyed on vec_id); the only
+    hash exchange groups by c_id (k keys) with a map-side partial, and
+    the norms dimension joins broadcast."""
+    plan = _plan(api.q_embedding_kmeans(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(exchanges) == 1 and "c_id" in exchanges[0], exchanges
+    assert not re.search(r"Exchange hashpartitioning\(vec_id", plan)
+    assert "partial_count" in plan
