@@ -940,6 +940,15 @@ def q_embedding_label_stats(spark, sf_dir):
         .select("vec_id", "embedding", "label"))
 
 
+def q_triple_semantics(spark, sf_dir):
+    """Per-triple semantic + domain validation verdicts against the
+    reference's closed rule tables (validate_predicate_semantics
+    models.py:1107, validate_domain_constraints models.py:1317) —
+    pure IN-list row expressions, zero shuffles added."""
+    from .operators.ontology_algebra import triple_semantics_check
+    return triple_semantics_check(triples_df(spark, sf_dir))
+
+
 def q_embedding_kmeans(spark, sf_dir):
     """Distributed fixed-iteration Lloyd's k-means over the embedding
     corpus — the 'production would run distributed KMeans' path the
@@ -1181,6 +1190,7 @@ def queries() -> dict[str, QueryFn]:
         "url_curation": q_url_curation,
         "embedding_label_stats": q_embedding_label_stats,
         "embedding_kmeans": q_embedding_kmeans,
+        "triple_semantics": q_triple_semantics,
         "doc_chunking": q_doc_chunking,
         "doc_split": q_doc_split,
         "doc_collocations": q_doc_collocations,

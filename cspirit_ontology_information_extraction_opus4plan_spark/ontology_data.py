@@ -258,6 +258,86 @@ PREDICATE_PHRASES = [
 ]
 
 
+# --- triple-validation rule tables (closed semantic sets, reproduced
+# with citation like PREDICATES/INVERSE_PREDICATES above) ---
+
+# predicate -> allowed (subject_prefix, object_prefix) combinations
+# (Relationship.validate_predicate_semantics, reference
+# models.py:1142-1310). Predicates absent from the map accept any pair
+# of NON-EMPTY prefixes; listed predicates accept exactly these combos.
+SEMANTIC_RULES: dict[str, list[tuple[str, str]]] = {
+    "is_a": [("CHEBI", "CHEBI"), ("GO", "GO"), ("PO", "PO"),
+             ("NCIT", "NCIT")],
+    "part_of": [("GO", "GO"), ("PO", "PO"), ("CHEBI", "CHEBI")],
+    "has_part": [("GO", "GO"), ("PO", "PO"), ("CHEBI", "CHEBI")],
+    "located_in": [("CHEBI", "GO"), ("CHEBI", "PO"), ("GO", "GO")],
+    "regulates": [("CHEBI", "GO"), ("GO", "GO")],
+    "regulated_by": [("GO", "CHEBI"), ("GO", "GO")],
+    "catalyzes": [("GO", "GO")],
+    "accumulates_in": [("CHEBI", "GO"), ("CHEBI", "PO")],
+    "participates_in": [("CHEBI", "GO"), ("GO", "GO")],
+    "derives_from": [("CHEBI", "CHEBI"), ("PO", "PO")],
+    "upregulates": [("CHEBI", "GO"), ("GO", "GO")],
+    "downregulates": [("CHEBI", "GO"), ("GO", "GO")],
+    "occurs_in": [("GO", "GO"), ("GO", "PO")],
+    "made_via": [("CHEBI", "GO")],
+    "affects": [("CHEBI", "GO"), ("GO", "GO")],
+    "has_role": [("CHEBI", "GO")],
+    "involved_in": [("CHEBI", "GO"), ("GO", "GO")],
+    "catalyzed_by": [("GO", "GO")],
+    "upregulated_by": [("GO", "CHEBI"), ("GO", "GO")],
+    "downregulated_by": [("GO", "CHEBI"), ("GO", "GO")],
+    "derives_to": [("CHEBI", "CHEBI"), ("PO", "PO")],
+    "contains": [("GO", "CHEBI"), ("PO", "CHEBI"), ("GO", "GO")],
+    "accumulates": [("GO", "CHEBI"), ("PO", "CHEBI")],
+}
+
+# (subject_prefix, predicate) -> allowed object prefixes
+# (Relationship.validate_domain_constraints, models.py:1317-1452).
+# The reference checks three per-subject-prefix dicts first and falls
+# through to a cross-domain dict, then defaults True; every cross-domain
+# entry except (accumulates, GO) is shadowed by a per-prefix entry, so
+# this FLATTENED map (per-prefix rows + the GO/catalyzes special case at
+# models.py:1421 + the one reachable cross-domain row) is lookup-for-
+# lookup equivalent: key present -> membership test, absent -> True.
+DOMAIN_RULES: dict[tuple[str, str], list[str]] = {
+    ("CHEBI", "is_a"): ["CHEBI"],
+    ("CHEBI", "derives_from"): ["CHEBI"],
+    ("CHEBI", "regulates"): ["GO"],
+    ("CHEBI", "upregulates"): ["GO"],
+    ("CHEBI", "downregulates"): ["GO"],
+    ("CHEBI", "participates_in"): ["GO"],
+    ("CHEBI", "located_in"): ["GO", "PO"],
+    ("CHEBI", "accumulates_in"): ["GO", "PO"],
+    ("CHEBI", "affects"): ["GO"],
+    ("CHEBI", "has_role"): ["GO"],
+    ("CHEBI", "involved_in"): ["GO"],
+    ("CHEBI", "made_via"): ["GO"],
+    ("PO", "is_a"): ["PO"],
+    ("PO", "part_of"): ["PO"],
+    ("PO", "has_part"): ["PO"],
+    ("PO", "derives_from"): ["PO"],
+    ("PO", "derives_to"): ["PO"],
+    ("PO", "develops_from"): ["PO"],
+    ("PO", "contains"): ["CHEBI"],
+    ("PO", "accumulates"): ["CHEBI"],
+    ("GO", "is_a"): ["GO"],
+    ("GO", "part_of"): ["GO"],
+    ("GO", "has_part"): ["GO"],
+    ("GO", "regulates"): ["GO"],
+    ("GO", "regulated_by"): ["GO", "CHEBI"],
+    ("GO", "positively_regulates"): ["GO"],
+    ("GO", "negatively_regulates"): ["GO"],
+    ("GO", "upregulated_by"): ["GO", "CHEBI"],
+    ("GO", "downregulated_by"): ["GO", "CHEBI"],
+    ("GO", "catalyzed_by"): ["GO"],
+    ("GO", "occurs_in"): ["GO", "PO"],
+    ("GO", "contains"): ["CHEBI", "GO"],
+    ("GO", "catalyzes"): ["GO"],
+    ("GO", "accumulates"): ["CHEBI"],
+}
+
+
 def alternation(words: list[str]) -> str:
     """Shared regex-alternation builder: longest-first so leftmost-first
     engines (Python re, RE2) behave leftmost-longest. Used verbatim by the

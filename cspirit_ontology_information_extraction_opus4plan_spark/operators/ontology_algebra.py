@@ -10,10 +10,11 @@ instead of recursive DFS.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..ontology_data import INVERSE_PREDICATES
+from ..ontology_data import (DOMAIN_RULES, INVERSE_PREDICATES,
+                             SEMANTIC_RULES)
 
 # ---------------------------------------------------------------------------
 # statistics (Ontology.get_statistics, models.py:3297-3356)
@@ -526,3 +527,65 @@ def expand_inverse_edges(rels: DataFrame) -> DataFrame:
                F.col("subject").alias("object"),
                "confidence"))
     return base.unionByName(inv)
+
+
+# ---------------------------------------------------------------------------
+# per-triple semantic + domain validation
+# (Relationship.validate_predicate_semantics, models.py:1107-1315;
+#  Relationship.validate_domain_constraints, models.py:1317-1452)
+# ---------------------------------------------------------------------------
+
+
+def _prefix(col: str) -> Column:
+    """Namespace prefix, '' when the id has no colon (the reference's
+    `x.split(':')[0] if ':' in x else ''`)."""
+    return F.when(F.col(col).contains(":"),
+                  F.substring_index(col, ":", 1)).otherwise(F.lit(""))
+
+
+def triple_semantics_check(triples: DataFrame) -> DataFrame:
+    """Per-triple validation verdicts against the closed rule tables:
+
+      semantic_ok — (subject_prefix, object_prefix) is an allowed combo
+        for the predicate (SEMANTIC_RULES); predicates outside the map
+        accept any pair of non-empty prefixes; empty/null predicate,
+        subject, or object fails.
+      domain_ok — object_prefix allowed for (subject_prefix, predicate)
+        (DOMAIN_RULES, flattened); keys outside the map default True.
+
+    Both checks compile to literal IN-list predicates over the closed
+    sets (~50 and ~60 keys) — pure whole-stage-codegen row expressions:
+    zero joins, zero exchanges added to whatever plan produced the
+    triples. At 100 TB this is the shape you want for per-row rule
+    validation (the rule tables are genuinely constant-sized; a rules
+    DIMENSION table would broadcast-join to the same effect but cost a
+    build-side exchange)."""
+    sp, op = _prefix("subject"), _prefix("object")
+    nonempty = (F.col("predicate").isNotNull() & (F.col("predicate") != "")
+                & F.col("subject").isNotNull() & (F.col("subject") != "")
+                & F.col("object").isNotNull() & (F.col("object") != ""))
+    sem_combo = F.concat_ws("|", F.col("predicate"), sp, op)
+    sem_keys = [f"{p}|{s}|{o}"
+                for p, pairs in sorted(SEMANTIC_RULES.items())
+                for s, o in pairs]
+    semantic_ok = F.when(
+        ~nonempty, F.lit(False)
+    ).when(
+        F.col("predicate").isin(*sorted(SEMANTIC_RULES)),
+        sem_combo.isin(*sem_keys)
+    ).otherwise((sp != "") & (op != ""))
+    dom_key = F.concat_ws("|", sp, F.col("predicate"))
+    dom_combo = F.concat_ws("|", sp, F.col("predicate"), op)
+    dom_defined = [f"{s}|{p}" for s, p in sorted(DOMAIN_RULES)]
+    dom_allowed = [f"{s}|{p}|{o}"
+                   for (s, p), objs in sorted(DOMAIN_RULES.items())
+                   for o in objs]
+    domain_ok = F.when(
+        ~nonempty, F.lit(False)
+    ).when(
+        dom_key.isin(*dom_defined), dom_combo.isin(*dom_allowed)
+    ).otherwise(F.lit(True))
+    return triples.select(
+        "doc_id", "subject", "predicate", "object",
+        semantic_ok.cast("int").alias("semantic_ok"),
+        domain_ok.cast("int").alias("domain_ok"))

@@ -2553,4 +2553,43 @@ FROM pairs p
 JOIN deg da ON da.node = p.a
 JOIN deg db ON db.node = p.b""")
 
+    # per-triple semantic + domain validation: same closed rule tables
+    # as operators/ontology_algebra.triple_semantics_check, compiled to
+    # IN lists (models.py:1107-1315 semantics, :1317-1452 domains)
+    sem_defined = ", ".join(_q(p) for p in sorted(OD.SEMANTIC_RULES))
+    sem_keys = ", ".join(
+        _q(f"{p}|{s}|{o}") for p, pairs in sorted(OD.SEMANTIC_RULES.items())
+        for s, o in pairs)
+    dom_defined = ", ".join(
+        _q(f"{s}|{p}") for s, p in sorted(OD.DOMAIN_RULES))
+    dom_allowed = ", ".join(
+        _q(f"{s}|{p}|{o}")
+        for (s, p), objs in sorted(OD.DOMAIN_RULES.items()) for o in objs)
+    empty = ("predicate IS NULL OR predicate = '' OR subject IS NULL "
+             "OR subject = '' OR object IS NULL OR object = ''")
+    sqls["triple_semantics"] = corpus_prefix(
+        gaz_cte(), link_cte(), triples_cte()) + f"""
+SELECT doc_id, subject, predicate, object,
+       CAST(CASE
+         WHEN {empty} THEN 0
+         WHEN predicate IN ({sem_defined}) THEN
+           CASE WHEN predicate || '|' || sp || '|' || op
+                IN ({sem_keys}) THEN 1 ELSE 0 END
+         ELSE CASE WHEN sp <> '' AND op <> '' THEN 1 ELSE 0 END
+       END AS INT) AS semantic_ok,
+       CAST(CASE
+         WHEN {empty} THEN 0
+         WHEN sp || '|' || predicate IN ({dom_defined}) THEN
+           CASE WHEN sp || '|' || predicate || '|' || op
+                IN ({dom_allowed}) THEN 1 ELSE 0 END
+         ELSE 1
+       END AS INT) AS domain_ok
+FROM (
+  SELECT doc_id, subject, predicate, object,
+         CASE WHEN subject LIKE '%:%'
+              THEN split_part(subject, ':', 1) ELSE '' END AS sp,
+         CASE WHEN object LIKE '%:%'
+              THEN split_part(object, ':', 1) ELSE '' END AS op
+  FROM triples) t"""
+
     return sqls

@@ -375,3 +375,14 @@ def test_kmeans_maponly_assign_k_row_exchange(spark, sf_dir):
     assert len(exchanges) == 1 and "c_id" in exchanges[0], exchanges
     assert not re.search(r"Exchange hashpartitioning\(vec_id", plan)
     assert "partial_count" in plan
+
+
+def test_triple_semantics_adds_no_shuffle(spark, sf_dir):
+    """Rule validation is pure row expressions (IN lists over the closed
+    tables): the plan keeps exactly the triples pipeline's two
+    exchanges — no joins, no Python stages added."""
+    plan = _plan(api.q_triple_semantics(spark, sf_dir))
+    exchanges = re.findall(r"Exchange hashpartitioning", plan)
+    assert len(exchanges) == 2, exchanges
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
