@@ -940,6 +940,13 @@ def q_embedding_label_stats(spark, sf_dir):
         .select("vec_id", "embedding", "label"))
 
 
+def q_kg_hits(spark, sf_dir):
+    """Fixed-iteration HITS hubs/authorities over the directed entity
+    graph — the two-sided complement to kg_pagerank."""
+    from .operators.graphops import hits_fixed
+    return hits_fixed(dedup_triples(triples_df(spark, sf_dir)))
+
+
 def q_triple_semantics(spark, sf_dir):
     """Per-triple semantic + domain validation verdicts against the
     reference's closed rule tables (validate_predicate_semantics
@@ -1191,6 +1198,7 @@ def queries() -> dict[str, QueryFn]:
         "embedding_label_stats": q_embedding_label_stats,
         "embedding_kmeans": q_embedding_kmeans,
         "triple_semantics": q_triple_semantics,
+        "kg_hits": q_kg_hits,
         "doc_chunking": q_doc_chunking,
         "doc_split": q_doc_split,
         "doc_collocations": q_doc_collocations,

@@ -41,6 +41,7 @@ __all__ = ["undirected_entity_edges", "triangle_stats",
 
 PR_DAMPING = 0.85
 PR_ITER = 3
+HITS_ITER = 3
 KCORE_K = 2
 KCORE_ROUNDS = 3
 LPA_ITER = 2
@@ -225,6 +226,67 @@ def pagerank_fixed(triples: DataFrame,
                     F.round("pr", 6).alias("pagerank"))
     nodes.unpersist()
     contrib_edges.unpersist()
+    return out
+
+
+def hits_fixed(triples: DataFrame, n_iter: int = HITS_ITER) -> DataFrame:
+    """Deduped triple store -> (node, hub, authority) after a FIXED
+    number of synchronous HITS iterations on the directed
+    (subject -> object) entity graph: a_{k+1}(v) = sum_{(u,v)} h_k(u),
+    h_{k+1}(u) = sum_{(u,v)} a_{k+1}(v), each sum-normalized to 1;
+    h_0 = 1/N. Complements pagerank_fixed: authorities rank well-
+    attested TARGET entities, hubs rank entities that point at them —
+    the two-sided salience probe for relation-extraction QC.
+
+    Same deterministic contract and scale shape as pagerank_fixed:
+    fixed iterations (oracle unrolls the identical recurrence), edges
+    localCheckpointed once, per-iteration work = two equi-joins + two
+    map-side-combinable group sums; normalization constants are SCALAR
+    aggregates (one driver double each, never a row collect). Values
+    rounded to 6 places (group-sum order noise is ~1e-14 relative)."""
+    ed = (triples
+          .filter((F.col("subject_type") == "uri")
+                  & (F.col("object_type") == "uri")
+                  & (F.col("subject") != F.col("object")))
+          .select(F.col("subject").alias("s"), F.col("object").alias("o"))
+          .distinct()
+          .localCheckpoint(eager=True))
+    nodes = (ed.select(F.col("s").alias("n"))
+             .unionByName(ed.select(F.col("o").alias("n")))
+             .distinct()
+             .persist())
+    n_total = nodes.count()
+
+    h = nodes.select("n", F.lit(1.0 / n_total).alias("h"))
+    a = None
+    for _ in range(n_iter):
+        ar = (ed.join(h.withColumnRenamed("n", "s"), "s")
+              .groupBy("o").agg(F.sum("h").alias("v")).persist())
+        s_a = ar.agg(F.sum("v")).first()[0]
+        a_nxt = (nodes.join(ar.withColumnRenamed("o", "n"), "n", "left")
+                 .select("n", (F.coalesce("v", F.lit(0.0)) / F.lit(s_a))
+                         .alias("a")).persist())
+        a_nxt.count()
+        hr = (ed.join(a_nxt.withColumnRenamed("n", "o"), "o")
+              .groupBy("s").agg(F.sum("a").alias("v")).persist())
+        s_h = hr.agg(F.sum("v")).first()[0]
+        h_nxt = (nodes.join(hr.withColumnRenamed("s", "n"), "n", "left")
+                 .select("n", (F.coalesce("v", F.lit(0.0)) / F.lit(s_h))
+                         .alias("h")).persist())
+        h_nxt.count()
+        # both _nxt frames are materialized; drop this round's scratch
+        # and the previous round's (unpersist is a no-op on h_0)
+        ar.unpersist()
+        hr.unpersist()
+        if a is not None:
+            a.unpersist()
+        h.unpersist()
+        a, h = a_nxt, h_nxt
+    out = (h.join(a, "n")
+           .select(F.col("n").alias("node"),
+                   F.round("h", 6).alias("hub"),
+                   F.round("a", 6).alias("authority")))
+    nodes.unpersist()
     return out
 
 

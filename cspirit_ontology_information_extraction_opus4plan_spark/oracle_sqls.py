@@ -2316,6 +2316,41 @@ pr0 AS (SELECT n, CAST(1.0 AS DOUBLE) / (SELECT cnt FROM nn) AS pr
         FROM nodes){pr_iters}
 SELECT n AS node, round(pr, 6) AS pagerank FROM pr{PR_ITER}""")
 
+    # HITS: identical unrolled recurrence; normalization constants are
+    # scalar subqueries (the engine's driver-scalar aggregates). Every
+    # per-iteration CTE is MATERIALIZED: each ar{i}/hr{i} is referenced
+    # TWICE (equi-join + scalar-sum normalizer), so DuckDB's default
+    # inlining would re-evaluate the whole upstream chain 2x per
+    # reference — 2^(2*HITS_ITER) copies of the full corpus pipeline.
+    from .operators.graphops import HITS_ITER
+    hits_iters = ""
+    for i in range(1, HITS_ITER + 1):
+        hits_iters += f""",
+ar{i} AS MATERIALIZED (SELECT ed.o AS n, sum(p.h) AS v
+          FROM ed JOIN h{i - 1} p ON p.n = ed.s GROUP BY ed.o),
+a{i} AS MATERIALIZED (SELECT nodes.n,
+                coalesce(ar.v, CAST(0.0 AS DOUBLE))
+                  / (SELECT sum(v) FROM ar{i}) AS a
+         FROM nodes LEFT JOIN ar{i} ar ON ar.n = nodes.n),
+hr{i} AS MATERIALIZED (SELECT ed.s AS n, sum(q.a) AS v
+          FROM ed JOIN a{i} q ON q.n = ed.o GROUP BY ed.s),
+h{i} AS MATERIALIZED (SELECT nodes.n,
+                coalesce(hr.v, CAST(0.0 AS DOUBLE))
+                  / (SELECT sum(v) FROM hr{i}) AS h
+         FROM nodes LEFT JOIN hr{i} hr ON hr.n = nodes.n)"""
+    sqls["kg_hits"] = (
+        corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + f""",
+ed AS MATERIALIZED (SELECT DISTINCT subject AS s, object AS o FROM triples
+       WHERE subject_type = 'uri' AND object_type = 'uri'
+         AND subject <> object),
+nodes AS MATERIALIZED (SELECT DISTINCT n
+          FROM (SELECT s AS n FROM ed UNION ALL SELECT o FROM ed)),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM nodes),
+h0 AS (SELECT n, CAST(1.0 AS DOUBLE) / (SELECT cnt FROM nn) AS h
+       FROM nodes){hits_iters}
+SELECT h.n AS node, round(h.h, 6) AS hub, round(a.a, 6) AS authority
+FROM h{HITS_ITER} h JOIN a{HITS_ITER} a ON a.n = h.n""")
+
     sqls["kg_predicate_paths"] = (
         corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + """,
 pe AS (SELECT DISTINCT subject, predicate, object FROM triples

@@ -14,6 +14,7 @@ from __future__ import annotations
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from cspirit_ontology_information_extraction_opus4plan_spark import api
 
@@ -270,6 +271,20 @@ def test_pagerank_no_python_no_nested_loop(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hits_no_python_no_nested_loop_and_converges_mass(spark, sf_dir):
+    """HITS keeps the pagerank contract: pure JVM final plan, equi-joins
+    only; and each score vector is sum-normalized (total hub mass and
+    authority mass both ~1 after the fixed iterations)."""
+    df = api.q_kg_hits(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    sums = df.agg(F.sum("hub").alias("h"), F.sum("authority").alias("a")) \
+        .first()
+    assert abs(sums["h"] - 1.0) < 1e-3 and abs(sums["a"] - 1.0) < 1e-3
 
 
 def test_predicate_paths_single_equijoin_mapside_agg(spark, sf_dir):
