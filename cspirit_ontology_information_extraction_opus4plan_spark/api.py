@@ -1042,6 +1042,15 @@ def q_kg_entity_similarity(spark, sf_dir):
         dedup_triples(triples_df(spark, sf_dir))))
 
 
+def q_kg_link_prediction(spark, sf_dir):
+    """KG-completion candidates: non-adjacent entity pairs scored by
+    Adamic-Adar over shared 1-hop neighbors (inverted-index pair
+    generation, existing edges removed by anti-join)."""
+    from .operators.graphops import adamic_adar_links, undirected_entity_edges
+    return adamic_adar_links(undirected_entity_edges(
+        dedup_triples(triples_df(spark, sf_dir))))
+
+
 def q_kg_negative_samples(spark, sf_dir):
     """Deterministic tail-corruption negative sampling over the triple
     store (TransE-style contrastive training pairs, md5-indexed into
@@ -1208,6 +1217,7 @@ def queries() -> dict[str, QueryFn]:
         "kg_kcore": q_kg_kcore,
         "kg_communities": q_kg_communities,
         "kg_entity_similarity": q_kg_entity_similarity,
+        "kg_link_prediction": q_kg_link_prediction,
     }
 
 

@@ -2588,6 +2588,27 @@ FROM pairs p
 JOIN deg da ON da.node = p.a
 JOIN deg db ON db.node = p.b""")
 
+    # Adamic-Adar link prediction: same inverted-index pair generation,
+    # weighted 1/ln(deg(mid)), existing edges anti-joined away
+    sqls["kg_link_prediction"] = (
+        corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + und_ctes
+        + f""",
+inv AS (SELECT dst AS mid, src AS member FROM sym),
+md AS (SELECT mid, count(*) AS n FROM inv GROUP BY 1),
+inv2 AS (SELECT i.mid, i.member, md.n AS md FROM inv i
+         JOIN md ON md.mid = i.mid WHERE md.n <= {NJ_MID_CAP}),
+pairs AS (SELECT x.member AS a, y.member AS b,
+                 CAST(count(*) AS BIGINT) AS n_shared,
+                 sum(1.0 / ln(x.md)) AS aa
+          FROM inv2 x JOIN inv2 y
+            ON y.mid = x.mid AND x.member < y.member
+          GROUP BY 1, 2
+          HAVING count(*) >= {NJ_MIN_SHARED})
+SELECT p.a, p.b, p.n_shared, round(p.aa, 6) AS aa_score
+FROM pairs p
+LEFT JOIN und ON und.src = p.a AND und.dst = p.b
+WHERE und.src IS NULL""")
+
     # per-triple semantic + domain validation: same closed rule tables
     # as operators/ontology_algebra.triple_semantics_check, compiled to
     # IN lists (models.py:1107-1315 semantics, :1317-1452 domains)

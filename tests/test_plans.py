@@ -287,6 +287,26 @@ def test_hits_no_python_no_nested_loop_and_converges_mass(spark, sf_dir):
     assert abs(sums["h"] - 1.0) < 1e-3 and abs(sums["a"] - 1.0) < 1e-3
 
 
+def test_link_prediction_inverted_index_anti_join(spark, sf_dir):
+    """Adamic-Adar candidates come from the mid-keyed inverted-index
+    equi-join (never a corpus self-join) and existing edges leave via a
+    LeftAnti equi-join; no Python stage, no nested-loop joins, and no
+    predicted pair may duplicate a real edge."""
+    df = api.q_kg_link_prediction(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators \
+        .graphops import undirected_entity_edges
+    from cspirit_ontology_information_extraction_opus4plan_spark import api as A
+    edges = undirected_entity_edges(
+        A.dedup_triples(A.triples_df(spark, sf_dir)))
+    overlap = df.join(edges.toDF("a", "b"), ["a", "b"]).count()
+    assert overlap == 0
+
+
 def test_predicate_paths_single_equijoin_mapside_agg(spark, sf_dir):
     """The property-path join is one mid-keyed equi-join; the pair
     aggregate keeps a partial_count (map-side combine) before its
