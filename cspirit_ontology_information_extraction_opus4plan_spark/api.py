@@ -947,6 +947,13 @@ def q_kg_hits(spark, sf_dir):
     return hits_fixed(dedup_triples(triples_df(spark, sf_dir)))
 
 
+def q_embedding_quantize(spark, sf_dir):
+    """Per-vector int8 scalar-quantization reconstruction error — the
+    memory-budget probe for the ANN scale path (4x shrink vs float32)."""
+    from .operators.similarity import int8_quantization_stats, load_embeddings
+    return int8_quantization_stats(load_embeddings(spark, sf_dir))
+
+
 def q_triple_semantics(spark, sf_dir):
     """Per-triple semantic + domain validation verdicts against the
     reference's closed rule tables (validate_predicate_semantics
@@ -1206,6 +1213,7 @@ def queries() -> dict[str, QueryFn]:
         "url_curation": q_url_curation,
         "embedding_label_stats": q_embedding_label_stats,
         "embedding_kmeans": q_embedding_kmeans,
+        "embedding_quantize": q_embedding_quantize,
         "triple_semantics": q_triple_semantics,
         "kg_hits": q_kg_hits,
         "doc_chunking": q_doc_chunking,

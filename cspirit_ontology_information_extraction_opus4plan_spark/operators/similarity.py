@@ -516,3 +516,42 @@ def label_embedding_stats(emb: DataFrame) -> DataFrame:
             .agg(F.count("*").cast("bigint").alias("n_vecs"),
                  F.round(F.min("cnorm"), 6).alias("centroid_norm"),
                  F.round(F.avg("cos"), 6).alias("mean_cos")))
+
+
+def int8_quantization_stats(emb: DataFrame, levels: int = 255) -> DataFrame:
+    """(vec_id, embedding) -> per-vector reconstruction-error stats
+    after per-DIMENSION uniform int8 scalar quantization — the memory
+    side of the ANN scale path (an IVF list of float32x64 is 256 B/vec;
+    int8 codes are 64 B, so the quantization error budget decides
+    whether the 4x shrink is admissible before exact re-rank).
+
+    code_d(x) = floor((x - lo_d) / (hi_d - lo_d) * levels + 0.5) with
+    per-dimension corpus [lo_d, hi_d]; recon = lo_d + code * step.
+    Shape at scale: one map-side posexplode pass (64 rows/vec), the
+    dim-stats aggregate is levels-of-free map-side combine onto 64
+    groups, the 64-row stats frame broadcast-joins back, and the only
+    corpus shuffle is the final groupBy(vec_id). Arithmetic is double
+    with one fixed operation order so the DuckDB oracle reproduces
+    codes bit-exactly; error sums rounded to 6 (sum-order noise)."""
+    flat = (emb.select("vec_id",
+                       F.posexplode("embedding").alias("dim", "raw"))
+            .select("vec_id", "dim", F.col("raw").cast("double")
+                    .alias("val")))
+    rng = flat.groupBy("dim").agg(F.min("val").alias("lo"),
+                                  F.max("val").alias("hi"))
+    code = F.when(
+        F.col("hi") > F.col("lo"),
+        F.floor((F.col("val") - F.col("lo"))
+                / (F.col("hi") - F.col("lo")) * levels + F.lit(0.5))
+    ).otherwise(F.lit(0)).cast("bigint")
+    scored = (flat.join(F.broadcast(rng), "dim")
+              .withColumn("code", code)
+              .withColumn(
+                  "err",
+                  F.abs(F.col("val") - (F.col("lo") + F.col("code")
+                        * (F.col("hi") - F.col("lo")) / levels))))
+    return (scored.groupBy("vec_id")
+            .agg(F.round(F.avg("err"), 6).alias("mean_abs_err"),
+                 F.round(F.max("err"), 6).alias("max_abs_err"),
+                 F.round(F.sqrt(F.avg(F.col("err") * F.col("err"))), 6)
+                 .alias("rmse")))

@@ -775,6 +775,27 @@ SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
        round(avg(dot / sqrt(en * cn)), 6) AS mean_cos
 FROM scored GROUP BY label""".strip()
 
+    # int8 scalar quantization: identical double arithmetic and
+    # operation order as similarity.int8_quantization_stats, so codes
+    # are bit-exact; only the error sums see order noise (round 6)
+    sqls["embedding_quantize"] = """
+WITH flat AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings),
+rng AS (SELECT dim, min(val) AS lo, max(val) AS hi FROM flat GROUP BY 1),
+scored AS (
+  SELECT f.vec_id,
+         abs(f.val - (r.lo + (CASE WHEN r.hi > r.lo THEN
+                CAST(floor((f.val - r.lo) / (r.hi - r.lo) * 255 + 0.5)
+                     AS BIGINT) ELSE 0 END) * (r.hi - r.lo) / 255))
+           AS err
+  FROM flat f JOIN rng r USING (dim))
+SELECT vec_id, round(avg(err), 6) AS mean_abs_err,
+       round(max(err), 6) AS max_abs_err,
+       round(sqrt(avg(err * err)), 6) AS rmse
+FROM scored GROUP BY vec_id""".strip()
+
     # fixed-iteration Lloyd's k-means: unrolled iterations, squared-L2
     # left-assoc dist, argmin as row_number (dist ASC, c_id ASC) — the
     # oracle-side cross join is k rows per vector, engine-side it's a
