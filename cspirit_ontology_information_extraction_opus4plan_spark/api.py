@@ -151,6 +151,13 @@ def q_doc_token_stats(spark, sf_dir):
     return token_stats(_docs(spark, sf_dir))
 
 
+def q_doc_vocabulary(spark, sf_dir):
+    """Top-N corpus vocabulary with tf/df and the cumulative token
+    coverage curve (tokenizer vocab-size budgeting)."""
+    from .operators.textops import corpus_vocabulary
+    return corpus_vocabulary(_docs(spark, sf_dir))
+
+
 def q_doc_quality(spark, sf_dir):
     from .operators.textops import quality_scores
     return quality_scores(_docs(spark, sf_dir))
@@ -1188,6 +1195,7 @@ def queries() -> dict[str, QueryFn]:
         "pack_fill_stats": q_pack_fill_stats,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_quality": q_doc_quality,
+        "doc_vocabulary": q_doc_vocabulary,
         "csv_roundtrip": q_csv_roundtrip,
         "event_pivot": q_event_pivot,
         "doc_curation_stats": q_doc_curation_stats,

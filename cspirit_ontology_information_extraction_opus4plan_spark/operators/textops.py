@@ -867,3 +867,42 @@ def bigram_collocations(docs: DataFrame,
                 / (F.col("n_a").cast("double") * F.col("n_b")))
     return j.select("w1", "w2", "n_ab", "n_a", "n_b",
                     F.round(pmi, 6).alias("pmi"))
+
+
+VOCAB_TOP_N = 100
+
+
+def corpus_vocabulary(docs: DataFrame, top_n: int = VOCAB_TOP_N) -> DataFrame:
+    """(doc_id, text) -> the top_n corpus tokens as (rank, token, tf,
+    df, cum_frac): term frequency, document frequency, and the running
+    fraction of ALL corpus tokens covered through that rank — the
+    tokenizer-training precursor (the coverage curve decides the vocab
+    size budget; the df column separates burst tokens from broad ones).
+
+    Scale shape: one tokenize+explode pass; tf and df come from a
+    single groupBy(token) over the distinct-per-doc expansion
+    (map-side combinable counts, no countDistinct expand); the global
+    token total is a SCALAR aggregate cross-joined in (one double, not
+    a collect); ranking and the running sum run AFTER the top_n limit,
+    so the window sees a bounded (top_n-row) frame — never a
+    corpus-wide single-partition sort. Ties break by token ascending
+    (deterministic). cum_frac rounded to 6."""
+    from pyspark.sql import Window
+
+    tok = (docs.select("doc_id",
+                       F.explode(tokens_col("text")).alias("token")))
+    per_doc = (tok.groupBy("doc_id", "token")
+               .agg(F.count("*").alias("n")))
+    stats = (per_doc.groupBy("token")
+             .agg(F.sum("n").cast("bigint").alias("tf"),
+                  F.count("*").cast("bigint").alias("df")))
+    total = stats.agg(F.sum("tf").cast("double").alias("total_tf"))
+    top = (stats.orderBy(F.desc("tf"), F.asc("token")).limit(top_n)
+           .crossJoin(F.broadcast(total)))
+    w = Window.orderBy(F.desc("tf"), F.asc("token"))
+    return (top
+            .select(F.row_number().over(w).cast("bigint").alias("rank"),
+                    "token", "tf", "df",
+                    F.round(F.sum("tf").over(
+                        w.rowsBetween(Window.unboundedPreceding, 0))
+                        / F.col("total_tf"), 6).alias("cum_frac")))

@@ -367,6 +367,24 @@ SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
              / len(toks), 6) AS avg_token_len
 FROM tok"""
 
+    from .operators.textops import VOCAB_TOP_N
+    sqls["doc_vocabulary"] = f"WITH {tok_cte('documents')}" + f""",
+tok2 AS (SELECT doc_id, unnest(toks) AS token FROM tok),
+per_doc AS (SELECT doc_id, token, count(*) AS n FROM tok2 GROUP BY 1, 2),
+stats AS (SELECT token, CAST(sum(n) AS BIGINT) AS tf,
+                 CAST(count(*) AS BIGINT) AS df
+          FROM per_doc GROUP BY 1),
+total AS (SELECT CAST(sum(tf) AS DOUBLE) AS total_tf FROM stats),
+top AS (SELECT token, tf, df FROM stats
+        ORDER BY tf DESC, token ASC LIMIT {VOCAB_TOP_N})
+SELECT CAST(row_number()
+            OVER (ORDER BY tf DESC, token ASC) AS BIGINT) AS rank,
+       token, tf, df,
+       round(CAST(sum(tf) OVER (ORDER BY tf DESC, token ASC
+                                ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / (SELECT total_tf FROM total), 6) AS cum_frac
+FROM top"""
+
     stops = ",".join(_q(s) for s in TX.STOPWORDS_EN)
     sqls["doc_quality"] = f"WITH {tok_cte('documents')}" + f"""
 SELECT doc_id,
