@@ -1056,6 +1056,13 @@ def q_kg_entity_similarity(spark, sf_dir):
         dedup_triples(triples_df(spark, sf_dir))))
 
 
+def q_kg_predicate_cardinality(spark, sf_dir):
+    """Per-predicate relation-cardinality profile (1:1 / 1:N / N:1 /
+    M:N + fanouts) — extraction-precision QC and join-skew sizing."""
+    from .operators.graphops import predicate_cardinality
+    return predicate_cardinality(dedup_triples(triples_df(spark, sf_dir)))
+
+
 def q_kg_link_prediction(spark, sf_dir):
     """KG-completion candidates: non-adjacent entity pairs scored by
     Adamic-Adar over shared 1-hop neighbors (inverted-index pair
@@ -1234,6 +1241,7 @@ def queries() -> dict[str, QueryFn]:
         "kg_communities": q_kg_communities,
         "kg_entity_similarity": q_kg_entity_similarity,
         "kg_link_prediction": q_kg_link_prediction,
+        "kg_predicate_cardinality": q_kg_predicate_cardinality,
     }
 
 

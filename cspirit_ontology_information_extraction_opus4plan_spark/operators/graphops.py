@@ -37,7 +37,8 @@ from pyspark.sql import functions as F
 __all__ = ["undirected_entity_edges", "triangle_stats",
            "two_hop_counts", "pagerank_fixed", "predicate_path_stats",
            "degree_histogram", "kcore_peel", "label_propagation",
-           "neighbor_jaccard", "adamic_adar_links"]
+           "neighbor_jaccard", "adamic_adar_links",
+           "predicate_cardinality"]
 
 PR_DAMPING = 0.85
 PR_ITER = 3
@@ -482,3 +483,45 @@ def adamic_adar_links(edges: DataFrame,
             .join(edges.toDF("a", "b"), ["a", "b"], "left_anti")
             .select("a", "b", "n_shared",
                     F.round("aa", 6).alias("aa_score")))
+
+
+def predicate_cardinality(triples: DataFrame) -> DataFrame:
+    """Deduped triples -> per-predicate relation-cardinality profile:
+    (predicate, n_triples, n_subjects, n_objects, out_fanout,
+    in_fanout, cardinality_class) where cardinality_class is the
+    classic schema label — '1:1' (both directions functional), 'N:1'
+    (each subject has one object), '1:N' (each object has one
+    subject), else 'M:N'. The KG-construction QC probe: a predicate
+    the ontology declares functional that profiles as M:N is an
+    extraction-precision alarm, and fanout tails size join/skew
+    handling downstream.
+
+    Pure two-level aggregates: distinct (s,p,o) -> per-(p,s) and
+    per-(p,o) degree counts (map-side combinable) -> one row per
+    predicate. No joins wider than the bounded predicate dimension."""
+    pe = (triples.select("subject", "predicate", "object").distinct()
+          .localCheckpoint(eager=True))
+    outd = (pe.groupBy("predicate", "subject")
+            .agg(F.count("*").alias("od")))
+    ind = (pe.groupBy("predicate", "object")
+           .agg(F.count("*").alias("idg")))
+    o = (outd.groupBy("predicate")
+         .agg(F.count("*").cast("bigint").alias("n_subjects"),
+              F.sum("od").cast("bigint").alias("n_triples"),
+              F.max("od").alias("max_od")))
+    i = (ind.groupBy("predicate")
+         .agg(F.count("*").cast("bigint").alias("n_objects"),
+              F.max("idg").alias("max_id")))
+    return (o.join(i, "predicate")
+            .select("predicate", "n_triples", "n_subjects", "n_objects",
+                    F.round(F.col("n_triples")
+                            / F.col("n_subjects").cast("double"), 6)
+                    .alias("out_fanout"),
+                    F.round(F.col("n_triples")
+                            / F.col("n_objects").cast("double"), 6)
+                    .alias("in_fanout"),
+                    F.when((F.col("max_od") == 1) & (F.col("max_id") == 1),
+                           "1:1")
+                    .when(F.col("max_od") == 1, "N:1")
+                    .when(F.col("max_id") == 1, "1:N")
+                    .otherwise("M:N").alias("cardinality_class")))

@@ -2627,6 +2627,29 @@ FROM pairs p
 JOIN deg da ON da.node = p.a
 JOIN deg db ON db.node = p.b""")
 
+    sqls["kg_predicate_cardinality"] = (
+        corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + """,
+pe AS (SELECT DISTINCT subject, predicate, object FROM triples),
+outd AS (SELECT predicate, subject, count(*) AS od
+         FROM pe GROUP BY 1, 2),
+ind AS (SELECT predicate, object, count(*) AS idg
+        FROM pe GROUP BY 1, 2),
+o AS (SELECT predicate, CAST(count(*) AS BIGINT) AS n_subjects,
+             CAST(sum(od) AS BIGINT) AS n_triples, max(od) AS max_od
+      FROM outd GROUP BY 1),
+i AS (SELECT predicate, CAST(count(*) AS BIGINT) AS n_objects,
+             max(idg) AS max_id
+      FROM ind GROUP BY 1)
+SELECT o.predicate, o.n_triples, o.n_subjects, i.n_objects,
+       round(CAST(o.n_triples AS DOUBLE) / o.n_subjects, 6)
+         AS out_fanout,
+       round(CAST(o.n_triples AS DOUBLE) / i.n_objects, 6) AS in_fanout,
+       CASE WHEN o.max_od = 1 AND i.max_id = 1 THEN '1:1'
+            WHEN o.max_od = 1 THEN 'N:1'
+            WHEN i.max_id = 1 THEN '1:N'
+            ELSE 'M:N' END AS cardinality_class
+FROM o JOIN i ON i.predicate = o.predicate""")
+
     # Adamic-Adar link prediction: same inverted-index pair generation,
     # weighted 1/ln(deg(mid)), existing edges anti-joined away
     sqls["kg_link_prediction"] = (
