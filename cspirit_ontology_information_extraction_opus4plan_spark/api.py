@@ -92,6 +92,13 @@ def q_canonical_entities(spark, sf_dir):
     return canonical_mapping(terms_df(spark))
 
 
+def q_canonical_component_sizes(spark, sf_dir):
+    """Equivalence-class size distribution — the canonicalization
+    health probe (giant component = over-fused entities)."""
+    from .operators.canonicalize import component_size_distribution
+    return component_size_distribution(canonical_mapping(terms_df(spark)))
+
+
 def q_canonical_triples(spark, sf_dir):
     dedup = dedup_triples(triples_df(spark, sf_dir))
     return canonical_triples(dedup, canonical_mapping(terms_df(spark)))
@@ -1103,6 +1110,7 @@ def queries() -> dict[str, QueryFn]:
         "tfidf_linking": q_tfidf_linking,
         "canonical_entities": q_canonical_entities,
         "canonical_triples": q_canonical_triples,
+        "canonical_component_sizes": q_canonical_component_sizes,
         # --- training-data / ANN / multimodal surface — 13 (incl. ngram-jaccard)
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_minhash_lsh": q_doc_minhash_lsh,

@@ -42,7 +42,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["equivalence_edges", "equivalence_star_edges",
-           "connected_components", "canonical_mapping", "canonical_triples"]
+           "connected_components", "canonical_mapping", "canonical_triples",
+           "component_size_distribution"]
 
 
 def _pairs(keyed: DataFrame) -> DataFrame:
@@ -211,3 +212,17 @@ def canonical_triples(triples: DataFrame, mapping: DataFrame) -> DataFrame:
     return (rewritten.groupBy(*key)
             .agg(F.max("confidence").alias("confidence"),
                  F.sum("support").alias("support")))
+
+
+def component_size_distribution(mapping: DataFrame) -> DataFrame:
+    """(id, canonical_id) mapping -> (component_size, n_components):
+    how many equivalence classes have each size. The canonicalization
+    health probe — a sudden giant component means an over-eager
+    equivalence edge fused unrelated entities (the classic CC failure
+    mode), and the singleton count tracks how much of the vocabulary
+    the alias graph actually touches. Two map-side-combinable
+    aggregates, output bounded by the number of distinct sizes."""
+    sizes = (mapping.groupBy("canonical_id")
+             .agg(F.count("*").alias("component_size")))
+    return (sizes.groupBy("component_size")
+            .agg(F.count("*").cast("bigint").alias("n_components")))

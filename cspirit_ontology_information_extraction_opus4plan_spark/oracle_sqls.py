@@ -1664,6 +1664,13 @@ SELECT src, dst FROM eq_edges"""
         terms_full_cte(), cc_ctes()) + """
 SELECT id, canonical_id FROM canon"""
 
+    sqls["canonical_component_sizes"] = recursive_prefix(
+        terms_full_cte(), cc_ctes()) + """
+SELECT component_size, CAST(count(*) AS BIGINT) AS n_components
+FROM (SELECT canonical_id, count(*) AS component_size
+      FROM canon GROUP BY 1)
+GROUP BY 1"""
+
     sqls["canonical_triples"] = corpus_prefix_recursive(
         gaz_cte(), link_cte(), triples_cte(), terms_full_cte(), cc_ctes()) + """
 SELECT subject, predicate, object, subject_type, object_type,
