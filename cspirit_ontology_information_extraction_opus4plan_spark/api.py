@@ -1063,6 +1063,14 @@ def q_kg_entity_similarity(spark, sf_dir):
         dedup_triples(triples_df(spark, sf_dir))))
 
 
+def q_kg_bfs_distances(spark, sf_dir):
+    """Fixed-round multi-source BFS distance from the chemical
+    namespace across the entity graph (context-radius probe)."""
+    from .operators.graphops import bfs_distances, undirected_entity_edges
+    return bfs_distances(undirected_entity_edges(
+        dedup_triples(triples_df(spark, sf_dir))))
+
+
 def q_kg_predicate_cardinality(spark, sf_dir):
     """Per-predicate relation-cardinality profile (1:1 / 1:N / N:1 /
     M:N + fanouts) — extraction-precision QC and join-skew sizing."""
@@ -1250,6 +1258,7 @@ def queries() -> dict[str, QueryFn]:
         "kg_entity_similarity": q_kg_entity_similarity,
         "kg_link_prediction": q_kg_link_prediction,
         "kg_predicate_cardinality": q_kg_predicate_cardinality,
+        "kg_bfs_distances": q_kg_bfs_distances,
     }
 
 

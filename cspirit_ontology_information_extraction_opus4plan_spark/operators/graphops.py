@@ -38,7 +38,7 @@ __all__ = ["undirected_entity_edges", "triangle_stats",
            "two_hop_counts", "pagerank_fixed", "predicate_path_stats",
            "degree_histogram", "kcore_peel", "label_propagation",
            "neighbor_jaccard", "adamic_adar_links",
-           "predicate_cardinality"]
+           "predicate_cardinality", "bfs_distances"]
 
 PR_DAMPING = 0.85
 PR_ITER = 3
@@ -525,3 +525,42 @@ def predicate_cardinality(triples: DataFrame) -> DataFrame:
                     .when(F.col("max_od") == 1, "N:1")
                     .when(F.col("max_id") == 1, "1:N")
                     .otherwise("M:N").alias("cardinality_class")))
+
+
+BFS_ROUNDS = 3
+BFS_SEED_PREFIX = "CHEBI:"
+
+
+def bfs_distances(edges: DataFrame,
+                  seed_prefix: str = BFS_SEED_PREFIX,
+                  n_rounds: int = BFS_ROUNDS) -> DataFrame:
+    """Undirected entity edges -> (node, dist): multi-source BFS
+    distance (<= n_rounds) from every node in one namespace to the
+    rest of the graph — the GNN-sampler / context-radius probe on the
+    ENTITY graph (term_depths walks the ontology hierarchy, a
+    different, tree-shaped graph). Unreached nodes are absent.
+
+    Fixed synchronous rounds, so the DuckDB oracle unrolls the
+    identical recurrence d_{k+1} = min(d_k, 1 + d_k over one edge
+    hop). Per round: one equi-join frontier expansion + one
+    map-side-combinable min — the frame is persisted and the previous
+    round dropped, same discipline as pagerank_fixed/hits_fixed.
+    Distance growth is bounded by n_rounds, never data-dependent."""
+    edges = edges.localCheckpoint(eager=True)
+    sym = _sym(edges)
+    nodes = (sym.select(F.col("src").alias("node")).distinct())
+    d = (nodes.filter(F.col("node").startswith(seed_prefix))
+         .select("node", F.lit(0).alias("dist")))
+    prev = None
+    for _ in range(n_rounds):
+        stepped = (d.join(sym, d["node"] == sym["src"])
+                   .select(F.col("dst").alias("node"),
+                           (F.col("dist") + 1).alias("dist")))
+        nxt = (d.unionByName(stepped)
+               .groupBy("node").agg(F.min("dist").alias("dist"))
+               .persist())
+        nxt.count()
+        if prev is not None:
+            prev.unpersist()
+        prev, d = nxt, nxt
+    return d.select("node", F.col("dist").cast("int").alias("dist"))

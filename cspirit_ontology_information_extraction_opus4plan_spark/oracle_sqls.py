@@ -2634,6 +2634,28 @@ FROM pairs p
 JOIN deg da ON da.node = p.a
 JOIN deg db ON db.node = p.b""")
 
+    # BFS: unrolled fixed rounds; every d{i} is referenced twice (carry
+    # + frontier hop), so MATERIALIZED (same inlining-blowup guard as
+    # kg_hits)
+    from .operators.graphops import BFS_ROUNDS, BFS_SEED_PREFIX
+    bfs_steps = ""
+    for i in range(1, BFS_ROUNDS + 1):
+        bfs_steps += f""",
+bfs{i} AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM bfs{i - 1}
+    UNION ALL
+    SELECT sym.dst AS node, p.dist + 1 AS dist
+    FROM bfs{i - 1} p JOIN sym ON sym.src = p.node
+  ) GROUP BY 1)"""
+    sqls["kg_bfs_distances"] = (
+        corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + und_ctes
+        + f""",
+bfs0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node, 0 AS dist FROM sym
+  WHERE src LIKE '{BFS_SEED_PREFIX}%'){bfs_steps}
+SELECT node, CAST(dist AS INT) AS dist FROM bfs{BFS_ROUNDS}""")
+
     sqls["kg_predicate_cardinality"] = (
         corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + """,
 pe AS (SELECT DISTINCT subject, predicate, object FROM triples),
