@@ -158,6 +158,13 @@ def q_doc_token_stats(spark, sf_dir):
     return token_stats(_docs(spark, sf_dir))
 
 
+def q_doc_bm25_search(spark, sf_dir):
+    """Okapi BM25 top-k ranked retrieval for a fixed bag-of-words
+    query — the sparse (lexical) retrieval primitive."""
+    from .operators.textops import bm25_search
+    return bm25_search(_docs(spark, sf_dir))
+
+
 def q_doc_vocabulary(spark, sf_dir):
     """Top-N corpus vocabulary with tf/df and the cumulative token
     coverage curve (tokenizer vocab-size budgeting)."""
@@ -1219,6 +1226,7 @@ def queries() -> dict[str, QueryFn]:
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_quality": q_doc_quality,
         "doc_vocabulary": q_doc_vocabulary,
+        "doc_bm25_search": q_doc_bm25_search,
         "csv_roundtrip": q_csv_roundtrip,
         "event_pivot": q_event_pivot,
         "doc_curation_stats": q_doc_curation_stats,

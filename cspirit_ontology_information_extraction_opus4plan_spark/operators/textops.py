@@ -906,3 +906,57 @@ def corpus_vocabulary(docs: DataFrame, top_n: int = VOCAB_TOP_N) -> DataFrame:
                     F.round(F.sum("tf").over(
                         w.rowsBetween(Window.unboundedPreceding, 0))
                         / F.col("total_tf"), 6).alias("cum_frac")))
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("hash", "join", "vector")
+BM25_TOP_K = 20
+
+
+def bm25_search(docs: DataFrame,
+                query: tuple[str, ...] = BM25_QUERY,
+                k1: float = BM25_K1, b: float = BM25_B,
+                top_k: int = BM25_TOP_K) -> DataFrame:
+    """(doc_id, text) -> the top_k docs for a bag-of-words query,
+    ranked by Okapi BM25 (idf = ln((N - df + 0.5)/(df + 0.5) + 1),
+    Robertson/Lucene form) — the sparse-retrieval primitive of a RAG
+    data pipeline, and the lexical complement to ann_topk's dense path.
+
+    Scale shape: one tokenize+explode pass feeds both doc lengths and
+    term postings; the postings frame is FILTERED to the bounded query
+    vocabulary before any shuffle (predicate on the exploded token, so
+    only query-term rows survive the map side); df/idf live on a
+    query-sized frame (broadcast), N and avgdl are scalar one-row
+    frames (broadcast cross join, no driver collect); final ranking
+    sorts the per-doc score aggregate and the row_number window runs
+    AFTER the top_k limit on a bounded frame. Scores are rounded to 6
+    BEFORE ranking so cross-engine float-sum noise cannot flip the
+    (score desc, doc_id asc) order."""
+    from pyspark.sql import Window
+
+    tok = docs.select("doc_id", F.explode(tokens_col("text")).alias("t"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+    n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    tf = (tok.filter(F.col("t").isin(*query))
+          .groupBy("doc_id", "t").agg(F.count("*").alias("tf")))
+    dfreq = tf.groupBy("t").agg(F.count("*").cast("double").alias("df"))
+    scored = (tf.join(F.broadcast(dfreq), "t")
+              .join(dl, "doc_id")
+              .crossJoin(F.broadcast(avgdl))
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn("idf", F.log(
+                  (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                  / (F.col("df") + F.lit(0.5)) + F.lit(1.0)))
+              .withColumn("s", F.col("idf")
+                          * (F.col("tf") * F.lit(k1 + 1.0))
+                          / (F.col("tf") + F.lit(k1)
+                             * (F.lit(1.0 - b) + F.lit(b)
+                                * F.col("dl") / F.col("avgdl"))))
+              .groupBy("doc_id")
+              .agg(F.round(F.sum("s"), 6).alias("score")))
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.select(F.row_number().over(w).cast("bigint").alias("rank"),
+                      "doc_id", "score")

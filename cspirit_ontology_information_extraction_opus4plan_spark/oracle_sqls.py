@@ -367,6 +367,34 @@ SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
              / len(toks), 6) AS avg_token_len
 FROM tok"""
 
+    from .operators.textops import (BM25_B, BM25_K1, BM25_QUERY,
+                                    BM25_TOP_K)
+    q_in = ", ".join(_q(t) for t in BM25_QUERY)
+    sqls["doc_bm25_search"] = f"WITH {tok_cte('documents')}" + f""",
+tok2 AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY 1),
+avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+tf AS (SELECT doc_id, t, count(*) AS tf FROM tok2
+       WHERE t IN ({q_in}) GROUP BY 1, 2),
+dfreq AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum(
+           ln((nd.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+           * (tf.tf * {BM25_K1 + 1.0})
+           / (tf.tf + {BM25_K1}
+              * ({1.0 - BM25_B} + {BM25_B} * dl.dl / avgdl.avgdl))
+         ), 6) AS score
+  FROM tf JOIN dfreq USING (t) JOIN dl ON dl.doc_id = tf.doc_id,
+       avgdl, nd
+  GROUP BY 1)
+SELECT CAST(row_number()
+            OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, score
+FROM (SELECT * FROM scored
+      ORDER BY score DESC, doc_id ASC LIMIT {BM25_TOP_K})"""
+
     from .operators.textops import VOCAB_TOP_N
     sqls["doc_vocabulary"] = f"WITH {tok_cte('documents')}" + f""",
 tok2 AS (SELECT doc_id, unnest(toks) AS token FROM tok),
