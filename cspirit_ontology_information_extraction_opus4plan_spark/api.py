@@ -158,6 +158,20 @@ def q_doc_token_stats(spark, sf_dir):
     return token_stats(_docs(spark, sf_dir))
 
 
+def q_doc_unigram_logloss(spark, sf_dir):
+    """Corpus-relative unigram cross-entropy per doc — the cheap
+    perplexity proxy for quality filtering."""
+    from .operators.textops import unigram_logloss
+    return unigram_logloss(_docs(spark, sf_dir))
+
+
+def q_kg_eval_split(spark, sf_dir):
+    """Held-out ~10% triple eval set with transductive flags (both
+    endpoints present in the train graph)."""
+    from .operators.relations import kg_eval_split
+    return kg_eval_split(dedup_triples(triples_df(spark, sf_dir)))
+
+
 def q_doc_bm25_search(spark, sf_dir):
     """Okapi BM25 top-k ranked retrieval for a fixed bag-of-words
     query — the sparse (lexical) retrieval primitive."""
@@ -1227,6 +1241,8 @@ def queries() -> dict[str, QueryFn]:
         "doc_quality": q_doc_quality,
         "doc_vocabulary": q_doc_vocabulary,
         "doc_bm25_search": q_doc_bm25_search,
+        "doc_unigram_logloss": q_doc_unigram_logloss,
+        "kg_eval_split": q_kg_eval_split,
         "csv_roundtrip": q_csv_roundtrip,
         "event_pivot": q_event_pivot,
         "doc_curation_stats": q_doc_curation_stats,

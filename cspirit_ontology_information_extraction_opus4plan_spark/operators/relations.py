@@ -251,3 +251,43 @@ def provenance_rollup(triples: DataFrame, docs: DataFrame) -> DataFrame:
             .groupBy("source", "predicate")
             .agg(F.count("*").alias("n_triples"),
                  F.countDistinct("dnum").alias("n_docs")))
+
+
+KG_SPLIT_SEED = "kgsplit-v1"
+KG_SPLIT_TEST_HEX = "199a"  # md5-hex4 < this ~ 10% of triples
+
+
+def kg_eval_split(triples: DataFrame,
+                  seed: str = KG_SPLIT_SEED) -> DataFrame:
+    """Deduped triples -> the held-out KG-embedding EVAL set:
+    (subject, predicate, object, transductive) for the ~10% of triples
+    whose md5(s|p|o|seed) hex4 falls under the test threshold, flagged
+    transductive when BOTH endpoints still appear in the remaining 90%
+    train graph (an embedding model can only score entities it saw;
+    non-transductive test triples must be dropped or routed to an
+    inductive model — silently scoring them is the classic KG-eval
+    leak-in-reverse).
+
+    Same growth-stable hash-split family as train_val_test_split: a
+    triple never migrates when other triples are added. The train
+    entity vocabulary is corpus-sized, so membership is decided by two
+    marker LEFT equi-joins (subject, object) — never a broadcast or a
+    driver collect."""
+    key = F.md5(F.concat_ws("|", "subject", "predicate", "object",
+                            F.lit(seed)))
+    tagged = (triples.select("subject", "predicate", "object")
+              .distinct()
+              .withColumn("h4", F.substring(key, 1, 4))
+              .localCheckpoint(eager=True))
+    test = tagged.filter(F.col("h4") < KG_SPLIT_TEST_HEX)
+    train = tagged.filter(F.col("h4") >= KG_SPLIT_TEST_HEX)
+    ents = (train.select(F.col("subject").alias("e"))
+            .unionByName(train.select(F.col("object").alias("e")))
+            .distinct()
+            .withColumn("m", F.lit(1)))
+    return (test
+            .join(ents.toDF("subject", "ms"), "subject", "left")
+            .join(ents.toDF("object", "mo"), "object", "left")
+            .select("subject", "predicate", "object",
+                    (F.col("ms").isNotNull()
+                     & F.col("mo").isNotNull()).alias("transductive")))

@@ -960,3 +960,31 @@ def bm25_search(docs: DataFrame,
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return top.select(F.row_number().over(w).cast("bigint").alias("rank"),
                       "doc_id", "score")
+
+
+def unigram_logloss(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, n_tokens, cross_entropy): each doc
+    scored by the mean negative log-probability of its tokens under
+    the corpus-wide unigram distribution — the classic cheap
+    perplexity proxy for quality filtering (gibberish and
+    out-of-distribution boilerplate score high; mid-entropy docs are
+    the keepers). Pairs with quality_scores: that one is rule-based,
+    this one is corpus-relative.
+
+    One tokenize+explode pass feeds both the vocabulary counts and the
+    per-doc scoring; p(t) rides back onto tokens via a token-keyed
+    equi-join (web-scale vocabularies are corpus-sized — deliberately
+    NOT broadcast), the corpus total is a broadcast scalar frame, and
+    the score is a map-side-combinable avg per doc. ln/avg order noise
+    handled by round 6."""
+    tok = (docs.select("doc_id", F.explode(tokens_col("text")).alias("t"))
+           .localCheckpoint(eager=True))
+    counts = tok.groupBy("t").agg(F.count("*").alias("tf"))
+    total = counts.agg(F.sum("tf").cast("double").alias("total"))
+    return (tok.join(counts, "t")
+            .crossJoin(F.broadcast(total))
+            .select("doc_id",
+                    F.log(F.col("tf") / F.col("total")).alias("lp"))
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_tokens"),
+                 F.round(-F.avg("lp"), 6).alias("cross_entropy")))

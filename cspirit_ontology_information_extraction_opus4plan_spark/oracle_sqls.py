@@ -395,6 +395,15 @@ SELECT CAST(row_number()
 FROM (SELECT * FROM scored
       ORDER BY score DESC, doc_id ASC LIMIT {BM25_TOP_K})"""
 
+    sqls["doc_unigram_logloss"] = f"WITH {tok_cte('documents')}" + """,
+tok2 AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+counts AS (SELECT t, count(*) AS tf FROM tok2 GROUP BY 1),
+total AS (SELECT CAST(sum(tf) AS DOUBLE) AS total FROM counts)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(-avg(ln(counts.tf / total.total)), 6) AS cross_entropy
+FROM tok2 JOIN counts USING (t), total
+GROUP BY doc_id"""
+
     from .operators.textops import VOCAB_TOP_N
     sqls["doc_vocabulary"] = f"WITH {tok_cte('documents')}" + f""",
 tok2 AS (SELECT doc_id, unnest(toks) AS token FROM tok),
@@ -2683,6 +2692,26 @@ bfs0 AS MATERIALIZED (
   SELECT DISTINCT src AS node, 0 AS dist FROM sym
   WHERE src LIKE '{BFS_SEED_PREFIX}%'){bfs_steps}
 SELECT node, CAST(dist AS INT) AS dist FROM bfs{BFS_ROUNDS}""")
+
+    from .operators.relations import KG_SPLIT_SEED, KG_SPLIT_TEST_HEX
+    sqls["kg_eval_split"] = (
+        corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + f""",
+tagged AS MATERIALIZED (
+  SELECT DISTINCT subject, predicate, object,
+         substring(md5(concat_ws('|', subject, predicate, object,
+                                 '{KG_SPLIT_SEED}')), 1, 4) AS h4
+  FROM triples),
+ents AS MATERIALIZED (
+  SELECT DISTINCT e FROM (
+    SELECT subject AS e FROM tagged WHERE h4 >= '{KG_SPLIT_TEST_HEX}'
+    UNION ALL
+    SELECT object FROM tagged WHERE h4 >= '{KG_SPLIT_TEST_HEX}'))
+SELECT t.subject, t.predicate, t.object,
+       (es.e IS NOT NULL AND eo.e IS NOT NULL) AS transductive
+FROM tagged t
+LEFT JOIN ents es ON es.e = t.subject
+LEFT JOIN ents eo ON eo.e = t.object
+WHERE t.h4 < '{KG_SPLIT_TEST_HEX}'""")
 
     sqls["kg_predicate_cardinality"] = (
         corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + """,

@@ -307,6 +307,55 @@ def test_link_prediction_inverted_index_anti_join(spark, sf_dir):
     assert overlap == 0
 
 
+def test_bm25_bounded_query_broadcast_scalars(spark, sf_dir):
+    """BM25 keeps the retrieval plan lean: the postings filter on the
+    bounded query vocabulary reaches the map side (no full-vocab
+    shuffle), scalar N/avgdl ride as broadcast exchanges, and nothing
+    drops to Python."""
+    plan = api.q_doc_bm25_search(spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_unigram_logloss_no_python_no_forced_broadcast(spark, sf_dir):
+    """The vocabulary join carries no broadcast HINT in the analyzed
+    plan (at web scale the vocab is corpus-sized; AQE may still pick
+    broadcast when the test corpus is genuinely tiny — that is the
+    point of leaving the choice to the planner). Only the one-row
+    total frame is hinted. No Python stage anywhere."""
+    df = api.q_doc_unigram_logloss(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    # exactly one hinted broadcast: the scalar total, never the vocab
+    assert analyzed.count("ResolvedHint") <= 1
+
+
+def test_kg_eval_split_growth_stable_and_marker_joins(spark, sf_dir):
+    """Hash-split invariants: every held-out triple keeps its
+    assignment when the corpus doubles (growth stability), and the
+    transductive flag is computed with equi-joins only."""
+    df = api.q_kg_eval_split(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators \
+        .relations import kg_eval_split
+    from cspirit_ontology_information_extraction_opus4plan_spark import api as A
+    base = A.dedup_triples(A.triples_df(spark, sf_dir))
+    doubled = base.unionByName(
+        base.withColumn("subject", F.concat(F.lit("X:"), "subject")))
+    got = {tuple(r) for r in df.select("subject", "predicate", "object")
+           .collect()}
+    grown = {tuple(r) for r in kg_eval_split(doubled)
+             .select("subject", "predicate", "object").collect()
+             if not r["subject"].startswith("X:")}
+    assert got <= grown  # original test triples never migrate out
+
+
 def test_predicate_paths_single_equijoin_mapside_agg(spark, sf_dir):
     """The property-path join is one mid-keyed equi-join; the pair
     aggregate keeps a partial_count (map-side combine) before its
