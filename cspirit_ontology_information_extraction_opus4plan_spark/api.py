@@ -1084,6 +1084,14 @@ def q_kg_entity_similarity(spark, sf_dir):
         dedup_triples(triples_df(spark, sf_dir))))
 
 
+def q_kg_bgp_query(spark, sf_dir):
+    """SPARQL basic-graph-pattern conjunction `?x located_in ?y .
+    ?x catalyzes ?z` — the KG-serving query shape as one
+    shared-variable equi-join over predicate-filtered scans."""
+    from .operators.graphops import bgp_conjunctive
+    return bgp_conjunctive(dedup_triples(triples_df(spark, sf_dir)))
+
+
 def q_kg_bfs_distances(spark, sf_dir):
     """Fixed-round multi-source BFS distance from the chemical
     namespace across the entity graph (context-radius probe)."""
@@ -1283,6 +1291,7 @@ def queries() -> dict[str, QueryFn]:
         "kg_link_prediction": q_kg_link_prediction,
         "kg_predicate_cardinality": q_kg_predicate_cardinality,
         "kg_bfs_distances": q_kg_bfs_distances,
+        "kg_bgp_query": q_kg_bgp_query,
     }
 
 

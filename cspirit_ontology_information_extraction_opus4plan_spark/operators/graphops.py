@@ -38,7 +38,7 @@ __all__ = ["undirected_entity_edges", "triangle_stats",
            "two_hop_counts", "pagerank_fixed", "predicate_path_stats",
            "degree_histogram", "kcore_peel", "label_propagation",
            "neighbor_jaccard", "adamic_adar_links",
-           "predicate_cardinality", "bfs_distances"]
+           "predicate_cardinality", "bfs_distances", "bgp_conjunctive"]
 
 PR_DAMPING = 0.85
 PR_ITER = 3
@@ -564,3 +564,27 @@ def bfs_distances(edges: DataFrame,
             prev.unpersist()
         prev, d = nxt, nxt
     return d.select("node", F.col("dist").cast("int").alias("dist"))
+
+
+BGP_P1 = "located_in"
+BGP_P2 = "catalyzes"
+
+
+def bgp_conjunctive(triples: DataFrame,
+                    p1: str = BGP_P1, p2: str = BGP_P2) -> DataFrame:
+    """SPARQL basic-graph-pattern conjunction over the triple store:
+    `?x p1 ?y . ?x p2 ?z` -> distinct (x, y, z) bindings. The
+    KG-serving query shape (every SPARQL WHERE clause compiles to a
+    chain of these) expressed as one shared-variable equi-join: each
+    pattern is a predicate-filtered scan (predicate pushdown reaches
+    the store's predicate-partitioned layout, so each side reads ONE
+    partition), joined on the shared subject variable. Hub subjects
+    fan out multiplicatively by design — that is the query's answer
+    set, not a skew accident; AQE skew-join splits oversized buckets."""
+    px = (triples.filter(F.col("predicate") == p1)
+          .select(F.col("subject").alias("x"),
+                  F.col("object").alias("y")))
+    pz = (triples.filter(F.col("predicate") == p2)
+          .select(F.col("subject").alias("x"),
+                  F.col("object").alias("z")))
+    return px.join(pz, "x").select("x", "y", "z").distinct()

@@ -2693,6 +2693,13 @@ bfs0 AS MATERIALIZED (
   WHERE src LIKE '{BFS_SEED_PREFIX}%'){bfs_steps}
 SELECT node, CAST(dist AS INT) AS dist FROM bfs{BFS_ROUNDS}""")
 
+    from .operators.graphops import BGP_P1, BGP_P2
+    sqls["kg_bgp_query"] = (
+        corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + f"""
+SELECT DISTINCT a.subject AS x, a.object AS y, b.object AS z
+FROM triples a JOIN triples b ON b.subject = a.subject
+WHERE a.predicate = '{BGP_P1}' AND b.predicate = '{BGP_P2}'""")
+
     from .operators.relations import KG_SPLIT_SEED, KG_SPLIT_TEST_HEX
     sqls["kg_eval_split"] = (
         corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + f""",
