@@ -847,6 +847,13 @@ def q_citation_fields_by_format(spark, sf_dir):
         .select("doc_id", "text")))
 
 
+def q_event_approx_distinct(spark, sf_dir):
+    """HLL++ distinct-user sketch per event type, proven against the
+    exact count with a tolerance verdict (the 100-TB distinct path)."""
+    from .operators.content_stats import approx_distinct_users, load_events
+    return approx_distinct_users(load_events(spark, sf_dir))
+
+
 def q_event_outliers_zscore(spark, sf_dir):
     return CS.zscore_outliers(CS.load_events(spark, sf_dir))
 
@@ -1258,6 +1265,7 @@ def queries() -> dict[str, QueryFn]:
         # --- round-3 reference operators
         "citation_fields_by_format": q_citation_fields_by_format,
         "event_outliers_zscore": q_event_outliers_zscore,
+        "event_approx_distinct": q_event_approx_distinct,
         "jsonld_namespaces": q_jsonld_namespaces,
         "csv_infer": q_csv_infer,
         "event_asof_split": q_event_asof_split,

@@ -152,3 +152,33 @@ def key_skew_profile(df: DataFrame, key: str,
                     "total_rows", "n_keys", "mean_n", "stddev_n", "max_n",
                     F.round(F.col("max_n") / F.col("mean_n"), 6)
                     .alias("skew_ratio")))
+
+
+HLL_RSD = 0.02
+HLL_TOL = 0.05
+
+
+def approx_distinct_users(events: DataFrame,
+                          rsd: float = HLL_RSD,
+                          tol: float = HLL_TOL) -> DataFrame:
+    """Per event_type (event_type, n_users_exact, approx_ok): exact
+    distinct-user count next to a verdict that Spark's HLL++ sketch
+    (approx_count_distinct, relative sd `rsd`) landed within `tol` of
+    it. At 100 TB the sketch IS the distinct-count path — exact
+    count-distinct shuffles every (type, user) pair, HLL++ merges
+    fixed 2^p-byte registers map-side — so the engine must prove the
+    sketch's error envelope, not just expose it. The exact column
+    stays only as the audit anchor (and is what the oracle can
+    recompute; DuckDB's approx sketch differs, so the PARITY contract
+    is exact count + the tolerance verdict, the honest cross-engine
+    statement about an approximate structure). Deterministic: HLL++ is
+    seed-free, so the verdict is stable for a fixed corpus."""
+    return (events
+            .groupBy("event_type")
+            .agg(F.count_distinct("user_id").cast("bigint")
+                 .alias("n_users_exact"),
+                 F.approx_count_distinct("user_id", rsd).alias("n_approx"))
+            .select("event_type", "n_users_exact",
+                    (F.abs(F.col("n_approx") - F.col("n_users_exact"))
+                     <= F.lit(tol) * F.col("n_users_exact"))
+                    .alias("approx_ok")))

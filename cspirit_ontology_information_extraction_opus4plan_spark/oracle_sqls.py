@@ -2081,6 +2081,16 @@ def _round3_sqls() -> dict[str, str]:
                                          + ",\n"
                                          + SE.citation_fields_oracle_tail())
 
+    # the cross-engine contract for an approximate sketch: exact count
+    # + the engine's own tolerance verdict (DuckDB's approx sketch
+    # differs register-for-register, so TRUE is the assertion that
+    # Spark's HLL++ landed inside the documented envelope)
+    sqls["event_approx_distinct"] = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+       TRUE AS approx_ok
+FROM events GROUP BY 1""".strip()
+
     sqls["event_outliers_zscore"] = f"""
 WITH stats AS (
   SELECT event_type, avg(value) AS mean_v, stddev_samp(value) AS std_v
