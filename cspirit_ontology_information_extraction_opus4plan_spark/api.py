@@ -1091,6 +1091,14 @@ def q_kg_entity_similarity(spark, sf_dir):
         dedup_triples(triples_df(spark, sf_dir))))
 
 
+def q_entity_drift(spark, sf_dir):
+    """Per-entity doc-frequency drift (add-1 log-odds) between two
+    growth-stable md5 halves of the corpus — the distribution-shift
+    monitor between crawl ingests."""
+    from .operators.linking import entity_drift
+    return entity_drift(_linked_mentions(spark, sf_dir))
+
+
 def q_kg_bgp_query(spark, sf_dir):
     """SPARQL basic-graph-pattern conjunction `?x located_in ?y .
     ?x catalyzes ?z` — the KG-serving query shape as one
@@ -1273,6 +1281,7 @@ def queries() -> dict[str, QueryFn]:
         "doc_repetition": q_doc_repetition,
         "doc_mixture_sample": q_doc_mixture_sample,
         "entity_cooccurrence": q_entity_cooccurrence,
+        "entity_drift": q_entity_drift,
         "triple_subject_skew": q_triple_subject_skew,
         "triple_merge_upsert": q_triple_merge_upsert,
         "kg_negative_samples": q_kg_negative_samples,

@@ -89,3 +89,45 @@ def cooccurrence_edges(linked: DataFrame,
                     F.round(F.log(F.col("n_ab") * F.col("n_docs")
                                   / (F.col("n_a") * F.col("n_b"))), 6)
                     .alias("pmi")))
+
+
+DRIFT_SEED = "drift-v1"
+
+
+def entity_drift(linked: DataFrame, seed: str = DRIFT_SEED) -> DataFrame:
+    """Linked mentions (doc_id, term_id) -> per-entity distribution
+    drift between two growth-stable md5 halves of the corpus:
+    (term_id, n_a, n_b, log_odds) with add-1-smoothed log-odds
+    ln((n_a+1)/(tot_a+1)) - ln((n_b+1)/(tot_b+1)). The
+    distribution-shift monitor a continuously-crawled KG pipeline runs
+    between ingests: an entity whose mention rate jumps between halves
+    flags topical drift or an extraction change, BEFORE it skews
+    linking priors or mixture weights.
+
+    The halves come from the same hash-split family as
+    train_val_test_split (md5(doc_id||seed) hex4 against the midpoint
+    threshold — deterministic, no shuffle to assign). One
+    groupBy(term_id) with two conditional map-side sums; the totals
+    are a broadcast one-row frame; rounding to 6 absorbs ln noise."""
+    h4 = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(seed))),
+        1, 4)
+    # doc-frequency drift (distinct doc-entity pairs), deliberately not
+    # raw mention counts: insensitive to how many times one doc repeats
+    # a surface, and the distinct is a map-side-combinable dedup
+    tagged = (linked.select("doc_id", "term_id").distinct()
+              .select("term_id", (h4 < "8000").alias("in_a")))
+    per = (tagged.groupBy("term_id")
+           .agg(F.sum(F.when(F.col("in_a"), 1).otherwise(0))
+                .cast("bigint").alias("n_a"),
+                F.sum(F.when(~F.col("in_a"), 1).otherwise(0))
+                .cast("bigint").alias("n_b")))
+    tot = per.agg(F.sum("n_a").cast("double").alias("ta"),
+                  F.sum("n_b").cast("double").alias("tb"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("term_id", "n_a", "n_b",
+                    F.round(F.log((F.col("n_a") + 1.0)
+                                  / (F.col("ta") + 1.0))
+                            - F.log((F.col("n_b") + 1.0)
+                                    / (F.col("tb") + 1.0)), 6)
+                    .alias("log_odds")))

@@ -1674,6 +1674,32 @@ FROM (
   FROM spans WHERE kind IN ('text','figure','table')) m
 JOIN link l ON l.surface = m.surface"""
 
+    from .operators.linking import DRIFT_SEED
+    sqls["entity_drift"] = corpus_prefix(gaz_cte(), link_cte()) + f""",
+lm AS (
+  SELECT DISTINCT m.doc_id, l.term_id
+  FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), {_q(pat)}, 1)) AS surface
+    FROM spans WHERE kind IN ('text','figure','table')) m
+  JOIN link l ON l.surface = m.surface),
+tagged AS (
+  SELECT term_id,
+         substring(md5(CAST(doc_id AS VARCHAR) || '{DRIFT_SEED}'),
+                   1, 4) < '8000' AS in_a
+  FROM lm),
+per AS (
+  SELECT term_id,
+         CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM tagged GROUP BY 1),
+tot AS (SELECT CAST(sum(n_a) AS DOUBLE) AS ta,
+               CAST(sum(n_b) AS DOUBLE) AS tb FROM per)
+SELECT term_id, n_a, n_b,
+       round(ln((n_a + 1.0) / (ta + 1.0))
+             - ln((n_b + 1.0) / (tb + 1.0)), 6) AS log_odds
+FROM per, tot"""
+
     sqls["triples"] = corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + """
 SELECT doc_id, subject, predicate, object, subject_type, object_type,
        confidence, evidence,
