@@ -165,6 +165,14 @@ def q_doc_unigram_logloss(spark, sf_dir):
     return unigram_logloss(_docs(spark, sf_dir))
 
 
+def q_kg_hard_negatives(spark, sf_dir):
+    """Type-consistent tail corruption (within-namespace hard
+    negatives) for KG-embedding training."""
+    from .operators.relations import hard_negative_samples
+    return hard_negative_samples(
+        dedup_triples(triples_df(spark, sf_dir)), terms_df(spark))
+
+
 def q_kg_eval_split(spark, sf_dir):
     """Held-out ~10% triple eval set with transductive flags (both
     endpoints present in the train graph)."""
@@ -1285,6 +1293,7 @@ def queries() -> dict[str, QueryFn]:
         "triple_subject_skew": q_triple_subject_skew,
         "triple_merge_upsert": q_triple_merge_upsert,
         "kg_negative_samples": q_kg_negative_samples,
+        "kg_hard_negatives": q_kg_hard_negatives,
         "lang_confusion": q_lang_confusion,
         "kg_triangles": q_kg_triangles,
         "kg_two_hop": q_kg_two_hop,

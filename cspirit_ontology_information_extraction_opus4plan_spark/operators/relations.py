@@ -291,3 +291,62 @@ def kg_eval_split(triples: DataFrame,
             .select("subject", "predicate", "object",
                     (F.col("ms").isNotNull()
                      & F.col("mo").isNotNull()).alias("transductive")))
+
+
+HARD_NEG_SEED = "hardneg-v1"
+
+
+def hard_negative_samples(triples: DataFrame, terms: DataFrame,
+                          k: int = NEG_SAMPLES_K,
+                          seed: str = HARD_NEG_SEED) -> DataFrame:
+    """Type-consistent ("hard") tail corruption: like negative_samples
+    but candidate i is drawn from the id-ordered vocabulary of the
+    TRUE object's own namespace (CHEBI objects corrupt to other CHEBI
+    ids, GO to GO, ...). Uniform corruption mostly produces
+    type-violating triples a KG-embedding model learns to reject from
+    the type alone; within-namespace corruption forces it to learn the
+    actual relation structure — the standard hard-negative upgrade.
+
+    Same deterministic md5-indexed recipe and scale shape as
+    negative_samples (bounded ontology dimension broadcast; per-prefix
+    row_number window partitioned BY NAMESPACE, so no one-partition
+    sort grows past a namespace's term count); the modulus is the
+    per-namespace vocabulary size joined in from a namespace-count
+    dimension. Accidental positives and self-objects anti-joined away."""
+    from pyspark.sql import Window
+
+    vocab = (terms.select("id").distinct()
+             .withColumn("ns", F.split_part(F.col("id"), F.lit(":"),
+                                            F.lit(1)))
+             .withColumn("ns_seq",
+                         F.row_number().over(
+                             Window.partitionBy("ns").orderBy("id")) - 1))
+    ns_sizes = vocab.groupBy("ns").agg(
+        F.count("*").cast("bigint").alias("ns_n"))
+    base = (triples.select("subject", "predicate", "object").distinct()
+            .withColumn("ns", F.split_part(F.col("object"), F.lit(":"),
+                                           F.lit(1))))
+    cand = (base.join(F.broadcast(ns_sizes), "ns")
+            .select("ns", "ns_n", "subject", "predicate", "object",
+                    F.explode(F.array(*[F.lit(i) for i in range(k)]))
+                    .alias("sample_idx")))
+    pick = F.conv(F.substring(F.md5(F.concat_ws(
+        "|", "subject", "predicate", "object",
+        F.col("sample_idx").cast("string"), F.lit(seed))), 1, 4),
+        16, 10).cast("long") % F.col("ns_n")
+    cand = cand.withColumn("pick_seq", pick)
+    # both columns in the join key: the broadcast hash is on
+    # (ns, seq), never an ns-wide fanout filtered after the fact
+    neg = (cand.join(F.broadcast(vocab.withColumnRenamed("ns_seq",
+                                                         "pick_seq")),
+                     ["ns", "pick_seq"])
+           .select("subject", "predicate", "object", "sample_idx",
+                   F.col("id").alias("neg_object"))
+           .filter(F.col("neg_object") != F.col("object"))
+           .filter(F.col("neg_object") != F.col("subject")))
+    true_keys = base.select(
+        "subject", "predicate", F.col("object").alias("neg_object"))
+    return (neg.join(true_keys, ["subject", "predicate", "neg_object"],
+                     "left_anti")
+            .select("subject", "predicate", "object", "sample_idx",
+                    "neg_object"))

@@ -2359,6 +2359,43 @@ ANTI JOIN dt t
   ON t.subject = n.subject AND t.predicate = n.predicate
  AND t.object = n.neg_object""")
 
+    from .operators.relations import HARD_NEG_SEED
+    sqls["kg_hard_negatives"] = (
+        corpus_prefix(gaz_cte(), link_cte(), triples_cte(), terms_cte())
+        + f""",
+dt AS (SELECT DISTINCT subject, predicate, object FROM triples),
+vocab AS (
+  SELECT id, split_part(id, ':', 1) AS ns,
+         row_number() OVER (PARTITION BY split_part(id, ':', 1)
+                            ORDER BY id) - 1 AS ns_seq
+  FROM (SELECT DISTINCT id FROM terms_d) v),
+nsz AS (SELECT ns, CAST(count(*) AS BIGINT) AS ns_n
+        FROM vocab GROUP BY 1),
+cand AS (
+  SELECT split_part(dt.object, ':', 1) AS ns, nsz.ns_n,
+         subject, predicate, object, sample_idx,
+         md5(subject || '|' || predicate || '|' || object || '|'
+             || CAST(sample_idx AS VARCHAR) || '|' || '{HARD_NEG_SEED}')
+           AS h
+  FROM dt JOIN nsz ON nsz.ns = split_part(dt.object, ':', 1),
+       ({idxs}) s),
+picked AS (
+  SELECT ns, subject, predicate, object, sample_idx,
+         ({_hv(1)} * 4096 + {_hv(2)} * 256 + {_hv(3)} * 16 + {_hv(4)})
+           % ns_n AS pick_seq
+  FROM cand),
+neg AS (
+  SELECT p.subject, p.predicate, p.object, p.sample_idx,
+         v.id AS neg_object
+  FROM picked p
+  JOIN vocab v ON v.ns = p.ns AND v.ns_seq = p.pick_seq
+  WHERE v.id <> p.object AND v.id <> p.subject)
+SELECT n.subject, n.predicate, n.object, n.sample_idx, n.neg_object
+FROM neg n
+ANTI JOIN dt t
+  ON t.subject = n.subject AND t.predicate = n.predicate
+ AND t.object = n.neg_object""")
+
     # --- graph analytics over the entity graph ------------------------------
     # undirected distinct entity edges (src < dst), uri-only, no loops —
     # the oracle lists triangles by id order (x < y < z); the Spark side
