@@ -1099,6 +1099,14 @@ def q_kg_entity_similarity(spark, sf_dir):
         dedup_triples(triples_df(spark, sf_dir))))
 
 
+def q_gazetteer_coverage(spark, sf_dir):
+    """Per-namespace fraction of ontology terms the corpus actually
+    links — acquisition QC in both directions."""
+    from .operators.gazetteer import gazetteer_coverage
+    return gazetteer_coverage(terms_df(spark),
+                              _linked_mentions(spark, sf_dir))
+
+
 def q_entity_drift(spark, sf_dir):
     """Per-entity doc-frequency drift (add-1 log-odds) between two
     growth-stable md5 halves of the corpus — the distribution-shift
@@ -1309,6 +1317,7 @@ def queries() -> dict[str, QueryFn]:
         "doc_split": q_doc_split,
         "doc_collocations": q_doc_collocations,
         "gazetteer_ambiguity": q_gazetteer_ambiguity,
+        "gazetteer_coverage": q_gazetteer_coverage,
         "triple_provenance": q_triple_provenance,
         "kg_degree_histogram": q_kg_degree_histogram,
         "kg_kcore": q_kg_kcore,

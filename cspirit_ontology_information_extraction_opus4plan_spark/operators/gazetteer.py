@@ -109,3 +109,29 @@ def gazetteer_ambiguity(gaz: DataFrame) -> DataFrame:
             .select("surface", "n_terms", "n_namespaces",
                     "best_rank", "n_best",
                     (F.col("n_best") > 1).alias("ambiguous")))
+
+
+def gazetteer_coverage(terms: DataFrame, linked: DataFrame) -> DataFrame:
+    """Per-namespace ontology usage: (namespace, n_terms, n_used,
+    coverage) — how much of each gazetteer namespace the corpus
+    actually links. The acquisition-QC probe both directions: near-zero
+    coverage says the crawl misses that domain (or the surfaces are
+    stale); near-total coverage with a growing corpus says the
+    gazetteer needs expanding before unlinked mentions silently drop.
+
+    The used-term set is a map-side-combinable distinct on the linked
+    mentions (corpus side, one shuffle); the terms table is the bounded
+    ontology dimension, so the final join and aggregate are
+    dimension-sized."""
+    used = (linked.select("term_id").distinct()
+            .withColumn("m", F.lit(1)))
+    return (terms.select("id", "namespace").distinct()
+            .join(used.toDF("id", "m"), "id", "left")
+            .groupBy("namespace")
+            .agg(F.count("*").cast("bigint").alias("n_terms"),
+                 F.sum(F.coalesce("m", F.lit(0))).cast("bigint")
+                 .alias("n_used"))
+            .select("namespace", "n_terms", "n_used",
+                    F.round(F.col("n_used")
+                            / F.col("n_terms").cast("double"), 6)
+                    .alias("coverage")))

@@ -1700,6 +1700,23 @@ SELECT term_id, n_a, n_b,
              - ln((n_b + 1.0) / (tb + 1.0)), 6) AS log_odds
 FROM per, tot"""
 
+    sqls["gazetteer_coverage"] = (
+        corpus_prefix(gaz_cte(), link_cte(), terms_cte()) + f""",
+used AS (
+  SELECT DISTINCT l.term_id
+  FROM (
+    SELECT unnest(regexp_extract_all(lower(text), {_q(pat)}, 1)) AS surface
+    FROM spans WHERE kind IN ('text','figure','table')) m
+  JOIN link l ON l.surface = m.surface)
+SELECT t.namespace, CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(CASE WHEN u.term_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_used,
+       round(CAST(sum(CASE WHEN u.term_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS coverage
+FROM (SELECT DISTINCT id, namespace FROM terms_d) t
+LEFT JOIN used u ON u.term_id = t.id
+GROUP BY 1""")
+
     sqls["triples"] = corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + """
 SELECT doc_id, subject, predicate, object, subject_type, object_type,
        confidence, evidence,
