@@ -165,6 +165,14 @@ def q_doc_unigram_logloss(spark, sf_dir):
     return unigram_logloss(_docs(spark, sf_dir))
 
 
+def q_doc_extraction_yield(spark, sf_dir):
+    """Per-doc triples-per-kilotoken — the extraction-failure detector
+    (prose-rich, near-zero-yield docs route to quarantine review)."""
+    from .operators.relations import extraction_yield
+    return extraction_yield(spans_exploded(spark, sf_dir),
+                            triples_df(spark, sf_dir))
+
+
 def q_kg_hard_negatives(spark, sf_dir):
     """Type-consistent tail corruption (within-namespace hard
     negatives) for KG-embedding training."""
@@ -1302,6 +1310,7 @@ def queries() -> dict[str, QueryFn]:
         "triple_merge_upsert": q_triple_merge_upsert,
         "kg_negative_samples": q_kg_negative_samples,
         "kg_hard_negatives": q_kg_hard_negatives,
+        "doc_extraction_yield": q_doc_extraction_yield,
         "lang_confusion": q_lang_confusion,
         "kg_triangles": q_kg_triangles,
         "kg_two_hop": q_kg_two_hop,

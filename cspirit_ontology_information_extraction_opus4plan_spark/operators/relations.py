@@ -350,3 +350,36 @@ def hard_negative_samples(triples: DataFrame, terms: DataFrame,
                      "left_anti")
             .select("subject", "predicate", "object", "sample_idx",
                     "neg_object"))
+
+
+def extraction_yield(spans: DataFrame, triples: DataFrame) -> DataFrame:
+    """Per-document extraction yield: (doc_id, n_tokens, n_triples,
+    yield_per_kt) = triples per kilotoken of prose. The
+    extraction-failure detector a construction pipeline runs per
+    ingest: a document with plenty of prose and near-zero yield is
+    where the matcher vocabulary, sentence splitter, or encoding went
+    wrong — exactly the rows to route to quarantine review, long
+    before corpus-level precision/recall would move.
+
+    Token counts come from one map-side pass over text spans
+    (size(split) — no explode); triple counts are a map-side-combinable
+    groupBy on the pre-dedup frame (doc granularity is lost at dedup by
+    design, relations.dedup_triples). Zero-triple docs survive the left
+    join with yield 0."""
+    from .textops import tokens_col
+
+    toks = (spans.filter(F.col("kind") == "text")
+            .select("doc_id", F.size(tokens_col("text")).alias("nt"))
+            .groupBy("doc_id")
+            .agg(F.sum("nt").cast("bigint").alias("n_tokens")))
+    per = (triples.groupBy("doc_id")
+           .agg(F.count("*").cast("bigint").alias("n_triples")))
+    return (toks.join(per, "doc_id", "left")
+            .select("doc_id", "n_tokens",
+                    F.coalesce("n_triples", F.lit(0)).cast("bigint")
+                    .alias("n_triples"),
+                    F.round(F.when(F.col("n_tokens") > 0,
+                                   F.coalesce("n_triples", F.lit(0))
+                                   * 1000.0 / F.col("n_tokens"))
+                            .otherwise(F.lit(0.0)), 6)
+                    .alias("yield_per_kt")))

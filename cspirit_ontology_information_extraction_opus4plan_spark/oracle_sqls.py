@@ -2376,6 +2376,23 @@ ANTI JOIN dt t
   ON t.subject = n.subject AND t.predicate = n.predicate
  AND t.object = n.neg_object""")
 
+    sqls["doc_extraction_yield"] = (
+        corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + """,
+toks AS (
+  SELECT doc_id,
+         CAST(sum(len(list_filter(
+             regexp_split_to_array(lower(trim(text)), '\\s+'),
+             t -> t <> ''))) AS BIGINT) AS n_tokens
+  FROM spans WHERE kind = 'text' GROUP BY 1),
+per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triples
+        FROM triples GROUP BY 1)
+SELECT t.doc_id, t.n_tokens,
+       CAST(coalesce(p.n_triples, 0) AS BIGINT) AS n_triples,
+       round(CASE WHEN t.n_tokens > 0 THEN
+               coalesce(p.n_triples, 0) * 1000.0 / t.n_tokens
+             ELSE 0.0 END, 6) AS yield_per_kt
+FROM toks t LEFT JOIN per p ON p.doc_id = t.doc_id""")
+
     from .operators.relations import HARD_NEG_SEED
     sqls["kg_hard_negatives"] = (
         corpus_prefix(gaz_cte(), link_cte(), triples_cte(), terms_cte())
