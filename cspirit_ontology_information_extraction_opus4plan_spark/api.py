@@ -243,6 +243,15 @@ def q_media_inventory(spark, sf_dir):
     return media_inventory(spans_exploded(spark, sf_dir))
 
 
+def q_media_content_dedup(spark, sf_dir):
+    """Blob-level media dedup by content digest (store once, refcount;
+    deterministic keeper election)."""
+    from .operators.multimodal import (fetch_media, media_content_dedup,
+                                       media_spans)
+    return media_content_dedup(
+        fetch_media(media_spans(spans_exploded(spark, sf_dir))))
+
+
 def q_media_resize(spark, sf_dir):
     """Aspect-preserving resize plumbing: decode dims (stub), cap the
     longer edge at RESIZE_MAX_DIM, integer target box."""
@@ -1281,6 +1290,7 @@ def queries() -> dict[str, QueryFn]:
         "owl_export": q_owl_export,
         "ann_lsh_topk": q_ann_lsh_topk,
         "media_inventory": q_media_inventory,
+        "media_content_dedup": q_media_content_dedup,
         "media_resize": q_media_resize,
         "media_frame_sample": q_media_frame_sample,
         "pack_fill_stats": q_pack_fill_stats,

@@ -185,3 +185,26 @@ def media_inventory(spans: DataFrame) -> DataFrame:
             .groupBy("kind")
             .agg(F.count("*").alias("n_media"),
                  F.countDistinct("doc_id").alias("n_docs")))
+
+
+def media_content_dedup(media: DataFrame) -> DataFrame:
+    """Binary-payload dedup for the multimodal store: group media rows
+    by a content digest of the BLOB itself -> (content_hash, n_refs,
+    n_docs, keeper_ref). The storage-dedup step of an image/audio
+    pipeline (the same bytes crawled under many refs should be stored
+    once and refcounted); the keeper is the min media_ref, the same
+    deterministic election rule as the doc near-dup resolver.
+
+    The digest is md5 over the payload's base64 text — one fixed
+    canonical byte->text encoding shared with the DuckDB oracle (whose
+    md5 is VARCHAR-only), computed map-side; the groupBy on the digest
+    is the only shuffle and combines map-side. At 100 TB the digest
+    stands in for the payload everywhere downstream (the blob never
+    shuffles)."""
+    return (media
+            .withColumn("content_hash",
+                        F.md5(F.encode(F.base64("content"), "utf-8")))
+            .groupBy("content_hash")
+            .agg(F.count("*").cast("bigint").alias("n_refs"),
+                 F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+                 F.min("media_ref").alias("keeper_ref")))

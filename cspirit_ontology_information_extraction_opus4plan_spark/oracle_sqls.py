@@ -2057,6 +2057,20 @@ SELECT doc_id, pos, kind, media_ref,
        CAST(16 AS INT) AS content_len
 FROM mf"""
 
+    # blob digest = md5 over base64(content): the one canonical
+    # byte->text encoding both engines share (DuckDB md5 is
+    # VARCHAR-only); content itself is unhex(md5(media_ref))
+    sqls["media_content_dedup"] = corpus_prefix() + """
+, mc AS (
+  SELECT doc_id, media_ref,
+         md5(to_base64(unhex(md5(media_ref)))) AS content_hash
+  FROM spans
+  WHERE kind IN ('figure', 'table') AND media_ref <> '')
+SELECT content_hash, CAST(count(*) AS BIGINT) AS n_refs,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       min(media_ref) AS keeper_ref
+FROM mc GROUP BY 1"""
+
     sqls["media_inventory"] = corpus_prefix() + """
 SELECT kind, CAST(count(*) AS BIGINT) AS n_media,
        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
