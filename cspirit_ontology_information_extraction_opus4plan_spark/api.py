@@ -1132,6 +1132,14 @@ def q_entity_drift(spark, sf_dir):
     return entity_drift(_linked_mentions(spark, sf_dir))
 
 
+def q_kg_inverse_consistency(spark, sf_dir):
+    """Per inverse-predicate pair: fraction of edges whose declared
+    inverse edge was also extracted (symmetry QC; outlier pairs flag
+    extraction bias)."""
+    from .operators.graphops import inverse_consistency
+    return inverse_consistency(dedup_triples(triples_df(spark, sf_dir)))
+
+
 def q_kg_bgp_query(spark, sf_dir):
     """SPARQL basic-graph-pattern conjunction `?x located_in ?y .
     ?x catalyzes ?z` — the KG-serving query shape as one
@@ -1346,6 +1354,7 @@ def queries() -> dict[str, QueryFn]:
         "kg_predicate_cardinality": q_kg_predicate_cardinality,
         "kg_bfs_distances": q_kg_bfs_distances,
         "kg_bgp_query": q_kg_bgp_query,
+        "kg_inverse_consistency": q_kg_inverse_consistency,
     }
 
 

@@ -38,7 +38,8 @@ __all__ = ["undirected_entity_edges", "triangle_stats",
            "two_hop_counts", "pagerank_fixed", "predicate_path_stats",
            "degree_histogram", "kcore_peel", "label_propagation",
            "neighbor_jaccard", "adamic_adar_links",
-           "predicate_cardinality", "bfs_distances", "bgp_conjunctive"]
+           "predicate_cardinality", "bfs_distances", "bgp_conjunctive",
+           "inverse_consistency"]
 
 PR_DAMPING = 0.85
 PR_ITER = 3
@@ -588,3 +589,38 @@ def bgp_conjunctive(triples: DataFrame,
           .select(F.col("subject").alias("x"),
                   F.col("object").alias("z")))
     return px.join(pz, "x").select("x", "y", "z").distinct()
+
+
+def inverse_consistency(triples: DataFrame) -> DataFrame:
+    """Extraction-symmetry QC against the reference's closed inverse
+    map (models.py:1597-1614 via ontology_data.INVERSE_PREDICATES):
+    for each predicate that HAS a declared inverse, what fraction of
+    its directed edges co-occur with the inverse edge ->
+    (predicate, inverse, n_edges, n_with_inverse, consistency). Text
+    states relations one way ("X regulates Y" rarely co-occurs with
+    "Y regulated_by X"), so a LOW ratio is normal — the QC signal is
+    the OUTLIER pair whose ratio diverges from its siblings, and the
+    ratio is exactly the fraction expand_inverse_edges would add.
+
+    The inverse map is a constants-sized broadcast dimension; the
+    existence probe is one left_semi equi-join of the expected inverse
+    edge against the store (hash-partitioned on the edge key)."""
+    pe = (triples.select("subject", "predicate", "object").distinct()
+          .localCheckpoint(eager=True))
+    from ..ontology_data import INVERSE_PREDICATES
+    spark = pe.sparkSession
+    inv = spark.createDataFrame(
+        sorted(INVERSE_PREDICATES.items()), ["predicate", "inverse"])
+    exp = pe.join(F.broadcast(inv), "predicate")
+    hit = (exp.join(pe.toDF("object", "inverse", "subject"),
+                    ["subject", "inverse", "object"], "left_semi")
+           .groupBy("predicate").agg(F.count("*").alias("n_hit")))
+    base = (exp.groupBy("predicate", "inverse")
+            .agg(F.count("*").cast("bigint").alias("n_edges")))
+    return (base.join(hit, "predicate", "left")
+            .select("predicate", "inverse", "n_edges",
+                    F.coalesce("n_hit", F.lit(0)).cast("bigint")
+                    .alias("n_with_inverse"),
+                    F.round(F.coalesce("n_hit", F.lit(0))
+                            / F.col("n_edges").cast("double"), 6)
+                    .alias("consistency")))

@@ -2814,6 +2814,29 @@ bfs0 AS MATERIALIZED (
   WHERE src LIKE '{BFS_SEED_PREFIX}%'){bfs_steps}
 SELECT node, CAST(dist AS INT) AS dist FROM bfs{BFS_ROUNDS}""")
 
+    inv_rows = " UNION ALL ".join(
+        f"SELECT {_q(k)} AS predicate, {_q(v)} AS inverse"
+        for k, v in sorted(OD.INVERSE_PREDICATES.items()))
+    sqls["kg_inverse_consistency"] = (
+        corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + f""",
+pe AS (SELECT DISTINCT subject, predicate, object FROM triples),
+inv AS ({inv_rows}),
+exp AS (SELECT pe.subject, pe.predicate, inv.inverse, pe.object
+        FROM pe JOIN inv ON inv.predicate = pe.predicate),
+hit AS (SELECT e.predicate, count(*) AS n_hit
+        FROM exp e SEMI JOIN pe p
+          ON p.subject = e.object AND p.predicate = e.inverse
+         AND p.object = e.subject
+        GROUP BY 1),
+base AS (SELECT predicate, inverse,
+                CAST(count(*) AS BIGINT) AS n_edges
+         FROM exp GROUP BY 1, 2)
+SELECT b.predicate, b.inverse, b.n_edges,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_with_inverse,
+       round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / b.n_edges, 6)
+         AS consistency
+FROM base b LEFT JOIN hit h ON h.predicate = b.predicate""")
+
     from .operators.graphops import BGP_P1, BGP_P2
     sqls["kg_bgp_query"] = (
         corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + f"""
