@@ -1132,6 +1132,13 @@ def q_entity_drift(spark, sf_dir):
     return entity_drift(_linked_mentions(spark, sf_dir))
 
 
+def q_triple_confidence_profile(spark, sf_dir):
+    """Per-predicate confidence calibration (plain vs support-weighted
+    mean — decides whether a confidence trim costs recall)."""
+    from .operators.relations import confidence_profile
+    return confidence_profile(dedup_triples(triples_df(spark, sf_dir)))
+
+
 def q_kg_inverse_consistency(spark, sf_dir):
     """Per inverse-predicate pair: fraction of edges whose declared
     inverse edge was also extracted (symmetry QC; outlier pairs flag
@@ -1346,6 +1353,7 @@ def queries() -> dict[str, QueryFn]:
         "gazetteer_ambiguity": q_gazetteer_ambiguity,
         "gazetteer_coverage": q_gazetteer_coverage,
         "triple_provenance": q_triple_provenance,
+        "triple_confidence_profile": q_triple_confidence_profile,
         "kg_degree_histogram": q_kg_degree_histogram,
         "kg_kcore": q_kg_kcore,
         "kg_communities": q_kg_communities,

@@ -383,3 +383,21 @@ def extraction_yield(spans: DataFrame, triples: DataFrame) -> DataFrame:
                                    * 1000.0 / F.col("n_tokens"))
                             .otherwise(F.lit(0.0)), 6)
                     .alias("yield_per_kt")))
+
+
+def confidence_profile(triples: DataFrame) -> DataFrame:
+    """Deduped triple store -> per-predicate confidence calibration:
+    (predicate, n_triples, n_full_conf, mean_conf, wmean_conf) where
+    wmean_conf weights each triple's confidence by its support count —
+    if the support-weighted mean sits far above the plain mean, the
+    low-confidence tail is also the low-evidence tail (safe to trim);
+    if they coincide, low confidence is structural to the predicate's
+    phrasing and trimming it costs recall. One map-side-combinable
+    aggregate over the predicate dimension."""
+    return (triples.groupBy("predicate")
+            .agg(F.count("*").cast("bigint").alias("n_triples"),
+                 F.sum(F.when(F.col("confidence") >= 1.0, 1).otherwise(0))
+                 .cast("bigint").alias("n_full_conf"),
+                 F.round(F.avg("confidence"), 6).alias("mean_conf"),
+                 F.round(F.sum(F.col("confidence") * F.col("support"))
+                         / F.sum("support"), 6).alias("wmean_conf")))

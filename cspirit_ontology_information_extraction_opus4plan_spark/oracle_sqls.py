@@ -2676,6 +2676,20 @@ SELECT p.surface, n_terms, n_namespaces,
 FROM per p JOIN ties USING (surface)
 WHERE n_terms > 1"""
 
+    sqls["triple_confidence_profile"] = (
+        corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + """,
+dedup AS (
+  SELECT subject, predicate, object, subject_type, object_type,
+         object_datatype, object_language,
+         max(confidence) AS confidence, count(*) AS support
+  FROM triples GROUP BY 1,2,3,4,5,6,7)
+SELECT predicate, CAST(count(*) AS BIGINT) AS n_triples,
+       CAST(sum(CASE WHEN confidence >= 1.0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_full_conf,
+       round(avg(confidence), 6) AS mean_conf,
+       round(sum(confidence * support) / sum(support), 6) AS wmean_conf
+FROM dedup GROUP BY 1""")
+
     sqls["triple_provenance"] = (
         corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + """
 SELECT d.source, t.predicate,
