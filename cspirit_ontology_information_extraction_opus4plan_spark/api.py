@@ -597,6 +597,28 @@ def q_cycle_chains(spark, sf_dir):
     return OA.cycle_chains(edges)
 
 
+def q_hierarchy_redundant_edges(spark, sf_dir):
+    """Transitive-reduction QC over the is_a hierarchy plus planted
+    shortcut edges: flags every edge implied by a >=2-step path (OBO
+    redundant-is_a / `robot reduce` semantics)."""
+    edges = (relationships_df(spark)
+             .filter(F.col("predicate") == "is_a")
+             .select(F.col("subject").alias("src"),
+                     F.col("object").alias("dst"))
+             .unionByName(spark.createDataFrame(
+                 OA.PLANTED_SHORTCUTS, "src string, dst string")))
+    return OA.transitive_reduction(edges)
+
+
+def q_term_similarity(spark, sf_dir):
+    """Wu-Palmer structural similarity for the fixed probe pairs over
+    the is_a DAG (LCA-depth argmax over the ancestor-or-self closure)."""
+    from .ontology_data import SIM_PAIRS
+    pairs = spark.createDataFrame(SIM_PAIRS, "a string, b string")
+    return OA.wu_palmer_similarity(
+        terms_df(spark), relationships_df(spark), pairs)
+
+
 def q_set_difference(spark, sf_dir):
     a, b = _merge_sources(spark)
     return OA.unique_per_source(a, b)
@@ -1235,6 +1257,8 @@ def queries() -> dict[str, QueryFn]:
         "event_range_join": q_event_range_join,
         "event_rollup": q_event_rollup,
         "cycle_chains": q_cycle_chains,
+        "hierarchy_redundant_edges": q_hierarchy_redundant_edges,
+        "term_similarity": q_term_similarity,
         "jats_parse": q_jats_parse,
         "content_guards": q_content_guards,
         # --- sources / sinks / registry routing — 8

@@ -240,6 +240,19 @@ def surfaces() -> list[str]:
 # the Spark frontier loop and the DuckDB recursive-CTE oracle)
 CLOSURE_SEEDS = ["CHEBI:10100", "GO:20100", "PO:30100"]
 
+# probe pairs for Wu-Palmer term similarity: siblings, parent-child,
+# deep leaves, a self-pair, and one cross-ontology pair (no common
+# root-reachable ancestor -> contributes no row). Shared Spark/oracle.
+SIM_PAIRS = [
+    ("CHEBI:10004", "CHEBI:10005"),   # siblings under CHEBI:10002
+    ("CHEBI:10010", "CHEBI:10004"),   # child-parent
+    ("CHEBI:10010", "CHEBI:10011"),   # deep siblings
+    ("CHEBI:10010", "CHEBI:10100"),   # deep cousins
+    ("GO:20004", "GO:20005"),         # siblings under GO:20002
+    ("CHEBI:10002", "CHEBI:10002"),   # self (similarity 1)
+    ("CHEBI:10004", "GO:20004"),      # cross-ontology: drops
+]
+
 # match-kind priority for entity-linking disambiguation (name beats synonym,
 # mirroring the reference's exact-name-first lookup order models.py:2812-2918);
 # ties broken by min term_id. Single place both engines encode the rule.

@@ -228,6 +228,129 @@ def cycle_chains(edges: DataFrame, max_len: int = 6) -> DataFrame:
     return chains
 
 
+# planted redundant shortcuts (child -> grand/great-grandparent along
+# real is_a chains) — the transitive-reduction test corpus; the
+# synthetic is_a graph itself is shortcut-free (verified: closure of
+# length >= 2 intersects the edge set in 0 rows without these)
+PLANTED_SHORTCUTS = [
+    ("CHEBI:10004", "CHEBI:10001"),   # skips CHEBI:10002 (2-step path)
+    ("CHEBI:10010", "CHEBI:10001"),   # skips 10004->10002 (3-step path)
+    ("GO:20004", "GO:20001"),         # skips GO:20002
+    ("PO:30005", "PO:30001"),         # skips PO:30002
+]
+
+
+def transitive_reduction(edges: DataFrame, max_iter: int = 32) -> DataFrame:
+    """Redundant-edge detection over a hierarchy: edge (src, dst) is
+    `redundant` iff dst is also reachable from src via a path of
+    length >= 2 — the standard ontology-release QC (OBO `is_a`
+    redundancy; `robot reduce`). The reference trims hierarchies but
+    never checks minimality (ontology_trimmer.py:586-628 walks
+    ancestors without flagging implied edges); this closes that gap
+    on the DataFrame side.
+
+    Shape: seed the >=2-step reachability set with the length-2 join
+    of the edge list against itself, then extend one hop per round to
+    fixpoint (frontier anti-joined against seen pairs, localCheckpoint
+    truncating lineage like bfs_depths). Terminates on cyclic input —
+    the pair set is finite and the anti-join empties the frontier.
+    O(depth) rounds; the pair set is the ancestor closure, O(V *
+    avg-ancestors) — dimension-table-sized work (ontologies are
+    millions of terms, depth ~tens), NOT for the corpus entity graph
+    (use bounded probes like two_hop_counts there). Hard error on
+    non-convergence, like bfs_depths: a silent cap would mislabel
+    deep redundancies as essential."""
+    e = edges.select("src", "dst").distinct().persist()
+    step = e.select(F.col("src").alias("mid"), F.col("dst").alias("far"))
+    reach = (e.join(step, e.dst == step.mid)
+             .select("src", F.col("far").alias("dst")).distinct()
+             .localCheckpoint(eager=True))
+    frontier = reach
+    done = False
+    for _it in range(max_iter + 1):  # +1 verification round (bfs_depths)
+        nxt = (frontier.join(step, frontier.dst == step.mid)
+               .select("src", F.col("far").alias("dst")).distinct()
+               .join(reach, ["src", "dst"], "left_anti")
+               .localCheckpoint(eager=True))
+        if nxt.isEmpty():
+            done = True
+            break
+        reach = reach.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    e.unpersist()
+    if not done:
+        raise RuntimeError(
+            f"transitive_reduction frontier still active after "
+            f"max_iter={max_iter} productive rounds plus one verification "
+            f"round — hierarchy deeper than max_iter (a silent cap would "
+            f"mislabel deep redundant edges as essential)")
+    flagged = reach.withColumn("redundant", F.lit(True))
+    return (e.join(flagged, ["src", "dst"], "left")
+            .select("src", "dst",
+                    F.coalesce("redundant", F.lit(False)).alias("redundant")))
+
+
+def wu_palmer_similarity(terms: DataFrame, rels: DataFrame,
+                         pairs: DataFrame, max_iter: int = 32) -> DataFrame:
+    """Structural term similarity over the is_a DAG (Wu-Palmer, the
+    GOSemSim-family measure ontology users run for linking
+    disambiguation): for each probe pair (a, b),
+
+        similarity = 2*(lca_depth+1) / ((depth_a+1) + (depth_b+1))
+
+    where depth = min is_a-distance from a root (bfs_depths) and the
+    LCA is the shared ancestor (ancestor-or-self) maximizing depth.
+    The +1 shift puts roots at depth 1 (classic Wu-Palmer counting,
+    and no zero denominators). Pairs with no root-reachable common
+    ancestor — cross-ontology probes, cycle-orphaned terms — emit no
+    row, matching bfs_depths' reachability semantics.
+
+    Shape: ancestor-or-self closure by frontier fixpoint (same loop as
+    dependency_closure, hard error on non-convergence), then the pair
+    probe is two equi-joins against the closure plus an argmax groupBy —
+    similarity work is O(|pairs| * ancestors-per-term), driven by a
+    candidate-pair frame (e.g. ambiguous linking candidates), never an
+    all-pairs self-join; the closure itself is dimension-table-sized
+    (ontology terms, not corpus entities)."""
+    up = (rels.filter(F.col("predicate") == "is_a")
+          .select(F.col("subject").alias("child"),
+                  F.col("object").alias("parent"))
+          .distinct().persist())
+    anc = terms.select("id", F.col("id").alias("anc"))
+    frontier = anc
+    done = False
+    for _it in range(max_iter + 1):  # +1 verification round (bfs_depths)
+        nxt = (frontier.join(up.withColumnRenamed("child", "anc"), "anc")
+               .select("id", F.col("parent").alias("anc")).distinct()
+               .join(anc, ["id", "anc"], "left_anti")
+               .localCheckpoint(eager=True))
+        if nxt.isEmpty():
+            done = True
+            break
+        anc = anc.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    up.unpersist()
+    if not done:
+        raise RuntimeError(
+            f"wu_palmer_similarity ancestor closure still growing after "
+            f"max_iter={max_iter} productive rounds plus one verification "
+            f"round — hierarchy deeper than max_iter")
+    depths = bfs_depths(terms, rels)
+    anc_d = anc.join(depths.withColumnRenamed("id", "anc")
+                     .withColumnRenamed("depth", "d_anc"), "anc")
+    la = anc_d.select(F.col("id").alias("a"), "anc", "d_anc")
+    lb = anc_d.select(F.col("id").alias("b"), "anc")
+    lca = (pairs.join(la, "a").join(lb, ["b", "anc"])
+           .groupBy("a", "b").agg(F.max("d_anc").alias("lca_depth")))
+    da = depths.select(F.col("id").alias("a"), F.col("depth").alias("depth_a"))
+    db = depths.select(F.col("id").alias("b"), F.col("depth").alias("depth_b"))
+    return (lca.join(da, "a").join(db, "b")
+            .select("a", "b", "lca_depth", "depth_a", "depth_b",
+                    F.round(2.0 * (F.col("lca_depth") + 1)
+                            / (F.col("depth_a") + F.col("depth_b") + 2), 6)
+                    .alias("similarity")))
+
+
 def unique_per_source(source_a: DataFrame, source_b: DataFrame) -> DataFrame:
     """Set difference per source — ids present in exactly one source
     (set.difference unique-terms, ontology_manager.py:1779-1785) as two

@@ -1200,6 +1200,24 @@ JOIN edges e2 ON e2.src = e1.dst
 JOIN edges e3 ON e3.src = e2.dst AND e3.dst = e1.src
 WHERE e1.src < e1.dst AND e1.src < e2.dst"""
 
+    shortcuts = ",".join(f"({_q(s)}, {_q(d)})" for s, d in OA.PLANTED_SHORTCUTS)
+    sqls["hierarchy_redundant_edges"] = (
+        "WITH RECURSIVE " + rels_cte() + f""",
+e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT subject AS src, object AS dst FROM rels_d
+    WHERE predicate = 'is_a'
+    UNION ALL
+    SELECT * FROM (VALUES {shortcuts}) v(src, dst)) u),
+reach(src, dst) AS (
+  SELECT a.src, b.dst FROM e a JOIN e b ON b.src = a.dst
+  UNION
+  SELECT r.src, b.dst FROM reach r JOIN e b ON b.src = r.dst)
+SELECT e.src, e.dst,
+       EXISTS (SELECT 1 FROM reach r
+               WHERE r.src = e.src AND r.dst = e.dst) AS redundant
+FROM e""")
+
     # ntriples_parse / turtle_parse must invert their serializers, so the
     # oracle is the pre-serialization triple set itself (independent of
     # the parse regexes)
@@ -1955,6 +1973,29 @@ depths AS (SELECT id, CAST(min(depth) AS INT) AS depth FROM walk GROUP BY id)
 SELECT split_part(id, ':', 1) AS ontology_id,
        CAST(max(depth) AS INT) AS max_depth
 FROM depths GROUP BY 1""")
+
+    sim_pairs = ",".join(f"({_q(a)}, {_q(b)})" for a, b in OD.SIM_PAIRS)
+    sqls["term_similarity"] = ("WITH RECURSIVE "
+                               + ",\n".join([tf, rd, roots_cte, walk_cte])
+                               + f""",
+anc(id, anc) AS (
+  SELECT id, id FROM terms_f
+  UNION
+  SELECT a.id, r.object
+  FROM anc a JOIN rels_d r ON r.predicate = 'is_a' AND r.subject = a.anc),
+pairs(a, b) AS (SELECT * FROM (VALUES {sim_pairs})),
+lca AS (
+  SELECT p.a, p.b, CAST(max(d.depth) AS INT) AS lca_depth
+  FROM pairs p
+  JOIN anc x ON x.id = p.a
+  JOIN anc y ON y.id = p.b AND y.anc = x.anc
+  JOIN depths d ON d.id = x.anc
+  GROUP BY 1, 2)
+SELECT l.a, l.b, l.lca_depth,
+       da.depth AS depth_a, db.depth AS depth_b,
+       round(2.0 * (l.lca_depth + 1) / (da.depth + db.depth + 2), 6)
+         AS similarity
+FROM lca l JOIN depths da ON da.id = l.a JOIN depths db ON db.id = l.b""")
 
     seeds_values = ",".join(f"({_q(s)})" for s in OD.CLOSURE_SEEDS)
     sqls["dependency_closure"] = ("WITH RECURSIVE " + rd + f"""
