@@ -136,3 +136,45 @@ def test_bm25_rank_order(spark, sf_dir):
     assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
     keys = [(-r["score"], r["doc_id"]) for r in rows]
     assert keys == sorted(keys)
+
+
+# --- hierarchy QC + similarity (round 3) -------------------------------------
+
+
+def test_transitive_reduction_flags_planted_shortcuts(spark):
+    """Hand-built chain a->b->c->d plus shortcuts a->c (2-step) and
+    a->d (3-step): exactly the shortcuts are redundant."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("a", "d")],
+        "src string, dst string")
+    got = {(r["src"], r["dst"]): r["redundant"]
+           for r in OA.transitive_reduction(edges).collect()}
+    assert got == {("a", "b"): False, ("b", "c"): False, ("c", "d"): False,
+                   ("a", "c"): True, ("a", "d"): True}
+
+
+def test_transitive_reduction_terminates_on_cycle(spark):
+    """Cyclic input must converge (finite pair set): every edge of a
+    3-cycle is implied by going the long way around."""
+    edges = spark.createDataFrame(
+        [("x", "y"), ("y", "z"), ("z", "x")], "src string, dst string")
+    rows = OA.transitive_reduction(edges).collect()
+    assert len(rows) == 3 and all(r["redundant"] for r in rows)
+
+
+def test_wu_palmer_hand_values(spark):
+    """Two-level tree: root r; a,b under r; c under a. Depths r=0,
+    a=b=1, c=2. sim(a,b)=2*1/4=0.5; sim(c,b)=2*1/5=0.4; sim(c,c)=1."""
+    terms = spark.createDataFrame(
+        [(t, t, "T") for t in ("r", "a", "b", "c")],
+        "id string, name string, ontology_id string")
+    rels = spark.createDataFrame(
+        [("a", "is_a", "r"), ("b", "is_a", "r"), ("c", "is_a", "a")],
+        "subject string, predicate string, object string")
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("c", "b"), ("c", "c")], "a string, b string")
+    got = {(r["a"], r["b"]): (r["lca_depth"], round(r["similarity"], 6))
+           for r in OA.wu_palmer_similarity(terms, rels, pairs).collect()}
+    assert got == {("a", "b"): (0, 0.5),
+                   ("c", "b"): (0, 0.4),
+                   ("c", "c"): (2, 1.0)}
