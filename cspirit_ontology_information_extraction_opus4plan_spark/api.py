@@ -619,6 +619,29 @@ def q_term_similarity(spark, sf_dir):
         terms_df(spark), relationships_df(spark), pairs)
 
 
+def q_ontology_release_diff(spark, sf_dir):
+    """robot-diff-style release diff: v2 is a deterministic md5-bucketed
+    mutation of the term table (bucket 0* removed, 1* renamed, 2*
+    obsolete-flipped, 3* re-added under a new id), classified as
+    added/removed/changed with the changed field names."""
+    v1 = terms_df(spark).select(
+        "id", "name", "namespace", "is_obsolete", "replaced_by")
+    h = F.substring(F.md5(F.col("id")), 1, 1)
+    v2 = (v1.filter(h != "0")
+          .withColumn("name",
+                      F.when(h == "1",
+                             F.concat(F.col("name"), F.lit(" (rev)")))
+                       .otherwise(F.col("name")))
+          .withColumn("is_obsolete",
+                      F.when(h == "2", ~F.col("is_obsolete"))
+                       .otherwise(F.col("is_obsolete"))))
+    added = (v1.filter(h == "3")
+             .withColumn("id", F.concat(F.col("id"), F.lit(":NEW"))))
+    v2 = v2.unionByName(added)
+    return OA.release_diff(
+        v1, v2, ["name", "namespace", "is_obsolete", "replaced_by"])
+
+
 def q_set_difference(spark, sf_dir):
     a, b = _merge_sources(spark)
     return OA.unique_per_source(a, b)
@@ -1259,6 +1282,7 @@ def queries() -> dict[str, QueryFn]:
         "cycle_chains": q_cycle_chains,
         "hierarchy_redundant_edges": q_hierarchy_redundant_edges,
         "term_similarity": q_term_similarity,
+        "ontology_release_diff": q_ontology_release_diff,
         "jats_parse": q_jats_parse,
         "content_guards": q_content_guards,
         # --- sources / sinks / registry routing — 8

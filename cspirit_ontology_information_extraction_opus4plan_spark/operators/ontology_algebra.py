@@ -10,6 +10,8 @@ instead of recursive DFS.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -349,6 +351,38 @@ def wu_palmer_similarity(terms: DataFrame, rels: DataFrame,
                     F.round(2.0 * (F.col("lca_depth") + 1)
                             / (F.col("depth_a") + F.col("depth_b") + 2), 6)
                     .alias("similarity")))
+
+
+def release_diff(old: DataFrame, new: DataFrame,
+                 fields: Sequence[str]) -> DataFrame:
+    """Field-level diff between two ontology releases (`robot diff`
+    semantics; the reference merges/updates ontologies —
+    ontology_manager.py merge paths — but never reports a minimal
+    change set). One null-safe full-outer join on id classifies each
+    term as added / removed / changed, with `changed_fields` the
+    comma-joined sorted field names that differ (null-safe compare, so
+    NULL -> value and value -> NULL both count). Unchanged terms are
+    dropped — at scale the diff is release-churn-sized, orders of
+    magnitude under the term count, and both releases shuffle once on
+    id (or co-locate for free if bucketed by id)."""
+    o = old.select(F.col("id"), F.lit(True).alias("_in_old"),
+                   *[F.col(f).alias(f"_o_{f}") for f in fields])
+    n = new.select(F.col("id"), F.lit(True).alias("_in_new"),
+                   *[F.col(f).alias(f"_n_{f}") for f in fields])
+    j = o.join(n, "id", "full_outer")
+    changed = F.concat_ws(",", *[
+        F.when(~F.col(f"_o_{f}").eqNullSafe(F.col(f"_n_{f}")), F.lit(f))
+        for f in sorted(fields)])
+    return (j.withColumn(
+                "change",
+                F.when(F.col("_in_new").isNull(), F.lit("removed"))
+                 .when(F.col("_in_old").isNull(), F.lit("added"))
+                 .when(changed != "", F.lit("changed")))
+            .filter(F.col("change").isNotNull())
+            .withColumn("changed_fields",
+                        F.when(F.col("change") == "changed", changed)
+                         .otherwise(F.lit("")))
+            .select("id", "change", "changed_fields"))
 
 
 def unique_per_source(source_a: DataFrame, source_b: DataFrame) -> DataFrame:

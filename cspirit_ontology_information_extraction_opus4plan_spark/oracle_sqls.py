@@ -1997,6 +1997,41 @@ SELECT l.a, l.b, l.lca_depth,
          AS similarity
 FROM lca l JOIN depths da ON da.id = l.a JOIN depths db ON db.id = l.b""")
 
+    sqls["ontology_release_diff"] = "WITH " + tf + """,
+v1 AS (SELECT id, name, namespace, is_obsolete, replaced_by FROM terms_f),
+h AS (SELECT *, substr(md5(id), 1, 1) AS b FROM v1),
+v2 AS (
+  SELECT id,
+         CASE WHEN b = '1' THEN name || ' (rev)' ELSE name END AS name,
+         namespace,
+         CASE WHEN b = '2' THEN NOT is_obsolete
+              ELSE is_obsolete END AS is_obsolete,
+         replaced_by
+  FROM h WHERE b <> '0'
+  UNION ALL
+  SELECT id || ':NEW', name, namespace, is_obsolete, replaced_by
+  FROM h WHERE b = '3'),
+j AS (
+  SELECT coalesce(o.id, n.id) AS id,
+         o.id IS NOT NULL AS in_old, n.id IS NOT NULL AS in_new,
+         concat_ws(',',
+           CASE WHEN o.is_obsolete IS DISTINCT FROM n.is_obsolete
+                THEN 'is_obsolete' END,
+           CASE WHEN o.name IS DISTINCT FROM n.name THEN 'name' END,
+           CASE WHEN o.namespace IS DISTINCT FROM n.namespace
+                THEN 'namespace' END,
+           CASE WHEN o.replaced_by IS DISTINCT FROM n.replaced_by
+                THEN 'replaced_by' END) AS cf
+  FROM v1 o FULL OUTER JOIN v2 n ON n.id = o.id)
+SELECT id,
+       CASE WHEN NOT in_new THEN 'removed'
+            WHEN NOT in_old THEN 'added'
+            WHEN cf <> '' THEN 'changed' END AS change,
+       CASE WHEN in_old AND in_new AND cf <> '' THEN cf
+            ELSE '' END AS changed_fields
+FROM j
+WHERE (NOT in_new) OR (NOT in_old) OR cf <> ''"""
+
     seeds_values = ",".join(f"({_q(s)})" for s in OD.CLOSURE_SEEDS)
     sqls["dependency_closure"] = ("WITH RECURSIVE " + rd + f"""
 , seeds(id) AS (SELECT * FROM (VALUES {seeds_values})),
