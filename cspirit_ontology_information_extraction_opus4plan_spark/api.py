@@ -619,6 +619,16 @@ def q_term_similarity(spark, sf_dir):
         terms_df(spark), relationships_df(spark), pairs)
 
 
+def q_term_ic_similarity(spark, sf_dir):
+    """Resnik/Lin information-content similarity for the fixed probe
+    pairs: endpoint usage counts rolled up the is_a closure, MICA
+    argmax over IC = -ln(freq/total)."""
+    from .ontology_data import SIM_PAIRS
+    pairs = spark.createDataFrame(SIM_PAIRS, "a string, b string")
+    return OA.ic_similarity(
+        terms_df(spark), relationships_df(spark), pairs)
+
+
 def q_ontology_release_diff(spark, sf_dir):
     """robot-diff-style release diff: v2 is a deterministic md5-bucketed
     mutation of the term table (bucket 0* removed, 1* renamed, 2*
@@ -1282,6 +1292,7 @@ def queries() -> dict[str, QueryFn]:
         "cycle_chains": q_cycle_chains,
         "hierarchy_redundant_edges": q_hierarchy_redundant_edges,
         "term_similarity": q_term_similarity,
+        "term_ic_similarity": q_term_ic_similarity,
         "ontology_release_diff": q_ontology_release_diff,
         "jats_parse": q_jats_parse,
         "content_guards": q_content_guards,

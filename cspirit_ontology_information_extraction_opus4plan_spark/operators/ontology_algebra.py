@@ -292,6 +292,42 @@ def transitive_reduction(edges: DataFrame, max_iter: int = 32) -> DataFrame:
                     F.coalesce("redundant", F.lit(False)).alias("redundant")))
 
 
+def ancestor_closure(terms: DataFrame, rels: DataFrame,
+                     max_iter: int = 32) -> DataFrame:
+    """Ancestor-or-self is_a closure (id, anc) by frontier fixpoint —
+    the shared substrate for LCA/IC term-similarity measures. Same
+    loop discipline as dependency_closure: localCheckpoint per round
+    to cut lineage, left_anti dedup against the accumulated set, and
+    a hard error on non-convergence (a silent cap would truncate
+    ancestor sets and corrupt every similarity built on top). The
+    closure is dimension-table-sized (ontology terms x avg depth),
+    never corpus-sized."""
+    up = (rels.filter(F.col("predicate") == "is_a")
+          .select(F.col("subject").alias("child"),
+                  F.col("object").alias("parent"))
+          .distinct().persist())
+    anc = terms.select("id", F.col("id").alias("anc"))
+    frontier = anc
+    done = False
+    for _it in range(max_iter + 1):  # +1 verification round (bfs_depths)
+        nxt = (frontier.join(up.withColumnRenamed("child", "anc"), "anc")
+               .select("id", F.col("parent").alias("anc")).distinct()
+               .join(anc, ["id", "anc"], "left_anti")
+               .localCheckpoint(eager=True))
+        if nxt.isEmpty():
+            done = True
+            break
+        anc = anc.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    up.unpersist()
+    if not done:
+        raise RuntimeError(
+            f"ancestor_closure still growing after max_iter={max_iter} "
+            f"productive rounds plus one verification round — hierarchy "
+            f"deeper than max_iter")
+    return anc
+
+
 def wu_palmer_similarity(terms: DataFrame, rels: DataFrame,
                          pairs: DataFrame, max_iter: int = 32) -> DataFrame:
     """Structural term similarity over the is_a DAG (Wu-Palmer, the
@@ -314,29 +350,7 @@ def wu_palmer_similarity(terms: DataFrame, rels: DataFrame,
     candidate-pair frame (e.g. ambiguous linking candidates), never an
     all-pairs self-join; the closure itself is dimension-table-sized
     (ontology terms, not corpus entities)."""
-    up = (rels.filter(F.col("predicate") == "is_a")
-          .select(F.col("subject").alias("child"),
-                  F.col("object").alias("parent"))
-          .distinct().persist())
-    anc = terms.select("id", F.col("id").alias("anc"))
-    frontier = anc
-    done = False
-    for _it in range(max_iter + 1):  # +1 verification round (bfs_depths)
-        nxt = (frontier.join(up.withColumnRenamed("child", "anc"), "anc")
-               .select("id", F.col("parent").alias("anc")).distinct()
-               .join(anc, ["id", "anc"], "left_anti")
-               .localCheckpoint(eager=True))
-        if nxt.isEmpty():
-            done = True
-            break
-        anc = anc.unionByName(nxt).localCheckpoint(eager=True)
-        frontier = nxt
-    up.unpersist()
-    if not done:
-        raise RuntimeError(
-            f"wu_palmer_similarity ancestor closure still growing after "
-            f"max_iter={max_iter} productive rounds plus one verification "
-            f"round — hierarchy deeper than max_iter")
+    anc = ancestor_closure(terms, rels, max_iter)
     depths = bfs_depths(terms, rels)
     anc_d = anc.join(depths.withColumnRenamed("id", "anc")
                      .withColumnRenamed("depth", "d_anc"), "anc")
@@ -351,6 +365,53 @@ def wu_palmer_similarity(terms: DataFrame, rels: DataFrame,
                     F.round(2.0 * (F.col("lca_depth") + 1)
                             / (F.col("depth_a") + F.col("depth_b") + 2), 6)
                     .alias("similarity")))
+
+
+def ic_similarity(terms: DataFrame, rels: DataFrame,
+                  pairs: DataFrame, max_iter: int = 32) -> DataFrame:
+    """Information-content term similarity (Resnik / Lin, the
+    corpus-frequency counterpart to wu_palmer_similarity): usage
+    frequency of a term = its endpoint occurrences across the
+    relationship table; freq(t) then sums usage over t's
+    descendants-or-self via the ancestor closure, p(t) = freq(t)/total,
+    IC(t) = -ln p(t). For each probe pair, MICA = the common ancestor
+    maximizing IC; resnik_ic = IC(MICA), lin_sim =
+    2*IC(MICA)/(IC(a)+IC(b)). Pairs whose endpoints have zero usage
+    mass or no common ancestor emit no row (IC undefined), matching
+    wu_palmer's reachability semantics.
+
+    Shape: one closure (dimension-sized), one groupBy over
+    closure x usage for the rolled-up frequencies, then pair-driven
+    equi-joins + argmax — never an all-pairs self-join; `total` rides
+    along as a broadcast 1-row frame, not a driver collect."""
+    usage = (rels.select(F.col("subject").alias("id"))
+             .unionAll(rels.select(F.col("object").alias("id")))
+             .join(terms.select("id"), "id", "left_semi")
+             .groupBy("id").agg(F.count("*").alias("u")))
+    anc = ancestor_closure(terms, rels, max_iter)
+    freq = (anc.join(usage, "id")
+            .groupBy(F.col("anc").alias("id"))
+            .agg(F.sum("u").alias("f")))
+    total = usage.agg(F.sum("u").alias("tot"))
+    ic = (freq.crossJoin(F.broadcast(total))
+          .select("id", (-F.log(F.col("f").cast("double")
+                                / F.col("tot"))).alias("ic")))
+    ca = anc.select(F.col("id").alias("a"), "anc")
+    cb = anc.select(F.col("id").alias("b"), "anc")
+    mica = (pairs.join(ca, "a").join(cb, ["b", "anc"])
+            .join(ic.withColumnRenamed("id", "anc"), "anc")
+            .groupBy("a", "b").agg(F.max("ic").alias("mica_ic")))
+    ia = ic.select(F.col("id").alias("a"), F.col("ic").alias("ic_a"))
+    ib = ic.select(F.col("id").alias("b"), F.col("ic").alias("ic_b"))
+    return (mica.join(ia, "a").join(ib, "b")
+            .filter(F.col("ic_a") + F.col("ic_b") > 0)
+            .select("a", "b",
+                    F.round("mica_ic", 6).alias("resnik_ic"),
+                    F.round("ic_a", 6).alias("ic_a"),
+                    F.round("ic_b", 6).alias("ic_b"),
+                    F.round(2.0 * F.col("mica_ic")
+                            / (F.col("ic_a") + F.col("ic_b")), 6)
+                    .alias("lin_sim")))
 
 
 def release_diff(old: DataFrame, new: DataFrame,

@@ -1997,6 +1997,41 @@ SELECT l.a, l.b, l.lca_depth,
          AS similarity
 FROM lca l JOIN depths da ON da.id = l.a JOIN depths db ON db.id = l.b""")
 
+    sqls["term_ic_similarity"] = ("WITH RECURSIVE "
+                                  + ",\n".join([tf, rd])
+                                  + f""",
+anc(id, anc) AS (
+  SELECT id, id FROM terms_f
+  UNION
+  SELECT a.id, r.object
+  FROM anc a JOIN rels_d r ON r.predicate = 'is_a' AND r.subject = a.anc),
+ep AS (SELECT subject AS id FROM rels_d
+       UNION ALL SELECT object FROM rels_d),
+usage AS (
+  SELECT id, count(*) AS u FROM ep
+  WHERE id IN (SELECT id FROM terms_f) GROUP BY id),
+tot AS (SELECT sum(u) AS tot FROM usage),
+freq AS (
+  SELECT a.anc AS id, sum(u.u) AS f
+  FROM anc a JOIN usage u ON u.id = a.id GROUP BY 1),
+ic AS (
+  SELECT f.id, -ln(CAST(f.f AS DOUBLE) / t.tot) AS ic FROM freq f, tot t),
+pairs(a, b) AS (SELECT * FROM (VALUES {sim_pairs})),
+mica AS (
+  SELECT p.a, p.b, max(i.ic) AS mica_ic
+  FROM pairs p
+  JOIN anc x ON x.id = p.a
+  JOIN anc y ON y.id = p.b AND y.anc = x.anc
+  JOIN ic i ON i.id = x.anc
+  GROUP BY 1, 2)
+SELECT m.a, m.b,
+       round(m.mica_ic, 6) AS resnik_ic,
+       round(ia.ic, 6) AS ic_a,
+       round(ib.ic, 6) AS ic_b,
+       round(2.0 * m.mica_ic / (ia.ic + ib.ic), 6) AS lin_sim
+FROM mica m JOIN ic ia ON ia.id = m.a JOIN ic ib ON ib.id = m.b
+WHERE ia.ic + ib.ic > 0""")
+
     sqls["ontology_release_diff"] = "WITH " + tf + """,
 v1 AS (SELECT id, name, namespace, is_obsolete, replaced_by FROM terms_f),
 h AS (SELECT *, substr(md5(id), 1, 1) AS b FROM v1),
