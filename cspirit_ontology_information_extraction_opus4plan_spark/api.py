@@ -949,6 +949,15 @@ def q_csv_infer(spark, sf_dir):
     return SR.infer_csv_types(DE.csv_typed_files(terms_df(spark)))
 
 
+def q_doc_dup_ngram_coverage(spark, sf_dir):
+    """Corpus-level duplicated-shingle coverage over the planted-
+    duplicate corpus: fraction of distinct 3-gram shingles in >1 doc
+    plus the occurrence mass they cover — the diagnostic that picks
+    between boilerplate stripping and near-dup removal."""
+    from .operators.textops import dup_ngram_coverage
+    return dup_ngram_coverage(DE.augmented_docs(spark, sf_dir))
+
+
 def q_doc_repetition(spark, sf_dir):
     """Gopher-style repetition quality filter: per-doc dup-word /
     dup-3-gram fractions + top-2-gram share with keep/drop verdict,
@@ -1210,6 +1219,22 @@ def q_kg_bgp_query(spark, sf_dir):
     return bgp_conjunctive(dedup_triples(triples_df(spark, sf_dir)))
 
 
+def q_kg_optional_query(spark, sf_dir):
+    """SPARQL OPTIONAL + FILTER NOT EXISTS: `?x located_in ?y .
+    OPTIONAL { ?x catalyzes ?z } FILTER NOT EXISTS { ?x part_of ?w }`
+    — left-outer + anti equi-joins over predicate-filtered scans."""
+    from .operators.graphops import bgp_optional
+    return bgp_optional(dedup_triples(triples_df(spark, sf_dir)))
+
+
+def q_kg_entailment(spark, sf_dir):
+    """OWL/RDFS forward-chaining materialization: inverse-property and
+    transitive-property (is_a/part_of) entailment over the extracted
+    store, emitting only newly inferred triples with rule provenance."""
+    from .operators.graphops import kg_entailment
+    return kg_entailment(dedup_triples(triples_df(spark, sf_dir)))
+
+
 def q_kg_bfs_distances(spark, sf_dir):
     """Fixed-round multi-source BFS distance from the chemical
     namespace across the entity graph (context-radius probe)."""
@@ -1387,6 +1412,7 @@ def queries() -> dict[str, QueryFn]:
         "event_asof_split": q_event_asof_split,
         # --- round-3 training-pipeline / KG diagnostics
         "doc_repetition": q_doc_repetition,
+        "doc_dup_ngram_coverage": q_doc_dup_ngram_coverage,
         "doc_mixture_sample": q_doc_mixture_sample,
         "entity_cooccurrence": q_entity_cooccurrence,
         "entity_drift": q_entity_drift,
@@ -1421,6 +1447,8 @@ def queries() -> dict[str, QueryFn]:
         "kg_predicate_cardinality": q_kg_predicate_cardinality,
         "kg_bfs_distances": q_kg_bfs_distances,
         "kg_bgp_query": q_kg_bgp_query,
+        "kg_optional_query": q_kg_optional_query,
+        "kg_entailment": q_kg_entailment,
         "kg_inverse_consistency": q_kg_inverse_consistency,
     }
 

@@ -624,3 +624,127 @@ def inverse_consistency(triples: DataFrame) -> DataFrame:
                     F.round(F.coalesce("n_hit", F.lit(0))
                             / F.col("n_edges").cast("double"), 6)
                     .alias("consistency")))
+
+
+BGP_OPT_P = "catalyzes"
+BGP_NEG_P = "part_of"
+
+
+def bgp_optional(triples: DataFrame, p1: str = BGP_P1,
+                 p2: str = BGP_OPT_P, p3: str = BGP_NEG_P) -> DataFrame:
+    """SPARQL OPTIONAL + negation over the triple store:
+    `?x p1 ?y . OPTIONAL { ?x p2 ?z } FILTER NOT EXISTS { ?x p3 ?w }`
+    -> distinct (x, y, z-or-null) bindings. Completes the SPARQL
+    WHERE-clause algebra next to bgp_conjunctive: OPTIONAL compiles to
+    a left outer equi-join on the shared variable (unmatched rows keep
+    a NULL binding rather than dropping, the defining OPTIONAL
+    semantics), FILTER NOT EXISTS to a left_anti join — both
+    shuffle-on-x hash joins over predicate-filtered scans, so each
+    pattern still reads one predicate partition of the store. The
+    anti side is projected to bare x before joining (existence only,
+    no fanout)."""
+    px = (triples.filter(F.col("predicate") == p1)
+          .select(F.col("subject").alias("x"),
+                  F.col("object").alias("y")))
+    pz = (triples.filter(F.col("predicate") == p2)
+          .select(F.col("subject").alias("x"),
+                  F.col("object").alias("z")))
+    pw = (triples.filter(F.col("predicate") == p3)
+          .select(F.col("subject").alias("x")))
+    return (px.join(pz, "x", "left")
+            .join(pw, "x", "left_anti")
+            .select("x", "y", "z").distinct())
+
+
+TRANSITIVE_PREDICATES = ("is_a", "part_of")
+
+
+def kg_entailment(triples: DataFrame, max_iter: int = 32) -> DataFrame:
+    """OWL/RDFS-style forward-chaining materialization over the
+    extracted triple store — the entailment step a KG-construction
+    pipeline runs between extraction and serving, emitting ONLY the
+    newly inferred edges with rule provenance:
+
+      * owl:inverseOf over the reference's closed inverse map
+        (models.py:1597-1614 via ontology_data.INVERSE_PREDICATES):
+        (s, p, o) => (o, inv(p), s)              rule = 'inverse'
+      * owl:TransitiveProperty for is_a / part_of (the two OBO
+        transitive relations, ontology_trimmer.py ancestor walks):
+        (a, p, b), (b, p, c) => (a, p, c)        rule = 'transitive'
+
+    The output is the JOINT fixpoint of both rules, not one pass each:
+    the inverse map is an involution and transitivity commutes with
+    direction flip, so saturating a transitive predicate p with
+    declared inverse q reduces to closing the canonical direction
+    (p edges union reversed q edges) once and re-emitting the closure
+    in both directions — e.g. asserted (a part_of b), (c has_part b)
+    entails (a part_of c) AND (c has_part a). No other predicate is
+    transitive, and inverse-of-inverse returns asserted edges, so no
+    further rule interaction exists and one canonical closure per
+    family IS the saturation.
+
+    Inferred edges already asserted in the store are suppressed by a
+    final left_anti join; a triple derivable by both rules keeps one
+    row per rule (provenance is part of the key). The transitive
+    closure runs the same frontier-fixpoint discipline as
+    dependency_closure — localCheckpoint per round to cut lineage,
+    left_anti dedup against the accumulated set, hard error on
+    non-convergence — and tolerates cycles (the accumulated set is
+    finite, so the frontier drains). Closure state is bounded by the
+    per-predicate edge set (ontology-linked entities), never the
+    corpus; the inverse map is a constants-sized broadcast."""
+    pe = (triples.select("subject", "predicate", "object").distinct()
+          .localCheckpoint(eager=True))
+    from ..ontology_data import INVERSE_PREDICATES
+    spark = pe.sparkSession
+    inv = spark.createDataFrame(
+        sorted(INVERSE_PREDICATES.items()), ["predicate", "inverse"])
+    inv_new = (pe.join(F.broadcast(inv), "predicate")
+               .select(F.col("object").alias("subject"),
+                       F.col("inverse").alias("predicate"),
+                       F.col("subject").alias("object"),
+                       F.lit("inverse").alias("rule")))
+    parts = [inv_new]
+    for p in TRANSITIVE_PREDICATES:
+        q = INVERSE_PREDICATES.get(p)
+        base = pe.filter(F.col("predicate") == p).select("subject",
+                                                         "object")
+        if q is not None:
+            base = base.unionByName(
+                pe.filter(F.col("predicate") == q)
+                .select(F.col("object").alias("subject"),
+                        F.col("subject").alias("object"))).distinct()
+        base = base.persist()
+        closed, frontier, done = base, base, False
+        for _it in range(max_iter + 1):  # +1 verification round
+            nxt = (frontier.join(base.toDF("object", "hop"), "object")
+                   .select("subject", F.col("hop").alias("object"))
+                   .distinct()
+                   .join(closed, ["subject", "object"], "left_anti")
+                   .localCheckpoint(eager=True))
+            if nxt.isEmpty():
+                done = True
+                break
+            closed = (closed.unionByName(nxt)
+                      .localCheckpoint(eager=True))
+            frontier = nxt
+        base.unpersist()
+        if not done:
+            raise RuntimeError(
+                f"kg_entailment transitive closure of {p!r} still "
+                f"growing after max_iter={max_iter} productive rounds "
+                f"plus one verification round")
+        parts.append(closed.select(
+            "subject", F.lit(p).alias("predicate"), "object",
+            F.lit("transitive").alias("rule")))
+        if q is not None:
+            parts.append(closed.select(
+                F.col("object").alias("subject"),
+                F.lit(q).alias("predicate"),
+                F.col("subject").alias("object"),
+                F.lit("transitive").alias("rule")))
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return (out.join(pe, ["subject", "predicate", "object"], "left_anti")
+            .distinct())

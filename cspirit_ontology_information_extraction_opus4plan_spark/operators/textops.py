@@ -988,3 +988,34 @@ def unigram_logloss(docs: DataFrame) -> DataFrame:
             .groupBy("doc_id")
             .agg(F.count("*").cast("bigint").alias("n_tokens"),
                  F.round(-F.avg("lp"), 6).alias("cross_entropy")))
+
+
+def dup_ngram_coverage(docs: DataFrame, w: int = SHINGLE_W) -> DataFrame:
+    """Corpus-level duplicated n-gram coverage — the RefinedWeb-style
+    dedup diagnostic read BEFORE choosing a near-dup strategy: of all
+    distinct word w-grams in the corpus, what fraction appears in more
+    than one document, and what fraction of the total per-document
+    shingle mass those cover. One row:
+    (n_shingles, n_dup_shingles, dup_shingle_frac, occ_total, occ_dup,
+    dup_occ_frac). High dup_occ_frac with low dup_shingle_frac =
+    boilerplate (few shingles, everywhere) -> strip_boilerplate; both
+    high = true duplication -> minhash/simhash dedup.
+
+    Shape: one shingle pass (same tokens_col + _shingles rule as the
+    whole dedup family), per-doc distinct before explode so a shingle
+    counts once per document, map-side-combinable groupBy on the
+    shingle, then a single global aggregate — no joins, no windows,
+    linear in corpus size."""
+    inv = docs.select(
+        F.explode(F.array_distinct(_shingles(tokens_col(), w)))
+        .alias("sh"))
+    per = inv.groupBy("sh").agg(F.count("*").alias("df"))
+    dup = (F.col("df") > 1).cast("bigint")
+    return per.agg(
+        F.count("*").cast("bigint").alias("n_shingles"),
+        F.sum(dup).cast("bigint").alias("n_dup_shingles"),
+        F.round(F.avg(dup.cast("double")), 6).alias("dup_shingle_frac"),
+        F.sum("df").cast("bigint").alias("occ_total"),
+        F.sum(F.col("df") * dup).cast("bigint").alias("occ_dup"),
+        F.round(F.sum(F.col("df") * dup)
+                / F.sum("df").cast("double"), 6).alias("dup_occ_frac"))

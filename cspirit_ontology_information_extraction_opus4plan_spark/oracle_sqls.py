@@ -2318,6 +2318,27 @@ FROM terms_d"""
                          + "\nUNION ALL".join(_infer(c, v)
                                               for c, v in cols))
 
+    # corpus-level duplicated-shingle coverage (per-doc distinct
+    # shingles -> document frequency -> one summary row)
+    sqls["doc_dup_ngram_coverage"] = f"""
+WITH {ADOC_CTE},
+{tok_cte('adoc')},
+sg AS (SELECT doc_id, list_distinct({_sh_expr(TX.SHINGLE_W)}) AS sh
+       FROM tok),
+inv AS (SELECT doc_id, unnest(sh) AS s FROM sg),
+per AS (SELECT s, count(*) AS df FROM inv GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_shingles,
+       round(avg(CASE WHEN df > 1 THEN 1.0 ELSE 0.0 END), 6)
+         AS dup_shingle_frac,
+       CAST(sum(df) AS BIGINT) AS occ_total,
+       CAST(sum(CASE WHEN df > 1 THEN df ELSE 0 END) AS BIGINT)
+         AS occ_dup,
+       round(CAST(sum(CASE WHEN df > 1 THEN df ELSE 0 END) AS DOUBLE)
+             / sum(df), 6) AS dup_occ_frac
+FROM per"""
+
     # Gopher-style repetition metrics over the planted-repetition corpus
     # (same tokenization + shingle rules as the dedup family)
     sqls["doc_repetition"] = f"""
@@ -2968,6 +2989,64 @@ FROM base b LEFT JOIN hit h ON h.predicate = b.predicate""")
 SELECT DISTINCT a.subject AS x, a.object AS y, b.object AS z
 FROM triples a JOIN triples b ON b.subject = a.subject
 WHERE a.predicate = '{BGP_P1}' AND b.predicate = '{BGP_P2}'""")
+
+    from .operators.graphops import BGP_OPT_P, BGP_NEG_P
+    sqls["kg_optional_query"] = (
+        corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + f"""
+SELECT DISTINCT a.subject AS x, a.object AS y, b.object AS z
+FROM triples a
+LEFT JOIN triples b
+  ON b.subject = a.subject AND b.predicate = '{BGP_OPT_P}'
+WHERE a.predicate = '{BGP_P1}'
+  AND NOT EXISTS (SELECT 1 FROM triples c
+                  WHERE c.subject = a.subject
+                    AND c.predicate = '{BGP_NEG_P}')""")
+
+    # joint fixpoint: each transitive family (p, inverse q) closes the
+    # canonical direction (p union reversed q) once, then re-emits both
+    # directions — mirrors graphops.kg_entailment's saturation argument
+    from .operators.graphops import TRANSITIVE_PREDICATES
+    fam_ctes, fam_emits = [], []
+    for p in TRANSITIVE_PREDICATES:
+        qp = OD.INVERSE_PREDICATES.get(p)
+        canon = (f"SELECT subject, object FROM pe"
+                 f" WHERE predicate = {_q(p)}")
+        if qp is not None:
+            canon += (f" UNION SELECT object, subject FROM pe"
+                      f" WHERE predicate = {_q(qp)}")
+        fam_ctes.append(f"""
+canon_{p} AS MATERIALIZED ({canon}),
+tc_{p}(subject, object) AS (
+  SELECT subject, object FROM canon_{p}
+  UNION
+  SELECT t.subject, b.object
+  FROM tc_{p} t JOIN canon_{p} b ON b.subject = t.object)""".strip())
+        fam_emits.append(
+            f"SELECT subject, {_q(p)} AS predicate, object,"
+            f" 'transitive' AS rule FROM tc_{p}")
+        if qp is not None:
+            fam_emits.append(
+                f"SELECT object, {_q(qp)} AS predicate, subject,"
+                f" 'transitive' AS rule FROM tc_{p}")
+    sqls["kg_entailment"] = (
+        corpus_prefix_recursive(gaz_cte(), link_cte(), triples_cte())
+        + f""",
+pe AS MATERIALIZED (
+  SELECT DISTINCT subject, predicate, object FROM triples),
+invmap AS ({inv_rows}),
+{",".join(fam_ctes)},
+inferred AS (
+  SELECT pe.object AS subject, m.inverse AS predicate,
+         pe.subject AS object, 'inverse' AS rule
+  FROM pe JOIN invmap m ON m.predicate = pe.predicate
+  UNION ALL
+  {" UNION ALL ".join(fam_emits)})
+SELECT DISTINCT n.subject, n.predicate, n.object, n.rule
+FROM inferred n
+WHERE NOT EXISTS (SELECT 1 FROM pe
+                  WHERE pe.subject = n.subject
+                    AND pe.predicate = n.predicate
+                    AND pe.object = n.object)""")
 
     from .operators.relations import KG_SPLIT_SEED, KG_SPLIT_TEST_HEX
     sqls["kg_eval_split"] = (

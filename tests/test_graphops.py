@@ -252,3 +252,47 @@ def test_neighbor_jaccard_mid_cap_drops_hub(spark):
     assert len(full) == 6  # C(4,2) leaf pairs through the hub
     capped = graphops.neighbor_jaccard(e, min_shared=1, mid_cap=3).collect()
     assert capped == []
+
+
+def _pt(spark, rows):
+    return spark.createDataFrame(
+        rows, "subject string, predicate string, object string")
+
+
+def test_bgp_optional_bindings(spark):
+    # x1 matches the optional, x2 keeps a NULL binding, x3 is
+    # excluded by FILTER NOT EXISTS
+    t = _pt(spark, [
+        ("x1", "located_in", "y1"), ("x1", "catalyzes", "z1"),
+        ("x2", "located_in", "y2"),
+        ("x3", "located_in", "y3"), ("x3", "part_of", "w1"),
+    ])
+    rows = {(r.x, r.y, r.z) for r in graphops.bgp_optional(t).collect()}
+    assert rows == {("x1", "y1", "z1"), ("x2", "y2", None)}
+
+
+def test_kg_entailment_joint_fixpoint(spark):
+    # (a part_of b), (c has_part b) => canonical chain a->b->c:
+    # transitive (a part_of c) AND its flip (c has_part a); plus the
+    # one-step inverses (b has_part a) and (b part_of c)
+    t = _pt(spark, [("a", "part_of", "b"), ("c", "has_part", "b")])
+    out = {(r.subject, r.predicate, r.object, r.rule)
+           for r in graphops.kg_entailment(t).collect()}
+    assert ("a", "part_of", "c", "transitive") in out
+    assert ("c", "has_part", "a", "transitive") in out
+    assert ("b", "has_part", "a", "inverse") in out
+    assert ("b", "part_of", "c", "inverse") in out
+
+
+def test_kg_entailment_suppresses_asserted_and_tolerates_cycles(spark):
+    # mutually-asserted inverse pair emits nothing new; an is_a
+    # 2-cycle closes (including self-loops) without diverging
+    t = _pt(spark, [
+        ("p", "regulates", "q"), ("q", "regulated_by", "p"),
+        ("u", "is_a", "v"), ("v", "is_a", "u"),
+    ])
+    out = {(r.subject, r.predicate, r.object, r.rule)
+           for r in graphops.kg_entailment(t).collect()}
+    assert not any(s in ("p", "q") for (s, _, _, _) in out)
+    assert ("u", "is_a", "u", "transitive") in out
+    assert ("v", "is_a", "v", "transitive") in out

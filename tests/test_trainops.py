@@ -387,3 +387,17 @@ def test_bigram_collocations_exact_counts(spark):
     assert abs(r["pmi"] - round(math.log(6 * t / (6 * 9)), 6)) < 1e-9
     # "york state" occurs 3x < min_n -> dropped
     assert ("york", "state") not in got
+
+
+def test_dup_ngram_coverage_known_corpus(spark):
+    # d1/d2 identical (all shingles df=2), d3 disjoint (df=1):
+    # 3 distinct shingles each side -> 6 distinct, 3 duplicated,
+    # occ 9 total of which 6 in duplicated shingles
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "p q r s t")],
+        "doc_id bigint, text string")
+    row = textops.dup_ngram_coverage(docs).collect()[0]
+    assert row["n_shingles"] == 6 and row["n_dup_shingles"] == 3
+    assert row["dup_shingle_frac"] == 0.5
+    assert row["occ_total"] == 9 and row["occ_dup"] == 6
+    assert abs(row["dup_occ_frac"] - round(6 / 9, 6)) < 1e-9
