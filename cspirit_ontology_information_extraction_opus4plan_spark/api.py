@@ -934,6 +934,14 @@ def q_event_approx_distinct(spark, sf_dir):
     return approx_distinct_users(load_events(spark, sf_dir))
 
 
+def q_event_approx_quantiles(spark, sf_dir):
+    """Greenwald-Khanna percentile sketch (p50/p90/p99) per event
+    type, proven against exact interpolated percentiles with a
+    tolerance verdict (the 100-TB quantile path)."""
+    from .operators.content_stats import approx_quantiles, load_events
+    return approx_quantiles(load_events(spark, sf_dir))
+
+
 def q_event_outliers_zscore(spark, sf_dir):
     return CS.zscore_outliers(CS.load_events(spark, sf_dir))
 
@@ -1407,6 +1415,7 @@ def queries() -> dict[str, QueryFn]:
         "citation_fields_by_format": q_citation_fields_by_format,
         "event_outliers_zscore": q_event_outliers_zscore,
         "event_approx_distinct": q_event_approx_distinct,
+        "event_approx_quantiles": q_event_approx_quantiles,
         "jsonld_namespaces": q_jsonld_namespaces,
         "csv_infer": q_csv_infer,
         "event_asof_split": q_event_asof_split,

@@ -2259,6 +2259,14 @@ SELECT event_type,
        TRUE AS approx_ok
 FROM events GROUP BY 1""".strip()
 
+    sqls["event_approx_quantiles"] = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50_exact,
+       round(quantile_cont(value, 0.9), 6) AS p90_exact,
+       round(quantile_cont(value, 0.99), 6) AS p99_exact,
+       TRUE AS approx_ok
+FROM events GROUP BY 1""".strip()
+
     sqls["event_outliers_zscore"] = f"""
 WITH stats AS (
   SELECT event_type, avg(value) AS mean_v, stddev_samp(value) AS std_v

@@ -56,3 +56,19 @@ def test_plan_is_equi_join(spark, frames):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_approx_quantiles_exact_anchor_and_verdict(spark):
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.content_stats import (  # noqa: E501
+        approx_quantiles,
+    )
+
+    # 1..101 -> p50 = 51, p90 = 91, p99 = 100.0 ((n-1)*p interpolation)
+    ev = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 102)],
+        "event_type string, value double")
+    row = approx_quantiles(ev).collect()[0]
+    assert row["p50_exact"] == 51.0
+    assert row["p90_exact"] == 91.0
+    assert row["p99_exact"] == 100.0
+    assert row["approx_ok"] is True
