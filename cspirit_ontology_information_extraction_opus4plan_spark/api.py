@@ -1230,9 +1230,13 @@ def q_kg_bgp_query(spark, sf_dir):
 def q_kg_optional_query(spark, sf_dir):
     """SPARQL OPTIONAL + FILTER NOT EXISTS: `?x located_in ?y .
     OPTIONAL { ?x catalyzes ?z } FILTER NOT EXISTS { ?x part_of ?w }`
-    — left-outer + anti equi-joins over predicate-filtered scans."""
+    — left-outer + anti equi-joins over predicate-filtered scans.
+    The store is materialized once (serving queries read the published
+    triple table, not the extraction pipeline) so the three pattern
+    branches share one scan."""
     from .operators.graphops import bgp_optional
-    return bgp_optional(dedup_triples(triples_df(spark, sf_dir)))
+    return bgp_optional(dedup_triples(triples_df(spark, sf_dir))
+                        .localCheckpoint(eager=True))
 
 
 def q_kg_entailment(spark, sf_dir):

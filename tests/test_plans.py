@@ -470,3 +470,25 @@ def test_triple_semantics_adds_no_shuffle(spark, sf_dir):
     assert len(exchanges) == 2, exchanges
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_entailment_and_optional_stay_jvm_side(spark, sf_dir):
+    """The SPARQL algebra / entailment layer adds no Python stages to
+    the triples pipeline (one sanctioned MapInPandas from NER) and no
+    nested-loop joins; OPTIONAL's anti side is a proper hash join."""
+    for q in (api.q_kg_optional_query, api.q_kg_entailment):
+        plan = _plan(q(spark, sf_dir))
+        assert plan.count("MapInPandas") <= 1, q.__name__
+        assert "BatchEvalPython" not in plan, q.__name__
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+
+
+def test_dup_ngram_coverage_single_aggregate_no_python(spark, sf_dir):
+    """One shingle pass, map-side-combinable groupBy, no joins and no
+    Python anywhere — the plan is scan -> explode -> two-level agg."""
+    plan = _plan(api.q_doc_dup_ngram_coverage(spark, sf_dir))
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+    assert "partial_count" in plan
