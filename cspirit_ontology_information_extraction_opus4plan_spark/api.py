@@ -545,6 +545,14 @@ def q_doc_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(DE.augmented_docs(spark, sf_dir))
 
 
+def q_doc_minhash_calibration(spark, sf_dir):
+    """MinHash error envelope over the unthresholded LSH candidate
+    pairs: estimate-vs-true Jaccard summary with a 2-SE binomial
+    verdict fraction (the honest-sketch contract, like HLL/GK)."""
+    from .operators.textops import minhash_calibration
+    return minhash_calibration(DE.augmented_docs(spark, sf_dir))
+
+
 def q_jsonld_compact(spark, sf_dir):
     return SR.jsonld_compact(terms_df(spark))
 
@@ -1247,6 +1255,21 @@ def q_kg_entailment(spark, sf_dir):
     return kg_entailment(dedup_triples(triples_df(spark, sf_dir)))
 
 
+def q_kg_entailment_delta(spark, sf_dir):
+    """Semi-naive incremental entailment under a re-crawl delta: old =
+    the even-doc half-corpus store, delta = the odd-doc edges; returns
+    only the entailments the delta adds, computed with delta-sized
+    frontiers against the old saturation (never a full re-closure)."""
+    from .operators.graphops import kg_entailment_delta
+    doc_num = F.substring("doc_id", 5, 6).cast("int")
+    # splitting needs doc_id, which dedup drops: build the halves from
+    # one checkpointed pre-dedup frame the same way merge_upsert does
+    t_pre = triples_df(spark, sf_dir).localCheckpoint(eager=True)
+    old = dedup_triples(t_pre.filter(doc_num % 2 == 0))
+    delta = dedup_triples(t_pre.filter(doc_num % 2 == 1))
+    return kg_entailment_delta(old, delta)
+
+
 def q_kg_bfs_distances(spark, sf_dir):
     """Fixed-round multi-source BFS distance from the chemical
     namespace across the entity graph (context-radius probe)."""
@@ -1426,6 +1449,7 @@ def queries() -> dict[str, QueryFn]:
         # --- round-3 training-pipeline / KG diagnostics
         "doc_repetition": q_doc_repetition,
         "doc_dup_ngram_coverage": q_doc_dup_ngram_coverage,
+        "doc_minhash_calibration": q_doc_minhash_calibration,
         "doc_mixture_sample": q_doc_mixture_sample,
         "entity_cooccurrence": q_entity_cooccurrence,
         "entity_drift": q_entity_drift,
@@ -1462,6 +1486,7 @@ def queries() -> dict[str, QueryFn]:
         "kg_bgp_query": q_kg_bgp_query,
         "kg_optional_query": q_kg_optional_query,
         "kg_entailment": q_kg_entailment,
+        "kg_entailment_delta": q_kg_entailment_delta,
         "kg_inverse_consistency": q_kg_inverse_consistency,
     }
 

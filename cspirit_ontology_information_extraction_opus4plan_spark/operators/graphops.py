@@ -748,3 +748,115 @@ def kg_entailment(triples: DataFrame, max_iter: int = 32) -> DataFrame:
         out = out.unionByName(part)
     return (out.join(pe, ["subject", "predicate", "object"], "left_anti")
             .distinct())
+
+
+def _compose(x: DataFrame, y: DataFrame) -> DataFrame:
+    """Relational composition {(a,c) : (a,b) in x, (b,c) in y}."""
+    return (x.toDF("subject", "mid").join(y.toDF("mid", "object"), "mid")
+            .select("subject", "object"))
+
+
+def kg_entailment_delta(old: DataFrame, delta: DataFrame,
+                        max_iter: int = 32) -> DataFrame:
+    """Semi-naive incremental entailment — maintains the kg_entailment
+    saturation under a re-crawl delta with work proportional to the
+    DELTA, never a re-closure of the full store. Returns exactly
+    saturate(old + delta) minus (saturate(old) union asserted), same
+    (subject, predicate, object, rule) contract as kg_entailment.
+
+    Datalog semi-naive evaluation, specialized to this rule set: for
+    each transitive family (p with inverse q) the old canonical
+    closure B is taken as given — at 100 TB it IS the already-
+    materialized entailment table from the previous run (recomputed
+    here only because the demo store is transient) — and new paths
+    must traverse at least one delta edge, so the seed is the delta
+    extended with old reachability on both ends
+    (D, D.B, B.D, B.D.B — delta-sized equi-joins against B), and only
+    those delta-seeded segments compose to fixpoint. Every frontier is
+    delta-sized; the B x B self-composition that dominates a full
+    re-closure is never executed. The inverse rule is linear, so its
+    delta contribution is just inverse(delta). Suppression set =
+    asserted(old + delta) + inverse(old) + B re-emitted both
+    directions, all equi-anti-joins on the triple key."""
+    po = (old.select("subject", "predicate", "object").distinct()
+          .localCheckpoint(eager=True))
+    pd_ = (delta.select("subject", "predicate", "object").distinct()
+           .join(po, ["subject", "predicate", "object"], "left_anti")
+           .localCheckpoint(eager=True))
+    pall = po.unionByName(pd_)
+    from ..ontology_data import INVERSE_PREDICATES
+    spark = po.sparkSession
+    inv = spark.createDataFrame(
+        sorted(INVERSE_PREDICATES.items()), ["predicate", "inverse"])
+
+    def _inv_rows(frame: DataFrame) -> DataFrame:
+        return (frame.join(F.broadcast(inv), "predicate")
+                .select(F.col("object").alias("subject"),
+                        F.col("inverse").alias("predicate"),
+                        F.col("subject").alias("object")))
+
+    def _canon(frame: DataFrame, p: str, q: str | None) -> DataFrame:
+        base = (frame.filter(F.col("predicate") == p)
+                .select("subject", "object"))
+        if q is not None:
+            base = base.unionByName(
+                frame.filter(F.col("predicate") == q)
+                .select(F.col("object").alias("subject"),
+                        F.col("subject").alias("object")))
+        return base.distinct()
+
+    def _close(base: DataFrame, seed: DataFrame, what: str) -> DataFrame:
+        closed, frontier, done = seed, seed, False
+        for _it in range(max_iter + 1):  # +1 verification round
+            nxt = (_compose(frontier, seed).distinct()
+                   .join(closed, ["subject", "object"], "left_anti")
+                   .localCheckpoint(eager=True))
+            if nxt.isEmpty():
+                done = True
+                break
+            closed = closed.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+        if not done:
+            raise RuntimeError(
+                f"kg_entailment_delta {what} closure still growing "
+                f"after max_iter={max_iter} productive rounds plus one "
+                f"verification round")
+        return closed
+
+    cand_parts = [_inv_rows(pd_).select(
+        "subject", "predicate", "object", F.lit("inverse").alias("rule"))]
+    suppress_parts = [pall, _inv_rows(po)]
+    for p in TRANSITIVE_PREDICATES:
+        q = INVERSE_PREDICATES.get(p)
+        b0 = _canon(po, p, q).persist()
+        big = _close(b0, b0, f"old {p!r}")         # B: old saturation
+        d0 = _canon(pd_, p, q)
+        # delta seed with old reachability attached on both ends
+        right = d0.unionByName(_compose(d0, big)).distinct()
+        seed = (right.unionByName(_compose(big, right)).distinct()
+                .localCheckpoint(eager=True))
+        newc = (_close(seed, seed, f"delta {p!r}")
+                .join(big, ["subject", "object"], "left_anti")
+                .localCheckpoint(eager=True))
+        b0.unpersist()
+        for frame, dst in ((newc, cand_parts), (big, suppress_parts)):
+            dst.append(frame.select(
+                "subject", F.lit(p).alias("predicate"), "object",
+                *([F.lit("transitive").alias("rule")]
+                  if dst is cand_parts else [])))
+            if q is not None:
+                dst.append(frame.select(
+                    F.col("object").alias("subject"),
+                    F.lit(q).alias("predicate"),
+                    F.col("subject").alias("object"),
+                    *([F.lit("transitive").alias("rule")]
+                      if dst is cand_parts else [])))
+    cand = cand_parts[0]
+    for part in cand_parts[1:]:
+        cand = cand.unionByName(part)
+    supp = suppress_parts[0]
+    for part in suppress_parts[1:]:
+        supp = supp.unionByName(part)
+    return (cand.join(supp.select("subject", "predicate", "object"),
+                      ["subject", "predicate", "object"], "left_anti")
+            .distinct())

@@ -1019,3 +1019,70 @@ def dup_ngram_coverage(docs: DataFrame, w: int = SHINGLE_W) -> DataFrame:
         F.sum(F.col("df") * dup).cast("bigint").alias("occ_dup"),
         F.round(F.sum(F.col("df") * dup)
                 / F.sum("df").cast("double"), 6).alias("dup_occ_frac"))
+
+
+def minhash_calibration(docs: DataFrame) -> DataFrame:
+    """Measured MinHash error envelope — the honest-sketch companion to
+    minhash_lsh_pairs (same contract family as the HLL and GK rows):
+    over the UNthresholded LSH candidate pairs, compare the signature
+    estimate (fraction of the K=MINHASH_K components that collide) with
+    the true shingle Jaccard, and report one summary row:
+    (n_pairs, mean_true, mean_est, mean_abs_err, max_abs_err,
+    within_2se_frac) where the 2-SE band uses the binomial deviation
+    sqrt(J(1-J)/K) of a K-sample MinHash estimator at the pair's true
+    J. A within_2se_frac near 1 proves the banding/verify pipeline's
+    sketch behaves like the theory says it must — the number a 100-TB
+    operator reads before trusting LSH recall, since at that scale
+    nobody can verify candidates exhaustively.
+
+    Shape: identical single shingle pass / signature / band equi-join
+    as minhash_lsh_pairs (checkpointed sets feed both branches); the
+    extra work is two K-column signature joins on the candidate set
+    (candidate-sized, not corpus-sized) and one global aggregate."""
+    r = MINHASH_K // MINHASH_BANDS
+    sets_ = docs.select(
+        "doc_id",
+        F.array_distinct(_shingles(tokens_col(), SHINGLE_W)).alias("sh")
+    ).localCheckpoint(eager=True)
+    sig = _signatures_from_hashes(
+        sets_.select("doc_id", F.explode("sh").alias("s"))
+        .select("doc_id", F.md5("s").alias("h"))
+    ).localCheckpoint(eager=True)
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*[
+            F.md5(F.concat(*[F.col(f"mh{b * r + j}") for j in range(r)]))
+            for b in range(MINHASH_BANDS)
+        ])).alias("band_idx", "band_key"))
+    a = bands.toDF("a", "band_idx", "band_key")
+    b = bands.toDF("b", "band_idx", "band_key")
+    cand = (a.join(b, ["band_idx", "band_key"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b").distinct())
+    sig_a = sig.select(F.col("doc_id").alias("a"),
+                       *[F.col(f"mh{i}").alias(f"a{i}")
+                         for i in range(MINHASH_K)])
+    sig_b = sig.select(F.col("doc_id").alias("b"),
+                       *[F.col(f"mh{i}").alias(f"b{i}")
+                         for i in range(MINHASH_K)])
+    est = sum((F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+              for i in range(MINHASH_K)) / F.lit(float(MINHASH_K))
+    true_j = (F.size(F.array_intersect("sh_a", "sh_b"))
+              / F.size(F.array_union("sh_a", "sh_b")))
+    se2 = 2.0 * F.sqrt(true_j * (1.0 - true_j) / F.lit(MINHASH_K))
+    pairs = (cand.join(sig_a, "a").join(sig_b, "b")
+             .join(sets_.toDF("a", "sh_a"), "a")
+             .join(sets_.toDF("b", "sh_b"), "b")
+             .select(est.alias("est"), true_j.alias("tj"),
+                     (F.abs(est - true_j) <= se2 + 1e-9).cast("bigint")
+                     .alias("ok")))
+    return pairs.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(F.avg("tj"), 6).alias("mean_true"),
+        F.round(F.avg("est"), 6).alias("mean_est"),
+        F.round(F.avg(F.abs(F.col("est") - F.col("tj"))), 6)
+        .alias("mean_abs_err"),
+        F.round(F.max(F.abs(F.col("est") - F.col("tj"))), 6)
+        .alias("max_abs_err"),
+        F.round(F.avg(F.col("ok").cast("double")), 6)
+        .alias("within_2se_frac"))

@@ -272,6 +272,35 @@ FROM adoc GROUP BY 1 HAVING count(*) > 1"""
         f"WITH {_minhash_pair_ctes()}\n"
         "SELECT a, b, jaccard FROM pairs")
 
+    # minhash calibration: estimate (component-collision fraction) vs
+    # true jaccard over the UNthresholded candidate set, 2-SE verdict
+    est_expr = ("(" + " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"
+        for i in range(TX.MINHASH_K)) +
+        f") / CAST({TX.MINHASH_K} AS DOUBLE)")
+    sqls["doc_minhash_calibration"] = (
+        f"WITH {_minhash_pair_ctes()},\n"
+        f"""cal AS (
+  SELECT {est_expr} AS est,
+         CAST(len(list_intersect(xa.s, xb.s)) AS DOUBLE)
+           / (len(xa.s) + len(xb.s) - len(list_intersect(xa.s, xb.s)))
+           AS tj
+  FROM cand
+  JOIN sig sa ON sa.doc_id = cand.a
+  JOIN sig sb ON sb.doc_id = cand.b
+  JOIN sets_ xa ON xa.doc_id = cand.a
+  JOIN sets_ xb ON xb.doc_id = cand.b)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       round(avg(tj), 6) AS mean_true,
+       round(avg(est), 6) AS mean_est,
+       round(avg(abs(est - tj)), 6) AS mean_abs_err,
+       round(max(abs(est - tj)), 6) AS max_abs_err,
+       round(avg(CASE WHEN abs(est - tj)
+                      <= 2.0 * sqrt(tj * (1.0 - tj)
+                                    / {TX.MINHASH_K}) + 1e-9
+                 THEN 1.0 ELSE 0.0 END), 6) AS within_2se_frac
+FROM cal""")
+
     # doc_ngram_jaccard: inverted-index candidates over sub-cap
     # shingles, exact jaccard over the full distinct-shingle sets —
     # independent re-derivation of textops.ngram_jaccard_pairs
@@ -3055,6 +3084,68 @@ WHERE NOT EXISTS (SELECT 1 FROM pe
                   WHERE pe.subject = n.subject
                     AND pe.predicate = n.predicate
                     AND pe.object = n.object)""")
+
+    # kg_entailment_delta oracle: deliberately NOT semi-naive — it
+    # saturates old and old+delta in full (two recursive closures per
+    # family) and subtracts, so the parity check exercises a different
+    # algorithm than the engine's delta-frontier evaluation
+    fam2_ctes, eo_emits, ea_emits = [], [], []
+    for p in TRANSITIVE_PREDICATES:
+        qp = OD.INVERSE_PREDICATES.get(p)
+        for tag, src in (("o", "tr_old"), ("a", "tr_all")):
+            canon = (f"SELECT subject, object FROM {src}"
+                     f" WHERE predicate = {_q(p)}")
+            if qp is not None:
+                canon += (f" UNION SELECT object, subject FROM {src}"
+                          f" WHERE predicate = {_q(qp)}")
+            fam2_ctes.append(f"""
+c{tag}_{p} AS MATERIALIZED ({canon}),
+t{tag}_{p}(subject, object) AS (
+  SELECT subject, object FROM c{tag}_{p}
+  UNION
+  SELECT t.subject, b.object
+  FROM t{tag}_{p} t JOIN c{tag}_{p} b ON b.subject = t.object)""".strip())
+        eo_emits.append(f"SELECT subject, {_q(p)} AS predicate, object"
+                        f" FROM to_{p}")
+        ea_emits.append(f"SELECT subject, {_q(p)} AS predicate, object,"
+                        f" 'transitive' AS rule FROM ta_{p}")
+        if qp is not None:
+            eo_emits.append(f"SELECT object, {_q(qp)} AS predicate,"
+                            f" subject FROM to_{p}")
+            ea_emits.append(f"SELECT object, {_q(qp)} AS predicate,"
+                            f" subject, 'transitive' AS rule FROM ta_{p}")
+    sqls["kg_entailment_delta"] = (
+        corpus_prefix_recursive(gaz_cte(), link_cte(), triples_cte())
+        + f""",
+tr_old AS MATERIALIZED (
+  SELECT DISTINCT subject, predicate, object FROM triples
+  WHERE CAST(substring(doc_id, 5) AS INT) % 2 = 0),
+tr_all AS MATERIALIZED (
+  SELECT DISTINCT subject, predicate, object FROM triples),
+invmap AS ({inv_rows}),
+{",".join(fam2_ctes)},
+eo AS (
+  SELECT o.object AS subject, m.inverse AS predicate,
+         o.subject AS object
+  FROM tr_old o JOIN invmap m ON m.predicate = o.predicate
+  UNION ALL
+  {" UNION ALL ".join(eo_emits)}),
+ea AS (
+  SELECT a.object AS subject, m.inverse AS predicate,
+         a.subject AS object, 'inverse' AS rule
+  FROM tr_all a JOIN invmap m ON m.predicate = a.predicate
+  UNION ALL
+  {" UNION ALL ".join(ea_emits)})
+SELECT DISTINCT n.subject, n.predicate, n.object, n.rule
+FROM ea n
+WHERE NOT EXISTS (SELECT 1 FROM tr_all t
+                  WHERE t.subject = n.subject
+                    AND t.predicate = n.predicate
+                    AND t.object = n.object)
+  AND NOT EXISTS (SELECT 1 FROM eo
+                  WHERE eo.subject = n.subject
+                    AND eo.predicate = n.predicate
+                    AND eo.object = n.object)""")
 
     from .operators.relations import KG_SPLIT_SEED, KG_SPLIT_TEST_HEX
     sqls["kg_eval_split"] = (

@@ -296,3 +296,33 @@ def test_kg_entailment_suppresses_asserted_and_tolerates_cycles(spark):
     assert not any(s in ("p", "q") for (s, _, _, _) in out)
     assert ("u", "is_a", "u", "transitive") in out
     assert ("v", "is_a", "v", "transitive") in out
+
+
+def test_entailment_delta_emits_only_delta_consequences(spark):
+    old = _pt(spark, [("a", "part_of", "b")])
+    delta = _pt(spark, [("b", "part_of", "c")])
+    out = {(r.subject, r.predicate, r.object, r.rule)
+           for r in graphops.kg_entailment_delta(old, delta).collect()}
+    assert out == {
+        ("c", "has_part", "b", "inverse"),
+        # the 1-step flip is ALSO derivable transitively (the closure
+        # contains its base edge, re-emitted reversed) — one row per
+        # rule, same as kg_entailment's provenance contract
+        ("c", "has_part", "b", "transitive"),
+        ("a", "part_of", "c", "transitive"),
+        ("c", "has_part", "a", "transitive"),
+    }  # (b has_part a) is an OLD consequence and must not reappear
+
+
+def test_entailment_delta_composes_multiple_delta_segments(spark):
+    # old b->c; delta a->b and c->d: the a->d path crosses TWO delta
+    # edges with an old run between them — the semi-naive frontier
+    # must compose delta-seeded segments, not just extend once
+    old = _pt(spark, [("b", "part_of", "c")])
+    delta = _pt(spark, [("a", "part_of", "b"), ("c", "part_of", "d")])
+    out = {(r.subject, r.predicate, r.object, r.rule)
+           for r in graphops.kg_entailment_delta(old, delta).collect()}
+    assert ("a", "part_of", "d", "transitive") in out
+    assert ("a", "part_of", "c", "transitive") in out
+    assert ("b", "part_of", "d", "transitive") in out
+    assert ("d", "has_part", "a", "transitive") in out

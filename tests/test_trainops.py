@@ -401,3 +401,15 @@ def test_dup_ngram_coverage_known_corpus(spark):
     assert row["dup_shingle_frac"] == 0.5
     assert row["occ_total"] == 9 and row["occ_dup"] == 6
     assert abs(row["dup_occ_frac"] - round(6 / 9, 6)) < 1e-9
+
+
+def test_minhash_calibration_identical_pair_zero_error(spark):
+    docs = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5 w6"), (2, "w1 w2 w3 w4 w5 w6"),
+         (3, "x1 x2 x3 x4 x5 x6")],
+        "doc_id bigint, text string")
+    row = textops.minhash_calibration(docs).collect()[0]
+    # only the identical pair collides in any band: est = true = 1
+    assert row["n_pairs"] == 1
+    assert row["mean_true"] == 1.0 and row["mean_est"] == 1.0
+    assert row["mean_abs_err"] == 0.0 and row["within_2se_frac"] == 1.0
