@@ -476,7 +476,8 @@ def test_entailment_and_optional_stay_jvm_side(spark, sf_dir):
     """The SPARQL algebra / entailment layer adds no Python stages to
     the triples pipeline (one sanctioned MapInPandas from NER) and no
     nested-loop joins; OPTIONAL's anti side is a proper hash join."""
-    for q in (api.q_kg_optional_query, api.q_kg_entailment):
+    for q in (api.q_kg_optional_query, api.q_kg_entailment,
+              api.q_kg_entailment_delta):
         plan = _plan(q(spark, sf_dir))
         assert plan.count("MapInPandas") <= 1, q.__name__
         assert "BatchEvalPython" not in plan, q.__name__
