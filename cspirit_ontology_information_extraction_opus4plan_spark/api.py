@@ -92,6 +92,29 @@ def q_canonical_entities(spark, sf_dir):
     return canonical_mapping(terms_df(spark))
 
 
+def q_canonical_entities_delta(spark, sf_dir):
+    """Semi-naive canonical-mapping maintenance: terms whose md5(id)
+    starts with '0' arrive as the delta; the old mapping (built without
+    them) is updated by contracting delta-incident star edges through
+    old labels and running CC on that delta-sized graph only. The
+    oracle recomputes the full mapping from scratch — parity proves
+    the incremental path reproduces the full run exactly."""
+    from .operators.canonicalize import (equivalence_star_edges,
+                                         incremental_components)
+    terms = terms_df(spark).localCheckpoint(eager=True)
+    is_new = F.md5("id").startswith("0")
+    old_map = canonical_mapping(terms.filter(~is_new))
+    new_ids = terms.filter(is_new).select("id")
+    star_all = equivalence_star_edges(terms)
+    new_edges = (star_all
+                 .join(new_ids.toDF("src"), "src", "left_semi")
+                 .unionByName(
+                     star_all.join(new_ids.toDF("dst"), "dst",
+                                   "left_semi").select("src", "dst"))
+                 .distinct())
+    return incremental_components(old_map, new_ids, new_edges)
+
+
 def q_canonical_component_sizes(spark, sf_dir):
     """Equivalence-class size distribution — the canonicalization
     health probe (giant component = over-fused entities)."""
@@ -1270,6 +1293,23 @@ def q_kg_entailment_delta(spark, sf_dir):
     return kg_entailment_delta(old, delta)
 
 
+def q_kg_construct_query(spark, sf_dir):
+    """SPARQL CONSTRUCT deriving co-location edges from shared
+    located_in objects — the query form that writes new triples into
+    the store (inverted-index pair join on the shared compartment)."""
+    from .operators.graphops import construct_colocated
+    return construct_colocated(dedup_triples(triples_df(spark, sf_dir)))
+
+
+def q_kg_assortativity(spark, sf_dir):
+    """Newman degree assortativity of the entity graph — the one
+    number that picks the skew lever (hub salting vs leaf broadcast)."""
+    from .operators.graphops import degree_assortativity, \
+        undirected_entity_edges
+    return degree_assortativity(undirected_entity_edges(
+        dedup_triples(triples_df(spark, sf_dir))))
+
+
 def q_kg_bfs_distances(spark, sf_dir):
     """Fixed-round multi-source BFS distance from the chemical
     namespace across the entity graph (context-radius probe)."""
@@ -1487,6 +1527,9 @@ def queries() -> dict[str, QueryFn]:
         "kg_optional_query": q_kg_optional_query,
         "kg_entailment": q_kg_entailment,
         "kg_entailment_delta": q_kg_entailment_delta,
+        "kg_construct_query": q_kg_construct_query,
+        "kg_assortativity": q_kg_assortativity,
+        "canonical_entities_delta": q_canonical_entities_delta,
         "kg_inverse_consistency": q_kg_inverse_consistency,
     }
 

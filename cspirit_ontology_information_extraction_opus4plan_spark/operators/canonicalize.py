@@ -226,3 +226,56 @@ def component_size_distribution(mapping: DataFrame) -> DataFrame:
              .agg(F.count("*").alias("component_size")))
     return (sizes.groupBy("component_size")
             .agg(F.count("*").cast("bigint").alias("n_components")))
+
+
+def incremental_components(old_mapping: DataFrame,
+                           new_ids: DataFrame,
+                           new_edges: DataFrame,
+                           **cc_kwargs) -> DataFrame:
+    """Semi-naive maintenance of the canonical mapping under a delta —
+    the CC counterpart to graphops.kg_entailment_delta: returns the
+    FULL updated (id, canonical_id) for CC(old graph + delta) without
+    re-running components over the full graph.
+
+    Inputs: `old_mapping` is the previous run's published mapping (at
+    scale: the mapping table on disk — old edges are never needed,
+    because the mapping IS their connectivity, contracted);
+    `new_ids` the node ids the delta introduces; `new_edges` the delta
+    edges (any mix of old-old / old-new / new-new endpoints).
+
+    Algorithm: contract delta edges through the old labels (an
+    endpoint's old component stands in for it; unmapped endpoints are
+    new nodes standing for themselves), drop the now-internal edges,
+    and run connected_components on the CONTRACTED label graph — at
+    most 2|delta| nodes regardless of corpus size. Because each old
+    label is already the MIN id of its component, the contracted CC's
+    min-label is the merged component's global min, so relabeling
+    old_mapping through the (old label -> new label) map — a
+    delta-sized broadcast against the dimension-sized mapping —
+    reproduces the full recomputation exactly. Untouched components
+    never enter a shuffle wider than that map join."""
+    ms = old_mapping.toDF("src", "cs")
+    md = old_mapping.toDF("dst", "cd")
+    ce = (new_edges
+          .join(ms, "src", "left").join(md, "dst", "left")
+          .select(F.coalesce("cs", F.col("src")).alias("src"),
+                  F.coalesce("cd", F.col("dst")).alias("dst"))
+          .filter(F.col("src") != F.col("dst"))
+          .distinct())
+    fresh_ids = (new_ids.select("id")
+                 .join(old_mapping.select("id"), "id", "left_anti"))
+    lnodes = (ce.select(F.col("src").alias("id"))
+              .unionByName(ce.select(F.col("dst").alias("id")))
+              .unionByName(fresh_ids)
+              .distinct())
+    sub = connected_components(lnodes, ce, **cc_kwargs)
+    relabel = sub.toDF("canonical_id", "new_canon")
+    updated = (old_mapping
+               .join(F.broadcast(relabel), "canonical_id", "left")
+               .select("id", F.coalesce("new_canon", "canonical_id")
+                       .alias("canonical_id")))
+    fresh = (fresh_ids
+             .join(F.broadcast(sub.toDF("id", "nc")), "id", "left")
+             .select("id", F.coalesce("nc", F.col("id"))
+                     .alias("canonical_id")))
+    return updated.unionByName(fresh)

@@ -185,37 +185,50 @@ def approx_distinct_users(events: DataFrame,
 
 
 QUANTILE_PROBS = (0.5, 0.9, 0.99)
-QUANTILE_ACCURACY = 10000     # GK rank error <= 1/accuracy
-QUANTILE_TOL = 0.05
+QUANTILE_ACCURACY = 10000     # GK rank error <= n/accuracy
 
 
-def approx_quantiles(events: DataFrame,
-                     tol: float = QUANTILE_TOL) -> DataFrame:
+def approx_quantiles(events: DataFrame) -> DataFrame:
     """Per event_type (event_type, p50_exact, p90_exact, p99_exact,
     approx_ok): exact interpolated percentiles next to a verdict that
-    Spark's Greenwald-Khanna sketch (percentile_approx, rank error
-    <= 1/QUANTILE_ACCURACY) landed within `tol` of each. Same contract
-    as approx_distinct_users: at 100 TB the SKETCH is the quantile
-    path — exact percentile sorts every group's values, GK merges
-    bounded summaries map-side — so the engine proves the error
-    envelope rather than exposing an unverifiable number. The exact
-    columns are the audit anchor (what DuckDB's quantile_cont
-    recomputes — both sides use (n-1)*p linear interpolation); the
-    verdict compares relative to max(|exact|, 1) so near-zero
-    percentiles don't blow up the ratio. Deterministic: GK is
-    seed-free."""
+    Spark's Greenwald-Khanna sketch (percentile_approx) honored its
+    RANK guarantee. Same contract as approx_distinct_users: at 100 TB
+    the SKETCH is the quantile path — exact percentile buffers every
+    group's values, GK merges bounded summaries map-side — so the
+    engine proves the error envelope rather than exposing an
+    unverifiable number.
+
+    The verdict is rank-based, not value-based: GK promises a value
+    whose rank is within n/accuracy of the target, and it returns an
+    ACTUAL sample while the exact anchor interpolates — so a value-
+    relative tolerance is a category error that false-alarms whenever
+    adjacent order statistics are far apart (tiny groups, heavy
+    tails). approx_ok therefore checks each sketch output against the
+    order-statistic bracket at ranks target -/+ (ceil(n/accuracy) + 1)
+    (+1 absorbs the interpolated-vs-discrete offset), a bound that
+    MUST hold for a correct sketch on any data. The bracket reads
+    sorted order statistics of the group — fine for the audit anchor,
+    which buffers the group exactly like the exact percentile it sits
+    next to (the sketch column itself never does). The exact columns
+    are what DuckDB's quantile_cont recomputes — both sides use
+    (n-1)*p linear interpolation. Deterministic: GK is seed-free."""
     probs = F.array(*[F.lit(p) for p in QUANTILE_PROBS])
-    ex, ap = F.col("ex"), F.col("ap")
+    ex, ap, arr = F.col("ex"), F.col("ap"), F.col("arr")
+    n = F.size(arr)
+    slack = F.ceil(n / F.lit(QUANTILE_ACCURACY)).cast("int") + F.lit(1)
     ok = F.lit(True)
-    for i in range(len(QUANTILE_PROBS)):
-        ok = ok & (F.abs(ap[i] - ex[i])
-                   <= F.lit(tol) * F.greatest(F.abs(ex[i]), F.lit(1.0)))
+    for i, p in enumerate(QUANTILE_PROBS):
+        target = F.floor((n - 1) * F.lit(p)).cast("int") + F.lit(1)
+        lo = F.element_at(arr, F.greatest(target - slack, F.lit(1)))
+        hi = F.element_at(arr, F.least(target + slack, n))
+        ok = ok & (ap[i] >= lo - 1e-9) & (ap[i] <= hi + 1e-9)
     return (events
             .groupBy("event_type")
             .agg(F.percentile("value", probs).alias("ex"),
                  F.percentile_approx(
                      "value", probs,
-                     F.lit(QUANTILE_ACCURACY)).alias("ap"))
+                     F.lit(QUANTILE_ACCURACY)).alias("ap"),
+                 F.sort_array(F.collect_list("value")).alias("arr"))
             .select("event_type",
                     F.round(ex[0], 6).alias("p50_exact"),
                     F.round(ex[1], 6).alias("p90_exact"),

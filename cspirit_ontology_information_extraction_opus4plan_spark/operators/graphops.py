@@ -860,3 +860,57 @@ def kg_entailment_delta(old: DataFrame, delta: DataFrame,
     return (cand.join(supp.select("subject", "predicate", "object"),
                       ["subject", "predicate", "object"], "left_anti")
             .distinct())
+
+
+CONSTRUCT_P = "located_in"
+CONSTRUCT_OUT = "co_located_with"
+
+
+def construct_colocated(triples: DataFrame,
+                        p: str = CONSTRUCT_P,
+                        out_pred: str = CONSTRUCT_OUT) -> DataFrame:
+    """SPARQL CONSTRUCT — the query form that WRITES the graph:
+    `CONSTRUCT { ?x out_pred ?z } WHERE { ?x p ?y . ?z p ?y .
+    FILTER (?x < ?z) }` derives an undirected co-location relation
+    from shared p-objects (entities located in the same compartment),
+    emitted as new (subject, predicate, object) rows ready for the
+    store. The shape is the inverted-index pair join (shared object =
+    the index key), the same hub discipline as the doc n-gram join:
+    a compartment with k residents emits k(k-1)/2 pairs — that IS the
+    answer set, and AQE skew-join splits oversized compartments.
+    FILTER (?x < ?z) keeps one row per unordered pair."""
+    pv = (triples.filter(F.col("predicate") == p)
+          .select(F.col("subject").alias("x"),
+                  F.col("object").alias("y")).distinct())
+    return (pv.join(pv.toDF("z", "y"), "y")
+            .filter(F.col("x") < F.col("z"))
+            .select(F.col("x").alias("subject"),
+                    F.lit(out_pred).alias("predicate"),
+                    F.col("z").alias("object"))
+            .distinct())
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity of the entity graph (Newman's r: Pearson
+    correlation of endpoint degrees over directed edge stubs) — one
+    row (n_edges, mean_src_deg, mean_dst_deg, assortativity). Positive
+    r = hubs link hubs (social-network-like), negative = hubs link
+    leaves (the usual KG star shape): the single number that says
+    whether hub-salting or leaf-side broadcast is the right skew
+    lever. Shape: degree aggregate, one edge-keyed join per endpoint,
+    one global map-side-combinable moment aggregate — no windows,
+    nothing driver-sized. Symmetrized stubs make r direction-free,
+    matching the undirected entity graph."""
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    pairs = (sym
+             .join(deg.toDF("src", "ds"), "src")
+             .join(deg.toDF("dst", "dd"), "dst")
+             .select(F.col("ds").cast("double").alias("ds"),
+                     F.col("dd").cast("double").alias("dd")))
+    return pairs.agg(
+        F.count("*").cast("bigint").alias("n_stubs"),
+        F.round(F.avg("ds"), 6).alias("mean_src_deg"),
+        F.round(F.avg("dd"), 6).alias("mean_dst_deg"),
+        F.round(F.corr("ds", "dd"), 6).alias("assortativity"))

@@ -1791,6 +1791,12 @@ SELECT src, dst FROM eq_edges"""
         terms_full_cte(), cc_ctes()) + """
 SELECT id, canonical_id FROM canon"""
 
+    # canonical_entities_delta: the engine maintains the mapping
+    # incrementally (contracted delta CC + relabel); the oracle
+    # recomputes the whole thing from scratch — parity proves the
+    # incremental result equals the full run
+    sqls["canonical_entities_delta"] = sqls["canonical_entities"]
+
     sqls["canonical_component_sizes"] = recursive_prefix(
         terms_full_cte(), cc_ctes()) + """
 SELECT component_size, CAST(count(*) AS BIGINT) AS n_components
@@ -3084,6 +3090,30 @@ WHERE NOT EXISTS (SELECT 1 FROM pe
                   WHERE pe.subject = n.subject
                     AND pe.predicate = n.predicate
                     AND pe.object = n.object)""")
+
+    from .operators.graphops import CONSTRUCT_P, CONSTRUCT_OUT
+    sqls["kg_construct_query"] = (
+        corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + f""",
+pv AS (SELECT DISTINCT subject, object FROM triples
+       WHERE predicate = '{CONSTRUCT_P}')
+SELECT DISTINCT a.subject AS subject,
+       '{CONSTRUCT_OUT}' AS predicate,
+       b.subject AS object
+FROM pv a JOIN pv b ON b.object = a.object AND a.subject < b.subject""")
+
+    sqls["kg_assortativity"] = (
+        corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + und_ctes
+        + """,
+deg AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY 1),
+stubs AS (
+  SELECT CAST(ds.deg AS DOUBLE) AS ds, CAST(dd.deg AS DOUBLE) AS dd
+  FROM sym s JOIN deg ds ON ds.node = s.src
+             JOIN deg dd ON dd.node = s.dst)
+SELECT CAST(count(*) AS BIGINT) AS n_stubs,
+       round(avg(ds), 6) AS mean_src_deg,
+       round(avg(dd), 6) AS mean_dst_deg,
+       round(corr(ds, dd), 6) AS assortativity
+FROM stubs""")
 
     # kg_entailment_delta oracle: deliberately NOT semi-naive — it
     # saturates old and old+delta in full (two recursive closures per

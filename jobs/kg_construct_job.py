@@ -55,6 +55,11 @@ def main(argv: list[str] | None = None) -> int:
                         "in its SERVING layout (predicate-partitioned, "
                         "subject-bucketed + sorted; "
                         "checkpointing.publish_graph_layout)")
+    p.add_argument("--entail", default=None, metavar="DIR",
+                   help="optionally materialize the OWL/RDFS entailment "
+                        "saturation (graphops.kg_entailment: inverse + "
+                        "transitive closure with rule provenance) as a "
+                        "second parquet table next to the asserted store")
     p.add_argument("--master", default=None,
                    help="Spark master override; when omitted, a "
                         "spark-submit-provided master is respected and "
@@ -88,6 +93,21 @@ def main(argv: list[str] | None = None) -> int:
             )
             summary["publish"] = publish_graph_layout(
                 api.q_triples_dedup(spark, args.sf_dir), args.publish)
+        if args.entail:
+            from cspirit_ontology_information_extraction_opus4plan_spark.operators.graphops import (  # noqa: E501
+                kg_entailment,
+            )
+            inferred = kg_entailment(api.q_triples_dedup(spark,
+                                                         args.sf_dir))
+            # predicate-partitioned like the serving layout: entailment
+            # consumers (SPARQL patterns) filter on predicate
+            (inferred.repartition("predicate")
+             .write.mode("overwrite").partitionBy("predicate")
+             .parquet(args.entail))
+            summary["entail"] = {
+                "path": args.entail,
+                "n_inferred": spark.read.parquet(args.entail).count(),
+            }
         print(json.dumps(summary))
         return 0
     finally:

@@ -73,3 +73,24 @@ def test_edges_are_ordered_unique(spark):
     rows = df.collect()
     assert len(rows) == len({(r["src"], r["dst"]) for r in rows})
     assert all(r["src"] < r["dst"] for r in rows)
+
+
+def test_incremental_components_merges_and_passthrough(spark):
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.canonicalize import (  # noqa: E501
+        incremental_components,
+    )
+
+    # old state: components {B,C} (label B), {D,E} (label D), {Z}
+    old = spark.createDataFrame(
+        [("B", "B"), ("C", "B"), ("D", "D"), ("E", "D"), ("Z", "Z")],
+        "id string, canonical_id string")
+    # delta: new nodes A (bridges into B-comp) and Q (isolated);
+    # plus an old-old edge B-E merging the two old components
+    new_ids = spark.createDataFrame([("A",), ("Q",)], "id string")
+    new_edges = spark.createDataFrame(
+        [("A", "C"), ("B", "E")], "src string, dst string")
+    got = {r["id"]: r["canonical_id"]
+           for r in incremental_components(old, new_ids,
+                                           new_edges).collect()}
+    assert got == {"A": "A", "B": "A", "C": "A", "D": "A", "E": "A",
+                   "Z": "Z", "Q": "Q"}

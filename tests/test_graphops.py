@@ -326,3 +326,25 @@ def test_entailment_delta_composes_multiple_delta_segments(spark):
     assert ("a", "part_of", "c", "transitive") in out
     assert ("b", "part_of", "d", "transitive") in out
     assert ("d", "has_part", "a", "transitive") in out
+
+
+def test_construct_colocated_shared_object_pairs(spark):
+    t = _pt(spark, [
+        ("a", "located_in", "y"), ("b", "located_in", "y"),
+        ("c", "located_in", "y"), ("d", "located_in", "other"),
+        ("a", "part_of", "y"),     # wrong predicate: ignored
+    ])
+    out = {(r.subject, r.predicate, r.object)
+           for r in graphops.construct_colocated(t).collect()}
+    assert out == {("a", "co_located_with", "b"),
+                   ("a", "co_located_with", "c"),
+                   ("b", "co_located_with", "c")}
+
+
+def test_degree_assortativity_star_is_negative(spark):
+    # star: hub h with 4 leaves — every edge pairs deg 4 with deg 1,
+    # so endpoint degrees are perfectly anticorrelated (r = -1)
+    e = _edges(spark, [("h", f"l{i}") for i in range(4)])
+    row = graphops.degree_assortativity(e).collect()[0]
+    assert row["n_stubs"] == 8
+    assert row["assortativity"] == -1.0
