@@ -463,3 +463,80 @@ def view_purchase_attribution(views: DataFrame, purchases: DataFrame,
                 (F.unix_micros(F.col("purchase_ts").cast("timestamp"))
                  - F.unix_micros(F.col("view_ts").cast("timestamp")))
                 .cast("double").alias("latency_us")))
+
+
+def stream_entailment_triples(spark: SparkSession, input_dir: str,
+                              store_dir: str, checkpoint_dir: str,
+                              trigger_available_now: bool = True):
+    """Streaming OWL entailment maintenance: each micro-batch upserts
+    its asserted edges AND brings the materialized saturation forward
+    via graphops.kg_entailment_delta — semi-naive frontiers sized by
+    the BATCH, never a re-closure of the accumulated store. Versioned
+    snapshots + atomic pointer, the same exactly-once discipline as
+    stream_merge_triples; each version commits two tables together
+    (v=N/asserted, v=N/inferred).
+
+    The inferred table is maintained at (subject, predicate, object)
+    granularity: growth is monotone on the saturation, so
+        inferred' = (inferred + delta-inferred) minus asserted'
+    — the subtraction also retires a previously-inferred edge the
+    moment it arrives asserted. Rule provenance is deliberately NOT
+    maintained here: an edge can gain additional derivations as the
+    graph grows (a transitive-only edge becomes inverse-derivable when
+    its flip is asserted), and reconstructing per-rule rows would
+    re-run the full rules over the store — the batch operator
+    kg_entailment exists for provenance audits."""
+    from ..operators.graphops import kg_entailment_delta
+    from ..operators.relations import dedup_triples
+    from ..plans.checkpointing import _fs_write_json_atomic
+
+    stream = (spark.readStream.schema(DOCS_SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(input_dir))
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        inc = (dedup_triples(triples_from_docs(batch_df))
+               .select("subject", "predicate", "object").distinct())
+        ptr = _read_pointer(spark, store_dir)
+        if ptr and ptr["version"] == batch_id:     # crash replay
+            parent = ptr["parent"]
+        elif ptr:
+            parent = ptr["version"]
+        else:
+            parent = None
+        if parent is not None:
+            old_a = spark.read.parquet(
+                f"{store_dir}/v={parent}/asserted")
+            old_i = spark.read.parquet(
+                f"{store_dir}/v={parent}/inferred")
+        else:
+            old_a, old_i = inc.limit(0), inc.limit(0)
+        delta_inf = (kg_entailment_delta(old_a, inc)
+                     .select("subject", "predicate", "object"))
+        asserted = (old_a.unionByName(inc).distinct()
+                    .localCheckpoint(eager=True))
+        inferred = (old_i.unionByName(delta_inf).distinct()
+                    .join(asserted, ["subject", "predicate", "object"],
+                          "left_anti"))
+        asserted.write.mode("overwrite") \
+            .parquet(f"{store_dir}/v={batch_id}/asserted")
+        inferred.write.mode("overwrite") \
+            .parquet(f"{store_dir}/v={batch_id}/inferred")
+        n_a = spark.read.parquet(
+            f"{store_dir}/v={batch_id}/asserted").count()
+        n_i = spark.read.parquet(
+            f"{store_dir}/v={batch_id}/inferred").count()
+        _fs_write_json_atomic(
+            spark, f"{store_dir}/_commit_v{batch_id}.json",
+            {"version": batch_id, "parent": parent,
+             "n_asserted": n_a, "n_inferred": n_i})
+        _fs_write_json_atomic(
+            spark, f"{store_dir}/{STORE_POINTER}",
+            {"version": batch_id, "parent": parent})
+
+    writer = (stream.writeStream
+              .foreachBatch(process)
+              .option("checkpointLocation", checkpoint_dir))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

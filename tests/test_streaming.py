@@ -447,3 +447,44 @@ def test_stream_stream_attribution_matches_batch(spark, sf_dir, tmp_path):
     q.awaitTermination(180)
     got = spark.table("mem_attrib").toPandas()
     pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
+
+
+def test_stream_entailment_matches_batch_saturation(spark, sf_dir, staged):
+    """After draining both staged files, the maintained inferred table
+    equals the batch kg_entailment over the full asserted store at
+    (s, p, o) granularity, and a re-drain commits nothing."""
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.graphops import (  # noqa: E501
+        kg_entailment,
+    )
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.relations import (  # noqa: E501
+        dedup_triples,
+    )
+    from cspirit_ontology_information_extraction_opus4plan_spark.streaming.pipeline import (  # noqa: E501
+        _read_pointer,
+        stream_entailment_triples,
+    )
+
+    in_dir, out_dir, ckpt = staged
+    store = out_dir + "_entail_store"
+    q = stream_entailment_triples(spark, in_dir, store, ckpt)
+    q.awaitTermination(120)
+
+    ptr = _read_pointer(spark, store)
+    assert ptr == {"version": 1, "parent": 0}
+    got_a = spark.read.parquet(f"{store}/v=1/asserted")
+    got_i = spark.read.parquet(f"{store}/v=1/inferred").toPandas()
+
+    full = dedup_triples(triples_from_docs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")))
+    want_a = full.select("subject", "predicate", "object") \
+        .distinct().toPandas()
+    pd.testing.assert_frame_equal(
+        _sorted(got_a.toPandas()), _sorted(want_a))
+    want_i = kg_entailment(full) \
+        .select("subject", "predicate", "object").distinct().toPandas()
+    pd.testing.assert_frame_equal(_sorted(got_i), _sorted(want_i))
+
+    # exactly-once: a re-drain on the same checkpoint commits nothing
+    q2 = stream_entailment_triples(spark, in_dir, store, ckpt)
+    q2.awaitTermination(120)
+    assert _read_pointer(spark, store) == ptr
