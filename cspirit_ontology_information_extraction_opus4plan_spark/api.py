@@ -973,6 +973,13 @@ def q_event_approx_quantiles(spark, sf_dir):
     return approx_quantiles(load_events(spark, sf_dir))
 
 
+def q_event_retention(spark, sf_dir):
+    """Weekly cohort retention rollup over events: first-event cohort
+    week x weeks-since activity with cohort-normalized rates."""
+    from .operators.content_stats import cohort_retention, load_events
+    return cohort_retention(load_events(spark, sf_dir))
+
+
 def q_event_outliers_zscore(spark, sf_dir):
     return CS.zscore_outliers(CS.load_events(spark, sf_dir))
 
@@ -1483,6 +1490,7 @@ def queries() -> dict[str, QueryFn]:
         "event_outliers_zscore": q_event_outliers_zscore,
         "event_approx_distinct": q_event_approx_distinct,
         "event_approx_quantiles": q_event_approx_quantiles,
+        "event_retention": q_event_retention,
         "jsonld_namespaces": q_jsonld_namespaces,
         "csv_infer": q_csv_infer,
         "event_asof_split": q_event_asof_split,

@@ -234,3 +234,33 @@ def approx_quantiles(events: DataFrame) -> DataFrame:
                     F.round(ex[1], 6).alias("p90_exact"),
                     F.round(ex[2], 6).alias("p99_exact"),
                     ok.alias("approx_ok")))
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention — the canonical activity OLAP rollup:
+    users are cohorted by the Monday week of their FIRST event;
+    (cohort_week, weeks_since, n_active, cohort_size, retention) counts
+    how many of each cohort were active again N weeks later. Shape:
+    one groupBy for first-event times, per-(user, week) distinct
+    activity (map-side combinable), a user-keyed equi-join cohort x
+    activity, then a two-key aggregate + a cohort-size join — no
+    windows, nothing driver-sized; at 100 TB the user-keyed join is
+    the only wide shuffle and both sides are already user-bucketed."""
+    firsts = (events.groupBy("user_id")
+              .agg(F.date_trunc("week", F.min("ts")).alias("cw")))
+    act = (events
+           .select("user_id", F.date_trunc("week", "ts").alias("ew"))
+           .distinct())
+    per = (act.join(firsts, "user_id")
+           .groupBy("cw", F.floor(F.datediff("ew", "cw") / 7)
+                    .cast("int").alias("weeks_since"))
+           .agg(F.count("*").cast("bigint").alias("n_active")))
+    sizes = (firsts.groupBy("cw")
+             .agg(F.count("*").cast("bigint").alias("cohort_size")))
+    return (per.join(sizes, "cw")
+            .select(F.date_format("cw", "yyyy-MM-dd")
+                    .alias("cohort_week"),
+                    "weeks_since", "n_active", "cohort_size",
+                    F.round(F.col("n_active")
+                            / F.col("cohort_size").cast("double"), 6)
+                    .alias("retention")))

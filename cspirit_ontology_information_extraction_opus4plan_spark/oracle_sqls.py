@@ -2302,6 +2302,27 @@ SELECT event_type,
        TRUE AS approx_ok
 FROM events GROUP BY 1""".strip()
 
+    sqls["event_retention"] = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cw
+  FROM events GROUP BY 1),
+act AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS ew FROM events),
+per AS (
+  SELECT f.cw,
+         CAST(floor(date_diff('day', f.cw, a.ew) / 7) AS INT)
+           AS weeks_since,
+         CAST(count(*) AS BIGINT) AS n_active
+  FROM act a JOIN firsts f USING (user_id)
+  GROUP BY 1, 2),
+sizes AS (
+  SELECT cw, CAST(count(*) AS BIGINT) AS cohort_size
+  FROM firsts GROUP BY 1)
+SELECT strftime(p.cw, '%Y-%m-%d') AS cohort_week,
+       p.weeks_since, p.n_active, s.cohort_size,
+       round(CAST(p.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+FROM per p JOIN sizes s USING (cw)""".strip()
+
     sqls["event_outliers_zscore"] = f"""
 WITH stats AS (
   SELECT event_type, avg(value) AS mean_v, stddev_samp(value) AS std_v

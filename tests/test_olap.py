@@ -72,3 +72,30 @@ def test_approx_quantiles_exact_anchor_and_verdict(spark):
     assert row["p90_exact"] == 91.0
     assert row["p99_exact"] == 100.0
     assert row["approx_ok"] is True
+
+
+def test_cohort_retention_known_weeks(spark):
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.content_stats import (  # noqa: E501
+        cohort_retention,
+    )
+    import datetime
+
+    def TS2(d):
+        return datetime.datetime.fromisoformat(d)
+
+    # u1 first in week of Jan 1 (Mon), active again 2 weeks later;
+    # u2 same cohort, never returns; u3 cohorts one week later
+    ev = spark.createDataFrame(
+        [(1, TS2("2024-01-02T10:00:00")),
+         (1, TS2("2024-01-16T10:00:00")),
+         (2, TS2("2024-01-03T10:00:00")),
+         (3, TS2("2024-01-10T10:00:00"))],
+        "user_id bigint, ts timestamp")
+    got = {(r["cohort_week"], r["weeks_since"]):
+           (r["n_active"], r["cohort_size"], r["retention"])
+           for r in cohort_retention(ev).collect()}
+    assert got == {
+        ("2024-01-01", 0): (2, 2, 1.0),
+        ("2024-01-01", 2): (1, 2, 0.5),
+        ("2024-01-08", 0): (1, 1, 1.0),
+    }
