@@ -861,6 +861,15 @@ def q_doc_neardup_resolve(spark, sf_dir):
     return neardup_resolve(DE.augmented_docs(spark, sf_dir))
 
 
+def q_doc_bloom_decontaminate(spark, sf_dir):
+    """Bloom-filtered decontamination proven against the exact semi-
+    join: zero false negatives (structural guarantee) and bounded
+    false positives, with membership evaluated map-side in codegen."""
+    from .operators.pii import bloom_decontaminate
+    corpus, bench = _curation_split(spark, sf_dir)
+    return bloom_decontaminate(corpus, bench)
+
+
 def _curation_split(spark, sf_dir):
     """(corpus, benchmark) split of the augmented docs — benchmark = the
     originals of the planted exact copies. The ONE definition shared by
@@ -1498,6 +1507,7 @@ def queries() -> dict[str, QueryFn]:
         "doc_repetition": q_doc_repetition,
         "doc_dup_ngram_coverage": q_doc_dup_ngram_coverage,
         "doc_minhash_calibration": q_doc_minhash_calibration,
+        "doc_bloom_decontaminate": q_doc_bloom_decontaminate,
         "doc_mixture_sample": q_doc_mixture_sample,
         "entity_cooccurrence": q_entity_cooccurrence,
         "entity_drift": q_entity_drift,

@@ -66,3 +66,95 @@ def contaminated_docs(corpus: DataFrame, benchmark: DataFrame,
     return (corp.join(F.broadcast(bench), "s")
             .groupBy("doc_id")
             .agg(F.count("*").cast("bigint").alias("n_hits")))
+
+
+
+BLOOM_BITS = 1 << 20    # filter size m (bits); sized to an eval suite
+BLOOM_K = 4             # hash functions
+BLOOM_FP_SLACK = 0.05   # verdict bound: FP docs <= slack * clean docs
+
+
+def _bloom_coords(s):
+    """The BLOOM_K (word_index, bit_mask) coordinate pairs for a
+    shingle: position_i = xxhash64(s, i) mod m, packed 64 bits/word.
+    Pure codegen expressions; seeds are the literal second hash input."""
+    out = []
+    for i in range(BLOOM_K):
+        pos = F.pmod(F.xxhash64(s, F.lit(i)), F.lit(BLOOM_BITS))
+        out.append((F.shiftright(pos, 6).alias("w"),
+                    F.expr(f"shiftleft(1L, cast("
+                           f"pmod(xxhash64(s, {i}), {BLOOM_BITS})"
+                           f" & 63 as int))").alias("mask")))
+    return out
+
+
+def bloom_decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                        w: int = DECON_W) -> DataFrame:
+    """Bloom-filtered decontamination with a proven error envelope —
+    the fourth honest-sketch contract (HLL distinct, GK quantiles,
+    MinHash Jaccard, now Bloom membership), built DISTRIBUTEDLY in
+    pure JVM expressions since Spark exposes no user-facing
+    bloom_filter_agg: benchmark shingles explode to BLOOM_K bit
+    positions, bit_or packs them into a (word_index, word) table of at
+    most m/64 = 16384 rows — ~128 KB broadcast however large the
+    benchmark grows, vs broadcasting the full shingle set — and the
+    corpus probes it with a broadcast equi-join on word_index plus a
+    bitwise AND, all map-side.
+
+    Bloom has NO false negatives, so every truly contaminated doc must
+    be flagged; false positives are bounded by the filter geometry
+    (m = 2^20 bits, k = 4: per-shingle fpp ~ (kn/m)^k, doc-level
+    ~ shingles_per_doc x fpp). One summary row proves both against
+    the exact broadcast semi-join anchor: (n_docs,
+    n_exact_contaminated, n_missed, caught_all, fp_within_bound) —
+    n_missed MUST be 0 (the oracle asserts it) and FP docs must stay
+    under BLOOM_FP_SLACK of the clean docs. Deterministic: xxhash64
+    is seed-fixed."""
+    bench_sh = (benchmark
+                .select(F.explode(F.array_distinct(
+                    _shingles(tokens_col(), w))).alias("s"))
+                .distinct())
+    coords = _bloom_coords(F.col("s"))
+    words = None
+    for wcol, mcol in coords:
+        part = bench_sh.select(wcol, mcol)
+        words = part if words is None else words.unionByName(part)
+    words = (words.groupBy("w")
+             .agg(F.bit_or("mask").alias("word"))
+             .localCheckpoint(eager=True))
+    corp = corpus.select(
+        "doc_id",
+        F.explode(F.array_distinct(_shingles(tokens_col(), w)))
+        .alias("s")).localCheckpoint(eager=True)
+    probe = None
+    for wcol, mcol in coords:
+        part = corp.select("doc_id", "s", wcol, mcol)
+        probe = part if probe is None else probe.unionByName(part)
+    s_hits = (probe.join(F.broadcast(words), "w", "left")
+              .select("doc_id", "s",
+                      ((F.coalesce("word", F.lit(0))
+                        .bitwiseAND(F.col("mask")))
+                       != 0).cast("int").alias("bit_set"))
+              .groupBy("doc_id", "s")
+              .agg(F.min("bit_set").alias("s_hit")))
+    probed = (s_hits.groupBy("doc_id")
+              .agg(F.max("s_hit").alias("bloom_hit")))
+    exact = (corp.join(F.broadcast(bench_sh), "s", "left_semi")
+             .select("doc_id").distinct()
+             .withColumn("exact_hit", F.lit(1)))
+    both = (probed.join(exact, "doc_id", "left")
+            .select("doc_id", "bloom_hit",
+                    F.coalesce("exact_hit", F.lit(0)).alias("exact_hit")))
+    n_clean = F.sum((F.col("exact_hit") == 0).cast("bigint"))
+    fp = F.sum(((F.col("bloom_hit") == 1)
+                & (F.col("exact_hit") == 0)).cast("bigint"))
+    missed = F.sum(((F.col("bloom_hit") == 0)
+                    & (F.col("exact_hit") == 1)).cast("bigint"))
+    return both.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("exact_hit").cast("bigint").alias("n_exact_contaminated"),
+        missed.cast("bigint").alias("n_missed"),
+        (missed == 0).alias("caught_all"),
+        (fp <= F.greatest(
+            F.ceil(n_clean * F.lit(BLOOM_FP_SLACK)),
+            F.lit(1)).cast("bigint")).alias("fp_within_bound"))

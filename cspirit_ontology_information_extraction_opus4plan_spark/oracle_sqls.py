@@ -587,6 +587,28 @@ FROM pdoc"""
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits\n"
         "FROM corp JOIN bench USING (s) GROUP BY doc_id")
 
+    # bloom_decontaminate: the oracle can recompute the EXACT anchors
+    # (n_docs, n_exact_contaminated) and asserts the filter-theoretic
+    # guarantees (no false negatives, bounded false positives) as the
+    # constants they must be for a correct sketch — the same honest
+    # contract as event_approx_distinct
+    sqls["doc_bloom_decontaminate"] = (
+        f"WITH {ADOC_CTE},\n{tok_cte('adoc')},\n"
+        f"sg AS (SELECT doc_id, list_distinct({_sh_expr(PI.DECON_W)})"
+        f" AS sh FROM tok),\n"
+        f"bench AS (SELECT DISTINCT unnest(sh) AS s FROM sg"
+        f" WHERE {bench_pred}),\n"
+        f"corp AS (SELECT doc_id, unnest(sh) AS s FROM sg"
+        f" WHERE NOT ({bench_pred})),\n"
+        "hits AS (SELECT DISTINCT doc_id FROM corp JOIN bench USING (s))\n"
+        "SELECT (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM corp)"
+        " AS n_docs,\n"
+        "       (SELECT CAST(count(*) AS BIGINT) FROM hits)"
+        " AS n_exact_contaminated,\n"
+        "       CAST(0 AS BIGINT) AS n_missed,\n"
+        "       TRUE AS caught_all,\n"
+        "       TRUE AS fp_within_bound")
+
     # boilerplate stripping over the decorated corpus
     # (decorations.boilerplate_docs); list_filter preserves original
     # segment order = Spark's sort_array(struct(pos, seg)) rebuild

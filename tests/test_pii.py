@@ -54,3 +54,23 @@ def test_contamination_plan_broadcasts_benchmark(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bloom_decontaminate_no_false_negatives(spark):
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.pii import (  # noqa: E501
+        bloom_decontaminate,
+    )
+
+    words = " ".join(f"w{i}" for i in range(12))
+    bench = spark.createDataFrame([(100, words)],
+                                  "doc_id bigint, text string")
+    corpus = spark.createDataFrame(
+        [(1, words),                                    # exact overlap
+         (2, " ".join(f"x{i}" for i in range(12))),     # clean
+         (3, " ".join(f"y{i}" for i in range(12)))],    # clean
+        "doc_id bigint, text string")
+    row = bloom_decontaminate(corpus, bench).collect()[0]
+    assert row["n_docs"] == 3
+    assert row["n_exact_contaminated"] == 1
+    assert row["n_missed"] == 0 and row["caught_all"] is True
+    assert row["fp_within_bound"] is True
