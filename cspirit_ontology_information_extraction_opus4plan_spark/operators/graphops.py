@@ -243,9 +243,17 @@ def hits_fixed(triples: DataFrame, n_iter: int = HITS_ITER) -> DataFrame:
     Same deterministic contract and scale shape as pagerank_fixed:
     fixed iterations (oracle unrolls the identical recurrence), edges
     localCheckpointed once, per-iteration work = two equi-joins + two
-    map-side-combinable group sums; normalization constants are SCALAR
-    aggregates (one driver double each, never a row collect). Values
-    rounded to 6 places (group-sum order noise is ~1e-14 relative)."""
+    map-side-combinable group sums. The sum-normalizers ride along as
+    1-row aggregates joined back on a constant key (a broadcast hash
+    join, never a nested loop), so one iteration is ONE materializing
+    Spark job — the previous shape collected each normalizer to the
+    driver and counted each vector separately, six jobs per iteration,
+    and fixed job-scheduling overhead dominated the tiny-SF wall clock
+    (the arithmetic v/total is unchanged, so values are identical).
+    Values rounded to 6 places (group-sum order noise ~1e-14
+    relative)."""
+    if n_iter < 1:
+        raise ValueError("hits_fixed requires n_iter >= 1")
     ed = (triples
           .filter((F.col("subject_type") == "uri")
                   & (F.col("object_type") == "uri")
@@ -259,35 +267,32 @@ def hits_fixed(triples: DataFrame, n_iter: int = HITS_ITER) -> DataFrame:
              .persist())
     n_total = nodes.count()
 
-    h = nodes.select("n", F.lit(1.0 / n_total).alias("h"))
-    a = None
+    cur = nodes.select("n", F.lit(1.0 / n_total).alias("h"))
+    checkpointed = False
     for _ in range(n_iter):
-        ar = (ed.join(h.withColumnRenamed("n", "s"), "s")
-              .groupBy("o").agg(F.sum("h").alias("v")).persist())
-        s_a = ar.agg(F.sum("v")).first()[0]
+        ar = (ed.join(cur.select(F.col("n").alias("s"), "h"), "s")
+              .groupBy("o").agg(F.sum("h").alias("av")))
+        ta = ar.agg(F.sum("av").alias("ta")).withColumn("_j", F.lit(1))
         a_nxt = (nodes.join(ar.withColumnRenamed("o", "n"), "n", "left")
-                 .select("n", (F.coalesce("v", F.lit(0.0)) / F.lit(s_a))
-                         .alias("a")).persist())
-        a_nxt.count()
-        hr = (ed.join(a_nxt.withColumnRenamed("n", "o"), "o")
-              .groupBy("s").agg(F.sum("a").alias("v")).persist())
-        s_h = hr.agg(F.sum("v")).first()[0]
-        h_nxt = (nodes.join(hr.withColumnRenamed("s", "n"), "n", "left")
-                 .select("n", (F.coalesce("v", F.lit(0.0)) / F.lit(s_h))
-                         .alias("h")).persist())
-        h_nxt.count()
-        # both _nxt frames are materialized; drop this round's scratch
-        # and the previous round's (unpersist is a no-op on h_0)
-        ar.unpersist()
-        hr.unpersist()
-        if a is not None:
-            a.unpersist()
-        h.unpersist()
-        a, h = a_nxt, h_nxt
-    out = (h.join(a, "n")
-           .select(F.col("n").alias("node"),
-                   F.round("h", 6).alias("hub"),
-                   F.round("a", 6).alias("authority")))
+                 .withColumn("_j", F.lit(1))
+                 .join(F.broadcast(ta), "_j")
+                 .select("n", (F.coalesce("av", F.lit(0.0)) / F.col("ta"))
+                         .alias("a")))
+        hr = (ed.join(a_nxt.select(F.col("n").alias("o"), "a"), "o")
+              .groupBy("s").agg(F.sum("a").alias("hv")))
+        th = hr.agg(F.sum("hv").alias("th")).withColumn("_j", F.lit(1))
+        nxt = (a_nxt.join(hr.withColumnRenamed("s", "n"), "n", "left")
+               .withColumn("_j", F.lit(1))
+               .join(F.broadcast(th), "_j")
+               .select("n", (F.coalesce("hv", F.lit(0.0)) / F.col("th"))
+                       .alias("h"), "a")
+               .localCheckpoint(eager=True))
+        if checkpointed:  # nxt is materialized; this round's input frees
+            cur.unpersist()
+        cur, checkpointed = nxt, True
+    out = cur.select(F.col("n").alias("node"),
+                     F.round("h", 6).alias("hub"),
+                     F.round("a", 6).alias("authority"))
     nodes.unpersist()
     return out
 
