@@ -1334,6 +1334,14 @@ def q_kg_bfs_distances(spark, sf_dir):
         dedup_triples(triples_df(spark, sf_dir))))
 
 
+def q_kg_random_walks(spark, sf_dir):
+    """Deterministic hash-seeded random-walk corpus (one DeepWalk-style
+    walk per node) over the directed entity graph — the KG-embedding
+    training-sequence generator."""
+    from .operators.graphops import random_walks
+    return random_walks(dedup_triples(triples_df(spark, sf_dir)))
+
+
 def q_kg_predicate_cardinality(spark, sf_dir):
     """Per-predicate relation-cardinality profile (1:1 / 1:N / N:1 /
     M:N + fanouts) — extraction-precision QC and join-skew sizing."""
@@ -1541,6 +1549,7 @@ def queries() -> dict[str, QueryFn]:
         "kg_link_prediction": q_kg_link_prediction,
         "kg_predicate_cardinality": q_kg_predicate_cardinality,
         "kg_bfs_distances": q_kg_bfs_distances,
+        "kg_random_walks": q_kg_random_walks,
         "kg_bgp_query": q_kg_bgp_query,
         "kg_optional_query": q_kg_optional_query,
         "kg_entailment": q_kg_entailment,

@@ -572,6 +572,57 @@ def bfs_distances(edges: DataFrame,
     return d.select("node", F.col("dist").cast("int").alias("dist"))
 
 
+RW_STEPS = 4
+
+
+def random_walks(triples: DataFrame, n_steps: int = RW_STEPS) -> DataFrame:
+    """Deduped triple store -> (start, step, node): one deterministic
+    DeepWalk-style random walk of up to `n_steps` hops from every node
+    of the directed (subject -> object) entity graph — the
+    sequence-corpus generator for KG-embedding training (the walk rows
+    ARE the skip-gram corpus; a W-walks-per-node variant salts the
+    seed with a walk index).
+
+    'Random' is hash-seeded and fully deterministic so the DuckDB
+    oracle unrolls the identical recurrence: at step k the walk at
+    node u moves to the out-neighbor v minimizing
+    md5(start:k:u:v) (comparator suffixed with v itself, so distinct
+    candidates can never compare equal). Seeding with `start`
+    decorrelates walks that meet at the same node; seeding with k
+    decorrelates revisits within one walk. Walks truncate at sinks (no
+    out-edges) — never a self-loop pad, so downstream window sampling
+    sees honest sequence lengths.
+
+    Scale shape: per step, ONE equi-join of the frontier (<= |V| rows)
+    with the checkpointed edge table on the current node + a
+    map-side-combinable min_by per walk — the join-per-round
+    discipline of bfs_distances; no step materializes anything wider
+    than (start, node). Hub fan-out (frontier x outdeg feeding the
+    argmin) streams through the partial aggregate. Fixed n_steps,
+    never data-dependent."""
+    ed = (triples
+          .filter((F.col("subject_type") == "uri")
+                  & (F.col("object_type") == "uri")
+                  & (F.col("subject") != F.col("object")))
+          .select(F.col("subject").alias("s"), F.col("object").alias("o"))
+          .distinct()
+          .localCheckpoint(eager=True))  # read once per step
+    cur = (ed.select(F.col("s").alias("start")).distinct()
+           .select("start", F.col("start").alias("node")))
+    out = cur.select("start", F.lit(0).alias("step"), "node")
+    for k in range(1, n_steps + 1):
+        key = F.concat(
+            F.md5(F.concat_ws(":", F.col("start"), F.lit(str(k)),
+                              F.col("node"), F.col("o"))),
+            F.col("o"))
+        cur = (cur.join(ed, cur["node"] == ed["s"])
+               .groupBy("start")
+               .agg(F.min_by("o", key).alias("node")))
+        out = out.unionByName(
+            cur.select("start", F.lit(k).alias("step"), "node"))
+    return out
+
+
 BGP_P1 = "located_in"
 BGP_P2 = "catalyzes"
 

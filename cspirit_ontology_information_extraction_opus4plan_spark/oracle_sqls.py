@@ -2773,6 +2773,30 @@ h0 AS (SELECT n, CAST(1.0 AS DOUBLE) / (SELECT cnt FROM nn) AS h
 SELECT h.n AS node, round(h.h, 6) AS hub, round(a.a, 6) AS authority
 FROM h{HITS_ITER} h JOIN a{HITS_ITER} a ON a.n = h.n""")
 
+    # random walks: unrolled hash-seeded recurrence — at step k the walk
+    # moves to the out-neighbor minimizing md5(start:k:node:v), the
+    # comparator suffixed with v so distinct candidates never tie
+    # (identical semantics to the engine's min_by key).
+    from .operators.graphops import RW_STEPS
+    rw_iters = ""
+    for i in range(1, RW_STEPS + 1):
+        rw_iters += f""",
+w{i} AS (SELECT start,
+                arg_min(o, md5(start || ':{i}:' || node || ':' || o) || o)
+                  AS node
+         FROM w{i - 1} JOIN ed ON ed.s = w{i - 1}.node
+         GROUP BY start)"""
+    rw_steps_union = "\nUNION ALL ".join(
+        f"SELECT start, CAST({i} AS INTEGER) AS step, node FROM w{i}"
+        for i in range(RW_STEPS + 1))
+    sqls["kg_random_walks"] = (
+        corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + f""",
+ed AS (SELECT DISTINCT subject AS s, object AS o FROM triples
+       WHERE subject_type = 'uri' AND object_type = 'uri'
+         AND subject <> object),
+w0 AS (SELECT DISTINCT s AS start, s AS node FROM ed){rw_iters}
+{rw_steps_union}""")
+
     sqls["kg_predicate_paths"] = (
         corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + """,
 pe AS (SELECT DISTINCT subject, predicate, object FROM triples

@@ -348,3 +348,41 @@ def test_degree_assortativity_star_is_negative(spark):
     row = graphops.degree_assortativity(e).collect()[0]
     assert row["n_stubs"] == 8
     assert row["assortativity"] == -1.0
+
+
+def test_random_walks_are_real_paths_and_deterministic(spark):
+    # chain a->b->c->d->e plus branch b->x: every emitted hop must be a
+    # real edge, steps are contiguous from 0, and two runs are identical
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("b", "x")]
+    t = _triples(spark, pairs)
+    out = graphops.random_walks(t, n_steps=3).collect()
+    edges = set(pairs)
+    by_walk: dict[str, dict[int, str]] = {}
+    for r in out:
+        by_walk.setdefault(r["start"], {})[r["step"]] = r["node"]
+    for start, steps in by_walk.items():
+        assert steps[0] == start
+        assert sorted(steps) == list(range(len(steps)))  # contiguous
+        for k in range(1, len(steps)):
+            assert (steps[k - 1], steps[k]) in edges
+    # 'a' has out-edges for 3 hops whichever way the seed sends it --
+    # unless it reaches x (a sink) at step 2 via b->x
+    assert len(by_walk["a"]) >= 3
+    # sinks emit only their step-0 row via other walks, never start one
+    assert "e" not in by_walk and "x" not in by_walk
+    again = graphops.random_walks(t, n_steps=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_random_walks_decorrelate_by_start_and_step(spark):
+    # star hub h with leaves l1..l6 and back-edges: walks from different
+    # starts that pass through h must NOT all pick the same neighbor
+    # (the seed includes start), which would collapse the corpus
+    leaves = [f"l{i}" for i in range(1, 7)]
+    pairs = [("h", leaf) for leaf in leaves] + [(leaf, "h") for leaf in leaves]
+    out = graphops.random_walks(_triples(spark, pairs), n_steps=2).collect()
+    hop_from_h = {r["start"]: r["node"] for r in out
+                  if r["step"] == 2 and r["start"] != "h"}
+    # all six leaf-walks sit at h after step 1; step 2 choices must vary
+    assert len(hop_from_h) == 6
+    assert len(set(hop_from_h.values())) > 1

@@ -493,3 +493,14 @@ def test_dup_ngram_coverage_single_aggregate_no_python(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "Join" not in plan
     assert "partial_count" in plan
+
+
+def test_random_walks_pure_jvm_equi_joins(spark, sf_dir):
+    """The walk corpus generator stays JVM-side: per-step frontier
+    expansion is an equi-join + map-side-combinable min_by, never a
+    Python stage or nested-loop join."""
+    df = api.q_kg_random_walks(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
