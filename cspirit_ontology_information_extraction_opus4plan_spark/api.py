@@ -1342,6 +1342,17 @@ def q_kg_random_walks(spark, sf_dir):
     return random_walks(dedup_triples(triples_df(spark, sf_dir)))
 
 
+def q_kg_walk_skipgrams(spark, sf_dir):
+    """Skip-gram (center, context) pair frequencies within a +-2
+    window along the deterministic walk corpus — the KG-embedding
+    trainer's direct input. localCheckpoint: the walk frame feeds both
+    sides of the pair self-join."""
+    from .operators.graphops import random_walks, walk_skipgrams
+    walks = random_walks(dedup_triples(triples_df(spark, sf_dir))) \
+        .localCheckpoint(eager=True)
+    return walk_skipgrams(walks)
+
+
 def q_kg_predicate_cardinality(spark, sf_dir):
     """Per-predicate relation-cardinality profile (1:1 / 1:N / N:1 /
     M:N + fanouts) — extraction-precision QC and join-skew sizing."""
@@ -1550,6 +1561,7 @@ def queries() -> dict[str, QueryFn]:
         "kg_predicate_cardinality": q_kg_predicate_cardinality,
         "kg_bfs_distances": q_kg_bfs_distances,
         "kg_random_walks": q_kg_random_walks,
+        "kg_walk_skipgrams": q_kg_walk_skipgrams,
         "kg_bgp_query": q_kg_bgp_query,
         "kg_optional_query": q_kg_optional_query,
         "kg_entailment": q_kg_entailment,

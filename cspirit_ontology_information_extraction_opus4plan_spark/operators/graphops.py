@@ -623,6 +623,32 @@ def random_walks(triples: DataFrame, n_steps: int = RW_STEPS) -> DataFrame:
     return out
 
 
+SKIPGRAM_WINDOW = 2
+
+
+def walk_skipgrams(walks: DataFrame,
+                   window: int = SKIPGRAM_WINDOW) -> DataFrame:
+    """(start, step, node) walk corpus -> (center, context, n_pairs):
+    skip-gram training pairs within +-window positions along each walk,
+    aggregated over the corpus — the pair-frequency table word2vec-style
+    KG-embedding trainers consume directly (n_pairs is the gradient
+    weight; negative sampling comes from kg_negative_samples).
+
+    One self-equi-join keyed on the walk id (each walk is <= n_steps+1
+    rows, so the per-key fan-out is a small constant — never a corpus
+    self-join) + a map-side-combinable pair count. Callers should pass
+    a materialized walk frame: the same walks feed both join sides."""
+    a = walks.select("start", F.col("step").alias("i"),
+                     F.col("node").alias("center"))
+    b = walks.select("start", F.col("step").alias("j"),
+                     F.col("node").alias("context"))
+    return (a.join(b, "start")
+            .filter((F.col("i") != F.col("j"))
+                    & (F.abs(F.col("i") - F.col("j")) <= window))
+            .groupBy("center", "context")
+            .agg(F.count("*").alias("n_pairs")))
+
+
 BGP_P1 = "located_in"
 BGP_P2 = "catalyzes"
 

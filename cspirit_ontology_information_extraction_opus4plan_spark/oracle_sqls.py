@@ -2797,6 +2797,18 @@ ed AS (SELECT DISTINCT subject AS s, object AS o FROM triples
 w0 AS (SELECT DISTINCT s AS start, s AS node FROM ed){rw_iters}
 {rw_steps_union}""")
 
+    # skip-gram pairs over the identical walk corpus (MATERIALIZED so
+    # the nested walk pipeline is evaluated once, not per join side)
+    from .operators.graphops import SKIPGRAM_WINDOW
+    sqls["kg_walk_skipgrams"] = f"""
+WITH walks AS MATERIALIZED ({sqls["kg_random_walks"]})
+SELECT a.node AS center, b.node AS context,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM walks a JOIN walks b
+  ON b.start = a.start AND b.step <> a.step
+WHERE abs(b.step - a.step) <= {SKIPGRAM_WINDOW}
+GROUP BY 1, 2"""
+
     sqls["kg_predicate_paths"] = (
         corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + """,
 pe AS (SELECT DISTINCT subject, predicate, object FROM triples

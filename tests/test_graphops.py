@@ -386,3 +386,23 @@ def test_random_walks_decorrelate_by_start_and_step(spark):
     # all six leaf-walks sit at h after step 1; step 2 choices must vary
     assert len(hop_from_h) == 6
     assert len(set(hop_from_h.values())) > 1
+
+
+def test_walk_skipgrams_window_and_counts(spark):
+    # hand-built two walks; window 2 pairs counted exactly, both
+    # directions, never across walks
+    walks = spark.createDataFrame(
+        [("w1", 0, "a"), ("w1", 1, "b"), ("w1", 2, "c"), ("w1", 3, "a"),
+         ("w2", 0, "x"), ("w2", 1, "y")],
+        "start string, step int, node string")
+    rows = {(r["center"], r["context"]): r["n_pairs"]
+            for r in graphops.walk_skipgrams(walks, window=2).collect()}
+    assert rows[("a", "b")] == 2          # a0<->b1 (d1), a3<->b1 (d2)
+    assert rows[("b", "a")] == 2
+    assert rows[("a", "c")] == 2          # a0<->c2 (d2), a3<->c2 (d1)
+    assert rows[("c", "a")] == 2
+    assert rows[("b", "c")] == 1 and rows[("c", "b")] == 1
+    assert ("a", "a") not in rows         # a0-a3 is d3, outside window
+    assert rows[("x", "y")] == 1 and rows[("y", "x")] == 1
+    assert ("a", "x") not in rows         # never across walks
+    assert sum(rows.values()) == 12
