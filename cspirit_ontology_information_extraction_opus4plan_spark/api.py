@@ -166,6 +166,18 @@ def q_doc_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(DE.augmented_docs(spark, sf_dir))
 
 
+def q_doc_minhash_delta(spark, sf_dir):
+    """Incremental near-dup maintenance: docs with doc_id%10 < 3
+    arrive as the re-crawl delta; only delta-touching pairs are
+    computed (delta x corpus band join, never old x old). Oracle runs
+    the full LSH recompute and filters — parity proves incremental ==
+    full."""
+    from .operators.textops import minhash_delta_pairs
+    docs = DE.augmented_docs(spark, sf_dir)
+    delta = docs.filter(F.col("doc_id") % 10 < 3).select("doc_id")
+    return minhash_delta_pairs(docs, delta)
+
+
 def q_doc_simhash_clusters(spark, sf_dir):
     from .operators.textops import simhash_clusters
     return simhash_clusters(DE.augmented_docs(spark, sf_dir))
@@ -1404,6 +1416,7 @@ def queries() -> dict[str, QueryFn]:
         # --- training-data / ANN / multimodal surface — 13 (incl. ngram-jaccard)
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_minhash_lsh": q_doc_minhash_lsh,
+        "doc_minhash_delta": q_doc_minhash_delta,
         "doc_simhash_neardup": q_doc_simhash_neardup,
         "event_windows": q_event_windows,
         "doc_token_stats": q_doc_token_stats,

@@ -137,15 +137,9 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
         sh.select("doc_id", F.md5("s").alias("h")))
 
 
-def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
-    """Banded-LSH candidate pairs verified by true shingle Jaccard.
-
-    shingle sets (ONE tokenize+shingle pass, checkpointed) -> signature
-    -> band keys (md5 of r concatenated rows) -> explode -> self-join
-    per (band_idx, band_key) -> distinct pairs -> verify with exact
-    |A∩B|/|A∪B| >= threshold against the SAME checkpointed sets (band
-    join moves 2 longs + 32B hash, not document bodies; the verify
-    probes reread RDD blocks, not the corpus)."""
+def _minhash_tables(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared first half of the MinHash family: checkpointed shingle
+    sets + the exploded (doc_id, band_idx, band_key) band table."""
     r = MINHASH_K // MINHASH_BANDS
     # localCheckpoint (NOT persist): sets_ feeds the signature branch
     # AND two verify probe joins — without materialization Catalyst
@@ -169,22 +163,72 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
             F.md5(F.concat(*[F.col(f"mh{b * r + j}") for j in range(r)]))
             for b in range(MINHASH_BANDS)
         ])).alias("band_idx", "band_key")).localCheckpoint(eager=True)
+    return sets_, bands
+
+
+def _verify_pairs(cand: DataFrame, sets_: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of (a, b) candidates against the
+    checkpointed shingle sets — shared by the full and delta paths so
+    parity between them is structural, not coincidental."""
+    return (cand
+            .join(sets_.toDF("a", "sh_a"), "a")
+            .join(sets_.toDF("b", "sh_b"), "b")
+            .withColumn(
+                "jaccard",
+                F.round(F.size(F.array_intersect("sh_a", "sh_b"))
+                        / F.size(F.array_union("sh_a", "sh_b")), 6))
+            .filter(F.col("jaccard") >= NEAR_DUP_THRESHOLD)
+            .select("a", "b", "jaccard"))
+
+
+def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
+    """Banded-LSH candidate pairs verified by true shingle Jaccard.
+
+    shingle sets (ONE tokenize+shingle pass, checkpointed) -> signature
+    -> band keys (md5 of r concatenated rows) -> explode -> self-join
+    per (band_idx, band_key) -> distinct pairs -> verify with exact
+    |A∩B|/|A∪B| >= threshold against the SAME checkpointed sets (band
+    join moves 2 longs + 32B hash, not document bodies; the verify
+    probes reread RDD blocks, not the corpus)."""
+    sets_, bands = _minhash_tables(docs)
     a = bands.toDF("a", "band_idx", "band_key")
     b = bands.toDF("b", "band_idx", "band_key")
     cand = (a.join(b, ["band_idx", "band_key"])
             .filter(F.col("a") < F.col("b"))
             .select("a", "b").distinct())
+    return _verify_pairs(cand, sets_)
 
-    out = (cand
-           .join(sets_.toDF("a", "sh_a"), "a")
-           .join(sets_.toDF("b", "sh_b"), "b")
-           .withColumn(
-               "jaccard",
-               F.round(F.size(F.array_intersect("sh_a", "sh_b"))
-                       / F.size(F.array_union("sh_a", "sh_b")), 6))
-           .filter(F.col("jaccard") >= NEAR_DUP_THRESHOLD)
-           .select("a", "b", "jaccard"))
-    return out
+
+def minhash_delta_pairs(docs: DataFrame, delta_ids: DataFrame) -> DataFrame:
+    """Semi-naive near-dup maintenance under a re-crawl delta — the
+    dedup member of the incremental family (canonicalize.
+    incremental_components, graphops.kg_entailment_delta): emit exactly
+    the near-dup pairs the delta ADDS — (old, new) and (new, new) —
+    without ever joining old bands against old bands.
+
+    The band join is delta x corpus on (band_idx, band_key): the
+    old-vs-old quadratic never forms, so maintenance cost scales with
+    the delta, not the corpus. At 100 TB the corpus-side band table is
+    the materialized signature store published by the previous run
+    (bucketed by band_key); here it is recomputed because the sandbox
+    holds no store between queries — the JOIN SHAPE is what carries.
+    Pairs are normalized with least/greatest (at least one side is
+    new, so (delta x corpus) covers each added pair exactly once per
+    orientation) and verified by the same exact-Jaccard probe as the
+    full path. Parity contract: output == minhash_lsh_pairs(docs)
+    restricted to pairs touching a delta doc (the oracle runs the FULL
+    recompute and filters, so incremental == full is what the gate
+    proves)."""
+    sets_, bands = _minhash_tables(docs)
+    dbands = bands.join(delta_ids.select("doc_id"), "doc_id", "left_semi")
+    d = dbands.toDF("d", "band_idx", "band_key")
+    allb = bands.toDF("x", "band_idx", "band_key")
+    cand = (d.join(allb, ["band_idx", "band_key"])
+            .filter(F.col("d") != F.col("x"))
+            .select(F.least("d", "x").alias("a"),
+                    F.greatest("d", "x").alias("b"))
+            .distinct())
+    return _verify_pairs(cand, sets_)
 
 
 # --- exact n-gram Jaccard (inverted-index join) ----------------------------

@@ -272,6 +272,15 @@ FROM adoc GROUP BY 1 HAVING count(*) > 1"""
         f"WITH {_minhash_pair_ctes()}\n"
         "SELECT a, b, jaccard FROM pairs")
 
+    # incremental == full: the oracle recomputes ALL pairs from scratch
+    # and keeps those touching a delta doc (doc_id%10 < 3) — parity
+    # proves the engine's delta x corpus band join reproduces the full
+    # recompute restricted to added pairs
+    sqls["doc_minhash_delta"] = (
+        f"WITH {_minhash_pair_ctes()}\n"
+        "SELECT a, b, jaccard FROM pairs "
+        "WHERE a % 10 < 3 OR b % 10 < 3")
+
     # minhash calibration: estimate (component-collision fraction) vs
     # true jaccard over the UNthresholded candidate set, 2-SE verdict
     est_expr = ("(" + " + ".join(

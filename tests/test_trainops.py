@@ -413,3 +413,18 @@ def test_minhash_calibration_identical_pair_zero_error(spark):
     assert row["n_pairs"] == 1
     assert row["mean_true"] == 1.0 and row["mean_est"] == 1.0
     assert row["mean_abs_err"] == 0.0 and row["within_2se_frac"] == 1.0
+
+
+def test_minhash_delta_equals_full_restricted(spark, adocs):
+    # incremental == full: the delta path must emit exactly the full
+    # run's pairs that touch a delta doc -- no extras, none missing
+    full = {(r["a"], r["b"]): r["jaccard"]
+            for r in textops.minhash_lsh_pairs(adocs).collect()}
+    delta_ids = adocs.filter(F.col("doc_id") % 10 < 3).select("doc_id")
+    got = {(r["a"], r["b"]): r["jaccard"]
+           for r in textops.minhash_delta_pairs(adocs, delta_ids).collect()}
+    want = {p: j for p, j in full.items()
+            if p[0] % 10 < 3 or p[1] % 10 < 3}
+    assert got == want
+    # non-vacuous: the full run has pairs the delta must NOT recompute
+    assert len(want) < len(full)
