@@ -540,3 +540,84 @@ def stream_entailment_triples(spark: SparkSession, input_dir: str,
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_neardup_pairs(spark: SparkSession, input_dir: str,
+                         store_dir: str, checkpoint_dir: str,
+                         trigger_available_now: bool = True):
+    """Streaming near-dup maintenance — the streaming leg of
+    textops.minhash_delta_pairs: each micro-batch shingles/bands ONLY
+    its own documents and joins them against the accumulated signature
+    store, so the band frontier is batch-sized and old x old never
+    re-forms (at 10^12 docs a per-batch re-LSH of the corpus is the
+    difference between a streaming system and none). Each version
+    commits three tables together — sets (shingle sets for the exact
+    verify), bands (the signature store the next batch probes), pairs
+    (the monotone near-dup ledger) — under the same versioned-snapshot
+    + atomic-pointer + crash-replay discipline as
+    stream_entailment_triples. Invariant the test pins: after draining,
+    `pairs` equals the batch minhash_lsh_pairs over all arrived docs
+    (every pair is found when its LATER doc arrives)."""
+    from ..operators.textops import _minhash_tables, _verify_pairs
+    from ..plans.checkpointing import _fs_write_json_atomic
+
+    stream = (spark.readStream.schema(DOCS_SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(input_dir))
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        new_sets, new_bands = _minhash_tables(
+            batch_df.select("doc_id", "text"))
+        ptr = _read_pointer(spark, store_dir)
+        if ptr and ptr["version"] == batch_id:     # crash replay
+            parent = ptr["parent"]
+        elif ptr:
+            parent = ptr["version"]
+        else:
+            parent = None
+        if parent is not None:
+            old_sets = spark.read.parquet(f"{store_dir}/v={parent}/sets")
+            old_bands = spark.read.parquet(f"{store_dir}/v={parent}/bands")
+            old_pairs = spark.read.parquet(f"{store_dir}/v={parent}/pairs")
+        else:
+            old_sets = new_sets.limit(0)
+            old_bands = new_bands.limit(0)
+            old_pairs = spark.createDataFrame(
+                [], "a bigint, b bigint, jaccard double")
+        all_bands = old_bands.unionByName(new_bands)
+        all_sets = old_sets.unionByName(new_sets)
+        d = new_bands.toDF("d", "band_idx", "band_key")
+        x = all_bands.toDF("x", "band_idx", "band_key")
+        cand = (d.join(x, ["band_idx", "band_key"])
+                .filter(F.col("d") != F.col("x"))
+                .select(F.least("d", "x").alias("a"),
+                        F.greatest("d", "x").alias("b"))
+                .distinct())
+        pairs = (old_pairs
+                 .unionByName(_verify_pairs(cand, all_sets))
+                 .distinct()
+                 .localCheckpoint(eager=True))
+        all_sets.write.mode("overwrite") \
+            .parquet(f"{store_dir}/v={batch_id}/sets")
+        all_bands.write.mode("overwrite") \
+            .parquet(f"{store_dir}/v={batch_id}/bands")
+        pairs.write.mode("overwrite") \
+            .parquet(f"{store_dir}/v={batch_id}/pairs")
+        n_docs = spark.read.parquet(
+            f"{store_dir}/v={batch_id}/sets").count()
+        n_pairs = spark.read.parquet(
+            f"{store_dir}/v={batch_id}/pairs").count()
+        _fs_write_json_atomic(
+            spark, f"{store_dir}/_commit_v{batch_id}.json",
+            {"version": batch_id, "parent": parent,
+             "n_docs": n_docs, "n_pairs": n_pairs})
+        _fs_write_json_atomic(
+            spark, f"{store_dir}/{STORE_POINTER}",
+            {"version": batch_id, "parent": parent})
+
+    writer = (stream.writeStream
+              .foreachBatch(process)
+              .option("checkpointLocation", checkpoint_dir))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

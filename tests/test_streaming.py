@@ -488,3 +488,55 @@ def test_stream_entailment_matches_batch_saturation(spark, sf_dir, staged):
     q2 = stream_entailment_triples(spark, in_dir, store, ckpt)
     q2.awaitTermination(120)
     assert _read_pointer(spark, store) == ptr
+
+
+@pytest.fixture(scope="module")
+def staged_adocs(tmp_path_factory, spark, sf_dir):
+    """Augmented docs (planted exact + near copies) split so most
+    planted copies land in a different file than their originals —
+    cross-batch pairs must be found when the LATER doc arrives."""
+    from cspirit_ontology_information_extraction_opus4plan_spark import (
+        decorations as DE,
+    )
+    tmp_path = tmp_path_factory.mktemp("neardup_stream")
+    docs = DE.augmented_docs(spark, sf_dir)
+    in_dir = tmp_path / "incoming"
+    in_dir.mkdir()
+    pdf = docs.toPandas().sort_values("doc_id")
+    half = len(pdf) // 2     # originals first, planted copies second
+    pdf.iloc[:half].to_parquet(in_dir / "part0.parquet", index=False)
+    pdf.iloc[half:].to_parquet(in_dir / "part1.parquet", index=False)
+    return str(in_dir), str(tmp_path / "store"), str(tmp_path / "ckpt")
+
+
+def test_stream_neardup_matches_batch_lsh(spark, sf_dir, staged_adocs):
+    """After draining both staged files, the maintained pair ledger
+    equals the batch minhash_lsh_pairs over the full corpus, and a
+    re-drain commits nothing."""
+    from cspirit_ontology_information_extraction_opus4plan_spark import (
+        decorations as DE,
+    )
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.textops import (  # noqa: E501
+        minhash_lsh_pairs,
+    )
+    from cspirit_ontology_information_extraction_opus4plan_spark.streaming.pipeline import (  # noqa: E501
+        _read_pointer,
+        stream_neardup_pairs,
+    )
+
+    in_dir, store, ckpt = staged_adocs
+    q = stream_neardup_pairs(spark, in_dir, store, ckpt)
+    q.awaitTermination(120)
+
+    ptr = _read_pointer(spark, store)
+    assert ptr == {"version": 1, "parent": 0}
+    got = spark.read.parquet(f"{store}/v=1/pairs").toPandas()
+    want = minhash_lsh_pairs(
+        DE.augmented_docs(spark, sf_dir)).toPandas()
+    assert len(want) > 0     # non-vacuous: planted dups must pair up
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
+
+    # exactly-once: a re-drain on the same checkpoint commits nothing
+    q2 = stream_neardup_pairs(spark, in_dir, store, ckpt)
+    q2.awaitTermination(120)
+    assert _read_pointer(spark, store) == ptr
