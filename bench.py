@@ -55,6 +55,9 @@ HEADLINE = [
     "doc_repetition",     # Gopher repetition rules (if present)
     "entity_cooccurrence",  # doc-level PMI edges (if present)
     "kg_pagerank",        # fixed-iteration entity salience (if present)
+    "kg_hits",            # hubs/authorities, one job per iteration (if present)
+    "kg_random_walks",    # hash-seeded walk corpus for embeddings (if present)
+    "doc_minhash_delta",  # semi-naive near-dup maintenance (if present)
     "kg_triangles",       # triangle/clustering stats (if present)
     "url_curation",       # crawl URL canonicalize+blocklist+dedup (if present)
 ]

@@ -504,3 +504,15 @@ def test_random_walks_pure_jvm_equi_joins(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_delta_band_join_is_semi_plus_equi(spark, sf_dir):
+    """The delta near-dup path prunes to delta bands via a LeftSemi
+    join and pairs via the banded equi-join — pure JVM, no corpus
+    self-product."""
+    df = api.q_doc_minhash_delta(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
