@@ -1263,6 +1263,13 @@ def q_entity_drift(spark, sf_dir):
     return entity_drift(_linked_mentions(spark, sf_dir))
 
 
+def q_triple_fusion(spark, sf_dir):
+    """Truth discovery: one fused object per (subject, predicate) by
+    evidence-weighted vote over the pre-dedup extraction stream."""
+    from .operators.relations import triple_fusion
+    return triple_fusion(triples_df(spark, sf_dir))
+
+
 def q_triple_confidence_profile(spark, sf_dir):
     """Per-predicate confidence calibration (plain vs support-weighted
     mean — decides whether a confidence trim costs recall)."""
@@ -1566,6 +1573,7 @@ def queries() -> dict[str, QueryFn]:
         "gazetteer_coverage": q_gazetteer_coverage,
         "triple_provenance": q_triple_provenance,
         "triple_confidence_profile": q_triple_confidence_profile,
+        "triple_fusion": q_triple_fusion,
         "kg_degree_histogram": q_kg_degree_histogram,
         "kg_kcore": q_kg_kcore,
         "kg_communities": q_kg_communities,

@@ -401,3 +401,41 @@ def confidence_profile(triples: DataFrame) -> DataFrame:
                  F.round(F.avg("confidence"), 6).alias("mean_conf"),
                  F.round(F.sum(F.col("confidence") * F.col("support"))
                          / F.sum("support"), 6).alias("wmean_conf")))
+
+
+def triple_fusion(triples: DataFrame) -> DataFrame:
+    """Pre-dedup evidence stream -> one fused object per (subject,
+    predicate): truth discovery over conflicting extractions. Each
+    candidate object's evidence is rolled up as (summed mention
+    confidence, distinct supporting docs, mention count); the winner
+    maximizes (weight, n_docs) with a deterministic smallest-object
+    tie-break, and n_alternatives reports how contested the slot was.
+
+    Reference parity: the reference resolves conflicting assertions at
+    ontology-merge time by source priority
+    (aim2_ontology/models.py merge paths; SURVEY §2.6) — at corpus
+    scale, where the same (s, p) is extracted from millions of pages,
+    the evidence-weighted vote is the distributed analog.
+
+    Scale shape: two map-side-combinable aggregates (evidence rollup,
+    then struct-argmin for the winner) — never a window over the
+    corpus; both shuffles key on (subject[, predicate]), the same
+    partitioning, so AQE reuses the exchange."""
+    ev = (triples.groupBy("subject", "predicate", "object")
+          .agg(F.sum("confidence").alias("w"),
+               F.countDistinct("doc_id").alias("n_docs"),
+               F.count("*").alias("n_mentions")))
+    best = (ev.groupBy("subject", "predicate")
+            .agg(F.min_by(
+                     F.struct("object", "w", "n_docs", "n_mentions"),
+                     F.struct((-F.col("w")).alias("nw"),
+                              (-F.col("n_docs")).alias("nd"),
+                              F.col("object"))).alias("win"),
+                 F.count("*").alias("n_alternatives")))
+    return best.select(
+        "subject", "predicate",
+        F.col("win.object").alias("object"),
+        F.round("win.w", 6).alias("evidence_weight"),
+        F.col("win.n_docs").alias("n_docs"),
+        F.col("win.n_mentions").alias("n_mentions"),
+        "n_alternatives")

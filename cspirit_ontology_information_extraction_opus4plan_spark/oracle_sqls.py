@@ -2953,6 +2953,24 @@ SELECT predicate, CAST(count(*) AS BIGINT) AS n_triples,
        round(sum(confidence * support) / sum(support), 6) AS wmean_conf
 FROM dedup GROUP BY 1""")
 
+    sqls["triple_fusion"] = (
+        corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + """,
+ev AS (SELECT subject, predicate, object, sum(confidence) AS w,
+              count(DISTINCT doc_id) AS n_docs, count(*) AS n_mentions
+       FROM triples GROUP BY 1, 2, 3),
+rn AS (SELECT ev.*,
+              row_number() OVER (PARTITION BY subject, predicate
+                                 ORDER BY w DESC, n_docs DESC,
+                                          object ASC) AS r,
+              count(*) OVER (PARTITION BY subject, predicate)
+                AS n_alternatives
+       FROM ev)
+SELECT subject, predicate, object, round(w, 6) AS evidence_weight,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_mentions AS BIGINT) AS n_mentions,
+       CAST(n_alternatives AS BIGINT) AS n_alternatives
+FROM rn WHERE r = 1""")
+
     sqls["triple_provenance"] = (
         corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + """
 SELECT d.source, t.predicate,

@@ -428,3 +428,29 @@ def test_minhash_delta_equals_full_restricted(spark, adocs):
     assert got == want
     # non-vacuous: the full run has pairs the delta must NOT recompute
     assert len(want) < len(full)
+
+
+def test_triple_fusion_votes_and_tie_breaks(spark):
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.relations import (  # noqa: E501
+        triple_fusion,
+    )
+    t = spark.createDataFrame(
+        [  # s1: two weak mentions of 'b' outvote one strong 'a'
+         ("d1", "s1", "p", "a", 1.0),
+         ("d2", "s1", "p", "b", 0.9),
+         ("d3", "s1", "p", "b", 0.9),
+         # s2: exact tie on weight and doc count -> smallest object
+         ("d1", "s2", "p", "b", 1.0),
+         ("d2", "s2", "p", "a", 1.0),
+         # s3: uncontested
+         ("d1", "s3", "p", "c", 0.9)],
+        "doc_id string, subject string, predicate string, "
+        "object string, confidence double")
+    rows = {(r["subject"], r["predicate"]): r
+            for r in triple_fusion(t).collect()}
+    w1 = rows[("s1", "p")]
+    assert w1["object"] == "b" and w1["evidence_weight"] == 1.8
+    assert w1["n_docs"] == 2 and w1["n_mentions"] == 2
+    assert w1["n_alternatives"] == 2
+    assert rows[("s2", "p")]["object"] == "a"
+    assert rows[("s3", "p")]["n_alternatives"] == 1
