@@ -761,6 +761,14 @@ def q_cross_references(spark, sf_dir):
     return TM.cross_references(spans, DE.crossref_decorated_texts(spans))
 
 
+def q_media_context(spark, sf_dir):
+    """Caption-to-context alignment: each figure/table span paired
+    with the nearest preceding text span (per-doc carry-forward
+    window) — the multimodal training-pair builder."""
+    from .operators.media import media_context
+    return media_context(spans_exploded(spark, sf_dir))
+
+
 def q_media_dedup_merge(spark, sf_dir):
     """Figure/table dedup-and-merge by (doc, kind, number): longest
     caption, averaged confidence (pdf_parser._merge_and_deduplicate)."""
@@ -1441,6 +1449,7 @@ def queries() -> dict[str, QueryFn]:
         "doc_sections": q_doc_sections,
         "citation_format_detect": q_citation_format_detect,
         "media_dedup_merge": q_media_dedup_merge,
+        "media_context": q_media_context,
         "scientific_notation": q_scientific_notation,
         "event_range_join": q_event_range_join,
         "event_rollup": q_event_rollup,

@@ -164,3 +164,33 @@ def scientific_notation(texts: DataFrame) -> DataFrame:
             .select("doc_id", "pos", F.explode(nums).alias("raw"))
             .select("doc_id", "pos", "raw",
                     F.round(F.col("raw").cast("double"), 6).alias("value")))
+
+
+def media_context(spans: DataFrame) -> DataFrame:
+    """Exploded interleaved spans -> (doc_id, media_ref, kind, caption,
+    context_text, context_gap): each figure/table span aligned to the
+    nearest PRECEDING text span in document order — the
+    caption-to-context link that multimodal training pairs (caption +
+    local context -> media blob) are built from, and the interleaved
+    counterpart of the reference's figure/caption association
+    (parsers/xml_parser.py figure extraction keeps captions with their
+    document position).
+
+    One carry-forward window per document (partition = doc_id, order =
+    array position): partitions are document-sized, never corpus-wide,
+    so the shape survives 10^12 docs. A media span with no preceding
+    text (cover art) gets NULL context, honestly."""
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy("doc_id").orderBy("pos")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    txt = F.when(F.col("kind") == "text",
+                 F.struct("text", "offset"))
+    return (spans
+            .withColumn("_ctx", F.last(txt, ignorenulls=True).over(w))
+            .filter(F.col("kind").isin("figure", "table"))
+            .select("doc_id", "media_ref", "kind",
+                    F.col("text").alias("caption"),
+                    F.col("_ctx.text").alias("context_text"),
+                    (F.col("offset") - F.col("_ctx.offset"))
+                    .alias("context_gap")))

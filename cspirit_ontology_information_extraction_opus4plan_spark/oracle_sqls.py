@@ -1638,6 +1638,22 @@ def _media_sqls() -> dict[str, str]:
         " WHEN regexp_matches(number, '^\\d+[a-z]$') THEN 0.05"
         " ELSE 0.0 END)"
         f" + (CASE WHEN {ind} THEN 0.05 ELSE 0.0 END)))")
+    sqls["media_context"] = corpus_prefix() + """,
+mc AS (
+  SELECT doc_id, pos, kind, text, media_ref, "offset",
+         last_value(CASE WHEN kind = 'text' THEN text END IGNORE NULLS)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS context_text,
+         last_value(CASE WHEN kind = 'text' THEN "offset" END IGNORE NULLS)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS context_off
+  FROM spans)
+SELECT doc_id, media_ref, kind, text AS caption, context_text,
+       CAST("offset" - context_off AS INT) AS context_gap
+FROM mc WHERE kind IN ('figure', 'table')"""
+
     sqls["media_dedup_merge"] = corpus_prefix() + f"""
 , mbase AS (
   SELECT doc_id, kind,
