@@ -575,13 +575,17 @@ def bfs_distances(edges: DataFrame,
 RW_STEPS = 4
 
 
-def random_walks(triples: DataFrame, n_steps: int = RW_STEPS) -> DataFrame:
+def random_walks(triples: DataFrame, n_steps: int = RW_STEPS,
+                 n_walks: int = 1) -> DataFrame:
     """Deduped triple store -> (start, step, node): one deterministic
     DeepWalk-style random walk of up to `n_steps` hops from every node
     of the directed (subject -> object) entity graph — the
     sequence-corpus generator for KG-embedding training (the walk rows
-    ARE the skip-gram corpus; a W-walks-per-node variant salts the
-    seed with a walk index).
+    ARE the skip-gram corpus). `n_walks` > 1 multiplies the corpus:
+    each start runs W walks whose seeds are salted with the walk index
+    (output gains a walk_id column and the walk key becomes
+    (start, walk_id)); W scales training data without touching the
+    join shape.
 
     'Random' is hash-seeded and fully deterministic so the DuckDB
     oracle unrolls the identical recurrence: at step k the walk at
@@ -607,20 +611,31 @@ def random_walks(triples: DataFrame, n_steps: int = RW_STEPS) -> DataFrame:
           .select(F.col("subject").alias("s"), F.col("object").alias("o"))
           .distinct()
           .localCheckpoint(eager=True))  # read once per step
-    cur = (ed.select(F.col("s").alias("start")).distinct()
-           .select("start", F.col("start").alias("node")))
-    out = cur.select("start", F.lit(0).alias("step"), "node")
+    multi = n_walks > 1
+    cur = ed.select(F.col("s").alias("start")).distinct()
+    if multi:
+        spark = triples.sparkSession
+        cur = cur.crossJoin(
+            spark.range(n_walks).select(
+                F.col("id").cast("int").alias("walk_id")))
+    else:
+        cur = cur.withColumn("walk_id", F.lit(0))
+    cur = cur.select("start", "walk_id", F.col("start").alias("node"))
+    out = cur.select("start", "walk_id", F.lit(0).alias("step"), "node")
     for k in range(1, n_steps + 1):
+        # the walk index salts the seed ONLY in multi-walk mode, so the
+        # W=1 recurrence stays byte-identical to the unrolled oracle
+        salt = [F.col("walk_id")] if multi else []
         key = F.concat(
-            F.md5(F.concat_ws(":", F.col("start"), F.lit(str(k)),
-                              F.col("node"), F.col("o"))),
+            F.md5(F.concat_ws(":", F.col("start"), *salt,
+                              F.lit(str(k)), F.col("node"), F.col("o"))),
             F.col("o"))
         cur = (cur.join(ed, cur["node"] == ed["s"])
-               .groupBy("start")
+               .groupBy("start", "walk_id")
                .agg(F.min_by("o", key).alias("node")))
         out = out.unionByName(
-            cur.select("start", F.lit(k).alias("step"), "node"))
-    return out
+            cur.select("start", "walk_id", F.lit(k).alias("step"), "node"))
+    return out if multi else out.drop("walk_id")
 
 
 SKIPGRAM_WINDOW = 2

@@ -406,3 +406,30 @@ def test_walk_skipgrams_window_and_counts(spark):
     assert rows[("x", "y")] == 1 and rows[("y", "x")] == 1
     assert ("a", "x") not in rows         # never across walks
     assert sum(rows.values()) == 12
+
+
+def test_multi_walks_decorrelate_by_walk_id(spark):
+    # W=3 walks per start over a branching graph: same schema plus
+    # walk_id, each walk a valid path, and at least one start's walks
+    # diverge (the seed salt works); W=1 output is unchanged in shape
+    pairs = [("a", "b"), ("a", "c"), ("b", "d"), ("b", "e"),
+             ("c", "d"), ("c", "e"), ("d", "a"), ("e", "a")]
+    t = _triples(spark, pairs)
+    out = graphops.random_walks(t, n_steps=3, n_walks=3).collect()
+    edges = set(pairs)
+    by_walk: dict[tuple, dict[int, str]] = {}
+    for r in out:
+        by_walk.setdefault((r["start"], r["walk_id"]), {})[r["step"]] \
+            = r["node"]
+    assert {w for _, w in by_walk} == {0, 1, 2}
+    diverged = False
+    for (start, wid), steps in by_walk.items():
+        assert steps[0] == start
+        for k in range(1, len(steps)):
+            assert (steps[k - 1], steps[k]) in edges
+        if wid > 0 and steps != by_walk[(start, 0)]:
+            diverged = True
+    assert diverged
+    # W=1 keeps the original 3-column schema (no walk_id)
+    single = graphops.random_walks(t, n_steps=2)
+    assert single.columns == ["start", "step", "node"]
