@@ -621,3 +621,85 @@ def stream_neardup_pairs(spark: SparkSession, input_dir: str,
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_fused_triples(spark: SparkSession, input_dir: str,
+                         store_dir: str, checkpoint_dir: str,
+                         trigger_available_now: bool = True):
+    """Streaming truth discovery — the streaming leg of
+    relations.triple_fusion: the per-(s, p, o) evidence rollup
+    (summed confidence, distinct docs, mention count) is MERGEABLE
+    across micro-batches because each document arrives in exactly one
+    batch (doc sets are disjoint, so per-batch distinct-doc counts sum
+    exactly); each batch aggregates only its own extractions and adds
+    them into the stored rollup, then the fused winner per (subject,
+    predicate) is re-derived from the updated rollup — batch-sized
+    aggregation work, corpus-sized state only in the keyed rollup
+    table. Versioned (evidence, fused) snapshots under the atomic
+    pointer with crash replay, exactly-once like the other streams.
+    Invariant the test pins: after draining, `fused` equals the batch
+    triple_fusion over all arrived documents."""
+    from ..plans.checkpointing import _fs_write_json_atomic
+
+    stream = (spark.readStream.schema(DOCS_SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(input_dir))
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        inc = (triples_from_docs(batch_df)
+               .groupBy("subject", "predicate", "object")
+               .agg(F.sum("confidence").alias("w"),
+                    F.countDistinct("doc_id").alias("n_docs"),
+                    F.count("*").alias("n_mentions")))
+        ptr = _read_pointer(spark, store_dir)
+        if ptr and ptr["version"] == batch_id:     # crash replay
+            parent = ptr["parent"]
+        elif ptr:
+            parent = ptr["version"]
+        else:
+            parent = None
+        if parent is not None:
+            old = spark.read.parquet(f"{store_dir}/v={parent}/evidence")
+            merged = (old.unionByName(inc)
+                      .groupBy("subject", "predicate", "object")
+                      .agg(F.sum("w").alias("w"),
+                           F.sum("n_docs").alias("n_docs"),
+                           F.sum("n_mentions").alias("n_mentions")))
+        else:
+            merged = inc
+        merged = merged.localCheckpoint(eager=True)
+        fused = (merged.groupBy("subject", "predicate")
+                 .agg(F.min_by(
+                          F.struct("object", "w", "n_docs", "n_mentions"),
+                          F.struct((-F.col("w")).alias("nw"),
+                                   (-F.col("n_docs")).alias("nd"),
+                                   F.col("object"))).alias("win"),
+                      F.count("*").alias("n_alternatives"))
+                 .select("subject", "predicate",
+                         F.col("win.object").alias("object"),
+                         F.round("win.w", 6).alias("evidence_weight"),
+                         F.col("win.n_docs").alias("n_docs"),
+                         F.col("win.n_mentions").alias("n_mentions"),
+                         "n_alternatives"))
+        merged.write.mode("overwrite") \
+            .parquet(f"{store_dir}/v={batch_id}/evidence")
+        fused.write.mode("overwrite") \
+            .parquet(f"{store_dir}/v={batch_id}/fused")
+        n_ev = spark.read.parquet(
+            f"{store_dir}/v={batch_id}/evidence").count()
+        n_fused = spark.read.parquet(
+            f"{store_dir}/v={batch_id}/fused").count()
+        _fs_write_json_atomic(
+            spark, f"{store_dir}/_commit_v{batch_id}.json",
+            {"version": batch_id, "parent": parent,
+             "n_evidence": n_ev, "n_fused": n_fused})
+        _fs_write_json_atomic(
+            spark, f"{store_dir}/{STORE_POINTER}",
+            {"version": batch_id, "parent": parent})
+
+    writer = (stream.writeStream
+              .foreachBatch(process)
+              .option("checkpointLocation", checkpoint_dir))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -540,3 +540,35 @@ def test_stream_neardup_matches_batch_lsh(spark, sf_dir, staged_adocs):
     q2 = stream_neardup_pairs(spark, in_dir, store, ckpt)
     q2.awaitTermination(120)
     assert _read_pointer(spark, store) == ptr
+
+
+def test_stream_fused_matches_batch_fusion(spark, sf_dir, staged):
+    """After draining both staged files, the maintained fused table
+    equals batch triple_fusion over all arrived documents (the
+    evidence rollup merges exactly because doc sets are disjoint
+    across batches), and a re-drain commits nothing."""
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.relations import (  # noqa: E501
+        triple_fusion,
+    )
+    from cspirit_ontology_information_extraction_opus4plan_spark.streaming.pipeline import (  # noqa: E501
+        _read_pointer,
+        stream_fused_triples,
+        triples_from_docs,
+    )
+
+    in_dir, out_dir, ckpt = staged
+    store = out_dir + "_fused_store"
+    q = stream_fused_triples(spark, in_dir, store, ckpt + "_fused")
+    q.awaitTermination(120)
+
+    ptr = _read_pointer(spark, store)
+    assert ptr == {"version": 1, "parent": 0}
+    got = spark.read.parquet(f"{store}/v=1/fused").toPandas()
+    want = triple_fusion(triples_from_docs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"))).toPandas()
+    assert (want["n_alternatives"] > 1).any()   # non-vacuous conflicts
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
+
+    q2 = stream_fused_triples(spark, in_dir, store, ckpt + "_fused")
+    q2.awaitTermination(120)
+    assert _read_pointer(spark, store) == ptr
