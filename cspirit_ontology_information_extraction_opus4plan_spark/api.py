@@ -1271,6 +1271,18 @@ def q_entity_drift(spark, sf_dir):
     return entity_drift(_linked_mentions(spark, sf_dir))
 
 
+def q_triples_retract(spark, sf_dir):
+    """Deletion maintenance (tombstone pass): docs with doc number
+    % 7 == 3 are retracted; only 7-tuple keys they evidenced are
+    re-aggregated. Oracle recomputes the full dedup on the surviving
+    stream — parity proves maintenance == recompute."""
+    from .operators.relations import dedup_retract
+    t_pre = triples_df(spark, sf_dir).localCheckpoint(eager=True)
+    doc_num = F.substring("doc_id", 5, 6).cast("int")
+    removed = t_pre.select("doc_id").distinct().filter(doc_num % 7 == 3)
+    return dedup_retract(t_pre, removed)
+
+
 def q_triple_fusion(spark, sf_dir):
     """Truth discovery: one fused object per (subject, predicate) by
     evidence-weighted vote over the pre-dedup extraction stream."""
@@ -1583,6 +1595,7 @@ def queries() -> dict[str, QueryFn]:
         "triple_provenance": q_triple_provenance,
         "triple_confidence_profile": q_triple_confidence_profile,
         "triple_fusion": q_triple_fusion,
+        "triples_retract": q_triples_retract,
         "kg_degree_histogram": q_kg_degree_histogram,
         "kg_kcore": q_kg_kcore,
         "kg_communities": q_kg_communities,

@@ -439,3 +439,39 @@ def triple_fusion(triples: DataFrame) -> DataFrame:
         F.col("win.n_docs").alias("n_docs"),
         F.col("win.n_mentions").alias("n_mentions"),
         "n_alternatives")
+
+
+def dedup_retract(pre: DataFrame, removed_docs: DataFrame) -> DataFrame:
+    """Deletion maintenance for the deduped triple store — the
+    tombstone pass merge_triples_incremental's docstring defers to
+    (takedown / GDPR / robots-revocation at web scale must not
+    re-aggregate 10^12 docs): given the pre-dedup evidence stream and
+    the retracted doc ids, re-aggregate ONLY the 7-tuple keys that had
+    evidence in a removed doc. Unaffected store rows pass through via
+    a null-safe left_anti on the affected-key set (delta-sized);
+    affected keys re-aggregate from the surviving evidence; keys whose
+    evidence vanished entirely disappear from the store.
+
+    Key joins are null-safe (object_datatype / object_language are
+    NULL for uri objects), the same IS NOT DISTINCT FROM semantics as
+    the MERGE path. Oracle recomputes the full dedup over the filtered
+    stream — parity proves retraction-maintenance == full recompute."""
+    removed = removed_docs.select("doc_id")
+    old = dedup_triples(pre)
+    akeys = (pre.join(removed, "doc_id", "left_semi")
+             .select(*TRIPLE_KEY).distinct())
+
+    def _nscond(left: str):
+        cond = None
+        for c in TRIPLE_KEY:
+            p = F.col(f"{left}.{c}").eqNullSafe(F.col(f"k.{c}"))
+            cond = p if cond is None else cond & p
+        return cond
+
+    survive = pre.join(removed, "doc_id", "left_anti")
+    re_agg = dedup_triples(
+        survive.alias("s").join(akeys.alias("k"), _nscond("s"),
+                                "left_semi"))
+    kept = (old.alias("o").join(akeys.alias("k"), _nscond("o"),
+                                "left_anti"))
+    return kept.unionByName(re_agg)

@@ -2969,6 +2969,16 @@ SELECT predicate, CAST(count(*) AS BIGINT) AS n_triples,
        round(sum(confidence * support) / sum(support), 6) AS wmean_conf
 FROM dedup GROUP BY 1""")
 
+    sqls["triples_retract"] = (
+        corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + """
+SELECT subject, predicate, object, subject_type, object_type,
+       object_datatype, object_language,
+       max(confidence) AS confidence,
+       CAST(count(*) AS BIGINT) AS support
+FROM triples
+WHERE CAST(substring(doc_id, 5) AS INT) % 7 <> 3
+GROUP BY 1, 2, 3, 4, 5, 6, 7""")
+
     sqls["triple_fusion"] = (
         corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + """,
 ev AS (SELECT subject, predicate, object, sum(confidence) AS w,

@@ -454,3 +454,41 @@ def test_triple_fusion_votes_and_tie_breaks(spark):
     assert w1["n_alternatives"] == 2
     assert rows[("s2", "p")]["object"] == "a"
     assert rows[("s3", "p")]["n_alternatives"] == 1
+
+
+def test_dedup_retract_reaggregates_only_affected_keys(spark):
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.relations import (  # noqa: E501
+        dedup_retract,
+        dedup_triples,
+    )
+    cols = ("doc_id string, subject string, predicate string, "
+            "object string, subject_type string, object_type string, "
+            "object_datatype string, object_language string, "
+            "confidence double")
+    pre = spark.createDataFrame(
+        [  # key A: evidence in d1 (removed, conf 1.0) and d2 (kept, 0.8)
+         ("d1", "s", "p", "a", "uri", "uri", None, None, 1.0),
+         ("d2", "s", "p", "a", "uri", "uri", None, None, 0.8),
+         # key B: only evidence is d1 -> disappears
+         ("d1", "s", "p", "b", "uri", "uri", None, None, 0.9),
+         # key C: untouched, passes through un-reaggregated
+         ("d3", "s", "q", "c", "uri", "uri", None, None, 0.7),
+         # key D: literal object with NULL datatype/lang exercising the
+         # null-safe key join, evidence split across removed/kept docs
+         ("d1", "s", "r", "5", "uri", "literal", "xsd:int", None, 1.0),
+         ("d2", "s", "r", "5", "uri", "literal", "xsd:int", None, 1.0)],
+        cols)
+    removed = spark.createDataFrame([("d1",)], "doc_id string")
+    got = {(r["subject"], r["predicate"], r["object"]):
+           (r["confidence"], r["support"])
+           for r in dedup_retract(pre, removed).collect()}
+    assert got[("s", "p", "a")] == (0.8, 1)   # re-aggregated, conf drops
+    assert ("s", "p", "b") not in got          # evidence vanished
+    assert got[("s", "q", "c")] == (0.7, 1)   # untouched pass-through
+    assert got[("s", "r", "5")] == (1.0, 1)   # null-safe key matched
+    # parity with the full recompute on the filtered stream
+    want = {(r["subject"], r["predicate"], r["object"]):
+            (r["confidence"], r["support"])
+            for r in dedup_triples(
+                pre.filter(F.col("doc_id") != "d1")).collect()}
+    assert got == want
