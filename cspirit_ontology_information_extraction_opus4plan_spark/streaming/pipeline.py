@@ -703,3 +703,41 @@ def stream_fused_triples(spark: SparkSession, input_dir: str,
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def retract_store_version(spark: SparkSession, store_dir: str,
+                          evidence_dir: str,
+                          removed_doc_ids: list[str]) -> dict:
+    """Takedown pass on the versioned triple store: commit a new
+    snapshot with every 7-tuple key the removed docs evidenced
+    re-aggregated from the surviving per-doc evidence table (the
+    lineage output of jobs/kg_construct_job.py), via
+    relations.dedup_retract — delta-sized work, never a corpus
+    re-aggregation. The new version rides the same commit-marker +
+    atomic-pointer discipline as every other store writer, so
+    store_history shows the retraction and store_changes between the
+    two snapshots yields exactly the delete/update rows the takedown
+    caused. Returns the commit dict."""
+    from ..operators.relations import dedup_retract
+    from ..plans.checkpointing import _fs_write_json_atomic
+
+    ptr = _read_pointer(spark, store_dir)
+    if not ptr:
+        raise ValueError(f"{store_dir} has no committed version to "
+                         f"retract from")
+    parent = ptr["version"]
+    version = parent + 1
+    ev = spark.read.parquet(evidence_dir)
+    removed = spark.createDataFrame(
+        [(d,) for d in removed_doc_ids], "doc_id string")
+    new = dedup_retract(ev, removed)
+    new.write.mode("overwrite").parquet(f"{store_dir}/v={version}")
+    n_rows = spark.read.parquet(f"{store_dir}/v={version}").count()
+    commit = {"version": version, "parent": parent, "n_rows": n_rows,
+              "action": "retract", "n_docs_removed": len(removed_doc_ids)}
+    _fs_write_json_atomic(
+        spark, f"{store_dir}/_commit_v{version}.json", commit)
+    _fs_write_json_atomic(
+        spark, f"{store_dir}/{STORE_POINTER}",
+        {"version": version, "parent": parent})
+    return commit

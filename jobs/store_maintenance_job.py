@@ -5,18 +5,24 @@ expire_snapshots + rewrite_data_files, on this repo's plain-parquet
 snapshot chain).
 
     spark-submit --py-files cspirit_spark.zip jobs/store_maintenance_job.py \
-        --store /data/triple_store [--compact 64] [--expire-keep 2]
+        --store /data/triple_store [--compact 64] [--expire-keep 2] \
+        [--retract-docs DOC:000003,DOC:000017 --evidence /data/triples]
 
-Actions (both optional, compaction runs first so expiry can reclaim the
+Actions (all optional; retraction runs first — the takedown must land
+before layout maintenance — then compaction, so expiry can reclaim the
 pre-compaction layout on the NEXT run — the current pointer's parent is
 never expired, it is the crash-replay re-derivation source):
+  --retract-docs IDS  takedown pass: re-aggregate only the 7-tuple keys
+                   the removed docs evidenced (relations.dedup_retract
+                   over --evidence) and commit the result as a new
+                   version
   --compact N      rewrite the current snapshot into N files as a new
                    committed version (rows identical; pointer flips)
   --expire-keep K  delete all committed versions except the K most
                    recent (and never the pointer's version or parent)
 
 Prints one JSON line: {"history": [...], "compacted": {...}|null,
-"expired": [...]}. With no action flags this is a read-only snapshot-log
+"expired": [...], "retracted": {...}|null}. With no action flags this is a read-only snapshot-log
 report.
 """
 
@@ -38,6 +44,7 @@ from cspirit_ontology_information_extraction_opus4plan_spark.session import (  #
 from cspirit_ontology_information_extraction_opus4plan_spark.streaming.pipeline import (  # noqa: E402
     compact_store_version,
     expire_store_versions,
+    retract_store_version,
     store_history,
 )
 
@@ -53,6 +60,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--expire-keep", type=int, default=None, metavar="K",
                    help="expire all but the K most recent committed "
                         "versions (pointer + parent always kept)")
+    p.add_argument("--retract-docs", default=None, metavar="IDS",
+                   help="comma-separated doc ids to retract (takedown "
+                        "pass); requires --evidence")
+    p.add_argument("--evidence", default=None, metavar="DIR",
+                   help="per-doc triple evidence table "
+                        "(kg_construct_job output) the retraction "
+                        "re-aggregates from")
     p.add_argument("--master", default=None,
                    help="Spark master override (see kg_construct_job)")
     args = p.parse_args(argv)
@@ -66,7 +80,13 @@ def main(argv: list[str] | None = None) -> int:
         except Exception:  # not under spark-submit
             spark = get_spark("store_maintenance")
     try:
-        out = {"compacted": None, "expired": []}
+        out = {"compacted": None, "expired": [], "retracted": None}
+        if args.retract_docs is not None:
+            if not args.evidence:
+                p.error("--retract-docs requires --evidence")
+            out["retracted"] = retract_store_version(
+                spark, args.store, args.evidence,
+                [d for d in args.retract_docs.split(",") if d])
         if args.compact is not None:
             out["compacted"] = compact_store_version(
                 spark, args.store, target_files=args.compact)

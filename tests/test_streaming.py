@@ -572,3 +572,49 @@ def test_stream_fused_matches_batch_fusion(spark, sf_dir, staged):
     q2 = stream_fused_triples(spark, in_dir, store, ckpt + "_fused")
     q2.awaitTermination(120)
     assert _read_pointer(spark, store) == ptr
+
+
+def test_retract_store_version_commits_takedown(spark, sf_dir, tmp_path):
+    """The takedown pass commits a new snapshot equal to the dedup over
+    the surviving evidence, history records the retraction, and the CDC
+    changelog between the two snapshots contains only deletes/updates
+    the removed doc caused."""
+    from cspirit_ontology_information_extraction_opus4plan_spark import api
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.relations import (  # noqa: E501
+        dedup_triples,
+    )
+    from cspirit_ontology_information_extraction_opus4plan_spark.plans.checkpointing import (  # noqa: E501
+        _fs_write_json_atomic,
+    )
+    from cspirit_ontology_information_extraction_opus4plan_spark.streaming.pipeline import (  # noqa: E501
+        _read_pointer,
+        retract_store_version,
+        store_changes,
+        store_history,
+    )
+
+    ev_dir = str(tmp_path / "evidence")
+    store = str(tmp_path / "store")
+    pre = api.triples_df(spark, sf_dir).localCheckpoint(eager=True)
+    pre.write.parquet(ev_dir)
+    # seed the store: v=0 is the full dedup, committed
+    dedup_triples(pre).write.parquet(f"{store}/v=0")
+    _fs_write_json_atomic(spark, f"{store}/_commit_v0.json",
+                          {"version": 0, "parent": None,
+                           "n_rows": dedup_triples(pre).count()})
+    _fs_write_json_atomic(spark, f"{store}/_latest.json",
+                          {"version": 0, "parent": None})
+
+    victim = pre.select("doc_id").first()["doc_id"]
+    commit = retract_store_version(spark, store, ev_dir, [victim])
+    assert commit["action"] == "retract" and commit["version"] == 1
+    assert _read_pointer(spark, store) == {"version": 1, "parent": 0}
+    got = _sorted(spark.read.parquet(f"{store}/v=1").toPandas())
+    want = _sorted(dedup_triples(
+        pre.filter(pre["doc_id"] != victim)).toPandas())
+    pd.testing.assert_frame_equal(got, want)
+    assert store_history(spark, store)[0]["action"] == "retract"
+    # CDC: every change row is a delete or an update, and >= 1 exists
+    changes = store_changes(spark, store, 0, 1).collect()
+    assert changes and all(r["action"] in ("delete", "update")
+                           for r in changes)
