@@ -115,6 +115,20 @@ def q_canonical_entities_delta(spark, sf_dir):
     return incremental_components(old_map, new_ids, new_edges)
 
 
+def q_canonical_entities_retract(spark, sf_dir):
+    """Decremental canonical-mapping maintenance: terms whose md5(id)
+    starts with 'f' are retracted; only components that contained one
+    are re-solved from their surviving members' equivalence keys
+    (deletions can SPLIT components, so the affected subgraph is
+    re-solved, not relabeled). The oracle recomputes the full mapping
+    over surviving terms — parity proves decremental == full."""
+    from .operators.canonicalize import decremental_components
+    terms = terms_df(spark).localCheckpoint(eager=True)
+    old_map = canonical_mapping(terms)
+    removed = terms.filter(F.md5("id").startswith("f")).select("id")
+    return decremental_components(old_map, terms, removed)
+
+
 def q_canonical_component_sizes(spark, sf_dir):
     """Equivalence-class size distribution — the canonicalization
     health probe (giant component = over-fused entities)."""
@@ -1612,6 +1626,7 @@ def queries() -> dict[str, QueryFn]:
         "kg_construct_query": q_kg_construct_query,
         "kg_assortativity": q_kg_assortativity,
         "canonical_entities_delta": q_canonical_entities_delta,
+        "canonical_entities_retract": q_canonical_entities_retract,
         "kg_inverse_consistency": q_kg_inverse_consistency,
     }
 

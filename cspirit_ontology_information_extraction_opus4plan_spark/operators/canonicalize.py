@@ -189,6 +189,46 @@ def canonical_mapping(terms: DataFrame) -> DataFrame:
         terms.select("id"), equivalence_star_edges(terms))
 
 
+def decremental_components(old_mapping: DataFrame,
+                           terms: DataFrame,
+                           removed_ids: DataFrame,
+                           **cc_kwargs) -> DataFrame:
+    """Deletion maintenance of the canonical mapping — the decrement
+    counterpart of incremental_components (and the canonical-family
+    analog of relations.dedup_retract): terms are retracted (obsoleted
+    / withdrawn ids), and only the components that CONTAINED a removed
+    id are re-solved; every other mapping row passes through untouched.
+
+    Deleting a node can SPLIT a component (unlike additions, which only
+    merge), so the affected subgraph must be re-solved from its
+    surviving terms' equivalence keys — but equivalence keys never
+    span components (they are what created them), so restricting the
+    re-solve to members of affected components is closed: CC over that
+    subgraph reproduces exactly what a full recompute would assign
+    there, including re-rooted labels when the removed id was the
+    component's min. Work is proportional to the affected components
+    (delta-sized under bounded component size — the same giant-
+    component caveat component_size_distribution monitors), never the
+    corpus. Oracle recomputes the full mapping on surviving terms —
+    parity proves decremental == full."""
+    rm = removed_ids.select("id")
+    affected = (old_mapping.join(rm, "id", "left_semi")
+                .select("canonical_id").distinct())
+    keep = old_mapping.join(F.broadcast(affected), "canonical_id",
+                            "left_anti")
+    member_ids = (old_mapping
+                  .join(F.broadcast(affected), "canonical_id",
+                        "left_semi")
+                  .select("id"))
+    sub_terms = (terms.join(rm, "id", "left_anti")
+                 .join(member_ids, "id", "left_semi"))
+    sub_map = connected_components(
+        sub_terms.select("id"), equivalence_star_edges(sub_terms),
+        **cc_kwargs)
+    return (keep.select("id", "canonical_id")
+            .unionByName(sub_map.toDF("id", "canonical_id")))
+
+
 def canonical_triples(triples: DataFrame, mapping: DataFrame) -> DataFrame:
     """Rewrite triple endpoints to canonical ids, re-dedup on the 7-tuple
     identity (RDFTriple.__hash__ models.py:4408), drop self-loops created

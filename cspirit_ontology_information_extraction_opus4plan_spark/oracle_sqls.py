@@ -1844,6 +1844,17 @@ SELECT id, canonical_id FROM canon"""
     # incremental result equals the full run
     sqls["canonical_entities_delta"] = sqls["canonical_entities"]
 
+    # canonical_entities_retract: the engine re-solves ONLY the
+    # components that contained a retracted term; the oracle recomputes
+    # the full mapping over the surviving terms — parity proves
+    # decremental == full (including splits and re-rooted labels)
+    sqls["canonical_entities_retract"] = recursive_prefix(
+        terms_full_cte().replace("terms_f", "terms_all", 1),
+        "terms_f AS (SELECT * FROM terms_all "
+        "WHERE md5(id) NOT LIKE 'f%')",
+        cc_ctes()) + """
+SELECT id, canonical_id FROM canon"""
+
     sqls["canonical_component_sizes"] = recursive_prefix(
         terms_full_cte(), cc_ctes()) + """
 SELECT component_size, CAST(count(*) AS BIGINT) AS n_components

@@ -94,3 +94,42 @@ def test_incremental_components_merges_and_passthrough(spark):
                                            new_edges).collect()}
     assert got == {"A": "A", "B": "A", "C": "A", "D": "A", "E": "A",
                    "Z": "Z", "Q": "Q"}
+
+
+def test_decremental_components_resolves_splits(spark):
+    """Removing the bridging term must SPLIT its component (deletion is
+    not a relabel); untouched components pass through identically."""
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.canonicalize import (  # noqa: E501
+        decremental_components,
+    )
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.gazetteer import (  # noqa: E501
+        TERMS_SCHEMA,
+    )
+
+    def term(tid, name, syns):
+        return (tid, name, "", syns, "ns", False, "", [], [], [], "O1")
+
+    terms = spark.createDataFrame(
+        [  # chain: T1 -s1- T2 -s2- T3 (T2 is the bridge)
+         term("T1", "alpha", ["s1"]),
+         term("T2", "beta", ["s1", "s2"]),
+         term("T3", "gamma", ["s2"]),
+         # untouched pair
+         term("T8", "delta", ["s9"]),
+         term("T9", "epsilon", ["s9"])],
+        TERMS_SCHEMA)
+    old = canonical_mapping(terms)
+    assert {r["canonical_id"] for r in old.collect()} == {"T1", "T8"}
+
+    removed = spark.createDataFrame([("T2",)], "id string")
+    got = {r["id"]: r["canonical_id"]
+           for r in decremental_components(old, terms, removed).collect()}
+    # T2 gone; the chain split: T1 and T3 now own separate components
+    assert set(got) == {"T1", "T3", "T8", "T9"}
+    assert got["T1"] == "T1" and got["T3"] == "T3"
+    assert got["T8"] == "T8" and got["T9"] == "T8"
+    # parity with the full recompute over surviving terms
+    want = {r["id"]: r["canonical_id"]
+            for r in canonical_mapping(
+                terms.filter(terms["id"] != "T2")).collect()}
+    assert got == want
