@@ -1347,6 +1347,20 @@ def q_kg_entailment(spark, sf_dir):
     return kg_entailment(dedup_triples(triples_df(spark, sf_dir)))
 
 
+def q_kg_entailment_retract(spark, sf_dir):
+    """DRed deletion maintenance of the entailment saturation:
+    asserted edges whose md5(s|p|o) starts with '0' are retracted;
+    suspects factoring through a deleted edge are overdeleted and
+    re-derived from the surviving base. Oracle re-closes the surviving
+    store from scratch — parity proves DRed == full."""
+    from .operators.graphops import kg_entailment_retract
+    t = dedup_triples(triples_df(spark, sf_dir)).localCheckpoint(
+        eager=True)
+    is_rm = F.md5(F.concat_ws(
+        "|", "subject", "predicate", "object")).startswith("0")
+    return kg_entailment_retract(t, t.filter(is_rm))
+
+
 def q_kg_entailment_delta(spark, sf_dir):
     """Semi-naive incremental entailment under a re-crawl delta: old =
     the even-doc half-corpus store, delta = the odd-doc edges; returns
@@ -1623,6 +1637,7 @@ def queries() -> dict[str, QueryFn]:
         "kg_optional_query": q_kg_optional_query,
         "kg_entailment": q_kg_entailment,
         "kg_entailment_delta": q_kg_entailment_delta,
+        "kg_entailment_retract": q_kg_entailment_retract,
         "kg_construct_query": q_kg_construct_query,
         "kg_assortativity": q_kg_assortativity,
         "canonical_entities_delta": q_canonical_entities_delta,

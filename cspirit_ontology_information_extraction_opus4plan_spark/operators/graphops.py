@@ -959,6 +959,131 @@ def kg_entailment_delta(old: DataFrame, delta: DataFrame,
             .distinct())
 
 
+def kg_entailment_retract(old: DataFrame, removed: DataFrame,
+                          max_iter: int = 32) -> DataFrame:
+    """Delete/re-derive (DRed) maintenance of the entailment
+    saturation — the deletion counterpart of kg_entailment_delta:
+    asserted edges are retracted (takedown / correction), and the
+    materialized closure is maintained with work proportional to the
+    AFFECTED derivations, never a re-closure of the full store.
+    Returns exactly kg_entailment(old minus removed) — the oracle
+    recomputes that from scratch, so parity proves DRed == full.
+
+    Classic DRed, specialized per transitive family (p, inverse q)
+    over the canonical direction:
+
+      1. OVERDELETE: a closure pair can depend on a deleted canonical
+         edge (u, v) only if it factors as x ->* u -> v ->* y, so the
+         suspect set O = (I + C0) . dp . (I + C0) — two delta-seeded
+         equi-joins against the OLD closure C0 (at 100 TB, the stored
+         entailment table; recomputed here because the demo store is
+         transient). Everything outside O has no derivation touching a
+         deleted edge and PASSES THROUGH (one anti-join).
+      2. REDERIVE: a suspect survives iff still derivable from the
+         surviving base b1. Right-linear induction — every length-L
+         path is a length-(L-1) prefix in C1 plus one b1 edge — makes
+         this a semi-naive fixpoint: seed with O's still-asserted
+         edges plus (Kept . b1) hits inside O, then extend only the
+         frontier by single b1 edges, always semi-joined back to O so
+         no work leaves the suspect set.
+
+    The inverse rule is linear, so its maintenance is exact deletion:
+    re-emit inverse(surviving asserted). Output contract identical to
+    kg_entailment (inferred rows only, rule provenance, asserted rows
+    suppressed)."""
+    key3 = ["subject", "predicate", "object"]
+    pa = (old.select(*key3).distinct().localCheckpoint(eager=True))
+    rm = (removed.select(*key3).distinct()
+          .join(pa, key3, "left_semi"))
+    pk = pa.join(rm, key3, "left_anti").localCheckpoint(eager=True)
+    from ..ontology_data import INVERSE_PREDICATES
+    spark = pa.sparkSession
+    inv = spark.createDataFrame(
+        sorted(INVERSE_PREDICATES.items()), ["predicate", "inverse"])
+
+    def _canon(frame: DataFrame, p: str, q: str | None) -> DataFrame:
+        base = (frame.filter(F.col("predicate") == p)
+                .select("subject", "object"))
+        if q is not None:
+            base = base.unionByName(
+                frame.filter(F.col("predicate") == q)
+                .select(F.col("object").alias("subject"),
+                        F.col("subject").alias("object")))
+        return base.distinct()
+
+    def _close(base: DataFrame, what: str) -> DataFrame:
+        closed, frontier, done = base, base, False
+        for _it in range(max_iter + 1):
+            nxt = (_compose(frontier, base).distinct()
+                   .join(closed, ["subject", "object"], "left_anti")
+                   .localCheckpoint(eager=True))
+            if nxt.isEmpty():
+                done = True
+                break
+            closed = closed.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+        if not done:
+            raise RuntimeError(
+                f"kg_entailment_retract {what} closure still growing "
+                f"after max_iter={max_iter} rounds")
+        return closed
+
+    parts = [(pk.join(F.broadcast(inv), "predicate")
+              .select(F.col("object").alias("subject"),
+                      F.col("inverse").alias("predicate"),
+                      F.col("subject").alias("object"),
+                      F.lit("inverse").alias("rule")))]
+    for p in TRANSITIVE_PREDICATES:
+        q = INVERSE_PREDICATES.get(p)
+        b1 = _canon(pk, p, q).localCheckpoint(eager=True)
+        dp = (_canon(pa, p, q)
+              .join(b1, ["subject", "object"], "left_anti"))
+        c0 = _close(_canon(pa, p, q), f"old {p!r}")
+        # overdelete: suspects that can factor through a deleted edge
+        left = dp.unionByName(_compose(c0, dp)).distinct()
+        o = (left.unionByName(_compose(left, c0)).distinct()
+             .join(c0, ["subject", "object"], "left_semi")
+             .localCheckpoint(eager=True))
+        kept = (c0.join(o, ["subject", "object"], "left_anti")
+                .localCheckpoint(eager=True))
+        # rederive inside the suspect set, right-linear semi-naive
+        acc = (o.join(b1, ["subject", "object"], "left_semi")
+               .unionByName(
+                   _compose(kept, b1).distinct()
+                   .join(o, ["subject", "object"], "left_semi"))
+               .distinct()
+               .localCheckpoint(eager=True))
+        frontier, done = acc, False
+        for _it in range(max_iter + 1):
+            nxt = (_compose(frontier, b1).distinct()
+                   .join(o, ["subject", "object"], "left_semi")
+                   .join(acc, ["subject", "object"], "left_anti")
+                   .localCheckpoint(eager=True))
+            if nxt.isEmpty():
+                done = True
+                break
+            acc = acc.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+        if not done:
+            raise RuntimeError(
+                f"kg_entailment_retract rederivation of {p!r} still "
+                f"growing after max_iter={max_iter} rounds")
+        c1 = kept.unionByName(acc)
+        parts.append(c1.select(
+            "subject", F.lit(p).alias("predicate"), "object",
+            F.lit("transitive").alias("rule")))
+        if q is not None:
+            parts.append(c1.select(
+                F.col("object").alias("subject"),
+                F.lit(q).alias("predicate"),
+                F.col("subject").alias("object"),
+                F.lit("transitive").alias("rule")))
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return (out.join(pk, key3, "left_anti").distinct())
+
+
 CONSTRUCT_P = "located_in"
 CONSTRUCT_OUT = "co_located_with"
 

@@ -3234,6 +3234,18 @@ WHERE NOT EXISTS (SELECT 1 FROM pe
                     AND pe.predicate = n.predicate
                     AND pe.object = n.object)""")
 
+    # kg_entailment_retract: the engine maintains the closure via DRed
+    # (overdelete + rederive); the oracle recomputes the saturation
+    # from scratch over the SURVIVING asserted edges — parity proves
+    # DRed == full re-closure
+    sqls["kg_entailment_retract"] = sqls["kg_entailment"].replace(
+        """pe AS MATERIALIZED (
+  SELECT DISTINCT subject, predicate, object FROM triples),""",
+        """pe AS MATERIALIZED (
+  SELECT DISTINCT subject, predicate, object FROM triples
+  WHERE md5(subject || '|' || predicate || '|' || object)
+        NOT LIKE '0%'),""", 1)
+
     from .operators.graphops import CONSTRUCT_P, CONSTRUCT_OUT
     sqls["kg_construct_query"] = (
         corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + f""",

@@ -433,3 +433,23 @@ def test_multi_walks_decorrelate_by_walk_id(spark):
     # W=1 keeps the original 3-column schema (no walk_id)
     single = graphops.random_walks(t, n_steps=2)
     assert single.columns == ["start", "step", "node"]
+
+
+def test_entailment_retract_rederives_surviving_paths(spark):
+    # is_a diamond: a->b->c and a->d->c. Retracting (b, c) overdeletes
+    # (b,c) and the suspect (a,c); (a,c) must be REDERIVED via a->d->c
+    def t(s, o):
+        return (s, "is_a", o, "uri", "uri", None, None, 1.0, 1)
+    old = spark.createDataFrame(
+        [t("a", "b"), t("b", "c"), t("a", "d"), t("d", "c")],
+        _triples(spark, []).schema)
+    removed = spark.createDataFrame([t("b", "c")], old.schema)
+    got = {(r["subject"], r["predicate"], r["object"], r["rule"])
+           for r in graphops.kg_entailment_retract(old, removed).collect()}
+    assert ("a", "is_a", "c", "transitive") in got   # rederived
+    assert all(s != "b" or o != "c" for s, _, o, _ in got)  # gone
+    # exact parity with the full recompute over surviving edges
+    surviving = old.where("NOT (subject = 'b' AND object = 'c')")
+    want = {(r["subject"], r["predicate"], r["object"], r["rule"])
+            for r in graphops.kg_entailment(surviving).collect()}
+    assert got == want
