@@ -1409,6 +1409,14 @@ def q_kg_random_walks(spark, sf_dir):
     return random_walks(dedup_triples(triples_df(spark, sf_dir)))
 
 
+def q_kg_node2vec_walks(spark, sf_dir):
+    """Second-order node2vec-biased deterministic walks (p=2, q=1/2,
+    Efraimidis-Spirakis weighted choice with IEEE-exact scoring) —
+    the BFS/DFS-interpolating embedding corpus."""
+    from .operators.graphops import node2vec_walks
+    return node2vec_walks(dedup_triples(triples_df(spark, sf_dir)))
+
+
 def q_kg_walk_skipgrams(spark, sf_dir):
     """Skip-gram (center, context) pair frequencies within a +-2
     window along the deterministic walk corpus — the KG-embedding
@@ -1633,6 +1641,7 @@ def queries() -> dict[str, QueryFn]:
         "kg_bfs_distances": q_kg_bfs_distances,
         "kg_random_walks": q_kg_random_walks,
         "kg_walk_skipgrams": q_kg_walk_skipgrams,
+        "kg_node2vec_walks": q_kg_node2vec_walks,
         "kg_bgp_query": q_kg_bgp_query,
         "kg_optional_query": q_kg_optional_query,
         "kg_entailment": q_kg_entailment,

@@ -638,6 +638,69 @@ def random_walks(triples: DataFrame, n_steps: int = RW_STEPS,
     return out if multi else out.drop("walk_id")
 
 
+N2V_STEPS = 3
+N2V_SCALE = float(16 ** 12)
+
+
+def node2vec_walks(triples: DataFrame,
+                   n_steps: int = N2V_STEPS) -> DataFrame:
+    """Second-order (node2vec-style) biased deterministic walks over
+    the directed entity graph -> (start, step, node): the
+    BFS/DFS-interpolating walk corpus (Grover & Leskovec's p/q bias)
+    with p = 2 (returning to the previous node is discouraged, weight
+    1/2), q = 1/2 (leaving the previous node's neighborhood is
+    favored, weight 2), shared-neighbor weight 1.
+
+    Selection is Efraimidis-Spirakis weighted sampling made
+    deterministic: each candidate x draws the uniform deviate
+    u = first-12-hex-digits(md5(start:k:node:x)) / 16^12 and the walk
+    takes argmax u^(1/w). With weights restricted to {1/2, 1, 2} the
+    scores are {u*u, u, sqrt(u)} — every comparison uses IEEE-exact
+    multiply/sqrt (correctly rounded identically on the JVM and in
+    DuckDB), never libm pow/ln whose last-ulp drift could flip an
+    argmax between engine and oracle. Ties break on the candidate id.
+    First hop: prev = start, whose out-neighbors are all
+    prev-adjacent, so the rule degrades to exactly the uniform first
+    step node2vec specifies.
+
+    Scale shape: per step, one frontier-candidate equi-join on the
+    current node + one adjacency LEFT join on (prev, candidate) —
+    both against the checkpointed edge table — and a per-walk
+    map-side-combinable argmax. State is (start, prev, node): constant
+    width, never the path."""
+    ed = (triples
+          .filter((F.col("subject_type") == "uri")
+                  & (F.col("object_type") == "uri")
+                  & (F.col("subject") != F.col("object")))
+          .select(F.col("subject").alias("s"), F.col("object").alias("o"))
+          .distinct()
+          .localCheckpoint(eager=True))
+    adjm = ed.select(F.col("s").alias("prev"), F.col("o"),
+                     F.lit(True).alias("adj"))
+    cur = (ed.select(F.col("s").alias("start")).distinct()
+           .select("start", F.col("start").alias("prev"),
+                   F.col("start").alias("node")))
+    out = cur.select("start", F.lit(0).alias("step"), "node")
+    for k in range(1, n_steps + 1):
+        cand = (cur.join(ed, cur["node"] == ed["s"])
+                .join(adjm, ["prev", "o"], "left"))
+        u = (F.conv(F.substring(
+                 F.md5(F.concat_ws(":", F.col("start"), F.lit(str(k)),
+                                   F.col("node"), F.col("o"))), 1, 12),
+                 16, 10).cast("double") / F.lit(N2V_SCALE))
+        score = (F.when(F.col("o") == F.col("prev"), u * u)
+                 .when(F.col("adj").isNotNull(), u)
+                 .otherwise(F.sqrt(u)))
+        cur = (cand.groupBy("start", "node")
+               .agg(F.max_by("o", F.struct(score.alias("sc"),
+                                           F.col("o"))).alias("nxt"))
+               .select("start", F.col("node").alias("prev"),
+                       F.col("nxt").alias("node")))
+        out = out.unionByName(
+            cur.select("start", F.lit(k).alias("step"), "node"))
+    return out
+
+
 SKIPGRAM_WINDOW = 2
 
 

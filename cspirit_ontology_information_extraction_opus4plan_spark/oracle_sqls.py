@@ -2833,6 +2833,44 @@ ed AS (SELECT DISTINCT subject AS s, object AS o FROM triples
 w0 AS (SELECT DISTINCT s AS start, s AS node FROM ed){rw_iters}
 {rw_steps_union}""")
 
+    # node2vec walks: same unrolled recurrence with Efraimidis-Spirakis
+    # weighted choice — scores {u*u, u, sqrt(u)} use only IEEE-exact
+    # multiply/sqrt, so the argmax replays bit-for-bit; uniform deviate
+    # u = first-12-hex(md5(start:k:node:cand)) / 16^12 on both engines
+    from .operators.graphops import N2V_SCALE, N2V_STEPS
+    n2v_iters = ""
+    for i in range(1, N2V_STEPS + 1):
+        n2v_iters += f""",
+n2v{i} AS (
+  SELECT start, prev, node FROM (
+    SELECT s0.start, s0.node AS prev, s0.o AS node,
+           row_number() OVER (PARTITION BY s0.start ORDER BY
+             CASE WHEN s0.o = s0.prev0 THEN s0.u * s0.u
+                  WHEN s0.adj THEN s0.u
+                  ELSE sqrt(s0.u) END DESC, s0.o DESC) AS r
+    FROM (
+      SELECT w.start, w.node, w.prev AS prev0, c.o,
+             (a.s IS NOT NULL) AS adj,
+             ('0x' || substr(md5(w.start || ':{i}:' || w.node || ':'
+                                 || c.o), 1, 12))::BIGINT
+               / {N2V_SCALE!r} AS u
+      FROM n2v{i - 1} w
+      JOIN ed c ON c.s = w.node
+      LEFT JOIN ed a ON a.s = w.prev AND a.o = c.o
+    ) s0
+  ) z WHERE r = 1)"""
+    n2v_union = "\nUNION ALL ".join(
+        f"SELECT start, CAST({i} AS INTEGER) AS step, node FROM n2v{i}"
+        for i in range(N2V_STEPS + 1))
+    sqls["kg_node2vec_walks"] = (
+        corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + f""",
+ed AS (SELECT DISTINCT subject AS s, object AS o FROM triples
+       WHERE subject_type = 'uri' AND object_type = 'uri'
+         AND subject <> object),
+n2v0 AS (SELECT DISTINCT s AS start, s AS prev, s AS node
+         FROM ed){n2v_iters}
+{n2v_union}""")
+
     # skip-gram pairs over the identical walk corpus (MATERIALIZED so
     # the nested walk pipeline is evaluated once, not per join side)
     from .operators.graphops import SKIPGRAM_WINDOW

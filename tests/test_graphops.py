@@ -453,3 +453,53 @@ def test_entailment_retract_rederives_surviving_paths(spark):
     want = {(r["subject"], r["predicate"], r["object"], r["rule"])
             for r in graphops.kg_entailment(surviving).collect()}
     assert got == want
+
+
+def test_node2vec_walks_replay_pure_python(spark):
+    # independent replay of the p/q-biased Efraimidis-Spirakis choice
+    # (hashlib md5 + IEEE multiply/sqrt) must reproduce every hop
+    import hashlib
+    import math
+
+    pairs = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+             ("b", "x"), ("c", "y"), ("x", "a"), ("y", "b"),
+             ("a", "c")]
+    out = graphops.node2vec_walks(_triples(spark, pairs), n_steps=3)
+    got = {(r["start"], r["step"]): r["node"] for r in out.collect()}
+
+    ed = set(pairs)
+    succ: dict[str, list[str]] = {}
+    for s, o in pairs:
+        succ.setdefault(s, []).append(o)
+
+    def u_of(start, k, node, x):
+        h = hashlib.md5(f"{start}:{k}:{node}:{x}".encode()).hexdigest()
+        return int(h[:12], 16) / float(16 ** 12)
+
+    want = {}
+    for start in sorted(succ):
+        prev, node = start, start
+        want[(start, 0)] = start
+        for k in range(1, 4):
+            cands = succ.get(node)
+            if not cands:
+                break
+
+            def score(x):
+                u = u_of(start, k, node, x)
+                if x == prev:
+                    return u * u
+                if (prev, x) in ed:
+                    return u
+                return math.sqrt(u)
+
+            nxt = max(cands, key=lambda x: (score(x), x))
+            want[(start, k)] = nxt
+            prev, node = node, nxt
+    assert got == want
+    # the bias must actually bite somewhere: at least one hop differs
+    # from the UNBIASED (first-order) walk over the same graph
+    plain = {(r["start"], r["step"]): r["node"]
+             for r in graphops.random_walks(
+                 _triples(spark, pairs), n_steps=3).collect()}
+    assert any(plain.get(key) != got.get(key) for key in got)
