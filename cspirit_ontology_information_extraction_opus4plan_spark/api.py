@@ -1409,6 +1409,14 @@ def q_kg_random_walks(spark, sf_dir):
     return random_walks(dedup_triples(triples_df(spark, sf_dir)))
 
 
+def q_kg_schema_graph(spark, sf_dir):
+    """Namespace-level quotient graph (auto-derived schema diagram +
+    vocabulary-misuse QC): distinct edges per (src_ns, predicate,
+    dst_ns) with endpoint cardinalities."""
+    from .operators.graphops import schema_graph
+    return schema_graph(dedup_triples(triples_df(spark, sf_dir)))
+
+
 def q_kg_node2vec_walks(spark, sf_dir):
     """Second-order node2vec-biased deterministic walks (p=2, q=1/2,
     Efraimidis-Spirakis weighted choice with IEEE-exact scoring) —
@@ -1642,6 +1650,7 @@ def queries() -> dict[str, QueryFn]:
         "kg_random_walks": q_kg_random_walks,
         "kg_walk_skipgrams": q_kg_walk_skipgrams,
         "kg_node2vec_walks": q_kg_node2vec_walks,
+        "kg_schema_graph": q_kg_schema_graph,
         "kg_bgp_query": q_kg_bgp_query,
         "kg_optional_query": q_kg_optional_query,
         "kg_entailment": q_kg_entailment,

@@ -1199,3 +1199,31 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
         F.round(F.avg("ds"), 6).alias("mean_src_deg"),
         F.round(F.avg("dd"), 6).alias("mean_dst_deg"),
         F.round(F.corr("ds", "dd"), 6).alias("assortativity"))
+
+
+def schema_graph(triples: DataFrame) -> DataFrame:
+    """Namespace-level quotient of the KG -> (src_ns, predicate,
+    dst_ns, n_edges, n_src, n_dst): collapse every uri entity to its
+    CURIE prefix and count the distinct edges each (namespace,
+    predicate, namespace) slot carries — the auto-derived schema
+    diagram (what the reference's ontology documentation draws by
+    hand) and the QC probe that surfaces vocabulary misuse (a
+    located_in edge landing in a taxon namespace is an extraction bug
+    before it is a statistic). One distinct + one map-side-combinable
+    aggregate over the namespace key — the quotient graph is
+    vocabulary-sized, never corpus-sized."""
+    e = (triples
+         .filter((F.col("subject_type") == "uri")
+                 & (F.col("object_type") == "uri"))
+         .select("subject", "predicate", "object").distinct())
+    ns = (e.select(
+        F.split_part(F.col("subject"), F.lit(":"), F.lit(1))
+        .alias("src_ns"),
+        "predicate",
+        F.split_part(F.col("object"), F.lit(":"), F.lit(1))
+        .alias("dst_ns"),
+        "subject", "object"))
+    return (ns.groupBy("src_ns", "predicate", "dst_ns")
+            .agg(F.count("*").alias("n_edges"),
+                 F.countDistinct("subject").alias("n_src"),
+                 F.countDistinct("object").alias("n_dst")))

@@ -2833,6 +2833,17 @@ ed AS (SELECT DISTINCT subject AS s, object AS o FROM triples
 w0 AS (SELECT DISTINCT s AS start, s AS node FROM ed){rw_iters}
 {rw_steps_union}""")
 
+    sqls["kg_schema_graph"] = (
+        corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + """,
+e AS (SELECT DISTINCT subject, predicate, object FROM triples
+      WHERE subject_type = 'uri' AND object_type = 'uri')
+SELECT split_part(subject, ':', 1) AS src_ns, predicate,
+       split_part(object, ':', 1) AS dst_ns,
+       CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(count(DISTINCT subject) AS BIGINT) AS n_src,
+       CAST(count(DISTINCT object) AS BIGINT) AS n_dst
+FROM e GROUP BY 1, 2, 3""")
+
     # node2vec walks: same unrolled recurrence with Efraimidis-Spirakis
     # weighted choice — scores {u*u, u, sqrt(u)} use only IEEE-exact
     # multiply/sqrt, so the argmax replays bit-for-bit; uniform deviate
