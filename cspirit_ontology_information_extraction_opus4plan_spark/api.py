@@ -1401,6 +1401,24 @@ def q_kg_bfs_distances(spark, sf_dir):
         dedup_triples(triples_df(spark, sf_dir))))
 
 
+def q_kg_closeness_centrality(spark, sf_dir):
+    """Pivot-sampled bounded-radius harmonic centrality over the
+    entity graph (deterministic md5 pivot sample, per-distance-count
+    harmonic sum — the scalable closeness estimator)."""
+    from .operators.graphops import harmonic_centrality, \
+        undirected_entity_edges
+    return harmonic_centrality(undirected_entity_edges(
+        dedup_triples(triples_df(spark, sf_dir))))
+
+
+def q_kg_weighted_paths(spark, sf_dir):
+    """Min-plus weighted shortest-path cost from the chemical
+    namespace (taxonomy hops cost 1, associative hops cost 2) —
+    bfs_distances generalized to the tropical semiring."""
+    from .operators.graphops import weighted_distances
+    return weighted_distances(dedup_triples(triples_df(spark, sf_dir)))
+
+
 def q_kg_random_walks(spark, sf_dir):
     """Deterministic hash-seeded random-walk corpus (one DeepWalk-style
     walk per node) over the directed entity graph — the KG-embedding
@@ -1647,6 +1665,8 @@ def queries() -> dict[str, QueryFn]:
         "kg_link_prediction": q_kg_link_prediction,
         "kg_predicate_cardinality": q_kg_predicate_cardinality,
         "kg_bfs_distances": q_kg_bfs_distances,
+        "kg_closeness_centrality": q_kg_closeness_centrality,
+        "kg_weighted_paths": q_kg_weighted_paths,
         "kg_random_walks": q_kg_random_walks,
         "kg_walk_skipgrams": q_kg_walk_skipgrams,
         "kg_node2vec_walks": q_kg_node2vec_walks,

@@ -1227,3 +1227,120 @@ def schema_graph(triples: DataFrame) -> DataFrame:
             .agg(F.count("*").alias("n_edges"),
                  F.countDistinct("subject").alias("n_src"),
                  F.countDistinct("object").alias("n_dst")))
+
+
+HC_ROUNDS = 3
+HC_PIVOT_HEX = ("0", "1", "2", "3")  # md5 first hex digit: 4/16 pivot sample
+
+
+def harmonic_centrality(edges: DataFrame,
+                        n_rounds: int = HC_ROUNDS,
+                        pivot_hex: tuple[str, ...] = HC_PIVOT_HEX
+                        ) -> DataFrame:
+    """Undirected entity edges -> (node, n_reached, harmonic):
+    pivot-sampled bounded-radius harmonic centrality — for each node,
+    sum of 1/d over the sampled pivot set within distance n_rounds.
+    The "which entities sit at the center of the KG" ranking that
+    closeness gives, in the only form that scales: exact all-pairs
+    closeness is O(V^2), so production systems estimate it from a
+    random pivot subset (Eppstein-Wang) or HLL neighborhood sketches
+    (HyperBall); this is the pivot estimator with a deterministic
+    hash sample (md5 first hex digit), so the DuckDB oracle draws the
+    identical pivots. Harmonic (not classic closeness) because it is
+    well-defined under disconnection — unreached pairs contribute 0,
+    no infinite-distance special case.
+
+    Per round: one frontier equi-join + one map-side-combinable min
+    over (pivot, node) — bfs_distances generalized to per-source
+    state. Pair state is O(|pivots| * ball(r)); the pivot fraction is
+    the scale knob (shrink it as the corpus grows; estimator error is
+    O(1/sqrt(|pivots|)) regardless of |V|). The harmonic sum is
+    computed from per-distance COUNTS in one fixed-order expression
+    (n_1/1 + n_2/2 + ... left-assoc), never a float SUM over rows —
+    bit-identical on both engines, no aggregation-order drift."""
+    edges = edges.localCheckpoint(eager=True)
+    sym = _sym(edges)
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    d = (nodes.filter(
+        F.substring(F.md5(F.col("node")), 1, 1).isin(*pivot_hex))
+        .select(F.col("node").alias("src"), "node",
+                F.lit(0).alias("dist")))
+    prev = None
+    for _ in range(n_rounds):
+        stepped = (d.join(sym, d["node"] == sym["src"])
+                   .select(d["src"].alias("src"),
+                           F.col("dst").alias("node"),
+                           (F.col("dist") + 1).alias("dist")))
+        nxt = (d.unionByName(stepped)
+               .groupBy("src", "node").agg(F.min("dist").alias("dist"))
+               .persist())
+        nxt.count()
+        if prev is not None:
+            prev.unpersist()
+        prev, d = nxt, nxt
+    per = (d.filter(F.col("src") != F.col("node"))
+           .groupBy("node")
+           .agg(F.count("*").cast("bigint").alias("n_reached"),
+                *[F.sum(F.when(F.col("dist") == k, 1).otherwise(0))
+                  .alias(f"_n{k}") for k in range(1, n_rounds + 1)]))
+    harm = F.col("_n1").cast("double") / 1.0
+    for k in range(2, n_rounds + 1):
+        harm = harm + F.col(f"_n{k}").cast("double") / float(k)
+    return per.select("node", "n_reached",
+                      F.round(harm, 6).alias("harmonic"))
+
+
+WSP_ROUNDS = 3
+WSP_HIER_PREDICATES = ("is_a", "part_of", "has_part")  # weight-1 hops
+
+
+def weighted_distances(triples: DataFrame,
+                       seed_prefix: str = BFS_SEED_PREFIX,
+                       n_rounds: int = WSP_ROUNDS) -> DataFrame:
+    """Deduped triple store -> (node, cost): min-plus weighted
+    shortest-path cost (paths of <= n_rounds edges) from every node in
+    the seed namespace, over the undirected entity graph with integer
+    semantic edge weights — taxonomy edges (is_a / part_of / has_part)
+    cost 1, associative edges cost 2, parallel predicates collapse to
+    the cheapest. bfs_distances generalized from the boolean to the
+    tropical (min, +) semiring: the "semantic distance" radius used to
+    rank context entities where a taxonomy hop is closer than an
+    'affects' hop. Weights are INTEGERS by construction so min-plus is
+    exact on both engines (a float-weight variant would hit
+    tie-breaking drift).
+
+    Per round: one frontier equi-join + one map-side-combinable min —
+    identical shuffle shape to bfs_distances (state is (node, cost),
+    never per-source). Bounded n_rounds relaxations = exact Bellman-
+    Ford restricted to <= n_rounds hops; growth is never
+    data-dependent, and the DuckDB oracle unrolls the identical
+    recurrence."""
+    ed = (triples
+          .filter((F.col("subject_type") == "uri")
+                  & (F.col("object_type") == "uri")
+                  & (F.col("subject") != F.col("object")))
+          .select(F.least("subject", "object").alias("src"),
+                  F.greatest("subject", "object").alias("dst"),
+                  F.when(F.col("predicate").isin(*WSP_HIER_PREDICATES),
+                         F.lit(1)).otherwise(F.lit(2)).alias("w"))
+          .groupBy("src", "dst").agg(F.min("w").alias("w"))
+          .localCheckpoint(eager=True))
+    sym = ed.unionByName(
+        ed.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                  "w"))
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    d = (nodes.filter(F.col("node").startswith(seed_prefix))
+         .select("node", F.lit(0).alias("cost")))
+    prev = None
+    for _ in range(n_rounds):
+        stepped = (d.join(sym, d["node"] == sym["src"])
+                   .select(F.col("dst").alias("node"),
+                           (F.col("cost") + F.col("w")).alias("cost")))
+        nxt = (d.unionByName(stepped)
+               .groupBy("node").agg(F.min("cost").alias("cost"))
+               .persist())
+        nxt.count()
+        if prev is not None:
+            prev.unpersist()
+        prev, d = nxt, nxt
+    return d.select("node", F.col("cost").cast("int").alias("cost"))

@@ -3195,6 +3195,66 @@ bfs0 AS MATERIALIZED (
   WHERE src LIKE '{BFS_SEED_PREFIX}%'){bfs_steps}
 SELECT node, CAST(dist AS INT) AS dist FROM bfs{BFS_ROUNDS}""")
 
+    # harmonic centrality: unrolled per-pivot BFS (every hc{i}
+    # referenced twice -> MATERIALIZED); harmonic sum from per-distance
+    # counts in the same left-assoc term order as the Spark expression
+    from .operators.graphops import HC_ROUNDS, HC_PIVOT_HEX
+    hc_hex = ", ".join(f"'{h}'" for h in HC_PIVOT_HEX)
+    hc_steps = ""
+    for i in range(1, HC_ROUNDS + 1):
+        hc_steps += f""",
+hc{i} AS MATERIALIZED (
+  SELECT src, node, min(dist) AS dist FROM (
+    SELECT src, node, dist FROM hc{i - 1}
+    UNION ALL
+    SELECT p.src, sym.dst AS node, p.dist + 1 AS dist
+    FROM hc{i - 1} p JOIN sym ON sym.src = p.node
+  ) GROUP BY 1, 2)"""
+    hc_harm = " + ".join(
+        f"CAST(sum(CASE WHEN dist = {k} THEN 1 ELSE 0 END) AS DOUBLE)"
+        f" / {k}.0" for k in range(1, HC_ROUNDS + 1))
+    sqls["kg_closeness_centrality"] = (
+        corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + und_ctes
+        + f""",
+piv AS MATERIALIZED (
+  SELECT DISTINCT src AS node FROM sym
+  WHERE substr(md5(src), 1, 1) IN ({hc_hex})),
+hc0 AS MATERIALIZED (SELECT node AS src, node, 0 AS dist FROM piv){hc_steps}
+SELECT node, CAST(count(*) AS BIGINT) AS n_reached,
+       round({hc_harm}, 6) AS harmonic
+FROM hc{HC_ROUNDS} WHERE src <> node GROUP BY 1""")
+
+    # min-plus weighted shortest paths: same unrolled-relaxation shape
+    # as BFS, integer semantic weights (taxonomy 1, associative 2)
+    from .operators.graphops import WSP_ROUNDS, WSP_HIER_PREDICATES
+    wsp_hier = ", ".join(_q(p) for p in WSP_HIER_PREDICATES)
+    wsp_steps = ""
+    for i in range(1, WSP_ROUNDS + 1):
+        wsp_steps += f""",
+wd{i} AS MATERIALIZED (
+  SELECT node, min(cost) AS cost FROM (
+    SELECT node, cost FROM wd{i - 1}
+    UNION ALL
+    SELECT wsym.dst AS node, p.cost + wsym.w AS cost
+    FROM wd{i - 1} p JOIN wsym ON wsym.src = p.node
+  ) GROUP BY 1)"""
+    sqls["kg_weighted_paths"] = (
+        corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + f""",
+wund AS (SELECT least(subject, object) AS src,
+                greatest(subject, object) AS dst,
+                min(CASE WHEN predicate IN ({wsp_hier})
+                    THEN 1 ELSE 2 END) AS w
+         FROM triples
+         WHERE subject_type = 'uri' AND object_type = 'uri'
+           AND subject <> object
+         GROUP BY 1, 2),
+wsym AS (SELECT src, dst, w FROM wund
+         UNION ALL SELECT dst, src, w FROM wund),
+wd0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node, 0 AS cost FROM wsym
+  WHERE src LIKE '{BFS_SEED_PREFIX}%'){wsp_steps}
+SELECT node, CAST(cost AS INT) AS cost FROM wd{WSP_ROUNDS}""")
+
     inv_rows = " UNION ALL ".join(
         f"SELECT {_q(k)} AS predicate, {_q(v)} AS inverse"
         for k, v in sorted(OD.INVERSE_PREDICATES.items()))
