@@ -1419,6 +1419,23 @@ def q_kg_weighted_paths(spark, sf_dir):
     return weighted_distances(dedup_triples(triples_df(spark, sf_dir)))
 
 
+def q_kg_rule_mining(spark, sf_dir):
+    """AMIE-style chain-rule mining p(x,y) AND q(y,z) => r(x,z) over
+    the SATURATED uri-uri store (asserted + entailment closure) — the
+    miner rediscovers the transitive axioms at confidence 1.0 and
+    surfaces any other high-confidence completion rule (one hub-capped
+    self-join + two vocabulary-sized aggregates)."""
+    from pyspark.sql import functions as F
+    from .operators.graphops import kg_entailment, mine_chain_rules
+    t = (dedup_triples(triples_df(spark, sf_dir))
+         .filter((F.col("subject_type") == "uri")
+                 & (F.col("object_type") == "uri")))
+    asserted = t.select("subject", "predicate", "object")
+    sat = asserted.unionByName(
+        kg_entailment(t).select("subject", "predicate", "object"))
+    return mine_chain_rules(sat)
+
+
 def q_kg_random_walks(spark, sf_dir):
     """Deterministic hash-seeded random-walk corpus (one DeepWalk-style
     walk per node) over the directed entity graph — the KG-embedding
@@ -1667,6 +1684,7 @@ def queries() -> dict[str, QueryFn]:
         "kg_bfs_distances": q_kg_bfs_distances,
         "kg_closeness_centrality": q_kg_closeness_centrality,
         "kg_weighted_paths": q_kg_weighted_paths,
+        "kg_rule_mining": q_kg_rule_mining,
         "kg_random_walks": q_kg_random_walks,
         "kg_walk_skipgrams": q_kg_walk_skipgrams,
         "kg_node2vec_walks": q_kg_node2vec_walks,

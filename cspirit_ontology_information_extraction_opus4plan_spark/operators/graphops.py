@@ -1344,3 +1344,70 @@ def weighted_distances(triples: DataFrame,
             prev.unpersist()
         prev, d = nxt, nxt
     return d.select("node", F.col("cost").cast("int").alias("cost"))
+
+
+RM_MIN_SUPPORT = 5
+RM_MIN_CONF = 0.2
+RM_MID_CAP = 10_000
+
+
+def mine_chain_rules(edges: DataFrame,
+                     min_support: int = RM_MIN_SUPPORT,
+                     min_conf: float = RM_MIN_CONF,
+                     mid_cap: int = RM_MID_CAP) -> DataFrame:
+    """AMIE-style chain-rule mining over a (subject, predicate,
+    object) edge frame: for every predicate pair (p, q) and head r,
+    score the horn rule
+      p(x, y) AND q(y, z)  =>  r(x, z)
+    with support = |{(x,z) : body and head both hold}|, n_body =
+    |{(x,z) : body holds}|, confidence = support / n_body — the
+    knowledge-base-completion primitive. Run over the SATURATED store
+    (asserted + kg_entailment output) the miner provably rediscovers
+    the schema's axioms — is_a/part_of/has_part chains score
+    confidence 1.0 because every transitive body pair has its head
+    materialized — and any OTHER rule scoring high is a genuine
+    completion candidate / extraction-recall alarm.
+
+    Shape: the body is ONE self-equi-join of the edge table on the
+    chain variable y, collapsed immediately to DISTINCT (p, q, x, z)
+    bindings (multiple y-witnesses must not inflate support); heads
+    attach by equi-join on (x, z); both aggregates group by the
+    predicate-pair dimension, which is vocabulary-sized (<= |P|^2
+    rows), never corpus-sized. Hub chain variables are the blow-up
+    risk at 100 TB, so mids with out+in degree > mid_cap are excluded
+    from the chain (same df-cap discipline as neighbor_jaccard's
+    NJ_MID_CAP) — AMIE's own mining samples under hub functional
+    overlap for the same reason; the cap is part of the operator
+    contract and the oracle applies it identically."""
+    pe = (edges
+          .select("subject", "predicate", "object").distinct()
+          .localCheckpoint(eager=True))
+    degs = (pe.select(F.col("object").alias("node"))
+            .unionByName(pe.select(F.col("subject").alias("node")))
+            .groupBy("node").agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") <= mid_cap)
+            .select("node"))
+    a = (pe.join(degs, pe["object"] == degs["node"])
+         .select(F.col("subject").alias("x"), F.col("predicate").alias("p"),
+                 F.col("object").alias("y")))
+    b = pe.select(F.col("subject").alias("y2"),
+                  F.col("predicate").alias("q"),
+                  F.col("object").alias("z"))
+    body = (a.join(b, a["y"] == b["y2"])
+            .filter(F.col("x") != F.col("z"))
+            .select("p", "q", "x", "z").distinct())
+    heads = pe.select(F.col("subject").alias("x"),
+                      F.col("predicate").alias("r"),
+                      F.col("object").alias("z"))
+    sup = (body.join(heads, ["x", "z"])
+           .groupBy("p", "q", "r")
+           .agg(F.count("*").cast("bigint").alias("support")))
+    nb = (body.groupBy("p", "q")
+          .agg(F.count("*").cast("bigint").alias("n_body")))
+    return (sup.join(nb, ["p", "q"])
+            .filter(F.col("support") >= min_support)
+            .withColumn("confidence",
+                        F.round(F.col("support")
+                                / F.col("n_body").cast("double"), 6))
+            .filter(F.col("confidence") >= min_conf)
+            .select("p", "q", "r", "support", "n_body", "confidence"))

@@ -3255,6 +3255,7 @@ wd0 AS MATERIALIZED (
   WHERE src LIKE '{BFS_SEED_PREFIX}%'){wsp_steps}
 SELECT node, CAST(cost AS INT) AS cost FROM wd{WSP_ROUNDS}""")
 
+
     inv_rows = " UNION ALL ".join(
         f"SELECT {_q(k)} AS predicate, {_q(v)} AS inverse"
         for k, v in sorted(OD.INVERSE_PREDICATES.items()))
@@ -3347,6 +3348,65 @@ WHERE NOT EXISTS (SELECT 1 FROM pe
     # (overdelete + rederive); the oracle recomputes the saturation
     # from scratch over the SURVIVING asserted edges — parity proves
     # DRed == full re-closure
+    # AMIE chain rules over the SATURATED uri-uri store (asserted +
+    # inverse + transitive closure — the same tc_/invmap machinery as
+    # kg_entailment, with pe restricted to uri endpoints): body
+    # self-join on the hub-capped chain variable, distinct (p,q,x,z)
+    # bindings, vocabulary-sized aggregates; confidence filtered on
+    # the ROUNDED value, matching the Spark round-then-filter order
+    from .operators.graphops import RM_MIN_SUPPORT, RM_MIN_CONF, RM_MID_CAP
+    sat_emits = []
+    for p in TRANSITIVE_PREDICATES:
+        qp = OD.INVERSE_PREDICATES.get(p)
+        sat_emits.append(f"SELECT subject, {_q(p)} AS predicate,"
+                         f" object FROM tc_{p}")
+        if qp is not None:
+            sat_emits.append(f"SELECT object, {_q(qp)} AS predicate,"
+                             f" subject FROM tc_{p}")
+    sqls["kg_rule_mining"] = (
+        corpus_prefix_recursive(gaz_cte(), link_cte(), triples_cte())
+        + f""",
+pe AS MATERIALIZED (
+  SELECT DISTINCT subject, predicate, object FROM triples
+  WHERE subject_type = 'uri' AND object_type = 'uri'),
+invmap AS ({inv_rows}),
+{",".join(fam_ctes)},
+sat AS MATERIALIZED (
+  -- DuckDB 1.0 drops UNION dedup when a recursive CTE feeds the
+  -- set-op chain more than once; the outer DISTINCT is load-bearing
+  SELECT DISTINCT subject, predicate, object FROM (
+  SELECT subject, predicate, object FROM pe
+  UNION
+  SELECT pe.object AS subject, m.inverse AS predicate,
+         pe.subject AS object
+  FROM pe JOIN invmap m ON m.predicate = pe.predicate
+  UNION
+  {" UNION ".join(sat_emits)})),
+mids AS (SELECT node FROM (
+    SELECT object AS node FROM sat
+    UNION ALL SELECT subject AS node FROM sat)
+  GROUP BY 1 HAVING count(*) <= {RM_MID_CAP}),
+body AS MATERIALIZED (
+  SELECT DISTINCT a.predicate AS p, b.predicate AS q,
+         a.subject AS x, b.object AS z
+  FROM sat a
+  JOIN mids m ON m.node = a.object
+  JOIN sat b ON b.subject = a.object
+  WHERE a.subject <> b.object),
+sup AS (SELECT body.p, body.q, h.predicate AS r,
+               CAST(count(*) AS BIGINT) AS support
+        FROM body JOIN sat h
+          ON h.subject = body.x AND h.object = body.z
+        GROUP BY 1, 2, 3),
+nb AS (SELECT p, q, CAST(count(*) AS BIGINT) AS n_body
+       FROM body GROUP BY 1, 2)
+SELECT sup.p, sup.q, sup.r, sup.support, nb.n_body,
+       round(CAST(sup.support AS DOUBLE) / nb.n_body, 6) AS confidence
+FROM sup JOIN nb ON nb.p = sup.p AND nb.q = sup.q
+WHERE sup.support >= {RM_MIN_SUPPORT}
+  AND round(CAST(sup.support AS DOUBLE) / nb.n_body, 6)
+      >= {RM_MIN_CONF}""")
+
     sqls["kg_entailment_retract"] = sqls["kg_entailment"].replace(
         """pe AS MATERIALIZED (
   SELECT DISTINCT subject, predicate, object FROM triples),""",

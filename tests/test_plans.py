@@ -516,3 +516,19 @@ def test_minhash_delta_band_join_is_semi_plus_equi(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_harmonic_and_weighted_paths_pure_jvm_equi_joins(spark, sf_dir):
+    """The two semiring BFS generalizations keep the bfs_distances
+    discipline: per-round frontier equi-join + map-side-combinable
+    min — no Python stage, no nested-loop/cartesian join, and the
+    per-round aggregate is partial (map-side combine) so hub fan-out
+    streams through it."""
+    for q in (api.q_kg_closeness_centrality, api.q_kg_weighted_paths):
+        plan = q(spark, sf_dir)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # min over (src,node)/(node) must be a two-phase hash aggregate
+        assert "partial_min" in plan
