@@ -1543,7 +1543,7 @@ def queries() -> dict[str, QueryFn]:
         "media_context": q_media_context,
         "scientific_notation": q_scientific_notation,
         "event_range_join": q_event_range_join,
-        "event_rollup": q_event_rollup,
+        "kg_pagerank": q_kg_pagerank,
         "cycle_chains": q_cycle_chains,
         "hierarchy_redundant_edges": q_hierarchy_redundant_edges,
         "term_similarity": q_term_similarity,
@@ -1555,10 +1555,10 @@ def queries() -> dict[str, QueryFn]:
         # (ntriples_parse moved past the gate: format_route exercises
         # the identical registry parser in-gate)
         "ntriples": q_ntriples,
-        "turtle_parse": q_turtle_parse,
-        "rdfxml_parse": q_rdfxml_parse,
+        "kg_entailment": q_kg_entailment,
+        "kg_rule_mining": q_kg_rule_mining,
         "event_asof": q_event_asof,
-        "jsonld_expand": q_jsonld_expand,
+        "triple_fusion": q_triple_fusion,
         "format_route": q_format_route,
         "parse_stats": q_parse_stats,
         "conversion_filter": q_conversion_filter,
@@ -1658,7 +1658,7 @@ def queries() -> dict[str, QueryFn]:
         "lang_confusion": q_lang_confusion,
         "kg_triangles": q_kg_triangles,
         "kg_two_hop": q_kg_two_hop,
-        "kg_pagerank": q_kg_pagerank,
+        "event_rollup": q_event_rollup,
         "kg_predicate_paths": q_kg_predicate_paths,
         "url_curation": q_url_curation,
         "embedding_label_stats": q_embedding_label_stats,
@@ -1673,7 +1673,7 @@ def queries() -> dict[str, QueryFn]:
         "gazetteer_coverage": q_gazetteer_coverage,
         "triple_provenance": q_triple_provenance,
         "triple_confidence_profile": q_triple_confidence_profile,
-        "triple_fusion": q_triple_fusion,
+        "jsonld_expand": q_jsonld_expand,
         "triples_retract": q_triples_retract,
         "kg_degree_histogram": q_kg_degree_histogram,
         "kg_kcore": q_kg_kcore,
@@ -1684,14 +1684,14 @@ def queries() -> dict[str, QueryFn]:
         "kg_bfs_distances": q_kg_bfs_distances,
         "kg_closeness_centrality": q_kg_closeness_centrality,
         "kg_weighted_paths": q_kg_weighted_paths,
-        "kg_rule_mining": q_kg_rule_mining,
+        "rdfxml_parse": q_rdfxml_parse,
         "kg_random_walks": q_kg_random_walks,
         "kg_walk_skipgrams": q_kg_walk_skipgrams,
         "kg_node2vec_walks": q_kg_node2vec_walks,
         "kg_schema_graph": q_kg_schema_graph,
         "kg_bgp_query": q_kg_bgp_query,
         "kg_optional_query": q_kg_optional_query,
-        "kg_entailment": q_kg_entailment,
+        "turtle_parse": q_turtle_parse,
         "kg_entailment_delta": q_kg_entailment_delta,
         "kg_entailment_retract": q_kg_entailment_retract,
         "kg_construct_query": q_kg_construct_query,
