@@ -1419,6 +1419,16 @@ def q_kg_weighted_paths(spark, sf_dir):
     return weighted_distances(dedup_triples(triples_df(spark, sf_dir)))
 
 
+def q_kg_neighbor_sample(spark, sf_dir):
+    """Deterministic GraphSAGE-style k-neighbor fanout sample
+    (bottom-k by md5 hash per node, exact under a threshold preprune
+    so hub adjacency lists never full-sort)."""
+    from .operators.graphops import neighbor_sample, \
+        undirected_entity_edges
+    return neighbor_sample(undirected_entity_edges(
+        dedup_triples(triples_df(spark, sf_dir))))
+
+
 def q_kg_rule_mining(spark, sf_dir):
     """AMIE-style chain-rule mining p(x,y) AND q(y,z) => r(x,z) over
     the SATURATED uri-uri store (asserted + entailment closure) — the
@@ -1684,6 +1694,7 @@ def queries() -> dict[str, QueryFn]:
         "kg_bfs_distances": q_kg_bfs_distances,
         "kg_closeness_centrality": q_kg_closeness_centrality,
         "kg_weighted_paths": q_kg_weighted_paths,
+        "kg_neighbor_sample": q_kg_neighbor_sample,
         "rdfxml_parse": q_rdfxml_parse,
         "kg_random_walks": q_kg_random_walks,
         "kg_walk_skipgrams": q_kg_walk_skipgrams,

@@ -31,7 +31,7 @@ Scale notes (10^12-doc corpus => 10^8-10^9 node graph):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["undirected_entity_edges", "triangle_stats",
@@ -1411,3 +1411,49 @@ def mine_chain_rules(edges: DataFrame,
                                 / F.col("n_body").cast("double"), 6))
             .filter(F.col("confidence") >= min_conf)
             .select("p", "q", "r", "support", "n_body", "confidence"))
+
+
+NS_K = 3
+NS_THRESH_HEX = "4"  # survivors: md5 first hex < '4'  (1/4 retained)
+
+
+def neighbor_sample(edges: DataFrame, k: int = NS_K,
+                    thresh_hex: str = NS_THRESH_HEX) -> DataFrame:
+    """Undirected entity edges -> (node, neighbor, rank): a
+    deterministic k-neighbor fanout sample per node — the GraphSAGE /
+    GNN mini-batch sampling primitive over the entity graph. The
+    sample is bottom-k by md5(node:neighbor): a fixed uniform hash
+    order, so the same node always samples the same neighbors
+    (reproducible epochs, resumable training) and the DuckDB oracle
+    replays it exactly.
+
+    Scale shape — exact bottom-k WITHOUT sorting hub adjacency lists:
+    rank only the survivors of a hash-threshold preprune (first hex <
+    thresh_hex keeps ~1/4). If a node keeps >= k survivors, its k
+    smallest hashes are PROVABLY all below the threshold (k values
+    sit under T iff the k-th smallest does), so ranking survivors is
+    exact; the few nodes left with < k survivors (degree ~< 4k) fall
+    back to ranking their full — tiny — adjacency list. A 10^6-degree
+    hub therefore window-sorts ~250k rows instead of 10^6 at this
+    threshold, and the threshold tightens as fan-in grows; both
+    branches stay whole-stage-codegen window ranks, no Python."""
+    # the hashed adjacency feeds three branches (survivors, survivor
+    # counts, fallback anti-join) — checkpoint it once or each branch
+    # re-derives the whole upstream pipeline
+    sym = _sym(edges).select(
+        F.col("src").alias("node"), F.col("dst").alias("neighbor"),
+        F.md5(F.concat_ws(":", "src", "dst")).alias("h")) \
+        .localCheckpoint(eager=True)
+    surv = sym.filter(F.substring("h", 1, 1) < thresh_hex)
+    cnt = surv.groupBy("node").agg(F.count("*").alias("n_surv"))
+    enough = cnt.filter(F.col("n_surv") >= k).select("node")
+    w = Window.partitionBy("node").orderBy("h")
+    a = (surv.join(enough, "node")
+         .withColumn("rank", F.row_number().over(w))
+         .filter(F.col("rank") <= k))
+    b = (sym.join(enough, "node", "left_anti")
+         .withColumn("rank", F.row_number().over(w))
+         .filter(F.col("rank") <= k))
+    return (a.unionByName(b)
+            .select("node", "neighbor", F.col("rank").cast("int")
+                    .alias("rank")))

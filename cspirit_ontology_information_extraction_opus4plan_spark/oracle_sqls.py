@@ -3255,6 +3255,21 @@ wd0 AS MATERIALIZED (
   WHERE src LIKE '{BFS_SEED_PREFIX}%'){wsp_steps}
 SELECT node, CAST(cost AS INT) AS cost FROM wd{WSP_ROUNDS}""")
 
+    # GNN fanout sample: the oracle ranks the full adjacency list —
+    # the engine's threshold preprune is provably exact, so plain
+    # bottom-k here IS the parity check of that proof
+    from .operators.graphops import NS_K
+    sqls["kg_neighbor_sample"] = (
+        corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + und_ctes
+        + f""",
+nh AS (SELECT src AS node, dst AS neighbor,
+              md5(src || ':' || dst) AS h FROM sym),
+nr AS (SELECT node, neighbor,
+              row_number() OVER (PARTITION BY node ORDER BY h) AS rk
+       FROM nh)
+SELECT node, neighbor, CAST(rk AS INT) AS rank
+FROM nr WHERE rk <= {NS_K}""")
+
 
     inv_rows = " UNION ALL ".join(
         f"SELECT {_q(k)} AS predicate, {_q(v)} AS inverse"

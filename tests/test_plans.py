@@ -532,3 +532,14 @@ def test_harmonic_and_weighted_paths_pure_jvm_equi_joins(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan
         # min over (src,node)/(node) must be a two-phase hash aggregate
         assert "partial_min" in plan
+
+
+def test_neighbor_sample_pruned_rank_jvm_only(spark, sf_dir):
+    """The fanout sampler's two rank branches stay JVM window ranks
+    over an equi-join/anti-join split — no Python, no nested loop."""
+    plan = api.q_kg_neighbor_sample(spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("RunningWindowFunction") >= 1 or "Window" in plan
