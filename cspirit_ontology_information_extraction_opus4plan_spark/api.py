@@ -1419,6 +1419,14 @@ def q_kg_weighted_paths(spark, sf_dir):
     return weighted_distances(dedup_triples(triples_df(spark, sf_dir)))
 
 
+def q_doc_leakage_split(spark, sf_dir):
+    """Leakage-safe train/val/test split: assignment hashes the
+    near-dup CLUSTER id, so no near-duplicate pair straddles train
+    and eval."""
+    from .operators.curation import leakage_safe_split
+    return leakage_safe_split(DE.augmented_docs(spark, sf_dir))
+
+
 def q_kg_neighbor_sample(spark, sf_dir):
     """Deterministic GraphSAGE-style k-neighbor fanout sample
     (bottom-k by md5 hash per node, exact under a threshold preprune
@@ -1695,6 +1703,7 @@ def queries() -> dict[str, QueryFn]:
         "kg_closeness_centrality": q_kg_closeness_centrality,
         "kg_weighted_paths": q_kg_weighted_paths,
         "kg_neighbor_sample": q_kg_neighbor_sample,
+        "doc_leakage_split": q_doc_leakage_split,
         "rdfxml_parse": q_rdfxml_parse,
         "kg_random_walks": q_kg_random_walks,
         "kg_walk_skipgrams": q_kg_walk_skipgrams,

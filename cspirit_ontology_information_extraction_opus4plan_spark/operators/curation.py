@@ -119,3 +119,30 @@ def curation_stage_stats(funnel: DataFrame) -> DataFrame:
         F.sum("dup_loser").cast("bigint").alias("n_dup_losers"),
         F.sum("contaminated").cast("bigint").alias("n_contaminated"),
         F.sum("kept").cast("bigint").alias("n_kept"))
+
+
+SPLIT_TRAIN_MAX_HEX = "c"  # md5(cluster) first hex < 'c' -> train (12/16)
+SPLIT_VAL_MAX_HEX = "e"    # 'c'/'d' -> val (2/16); 'e'/'f' -> test
+
+
+def leakage_safe_split(docs: DataFrame) -> DataFrame:
+    """Cluster-aware train/val/test assignment: a doc's split comes
+    from md5 of its near-dup CLUSTER id, never its own id, so no
+    near-duplicate pair can straddle train and eval — the leakage mode
+    a plain hash-split-by-doc_id cannot rule out (a paraphrased copy
+    of a training doc landing in the eval split silently inflates eval
+    scores; the same failure decontamination guards against for
+    external benchmarks, applied to the corpus's own held-out split).
+
+    Composes neardup_resolve's cluster labels (CC state bounded by
+    paired docs, never the corpus); the assignment itself is one
+    per-row codegen'd hash on top — no further shuffle. Deterministic:
+    the same corpus always produces the same split, and singleton docs
+    hash on their own id (cluster_id = doc_id)."""
+    r = neardup_resolve(docs)
+    h = F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 1)
+    split = (F.when(h < SPLIT_TRAIN_MAX_HEX, "train")
+             .when(h < SPLIT_VAL_MAX_HEX, "val")
+             .otherwise("test"))
+    return r.select("doc_id", "cluster_id", "cluster_size",
+                    split.alias("split"))

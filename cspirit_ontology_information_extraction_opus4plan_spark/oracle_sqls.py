@@ -684,6 +684,27 @@ def _curation_sqls() -> dict[str, str]:
         " AS cluster_size\n"
         "      FROM lab) t")
 
+    # leakage-safe split: same pair->CC cluster labels, assignment
+    # hashes the CLUSTER id so near-dup pairs never straddle splits
+    sqls["doc_leakage_split"] = (
+        "WITH RECURSIVE " + _minhash_pair_ctes() + ",\n"
+        "psym AS (SELECT a AS x, b AS y FROM pairs"
+        " UNION SELECT b, a FROM pairs),\n"
+        "pn AS (SELECT DISTINCT x AS id FROM psym),\n"
+        "reach(ra, rb) AS (SELECT id, id FROM pn\n"
+        "  UNION SELECT r.ra, s.y FROM reach r JOIN psym s ON s.x = r.rb),\n"
+        "canon AS (SELECT ra AS id, min(rb) AS cid FROM reach GROUP BY ra),\n"
+        "lab AS (SELECT t.doc_id, coalesce(c.cid, t.doc_id) AS cluster_id\n"
+        "        FROM tok t LEFT JOIN canon c ON c.id = t.doc_id),\n"
+        "sz AS (SELECT lab.*, CAST(count(*) OVER (PARTITION BY cluster_id)"
+        " AS BIGINT) AS cluster_size FROM lab)\n"
+        "SELECT doc_id, cluster_id, cluster_size,\n"
+        "  CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1)"
+        f" < '{CU.SPLIT_TRAIN_MAX_HEX}' THEN 'train'\n"
+        "       WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1)"
+        f" < '{CU.SPLIT_VAL_MAX_HEX}' THEN 'val'\n"
+        "       ELSE 'test' END AS split\nFROM sz")
+
     bench_pred = "doc_id % 17 = 0 AND doc_id < 1000000"
     langs = sorted(TX.LANG_WORDLISTS)
     hit_exprs = ",\n       ".join(

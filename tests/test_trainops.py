@@ -492,3 +492,25 @@ def test_dedup_retract_reaggregates_only_affected_keys(spark):
             for r in dedup_triples(
                 pre.filter(F.col("doc_id") != "d1")).collect()}
     assert got == want
+
+
+def test_leakage_split_never_straddles_neardup_pairs(spark, sf_dir, adocs):
+    """The split property the operator exists for: both endpoints of
+    every MinHash near-dup pair land in the SAME split, and the split
+    assignment covers every doc exactly once."""
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators import (
+        curation,
+    )
+
+    split = curation.leakage_safe_split(adocs).persist()
+    assert split.count() == adocs.count()
+    pairs = textops.minhash_lsh_pairs(adocs)
+    assert pairs.count() > 0  # decorated corpus plants near-dups
+    straddle = (pairs
+                .join(split.selectExpr("doc_id AS a", "split AS sa"), "a")
+                .join(split.selectExpr("doc_id AS b", "split AS sb"), "b")
+                .filter(F.col("sa") != F.col("sb")))
+    assert straddle.count() == 0
+    # all three splits actually populated at this corpus size
+    assert split.select("split").distinct().count() == 3
+    split.unpersist()
