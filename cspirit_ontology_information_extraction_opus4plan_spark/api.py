@@ -326,6 +326,15 @@ def q_doc_bpe_tokens(spark, sf_dir):
         spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def q_doc_bpe_merge_pairs(spark, sf_dir):
+    """BPE tokenizer-training statistic: corpus-frequency-weighted
+    adjacent character-pair counts (the argmax row is the first BPE
+    merge); vocabulary-sized after the first aggregate."""
+    from .operators.textops import bpe_merge_pair_counts
+    return bpe_merge_pair_counts(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 def q_doc_embedding_neardup(spark, sf_dir):
     from .operators.similarity import (embedding_neardup_pairs,
                                        load_embeddings)
@@ -1704,6 +1713,7 @@ def queries() -> dict[str, QueryFn]:
         "kg_weighted_paths": q_kg_weighted_paths,
         "kg_neighbor_sample": q_kg_neighbor_sample,
         "doc_leakage_split": q_doc_leakage_split,
+        "doc_bpe_merge_pairs": q_doc_bpe_merge_pairs,
         "rdfxml_parse": q_rdfxml_parse,
         "kg_random_walks": q_kg_random_walks,
         "kg_walk_skipgrams": q_kg_walk_skipgrams,

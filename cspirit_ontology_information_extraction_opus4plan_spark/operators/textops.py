@@ -1130,3 +1130,38 @@ def minhash_calibration(docs: DataFrame) -> DataFrame:
         .alias("max_abs_err"),
         F.round(F.avg(F.col("ok").cast("double")), 6)
         .alias("within_2se_frac"))
+
+
+BPE_PAIR_MIN = 50
+
+
+def bpe_merge_pair_counts(docs: DataFrame,
+                          min_count: int = BPE_PAIR_MIN) -> DataFrame:
+    """Tokenizer TRAINING primitive (the statistic one BPE merge
+    iteration maximizes): corpus-frequency-weighted counts of adjacent
+    character pairs inside alphabetic words — the argmax row IS the
+    first merge a BPE learner would adopt (bpe_token_counts is the
+    APPLICATION side: tokenizing with a finished vocab; this is the
+    learning side over the raw corpus).
+
+    Scale shape: words dedup to a (word, freq) table first (map-side
+    combinable groupBy — the corpus never re-scans per iteration of a
+    learner loop), then each DISTINCT word explodes into its
+    length-1 adjacent 2-grams via a JVM transform over sequence() (no
+    Python, no per-row UDF) and the pair count is one more map-side
+    combinable sum weighted by word freq. State is vocabulary-sized
+    after the first aggregate, pair space is bounded by 26^2 + digit
+    pairs — a learner iterating k merges re-runs only the
+    vocabulary-sized stage."""
+    words = docs.select(
+        F.explode(F.split(F.lower("text"), r"[^a-z]+")).alias("w"))
+    wc = (words.filter(F.length("w") >= 2)
+          .groupBy("w").agg(F.count("*").alias("freq")))
+    grams = wc.select(
+        "freq",
+        F.explode(F.expr(
+            "transform(sequence(1, length(w) - 1),"
+            " i -> substring(w, i, 2))")).alias("pair"))
+    return (grams.groupBy("pair")
+            .agg(F.sum("freq").cast("bigint").alias("n"))
+            .filter(F.col("n") >= min_count))

@@ -389,6 +389,20 @@ SELECT a, b, CAST(""" + ham + f""" AS INT) AS hamming
 FROM cand JOIN bands ba ON ba.doc_id = a JOIN bands bb ON bb.doc_id = b
 WHERE {ham} <= {TX.HAMMING_MAX}""")
 
+    sqls["doc_bpe_merge_pairs"] = f"""
+WITH words AS (
+  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+  FROM documents),
+wc AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM words
+       WHERE length(w) >= 2 GROUP BY 1),
+grams AS (SELECT freq,
+                 unnest(list_transform(range(1, length(w)),
+                        i -> substr(w, CAST(i AS INT), 2))) AS pair
+          FROM wc)
+SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+FROM grams GROUP BY 1
+HAVING sum(freq) >= {TX.BPE_PAIR_MIN}"""
+
     sqls["doc_bpe_tokens"] = f"WITH {tok_cte('documents')}" + f"""
 SELECT doc_id, CAST(len(toks) AS INT) AS n_words,
        CAST(len(regexp_extract_all(lower(text), '{TX.BPE_ISH_PATTERN}'))
