@@ -543,3 +543,17 @@ def test_neighbor_sample_pruned_rank_jvm_only(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("RunningWindowFunction") >= 1 or "Window" in plan
+
+
+def test_bpe_merge_pairs_and_leakage_split_jvm_only(spark, sf_dir):
+    """The tokenizer-training statistic and the cluster-hashed split
+    stay JVM-side end-to-end (the split's Python is only the
+    sanctioned Arrow stages inherited from the MinHash pair path)."""
+    plan = api.q_doc_bpe_merge_pairs(spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan  # pure codegen, no Arrow either
+    plan2 = api.q_doc_leakage_split(spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan2
+    assert "CartesianProduct" not in plan2
