@@ -1436,6 +1436,13 @@ def q_doc_leakage_split(spark, sf_dir):
     return leakage_safe_split(DE.augmented_docs(spark, sf_dir))
 
 
+def q_kg_personalized_pagerank(spark, sf_dir):
+    """Topic-sensitive PageRank with teleport restricted to the
+    chemical namespace (random-walk-with-restart relevance)."""
+    from .operators.graphops import personalized_pagerank
+    return personalized_pagerank(dedup_triples(triples_df(spark, sf_dir)))
+
+
 def q_kg_neighbor_sample(spark, sf_dir):
     """Deterministic GraphSAGE-style k-neighbor fanout sample
     (bottom-k by md5 hash per node, exact under a threshold preprune
@@ -1712,6 +1719,7 @@ def queries() -> dict[str, QueryFn]:
         "kg_closeness_centrality": q_kg_closeness_centrality,
         "kg_weighted_paths": q_kg_weighted_paths,
         "kg_neighbor_sample": q_kg_neighbor_sample,
+        "kg_personalized_pagerank": q_kg_personalized_pagerank,
         "doc_leakage_split": q_doc_leakage_split,
         "doc_bpe_merge_pairs": q_doc_bpe_merge_pairs,
         "rdfxml_parse": q_rdfxml_parse,

@@ -1404,13 +1404,26 @@ def mine_chain_rules(edges: DataFrame,
            .agg(F.count("*").cast("bigint").alias("support")))
     nb = (body.groupBy("p", "q")
           .agg(F.count("*").cast("bigint").alias("n_body")))
-    return (sup.join(nb, ["p", "q"])
+    # AMIE's PCA denominator: body bindings whose x asserts SOME
+    # r-edge — under partial completeness, missing heads for such x
+    # are real counterevidence while heads of never-r subjects are
+    # merely unknown; pca >= std confidence always
+    rx = pe.select(F.col("subject").alias("x"),
+                   F.col("predicate").alias("r")).distinct()
+    pca = (body.join(rx, "x")
+           .groupBy("p", "q", "r")
+           .agg(F.count("*").cast("bigint").alias("n_pca")))
+    return (sup.join(nb, ["p", "q"]).join(pca, ["p", "q", "r"])
             .filter(F.col("support") >= min_support)
             .withColumn("confidence",
                         F.round(F.col("support")
                                 / F.col("n_body").cast("double"), 6))
             .filter(F.col("confidence") >= min_conf)
-            .select("p", "q", "r", "support", "n_body", "confidence"))
+            .withColumn("pca_confidence",
+                        F.round(F.col("support")
+                                / F.col("n_pca").cast("double"), 6))
+            .select("p", "q", "r", "support", "n_body", "confidence",
+                    "n_pca", "pca_confidence"))
 
 
 NS_K = 3
@@ -1457,3 +1470,62 @@ def neighbor_sample(edges: DataFrame, k: int = NS_K,
     return (a.unionByName(b)
             .select("node", "neighbor", F.col("rank").cast("int")
                     .alias("rank")))
+
+
+def personalized_pagerank(triples: DataFrame,
+                          n_iter: int = PR_ITER,
+                          damping: float = PR_DAMPING,
+                          seed_prefix: str = BFS_SEED_PREFIX) -> DataFrame:
+    """Topic-sensitive (personalized) PageRank: pagerank_fixed with the
+    teleport vector restricted to the seed namespace — pr measures
+    importance RELATIVE to the chemical entities rather than globally
+    (the ranking used to pick which entities matter for a
+    domain-specific extraction QC pass, and the random-walk-with-
+    restart relevance score used in KG recommendation). Same fixed-
+    iteration deterministic contract, same per-round join shape and
+    persist/unpersist discipline as pagerank_fixed; only the base term
+    changes: (1-d)/|seeds| on seed nodes, 0 elsewhere, pr_0 uniform on
+    seeds. Mass leaks at dangling nodes exactly as in pagerank_fixed."""
+    ed = (triples
+          .filter((F.col("subject_type") == "uri")
+                  & (F.col("object_type") == "uri")
+                  & (F.col("subject") != F.col("object")))
+          .select(F.col("subject").alias("s"), F.col("object").alias("o"))
+          .distinct()
+          .localCheckpoint(eager=True))
+    nodes = (ed.select(F.col("s").alias("n"))
+             .unionByName(ed.select(F.col("o").alias("n")))
+             .distinct()
+             .withColumn("is_seed", F.col("n").startswith(seed_prefix))
+             .persist())
+    n_seeds = nodes.filter("is_seed").count()
+    if n_seeds == 0:
+        raise ValueError(
+            f"personalized_pagerank: no nodes match {seed_prefix!r}")
+    outdeg = ed.groupBy("s").agg(F.count("*").alias("odeg"))
+    contrib_edges = ed.join(outdeg, "s").persist()
+
+    teleport = F.when(F.col("is_seed"),
+                      F.lit((1.0 - damping) / n_seeds)).otherwise(F.lit(0.0))
+    pr = nodes.select(
+        "n", "is_seed",
+        F.when(F.col("is_seed"), F.lit(1.0 / n_seeds))
+        .otherwise(F.lit(0.0)).alias("pr"))
+    for _ in range(n_iter):
+        c = (contrib_edges
+             .join(pr.select(F.col("n").alias("s"), "pr"), "s")
+             .groupBy("o")
+             .agg(F.sum(F.col("pr") / F.col("odeg")).alias("mass")))
+        nxt = (nodes.join(c.withColumnRenamed("o", "n"), "n", "left")
+               .select("n", "is_seed",
+                       (teleport + damping
+                        * F.coalesce("mass", F.lit(0.0))).alias("pr"))
+               .persist())
+        nxt.count()
+        pr.unpersist()
+        pr = nxt
+    out = pr.select(F.col("n").alias("node"),
+                    F.round("pr", 6).alias("ppr"))
+    nodes.unpersist()
+    contrib_edges.unpersist()
+    return out

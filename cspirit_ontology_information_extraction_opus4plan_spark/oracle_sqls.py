@@ -2781,7 +2781,7 @@ two AS (SELECT src, CAST(count(*) AS BIGINT) AS n_2hop
 SELECT one.src AS node, n_1hop, n_2hop
 FROM one JOIN two USING (src)""")
 
-    from .operators.graphops import PR_DAMPING, PR_ITER
+    from .operators.graphops import BFS_SEED_PREFIX, PR_DAMPING, PR_ITER
     pr_iters = ""
     for i in range(1, PR_ITER + 1):
         pr_iters += f""",
@@ -2808,6 +2808,41 @@ od AS (SELECT s, CAST(count(*) AS BIGINT) AS odeg FROM ed GROUP BY 1),
 pr0 AS (SELECT n, CAST(1.0 AS DOUBLE) / (SELECT cnt FROM nn) AS pr
         FROM nodes){pr_iters}
 SELECT n AS node, round(pr, 6) AS pagerank FROM pr{PR_ITER}""")
+
+    # personalized variant: teleport restricted to the seed namespace
+    ppr_seed = f"nodes.n LIKE '{BFS_SEED_PREFIX}%'"
+    ppr_iters = ""
+    for i in range(1, PR_ITER + 1):
+        ppr_iters += f""",
+ppr{i} AS (
+  SELECT nodes.n,
+         CASE WHEN {ppr_seed}
+              THEN (CAST(1.0 AS DOUBLE) - CAST({PR_DAMPING} AS DOUBLE))
+                   / (SELECT cnt FROM sn)
+              ELSE CAST(0.0 AS DOUBLE) END
+         + CAST({PR_DAMPING} AS DOUBLE)
+           * coalesce(sum(p.pr / od.odeg), CAST(0.0 AS DOUBLE)) AS pr
+  FROM nodes
+  LEFT JOIN ed ON ed.o = nodes.n
+  LEFT JOIN ppr{i - 1} p ON p.n = ed.s
+  LEFT JOIN od ON od.s = ed.s
+  GROUP BY nodes.n)"""
+    sqls["kg_personalized_pagerank"] = (
+        corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + f""",
+ed AS (SELECT DISTINCT subject AS s, object AS o FROM triples
+       WHERE subject_type = 'uri' AND object_type = 'uri'
+         AND subject <> object),
+nodes AS (SELECT DISTINCT n
+          FROM (SELECT s AS n FROM ed UNION ALL SELECT o FROM ed)),
+sn AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM nodes
+       WHERE n LIKE '{BFS_SEED_PREFIX}%'),
+od AS (SELECT s, CAST(count(*) AS BIGINT) AS odeg FROM ed GROUP BY 1),
+ppr0 AS (SELECT n,
+                CASE WHEN n LIKE '{BFS_SEED_PREFIX}%'
+                     THEN CAST(1.0 AS DOUBLE) / (SELECT cnt FROM sn)
+                     ELSE CAST(0.0 AS DOUBLE) END AS pr
+         FROM nodes){ppr_iters}
+SELECT n AS node, round(pr, 6) AS ppr FROM ppr{PR_ITER}""")
 
     # HITS: identical unrolled recurrence; normalization constants are
     # scalar subqueries (the engine's driver-scalar aggregates). Every
@@ -3449,10 +3484,20 @@ sup AS (SELECT body.p, body.q, h.predicate AS r,
           ON h.subject = body.x AND h.object = body.z
         GROUP BY 1, 2, 3),
 nb AS (SELECT p, q, CAST(count(*) AS BIGINT) AS n_body
-       FROM body GROUP BY 1, 2)
+       FROM body GROUP BY 1, 2),
+rx AS (SELECT DISTINCT subject AS x, predicate AS r FROM sat),
+pca AS (SELECT body.p, body.q, rx.r,
+               CAST(count(*) AS BIGINT) AS n_pca
+        FROM body JOIN rx ON rx.x = body.x
+        GROUP BY 1, 2, 3)
 SELECT sup.p, sup.q, sup.r, sup.support, nb.n_body,
-       round(CAST(sup.support AS DOUBLE) / nb.n_body, 6) AS confidence
-FROM sup JOIN nb ON nb.p = sup.p AND nb.q = sup.q
+       round(CAST(sup.support AS DOUBLE) / nb.n_body, 6) AS confidence,
+       pca.n_pca,
+       round(CAST(sup.support AS DOUBLE) / pca.n_pca, 6)
+         AS pca_confidence
+FROM sup
+JOIN nb ON nb.p = sup.p AND nb.q = sup.q
+JOIN pca ON pca.p = sup.p AND pca.q = sup.q AND pca.r = sup.r
 WHERE sup.support >= {RM_MIN_SUPPORT}
   AND round(CAST(sup.support AS DOUBLE) / nb.n_body, 6)
       >= {RM_MIN_CONF}""")
