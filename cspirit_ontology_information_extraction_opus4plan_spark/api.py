@@ -1436,6 +1436,13 @@ def q_doc_leakage_split(spark, sf_dir):
     return leakage_safe_split(DE.augmented_docs(spark, sf_dir))
 
 
+def q_kg_entity_summary(spark, sf_dir):
+    """Entity cards: top-k most informative facts per subject (rarest
+    predicates first, integer rarity rank — no float parity risk)."""
+    from .operators.graphops import entity_fact_summary
+    return entity_fact_summary(dedup_triples(triples_df(spark, sf_dir)))
+
+
 def q_kg_personalized_pagerank(spark, sf_dir):
     """Topic-sensitive PageRank with teleport restricted to the
     chemical namespace (random-walk-with-restart relevance)."""
@@ -1720,6 +1727,7 @@ def queries() -> dict[str, QueryFn]:
         "kg_weighted_paths": q_kg_weighted_paths,
         "kg_neighbor_sample": q_kg_neighbor_sample,
         "kg_personalized_pagerank": q_kg_personalized_pagerank,
+        "kg_entity_summary": q_kg_entity_summary,
         "doc_leakage_split": q_doc_leakage_split,
         "doc_bpe_merge_pairs": q_doc_bpe_merge_pairs,
         "rdfxml_parse": q_rdfxml_parse,

@@ -1529,3 +1529,33 @@ def personalized_pagerank(triples: DataFrame,
     nodes.unpersist()
     contrib_edges.unpersist()
     return out
+
+
+ES_TOPK = 3
+
+
+def entity_fact_summary(triples: DataFrame, k: int = ES_TOPK) -> DataFrame:
+    """Entity summarization ("entity cards" for human QC and LLM
+    grounding context): for every subject, its k most INFORMATIVE
+    facts — facts carried by the rarest predicates (global predicate
+    frequency ascending; rarity is the integer surrogate for the
+    -log(p) informativeness score, identical ordering with zero float
+    parity risk). Ties break on (predicate, object) so the card is
+    fully deterministic.
+
+    One map-side-combinable predicate-frequency aggregate (vocabulary-
+    sized result joined back by predicate — broadcastable), then a
+    per-subject window rank. Per-entity fact lists are bounded by
+    extraction fan-out, so the window never sees corpus-scale
+    partitions; the rank column keeps card order stable downstream."""
+    pe = (triples.select("subject", "predicate", "object").distinct()
+          .localCheckpoint(eager=True))
+    pf = pe.groupBy("predicate").agg(F.count("*").alias("n_pred"))
+    w = Window.partitionBy("subject").orderBy(
+        F.col("n_pred").asc(), F.col("predicate"), F.col("object"))
+    return (pe.join(F.broadcast(pf), "predicate")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("subject", "predicate", "object",
+                    F.col("n_pred").cast("bigint").alias("n_pred"),
+                    F.col("rank").cast("int").alias("rank")))

@@ -3325,6 +3325,20 @@ wd0 AS MATERIALIZED (
   WHERE src LIKE '{BFS_SEED_PREFIX}%'){wsp_steps}
 SELECT node, CAST(cost AS INT) AS cost FROM wd{WSP_ROUNDS}""")
 
+    # entity cards: rarity rank over integer predicate frequency
+    from .operators.graphops import ES_TOPK
+    sqls["kg_entity_summary"] = (
+        corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + f""",
+pe AS (SELECT DISTINCT subject, predicate, object FROM triples),
+pf AS (SELECT predicate, CAST(count(*) AS BIGINT) AS n_pred
+       FROM pe GROUP BY 1),
+rk AS (SELECT pe.subject, pe.predicate, pe.object, pf.n_pred,
+              row_number() OVER (PARTITION BY pe.subject
+                ORDER BY pf.n_pred ASC, pe.predicate, pe.object) AS rnk
+       FROM pe JOIN pf ON pf.predicate = pe.predicate)
+SELECT subject, predicate, object, n_pred, CAST(rnk AS INT) AS rank
+FROM rk WHERE rnk <= {ES_TOPK}""")
+
     # GNN fanout sample: the oracle ranks the full adjacency list —
     # the engine's threshold preprune is provably exact, so plain
     # bottom-k here IS the parity check of that proof
