@@ -110,3 +110,20 @@ def test_harmonic_pivot_identity(edges):
     # (1e-6 slack: the output rounds to 6 decimal places)
     assert (hc.harmonic <= hc.n_reached + 1e-6).all()
     assert (hc.harmonic >= hc.n_reached / graphops.HC_ROUNDS - 1e-6).all()
+
+
+def test_entailment_closes_chains_deeper_than_max_iter(spark):
+    """The doubling fixpoint must close a 40-edge is_a chain well
+    inside max_iter (log2(40) ~ 6 rounds) — the linear frontier
+    recurrence needed 40 sequential rounds and hit the max_iter=32
+    hard error on sf0.1's extraction-artifact chains."""
+    n = 40
+    chain = spark.createDataFrame(
+        [(f"C:{i:03d}", "is_a", f"C:{i + 1:03d}") for i in range(n)],
+        ["subject", "predicate", "object"])
+    inferred = graphops.kg_entailment(chain).toPandas()
+    # all i<j pairs except the n asserted edges, every one 'transitive'
+    assert len(inferred) == (n + 1) * n // 2 - n
+    assert (inferred.rule == "transitive").all()
+    assert ((inferred.subject == "C:000")
+            & (inferred.object == f"C:{n:03d}")).any()
