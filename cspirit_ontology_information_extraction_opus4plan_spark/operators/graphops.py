@@ -1057,12 +1057,15 @@ def kg_entailment_retract(old: DataFrame, removed: DataFrame,
          transient). Everything outside O has no derivation touching a
          deleted edge and PASSES THROUGH (one anti-join).
       2. REDERIVE: a suspect survives iff still derivable from the
-         surviving base b1. Right-linear induction — every length-L
-         path is a length-(L-1) prefix in C1 plus one b1 edge — makes
-         this a semi-naive fixpoint: seed with O's still-asserted
-         edges plus (Kept . b1) hits inside O, then extend only the
-         frontier by single b1 edges, always semi-joined back to O so
-         no work leaves the suspect set.
+         surviving base b1. A surviving path splits at any midpoint
+         into two C1 pairs — each Kept or an already-rederived
+         suspect — so rederivation is an endpoint-anchored DOUBLING
+         fixpoint: seed with O's still-asserted edges, compose
+         (Kept + acc) with itself with the left factor anchored to
+         suspect subjects and the right to suspect objects, semi-join
+         results to O. O(log path-length) rounds; join input stays
+         proportional to closure rows anchored at suspect endpoints,
+         and no work leaves the suspect set.
 
     The inverse rule is linear, so its maintenance is exact deletion:
     re-emit inverse(surviving asserted). Output contract identical to
@@ -1089,9 +1092,12 @@ def kg_entailment_retract(old: DataFrame, removed: DataFrame,
         return base.distinct()
 
     def _close(base: DataFrame, what: str) -> DataFrame:
+        # doubling fixpoint (see kg_entailment): O(log diameter) rounds
         closed, frontier, done = base, base, False
         for _it in range(max_iter + 1):
-            nxt = (_compose(frontier, base).distinct()
+            nxt = (_compose(frontier, closed)
+                   .unionByName(_compose(closed, frontier))
+                   .distinct()
                    .join(closed, ["subject", "object"], "left_anti")
                    .localCheckpoint(eager=True))
             if nxt.isEmpty():
@@ -1123,16 +1129,28 @@ def kg_entailment_retract(old: DataFrame, removed: DataFrame,
              .localCheckpoint(eager=True))
         kept = (c0.join(o, ["subject", "object"], "left_anti")
                 .localCheckpoint(eager=True))
-        # rederive inside the suspect set, right-linear semi-naive
-        acc = (o.join(b1, ["subject", "object"], "left_semi")
-               .unionByName(
-                   _compose(kept, b1).distinct()
-                   .join(o, ["subject", "object"], "left_semi"))
-               .distinct()
+        # rederive inside the suspect set: endpoint-anchored DOUBLING.
+        # A surviving suspect path splits at ANY midpoint into two
+        # closure pairs, each Kept or an already-rederived suspect, so
+        # composing U = kept + acc with itself doubles covered path
+        # length per round (O(log L) rounds — right-linear one-edge
+        # extension needed O(L) and hit max_iter on sf0.1's long
+        # chains). Both factors are semi-joined to the suspect
+        # ENDPOINTS (left starts at a suspect subject, right ends at a
+        # suspect object), so join input stays proportional to
+        # closure rows anchored at suspects, not the full Kept set;
+        # results are semi-joined to O as before — no work leaves the
+        # suspect set.
+        subs = o.select("subject").distinct().localCheckpoint(eager=True)
+        objs = o.select("object").distinct().localCheckpoint(eager=True)
+        acc = (b1.join(o, ["subject", "object"], "left_semi")
                .localCheckpoint(eager=True))
-        frontier, done = acc, False
+        done = False
         for _it in range(max_iter + 1):
-            nxt = (_compose(frontier, b1).distinct()
+            u = kept.unionByName(acc)
+            ul = u.join(subs, "subject", "left_semi")
+            ur = u.join(objs, "object", "left_semi")
+            nxt = (_compose(ul, ur).distinct()
                    .join(o, ["subject", "object"], "left_semi")
                    .join(acc, ["subject", "object"], "left_anti")
                    .localCheckpoint(eager=True))
@@ -1140,7 +1158,6 @@ def kg_entailment_retract(old: DataFrame, removed: DataFrame,
                 done = True
                 break
             acc = acc.unionByName(nxt).localCheckpoint(eager=True)
-            frontier = nxt
         if not done:
             raise RuntimeError(
                 f"kg_entailment_retract rederivation of {p!r} still "
