@@ -1148,8 +1148,12 @@ def kg_entailment_retract(old: DataFrame, removed: DataFrame,
         done = False
         for _it in range(max_iter + 1):
             u = kept.unionByName(acc)
-            ul = u.join(subs, "subject", "left_semi")
-            ur = u.join(objs, "object", "left_semi")
+            # re-select after the semi-joins: join-on-key moves the key
+            # column first, and _compose renames POSITIONALLY
+            ul = (u.join(subs, "subject", "left_semi")
+                  .select("subject", "object"))
+            ur = (u.join(objs, "object", "left_semi")
+                  .select("subject", "object"))
             nxt = (_compose(ul, ur).distinct()
                    .join(o, ["subject", "object"], "left_semi")
                    .join(acc, ["subject", "object"], "left_anti")
