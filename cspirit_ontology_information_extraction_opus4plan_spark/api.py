@@ -1328,6 +1328,15 @@ def q_kg_inverse_consistency(spark, sf_dir):
     return inverse_consistency(dedup_triples(triples_df(spark, sf_dir)))
 
 
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ ANN (FAISS IVFADC shape): coarse inverted lists + 8-byte
+    PQ codes per vector + per-query ADC lookup tables — the
+    memory-ladder end state where candidate scoring never touches a
+    float vector (32x smaller list scans than float32 at 10^12 rows)."""
+    from .operators.similarity import ivfpq_topk, load_embeddings
+    return ivfpq_topk(load_embeddings(spark, sf_dir))
+
+
 def q_kg_bgp_query(spark, sf_dir):
     """SPARQL basic-graph-pattern conjunction `?x located_in ?y .
     ?x catalyzes ?z` — the KG-serving query shape as one
@@ -1745,6 +1754,7 @@ def queries() -> dict[str, QueryFn]:
         "canonical_entities_delta": q_canonical_entities_delta,
         "canonical_entities_retract": q_canonical_entities_retract,
         "kg_inverse_consistency": q_kg_inverse_consistency,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
     }
 
 

@@ -555,3 +555,156 @@ def int8_quantization_stats(emb: DataFrame, levels: int = 255) -> DataFrame:
                  F.round(F.max("err"), 6).alias("max_abs_err"),
                  F.round(F.sqrt(F.avg(F.col("err") * F.col("err"))), 6)
                  .alias("rmse")))
+
+
+# --- IVF-PQ (product quantization, ADC scoring) -----------------------------
+# Completes the ANN memory ladder: float32 corpus (brute/LSH/IVF, 256 B
+# per vector) -> int8 scalar quantization (64 B, int8_quantization_stats)
+# -> PQ codes (PQ_M bytes = 8 B, a 32x shrink). At 10^12 vectors the
+# inverted lists no longer fit executor memory as floats; IVF-PQ scans
+# lists of M-byte codes and scores them against per-query lookup tables
+# (asymmetric distance computation), touching full vectors never.
+# No reference analog (the reference has no vector ops) — this is the
+# FAISS IVFADC shape re-expressed as DataFrame ops.
+PQ_M = 8                 # subspaces (codes per vector, 1 byte each)
+PQ_SUB = DIM // PQ_M     # dims per subspace
+PQ_K = 16                # codebook entries per subspace
+# deterministic "training" stub, same convention as IVF_C_BASE: codebook
+# entries are the subvectors of a fixed bounded id range (production
+# would run embedding_kmeans per subspace and persist the codebooks;
+# encode/score below are identical either way)
+PQ_C_BASE = 40
+
+
+def _pq_codebooks(emb: DataFrame) -> np.ndarray:
+    """Bounded (PQ_M, PQ_K, PQ_SUB) codebook tensor; code ids are the
+    source vec_id order (ascending), so argmin ties break to the lowest
+    code id on both engines."""
+    cpdf = (emb.filter((F.col("vec_id") >= PQ_C_BASE)
+                       & (F.col("vec_id") < PQ_C_BASE + PQ_K))
+            .select("vec_id", "embedding")
+            .toPandas().sort_values("vec_id"))
+    if len(cpdf) < PQ_K:
+        raise ValueError(
+            f"need {PQ_K} codebook vectors in [{PQ_C_BASE}, "
+            f"{PQ_C_BASE + PQ_K}) — corpus too small for the demo "
+            f"codebook range")
+    V = _stack(cpdf["embedding"])                     # (PQ_K, DIM)
+    return np.ascontiguousarray(
+        V.reshape(PQ_K, PQ_M, PQ_SUB).transpose(1, 0, 2))
+
+
+def _pq_sq_block(A_sub: np.ndarray, C_sub: np.ndarray) -> np.ndarray:
+    """(n, PQ_K) squared-L2 block for ONE subspace, left-assoc
+    PQ_SUB-step accumulation per lane — bit-identical to the oracle's
+    `(a0-c0)*(a0-c0) + ...` expression."""
+    d = A_sub[:, 0:1] - C_sub[None, :, 0]
+    acc = d * d
+    for j in range(1, PQ_SUB):
+        d = A_sub[:, j:j + 1] - C_sub[None, :, j]
+        acc = acc + d * d
+    return acc
+
+
+def ivfpq_topk(emb: DataFrame, k: int = TOP_K,
+               n_queries: int = N_QUERIES,
+               n_probe: int = N_PROBE) -> DataFrame:
+    """IVF-PQ ANN: coarse nearest-centroid inverted lists (same
+    assignment as ivf_topk), PQ encoding of every corpus vector into
+    PQ_M 4-bit-alphabet codes in one map-only Arrow pass, then ADC
+    scoring — each bounded query precomputes a (PQ_M, PQ_K) table of
+    subspace distances to the codebooks, and a candidate's approximate
+    squared L2 is PQ_M table lookups summed left-assoc. Top-k per query
+    by (adc ASC, neighbor_id ASC).
+
+    Scale shape: the corpus is touched by exactly two map-only Arrow
+    passes (coarse assign + PQ encode, one projected scan), candidates
+    come from the broadcast (q_id, list_id) probe table equi-join —
+    shuffle bounded by the probed fraction, like ivf_topk — and the
+    scoring pass reads ONLY the PQ_M-byte code column (the full
+    embedding column is pruned from the candidate scan). Driver state
+    is O(n_queries * PQ_M * PQ_K) ADC tables + O(PQ_M * PQ_K * PQ_SUB)
+    codebooks, both corpus-size-independent. Ties in the per-subspace
+    argmin encode break to the lowest code id (numpy argmin = first
+    minimum; oracle row_number ORDER BY d ASC, code ASC)."""
+    spark = emb.sparkSession
+    c_ids, C, cn2 = _centroid_matrix(emb)
+    CB = _pq_codebooks(emb)
+    bc = spark.sparkContext.broadcast((c_ids, C, cn2, CB))
+
+    @F.pandas_udf(LongType())
+    def assign_udf(a: pd.Series) -> pd.Series:
+        c_ids, C, cn2, _ = bc.value
+        cos = _centroid_cos(_stack(a), C, cn2)
+        # argmax takes the FIRST max; columns are c_id-ascending
+        return pd.Series(c_ids[np.argmax(cos, axis=1)])
+
+    # nondeterministic marker = "evaluate exactly once, in place": the
+    # inner join's implied isnotnull(list_id) otherwise DUPLICATES the
+    # assign Arrow stage (one eval for the filter, one for the project)
+    # — a third full-corpus Python pass at 10^12 rows. The UDF is in
+    # fact deterministic; the marker only pins evaluation count/order.
+    assign_udf = assign_udf.asNondeterministic()
+
+    @F.pandas_udf("array<int>")
+    def encode_udf(a: pd.Series) -> pd.Series:
+        _, _, _, CB = bc.value
+        A = _stack(a)
+        codes = np.empty((len(A), PQ_M), dtype=np.int32)
+        for m in range(PQ_M):
+            blk = _pq_sq_block(A[:, m * PQ_SUB:(m + 1) * PQ_SUB], CB[m])
+            codes[:, m] = np.argmin(blk, axis=1)
+        return pd.Series(list(codes))
+
+    # bounded query set: collect once, build ADC tables + probed lists
+    # driver-side (the FAISS shape — per-query tables are the point of
+    # ADC; O(n_queries) driver state, never corpus-sized)
+    qpdf = (emb.filter(F.col("vec_id") < n_queries)
+            .select("vec_id", "embedding")
+            .toPandas().sort_values("vec_id"))
+    if len(qpdf) == 0:
+        raise ValueError("no query vectors below n_queries")
+    q_ids = qpdf["vec_id"].to_numpy()
+    Q = _stack(qpdf["embedding"])
+    T = np.empty((len(Q), PQ_M, PQ_K), dtype=np.float64)
+    for m in range(PQ_M):
+        T[:, m, :] = _pq_sq_block(Q[:, m * PQ_SUB:(m + 1) * PQ_SUB],
+                                  CB[m])
+    # probed lists per query: (cosine DESC, c_id ASC), same rule as
+    # ivf_topk's probe_udf, evaluated on the identical numpy kernel
+    cos_q = _centroid_cos(Q, C, cn2)
+    order = np.lexsort(
+        (np.broadcast_to(c_ids[None, :], cos_q.shape), -cos_q), axis=1)
+    keep = order[:, :min(n_probe, cos_q.shape[1])]
+    probe_df = spark.createDataFrame(
+        [(int(q_ids[qi]), int(c_ids[ci]))
+         for qi in range(len(q_ids)) for ci in keep[qi]],
+        "q_id bigint, list_id bigint")
+    bq = spark.sparkContext.broadcast((q_ids, T))
+
+    @F.pandas_udf(DoubleType())
+    def adc_udf(q: pd.Series, codes: pd.Series) -> pd.Series:
+        q_ids, T = bq.value
+        pos = {int(v): i for i, v in enumerate(q_ids)}
+        qi = q.map(pos).to_numpy(dtype=np.int64)
+        Cd = np.stack(codes.to_numpy()).astype(np.int64)
+        acc = T[qi, 0, Cd[:, 0]]
+        for m in range(1, PQ_M):
+            acc = acc + T[qi, m, Cd[:, m]]
+        return pd.Series(acc)
+
+    assigned = emb.select(
+        "vec_id",
+        assign_udf("embedding").alias("list_id"),
+        encode_udf("embedding").alias("codes"))
+    cand = (assigned.join(F.broadcast(probe_df), "list_id")
+            .filter(F.col("vec_id") != F.col("q_id")))
+    scored = cand.select(
+        "q_id", F.col("vec_id").alias("neighbor_id"),
+        adc_udf("q_id", "codes").alias("adc"))
+    w = Window.partitionBy("q_id").orderBy(
+        F.asc("adc"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "neighbor_id",
+                    F.round("adc", 6).alias("adc_dist"), "rank"))

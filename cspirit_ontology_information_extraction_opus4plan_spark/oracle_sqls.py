@@ -982,6 +982,88 @@ SELECT a.c_id, CAST(count(*) AS BIGINT) AS n_vecs,
 FROM af a JOIN norms n USING (c_id)
 GROUP BY a.c_id"""
     sqls["embedding_kmeans"] = km
+
+    # IVF-PQ: per-subspace argmin codes (row_number d ASC, code ASC over
+    # the tiny vec x codebook cross product — engine encodes in one
+    # Arrow pass), per-query ADC tables as q x codebook cross joins,
+    # approximate distance = left-assoc sum of PQ_M lookups, rank by
+    # (adc ASC, neighbor ASC). MATERIALIZED on every multiply-referenced
+    # CTE (DuckDB inlines CTEs per reference — the kg_hits 2^(2k) trap).
+    def pq_sq(ta: str, ca: str, m: int) -> str:
+        return " + ".join(
+            f"(CAST({ta}.{ca}[{m * SIM.PQ_SUB + j + 1}] AS DOUBLE)"
+            f" - CAST(c.embedding[{m * SIM.PQ_SUB + j + 1}] AS DOUBLE))"
+            f" * (CAST({ta}.{ca}[{m * SIM.PQ_SUB + j + 1}] AS DOUBLE)"
+            f" - CAST(c.embedding[{m * SIM.PQ_SUB + j + 1}] AS DOUBLE))"
+            for j in range(SIM.PQ_SUB))
+
+    cd_ctes = ",\n".join(f"""
+cd{m} AS MATERIALIZED (
+  SELECT vec_id, code AS k{m} FROM (
+    SELECT v.vec_id, c.code, row_number() OVER (
+      PARTITION BY v.vec_id
+      ORDER BY ({pq_sq('v', 'embedding', m)}) ASC, c.code ASC) AS rn
+    FROM embeddings v CROSS JOIN cb c) x WHERE rn = 1)""".strip()
+        for m in range(SIM.PQ_M))
+    qt_ctes = ",\n".join(f"""
+qt{m} AS MATERIALIZED (
+  SELECT q.q_id, c.code, ({pq_sq('q', 'q_emb', m)}) AS d
+  FROM q CROSS JOIN cb c)""".strip() for m in range(SIM.PQ_M))
+    cd_joins = "\n  ".join(
+        f"JOIN cd{m} ON cd{m}.vec_id = cd0.vec_id" for m in range(1, SIM.PQ_M))
+    qt_joins = "\n  ".join(
+        f"JOIN qt{m} ON qt{m}.q_id = cand.q_id AND qt{m}.code = cd{m}.k{m}"
+        for m in range(SIM.PQ_M))
+    adc_sum = " + ".join(f"qt{m}.d" for m in range(SIM.PQ_M))
+    sqls["ann_ivfpq_topk"] = f"""
+WITH vn AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding, ({n2}) AS n2 FROM embeddings e),
+cents AS MATERIALIZED (
+  SELECT vec_id AS c_id, embedding AS c_emb, n2 AS cn2
+  FROM vn WHERE vec_id >= {SIM.IVF_C_BASE}
+    AND vec_id < {SIM.IVF_C_BASE + SIM.N_CENTROIDS}),
+asg AS MATERIALIZED (
+  SELECT vec_id, c_id AS list_id FROM (
+    SELECT v.vec_id, c.c_id, row_number() OVER (
+      PARTITION BY v.vec_id
+      ORDER BY ({dot_vc}) / sqrt(c.cn2 * v.n2) DESC, c.c_id ASC) AS rn
+    FROM vn v CROSS JOIN cents c) a
+  WHERE rn = 1),
+q AS MATERIALIZED (
+  SELECT vec_id AS q_id, embedding AS q_emb, n2 AS qn2
+  FROM vn WHERE vec_id < {SIM.N_QUERIES}),
+probe AS MATERIALIZED (
+  SELECT q_id, c_id AS list_id FROM (
+    SELECT q.q_id, c.c_id, row_number() OVER (
+      PARTITION BY q.q_id
+      ORDER BY ({dot_qc}) / sqrt(c.cn2 * q.qn2) DESC, c.c_id ASC) AS rn
+    FROM q CROSS JOIN cents c) p
+  WHERE rn <= {SIM.N_PROBE}),
+cb AS MATERIALIZED (
+  SELECT vec_id - {SIM.PQ_C_BASE} AS code, embedding FROM embeddings
+  WHERE vec_id >= {SIM.PQ_C_BASE}
+    AND vec_id < {SIM.PQ_C_BASE + SIM.PQ_K}),
+{cd_ctes},
+{qt_ctes},
+cand AS MATERIALIZED (
+  SELECT q.q_id, a.vec_id AS neighbor_id
+  FROM q
+  JOIN probe p ON p.q_id = q.q_id
+  JOIN asg a ON a.list_id = p.list_id
+  WHERE a.vec_id <> q.q_id),
+adc AS (
+  SELECT cand.q_id, cand.neighbor_id, ({adc_sum}) AS adc
+  FROM cand
+  JOIN cd0 ON cd0.vec_id = cand.neighbor_id
+  {cd_joins}
+  {qt_joins})
+SELECT q_id, neighbor_id, round(adc, 6) AS adc_dist,
+       CAST(rank AS INT) AS rank
+FROM (
+  SELECT q_id, neighbor_id, adc, row_number() OVER (
+    PARTITION BY q_id ORDER BY adc ASC, neighbor_id ASC) AS rank
+  FROM adc) r
+WHERE rank <= {SIM.TOP_K}""".strip()
     return sqls
 
 

@@ -557,3 +557,25 @@ def test_bpe_merge_pairs_and_leakage_split_jvm_only(spark, sf_dir):
         .executedPlan().toString()
     assert "BatchEvalPython" not in plan2
     assert "CartesianProduct" not in plan2
+
+
+def test_ann_ivfpq_codes_only_scoring_no_crossjoin(spark, sf_dir):
+    """IVF-PQ: candidates come from the broadcast probe-table equi-join
+    (no cartesian), the corpus is touched by exactly ONE combined Arrow
+    pass (assign + encode — the nondeterministic marker pins it; the
+    inner join's isnotnull otherwise duplicates the assign stage), and
+    ADC scoring consumes the PQ `codes` column, never the float
+    embedding (the 32x list-scan shrink is the operator's point)."""
+    import re as _re
+    df = api.q_ann_ivfpq_topk(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    # bounded probe table broadcast-joins against the encoded corpus
+    assert "BroadcastHashJoin" in plan
+    # one corpus Arrow pass + one ADC pass, nothing duplicated
+    assert plan.count("ArrowEvalPython") == 2
+    assert len(_re.findall(r"assign_udf\(", plan)) == 1
+    # scoring reads codes, not vectors
+    assert _re.search(r"adc_udf\(q_id#\d+L?, codes#\d+\)", plan)
