@@ -256,6 +256,14 @@ def q_doc_quality(spark, sf_dir):
     return quality_scores(_docs(spark, sf_dir))
 
 
+def q_doc_quality_classifier(spark, sf_dir):
+    """Model-based quality filtering (the FineWeb/CCNet stage after the
+    heuristics): hashed bag-of-words linear classifier, exact dyadic
+    weights, keep/cut margin verdict — pure codegen, no UDF/join."""
+    from .operators.textops import quality_classifier
+    return quality_classifier(_docs(spark, sf_dir))
+
+
 def q_doc_lang_id(spark, sf_dir):
     from .operators.textops import lang_id
     return lang_id(_docs(spark, sf_dir))
@@ -1755,6 +1763,7 @@ def queries() -> dict[str, QueryFn]:
         "canonical_entities_retract": q_canonical_entities_retract,
         "kg_inverse_consistency": q_kg_inverse_consistency,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "doc_quality_classifier": q_doc_quality_classifier,
     }
 
 

@@ -493,6 +493,50 @@ def quality_scores(docs: DataFrame) -> DataFrame:
         quality_score_col().alias("quality_score"))
 
 
+# --- model-based quality filtering (hashed bag-of-words linear model) ------
+# The FineWeb/CCNet-style stage AFTER quality_scores' heuristics: a
+# linear classifier over hashed token features. Weights here are a
+# deterministic pseudo-random stub (production swaps in trained weights
+# via the same (bucket -> weight) expression or a broadcast table; the
+# plan shape is identical). Weights are DYADIC rationals (k/1024, |k| <=
+# 1024) and counts are capped small integers, so every per-feature term
+# and every partial sum is EXACT in float64 — the doc margin is
+# order-independent, hash-stable across engines with no rounding slack.
+N_HASH_FEATURES = 64
+HASH_WEIGHT_MULT = 2654435761   # Knuth multiplicative-hash constant
+FEATURE_COUNT_CAP = 15
+
+
+def quality_classifier(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, n_tokens, margin, keep): hashed-BoW
+    linear score. bucket = int(md5(token)[:8], 16) % N_HASH_FEATURES;
+    weight(b) = ((b * KNUTH) % 2048 - 1024) / 1024; margin = sum over
+    buckets of weight * min(count, cap); keep = margin >= 0. Docs with
+    zero tokens emit no row (no features to score).
+
+    Scale shape: explode -> two map-side-combinable groupBys (per-(doc,
+    bucket) count, then per-doc sum) — both shuffles carry at most
+    N_HASH_FEATURES rows per doc. All JVM codegen: no UDF, no window,
+    no join. Sigmoid is deliberately NOT applied: exp() is not
+    correctly-rounded and differs across libm implementations; the raw
+    margin is exact and monotone-equivalent for thresholding."""
+    ex = docs.select("doc_id", F.explode(tokens_col()).alias("tok"))
+    bucket = (F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
+              .cast("bigint") % N_HASH_FEATURES)
+    counted = (ex.select("doc_id", bucket.alias("b"))
+               .groupBy("doc_id", "b").agg(F.count("*").alias("cnt")))
+    w = ((F.col("b") * F.lit(HASH_WEIGHT_MULT)) % 2048 - 1024) / 1024.0
+    term = w * F.least(F.col("cnt"), F.lit(FEATURE_COUNT_CAP))
+    return (counted
+            .select("doc_id", term.alias("term"), "cnt")
+            .groupBy("doc_id")
+            .agg(F.sum("cnt").cast("bigint").alias("n_tokens"),
+                 F.sum("term").alias("margin"))
+            .select("doc_id", "n_tokens",
+                    F.round("margin", 6).alias("margin"),
+                    (F.col("margin") >= 0).alias("keep")))
+
+
 def _lang_hits(text: str = "text") -> dict[str, Column]:
     """Per-language wordlist hit counts (insertion order = sorted)."""
     toks = tokens_col(text)

@@ -489,6 +489,29 @@ SELECT doc_id,
                       / len(toks)), 6) AS quality_score
 FROM tok"""
 
+    # hashed-BoW linear quality classifier: dyadic-rational weights and
+    # capped integer counts make every term/sum EXACT in float64, so
+    # margins are order-independent and engine-identical (textops
+    # float-parity note on quality_classifier)
+    sqls["doc_quality_classifier"] = f"WITH {tok_cte('documents')}" + f""",
+ex AS (
+  SELECT doc_id, unnest(toks) AS tok FROM tok),
+bkt AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)
+           % {TX.N_HASH_FEATURES} AS b,
+         count(*) AS cnt
+  FROM ex GROUP BY 1, 2),
+per AS (
+  SELECT doc_id,
+         CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         sum(((b * {TX.HASH_WEIGHT_MULT}) % 2048 - 1024) / 1024.0
+             * least(cnt, {TX.FEATURE_COUNT_CAP})) AS margin
+  FROM bkt GROUP BY 1)
+SELECT doc_id, n_tokens, round(margin, 6) AS margin,
+       margin >= 0 AS keep
+FROM per"""
+
     langs = sorted(TX.LANG_WORDLISTS)
     hit_exprs = ",\n       ".join(
         f"CAST(len(list_filter(toks, t -> list_contains("

@@ -579,3 +579,18 @@ def test_ann_ivfpq_codes_only_scoring_no_crossjoin(spark, sf_dir):
     assert len(_re.findall(r"assign_udf\(", plan)) == 1
     # scoring reads codes, not vectors
     assert _re.search(r"adc_udf\(q_id#\d+L?, codes#\d+\)", plan)
+
+
+def test_quality_classifier_pure_codegen_two_combinable_shuffles(spark, sf_dir):
+    """The hashed-BoW classifier is all JVM column expressions — no
+    Python stage, no join, no window; exactly two hash exchanges, both
+    downstream of partial aggregates (map-side combine caps each at
+    N_HASH_FEATURES rows per doc)."""
+    import re as _re
+    plan = _plan(api.q_doc_quality_classifier(spark, sf_dir))
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "Join" not in plan
+    assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 2
+    assert "partial_count" in plan or "partial_sum" in plan
