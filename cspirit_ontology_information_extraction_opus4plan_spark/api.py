@@ -256,6 +256,14 @@ def q_doc_quality(spark, sf_dir):
     return quality_scores(_docs(spark, sf_dir))
 
 
+def q_doc_ngram_containment(spark, sf_dir):
+    """Asymmetric shingle containment |A∩B|/|A| over the snippet-planted
+    corpus — quote/aggregator duplication that Jaccard structurally
+    misses when |B| >> |A|."""
+    from .operators.textops import ngram_containment_pairs
+    return ngram_containment_pairs(DE.containment_docs(spark, sf_dir))
+
+
 def q_doc_quality_classifier(spark, sf_dir):
     """Model-based quality filtering (the FineWeb/CCNet stage after the
     heuristics): hashed bag-of-words linear classifier, exact dyadic
@@ -1764,6 +1772,7 @@ def queries() -> dict[str, QueryFn]:
         "kg_inverse_consistency": q_kg_inverse_consistency,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "doc_quality_classifier": q_doc_quality_classifier,
+        "doc_ngram_containment": q_doc_ngram_containment,
     }
 
 

@@ -43,6 +43,22 @@ def augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.unionByName(exact).unionByName(near)
 
 
+def containment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + planted SNIPPET docs — the quote/aggregator
+    containment corpus: for doc_id%13==3, a new doc (id+3000000) whose
+    text is the source's first 25 lowercased tokens, so its shingle set
+    is fully contained in the source's while Jaccard stays low.
+    Deterministic; rebuilt identically by oracle_sqls.CDOC_CTE."""
+    from .operators.textops import tokens_col
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    snip = (d.filter(F.col("doc_id") % 13 == 3)
+            .select((F.col("doc_id") + 3000000).alias("doc_id"),
+                    F.array_join(F.slice(tokens_col(), 1, 25), " ")
+                    .alias("text")))
+    return d.unionByName(snip)
+
+
 def augmented_embeddings(emb: DataFrame) -> DataFrame:
     """embeddings + planted duplicates (vec_id%25==0 copied to
     id+1000000) — random vectors never reach near-dup cosine, so the

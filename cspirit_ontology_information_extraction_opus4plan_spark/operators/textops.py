@@ -307,6 +307,72 @@ def ngram_jaccard_pairs(docs: DataFrame,
             .select("a", "b", "jaccard"))
 
 
+# shingle-containment threshold: C(A->B) = |A∩B|/|A| (asymmetric)
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def ngram_containment_pairs(docs: DataFrame,
+                            threshold: float = CONTAINMENT_THRESHOLD,
+                            df_cap: int = NGRAM_DF_CAP) -> DataFrame:
+    """Exact n-gram CONTAINMENT near-dup — the asymmetric sibling of
+    ngram_jaccard_pairs: C(A->B) = |A∩B|/|A| flags quote/aggregator
+    duplication (a snippet fully contained in a much larger page) that
+    Jaccard structurally misses — when |B| >> |A|, J = |A∩B|/|A∪B| ~
+    |A|/|B| -> 0 even though every shingle of A is in B. Emits pairs
+    where EITHER direction's containment >= threshold, with both
+    directional scores and a direction verdict.
+
+    Scale shape: identical to ngram_jaccard_pairs — inverted-index
+    equi-join on sub-df_cap shingles (a pair sharing ONLY super-cap
+    shingles is outside the declared semantics, mirrored by the
+    oracle), PPJoin-style count prune, exact verify over the full
+    distinct-shingle arrays. The prune bound: true intersection i <=
+    c + min(sup_a, sup_b), so max directional containment <=
+    ub / min(|A|, |B|) — only pairs that cannot pass are dropped
+    before the array join."""
+    sets_ = docs.select(
+        "doc_id",
+        F.array_distinct(_shingles(tokens_col(), SHINGLE_W)).alias("sh")
+    ).localCheckpoint(eager=True)
+    inv = sets_.select("doc_id", F.explode("sh").alias("s"))
+    rare = (inv.groupBy("s").agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= df_cap).select("s"))
+    capped = inv.join(rare, "s", "left_semi")
+    sizes = (sets_.select("doc_id", F.size("sh").alias("n_full"))
+             .join(capped.groupBy("doc_id").agg(
+                 F.count("*").alias("n_cap")), "doc_id", "left")
+             .select("doc_id", "n_full",
+                     (F.col("n_full") - F.coalesce("n_cap", F.lit(0)))
+                     .alias("n_sup")))
+    a = capped.toDF("s", "a")
+    b = capped.toDF("s", "b")
+    cand = (a.join(b, "s").filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b").agg(F.count("*").alias("c")))
+    ub_i = F.col("c") + F.least("ns_a", "ns_b")
+    pruned = (cand
+              .join(sizes.toDF("a", "nf_a", "ns_a"), "a")
+              .join(sizes.toDF("b", "nf_b", "ns_b"), "b")
+              .filter(ub_i / F.least("nf_a", "nf_b") >= threshold)
+              .select("a", "b"))
+    i = F.size(F.array_intersect("sh_a", "sh_b"))
+    c_ab = i / F.size("sh_a")
+    c_ba = i / F.size("sh_b")
+    return (pruned
+            .join(sets_.toDF("a", "sh_a"), "a")
+            .join(sets_.toDF("b", "sh_b"), "b")
+            .withColumn("cont_ab", c_ab)
+            .withColumn("cont_ba", c_ba)
+            .filter(F.greatest("cont_ab", "cont_ba") >= threshold)
+            .select(
+                "a", "b",
+                F.round("cont_ab", 6).alias("cont_ab"),
+                F.round("cont_ba", 6).alias("cont_ba"),
+                F.when((F.col("cont_ab") >= threshold)
+                       & (F.col("cont_ba") >= threshold), "both")
+                .when(F.col("cont_ab") >= threshold, "a_in_b")
+                .otherwise("b_in_a").alias("direction")))
+
+
 # --- SimHash ---------------------------------------------------------------
 
 

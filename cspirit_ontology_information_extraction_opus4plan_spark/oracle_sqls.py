@@ -191,6 +191,20 @@ adoc AS (
   FROM documents WHERE doc_id % 10 = 5
 )""".strip()
 
+# decorations.containment_docs twin: documents + snippet docs whose
+# text is the source's first 25 lowercased tokens
+CDOC_CTE = """
+cdoc AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000,
+         array_to_string(list_slice(
+             list_filter(regexp_split_to_array(lower(trim(text)),
+                                               '\\s+'), t -> t <> ''),
+             1, 25), ' ')
+  FROM documents WHERE doc_id % 13 = 3
+)""".strip()
+
 
 def tok_cte(src: str, name: str = "tok") -> str:
     return f"""
@@ -332,6 +346,35 @@ SELECT a, b, jaccard FROM (
                   - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
   FROM cand JOIN sg sa ON sa.doc_id = a JOIN sg sb ON sb.doc_id = b
 ) v WHERE jaccard >= """ + str(TX.NEAR_DUP_THRESHOLD))
+
+    # doc_ngram_containment: asymmetric |A∩B|/|A| over the snippet-
+    # planted corpus — candidates from the same sub-cap inverted index,
+    # verdicts on both directions (textops.ngram_containment_pairs)
+    th = str(TX.CONTAINMENT_THRESHOLD)
+    sqls["doc_ngram_containment"] = (
+        f"WITH {CDOC_CTE},\n{tok_cte('cdoc')},\n"
+        f"sg AS (SELECT doc_id, list_distinct({_sh_expr(TX.SHINGLE_W)})"
+        f" AS sh FROM tok),\n"
+        "inv AS (SELECT doc_id, unnest(sh) AS s FROM sg),\n"
+        f"rare AS (SELECT s FROM inv GROUP BY s"
+        f" HAVING count(*) <= {TX.NGRAM_DF_CAP}),\n"
+        "capped AS (SELECT i.doc_id, i.s FROM inv i"
+        " JOIN rare r ON r.s = i.s),\n"
+        f"""cand AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id),
+v AS (
+  SELECT a, b,
+         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           / len(sa.sh) AS cont_ab,
+         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           / len(sb.sh) AS cont_ba
+  FROM cand JOIN sg sa ON sa.doc_id = a JOIN sg sb ON sb.doc_id = b)
+SELECT a, b, round(cont_ab, 6) AS cont_ab, round(cont_ba, 6) AS cont_ba,
+       CASE WHEN cont_ab >= {th} AND cont_ba >= {th} THEN 'both'
+            WHEN cont_ab >= {th} THEN 'a_in_b'
+            ELSE 'b_in_a' END AS direction
+FROM v WHERE greatest(cont_ab, cont_ba) >= {th}""")
 
     bits = " + ".join(
         f"(CASE WHEN list_sum(list_transform(td, t -> CASE WHEN "
