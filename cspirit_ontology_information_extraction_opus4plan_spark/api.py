@@ -256,6 +256,14 @@ def q_doc_quality(spark, sf_dir):
     return quality_scores(_docs(spark, sf_dir))
 
 
+def q_interleaved_token_pack(spark, sf_dir):
+    """Multimodal sequence packing over the interleaved spans view:
+    span-text tokens + a fixed vision-token budget per media span,
+    next-fit per bucket (no global sort)."""
+    from .operators.textops import interleaved_pack_assignments
+    return interleaved_pack_assignments(spans_exploded(spark, sf_dir))
+
+
 def q_doc_ngram_containment(spark, sf_dir):
     """Asymmetric shingle containment |A∩B|/|A| over the snippet-planted
     corpus — quote/aggregator duplication that Jaccard structurally
@@ -1773,6 +1781,7 @@ def queries() -> dict[str, QueryFn]:
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "doc_quality_classifier": q_doc_quality_classifier,
         "doc_ngram_containment": q_doc_ngram_containment,
+        "interleaved_token_pack": q_interleaved_token_pack,
     }
 
 

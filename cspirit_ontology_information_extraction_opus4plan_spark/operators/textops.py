@@ -702,6 +702,54 @@ def pack_fill_stats(docs: DataFrame, budget: int = PACK_BUDGET,
                         F.round(F.col("pack_tokens") / budget, 6)))
 
 
+MEDIA_TOKEN_COST = 64   # vision-encoder tokens budgeted per media span
+
+
+def interleaved_pack_assignments(spans: DataFrame,
+                                 budget: int = PACK_BUDGET,
+                                 n_buckets: int = PACK_BUCKETS,
+                                 media_cost: int = MEDIA_TOKEN_COST
+                                 ) -> DataFrame:
+    """Sequence packing for INTERLEAVED text+media training — the
+    multimodal form of token_pack_assignments: a document's
+    context-window cost is the whitespace-token count of every span's
+    text (body, captions, citations — the model sees them all as text)
+    plus a fixed vision-token budget per media span (figure/table),
+    the way interleaved trainers account image patches. Packing rule is
+    identical to the text path: next-fit per bucket, a doc stays in the
+    pack where its first token lands.
+
+    Scale shape: one explode-free aggregate over the spans view
+    (map-side combinable groupBy(doc_id)), then the per-bucket running
+    sum — the only window sort is inside each of n_buckets independent
+    streams, no global sort. Output one row per doc: (doc_id,
+    n_text_tokens, n_media, cost, bucket, start_offset, pack_id)."""
+    from pyspark.sql import Window
+    per = (spans
+           .select("doc_id",
+                   F.size(tokens_col()).alias("nt"),
+                   F.col("kind").isin("figure", "table").cast("int")
+                   .alias("m"))
+           .groupBy("doc_id")
+           .agg(F.sum("nt").cast("bigint").alias("n_text_tokens"),
+                F.sum("m").cast("int").alias("n_media")))
+    cost = (F.col("n_text_tokens")
+            + F.lit(media_cost) * F.col("n_media")).cast("bigint")
+    w = (Window.partitionBy("bucket").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (per
+            .withColumn("cost", cost)
+            .withColumn("bucket",
+                        (F.substring("doc_id", 5, 16).cast("bigint")
+                         % n_buckets).cast("int"))
+            .withColumn("start_offset",
+                        F.coalesce(F.sum("cost").over(w), F.lit(0))
+                        .cast("bigint"))
+            .withColumn("pack_id",
+                        F.floor(F.col("start_offset") / budget)
+                        .cast("int")))
+
+
 # --- deterministic hash-stratified sampling --------------------------------
 
 SAMPLE_SEED = "corpus-v1"

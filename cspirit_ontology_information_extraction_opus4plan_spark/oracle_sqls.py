@@ -618,6 +618,36 @@ c AS (SELECT doc_id, n_tokens, bucket, start_offset,
         f" / {TX.PACK_BUDGET}, 6) AS fill_ratio\n"
         f"FROM c GROUP BY bucket, pack_id")
 
+    # interleaved pack: span-text tokens + fixed vision budget per
+    # media span, then the same per-bucket next-fit running sum
+    # (textops.interleaved_pack_assignments)
+    sqls["interleaved_token_pack"] = corpus_prefix() + f""",
+per AS (
+  SELECT doc_id,
+         CAST(sum(len(list_filter(
+             regexp_split_to_array(lower(trim(text)), '\\s+'),
+             t -> t <> ''))) AS BIGINT) AS n_text_tokens,
+         CAST(sum(CASE WHEN kind IN ('figure', 'table')
+                       THEN 1 ELSE 0 END) AS INT) AS n_media
+  FROM spans GROUP BY 1),
+c AS (
+  SELECT doc_id, n_text_tokens, n_media,
+         CAST(n_text_tokens
+              + {TX.MEDIA_TOKEN_COST} * n_media AS BIGINT) AS cost,
+         CAST(CAST(substr(doc_id, 5) AS BIGINT)
+              % {TX.PACK_BUCKETS} AS INT) AS bucket
+  FROM per),
+o AS (
+  SELECT doc_id, n_text_tokens, n_media, cost, bucket,
+         CAST(coalesce(sum(cost) OVER (
+             PARTITION BY bucket ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0) AS BIGINT) AS start_offset
+  FROM c)
+SELECT doc_id, n_text_tokens, n_media, cost, bucket, start_offset,
+       CAST(floor(start_offset / {TX.PACK_BUDGET}) AS INT) AS pack_id
+FROM o"""
+
     # hash-stratified sample: identical md5 threshold rule (Spark and
     # DuckDB md5 agree byte-for-byte on the same string input)
     whens = " ".join(
