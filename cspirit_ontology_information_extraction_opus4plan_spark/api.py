@@ -256,6 +256,14 @@ def q_doc_quality(spark, sf_dir):
     return quality_scores(_docs(spark, sf_dir))
 
 
+def q_doc_heavy_hitters(spark, sf_dir):
+    """Exact heavy hitters (count > N/64) via per-partition
+    Space-Saving candidates + exact-count verify — bounded memory, no
+    vocabulary-sized shuffle; the sketch only prunes, never decides."""
+    from .operators.textops import heavy_hitters
+    return heavy_hitters(_docs(spark, sf_dir))
+
+
 def q_interleaved_token_pack(spark, sf_dir):
     """Multimodal sequence packing over the interleaved spans view:
     span-text tokens + a fixed vision-token budget per media span,
@@ -1782,6 +1790,7 @@ def queries() -> dict[str, QueryFn]:
         "doc_quality_classifier": q_doc_quality_classifier,
         "doc_ngram_containment": q_doc_ngram_containment,
         "interleaved_token_pack": q_interleaved_token_pack,
+        "doc_heavy_hitters": q_doc_heavy_hitters,
     }
 
 

@@ -6,7 +6,10 @@ These extend the reference's text-analysis surface
 keyword extraction metadata_framework.py:370) with the operations a
 large-scale training-data pipeline needs (exact + near dedup, lang-id,
 quality filtering). Everything is JVM column expressions — zero Python
-on these paths; the shared tokenization/shingling/hashing rules are
+on these paths (one exception: heavy_hitters' bounded-state
+Space-Saving candidate pass, an Arrow-batched mapInPandas whose inner
+loop is per UNIQUE token per batch); the shared
+tokenization/shingling/hashing rules are
 mirrored 1:1 by the DuckDB oracles (md5 + lexicographic-min MinHash, so
 both engines agree byte-for-byte).
 
@@ -18,6 +21,7 @@ combinable). No window over the full corpus, no driver collect.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1323,3 +1327,66 @@ def bpe_merge_pair_counts(docs: DataFrame,
     return (grams.groupBy("pair")
             .agg(F.sum("freq").cast("bigint").alias("n"))
             .filter(F.col("n") >= min_count))
+
+
+# --- heavy hitters (Space-Saving sketch -> exact verify) --------------------
+# Completes the sketch family (HLL approx-distinct, GK quantiles, Bloom
+# decontamination, MinHash): bounded-memory frequent-item detection.
+HH_K = 64   # sketch counters per partition; threshold = N / HH_K
+
+
+def heavy_hitters(docs: DataFrame, k: int = HH_K) -> DataFrame:
+    """Exact corpus-level heavy hitters (tokens with count > N/k) via a
+    one-pass bounded-memory candidate sketch + exact verification — the
+    sketch sibling of the LSH->verify dedup idiom.
+
+    Why the output is EXACT (and hence oracle-checkable) despite the
+    sketch: per partition p, Space-Saving's deterministic guarantee
+    keeps every token with local count > N_p/k among its k counter
+    keys. If a token's GLOBAL count exceeds N/k = (sum_p N_p)/k, then
+    by averaging some partition has local count > N_p/k, so the token
+    appears in at least one partition's candidate set. The candidate
+    union (at most k * n_partitions keys — bounded, never
+    vocabulary-sized) therefore CONTAINS all true heavy hitters;
+    sketch counts are discarded and a second pass computes exact
+    counts for candidates only, so false candidates are filtered and
+    surviving counts are exact.
+
+    Scale shape: pass 1 is map-only (mapInPandas generator keeps the
+    k-counter dict across Arrow batches within a partition; emits <= k
+    rows per partition). Pass 2 is a semi-join of the token stream
+    against the tiny candidate set (AQE broadcasts it) + map-side
+    combinable count. The global token total is one scalar aggregate.
+    No vocabulary-sized shuffle ever forms: only candidates reach the
+    final groupBy."""
+    toks = docs.select(F.explode(tokens_col()).alias("tok"))
+
+    def sketch(batches):
+        # bulk Space-Saving: per Arrow batch, vectorized value_counts,
+        # then one merge step per UNIQUE token (c consecutive arrivals
+        # of one token == one bulk arrival: evict-once + inherit min+c;
+        # the > N_p/k key-containment guarantee is order-independent,
+        # so batch reordering does not weaken it)
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for t, c in pdf["tok"].value_counts().items():
+                c = int(c)
+                if t in counters:
+                    counters[t] += c
+                elif len(counters) < k:
+                    counters[t] = c
+                else:
+                    victim = min(counters,
+                                 key=lambda key: (counters[key], key))
+                    cnt = counters.pop(victim)
+                    counters[t] = cnt + c
+        yield pd.DataFrame({"tok": list(counters.keys())})
+
+    cand = toks.mapInPandas(sketch, schema="tok string").distinct()
+    total = toks.count()
+    exact = (toks.join(cand, "tok", "left_semi")
+             .groupBy("tok").agg(F.count("*").cast("bigint").alias("cnt")))
+    return (exact.filter(F.col("cnt") * k > F.lit(total))
+            .select(F.col("tok").alias("token"), "cnt",
+                    F.round(F.col("cnt") / F.lit(float(total)), 6)
+                    .alias("freq")))

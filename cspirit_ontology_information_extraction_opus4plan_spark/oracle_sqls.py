@@ -555,6 +555,18 @@ SELECT doc_id, n_tokens, round(margin, 6) AS margin,
        margin >= 0 AS keep
 FROM per"""
 
+    # heavy hitters: the engine's Space-Saving pass only PRUNES (its
+    # candidate set provably contains every token with count > N/k and
+    # sketch counts are discarded), so the exact-recompute oracle is
+    # the full contract, not an approximation allowance
+    sqls["doc_heavy_hitters"] = f"WITH {tok_cte('documents')}" + f""",
+ex AS (SELECT unnest(toks) AS tok FROM tok),
+tot AS (SELECT count(*) AS n FROM ex),
+cnts AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM ex GROUP BY 1)
+SELECT tok AS token, cnt,
+       round(cnt / (SELECT CAST(n AS DOUBLE) FROM tot), 6) AS freq
+FROM cnts WHERE cnt * {TX.HH_K} > (SELECT n FROM tot)"""
+
     langs = sorted(TX.LANG_WORDLISTS)
     hit_exprs = ",\n       ".join(
         f"CAST(len(list_filter(toks, t -> list_contains("

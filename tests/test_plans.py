@@ -594,3 +594,14 @@ def test_quality_classifier_pure_codegen_two_combinable_shuffles(spark, sf_dir):
     assert "Join" not in plan
     assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 2
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_heavy_hitters_sketch_prunes_before_groupby(spark, sf_dir):
+    """Heavy hitters: one bounded-state sketch pass (single MapInPandas),
+    candidates semi-joined against the token stream BEFORE the exact
+    count groupBy — the vocabulary-sized aggregate never forms."""
+    plan = _plan(api.q_doc_heavy_hitters(spark, sf_dir))
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
