@@ -60,6 +60,9 @@ HEADLINE = [
     "doc_minhash_delta",  # semi-naive near-dup maintenance (if present)
     "kg_triangles",       # triangle/clustering stats (if present)
     "url_curation",       # crawl URL canonicalize+blocklist+dedup (if present)
+    "ann_ivfpq_topk",     # IVF-PQ code-scan ADC ANN (if present)
+    "doc_ngram_containment",  # asymmetric quote/aggregator dedup (if present)
+    "doc_heavy_hitters",  # Space-Saving candidates + exact verify (if present)
 ]
 
 
