@@ -280,6 +280,14 @@ def q_doc_ngram_containment(spark, sf_dir):
     return ngram_containment_pairs(DE.containment_docs(spark, sf_dir))
 
 
+def q_doc_dup_spans(spark, sf_dir):
+    """ExactSubstr-style duplicated-span excision stats over the
+    snippet-planted corpus: any 5-gram occurring twice anywhere marks
+    its interval; overlaps merge into maximal per-doc spans."""
+    from .operators.textops import dup_span_excision
+    return dup_span_excision(DE.containment_docs(spark, sf_dir))
+
+
 def q_doc_quality_classifier(spark, sf_dir):
     """Model-based quality filtering (the FineWeb/CCNet stage after the
     heuristics): hashed bag-of-words linear classifier, exact dyadic
@@ -1791,6 +1799,7 @@ def queries() -> dict[str, QueryFn]:
         "doc_ngram_containment": q_doc_ngram_containment,
         "interleaved_token_pack": q_interleaved_token_pack,
         "doc_heavy_hitters": q_doc_heavy_hitters,
+        "doc_dup_spans": q_doc_dup_spans,
     }
 
 

@@ -1390,3 +1390,71 @@ def heavy_hitters(docs: DataFrame, k: int = HH_K) -> DataFrame:
             .select(F.col("tok").alias("token"), "cnt",
                     F.round(F.col("cnt") / F.lit(float(total)), 6)
                     .alias("freq")))
+
+
+# --- exact-substring span excision (ExactSubstr dedup) ----------------------
+
+def dup_span_excision(docs: DataFrame, w: int = FP_SHINGLE_W) -> DataFrame:
+    """Per-document duplicated-SPAN statistics — the ExactSubstr side of
+    training-data dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): any word w-gram occurring >= 2 times
+    anywhere in the corpus marks its token interval [pos, pos+w) as
+    duplicated; overlapping/adjacent marks merge into maximal spans.
+    Where the document-level family (minhash/simhash/jaccard/containment)
+    decides KEEP vs DROP per doc, this measures the excisable verbatim
+    mass inside each kept doc. Columns: (doc_id, n_tokens, n_dup_spans,
+    dup_tokens, dup_frac). Reference parity: extends the reference's
+    whole-item dedup utilities (aim2_project deduplication of
+    figures/terms) to sub-document spans, which whole-item dedup cannot
+    see.
+
+    Scale shape: one posexplode of the shared shingle rule (one row per
+    w-gram), duplicated grams from a map-side-combinable count on the
+    gram value (never a self-join), hits via a left_semi equi-join on
+    the gram, and interval merging as a per-document O(hits) aggregate
+    over sorted hit positions — per-doc state bounded by document
+    length, no corpus-wide window, every shuffle keyed (gram or doc_id).
+    dup_tokens is capped at n_tokens for the sub-w whole-text shingle."""
+    toks = tokens_col()
+    grams = docs.select(
+        "doc_id", F.posexplode(_shingles(toks, w)).alias("pos", "s"))
+    dup = (grams.groupBy("s").agg(F.count("*").alias("n"))
+           .filter(F.col("n") >= 2).select("s"))
+    hits = (grams.join(dup, "s", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.sort_array(F.collect_list(F.col("pos").cast("long")))
+                 .alias("starts")))
+
+    def _st(spans, cov, first, prev):
+        return F.struct(spans.cast("long").alias("spans"),
+                        cov.cast("long").alias("cov"),
+                        first.cast("long").alias("first"),
+                        prev.cast("long").alias("prev"))
+
+    zero = _st(F.lit(0), F.lit(0), F.lit(-1), F.lit(-1))
+    merged = F.aggregate(
+        "starts", zero,
+        lambda a, s: F.when(a["first"] == -1, _st(F.lit(1), F.lit(0), s, s))
+        .when(s > a["prev"] + w,
+              _st(a["spans"] + 1, a["cov"] + a["prev"] - a["first"] + w,
+                  s, s))
+        .otherwise(_st(a["spans"], a["cov"], a["first"], s)),
+        lambda a: F.struct(
+            a["spans"].alias("spans"),
+            F.when(a["first"] == -1, a["cov"])
+            .otherwise(a["cov"] + a["prev"] - a["first"] + w).alias("cov")))
+    per = hits.select("doc_id", merged.alias("m"))
+    return (docs.select("doc_id", F.size(toks).cast("bigint")
+                        .alias("n_tokens"))
+            .join(per, "doc_id", "left")
+            .select(
+                "doc_id", "n_tokens",
+                F.coalesce(F.col("m.spans"), F.lit(0)).cast("bigint")
+                .alias("n_dup_spans"),
+                F.least(F.coalesce(F.col("m.cov"), F.lit(0)),
+                        F.col("n_tokens")).cast("bigint")
+                .alias("dup_tokens"),
+                F.round(F.try_divide(
+                    F.least(F.coalesce(F.col("m.cov"), F.lit(0)),
+                            F.col("n_tokens")),
+                    F.col("n_tokens")), 6).alias("dup_frac")))

@@ -376,6 +376,38 @@ SELECT a, b, round(cont_ab, 6) AS cont_ab, round(cont_ba, 6) AS cont_ba,
             ELSE 'b_in_a' END AS direction
 FROM v WHERE greatest(cont_ab, cont_ba) >= {th}""")
 
+    # doc_dup_spans: ExactSubstr-style per-doc duplicated-span stats —
+    # w-grams with global count >= 2 mark [pos, pos+w); gaps-and-islands
+    # merge (break when pos > lag(pos) + w, identical to the Spark
+    # aggregate's merge rule in textops.dup_span_excision)
+    wd = TX.FP_SHINGLE_W
+    sqls["doc_dup_spans"] = (
+        f"WITH {CDOC_CTE},\n{tok_cte('cdoc')},\n"
+        f"sg AS (SELECT doc_id, toks, {_sh_expr(wd)} AS sh FROM tok),\n"
+        "g AS (SELECT doc_id, unnest(sh) AS s,\n"
+        "             unnest(range(0, len(sh))) AS pos FROM sg),\n"
+        "dup AS (SELECT s FROM g GROUP BY s HAVING count(*) >= 2),\n"
+        "h AS (SELECT doc_id, pos FROM g JOIN dup USING (s)),\n"
+        f"""isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                   OR pos > lag(pos) OVER w + {wd} THEN 1 ELSE 0 END AS brk
+  FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+grp AS (SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+        FROM isl),
+spans AS (SELECT doc_id, gid, max(pos) - min(pos) + {wd} AS cov
+          FROM grp GROUP BY doc_id, gid),
+per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+               CAST(sum(cov) AS BIGINT) AS cov
+        FROM spans GROUP BY doc_id)
+SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       coalesce(n_dup_spans, 0) AS n_dup_spans,
+       least(coalesce(cov, 0), len(toks)) AS dup_tokens,
+       round(least(coalesce(cov, 0), len(toks))
+             / CAST(len(toks) AS DOUBLE), 6) AS dup_frac
+FROM tok t LEFT JOIN per ON per.doc_id = t.doc_id""")
+
     bits = " + ".join(
         f"(CASE WHEN list_sum(list_transform(td, t -> CASE WHEN "
         f"substring(md5(t), {k + 1}, 1) >= '8' THEN 1 ELSE -1 END)) > 0 "
