@@ -382,6 +382,13 @@ def q_doc_embedding_neardup(spark, sf_dir):
         DE.augmented_embeddings(load_embeddings(spark, sf_dir)))
 
 
+def q_doc_semdedup(spark, sf_dir):
+    """SemDeDup: k-means clusters confine the quadratic cosine step;
+    keep-farthest-from-centroid prunes the prototypical twin."""
+    from .operators.similarity import load_embeddings, semdedup
+    return semdedup(DE.semdedup_embeddings(load_embeddings(spark, sf_dir)))
+
+
 def q_ann_topk(spark, sf_dir):
     from .operators.similarity import brute_force_topk, load_embeddings
     return brute_force_topk(load_embeddings(spark, sf_dir))
@@ -1800,6 +1807,7 @@ def queries() -> dict[str, QueryFn]:
         "interleaved_token_pack": q_interleaved_token_pack,
         "doc_heavy_hitters": q_doc_heavy_hitters,
         "doc_dup_spans": q_doc_dup_spans,
+        "doc_semdedup": q_doc_semdedup,
     }
 
 

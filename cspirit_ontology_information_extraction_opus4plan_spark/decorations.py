@@ -70,6 +70,25 @@ def augmented_embeddings(emb: DataFrame) -> DataFrame:
     return emb.select("vec_id", "embedding").unionByName(dup)
 
 
+def semdedup_embeddings(emb: DataFrame) -> DataFrame:
+    """embeddings (cast to double) + planted SEMANTIC duplicates: every
+    25th vector re-scaled by exactly 1.25 at id+1000000. 1.25 adds two
+    mantissa bits, so float * 1.25 is exact in double and the oracle
+    reproduces the twin bit-for-bit; cosine(twin, source) is exactly 1
+    while the squared-L2 centroid distances differ by ~0.56*|e|^2 — the
+    SemDeDup keep-farthest-from-centroid rule decides each planted pair
+    on a wide margin instead of an id tie-break."""
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    dup = (base.filter(F.col("vec_id") % 25 == 0)
+           .select((F.col("vec_id") + 1000000).alias("vec_id"),
+                   F.transform("embedding", lambda x: x * F.lit(1.25))
+                   .alias("embedding")))
+    return base.unionByName(dup)
+
+
 # ---------------------------------------------------------------------------
 # text-normalizer / format-sniffer inputs
 # ---------------------------------------------------------------------------

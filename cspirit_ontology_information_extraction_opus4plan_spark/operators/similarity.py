@@ -401,6 +401,40 @@ def _kmeans_sq_dists(A: np.ndarray, C: np.ndarray) -> np.ndarray:
     return acc
 
 
+def _kmeans_fit(v: DataFrame, k: int, iters: int):
+    """The Lloyd's fit loop shared by embedding_kmeans and semdedup:
+    init = the k lowest vec_ids' vectors, `iters` rounds of (broadcast
+    centroid matrix -> map-only Arrow argmin assignment -> per-cluster
+    per-dim avg with k groups -> O(k x DIM) driver collect). Returns
+    (c_ids, C) after the final update."""
+    spark = v.sparkSession
+    cpdf = (v.filter(F.col("vec_id") < k).toPandas()
+            .sort_values("vec_id"))
+    c_ids = cpdf["vec_id"].to_numpy()
+    C = _stack(cpdf["embedding"])
+
+    def assigner(bc):
+        @F.pandas_udf(LongType())
+        def assign(a: pd.Series) -> pd.Series:
+            c_ids, C = bc.value
+            # argmin takes the FIRST min; columns are c_id-ascending
+            return pd.Series(c_ids[np.argmin(_kmeans_sq_dists(
+                _stack(a), C), axis=1)])
+        return assign
+
+    avg_cols = [F.avg(F.col("embedding").getItem(i).cast("double"))
+                .alias(f"c{i}") for i in range(DIM)]
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast((c_ids, C))
+        assigned = v.withColumn("c_id", assigner(bc)("embedding"))
+        upd = (assigned.groupBy("c_id").agg(*avg_cols)
+               .toPandas().sort_values("c_id"))
+        c_ids = upd["c_id"].to_numpy()
+        C = np.stack([upd[f"c{i}"].to_numpy() for i in range(DIM)],
+                     axis=1)
+    return c_ids, C
+
+
 def embedding_kmeans(emb: DataFrame, k: int = K_CLUSTERS,
                      iters: int = KMEANS_ITERS) -> DataFrame:
     """Distributed Lloyd's k-means, FIXED iteration count (deterministic
@@ -428,31 +462,7 @@ def embedding_kmeans(emb: DataFrame, k: int = K_CLUSTERS,
     output columns absorb the residue."""
     spark = emb.sparkSession
     v = emb.select("vec_id", "embedding")
-    cpdf = (v.filter(F.col("vec_id") < k).toPandas()
-            .sort_values("vec_id"))
-    c_ids = cpdf["vec_id"].to_numpy()
-    C = _stack(cpdf["embedding"])
-
-    def assigner(bc):
-        @F.pandas_udf(LongType())
-        def assign(a: pd.Series) -> pd.Series:
-            c_ids, C = bc.value
-            # argmin takes the FIRST min; columns are c_id-ascending
-            return pd.Series(c_ids[np.argmin(_kmeans_sq_dists(
-                _stack(a), C), axis=1)])
-        return assign
-
-    avg_cols = [F.avg(F.col("embedding").getItem(i).cast("double"))
-                .alias(f"c{i}") for i in range(DIM)]
-    for _ in range(iters):
-        bc = spark.sparkContext.broadcast((c_ids, C))
-        assigned = v.withColumn("c_id", assigner(bc)("embedding"))
-        upd = (assigned.groupBy("c_id").agg(*avg_cols)
-               .toPandas().sort_values("c_id"))
-        c_ids = upd["c_id"].to_numpy()
-        C = np.stack([upd[f"c{i}"].to_numpy() for i in range(DIM)],
-                     axis=1)
-
+    c_ids, C = _kmeans_fit(v, k, iters)
     bc = spark.sparkContext.broadcast((c_ids, C))
 
     @F.pandas_udf("c_id bigint, sq_dist double")
@@ -475,6 +485,85 @@ def embedding_kmeans(emb: DataFrame, k: int = K_CLUSTERS,
     return (out.join(F.broadcast(norms), "c_id")
             .select("c_id", "n_vecs", "mean_sq_dist",
                     F.round(F.sqrt("cn2"), 6).alias("centroid_norm")))
+
+
+# --- SemDeDup: semantic dedup confined within k-means clusters ---------------
+
+SEMDEDUP_COS = 0.9
+
+
+def semdedup(emb: DataFrame, threshold: float = SEMDEDUP_COS,
+             k: int = K_CLUSTERS, iters: int = KMEANS_ITERS) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then within
+    each cluster mark cosine-near-duplicate pairs (cosine >= threshold)
+    and KEEP the pair member FARTHEST from the cluster centroid — the
+    paper's rule: prune the prototypical copy, keep the informative
+    outlier. Equal distances break to keeping the lowest vec_id. One
+    verdict row per vector: (vec_id, c_id, cent_sq_dist, is_dup).
+
+    No reference analog (the reference dedups whole items lexically);
+    this is the semantic leg of the dedup family next to
+    embedding_neardup_pairs (LSH + exact cosine) — SemDeDup catches
+    paraphrase-level duplication that lexical shingles and raw LSH
+    buckets cannot, because candidate scope is the learned cluster.
+
+    Scale shape: clustering is the bounded-collect distributed Lloyd's
+    loop (_kmeans_fit: O(k x DIM) driver state, map-only Arrow passes,
+    k-group map-side-combinable avg). The quadratic step is CONFINED
+    WITHIN clusters by a self-equi-join on c_id — the SemDeDup design
+    point: k grows with the corpus (the paper uses 100 k clusters), so
+    each cluster stays task-sized and the shuffle is keyed by c_id,
+    never a corpus cross join. A runaway cluster is an AQE skew-join
+    case; sub-bucket by an LSH band inside the cluster if one cluster
+    outgrows a task. Cosine margins: planted pairs sit at 1.0 vs a 0.9
+    threshold; the keep rule compares squared-L2 centroid distances
+    whose planted margin (a 1.25-rescaled twin) is ~0.56*|e|^2 — both
+    orders of magnitude above the ~1e-16 cross-engine avg() noise in
+    the centroid coordinates."""
+    v0 = emb.select("vec_id", "embedding")
+    c_ids, C = _kmeans_fit(v0, k, iters)
+    bc = emb.sparkSession.sparkContext.broadcast((c_ids, C))
+
+    @F.pandas_udf("c_id bigint, sq_dist double")
+    def assign(a: pd.Series) -> pd.DataFrame:
+        c_ids, C = bc.value
+        D = _kmeans_sq_dists(_stack(a), C)
+        j = np.argmin(D, axis=1)
+        return pd.DataFrame({"c_id": c_ids[j],
+                             "sq_dist": D[np.arange(len(j)), j]})
+
+    # localCheckpoint: both self-join sides read v (the
+    # embedding_neardup_pairs precedent) — without it the Arrow
+    # assignment + norm kernels run twice over the corpus
+    v = (v0.select("vec_id", "embedding",
+                   _norm2_udf("embedding").alias("n2"),
+                   assign("embedding").alias("s"))
+         .select("vec_id", "embedding", "n2", "s.c_id", "s.sq_dist")
+         .localCheckpoint(eager=True))
+    a = v.select(F.col("vec_id").alias("va"),
+                 F.col("embedding").alias("emb_a"),
+                 F.col("n2").alias("n2_a"),
+                 F.col("sq_dist").alias("d_a"), "c_id")
+    b = v.select(F.col("vec_id").alias("vb"),
+                 F.col("embedding").alias("emb_b"),
+                 F.col("n2").alias("n2_b"),
+                 F.col("sq_dist").alias("d_b"), "c_id")
+    pairs = (a.join(b, "c_id").filter(F.col("va") < F.col("vb"))
+             .withColumn("cosine",
+                         _dot_udf("emb_a", "emb_b")
+                         / F.sqrt(F.col("n2_a") * F.col("n2_b")))
+             .filter(F.col("cosine") >= threshold))
+    # the member CLOSER to the centroid loses; exact tie -> the higher
+    # vec_id loses (vb, since va < vb), i.e. keep the lowest id
+    losers = (pairs.select(
+        F.when(F.col("d_a") < F.col("d_b"), F.col("va"))
+        .otherwise(F.col("vb")).alias("vec_id")).distinct())
+    return (v.join(losers.withColumn("dup", F.lit(1)), "vec_id", "left")
+            .select("vec_id", "c_id",
+                    F.round("sq_dist", 6).alias("cent_sq_dist"),
+                    F.coalesce("dup", F.lit(0)).cast("int")
+                    .alias("is_dup")))
 
 
 def label_embedding_stats(emb: DataFrame) -> DataFrame:

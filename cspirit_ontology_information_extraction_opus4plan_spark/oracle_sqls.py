@@ -1097,31 +1097,66 @@ FROM scored GROUP BY vec_id""".strip()
     avg_cols = ", ".join(f"avg({el('e', i)}) AS c{i}"
                          for i in range(SIM.DIM))
     cnorm = " + ".join(f"c.c{i} * c.c{i}" for i in range(SIM.DIM))
-    km = (f"WITH c0 AS (SELECT vec_id AS c_id, {init_cols} "
-          f"FROM embeddings e WHERE vec_id < {SIM.K_CLUSTERS})")
-    prev = "c0"
-    for t in range(1, SIM.KMEANS_ITERS + 1):
-        km += f""",
+    def km_chain(tbl: str) -> tuple[str, str]:
+        """Unrolled Lloyd's CTE chain over `tbl` (cols vec_id,
+        embedding), through the final assignment `af(vec_id, c_id, d)`.
+        Returns (chain_without_WITH, last_centroid_cte_name)."""
+        chain = (f"c0 AS (SELECT vec_id AS c_id, {init_cols} "
+                 f"FROM {tbl} e WHERE vec_id < {SIM.K_CLUSTERS})")
+        prev = "c0"
+        for t in range(1, SIM.KMEANS_ITERS + 1):
+            chain += f""",
 a{t} AS (SELECT vec_id, c_id FROM (
   SELECT e.vec_id, c.c_id, row_number() OVER (
     PARTITION BY e.vec_id ORDER BY ({sq}) ASC, c.c_id ASC) AS rn
-  FROM embeddings e CROSS JOIN {prev} c) x WHERE rn = 1),
+  FROM {tbl} e CROSS JOIN {prev} c) x WHERE rn = 1),
 c{t} AS (SELECT a.c_id, {avg_cols}
-  FROM a{t} a JOIN embeddings e USING (vec_id) GROUP BY a.c_id)"""
-        prev = f"c{t}"
-    km += f""",
+  FROM a{t} a JOIN {tbl} e USING (vec_id) GROUP BY a.c_id)"""
+            prev = f"c{t}"
+        chain += f""",
 af AS (SELECT vec_id, c_id, d FROM (
   SELECT e.vec_id, c.c_id, ({sq}) AS d, row_number() OVER (
     PARTITION BY e.vec_id ORDER BY ({sq}) ASC, c.c_id ASC) AS rn
-  FROM embeddings e CROSS JOIN {prev} c) x WHERE rn = 1),
+  FROM {tbl} e CROSS JOIN {prev} c) x WHERE rn = 1)"""
+        return chain, prev
+
+    chain, last_c = km_chain("embeddings")
+    sqls["embedding_kmeans"] = f"""WITH {chain},
 norms AS (SELECT c_id, round(sqrt({cnorm}), 6) AS centroid_norm
-  FROM {prev} c)
+  FROM {last_c} c)
 SELECT a.c_id, CAST(count(*) AS BIGINT) AS n_vecs,
        round(avg(a.d), 6) AS mean_sq_dist,
        min(n.centroid_norm) AS centroid_norm
 FROM af a JOIN norms n USING (c_id)
 GROUP BY a.c_id"""
-    sqls["embedding_kmeans"] = km
+
+    # SemDeDup: same fit chain over the 1.25-rescaled-twin augmented
+    # set, within-cluster pair scope (equi-join on c_id), exact cosine
+    # >= threshold, loser = the member CLOSER to its centroid (tie ->
+    # higher vec_id loses, keeping the lowest id)
+    sd_chain, _ = km_chain("aemb")
+    sqls["doc_semdedup"] = f"""WITH aemb AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.25)
+  FROM embeddings WHERE vec_id % 25 = 0),
+{sd_chain},
+vn AS MATERIALIZED (
+  SELECT f.vec_id, f.c_id, f.d, e.embedding, ({n2}) AS n2
+  FROM af f JOIN aemb e USING (vec_id)),
+p AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb, a.d AS da, b.d AS db
+  FROM vn a JOIN vn b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+  WHERE ({dot_ab}) / sqrt(a.n2 * b.n2) >= {SIM.SEMDEDUP_COS}),
+losers AS (
+  SELECT DISTINCT CASE WHEN da < db THEN va ELSE vb END AS vec_id
+  FROM p)
+SELECT f.vec_id, f.c_id, round(f.d, 6) AS cent_sq_dist,
+       CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+FROM af f LEFT JOIN losers l USING (vec_id)"""
 
     # IVF-PQ: per-subspace argmin codes (row_number d ASC, code ASC over
     # the tiny vec x codebook cross product — engine encodes in one

@@ -605,3 +605,17 @@ def test_heavy_hitters_sketch_prunes_before_groupby(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_semdedup_cluster_equijoin_no_cartesian(spark, sf_dir):
+    """SemDeDup: the quadratic cosine step is confined within clusters
+    by an EQUI-join on c_id (never a corpus cross join); assignment is
+    the map-only Arrow kmeans pass, and no row-at-a-time Python
+    appears. The loser-marking join back is keyed on vec_id."""
+    plan = _plan(api.q_doc_semdedup(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    joins = re.findall(r"(?:SortMergeJoin|ShuffledHashJoin|"
+                       r"BroadcastHashJoin)[^\n]*", plan)
+    assert any("c_id" in j for j in joins), joins
