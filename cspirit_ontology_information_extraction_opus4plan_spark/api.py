@@ -341,6 +341,16 @@ def q_media_content_dedup(spark, sf_dir):
         fetch_media(media_spans(spans_exploded(spark, sf_dir))))
 
 
+def q_media_phash_neardup(spark, sf_dir):
+    """Perceptual-hash (aHash) media near-dup: one Arrow decode+hash
+    crossing, banded-LSH equi-join, exact hamming verify — catches the
+    re-encoded twins the exact content digest misses."""
+    from .operators.multimodal import (fetch_media, media_phash,
+                                       media_phash_neardup, media_spans)
+    return media_phash_neardup(media_phash(DE.phash_media(
+        fetch_media(media_spans(spans_exploded(spark, sf_dir))))))
+
+
 def q_media_resize(spark, sf_dir):
     """Aspect-preserving resize plumbing: decode dims (stub), cap the
     longer edge at RESIZE_MAX_DIM, integer target box."""
@@ -1808,6 +1818,7 @@ def queries() -> dict[str, QueryFn]:
         "doc_heavy_hitters": q_doc_heavy_hitters,
         "doc_dup_spans": q_doc_dup_spans,
         "doc_semdedup": q_doc_semdedup,
+        "media_phash_neardup": q_media_phash_neardup,
     }
 
 

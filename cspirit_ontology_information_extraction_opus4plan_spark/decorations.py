@@ -89,6 +89,28 @@ def semdedup_embeddings(emb: DataFrame) -> DataFrame:
     return base.unionByName(dup)
 
 
+def phash_media(media: DataFrame) -> DataFrame:
+    """media_with_content + planted perceptual NEAR-twins: every 5th
+    position's payload re-encoded with its LAST nibble bumped +1 mod 16
+    (ref#p, pos+1000) — one changed 'pixel' plus at most a few
+    mean-threshold bit flips, far inside the hamming verify radius,
+    while unrelated payloads sit near 16/32 bits apart. Rebuilt
+    identically by the oracle from md5(media_ref) hex text."""
+    twin = (media.filter(F.col("pos") % 5 == 0)
+            .select("doc_id",
+                    (F.col("pos") + 1000).cast("int").alias("pos"),
+                    "kind",
+                    F.concat(F.col("media_ref"), F.lit("#p"))
+                    .alias("media_ref"),
+                    F.unhex(F.concat(
+                        F.expr("substring(lower(hex(content)), 1, 31)"),
+                        F.expr("substr('0123456789abcdef', "
+                               "(locate(substring(lower(hex(content)), 32, 1),"
+                               " '0123456789abcdef') % 16) + 1, 1)")))
+                    .alias("content")))
+    return media.unionByName(twin)
+
+
 # ---------------------------------------------------------------------------
 # text-normalizer / format-sniffer inputs
 # ---------------------------------------------------------------------------

@@ -178,6 +178,99 @@ def sample_frames(media_with_content: DataFrame,
     return media_with_content.mapInPandas(sample, schema=FRAME_SCHEMA)
 
 
+PHASH_BITS = 32
+PHASH_BANDS = 8          # 8 bands x 4 bits over the 32-bit stub hash
+PHASH_HAMMING_MAX = 7    # pigeonhole: <=7 errors leave >=1 band intact
+
+PHASH_SCHEMA = ("doc_id string, pos int, kind string, media_ref string, "
+                "phash bigint")
+
+
+def media_phash(media_with_content: DataFrame,
+                decoder: str = "stub") -> DataFrame:
+    """Perceptual average-hash (aHash) per media payload — the
+    decode-stage fingerprint image-corpus dedup pipelines (LAION-style)
+    compute: decoded pixels -> global-mean threshold -> one bit per
+    pixel. A real decoder grayscales + 8x8-downsamples the image and
+    emits 64 bits in this same Arrow pass; the stub treats the
+    payload's 32 nibbles (hex-order, high nibble first) as the pixels
+    and emits a 32-bit hash. The threshold is INTEGER-exact — bit i set
+    iff 32 * p_i > sum(p) — so the oracle reproduces every bit from the
+    hex text with no float mean. One Arrow crossing, numpy-vectorized,
+    O(1) output bytes per payload: downstream dedup never touches the
+    blob again (the media_content_dedup digest principle, but
+    perturbation-tolerant)."""
+    if decoder != "stub":
+        raise NotImplementedError(
+            f"decoder={decoder!r}: image decode libraries are not "
+            "available in this environment; only the deterministic 'stub' "
+            "decoder runs here (identical Spark plumbing).")
+    import numpy as np
+
+    def hasher(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = 1 << np.arange(PHASH_BITS, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            B = np.stack([np.frombuffer(bytes(c), dtype=np.uint8)
+                          for c in pdf["content"]]).astype(np.int64)
+            nib = np.empty((len(B), PHASH_BITS), dtype=np.int64)
+            nib[:, 0::2] = B >> 4
+            nib[:, 1::2] = B & 15
+            s = nib.sum(axis=1, keepdims=True)
+            bits = PHASH_BITS * nib > s
+            out = pdf[["doc_id", "pos", "kind", "media_ref"]].copy()
+            out["phash"] = (bits * weights).sum(axis=1)
+            yield out
+
+    return media_with_content.mapInPandas(hasher, schema=PHASH_SCHEMA)
+
+
+def media_phash_neardup(hashed: DataFrame,
+                        hamming_max: int = PHASH_HAMMING_MAX) -> DataFrame:
+    """Near-duplicate media pairs from perceptual hashes: banded-LSH
+    equi-join (PHASH_BANDS bands of PHASH_BITS/PHASH_BANDS bits —
+    pigeonhole: any pair within hamming_max differs in at most
+    hamming_max bands, so with bands > hamming_max at least one band
+    matches exactly and the equi-join finds the pair with NO recall
+    loss), then a true hamming verify via bit_count(xor). The
+    doc_simhash_neardup machinery applied to the multimodal store —
+    catches re-encoded/resized/cropped-by-a-pixel images that the
+    exact content digest (media_content_dedup) misses.
+
+    Scale shape: the only corpus-sized shuffle is the (band_idx,
+    band_value) equi-join; candidates are distinct-ed on the pair key
+    before the verify expression. At 10^12 payloads use a 64/256-bit
+    hash with proportionally more bands so band-collision rates stay
+    flat; the plumbing is width-agnostic."""
+    w = PHASH_BITS // PHASH_BANDS
+    bands = F.array(*[
+        F.struct(F.lit(j).alias("j"),
+                 F.shiftright("phash", w * j).bitwiseAND(
+                     F.lit((1 << w) - 1)).alias("band"))
+        for j in range(PHASH_BANDS)])
+    # localCheckpoint: both self-join sides read the hashed frame — the
+    # Arrow decode+hash pass must run once, not once per side (the
+    # embedding_neardup_pairs precedent)
+    side = (hashed.localCheckpoint(eager=True)
+            .select("media_ref", "phash",
+                    F.explode(bands).alias("bx"))
+            .select("media_ref", "phash", "bx.j", "bx.band"))
+    a = side.select(F.col("media_ref").alias("a"),
+                    F.col("phash").alias("pa"), "j", "band")
+    b = side.select(F.col("media_ref").alias("b"),
+                    F.col("phash").alias("pb"), "j", "band")
+    cand = (a.join(b, ["j", "band"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b", "pa", "pb").distinct())
+    return (cand
+            .withColumn("hamming",
+                        F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
+                        .cast("int"))
+            .filter(F.col("hamming") <= hamming_max)
+            .select("a", "b", "hamming"))
+
+
 def media_inventory(spans: DataFrame) -> DataFrame:
     """Per-kind media counts (extraction summary analog,
     metadata_framework.py:695)."""

@@ -2611,6 +2611,37 @@ SELECT doc_id, pos, media_ref, n_frames,
 FROM vids, LATERAL unnest(range(0, n_frames,
     CAST(ceil(n_frames / {float(MM.FRAME_SAMPLE_MAX)}) AS INT))) AS t(fi)"""
 
+    # perceptual aHash near-dup: 32 payload nibbles as pixels, integer-
+    # exact threshold bit i set iff 32*p_i > sum(p); planted twins bump
+    # the last nibble +1 mod 16 at ref#p; candidates = OR of the 8
+    # 4-bit band equalities (same pair set as the engine's banded
+    # equi-join + distinct), verify bit_count(xor) <= max
+    nibsum = " + ".join(hv(i) for i in range(1, 33))
+    phash_expr = " + ".join(
+        f"(CASE WHEN 32 * {hv(i + 1)} > ({nibsum}) THEN {1 << i} "
+        f"ELSE 0 END)" for i in range(MM.PHASH_BITS))
+    band_or = " OR ".join(
+        f"((a.phash // {1 << (4 * j)}) % 16) = "
+        f"((b.phash // {1 << (4 * j)}) % 16)"
+        for j in range(MM.PHASH_BANDS))
+    sqls["media_phash_neardup"] = corpus_prefix() + f"""
+, med AS (
+  SELECT doc_id, pos, kind, media_ref, md5(media_ref) AS h
+  FROM spans WHERE kind IN ('figure', 'table') AND media_ref <> ''),
+allm AS (
+  SELECT media_ref, h FROM med
+  UNION ALL
+  SELECT media_ref || '#p',
+         substring(h, 1, 31) || substr('0123456789abcdef',
+           (strpos('0123456789abcdef', substring(h, 32, 1)) % 16) + 1, 1)
+  FROM med WHERE pos % 5 = 0),
+ph AS MATERIALIZED (
+  SELECT media_ref, ({phash_expr}) AS phash FROM allm)
+SELECT DISTINCT a.media_ref AS a, b.media_ref AS b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM ph a JOIN ph b ON a.media_ref < b.media_ref AND ({band_or})
+WHERE bit_count(xor(a.phash, b.phash)) <= {MM.PHASH_HAMMING_MAX}"""
+
     sqls.update(_textops_sqls())
     sqls.update(_curation_sqls())
     sqls.update(_ann_sqls())

@@ -619,3 +619,21 @@ def test_semdedup_cluster_equijoin_no_cartesian(spark, sf_dir):
     joins = re.findall(r"(?:SortMergeJoin|ShuffledHashJoin|"
                        r"BroadcastHashJoin)[^\n]*", plan)
     assert any("c_id" in j for j in joins), joins
+
+
+def test_media_phash_banded_equijoin_one_arrow_pass(spark, sf_dir):
+    """pHash near-dup: the Arrow decode+hash crossing runs ONCE — the
+    hashed frame is localCheckpointed before the self-join, so neither
+    join side re-runs it (the plan shows the checkpoint scan, zero
+    MapInPandas); candidates come from the (band_idx, band_value)
+    equi-join — no cartesian/nested-loop pair formation anywhere — and
+    no row-at-a-time Python appears."""
+    plan = _plan(api.q_media_phash_neardup(spark, sf_dir))
+    assert plan.count("MapInPandas") == 0  # ran once, at checkpoint time
+    assert "ExistingRDD" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    joins = re.findall(r"(?:SortMergeJoin|ShuffledHashJoin|"
+                       r"BroadcastHashJoin)[^\n]*", plan)
+    assert any("band" in j for j in joins), joins
