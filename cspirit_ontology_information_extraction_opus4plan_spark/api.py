@@ -1240,6 +1240,15 @@ def q_embedding_quantize(spark, sf_dir):
     return int8_quantization_stats(load_embeddings(spark, sf_dir))
 
 
+def q_kg_shacl_validate(spark, sf_dir):
+    """SHACL-core shape validation (sh:minCount / sh:maxCount /
+    sh:nodeKind per sh:path) over the deduped store + planted literal
+    notes — the aggregate-level QC per-row rules cannot express."""
+    from .operators.ontology_algebra import shacl_validate
+    return shacl_validate(DE.shacl_triples(
+        dedup_triples(triples_df(spark, sf_dir))))
+
+
 def q_triple_semantics(spark, sf_dir):
     """Per-triple semantic + domain validation verdicts against the
     reference's closed rule tables (validate_predicate_semantics
@@ -1819,6 +1828,7 @@ def queries() -> dict[str, QueryFn]:
         "doc_dup_spans": q_doc_dup_spans,
         "doc_semdedup": q_doc_semdedup,
         "media_phash_neardup": q_media_phash_neardup,
+        "kg_shacl_validate": q_kg_shacl_validate,
     }
 
 

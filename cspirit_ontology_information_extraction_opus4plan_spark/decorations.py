@@ -89,6 +89,24 @@ def semdedup_embeddings(emb: DataFrame) -> DataFrame:
     return base.unionByName(dup)
 
 
+def shacl_triples(dedup: DataFrame) -> DataFrame:
+    """deduped triple store + planted literal-object annotations: every
+    subject holding an 'affects' fact gains one (subject, affects,
+    'needs_review') literal note — the sh:nodeKind violations a shape
+    pass must surface (URI-only extraction never emits literals, so
+    without planting, that branch would be vacuous)."""
+    # both the pass-through and the notes branch read the dedup frame —
+    # checkpoint so the whole upstream triples pipeline runs once
+    dedup = dedup.localCheckpoint(eager=True)
+    notes = (dedup.filter(F.col("predicate") == "affects")
+             .select("subject", "predicate",
+                     F.lit("needs_review").alias("object"),
+                     F.lit("literal").alias("object_type"))
+             .distinct())
+    return (dedup.select("subject", "predicate", "object", "object_type")
+            .unionByName(notes))
+
+
 def phash_media(media: DataFrame) -> DataFrame:
     """media_with_content + planted perceptual NEAR-twins: every 5th
     position's payload re-encoded with its LAST nibble bumped +1 mod 16

@@ -351,6 +351,25 @@ DOMAIN_RULES: dict[tuple[str, str], list[str]] = {
 }
 
 
+# --- SHACL-style shape spec (repo-original, W3C SHACL core semantics:
+# per-focus-node sh:minCount / sh:maxCount / sh:nodeKind on an sh:path;
+# the reference validates per-row semantics only — models.py:1142 — so
+# cardinality shapes are the aggregate-level QC it cannot express) ---
+
+# predicate (sh:path) -> (sh:minCount, sh:maxCount, sh:nodeKind of the
+# object). minCount applies to EVERY focus node (any subject in the
+# store); maxCount/nodeKind to focus nodes holding the path.
+SHACL_SHAPES: dict[str, tuple[int, int, str]] = {
+    "is_a":           (1, 3, "uri"),
+    "part_of":        (0, 8, "uri"),
+    "located_in":     (0, 8, "uri"),
+    "regulates":      (0, 8, "uri"),
+    "catalyzes":      (0, 8, "uri"),
+    "affects":        (0, 10, "uri"),
+    "accumulates_in": (0, 10, "uri"),
+}
+
+
 def alternation(words: list[str]) -> str:
     """Shared regex-alternation builder: longest-first so leftmost-first
     engines (Python re, RE2) behave leftmost-longest. Used verbatim by the

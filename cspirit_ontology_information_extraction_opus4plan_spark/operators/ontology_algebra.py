@@ -16,7 +16,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..ontology_data import (DOMAIN_RULES, INVERSE_PREDICATES,
-                             SEMANTIC_RULES)
+                             SEMANTIC_RULES, SHACL_SHAPES)
 
 # ---------------------------------------------------------------------------
 # statistics (Ontology.get_statistics, models.py:3297-3356)
@@ -807,3 +807,64 @@ def triple_semantics_check(triples: DataFrame) -> DataFrame:
         "doc_id", "subject", "predicate", "object",
         semantic_ok.cast("int").alias("semantic_ok"),
         domain_ok.cast("int").alias("domain_ok"))
+
+
+def shacl_validate(store: DataFrame) -> DataFrame:
+    """SHACL-core shape validation over the (subject, predicate,
+    object, object_type) store — the AGGREGATE-level QC the per-row
+    rules (triple_semantics_check) cannot express. For each shape in
+    SHACL_SHAPES, emit one violation row per (focus subject, path):
+
+      check_kind = 'maxCount'  — the focus holds MORE distinct values
+                                 of the path than sh:maxCount,
+      check_kind = 'minCount'  — a focus node (any subject in the
+                                 store) holds FEWER than sh:minCount,
+      check_kind = 'nodeKind'  — `observed` path values whose node kind
+                                 differs from sh:nodeKind (allowed=0).
+
+    Columns: (subject, predicate, check_kind, observed, allowed).
+
+    Scale shape: one distinct + one map-side-combinable groupBy on
+    (subject, predicate) build the per-focus counts; the shape spec is
+    a genuine constant dimension (broadcast join — unlike the IN-list
+    compilation in triple_semantics_check, counts must exist before
+    the rule applies, so a join keyed by the corpus-sized count frame
+    is the right shape); minCount needs every focus x required-path
+    combination, i.e. a crossJoin against the BOUNDED required-shape
+    set (|shapes with minCount>0| rows — the sanctioned bounded scalar
+    NLJ, collocations precedent) followed by a keyed left join onto
+    the counts. No windows, no corpus self-join."""
+    spark = store.sparkSession
+    shapes = spark.createDataFrame(
+        [(p, mn, mx, nk)
+         for p, (mn, mx, nk) in sorted(SHACL_SHAPES.items())],
+        "predicate string, min_count bigint, max_count bigint, "
+        "node_kind string")
+    base = (store.select("subject", "predicate", "object", "object_type")
+            .distinct()
+            .localCheckpoint(eager=True))
+    counts = (base.groupBy("subject", "predicate")
+              .agg(F.count("*").alias("observed")))
+    over = (counts.join(F.broadcast(shapes), "predicate")
+            .filter(F.col("observed") > F.col("max_count"))
+            .select("subject", "predicate",
+                    F.lit("maxCount").alias("check_kind"),
+                    "observed", F.col("max_count").alias("allowed")))
+    focus = base.select("subject").distinct()
+    required = shapes.filter(F.col("min_count") > 0)
+    under = (focus.crossJoin(F.broadcast(required))
+             .join(counts, ["subject", "predicate"], "left")
+             .filter(F.coalesce("observed", F.lit(0))
+                     < F.col("min_count"))
+             .select("subject", "predicate",
+                     F.lit("minCount").alias("check_kind"),
+                     F.coalesce("observed", F.lit(0)).alias("observed"),
+                     F.col("min_count").alias("allowed")))
+    badkind = (base.join(F.broadcast(shapes), "predicate")
+               .filter(F.col("object_type") != F.col("node_kind"))
+               .groupBy("subject", "predicate")
+               .agg(F.count("*").alias("observed"))
+               .select("subject", "predicate",
+                       F.lit("nodeKind").alias("check_kind"), "observed",
+                       F.lit(0).cast("bigint").alias("allowed")))
+    return over.unionByName(under).unionByName(badkind)

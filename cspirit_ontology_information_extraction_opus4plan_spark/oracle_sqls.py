@@ -4001,4 +4001,52 @@ FROM (
               THEN split_part(object, ':', 1) ELSE '' END AS op
   FROM triples) t"""
 
+    # SHACL-core shapes: dedup the 7-tuple store (support = row count),
+    # plant the literal 'needs_review' notes (decorations.shacl_triples),
+    # then evaluate sh:maxCount / sh:minCount / sh:nodeKind per focus
+    shape_rows = ", ".join(
+        f"({_q(p)}, {mn}, {mx}, {_q(nk)})"
+        for p, (mn, mx, nk) in sorted(OD.SHACL_SHAPES.items()))
+    sqls["kg_shacl_validate"] = corpus_prefix(
+        gaz_cte(), link_cte(), triples_cte()) + f"""
+, sh_dd AS (
+  SELECT subject, predicate, object, subject_type, object_type,
+         object_datatype, object_language,
+         CAST(count(*) AS BIGINT) AS support
+  FROM triples GROUP BY 1,2,3,4,5,6,7),
+sh_aug AS (
+  SELECT subject, predicate, object, object_type FROM sh_dd
+  UNION ALL
+  SELECT DISTINCT subject, predicate, 'needs_review', 'literal'
+  FROM sh_dd WHERE predicate = 'affects'),
+sh_base AS MATERIALIZED (
+  SELECT DISTINCT subject, predicate, object, object_type FROM sh_aug),
+sh_shapes AS (
+  SELECT * FROM (VALUES {shape_rows})
+  s(predicate, min_count, max_count, node_kind)),
+sh_counts AS MATERIALIZED (
+  SELECT subject, predicate, CAST(count(*) AS BIGINT) AS observed
+  FROM sh_base GROUP BY 1, 2),
+over_v AS (
+  SELECT c.subject, c.predicate, 'maxCount' AS check_kind, c.observed,
+         CAST(s.max_count AS BIGINT) AS allowed
+  FROM sh_counts c JOIN sh_shapes s USING (predicate)
+  WHERE c.observed > s.max_count),
+under_v AS (
+  SELECT f.subject, s.predicate, 'minCount' AS check_kind,
+         coalesce(c.observed, 0) AS observed,
+         CAST(s.min_count AS BIGINT) AS allowed
+  FROM (SELECT DISTINCT subject FROM sh_base) f
+  CROSS JOIN (SELECT * FROM sh_shapes WHERE min_count > 0) s
+  LEFT JOIN sh_counts c ON c.subject = f.subject
+                    AND c.predicate = s.predicate
+  WHERE coalesce(c.observed, 0) < s.min_count),
+bad_v AS (
+  SELECT b.subject, b.predicate, 'nodeKind' AS check_kind,
+         CAST(count(*) AS BIGINT) AS observed, CAST(0 AS BIGINT) AS allowed
+  FROM sh_base b JOIN sh_shapes s USING (predicate)
+  WHERE b.object_type <> s.node_kind GROUP BY 1, 2)
+SELECT * FROM over_v UNION ALL SELECT * FROM under_v
+UNION ALL SELECT * FROM bad_v"""
+
     return sqls

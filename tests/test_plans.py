@@ -637,3 +637,16 @@ def test_media_phash_banded_equijoin_one_arrow_pass(spark, sf_dir):
     joins = re.findall(r"(?:SortMergeJoin|ShuffledHashJoin|"
                        r"BroadcastHashJoin)[^\n]*", plan)
     assert any("band" in j for j in joins), joins
+
+
+def test_shacl_broadcast_shapes_no_corpus_nlj(spark, sf_dir):
+    """SHACL validation: the shape spec joins BROADCAST everywhere; the
+    only nested-loop is the sanctioned bounded scalar one (focus x
+    required-shapes, |shapes| rows); counts group map-side; no
+    row-at-a-time Python."""
+    plan = _plan(api.q_kg_shacl_validate(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "partial_count" in plan
