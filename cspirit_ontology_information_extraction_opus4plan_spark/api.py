@@ -1240,6 +1240,17 @@ def q_embedding_quantize(spark, sf_dir):
     return int8_quantization_stats(load_embeddings(spark, sf_dir))
 
 
+def q_entity_disambiguation(spark, sf_dir):
+    """Collective coherence disambiguation over planted homonym
+    surfaces: the candidate with the most ontology edges to the doc's
+    unambiguous anchors wins (ties -> rank, then min term_id)."""
+    from .operators.linking import coherent_link_mentions
+    return coherent_link_mentions(
+        detect_mentions(spans_exploded(spark, sf_dir)),
+        DE.homonym_gazetteer(gazetteer_df(spark)),
+        relationships_df(spark))
+
+
 def q_kg_shacl_validate(spark, sf_dir):
     """SHACL-core shape validation (sh:minCount / sh:maxCount /
     sh:nodeKind per sh:path) over the deduped store + planted literal
@@ -1829,6 +1840,7 @@ def queries() -> dict[str, QueryFn]:
         "doc_semdedup": q_doc_semdedup,
         "media_phash_neardup": q_media_phash_neardup,
         "kg_shacl_validate": q_kg_shacl_validate,
+        "entity_disambiguation": q_entity_disambiguation,
     }
 
 

@@ -89,6 +89,32 @@ def semdedup_embeddings(emb: DataFrame) -> DataFrame:
     return base.unionByName(dup)
 
 
+def homonym_gazetteer(gaz: DataFrame) -> DataFrame:
+    """(surface, term_id, rank) match table + planted HOMONYMS: every
+    name surface whose local term number is divisible by 5 gains a
+    second same-rank candidate from the next namespace ring
+    (CHEBI->GO->PO->CHEBI, id folded into the target prefix's live
+    range) — ambiguity the lexical rank argmax cannot break, so the
+    coherence pass must. Mirrored verbatim by the oracle's gaz2 CTE."""
+    pfx = F.split("term_id", ":").getItem(0)
+    local = F.split("term_id", ":").getItem(1).cast("int") % 10000
+    tgt = (F.when(pfx == "CHEBI", F.concat(
+               F.lit("GO:"),
+               (F.lit(20000) + ((local - 1) % 120) + 1).cast("string")))
+           .when(pfx == "GO", F.concat(
+               F.lit("PO:"),
+               (F.lit(30000) + ((local - 1) % 125) + 1).cast("string")))
+           .when(pfx == "PO", F.concat(
+               F.lit("CHEBI:"),
+               (F.lit(10000) + ((local - 1) % 150) + 1).cast("string"))))
+    planted = (gaz.filter((F.col("match_kind") == "name")
+                          & pfx.isin("CHEBI", "GO", "PO")
+                          & (local % 5 == 0))
+               .select("surface", tgt.alias("term_id"), "rank"))
+    return (gaz.select("surface", "term_id", "rank")
+            .unionByName(planted).distinct())
+
+
 def shacl_triples(dedup: DataFrame) -> DataFrame:
     """deduped triple store + planted literal-object annotations: every
     subject holding an 'affects' fact gains one (subject, affects,

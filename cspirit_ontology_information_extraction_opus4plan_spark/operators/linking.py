@@ -50,6 +50,90 @@ def link_mentions(mentions: DataFrame, gaz: DataFrame) -> DataFrame:
                     (-F.col("b.neg_rank")).alias("rank")))
 
 
+def coherent_link_mentions(mentions: DataFrame, gaz: DataFrame,
+                           rels: DataFrame) -> DataFrame:
+    """Collective (coherence-based) entity disambiguation — the
+    AIDA/TagMe pattern the per-surface rank argmax cannot express: for
+    each AMBIGUOUS (doc, surface) pair, score each candidate term by
+
+      edge_coh — distinct UNAMBIGUOUS doc entities (anchors) adjacent
+        to the candidate in the ontology graph (symmetric relationship
+        edges + is_a siblings, i.e. shared direct parent),
+      type_coh — distinct anchors sharing the candidate's namespace
+        prefix (entity-TYPE context coherence, the secondary signal
+        real EL systems fall back on when the graph is sparse),
+
+    winner = argmax(edge_coh, type_coh, lexical rank), tie -> min
+    term_id. One row per ambiguous (doc_id, surface): (doc_id, surface,
+    term_id, edge_coh, type_coh, n_cands). Extends the reference's
+    lookup-order linking (models.py:2812-2918), which has no collective
+    signal at all.
+
+    Scale shape: the gazetteer (with its per-surface candidate counts)
+    and the sibling-extended edge list are genuine broadcast dimensions
+    (the sibling self-join runs on the dimension, never the corpus);
+    the per-doc surface table is distinct-ed once and checkpointed
+    (anchor and ambiguous branches both read it); both coherence counts
+    join anchors on corpus-keyed equi-joins ((doc_id, neighbor) /
+    (doc_id, prefix)) and aggregate map-side; the final argmax is a
+    struct-min groupBy, no window, no corpus self-join."""
+    g3 = gaz.select("surface", "term_id", "rank").distinct()
+    surf = (g3.groupBy("surface")
+            .agg(F.countDistinct("term_id").alias("n_cands")))
+    docsurf = (mentions.select("doc_id", "surface").distinct()
+               .localCheckpoint(eager=True))
+    anchors = (docsurf
+               .join(F.broadcast(surf.filter(F.col("n_cands") == 1)),
+                     "surface")
+               .join(F.broadcast(g3.select("surface", "term_id")),
+                     "surface")
+               .select("doc_id", F.col("term_id").alias("nb")).distinct())
+    amb = (docsurf
+           .join(F.broadcast(surf.filter(F.col("n_cands") > 1)), "surface")
+           .join(F.broadcast(g3), "surface"))
+    isa = rels.filter(F.col("predicate") == "is_a")
+    siblings = (isa.select(F.col("subject").alias("a"),
+                           F.col("object").alias("p"))
+                .join(isa.select(F.col("subject").alias("b"),
+                                 F.col("object").alias("p")), "p")
+                .filter(F.col("a") != F.col("b"))
+                .select("a", "b"))
+    edges = (rels.select(F.col("subject").alias("a"),
+                         F.col("object").alias("b"))
+             .unionByName(rels.select(F.col("object").alias("a"),
+                                      F.col("subject").alias("b")))
+             .unionByName(siblings)
+             .distinct())
+    keys = ["doc_id", "surface", "term_id"]
+    ecoh = (amb.join(F.broadcast(edges), F.col("term_id") == F.col("a"))
+            .join(anchors.withColumnRenamed("nb", "b"), ["doc_id", "b"])
+            .groupBy(*keys)
+            .agg(F.countDistinct("b").alias("edge_coh")))
+    pfx = F.split("term_id", ":").getItem(0)
+    tcoh = (amb.withColumn("pfx", pfx)
+            .join(anchors.withColumn("pfx",
+                                     F.split("nb", ":").getItem(0)),
+                  ["doc_id", "pfx"])
+            .groupBy(*keys)
+            .agg(F.countDistinct("nb").alias("type_coh")))
+    zero = F.lit(0).cast("bigint")
+    scored = (amb.join(ecoh, keys, "left").join(tcoh, keys, "left")
+              .withColumn("edge_coh", F.coalesce("edge_coh", zero))
+              .withColumn("type_coh", F.coalesce("type_coh", zero)))
+    return (scored
+            .groupBy("doc_id", "surface", "n_cands")
+            .agg(F.min(F.struct(
+                (-F.col("edge_coh")).alias("ne"),
+                (-F.col("type_coh")).alias("nt"),
+                (-F.col("rank")).alias("nr"),
+                F.col("term_id"))).alias("b"))
+            .select("doc_id", "surface",
+                    F.col("b.term_id").alias("term_id"),
+                    (-F.col("b.ne")).cast("bigint").alias("edge_coh"),
+                    (-F.col("b.nt")).cast("bigint").alias("type_coh"),
+                    F.col("n_cands").cast("bigint").alias("n_cands")))
+
+
 COOC_MIN_SUPPORT = 2    # pairs seen in fewer docs are noise
 
 

@@ -2060,6 +2060,84 @@ FROM (
   FROM spans WHERE kind IN ('text','figure','table')) m
 JOIN link l ON l.surface = m.surface"""
 
+    # collective coherence disambiguation: gaz2 = gazetteer + planted
+    # homonyms (decorations.homonym_gazetteer ring CHEBI->GO->PO->CHEBI,
+    # local id divisible by 5 folded into the target's live range);
+    # winner per ambiguous (doc, surface) = max coherence (distinct
+    # ontology-edge-adjacent anchors in the doc), then rank, then id
+    def _ring(tp: str, base: int, size: int) -> str:
+        return (f"'{tp}:' || CAST({base} + ((CAST(split_part(term_id, "
+                f"':', 2) AS INT) % 10000 - 1) % {size}) + 1 AS VARCHAR)")
+
+    sqls["entity_disambiguation"] = corpus_prefix(
+        gaz_cte(), rels_cte()) + f""",
+gaz2 AS (
+  SELECT surface, term_id, rank FROM gaz
+  UNION
+  SELECT surface,
+         CASE split_part(term_id, ':', 1)
+           WHEN 'CHEBI' THEN {_ring('GO', 20000, 120)}
+           WHEN 'GO' THEN {_ring('PO', 30000, 125)}
+           WHEN 'PO' THEN {_ring('CHEBI', 10000, 150)}
+         END AS term_id,
+         rank
+  FROM gaz
+  WHERE match_kind = 'name'
+    AND split_part(term_id, ':', 1) IN ('CHEBI', 'GO', 'PO')
+    AND (CAST(split_part(term_id, ':', 2) AS INT) % 10000) % 5 = 0),
+ds AS MATERIALIZED (
+  SELECT DISTINCT doc_id, surface FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), {_q(pat)}, 1)) AS surface
+    FROM spans WHERE kind IN ('text','figure','table')) m),
+surfc AS MATERIALIZED (
+  SELECT surface, count(DISTINCT term_id) AS n_cands
+  FROM gaz2 GROUP BY 1),
+anchors AS MATERIALIZED (
+  SELECT DISTINCT d.doc_id, g.term_id AS nb
+  FROM ds d JOIN surfc s USING (surface) JOIN gaz2 g USING (surface)
+  WHERE s.n_cands = 1),
+amb AS MATERIALIZED (
+  SELECT DISTINCT d.doc_id, d.surface, g.term_id, g.rank, s.n_cands
+  FROM ds d JOIN surfc s USING (surface) JOIN gaz2 g USING (surface)
+  WHERE s.n_cands > 1),
+sym_edges AS (
+  SELECT DISTINCT subject AS a, object AS b FROM rels_d
+  UNION SELECT DISTINCT object, subject FROM rels_d
+  UNION SELECT DISTINCT r1.subject, r2.subject
+        FROM rels_d r1 JOIN rels_d r2
+          ON r1.predicate = 'is_a' AND r2.predicate = 'is_a'
+         AND r1.object = r2.object AND r1.subject <> r2.subject),
+ecoh AS (
+  SELECT m.doc_id, m.surface, m.term_id,
+         count(DISTINCT an.nb) AS edge_coh
+  FROM amb m JOIN sym_edges e ON e.a = m.term_id
+  JOIN anchors an ON an.doc_id = m.doc_id AND an.nb = e.b
+  GROUP BY 1, 2, 3),
+tcoh AS (
+  SELECT m.doc_id, m.surface, m.term_id,
+         count(DISTINCT an.nb) AS type_coh
+  FROM amb m JOIN anchors an ON an.doc_id = m.doc_id
+   AND split_part(an.nb, ':', 1) = split_part(m.term_id, ':', 1)
+  GROUP BY 1, 2, 3),
+dis_scored AS (
+  SELECT m.doc_id, m.surface, m.term_id, m.rank, m.n_cands,
+         coalesce(e.edge_coh, 0) AS edge_coh,
+         coalesce(t.type_coh, 0) AS type_coh
+  FROM amb m
+  LEFT JOIN ecoh e ON e.doc_id = m.doc_id
+    AND e.surface = m.surface AND e.term_id = m.term_id
+  LEFT JOIN tcoh t ON t.doc_id = m.doc_id
+    AND t.surface = m.surface AND t.term_id = m.term_id)
+SELECT doc_id, surface, term_id, CAST(edge_coh AS BIGINT) AS edge_coh,
+       CAST(type_coh AS BIGINT) AS type_coh,
+       CAST(n_cands AS BIGINT) AS n_cands
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id, surface
+    ORDER BY edge_coh DESC, type_coh DESC, rank DESC, term_id ASC) AS rn
+  FROM dis_scored) x
+WHERE rn = 1"""
+
     from .operators.linking import DRIFT_SEED
     sqls["entity_drift"] = corpus_prefix(gaz_cte(), link_cte()) + f""",
 lm AS (

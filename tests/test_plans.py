@@ -650,3 +650,15 @@ def test_shacl_broadcast_shapes_no_corpus_nlj(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert "partial_count" in plan
+
+
+def test_disambiguation_broadcast_dims_no_window(spark, sf_dir):
+    """Coherence disambiguation: gazetteer/candidate-count/edge frames
+    all broadcast (dimension-sized); the argmax is a struct-min groupBy
+    — no window function, no cartesian, no row-at-a-time Python."""
+    plan = _plan(api.q_entity_disambiguation(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
