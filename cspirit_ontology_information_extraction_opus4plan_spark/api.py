@@ -1346,6 +1346,16 @@ def q_kg_communities(spark, sf_dir):
         dedup_triples(triples_df(spark, sf_dir))))
 
 
+def q_kg_modularity(spark, sf_dir):
+    """Per-community Newman modularity decomposition of the LPA
+    partition (e_c/m - (d_c/2m)^2 from integer aggregates; Q = column
+    sum) — the partition-quality QC before storage/GNN locality use."""
+    from .operators.graphops import (community_modularity,
+                                     undirected_entity_edges)
+    return community_modularity(undirected_entity_edges(
+        dedup_triples(triples_df(spark, sf_dir))))
+
+
 def q_kg_entity_similarity(spark, sf_dir):
     """Structural-equivalence entity pairs: Jaccard of 1-hop neighbor
     sets via an inverted index on the shared neighbor (df-capped mids;
@@ -1841,6 +1851,7 @@ def queries() -> dict[str, QueryFn]:
         "media_phash_neardup": q_media_phash_neardup,
         "kg_shacl_validate": q_kg_shacl_validate,
         "entity_disambiguation": q_entity_disambiguation,
+        "kg_modularity": q_kg_modularity,
     }
 
 

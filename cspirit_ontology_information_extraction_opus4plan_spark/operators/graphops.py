@@ -412,6 +412,57 @@ def label_propagation(edges: DataFrame, n_iter: int = LPA_ITER) -> DataFrame:
     return lbl.select("node", F.col("label").alias("community"))
 
 
+def community_modularity(edges: DataFrame,
+                         n_iter: int = LPA_ITER) -> DataFrame:
+    """Per-community Newman modularity decomposition of the LPA
+    partition — the QC that says whether the communities beat a random
+    degree-preserving cut before anyone trusts them for KG storage
+    partitioning or GNN sampling locality. For community c over an
+    undirected graph with m edges: contribution_c = e_c/m -
+    (d_c/(2m))^2 (e_c = internal edges, d_c = member degree sum);
+    Q = sum of the rows. Columns: (community, n_nodes, internal_edges,
+    degree_sum, contribution).
+
+    Scale shape: labels come from label_propagation (per-round keyed
+    shuffles); internal edges = the edge list joined to the label frame
+    on each endpoint (node-keyed equi-joins); degree/member sums are
+    map-side-combinable aggregates keyed by community. m is a driver
+    scalar (one count job) folded into the per-row expression, so
+    contribution is ONE fixed-order float expression over integer
+    aggregates — no float row-sum exists anywhere, and the final Q is a
+    |communities|-sized column sum left to the caller."""
+    edges = edges.localCheckpoint(eager=True)
+    lab = label_propagation(edges, n_iter)  # already checkpointed flat
+    m = edges.count()
+    deg = (_sym(edges).groupBy("src").agg(F.count("*").alias("deg"))
+           .withColumnRenamed("src", "node"))
+    dsum = (lab.join(deg, "node")
+            .groupBy("community")
+            .agg(F.count("*").cast("bigint").alias("n_nodes"),
+                 F.sum("deg").cast("bigint").alias("degree_sum")))
+    la = lab.select(F.col("node").alias("src"),
+                    F.col("community").alias("ca"))
+    lb = lab.select(F.col("node").alias("dst"),
+                    F.col("community").alias("cb"))
+    e_int = (edges.join(la, "src").join(lb, "dst")
+             .filter(F.col("ca") == F.col("cb"))
+             .groupBy(F.col("ca").alias("community"))
+             .agg(F.count("*").cast("bigint").alias("internal_edges")))
+    zero = F.lit(0).cast("bigint")
+    return (dsum.join(e_int, "community", "left")
+            .select("community", "n_nodes",
+                    F.coalesce("internal_edges", zero)
+                    .alias("internal_edges"), "degree_sum",
+                    F.round(
+                        F.coalesce("internal_edges", zero)
+                        .cast("double") / F.lit(float(m))
+                        - (F.col("degree_sum").cast("double")
+                           / F.lit(2.0 * m))
+                        * (F.col("degree_sum").cast("double")
+                           / F.lit(2.0 * m)), 6)
+                    .alias("contribution")))
+
+
 def neighbor_jaccard(edges: DataFrame,
                      min_shared: int = NJ_MIN_SHARED,
                      mid_cap: int = NJ_MID_CAP) -> DataFrame:

@@ -3583,6 +3583,37 @@ lbl{i} AS (SELECT node, label FROM (
         + lpa_ctes + f"""
 SELECT node, label AS community FROM lbl{LPA_ITER}""")
 
+    # Newman modularity decomposition of the LPA partition
+    # (graphops.community_modularity): contribution = e_c/m -
+    # (d_c/(2m))^2 from integer aggregates, one fixed-order float
+    # expression per community row. mlbl/mund MATERIALIZED: each is
+    # referenced 2-3x and would otherwise re-evaluate the full LPA /
+    # corpus chain per reference (the kg_hits inlining trap).
+    sqls["kg_modularity"] = (
+        corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + und_ctes
+        + lpa_ctes + f""",
+mlbl AS MATERIALIZED (SELECT node, label FROM lbl{LPA_ITER}),
+mund AS MATERIALIZED (SELECT src, dst FROM und),
+mm AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM mund),
+mdeg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+         FROM sym GROUP BY 1),
+mdsum AS (SELECT l.label AS community,
+                 CAST(count(*) AS BIGINT) AS n_nodes,
+                 CAST(sum(d.deg) AS BIGINT) AS degree_sum
+          FROM mlbl l JOIN mdeg d USING (node) GROUP BY 1),
+mint AS (SELECT la.label AS community,
+                CAST(count(*) AS BIGINT) AS internal_edges
+         FROM mund e JOIN mlbl la ON la.node = e.src
+         JOIN mlbl lb ON lb.node = e.dst
+         WHERE la.label = lb.label GROUP BY 1)
+SELECT s.community, s.n_nodes,
+       coalesce(i.internal_edges, 0) AS internal_edges, s.degree_sum,
+       round(CAST(coalesce(i.internal_edges, 0) AS DOUBLE) / mm.m
+             - (CAST(s.degree_sum AS DOUBLE) / (2 * mm.m))
+             * (CAST(s.degree_sum AS DOUBLE) / (2 * mm.m)), 6)
+         AS contribution
+FROM mdsum s LEFT JOIN mint i USING (community), mm""")
+
     # --- structural-equivalence neighbor Jaccard: inverted index on the
     # shared neighbor, df-capped mids (graphops.neighbor_jaccard).
     from .operators.graphops import NJ_MID_CAP, NJ_MIN_SHARED
