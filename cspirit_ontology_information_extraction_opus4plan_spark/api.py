@@ -280,6 +280,14 @@ def q_doc_ngram_containment(spark, sf_dir):
     return ngram_containment_pairs(DE.containment_docs(spark, sf_dir))
 
 
+def q_doc_cms_probe(spark, sf_dir):
+    """Count-Min sketch probed at the exact top-k tokens — the honest-
+    sketch family's point-frequency member; md5-nibble buckets make the
+    estimates themselves oracle-replayable."""
+    from .operators.textops import cms_probe
+    return cms_probe(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 def q_doc_dup_spans(spark, sf_dir):
     """ExactSubstr-style duplicated-span excision stats over the
     snippet-planted corpus: any 5-gram occurring twice anywhere marks
@@ -1852,6 +1860,7 @@ def queries() -> dict[str, QueryFn]:
         "kg_shacl_validate": q_kg_shacl_validate,
         "entity_disambiguation": q_entity_disambiguation,
         "kg_modularity": q_kg_modularity,
+        "doc_cms_probe": q_doc_cms_probe,
     }
 
 

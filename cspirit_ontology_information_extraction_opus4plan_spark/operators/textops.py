@@ -1458,3 +1458,70 @@ def dup_span_excision(docs: DataFrame, w: int = FP_SHINGLE_W) -> DataFrame:
                     F.least(F.coalesce(F.col("m.cov"), F.lit(0)),
                             F.col("n_tokens")),
                     F.col("n_tokens")), 6).alias("dup_frac")))
+
+
+# --- Count-Min sketch with oracle-replayable estimates -----------------------
+
+CMS_D = 4      # hash rows; miss probability per query ~ e^-D
+CMS_W = 512    # buckets per row; additive error bound = (e / W) * N
+CMS_PROBE_K = 25
+
+
+def _cms_bucket(d: int, tok) -> Column:
+    """Row-d bucket: the first 3 md5 nibbles of 'd:token' as an
+    integer, mod CMS_W — pure codegen, replayed nibble-for-nibble by
+    the SQL oracle (no engine-specific hash function anywhere)."""
+    return (F.conv(F.substring(F.md5(F.concat(F.lit(f"{d}:"), tok)),
+                               1, 3), 16, 10).cast("int") % CMS_W)
+
+
+def cms_probe(docs: DataFrame, d_rows: int = CMS_D, width: int = CMS_W,
+              k: int = CMS_PROBE_K) -> DataFrame:
+    """Count-Min sketch over the corpus token stream, probed at the
+    exact top-k tokens — the point-frequency sketch of the honest-
+    sketch family (HLL distinct, GK quantiles, Bloom membership,
+    Space-Saving heavy hitters): est(t) = min over rows d of
+    counter[d][bucket_d(t)], guaranteed est >= exact, and est - exact
+    <= (e/W)*N with per-row failure probability e^-D. Unlike the Bloom
+    twin (which can only assert guarantees), the md5-nibble bucket
+    function is SQL-expressible, so the oracle rebuilds the ENTIRE
+    sketch and hash-matches the estimates themselves. Columns:
+    (token, exact, est, overcount, within_bound).
+
+    Scale shape: the corpus collapses to a vocabulary-sized (token,
+    cnt) aggregate first (map-side combinable — the only corpus-wide
+    shuffle); the sketch is that frame exploded D ways into a D x W
+    counter table (<= 2048 groups, map-side combinable), which then
+    BROADCASTS to score the bounded probe set. The probe top-k is a
+    sort-limit over the vocabulary-sized frame, never the corpus. At
+    10^12 tokens nothing here grows except the one vocabulary
+    aggregate every token statistic already pays."""
+    toks = docs.select(F.explode(tokens_col()).alias("tok"))
+    counts = (toks.groupBy("tok")
+              .agg(F.count("*").cast("bigint").alias("cnt"))
+              .localCheckpoint(eager=True))  # counters + probes + total
+    total = int(counts.agg(F.sum("cnt")).collect()[0][0])
+    buckets = F.explode(F.array(*[
+        F.struct(F.lit(d).alias("d"),
+                 _cms_bucket(d, F.col("tok")).alias("b"))
+        for d in range(d_rows)])).alias("x")
+
+    def _ex(df):
+        return (df.select("tok", "cnt", buckets)
+                .select("tok", "cnt", F.col("x.d").alias("d"),
+                        F.col("x.b").alias("b")))
+
+    counters = _ex(counts).groupBy("d", "b").agg(F.sum("cnt").alias("c"))
+    probes = counts.orderBy(F.desc("cnt"), F.asc("tok")).limit(k)
+    bound = 2.718281828459045 / width * total
+    return (_ex(probes)
+            .join(F.broadcast(counters), ["d", "b"])
+            .groupBy("tok", "cnt")
+            .agg(F.min("c").alias("est"))
+            .select(F.col("tok").alias("token"),
+                    F.col("cnt").alias("exact"),
+                    F.col("est").cast("bigint").alias("est"),
+                    (F.col("est") - F.col("cnt")).cast("bigint")
+                    .alias("overcount"),
+                    ((F.col("est") - F.col("cnt")) <= F.lit(bound))
+                    .cast("int").alias("within_bound")))

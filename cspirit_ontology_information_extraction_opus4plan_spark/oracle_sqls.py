@@ -599,6 +599,45 @@ SELECT tok AS token, cnt,
        round(cnt / (SELECT CAST(n AS DOUBLE) FROM tot), 6) AS freq
 FROM cnts WHERE cnt * {TX.HH_K} > (SELECT n FROM tot)"""
 
+    # Count-Min sketch rebuilt in full: md5-nibble bucket per hash row,
+    # D x W counter table, est = min over rows — estimates themselves
+    # hash-match (textops.cms_probe)
+    def _cms_b(d: int) -> str:
+        h = f"md5('{d}:' || tok)"
+
+        def nib(pos: int) -> str:
+            return (f"(strpos('0123456789abcdef', "
+                    f"substring({h}, {pos}, 1)) - 1)")
+
+        return (f"(({nib(1)} * 256 + {nib(2)} * 16 + {nib(3)})"
+                f" % {TX.CMS_W})")
+
+    cbuk = " UNION ALL ".join(
+        f"SELECT {d} AS d, {_cms_b(d)} AS b, cnt FROM ccnt"
+        for d in range(TX.CMS_D))
+    pbuk = " UNION ALL ".join(
+        f"SELECT {d} AS d, {_cms_b(d)} AS b, tok, cnt FROM probe"
+        for d in range(TX.CMS_D))
+    sqls["doc_cms_probe"] = f"WITH {tok_cte('documents')}" + f""",
+cex AS (SELECT unnest(toks) AS tok FROM tok),
+ccnt AS MATERIALIZED (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM cex GROUP BY 1),
+ctot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM ccnt),
+ctr AS MATERIALIZED (
+  SELECT d, b, sum(cnt) AS c FROM ({cbuk}) GROUP BY 1, 2),
+probe AS MATERIALIZED (
+  SELECT tok, cnt FROM ccnt ORDER BY cnt DESC, tok ASC
+  LIMIT {TX.CMS_PROBE_K}),
+cest AS (
+  SELECT p.tok, p.cnt, min(t.c) AS est
+  FROM ({pbuk}) p JOIN ctr t USING (d, b) GROUP BY 1, 2)
+SELECT tok AS token, cnt AS exact, CAST(est AS BIGINT) AS est,
+       CAST(est - cnt AS BIGINT) AS overcount,
+       CAST(CASE WHEN (est - cnt) <=
+              2.718281828459045 / {TX.CMS_W} * (SELECT n FROM ctot)
+            THEN 1 ELSE 0 END AS INT) AS within_bound
+FROM cest"""
+
     langs = sorted(TX.LANG_WORDLISTS)
     hit_exprs = ",\n       ".join(
         f"CAST(len(list_filter(toks, t -> list_contains("

@@ -662,3 +662,15 @@ def test_disambiguation_broadcast_dims_no_window(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan
+
+
+def test_cms_vocab_collapse_broadcast_counters(spark, sf_dir):
+    """Count-Min: the corpus collapses to the vocabulary aggregate
+    before any sketch math (checkpoint scan); the D x W counter table
+    broadcasts to score the bounded probe set; everything JVM-side."""
+    plan = _plan(api.q_doc_cms_probe(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "ExistingRDD" in plan  # vocabulary checkpoint, computed once
