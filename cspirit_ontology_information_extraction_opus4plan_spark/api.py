@@ -1354,6 +1354,15 @@ def q_kg_communities(spark, sf_dir):
         dedup_triples(triples_df(spark, sf_dir))))
 
 
+def q_kg_ranking_eval(spark, sf_dir):
+    """Filtered MRR/Hits@k link-prediction eval over the held-out
+    split: integer shared-neighbor scorer, full-vocabulary candidates,
+    per-predicate rollup — the harness kg_eval_split feeds."""
+    from .operators.relations import kg_ranking_eval
+    return kg_ranking_eval(dedup_triples(triples_df(spark, sf_dir)),
+                           terms_df(spark))
+
+
 def q_kg_modularity(spark, sf_dir):
     """Per-community Newman modularity decomposition of the LPA
     partition (e_c/m - (d_c/2m)^2 from integer aggregates; Q = column
@@ -1861,6 +1870,7 @@ def queries() -> dict[str, QueryFn]:
         "entity_disambiguation": q_entity_disambiguation,
         "kg_modularity": q_kg_modularity,
         "doc_cms_probe": q_doc_cms_probe,
+        "kg_ranking_eval": q_kg_ranking_eval,
     }
 
 

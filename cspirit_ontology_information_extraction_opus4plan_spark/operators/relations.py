@@ -293,6 +293,89 @@ def kg_eval_split(triples: DataFrame,
                      & F.col("mo").isNotNull()).alias("transductive")))
 
 
+def kg_ranking_eval(triples: DataFrame, terms: DataFrame) -> DataFrame:
+    """Filtered link-prediction ranking evaluation (the standard KG-
+    completion harness): for every TRANSDUCTIVE held-out triple
+    (kg_eval_split hashing, both endpoints seen in train), rank the
+    true tail against the full ontology vocabulary in the FILTERED
+    setting (other known positives for (s, p) removed), score each
+    candidate by the deterministic structural model |Γ_train(s) ∩
+    Γ_train(c)| (shared train-graph neighbors — INTEGER, so ranks are
+    float-parity-free; ties -> lower candidate id ranks first), and
+    roll up per predicate: (predicate, n_eval, mrr, hits1, hits3,
+    hits10). This is the harness that consumes kg_eval_split /
+    kg_negative_samples; plugging a learned embedding scorer into the
+    same frame is a one-column change.
+
+    Scale shape: the candidate set is the ontology DIMENSION
+    (broadcast crossJoin — at web-scale entity counts swap in the
+    bounded corrupted-tail sample from negative_samples; the harness
+    downstream is identical). Scoring is two keyed equi-joins through
+    the train adjacency (inverted-index shared-neighbor count, the
+    neighbor_jaccard shape), rank = 1 + count(strictly-better) via one
+    keyed join + aggregate — no window over anything unbounded, no
+    corpus self-join. The held-out and train frames come from one
+    checkpointed hash-tagged scan."""
+    base = triples.select("subject", "predicate", "object").distinct()
+    key = F.md5(F.concat_ws("|", "subject", "predicate", "object",
+                            F.lit(KG_SPLIT_SEED)))
+    tagged = (base.withColumn("h4", F.substring(key, 1, 4))
+              .localCheckpoint(eager=True))
+    test = tagged.filter(F.col("h4") < KG_SPLIT_TEST_HEX).drop("h4")
+    train = tagged.filter(F.col("h4") >= KG_SPLIT_TEST_HEX).drop("h4")
+    ents = (train.select(F.col("subject").alias("e"))
+            .unionByName(train.select(F.col("object").alias("e")))
+            .distinct())
+    test_t = (test
+              .join(ents.toDF("subject"), "subject", "left_semi")
+              .join(ents.toDF("object"), "object", "left_semi")
+              .select("subject", "predicate", "object"))
+    und = (train.filter(F.col("subject") != F.col("object"))
+           .select(F.least("subject", "object").alias("src"),
+                   F.greatest("subject", "object").alias("dst"))
+           .distinct())
+    sym = und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    vocab = terms.select(F.col("id").alias("cand")).distinct()
+    keys = ["subject", "predicate", "object"]
+    cands = (test_t.crossJoin(F.broadcast(vocab))
+             .join(base.select("subject", "predicate",
+                               F.col("object").alias("cand")),
+                   ["subject", "predicate", "cand"], "left_anti")
+             .unionByName(test_t.withColumn("cand", F.col("object")))
+             .localCheckpoint(eager=True))
+    cn = (cands
+          .join(sym.toDF("subject", "n"), "subject")
+          .join(sym.toDF("cand", "n"), ["cand", "n"])
+          .groupBy(*keys, "cand")
+          .agg(F.count("*").cast("bigint").alias("score")))
+    zero = F.lit(0).cast("bigint")
+    # checkpoint: the true-score branch and the rank aggregate both
+    # read the scored frame — the shared-neighbor join must run once
+    scored = (cands.join(cn, keys + ["cand"], "left")
+              .withColumn("score", F.coalesce("score", zero))
+              .localCheckpoint(eager=True))
+    st = (scored.filter(F.col("cand") == F.col("object"))
+          .select(*keys, F.col("score").alias("s_true")))
+    ranked = (scored.join(st, keys)
+              .groupBy(*keys)
+              .agg((F.lit(1) + F.sum(F.when(
+                  (F.col("score") > F.col("s_true"))
+                  | ((F.col("score") == F.col("s_true"))
+                     & (F.col("cand") < F.col("object"))), 1)
+                  .otherwise(0))).cast("bigint").alias("rank")))
+    return (ranked.groupBy("predicate")
+            .agg(F.count("*").cast("bigint").alias("n_eval"),
+                 F.round(F.avg(F.lit(1.0) / F.col("rank")), 6)
+                 .alias("mrr"),
+                 F.round(F.avg((F.col("rank") <= 1).cast("double")), 6)
+                 .alias("hits1"),
+                 F.round(F.avg((F.col("rank") <= 3).cast("double")), 6)
+                 .alias("hits3"),
+                 F.round(F.avg((F.col("rank") <= 10).cast("double")), 6)
+                 .alias("hits10")))
+
+
 HARD_NEG_SEED = "hardneg-v1"
 
 

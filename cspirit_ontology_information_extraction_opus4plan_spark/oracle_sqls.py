@@ -4066,6 +4066,76 @@ LEFT JOIN ents es ON es.e = t.subject
 LEFT JOIN ents eo ON eo.e = t.object
 WHERE t.h4 < '{KG_SPLIT_TEST_HEX}'""")
 
+    # filtered MRR/Hits@k link-prediction eval (relations.kg_ranking_eval):
+    # same split hashing; candidates = full terms vocabulary minus known
+    # (s, p, *) positives plus the true tail; integer shared-train-
+    # neighbor score; rank = 1 + strictly-better count (ties -> lower id)
+    sqls["kg_ranking_eval"] = (
+        corpus_prefix(gaz_cte(), terms_cte(), link_cte(), triples_cte())
+        + f""",
+tagged AS MATERIALIZED (
+  SELECT DISTINCT subject, predicate, object,
+         substring(md5(concat_ws('|', subject, predicate, object,
+                                 '{KG_SPLIT_SEED}')), 1, 4) AS h4
+  FROM triples),
+rbase AS MATERIALIZED (
+  SELECT subject, predicate, object FROM tagged),
+rtrain AS MATERIALIZED (
+  SELECT subject, predicate, object FROM tagged
+  WHERE h4 >= '{KG_SPLIT_TEST_HEX}'),
+rents AS MATERIALIZED (
+  SELECT DISTINCT e FROM (
+    SELECT subject AS e FROM rtrain UNION ALL SELECT object FROM rtrain)),
+rtest AS MATERIALIZED (
+  SELECT subject, predicate, object FROM tagged
+  WHERE h4 < '{KG_SPLIT_TEST_HEX}'
+    AND subject IN (SELECT e FROM rents)
+    AND object IN (SELECT e FROM rents)),
+rund AS MATERIALIZED (
+  SELECT DISTINCT least(subject, object) AS src,
+         greatest(subject, object) AS dst
+  FROM rtrain WHERE subject <> object),
+rsym AS MATERIALIZED (
+  SELECT src, dst FROM rund UNION ALL SELECT dst, src FROM rund),
+rcands AS MATERIALIZED (
+  SELECT t.subject, t.predicate, t.object, v.id AS cand
+  FROM rtest t CROSS JOIN (SELECT DISTINCT id FROM terms_d) v
+  WHERE NOT EXISTS (
+    SELECT 1 FROM rbase b WHERE b.subject = t.subject
+      AND b.predicate = t.predicate AND b.object = v.id)
+  UNION ALL
+  SELECT subject, predicate, object, object AS cand FROM rtest),
+rcn AS (
+  SELECT c.subject, c.predicate, c.object, c.cand,
+         CAST(count(*) AS BIGINT) AS score
+  FROM rcands c
+  JOIN rsym s1 ON s1.src = c.subject
+  JOIN rsym s2 ON s2.src = c.cand AND s2.dst = s1.dst
+  GROUP BY 1, 2, 3, 4),
+rscored AS MATERIALIZED (
+  SELECT c.subject, c.predicate, c.object, c.cand,
+         coalesce(n.score, 0) AS score
+  FROM rcands c LEFT JOIN rcn n ON n.subject = c.subject
+    AND n.predicate = c.predicate AND n.object = c.object
+    AND n.cand = c.cand),
+rst AS (
+  SELECT subject, predicate, object, score AS s_true
+  FROM rscored WHERE cand = object),
+rranked AS (
+  SELECT s.subject, s.predicate, s.object,
+         CAST(1 + sum(CASE WHEN s.score > t.s_true
+                        OR (s.score = t.s_true AND s.cand < s.object)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS rank
+  FROM rscored s JOIN rst t ON t.subject = s.subject
+    AND t.predicate = s.predicate AND t.object = s.object
+  GROUP BY 1, 2, 3)
+SELECT predicate, CAST(count(*) AS BIGINT) AS n_eval,
+       round(avg(1.0 / rank), 6) AS mrr,
+       round(avg(CASE WHEN rank <= 1 THEN 1.0 ELSE 0.0 END), 6) AS hits1,
+       round(avg(CASE WHEN rank <= 3 THEN 1.0 ELSE 0.0 END), 6) AS hits3,
+       round(avg(CASE WHEN rank <= 10 THEN 1.0 ELSE 0.0 END), 6) AS hits10
+FROM rranked GROUP BY predicate""")
+
     sqls["kg_predicate_cardinality"] = (
         corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + """,
 pe AS (SELECT DISTINCT subject, predicate, object FROM triples),

@@ -674,3 +674,16 @@ def test_cms_vocab_collapse_broadcast_counters(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "ExistingRDD" in plan  # vocabulary checkpoint, computed once
+
+
+def test_ranking_eval_broadcast_vocab_no_unbounded_window(spark, sf_dir):
+    """Ranking eval: the candidate vocabulary joins BROADCAST (ontology
+    dimension); rank is a keyed join + aggregate — no window function
+    anywhere; the scored frame is checkpointed so the shared-neighbor
+    join runs once; no row-at-a-time Python, no cartesian against the
+    corpus (the only nested-loop is the bounded vocab crossJoin)."""
+    plan = _plan(api.q_kg_ranking_eval(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "ExistingRDD" in plan
