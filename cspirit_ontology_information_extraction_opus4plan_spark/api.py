@@ -280,6 +280,15 @@ def q_doc_ngram_containment(spark, sf_dir):
     return ngram_containment_pairs(DE.containment_docs(spark, sf_dir))
 
 
+def q_doc_mojibake(spark, sf_dir):
+    """Mojibake QC over planted decode-encode corruption: exact literal
+    marker counts per doc, pure codegen — the valid-UTF-8 corruption a
+    byte-level guard ships to training."""
+    from .operators.textops import mojibake_stats
+    return mojibake_stats(DE.mojibake_docs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")))
+
+
 def q_doc_cms_probe(spark, sf_dir):
     """Count-Min sketch probed at the exact top-k tokens — the honest-
     sketch family's point-frequency member; md5-nibble buckets make the
@@ -1871,6 +1880,7 @@ def queries() -> dict[str, QueryFn]:
         "kg_modularity": q_kg_modularity,
         "doc_cms_probe": q_doc_cms_probe,
         "kg_ranking_eval": q_kg_ranking_eval,
+        "doc_mojibake": q_doc_mojibake,
     }
 
 

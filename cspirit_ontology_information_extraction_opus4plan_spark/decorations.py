@@ -89,6 +89,24 @@ def semdedup_embeddings(emb: DataFrame) -> DataFrame:
     return base.unionByName(dup)
 
 
+def mojibake_docs(docs: DataFrame) -> DataFrame:
+    """documents with planted encoding corruption: every 13th doc has
+    its 'e' characters re-encoded as the 2-char e-acute mojibake pair,
+    and every 17th doc gains a cp1252 right-quote triple suffix — the
+    valid-UTF-8-but-corrupted text a byte-level guard cannot flag.
+    Rebuilt identically by the oracle (replace/concat of the same
+    marker literals from textops.MOJIBAKE_MARKERS)."""
+    from .operators.textops import MOJIBAKE_MARKERS
+    t = (F.when(F.col("doc_id") % 13 == 0,
+                F.replace(F.col("text"), F.lit("e"),
+                          F.lit(MOJIBAKE_MARKERS[1])))
+         .otherwise(F.col("text")))
+    t = (F.when(F.col("doc_id") % 17 == 0,
+                F.concat(t, F.lit(" " + MOJIBAKE_MARKERS[3])))
+         .otherwise(t))
+    return docs.select("doc_id", t.alias("text"))
+
+
 def homonym_gazetteer(gaz: DataFrame) -> DataFrame:
     """(surface, term_id, rank) match table + planted HOMONYMS: every
     name surface whose local term number is divisible by 5 gains a

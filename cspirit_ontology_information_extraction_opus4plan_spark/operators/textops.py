@@ -1525,3 +1525,46 @@ def cms_probe(docs: DataFrame, d_rows: int = CMS_D, width: int = CMS_W,
                     .alias("overcount"),
                     ((F.col("est") - F.col("cnt")) <= F.lit(bound))
                     .cast("int").alias("within_bound")))
+
+
+# --- mojibake (encoding-corruption) QC ---------------------------------------
+
+# classic UTF-8-bytes-decoded-as-Latin-1 artifacts: the accented-vowel
+# family ('a-acute' -> 'A-tilde + inverted-bang' etc.) and the
+# Windows-1252 punctuation family (right quote -> 'a-circumflex + euro
+# + trademark'); spelled via codepoints so no editor/terminal ever
+# re-corrupts the markers themselves
+MOJIBAKE_MARKERS = [
+    "\u00c3\u00a1",          # mojibake of U+00E1 (a-acute)
+    "\u00c3\u00a9",          # mojibake of U+00E9 (e-acute)
+    "\u00c3\u00bc",          # mojibake of U+00FC (u-umlaut)
+    "\u00e2\u20ac\u2122",   # mojibake of U+2019 (right single quote)
+    "\u00e2\u20ac\u0153",   # mojibake of U+201C (left double quote)
+]
+
+
+def mojibake_stats(docs: DataFrame) -> DataFrame:
+    """Per-document mojibake QC — the curation gate for text that IS
+    valid UTF-8 but was corrupted upstream by a decode-encode round
+    trip (UTF-8 bytes re-read as Latin-1/Windows-1252: a-acute becomes
+    the 2-char 'A-tilde inverted-bang' pair, a right quote becomes a
+    3-char punctuation triple). Complements operators/guards.py, which
+    validates raw BYTES — mojibake is valid UTF-8 by construction, so
+    a byte-level guard alone ships corrupted text to training.
+    Columns: (doc_id, n_chars, n_mojibake, is_corrupt).
+
+    Each marker is counted by exact literal arithmetic —
+    (len(text) - len(replace(text, marker, ''))) / len(marker) —
+    integer-exact and engine-agnostic (no regex dialect in play).
+    Pure per-row codegen expressions; zero joins, zero shuffles added
+    to the scan."""
+    n = None
+    for mk in MOJIBAKE_MARKERS:
+        c = ((F.length("text")
+              - F.length(F.replace(F.col("text"), F.lit(mk), F.lit(""))))
+             / len(mk)).cast("bigint")
+        n = c if n is None else n + c
+    return docs.select(
+        "doc_id", F.length("text").cast("bigint").alias("n_chars"),
+        n.alias("n_mojibake"),
+        (n > 0).cast("int").alias("is_corrupt"))

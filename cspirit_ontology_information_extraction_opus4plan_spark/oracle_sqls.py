@@ -599,6 +599,29 @@ SELECT tok AS token, cnt,
        round(cnt / (SELECT CAST(n AS DOUBLE) FROM tot), 6) AS freq
 FROM cnts WHERE cnt * {TX.HH_K} > (SELECT n FROM tot)"""
 
+    # mojibake QC: planted corruption (decorations.mojibake_docs) +
+    # exact literal marker-count arithmetic per doc
+    _mk = TX.MOJIBAKE_MARKERS
+    moji_n = " + ".join(
+        f"CAST((length(text) - length(replace(text, {_q(mk)}, '')))"
+        f" / {len(mk)} AS BIGINT)" for mk in _mk)
+    sqls["doc_mojibake"] = f"""
+WITH mdoc AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 0 THEN t1 || ' ' || {_q(_mk[3])}
+              ELSE t1 END AS text
+  FROM (
+    SELECT doc_id,
+           CASE WHEN doc_id % 13 = 0
+                THEN replace(text, 'e', {_q(_mk[1])})
+                ELSE text END AS t1
+    FROM documents) i)
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+       ({moji_n}) AS n_mojibake,
+       CAST(CASE WHEN ({moji_n}) > 0 THEN 1 ELSE 0 END AS INT)
+         AS is_corrupt
+FROM mdoc"""
+
     # Count-Min sketch rebuilt in full: md5-nibble bucket per hash row,
     # D x W counter table, est = min over rows — estimates themselves
     # hash-match (textops.cms_probe)
