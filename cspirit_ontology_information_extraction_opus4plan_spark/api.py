@@ -1257,6 +1257,16 @@ def q_embedding_quantize(spark, sf_dir):
     return int8_quantization_stats(load_embeddings(spark, sf_dir))
 
 
+def q_relink_delta(spark, sf_dir):
+    """Release-migration relink delta: per v1-linked (doc, surface),
+    dropped / relinked / stable under the v2 gazetteer — the corpus-
+    side consequence of ontology_release_diff."""
+    from .operators.linking import relink_delta
+    return relink_delta(detect_mentions(spans_exploded(spark, sf_dir)),
+                        terms_df(spark),
+                        DE.release2_terms(terms_df(spark)))
+
+
 def q_entity_disambiguation(spark, sf_dir):
     """Collective coherence disambiguation over planted homonym
     surfaces: the candidate with the most ontology edges to the doc's
@@ -1881,6 +1891,7 @@ def queries() -> dict[str, QueryFn]:
         "doc_cms_probe": q_doc_cms_probe,
         "kg_ranking_eval": q_kg_ranking_eval,
         "doc_mojibake": q_doc_mojibake,
+        "relink_delta": q_relink_delta,
     }
 
 

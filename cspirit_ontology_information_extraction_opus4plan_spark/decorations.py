@@ -89,6 +89,47 @@ def semdedup_embeddings(emb: DataFrame) -> DataFrame:
     return base.unionByName(dup)
 
 
+def release2_terms(terms: DataFrame) -> DataFrame:
+    """terms v2 under the release mutation shared with
+    q_ontology_release_diff: md5(id) bucket '0' removed (MERGED — its
+    name becomes a synonym of a deterministic same-prefix absorber,
+    the way real ontology releases deprecate-and-merge), bucket '1'
+    renamed (name + ' (rev)'), bucket '2' obsolete-flipped; other
+    synonyms untouched. A merged term's name surface therefore
+    RELINKS to the absorber (name rank 3 -> synonym rank 2 candidate)
+    while its synonym-only surfaces drop — the three relink statuses
+    all occur."""
+    h = F.substring(F.md5(F.col("id")), 1, 1)
+    pfx = F.split("id", ":").getItem(0)
+    local = F.split("id", ":").getItem(1).cast("int") % 10000
+    absorber = None
+    for p, (base, n) in (("CHEBI", (10000, 150)), ("GO", (20000, 120)),
+                         ("PO", (30000, 125)), ("TAXON", (40000, 25))):
+        expr = F.concat(F.lit(p + ":"),
+                        (F.lit(base) + (local % n) + 1).cast("string"))
+        absorber = (expr if absorber is None
+                    else F.when(pfx == p, expr).otherwise(absorber))
+    extras = (terms.filter(h == "0")
+              .select(absorber.alias("id"), F.col("name").alias("extra"))
+              .groupBy("id")
+              .agg(F.sort_array(F.collect_list("extra")).alias("extras")))
+    return (terms.filter(h != "0")
+            .join(F.broadcast(extras), "id", "left")
+            .withColumn("synonyms",
+                        F.concat("synonyms",
+                                 F.coalesce("extras",
+                                            F.array().cast(
+                                                "array<string>"))))
+            .drop("extras")
+            .withColumn("name",
+                        F.when(h == "1",
+                               F.concat(F.col("name"), F.lit(" (rev)")))
+                        .otherwise(F.col("name")))
+            .withColumn("is_obsolete",
+                        F.when(h == "2", ~F.col("is_obsolete"))
+                        .otherwise(F.col("is_obsolete"))))
+
+
 def mojibake_docs(docs: DataFrame) -> DataFrame:
     """documents with planted encoding corruption: every 13th doc has
     its 'e' characters re-encoded as the 2-char e-acute mojibake pair,

@@ -134,6 +134,47 @@ def coherent_link_mentions(mentions: DataFrame, gaz: DataFrame,
                     F.col("n_cands").cast("bigint").alias("n_cands")))
 
 
+def relink_delta(mentions: DataFrame, terms_v1: DataFrame,
+                 terms_v2: DataFrame) -> DataFrame:
+    """Ontology release migration probe — which linked (doc, surface)
+    pairs change when the gazetteer is rebuilt from the NEXT ontology
+    release. ontology_release_diff says what changed in the ONTOLOGY;
+    this says what changes in the CORPUS LINKS, which is what an
+    operator actually needs before swapping releases under a live KG.
+    One row per v1-linked (doc_id, surface): status = 'dropped' (no
+    candidate under v2 — the term was removed/obsoleted, or its name
+    surface renamed away with no synonym left), 'relinked' (the argmax
+    winner changed), or 'stable'. Columns: (doc_id, surface, term_v1,
+    term_v2, status).
+
+    Scale shape: winning candidates are per-SURFACE properties, so
+    both winner tables are computed on the gazetteer DIMENSION
+    (groupBy + struct-min over dimension rows) and broadcast back;
+    corpus cost is one distinct on (doc_id, surface) plus two
+    broadcast joins — no corpus shuffle beyond the distinct, no
+    windows."""
+    from .gazetteer import gazetteer_from_terms
+
+    def winners(terms: DataFrame, out: str) -> DataFrame:
+        g = gazetteer_from_terms(terms)
+        return (g.groupBy("surface")
+                .agg(F.min(F.struct((-F.col("rank")).alias("nr"),
+                                    F.col("term_id"))).alias("b"))
+                .select("surface", F.col("b.term_id").alias(out)))
+
+    w1 = winners(terms_v1, "term_v1")
+    w2 = winners(terms_v2, "term_v2")
+    ds = mentions.select("doc_id", "surface").distinct()
+    status = (F.when(F.col("term_v2").isNull(), F.lit("dropped"))
+              .when(F.col("term_v2") != F.col("term_v1"),
+                    F.lit("relinked"))
+              .otherwise(F.lit("stable")))
+    return (ds.join(F.broadcast(w1), "surface")
+            .join(F.broadcast(w2), "surface", "left")
+            .select("doc_id", "surface", "term_v1", "term_v2",
+                    status.alias("status")))
+
+
 COOC_MIN_SUPPORT = 2    # pairs seen in fewer docs are noise
 
 

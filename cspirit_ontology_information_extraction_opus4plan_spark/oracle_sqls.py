@@ -2200,6 +2200,68 @@ FROM (
   FROM dis_scored) x
 WHERE rn = 1"""
 
+    # release-migration relink delta (linking.relink_delta): v2 terms
+    # under the release-diff mutation (bucket '0' removed, '1' renamed,
+    # '2' obsolete-flipped, synonyms untouched); winners per surface
+    # from the derived gazetteers (name rank 3, synonym rank 2)
+    relgaz = """
+  SELECT lower(trim(name)) AS surface, id AS term_id, 3 AS rank
+  FROM {src} WHERE NOT is_obsolete
+  UNION ALL
+  SELECT lower(trim(s)), id, 2 FROM (
+    SELECT id, unnest(string_split(synonyms, ';')) AS s
+    FROM {src} WHERE NOT is_obsolete) u
+  WHERE trim(s) <> ''"""
+    relw = """
+  SELECT surface, term_id FROM (
+    SELECT surface, term_id, row_number() OVER (
+      PARTITION BY surface ORDER BY rank DESC, term_id ASC) AS rn
+    FROM {g}) x WHERE rn = 1"""
+    def _abs_ring(tp: str, base: int, size: int) -> str:
+        return (f"'{tp}:' || CAST({base} + (CAST(split_part(id, ':', 2) "
+                f"AS INT) % 10000) % {size} + 1 AS VARCHAR)")
+
+    sqls["relink_delta"] = corpus_prefix(terms_full_cte()) + f""",
+relabs AS (
+  SELECT CASE split_part(id, ':', 1)
+           WHEN 'CHEBI' THEN {_abs_ring('CHEBI', 10000, 150)}
+           WHEN 'GO' THEN {_abs_ring('GO', 20000, 120)}
+           WHEN 'PO' THEN {_abs_ring('PO', 30000, 125)}
+           WHEN 'TAXON' THEN {_abs_ring('TAXON', 40000, 25)}
+         END AS aid, name
+  FROM terms_f WHERE substring(md5(id), 1, 1) = '0'),
+relex AS (
+  SELECT aid, string_agg(name, ';' ORDER BY name) AS extra
+  FROM relabs GROUP BY 1),
+relv2 AS (
+  SELECT t.id,
+         CASE WHEN substring(md5(t.id), 1, 1) = '1'
+              THEN t.name || ' (rev)' ELSE t.name END AS name,
+         CASE WHEN e.extra IS NULL THEN t.synonyms
+              WHEN t.synonyms = '' THEN e.extra
+              ELSE t.synonyms || ';' || e.extra END AS synonyms,
+         CASE WHEN substring(md5(t.id), 1, 1) = '2'
+              THEN NOT t.is_obsolete ELSE t.is_obsolete END AS is_obsolete
+  FROM terms_f t LEFT JOIN relex e ON e.aid = t.id
+  WHERE substring(md5(t.id), 1, 1) <> '0'),
+relg1 AS ({relgaz.format(src='terms_f')}),
+relg2 AS ({relgaz.format(src='relv2')}),
+relw1 AS ({relw.format(g='relg1')}),
+relw2 AS ({relw.format(g='relg2')}),
+relds AS (
+  SELECT DISTINCT doc_id, surface FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), {_q(pat)}, 1)) AS surface
+    FROM spans WHERE kind IN ('text','figure','table')) m)
+SELECT d.doc_id, d.surface, w1.term_id AS term_v1,
+       w2.term_id AS term_v2,
+       CASE WHEN w2.term_id IS NULL THEN 'dropped'
+            WHEN w2.term_id <> w1.term_id THEN 'relinked'
+            ELSE 'stable' END AS status
+FROM relds d
+JOIN relw1 w1 USING (surface)
+LEFT JOIN relw2 w2 USING (surface)"""
+
     from .operators.linking import DRIFT_SEED
     sqls["entity_drift"] = corpus_prefix(gaz_cte(), link_cte()) + f""",
 lm AS (

@@ -687,3 +687,14 @@ def test_ranking_eval_broadcast_vocab_no_unbounded_window(spark, sf_dir):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "ExistingRDD" in plan
+
+
+def test_relink_delta_dimension_winners_broadcast(spark, sf_dir):
+    """Relink delta: both winner tables are computed on the gazetteer
+    DIMENSION and broadcast back — corpus cost is one distinct plus
+    two broadcast joins; no window over corpus data, no Python."""
+    plan = _plan(api.q_relink_delta(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
