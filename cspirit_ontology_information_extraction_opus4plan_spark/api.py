@@ -280,6 +280,15 @@ def q_doc_ngram_containment(spark, sf_dir):
     return ngram_containment_pairs(DE.containment_docs(spark, sf_dir))
 
 
+def q_doc_abbreviations(spark, sf_dir):
+    """Schwartz-Hearst abbreviation dictionary over planted definition
+    sites: trailing-words acronym validation, map-side rollup — feeds
+    gazetteer expansion with new synonym surfaces."""
+    from .operators.textmeta import abbreviation_pairs
+    return abbreviation_pairs(DE.abbrev_docs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")))
+
+
 def q_doc_mojibake(spark, sf_dir):
     """Mojibake QC over planted decode-encode corruption: exact literal
     marker counts per doc, pure codegen — the valid-UTF-8 corruption a
@@ -1892,6 +1901,7 @@ def queries() -> dict[str, QueryFn]:
         "kg_ranking_eval": q_kg_ranking_eval,
         "doc_mojibake": q_doc_mojibake,
         "relink_delta": q_relink_delta,
+        "doc_abbreviations": q_doc_abbreviations,
     }
 
 

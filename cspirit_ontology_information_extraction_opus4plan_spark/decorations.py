@@ -89,6 +89,33 @@ def semdedup_embeddings(emb: DataFrame) -> DataFrame:
     return base.unionByName(dup)
 
 
+# (long form, SHORT) definition snippets planted for the Schwartz-
+# Hearst extractor; TLX is a deliberate NON-acronym so the validator's
+# reject branch is exercised
+ABBREV_SNIPPETS = [
+    ("alpha linolenic acid", "ALA"),
+    ("reactive oxygen species", "ROS"),
+    ("gene ontology", "GO"),
+    ("principal component analysis", "PCA"),
+    ("total lipid content", "TLX"),
+]
+
+
+def abbrev_docs(docs: DataFrame) -> DataFrame:
+    """documents + planted abbreviation-definition sites: every 9th doc
+    gains one ' long form (SHORT) assay.' sentence, snippet chosen by
+    doc_id % 45 — four valid acronyms and one invalid (TLX), so the
+    extractor's accept and reject branches both run."""
+    sn = None
+    for i, (lf, sf) in enumerate(ABBREV_SNIPPETS):
+        cond = F.col("doc_id") % 45 == i * 9
+        lit = F.lit(f" {lf} ({sf}) assay.")
+        sn = F.when(cond, lit) if sn is None else sn.when(cond, lit)
+    t = (F.when(F.col("doc_id") % 9 == 0, F.concat("text", sn))
+         .otherwise(F.col("text")))
+    return docs.select("doc_id", t.alias("text"))
+
+
 def release2_terms(terms: DataFrame) -> DataFrame:
     """terms v2 under the release mutation shared with
     q_ontology_release_diff: md5(id) bucket '0' removed (MERGED — its

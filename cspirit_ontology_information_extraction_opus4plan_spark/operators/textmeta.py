@@ -194,3 +194,48 @@ def detect_formats(contents: DataFrame) -> DataFrame:
            .when(content.rlike(r"^<[^>]+> <[^>]+> "), "ntriples")
            .otherwise("unknown"))
     return contents.select("doc_id", fmt.alias("fmt"))
+
+
+# --- abbreviation-definition extraction (Schwartz-Hearst) --------------------
+
+# "long form (SHORT)" definition site; long candidate = up to 6
+# preceding lowercase words (the S-H window)
+ABBREV_PAT = r"(?:[a-z]+ ){1,6}\([A-Z]{2,8}\)"
+
+
+def abbreviation_pairs(docs: DataFrame) -> DataFrame:
+    """Schwartz-Hearst-style abbreviation-definition extraction — the
+    biomedical-text primitive (Schwartz & Hearst 2003) the reference's
+    domain lives on: find 'long form (SHORT)' definition sites, take
+    the |SHORT| words preceding the parenthesis as the long-form
+    candidate, and accept the pair iff the candidate's word-initial
+    acronym equals SHORT (the deterministic first-letters variant of
+    the S-H in-order character match). Emits the corpus abbreviation
+    dictionary: (abbr, long_form, n_docs) — the input a gazetteer
+    EXPANSION pass consumes (each accepted pair is a new synonym
+    surface for linking).
+
+    Scale shape: one regexp_extract_all + explode per doc (match count
+    bounded by text length), per-match validation is pure array/string
+    codegen (split, slice, transform, upper — no Python), and the
+    dictionary rollup is a map-side-combinable groupBy on the
+    (abbr, long_form) key. No joins, no windows."""
+    m = (docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all("text", F.lit(ABBREV_PAT),
+                                       F.lit(0))).alias("site")))
+    abbr = F.regexp_extract("site", r"\(([A-Z]+)\)", 1)
+    words = F.split(F.trim(F.split("site", r" \(").getItem(0)), " ")
+    k = F.length(abbr)
+    lastk = F.slice(words, F.size(words) - k + 1, k)
+    acro = F.upper(F.concat_ws(
+        "", F.transform(lastk, lambda w: F.substring(w, 1, 1))))
+    return (m.select("doc_id", abbr.alias("abbr"),
+                     F.array_join(lastk, " ").alias("long_form"),
+                     acro.alias("acro"), k.alias("k"),
+                     F.size(words).alias("nw"))
+            .filter((F.col("nw") >= F.col("k"))
+                    & (F.col("acro") == F.col("abbr")))
+            .groupBy("abbr", "long_form")
+            .agg(F.countDistinct("doc_id").cast("bigint")
+                 .alias("n_docs")))

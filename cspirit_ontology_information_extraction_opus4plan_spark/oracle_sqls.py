@@ -599,6 +599,41 @@ SELECT tok AS token, cnt,
        round(cnt / (SELECT CAST(n AS DOUBLE) FROM tot), 6) AS freq
 FROM cnts WHERE cnt * {TX.HH_K} > (SELECT n FROM tot)"""
 
+    # Schwartz-Hearst abbreviation extraction over planted definition
+    # sites (decorations.abbrev_docs): trailing-|SHORT|-words acronym
+    # validation, (abbr, long_form) dictionary rollup
+    from . import decorations as _DC
+    from .operators import textmeta as _TM
+    snip_case = "CASE doc_id % 45 " + " ".join(
+        f"WHEN {i * 9} THEN {_q(f' {lf} ({sf}) assay.')}"
+        for i, (lf, sf) in enumerate(_DC.ABBREV_SNIPPETS)) + " END"
+    sqls["doc_abbreviations"] = f"""
+WITH abdoc AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 9 = 0 THEN text || {snip_case}
+              ELSE text END AS text
+  FROM documents),
+absites AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '{_TM.ABBREV_PAT}')) AS site
+  FROM abdoc),
+abp AS (
+  SELECT doc_id, regexp_extract(site, '\\(([A-Z]+)\\)', 1) AS abbr,
+         string_split(trim(string_split(site, ' (')[1]), ' ') AS words
+  FROM absites),
+abv AS (
+  SELECT doc_id, abbr,
+         array_to_string(words[len(words) - length(abbr) + 1
+                               : len(words)], ' ') AS long_form,
+         upper(array_to_string(list_transform(
+           words[len(words) - length(abbr) + 1 : len(words)],
+           w -> substring(w, 1, 1)), '')) AS acro,
+         len(words) AS nw, length(abbr) AS k
+  FROM abp)
+SELECT abbr, long_form,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM abv WHERE nw >= k AND acro = abbr GROUP BY 1, 2"""
+
     # mojibake QC: planted corruption (decorations.mojibake_docs) +
     # exact literal marker-count arithmetic per doc
     _mk = TX.MOJIBAKE_MARKERS

@@ -698,3 +698,13 @@ def test_relink_delta_dimension_winners_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_abbreviations_pure_codegen_no_joins(spark, sf_dir):
+    """Abbreviation extraction: regexp + array codegen per row, one
+    map-side-combinable rollup — no joins, no Python stages."""
+    plan = _plan(api.q_doc_abbreviations(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "Join" not in plan
+    assert "partial_count" in plan
