@@ -280,6 +280,14 @@ def q_doc_ngram_containment(spark, sf_dir):
     return ngram_containment_pairs(DE.containment_docs(spark, sf_dir))
 
 
+def q_doc_safety_filter(spark, sf_dir):
+    """Blocklist safety filtering over planted lexicon hits: IN-list
+    token filter, per-doc counts + keep verdict, pure codegen."""
+    from .operators.textops import safety_filter
+    return safety_filter(DE.safety_docs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")))
+
+
 def q_doc_abbreviations(spark, sf_dir):
     """Schwartz-Hearst abbreviation dictionary over planted definition
     sites: trailing-words acronym validation, map-side rollup — feeds
@@ -1391,6 +1399,15 @@ def q_kg_ranking_eval(spark, sf_dir):
                            terms_df(spark))
 
 
+def q_kg_graphml(spark, sf_dir):
+    """GraphML export lines of the undirected entity graph — the
+    graph-tools sink next to N-Triples/Turtle/OWL."""
+    from .operators.graphops import undirected_entity_edges
+    from .operators.sinks import to_graphml_lines
+    return to_graphml_lines(undirected_entity_edges(
+        dedup_triples(triples_df(spark, sf_dir))))
+
+
 def q_kg_modularity(spark, sf_dir):
     """Per-community Newman modularity decomposition of the LPA
     partition (e_c/m - (d_c/2m)^2 from integer aggregates; Q = column
@@ -1902,6 +1919,8 @@ def queries() -> dict[str, QueryFn]:
         "doc_mojibake": q_doc_mojibake,
         "relink_delta": q_relink_delta,
         "doc_abbreviations": q_doc_abbreviations,
+        "kg_graphml": q_kg_graphml,
+        "doc_safety_filter": q_doc_safety_filter,
     }
 
 

@@ -157,6 +157,22 @@ def release2_terms(terms: DataFrame) -> DataFrame:
                         .otherwise(F.col("is_obsolete"))))
 
 
+def safety_docs(docs: DataFrame) -> DataFrame:
+    """documents + planted safety-lexicon hits: every 11th doc gains a
+    ' warning: <word> residue detected.' sentence, word chosen from
+    textops.SAFETY_LEXICON by doc_id % 33 — the blocklist filter's
+    flag branch has real rows to catch."""
+    from .operators.textops import SAFETY_LEXICON
+    w = None
+    for i, word in enumerate(SAFETY_LEXICON):
+        cond = F.col("doc_id") % 33 == i * 11
+        lit = F.lit(f" warning: {word} residue detected.")
+        w = F.when(cond, lit) if w is None else w.when(cond, lit)
+    t = (F.when(F.col("doc_id") % 11 == 0, F.concat("text", w))
+         .otherwise(F.col("text")))
+    return docs.select("doc_id", t.alias("text"))
+
+
 def mojibake_docs(docs: DataFrame) -> DataFrame:
     """documents with planted encoding corruption: every 13th doc has
     its 'e' characters re-encoded as the 2-char e-acute mojibake pair,

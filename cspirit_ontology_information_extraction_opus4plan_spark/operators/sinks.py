@@ -217,3 +217,38 @@ def export_ontology(terms: DataFrame, rels: DataFrame, triples: DataFrame,
             raise ValueError(f"unknown export format: {fmt}")
         paths[fmt] = path
     return paths
+
+
+def to_graphml_lines(edges: DataFrame) -> DataFrame:
+    """GraphML element lines for the undirected entity graph — the
+    export a graph-tools consumer (Gephi/NetworkX/igraph) loads
+    directly; completes the sink family next to N-Triples/Turtle/OWL.
+    One row per element: a <node> line per distinct endpoint and an
+    <edge> line per edge, each tagged (kind, sort_key) so the caller's
+    writer can order nodes-then-edges deterministically without a
+    global sort here. XML-escapes &, <, > in ids (the ontology CURIEs
+    are clean, but the sink must not rely on that).
+
+    Scale shape: node extraction is one distinct over edge endpoints
+    (the only shuffle); line rendering is pure per-row string codegen.
+    Header/footer are constant wrapper lines the writer adds — keeping
+    them out of the DataFrame keeps the sink trivially partitionable."""
+    def esc(c):
+        return F.replace(F.replace(F.replace(c, F.lit("&"), F.lit("&amp;")),
+                                   F.lit("<"), F.lit("&lt;")),
+                         F.lit(">"), F.lit("&gt;"))
+
+    nodes = (edges.select(F.col("src").alias("id"))
+             .unionByName(edges.select(F.col("dst").alias("id")))
+             .distinct()
+             .select(F.lit("node").alias("kind"),
+                     F.col("id").alias("sort_key"),
+                     F.concat(F.lit('    <node id="'), esc(F.col("id")),
+                              F.lit('"/>')).alias("line")))
+    edge_lines = edges.select(
+        F.lit("edge").alias("kind"),
+        F.concat("src", F.lit("|"), "dst").alias("sort_key"),
+        F.concat(F.lit('    <edge source="'), esc(F.col("src")),
+                 F.lit('" target="'), esc(F.col("dst")),
+                 F.lit('"/>')).alias("line"))
+    return nodes.unionByName(edge_lines)

@@ -1568,3 +1568,33 @@ def mojibake_stats(docs: DataFrame) -> DataFrame:
         "doc_id", F.length("text").cast("bigint").alias("n_chars"),
         n.alias("n_mojibake"),
         (n > 0).cast("int").alias("is_corrupt"))
+
+
+# --- lexicon-based safety filtering ------------------------------------------
+
+# synthetic hazard lexicon (never occurs in the clean synthetic corpus;
+# the decoration plants occurrences) — stands in for the word/phrase
+# blocklists real curation pipelines apply after PII and quality
+SAFETY_LEXICON = ["hazardous", "corrosive", "flammable"]
+
+
+def safety_filter(docs: DataFrame) -> DataFrame:
+    """Lexicon-based safety filtering — the blocklist stage of a
+    training-data curation funnel, distinct from PII (pattern-shaped
+    identifiers) and quality (statistical): token-exact matches
+    against a closed lexicon, per-doc counts and a keep verdict.
+    Columns: (doc_id, n_tokens, n_flagged, flagged_frac, keep).
+
+    Scale shape: the lexicon compiles to an IN-list inside one JVM
+    higher-order filter over the shared tokenizer array — per-row
+    codegen, zero joins, zero extra shuffles (a million-entry lexicon
+    would become a broadcast token semi-join instead; this closed set
+    is triple_semantics' IN-list regime)."""
+    toks = tokens_col()
+    flagged = F.size(F.filter(toks, lambda t: t.isin(*SAFETY_LEXICON)))
+    n = F.size(toks)
+    return docs.select(
+        "doc_id", n.cast("bigint").alias("n_tokens"),
+        flagged.cast("bigint").alias("n_flagged"),
+        F.round(F.try_divide(flagged, n), 6).alias("flagged_frac"),
+        (flagged == 0).cast("int").alias("keep"))

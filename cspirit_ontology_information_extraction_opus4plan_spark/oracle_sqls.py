@@ -599,6 +599,29 @@ SELECT tok AS token, cnt,
        round(cnt / (SELECT CAST(n AS DOUBLE) FROM tot), 6) AS freq
 FROM cnts WHERE cnt * {TX.HH_K} > (SELECT n FROM tot)"""
 
+    # lexicon safety filter over planted hits (decorations.safety_docs)
+    sl_case = "CASE doc_id % 33 " + " ".join(
+        f"WHEN {i * 11} THEN {_q(f' warning: {w} residue detected.')}"
+        for i, w in enumerate(TX.SAFETY_LEXICON)) + " END"
+    sl_list = ", ".join(_q(w) for w in TX.SAFETY_LEXICON)
+    sqls["doc_safety_filter"] = f"""
+WITH sdoc AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN text || {sl_case}
+              ELSE text END AS text
+  FROM documents),
+{tok_cte('sdoc')}
+SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(toks, t -> list_contains([{sl_list}], t)))
+            AS BIGINT) AS n_flagged,
+       round(CAST(len(list_filter(toks,
+                t -> list_contains([{sl_list}], t))) AS DOUBLE)
+             / len(toks), 6) AS flagged_frac,
+       CAST(CASE WHEN len(list_filter(toks,
+              t -> list_contains([{sl_list}], t))) = 0
+            THEN 1 ELSE 0 END AS INT) AS keep
+FROM tok"""
+
     # Schwartz-Hearst abbreviation extraction over planted definition
     # sites (decorations.abbrev_docs): trailing-|SHORT|-words acronym
     # validation, (abbr, long_form) dictionary rollup
@@ -3772,6 +3795,25 @@ SELECT s.community, s.n_nodes,
              * (CAST(s.degree_sum AS DOUBLE) / (2 * mm.m)), 6)
          AS contribution
 FROM mdsum s LEFT JOIN mint i USING (community), mm""")
+
+    # GraphML export lines (sinks.to_graphml_lines): nodes = distinct
+    # endpoints, edges = the undirected edge list, XML-escaped ids
+    def _xesc(c: str) -> str:
+        return (f"replace(replace(replace({c}, '&', '&amp;'), "
+                f"'<', '&lt;'), '>', '&gt;')")
+
+    sqls["kg_graphml"] = (
+        corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + und_ctes
+        + f""",
+gnodes AS (SELECT DISTINCT src AS id FROM sym)
+SELECT 'node' AS kind, id AS sort_key,
+       '    <node id="' || {_xesc('id')} || '"/>' AS line
+FROM gnodes
+UNION ALL
+SELECT 'edge' AS kind, src || '|' || dst AS sort_key,
+       '    <edge source="' || {_xesc('src')} || '" target="'
+       || {_xesc('dst')} || '"/>' AS line
+FROM und""")
 
     # --- structural-equivalence neighbor Jaccard: inverted index on the
     # shared neighbor, df-capped mids (graphops.neighbor_jaccard).
