@@ -63,6 +63,10 @@ HEADLINE = [
     "ann_ivfpq_topk",     # IVF-PQ code-scan ADC ANN (if present)
     "doc_ngram_containment",  # asymmetric quote/aggregator dedup (if present)
     "doc_heavy_hitters",  # Space-Saving candidates + exact verify (if present)
+    "doc_semdedup",       # k-means-confined semantic dedup (if present)
+    "media_phash_neardup",  # perceptual-hash banded media near-dup (if present)
+    "entity_disambiguation",  # coherence homonym resolution (if present)
+    "doc_dup_spans",      # ExactSubstr span excision stats (if present)
 ]
 
 
