@@ -236,13 +236,15 @@ def shacl_triples(dedup: DataFrame) -> DataFrame:
 
 
 def phash_media(media: DataFrame) -> DataFrame:
-    """media_with_content + planted perceptual NEAR-twins: every 5th
-    position's payload re-encoded with its LAST nibble bumped +1 mod 16
-    (ref#p, pos+1000) — one changed 'pixel' plus at most a few
-    mean-threshold bit flips, far inside the hamming verify radius,
-    while unrelated payloads sit near 16/32 bits apart. Rebuilt
-    identically by the oracle from md5(media_ref) hex text."""
-    twin = (media.filter(F.col("pos") % 5 == 0)
+    """media_with_content + planted perceptual NEAR-twins: payloads
+    whose md5(media_ref) leads with nibble '0' (~1/16 of media rows —
+    a POSITION-independent plant: the corpus emits media only at
+    pos % 5 in {2, 3}) are re-encoded with the LAST nibble bumped
+    +1 mod 16 (ref#p, pos+1000) — one changed 'pixel' plus at most a
+    few mean-threshold bit flips, far inside the hamming verify
+    radius, while unrelated payloads sit near 16/32 bits apart.
+    Rebuilt identically by the oracle from md5(media_ref) hex text."""
+    twin = (media.filter(F.substring(F.md5("media_ref"), 1, 1) == "0")
             .select("doc_id",
                     (F.col("pos") + 1000).cast("int").alias("pos"),
                     "kind",

@@ -2894,7 +2894,7 @@ allm AS (
   SELECT media_ref || '#p',
          substring(h, 1, 31) || substr('0123456789abcdef',
            (strpos('0123456789abcdef', substring(h, 32, 1)) % 16) + 1, 1)
-  FROM med WHERE pos % 5 = 0),
+  FROM med WHERE substring(h, 1, 1) = '0'),
 ph AS MATERIALIZED (
   SELECT media_ref, ({phash_expr}) AS phash FROM allm)
 SELECT DISTINCT a.media_ref AS a, b.media_ref AS b,
