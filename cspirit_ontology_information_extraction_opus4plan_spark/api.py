@@ -280,6 +280,18 @@ def q_doc_ngram_containment(spark, sf_dir):
     return ngram_containment_pairs(DE.containment_docs(spark, sf_dir))
 
 
+def q_gazetteer_expansion(spark, sf_dir):
+    """Corpus-driven gazetteer growth: Schwartz-Hearst pairs whose long
+    form is a known surface donate the short form as a new synonym
+    surface for the winning term."""
+    from .operators.gazetteer import gazetteer_expansion
+    from .operators.textmeta import abbreviation_pairs
+    return gazetteer_expansion(
+        abbreviation_pairs(DE.abbrev_docs(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"))),
+        gazetteer_df(spark))
+
+
 def q_doc_safety_filter(spark, sf_dir):
     """Blocklist safety filtering over planted lexicon hits: IN-list
     token filter, per-doc counts + keep verdict, pure codegen."""
@@ -1921,6 +1933,7 @@ def queries() -> dict[str, QueryFn]:
         "doc_abbreviations": q_doc_abbreviations,
         "kg_graphml": q_kg_graphml,
         "doc_safety_filter": q_doc_safety_filter,
+        "gazetteer_expansion": q_gazetteer_expansion,
     }
 
 

@@ -91,24 +91,30 @@ def semdedup_embeddings(emb: DataFrame) -> DataFrame:
 
 # (long form, SHORT) definition snippets planted for the Schwartz-
 # Hearst extractor; TLX is a deliberate NON-acronym so the validator's
-# reject branch is exercised
+# reject branch is exercised, and the last two long forms are REAL
+# gazetteer synonym surfaces ('grape sugar' / 'hexose sugar') so the
+# gazetteer-expansion pass has pairs it can actually absorb
 ABBREV_SNIPPETS = [
     ("alpha linolenic acid", "ALA"),
     ("reactive oxygen species", "ROS"),
     ("gene ontology", "GO"),
     ("principal component analysis", "PCA"),
     ("total lipid content", "TLX"),
+    ("grape sugar", "GS"),
+    ("hexose sugar", "HS"),
 ]
 
 
 def abbrev_docs(docs: DataFrame) -> DataFrame:
     """documents + planted abbreviation-definition sites: every 9th doc
     gains one ' long form (SHORT) assay.' sentence, snippet chosen by
-    doc_id % 45 — four valid acronyms and one invalid (TLX), so the
-    extractor's accept and reject branches both run."""
+    doc_id % (9 * len(snippets)) — valid acronyms, one invalid (TLX),
+    and two gazetteer-surface long forms, so the extractor's accept and
+    reject branches AND the expansion pass all have rows."""
+    mod = 9 * len(ABBREV_SNIPPETS)
     sn = None
     for i, (lf, sf) in enumerate(ABBREV_SNIPPETS):
-        cond = F.col("doc_id") % 45 == i * 9
+        cond = F.col("doc_id") % mod == i * 9
         lit = F.lit(f" {lf} ({sf}) assay.")
         sn = F.when(cond, lit) if sn is None else sn.when(cond, lit)
     t = (F.when(F.col("doc_id") % 9 == 0, F.concat("text", sn))

@@ -135,3 +135,32 @@ def gazetteer_coverage(terms: DataFrame, linked: DataFrame) -> DataFrame:
                     F.round(F.col("n_used")
                             / F.col("n_terms").cast("double"), 6)
                     .alias("coverage")))
+
+
+def gazetteer_expansion(abbrevs: DataFrame, gaz: DataFrame) -> DataFrame:
+    """Grow the linking vocabulary from the corpus itself: an accepted
+    (abbr, long_form) definition pair whose long form IS an existing
+    gazetteer surface donates lower(abbr) as a NEW synonym surface for
+    that long form's winning term (argmax rank, min term_id — the
+    shared disambiguation rule); surfaces the gazetteer already knows
+    are dropped. This is the loop the reference's static gazetteer
+    cannot close — papers define their own abbreviations, and the next
+    linking pass should match them. Output: (surface, term_id,
+    long_form, n_docs).
+
+    Scale shape: the abbreviation dictionary is a rollup (vocabulary-
+    sized), the gazetteer a dimension — winner election, the surface
+    join, and the known-surface anti-join are all broadcast; nothing
+    corpus-sized shuffles here beyond what abbreviation_pairs already
+    paid."""
+    w = (gaz.groupBy("surface")
+         .agg(F.min(F.struct((-F.col("rank")).alias("nr"),
+                             F.col("term_id"))).alias("b"))
+         .select("surface", F.col("b.term_id").alias("term_id")))
+    cand = (abbrevs
+            .join(F.broadcast(w),
+                  abbrevs["long_form"] == w["surface"])
+            .select(F.lower("abbr").alias("surface"), "term_id",
+                    "long_form", "n_docs"))
+    return cand.join(F.broadcast(gaz.select("surface").distinct()),
+                     "surface", "left_anti")

@@ -627,11 +627,11 @@ FROM tok"""
     # validation, (abbr, long_form) dictionary rollup
     from . import decorations as _DC
     from .operators import textmeta as _TM
-    snip_case = "CASE doc_id % 45 " + " ".join(
+    _ab_mod = 9 * len(_DC.ABBREV_SNIPPETS)
+    snip_case = f"CASE doc_id % {_ab_mod} " + " ".join(
         f"WHEN {i * 9} THEN {_q(f' {lf} ({sf}) assay.')}"
         for i, (lf, sf) in enumerate(_DC.ABBREV_SNIPPETS)) + " END"
-    sqls["doc_abbreviations"] = f"""
-WITH abdoc AS (
+    ab_chain = f"""abdoc AS (
   SELECT doc_id,
          CASE WHEN doc_id % 9 = 0 THEN text || {snip_case}
               ELSE text END AS text
@@ -652,10 +652,26 @@ abv AS (
            words[len(words) - length(abbr) + 1 : len(words)],
            w -> substring(w, 1, 1)), '')) AS acro,
          len(words) AS nw, length(abbr) AS k
-  FROM abp)
-SELECT abbr, long_form,
-       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
-FROM abv WHERE nw >= k AND acro = abbr GROUP BY 1, 2"""
+  FROM abp),
+abd AS (
+  SELECT abbr, long_form,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM abv WHERE nw >= k AND acro = abbr GROUP BY 1, 2)"""
+    sqls["doc_abbreviations"] = (f"WITH {ab_chain}\n"
+                                 "SELECT abbr, long_form, n_docs FROM abd")
+
+    # gazetteer expansion from the abbreviation dictionary
+    # (gazetteer.gazetteer_expansion): pairs whose long form is a known
+    # surface donate lower(abbr) as a new surface for the winning term
+    sqls["gazetteer_expansion"] = f"WITH {gaz_cte()},\n{ab_chain}" + """,
+gw AS (
+  SELECT surface, term_id FROM (
+    SELECT surface, term_id, row_number() OVER (
+      PARTITION BY surface ORDER BY rank DESC, term_id ASC) AS rn
+    FROM gaz) x WHERE rn = 1)
+SELECT lower(a.abbr) AS surface, w.term_id, a.long_form, a.n_docs
+FROM abd a JOIN gw w ON w.surface = a.long_form
+WHERE lower(a.abbr) NOT IN (SELECT surface FROM gaz)"""
 
     # mojibake QC: planted corruption (decorations.mojibake_docs) +
     # exact literal marker-count arithmetic per doc
