@@ -1128,6 +1128,14 @@ def q_event_approx_quantiles(spark, sf_dir):
     return approx_quantiles(load_events(spark, sf_dir))
 
 
+def q_event_funnel(spark, sf_dir):
+    """Ordered view->click->purchase funnel: min-chained per-user stage
+    entry times, per-step user counts + conversion ratios."""
+    from .operators.content_stats import load_events
+    from .operators.olap import funnel_steps
+    return funnel_steps(load_events(spark, sf_dir))
+
+
 def q_event_retention(spark, sf_dir):
     """Weekly cohort retention rollup over events: first-event cohort
     week x weeks-since activity with cohort-normalized rates."""
@@ -1226,6 +1234,13 @@ def q_kg_triangles(spark, sf_dir):
     from .operators.graphops import triangle_stats, undirected_entity_edges
     return triangle_stats(undirected_entity_edges(
         dedup_triples(triples_df(spark, sf_dir))))
+
+
+def q_kg_ffl_motifs(spark, sf_dir):
+    """Labeled feed-forward-loop census over the deduped triple store
+    (wedge join on the shared midpoint, closed on (a, c))."""
+    from .operators.graphops import ffl_motifs
+    return ffl_motifs(dedup_triples(triples_df(spark, sf_dir)))
 
 
 def q_kg_two_hop(spark, sf_dir):
@@ -1849,6 +1864,7 @@ def queries() -> dict[str, QueryFn]:
         "event_outliers_zscore": q_event_outliers_zscore,
         "event_approx_distinct": q_event_approx_distinct,
         "event_approx_quantiles": q_event_approx_quantiles,
+        "event_funnel": q_event_funnel,
         "event_retention": q_event_retention,
         "jsonld_namespaces": q_jsonld_namespaces,
         "csv_infer": q_csv_infer,
@@ -1868,6 +1884,7 @@ def queries() -> dict[str, QueryFn]:
         "doc_extraction_yield": q_doc_extraction_yield,
         "lang_confusion": q_lang_confusion,
         "kg_triangles": q_kg_triangles,
+        "kg_ffl_motifs": q_kg_ffl_motifs,
         "kg_two_hop": q_kg_two_hop,
         "event_rollup": q_event_rollup,
         "kg_predicate_paths": q_kg_predicate_paths,

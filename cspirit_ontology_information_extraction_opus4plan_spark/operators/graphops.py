@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["undirected_entity_edges", "triangle_stats",
+__all__ = ["undirected_entity_edges", "triangle_stats", "ffl_motifs",
            "two_hop_counts", "pagerank_fixed", "predicate_path_stats",
            "degree_histogram", "kcore_peel", "label_propagation",
            "neighbor_jaccard", "adamic_adar_links",
@@ -128,6 +128,44 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
                                2.0 * F.coalesce("n_triangles", F.lit(0))
                                / (F.col("deg") * (F.col("deg") - 1)))
                         .otherwise(F.lit(0.0)), 6).alias("clustering")))
+
+
+def ffl_motifs(triples: DataFrame) -> DataFrame:
+    """Deduped triple store -> labeled feed-forward-loop census:
+    (p_ab, p_bc, p_ac, n_motifs) counting directed triads
+    a -p_ab-> b, b -p_bc-> c, a -p_ac-> c per predicate combination.
+    The FFL is the characteristic motif of regulatory networks (the
+    reference's regulates/upregulates/downregulates vocabulary,
+    models.py:1002-1026); its census is the standard structural QC on
+    an extracted interaction graph — asserted shortcut edges (a
+    directly relates to c AND via b) are either redundancy to prune or
+    the enrichment signal a curator reviews.
+
+    Distinct uri-only labeled edges, self-loops dropped per-edge,
+    a <> c enforced on the closing join (a <> b, b <> c hold per-edge).
+    Shape: wedge equi-join on the shared midpoint b, closed by an
+    equi-join on (a, c) — the GraphFrames 'a-e1->b; b-e2->c; a-e3->c'
+    motif plan. The wedge at a hub midpoint is in-deg x out-deg; AQE
+    skew-join splits those partitions (no salting needed because the
+    join is a plain equi-join, not an aggregate), and the closing join
+    prunes to asserted shortcuts before the only aggregate. The edge
+    frame is read three times — eager localCheckpoint materializes the
+    upstream extraction pipeline once."""
+    e = (triples
+         .filter((F.col("subject_type") == "uri")
+                 & (F.col("object_type") == "uri")
+                 & (F.col("subject") != F.col("object")))
+         .select("subject", "predicate", "object")
+         .distinct()
+         .localCheckpoint(eager=True))
+    ab = e.toDF("a", "p_ab", "b")
+    bc = e.toDF("b", "p_bc", "c")
+    ac = e.toDF("a", "p_ac", "c")
+    return (ab.join(bc, "b")
+            .filter(F.col("a") != F.col("c"))
+            .join(ac, ["a", "c"])
+            .groupBy("p_ab", "p_bc", "p_ac")
+            .agg(F.count("*").alias("n_motifs")))
 
 
 def two_hop_counts(edges: DataFrame) -> DataFrame:

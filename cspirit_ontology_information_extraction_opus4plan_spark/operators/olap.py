@@ -60,6 +60,56 @@ def interval_join(left: DataFrame, right: DataFrame,
 
 ALL_LABEL = "(all)"  # rollup subtotal marker, shared with the oracle
 
+# ordered-funnel demo steps, shared with the oracle
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_steps(events: DataFrame,
+                 steps: Sequence[str] = FUNNEL_STEPS) -> DataFrame:
+    """Ordered-funnel conversion over events: step i counts users whose
+    earliest qualifying step-i event falls strictly AFTER their step-
+    (i-1) entry time (min-chaining — the standard ordered funnel,
+    immune to repeats and out-of-order arrivals because only the
+    earliest qualifying time per user advances a stage).
+
+    Output: (step_idx, step, n_users, conv_from_prev, conv_from_first),
+    one row per step.
+
+    Shape: one filtered min-groupBy per step (map-side combinable) and
+    a user-keyed equi-join per stage transition; stage frames only
+    shrink down the funnel. The per-step counts are one-row aggregates
+    unioned into a k-row frame, so the ranking window that derives the
+    conversion ratios runs over k rows, never over users. Each step's
+    count re-evaluates its (short) upstream stage chain — O(k^2) tiny
+    aggregates for k steps, irrelevant beside the k corpus scans."""
+    from pyspark.sql import Window
+
+    counts = None
+    stage = None
+    for i, s in enumerate(steps):
+        ev = events.filter(F.col("event_type") == s)
+        if stage is None:
+            stage = ev.groupBy("user_id").agg(F.min("ts").alias("t"))
+        else:
+            prev = stage.select("user_id", F.col("t").alias("t_prev"))
+            stage = (ev.join(prev, "user_id")
+                     .filter(F.col("ts") > F.col("t_prev"))
+                     .groupBy("user_id").agg(F.min("ts").alias("t")))
+        row = (stage.agg(F.count("*").cast("bigint").alias("n_users"))
+               .select(F.lit(i + 1).alias("step_idx"),
+                       F.lit(s).alias("step"), "n_users"))
+        counts = row if counts is None else counts.unionByName(row)
+    w = Window.orderBy("step_idx")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (counts
+            .withColumn("conv_from_prev", F.round(
+                F.col("n_users") / F.coalesce(
+                    F.lag("n_users").over(w), F.col("n_users"))
+                .cast("double"), 6))
+            .withColumn("conv_from_first", F.round(
+                F.col("n_users")
+                / F.first("n_users").over(wf).cast("double"), 6)))
+
 
 def rollup_totals(events: DataFrame, day_col: Column,
                   levels: Sequence[str] = ("event_type",)) -> DataFrame:

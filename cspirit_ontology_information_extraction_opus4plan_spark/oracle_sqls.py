@@ -2959,6 +2959,31 @@ SELECT event_type,
        TRUE AS approx_ok
 FROM events GROUP BY 1""".strip()
 
+    from .operators.olap import FUNNEL_STEPS
+    _f1, _f2, _f3 = FUNNEL_STEPS
+    sqls["event_funnel"] = f"""
+WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = '{_f1}' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.ts) AS t
+       FROM events e JOIN s1 ON s1.user_id = e.user_id
+       WHERE e.event_type = '{_f2}' AND e.ts > s1.t GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.ts) AS t
+       FROM events e JOIN s2 ON s2.user_id = e.user_id
+       WHERE e.event_type = '{_f3}' AND e.ts > s2.t GROUP BY 1),
+counts AS (
+  SELECT 1 AS step_idx, '{_f1}' AS step,
+         CAST(count(*) AS BIGINT) AS n_users FROM s1
+  UNION ALL SELECT 2, '{_f2}', CAST(count(*) AS BIGINT) FROM s2
+  UNION ALL SELECT 3, '{_f3}', CAST(count(*) AS BIGINT) FROM s3)
+SELECT CAST(step_idx AS INT) AS step_idx, step, n_users,
+       round(CAST(n_users AS DOUBLE)
+             / coalesce(lag(n_users) OVER (ORDER BY step_idx),
+                        n_users), 6) AS conv_from_prev,
+       round(CAST(n_users AS DOUBLE)
+             / first_value(n_users) OVER (ORDER BY step_idx),
+             6) AS conv_from_first
+FROM counts""".strip()
+
     sqls["event_retention"] = """
 WITH firsts AS (
   SELECT user_id, date_trunc('week', min(ts)) AS cw
@@ -3330,6 +3355,19 @@ SELECT d.node, d.degree,
                        / (d.degree * (d.degree - 1))
                   ELSE 0.0 END, 6) AS clustering
 FROM deg d LEFT JOIN pn USING (node)""")
+
+    sqls["kg_ffl_motifs"] = (
+        corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + """,
+e AS (SELECT DISTINCT subject AS s, predicate AS p, object AS o
+      FROM triples
+      WHERE subject_type = 'uri' AND object_type = 'uri'
+        AND subject <> object)
+SELECT ab.p AS p_ab, bc.p AS p_bc, ac.p AS p_ac,
+       CAST(count(*) AS BIGINT) AS n_motifs
+FROM e ab
+JOIN e bc ON bc.s = ab.o
+JOIN e ac ON ac.s = ab.s AND ac.o = bc.o AND ac.o <> ab.s
+GROUP BY 1, 2, 3""")
 
     sqls["kg_two_hop"] = (
         corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + und_ctes + """,
