@@ -251,6 +251,15 @@ def q_doc_vocabulary(spark, sf_dir):
     return corpus_vocabulary(_docs(spark, sf_dir))
 
 
+def q_doc_ctfidf_topics(spark, sf_dir):
+    """Class-based TF-IDF (BERTopic c-TF-IDF) topic terms per source
+    domain — the topic-labeling step after document clustering."""
+    from .operators.textops import ctfidf_topics
+    return ctfidf_topics(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("source", "text"))
+
+
 def q_doc_quality(spark, sf_dir):
     from .operators.textops import quality_scores
     return quality_scores(_docs(spark, sf_dir))
@@ -1865,6 +1874,7 @@ def queries() -> dict[str, QueryFn]:
         "event_approx_distinct": q_event_approx_distinct,
         "event_approx_quantiles": q_event_approx_quantiles,
         "event_funnel": q_event_funnel,
+        "doc_ctfidf_topics": q_doc_ctfidf_topics,
         "event_retention": q_event_retention,
         "jsonld_namespaces": q_jsonld_namespaces,
         "csv_infer": q_csv_infer,

@@ -1114,6 +1114,48 @@ def corpus_vocabulary(docs: DataFrame, top_n: int = VOCAB_TOP_N) -> DataFrame:
                         / F.col("total_tf"), 6).alias("cum_frac")))
 
 
+CTFIDF_TOP_N = 5
+
+
+def ctfidf_topics(docs: DataFrame, class_col: str = "source",
+                  top_n: int = CTFIDF_TOP_N) -> DataFrame:
+    """(class_col, text) -> the top_n class-characteristic terms per
+    class by c-TF-IDF (Grootendorst's BERTopic class-based TF-IDF):
+    score(t, c) = tf_{t,c} * ln(1 + A / f_t) with A = average tokens
+    per class and f_t = corpus-wide frequency of t — the topic-labeling
+    step after any document clustering (here the `source` domain stands
+    in for the cluster id; swap in a kmeans assignment column and the
+    plan is unchanged).
+
+    Scale shape: one tokenize+explode pass; per-class tf and corpus
+    f_t are map-side-combinable counts off the same frame; A is a
+    scalar one-row aggregate (broadcast cross join, no collect); the
+    ranking window partitions by class over the per-class VOCABULARY
+    (bounded by distinct terms, not corpus size — a Zipf vocabulary
+    grows sublinearly in tokens). Scores round to 6 BEFORE ranking so
+    cross-engine float noise cannot flip the (score desc, term asc)
+    order."""
+    from pyspark.sql import Window
+
+    tok = docs.select(F.col(class_col).alias("cls"),
+                      F.explode(tokens_col("text")).alias("t"))
+    tfc = tok.groupBy("cls", "t").agg(
+        F.count("*").cast("bigint").alias("tf"))
+    ft = tfc.groupBy("t").agg(F.sum("tf").cast("bigint").alias("f_t"))
+    a = tfc.agg((F.sum("tf").cast("double")
+                 / F.countDistinct("cls")).alias("act"))
+    scored = (tfc.join(ft, "t").crossJoin(F.broadcast(a))
+              .withColumn("score", F.round(
+                  F.col("tf") * F.log(F.lit(1.0)
+                                      + F.col("act") / F.col("f_t")), 6)))
+    w = Window.partitionBy("cls").orderBy(F.desc("score"), F.asc("t"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_n)
+            .select(F.col("cls").alias(class_col),
+                    F.col("t").alias("term"), "tf", "score",
+                    F.col("rank").cast("int").alias("rank")))
+
+
 BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_QUERY = ("hash", "join", "vector")

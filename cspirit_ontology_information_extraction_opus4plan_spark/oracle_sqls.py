@@ -531,6 +531,28 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
 FROM tok2 JOIN counts USING (t), total
 GROUP BY doc_id"""
 
+    from .operators.textops import CTFIDF_TOP_N
+    sqls["doc_ctfidf_topics"] = f"""
+WITH tokc AS (
+  SELECT source AS cls,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     t -> t <> '') AS toks
+  FROM documents),
+tok2 AS (SELECT cls, unnest(toks) AS t FROM tokc),
+tfc AS (SELECT cls, t, CAST(count(*) AS BIGINT) AS tf
+        FROM tok2 GROUP BY 1, 2),
+ft AS (SELECT t, CAST(sum(tf) AS BIGINT) AS f_t FROM tfc GROUP BY 1),
+a AS (SELECT CAST(sum(tf) AS DOUBLE) / count(DISTINCT cls) AS act
+      FROM tfc),
+scored AS (
+  SELECT cls, t, tf, round(tf * ln(1.0 + a.act / f_t), 6) AS score
+  FROM tfc JOIN ft USING (t), a)
+SELECT cls AS source, t AS term, tf, score, CAST(rank AS INT) AS rank
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY cls ORDER BY score DESC, t ASC) AS rank
+      FROM scored) r
+WHERE rank <= {CTFIDF_TOP_N}""".strip()
+
     from .operators.textops import VOCAB_TOP_N
     sqls["doc_vocabulary"] = f"WITH {tok_cte('documents')}" + f""",
 tok2 AS (SELECT doc_id, unnest(toks) AS token FROM tok),
