@@ -251,6 +251,13 @@ def q_doc_vocabulary(spark, sf_dir):
     return corpus_vocabulary(_docs(spark, sf_dir))
 
 
+def q_doc_winnowing(spark, sf_dir):
+    """MOSS winnowing near-dup pairs over the planted-duplicate corpus:
+    per-window min-hash fingerprints, df-capped inverted-index join."""
+    from .operators.textops import winnowing_pairs
+    return winnowing_pairs(DE.augmented_docs(spark, sf_dir))
+
+
 def q_doc_ctfidf_topics(spark, sf_dir):
     """Class-based TF-IDF (BERTopic c-TF-IDF) topic terms per source
     domain — the topic-labeling step after document clustering."""
@@ -1875,6 +1882,7 @@ def queries() -> dict[str, QueryFn]:
         "event_approx_quantiles": q_event_approx_quantiles,
         "event_funnel": q_event_funnel,
         "doc_ctfidf_topics": q_doc_ctfidf_topics,
+        "doc_winnowing": q_doc_winnowing,
         "event_retention": q_event_retention,
         "jsonld_namespaces": q_jsonld_namespaces,
         "csv_infer": q_csv_infer,

@@ -655,6 +655,65 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         F.array_min(F.transform(sh, F.md5)).alias("fingerprint"))
 
 
+WINNOW_K = 3          # tokens per k-gram
+WINNOW_W = 4          # winnowing window (k-grams per window)
+WINNOW_MIN_SHARED = 2
+WINNOW_DF_CAP = 50    # drop fingerprints held by more docs (boilerplate)
+
+
+def winnowing_pairs(docs: DataFrame, k: int = WINNOW_K,
+                    w: int = WINNOW_W,
+                    min_shared: int = WINNOW_MIN_SHARED,
+                    df_cap: int = WINNOW_DF_CAP) -> DataFrame:
+    """(doc_id, text) -> (a, b, n_shared): doc pairs sharing >=
+    min_shared winnowing fingerprints (Schleimer/Wilkerson/Aiken
+    SIGMOD'03, the MOSS selection rule): hash every k-token gram,
+    slide a w-gram window, keep each window's MINIMUM hash (rightmost
+    position on ties). Any shared token run of length >= w + k - 1 is
+    guaranteed a shared fingerprint and expected density is 2/(w+1) —
+    the position-robust sampler that fixed-stride or min-of-whole-doc
+    signatures (`fingerprints` above) are not.
+
+    Scale shape: one shingle pass (the O(n) zip construction), w-way
+    window fan-out on constant-width integer rows, then a map-side-
+    combinable struct-min per (doc, window) — no per-doc windows, no
+    sort. Pair generation is the inverted-index equi-join on the
+    fingerprint hash with a document-frequency cap (df_cap) that drops
+    boilerplate fingerprints before the join, the same PPJoin-style
+    prune as ngram_jaccard — a hash held by B docs would emit B^2/2
+    rows; capped, the worst fan-out is df_cap^2 per hash. Dropped
+    hashes only lower n_shared for boilerplate overlap (documented
+    recall trade, not a correctness hole)."""
+    sh = docs.select("doc_id",
+                     _shingles(tokens_col("text"), k).alias("sh"))
+    g = sh.select("doc_id", F.size("sh").alias("ng"),
+                  F.posexplode("sh").alias("pos", "gram"))
+    h = g.select(
+        "doc_id", "ng", "pos",
+        F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10)
+        .cast("bigint").alias("h"))
+    # gram at pos covers window starts s in
+    # [max(pos-w+1, 0), min(pos, max(ng-w, 0))]; lo <= hi always
+    # (pos <= ng-1), so the sequence never reverses direction
+    wins = h.select("doc_id", "pos", "h", F.explode(F.sequence(
+        F.greatest(F.col("pos") - (w - 1), F.lit(0)),
+        F.least(F.col("pos"), F.greatest(F.col("ng") - w, F.lit(0)))
+    )).alias("s"))
+    sel = (wins.groupBy("doc_id", "s")
+           .agg(F.min(F.struct(F.col("h"),
+                               (-F.col("pos")).alias("np"))).alias("m"))
+           .select("doc_id", F.col("m.h").alias("h")))
+    fps = sel.distinct()
+    hot = (fps.groupBy("h").agg(F.count("*").alias("df"))
+           .filter(F.col("df") > df_cap))
+    kept = fps.join(hot, "h", "left_anti").select("h", "doc_id")
+    return (kept.toDF("h", "a").join(kept.toDF("h", "b"), "h")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count("*").cast("bigint").alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared))
+
+
 # --- sequence packing (token-budget context windows) -----------------------
 
 PACK_BUDGET = 512       # tokens per pack (context window)

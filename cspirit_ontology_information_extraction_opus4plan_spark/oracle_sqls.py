@@ -376,6 +376,37 @@ SELECT a, b, round(cont_ab, 6) AS cont_ab, round(cont_ba, 6) AS cont_ba,
             ELSE 'b_in_a' END AS direction
 FROM v WHERE greatest(cont_ab, cont_ba) >= {th}""")
 
+    # doc_winnowing: MOSS winnowing fingerprints — per-window min-hash
+    # selection (rightmost on ties, mirrored by ORDER BY h ASC, pos
+    # DESC), df-capped inverted-index pair join (textops.winnowing_pairs)
+    from .operators.textops import (WINNOW_DF_CAP, WINNOW_K,
+                                    WINNOW_MIN_SHARED, WINNOW_W)
+    sqls["doc_winnowing"] = (
+        f"WITH {ADOC_CTE},\n{tok_cte('adoc')},\n"
+        f"sg AS (SELECT doc_id, {_sh_expr(WINNOW_K)} AS sh FROM tok),\n"
+        "g AS (SELECT doc_id, len(sh) AS ng, unnest(sh) AS gram,\n"
+        "             unnest(range(0, len(sh))) AS pos FROM sg),\n"
+        "hh AS (SELECT doc_id, ng, pos,\n"
+        "              CAST(concat('0x', substr(md5(gram), 1, 8))\n"
+        "                   AS BIGINT) AS h FROM g),\n"
+        f"""wins AS (
+  SELECT doc_id, pos, h,
+         unnest(generate_series(greatest(pos - {WINNOW_W - 1}, 0),
+                least(pos, greatest(ng - {WINNOW_W}, 0)))) AS s
+  FROM hh),
+sel AS (SELECT doc_id, s, h, row_number() OVER (
+          PARTITION BY doc_id, s ORDER BY h ASC, pos DESC) AS rn
+        FROM wins),
+fps AS (SELECT DISTINCT doc_id, h FROM sel WHERE rn = 1),
+hot AS (SELECT h FROM fps GROUP BY h
+        HAVING count(*) > {WINNOW_DF_CAP}),
+kept AS (SELECT doc_id, h FROM fps
+         WHERE h NOT IN (SELECT h FROM hot))
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM kept x JOIN kept y ON y.h = x.h AND x.doc_id < y.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED}""")
+
     # doc_dup_spans: ExactSubstr-style per-doc duplicated-span stats —
     # w-grams with global count >= 2 mark [pos, pos+w); gaps-and-islands
     # merge (break when pos > lag(pos) + w, identical to the Spark
