@@ -251,6 +251,14 @@ def q_doc_vocabulary(spark, sf_dir):
     return corpus_vocabulary(_docs(spark, sf_dir))
 
 
+def q_doc_rrf_search(spark, sf_dir):
+    """Hybrid sparse+dense retrieval: reciprocal-rank fusion of the
+    BM25 leg and the single-query dense cosine leg."""
+    from .operators.similarity import load_embeddings, rrf_hybrid_search
+    return rrf_hybrid_search(_docs(spark, sf_dir),
+                             load_embeddings(spark, sf_dir))
+
+
 def q_doc_winnowing(spark, sf_dir):
     """MOSS winnowing near-dup pairs over the planted-duplicate corpus:
     per-window min-hash fingerprints, df-capped inverted-index join."""
@@ -1883,6 +1891,7 @@ def queries() -> dict[str, QueryFn]:
         "event_funnel": q_event_funnel,
         "doc_ctfidf_topics": q_doc_ctfidf_topics,
         "doc_winnowing": q_doc_winnowing,
+        "doc_rrf_search": q_doc_rrf_search,
         "event_retention": q_event_retention,
         "jsonld_namespaces": q_jsonld_namespaces,
         "csv_infer": q_csv_infer,

@@ -389,6 +389,58 @@ K_CLUSTERS = 8
 KMEANS_ITERS = 3
 
 
+RRF_K = 60        # the standard RRF smoothing constant (Cormack'09)
+RRF_TOP_K = 10
+RRF_LEG_K = 20    # per-leg candidate depth
+RRF_QUERY_VEC = 0  # dense leg demo query: vec 0 (doc 0's embedding)
+
+
+def rrf_hybrid_search(docs: DataFrame, emb: DataFrame,
+                      kfuse: int = RRF_K, leg_k: int = RRF_LEG_K,
+                      top_k: int = RRF_TOP_K) -> DataFrame:
+    """Hybrid retrieval by Reciprocal Rank Fusion: the BM25 lexical
+    leg (textops.bm25_search, fixed bag-of-words query) and the dense
+    cosine leg (brute_force_topk against one query embedding) each
+    contribute 1/(kfuse + rank); docs in only one leg keep that leg's
+    term — the standard sparse+dense fusion of a RAG data pipeline
+    (Cormack/Clarke/Buettcher, SIGIR'09). Ranks are integers, so the
+    fusion is float-exact across engines by construction.
+
+    Output: (rank, doc_id, rrf_score, bm25_rank, dense_rank); absent-
+    leg ranks surface as 0, not NULL (stable hashing).
+
+    Scale shape: each leg is already bounded (top-leg_k rows) by its
+    own scale-audited plan, so the full-outer fusion join, scoring,
+    and ranking window all run on <= 2*leg_k rows — nothing here
+    touches the corpus a second time."""
+    from .textops import bm25_search
+
+    lex = bm25_search(docs, top_k=leg_k).select(
+        "doc_id", F.col("rank").cast("int").alias("bm25_rank"))
+    dense = (brute_force_topk(
+        emb, k=leg_k,
+        queries=emb.filter(F.col("vec_id") == RRF_QUERY_VEC)
+        .select("vec_id", "embedding"))
+        .select(F.col("neighbor_id").alias("doc_id"),
+                F.col("rank").cast("int").alias("dense_rank")))
+    fused = (lex.join(dense, "doc_id", "full_outer")
+             .select("doc_id",
+                     F.coalesce("bm25_rank", F.lit(0)).alias("bm25_rank"),
+                     F.coalesce("dense_rank", F.lit(0)).alias("dense_rank")))
+    rrf = (F.when(F.col("bm25_rank") > 0,
+                  F.lit(1.0) / (F.lit(kfuse) + F.col("bm25_rank")))
+           .otherwise(F.lit(0.0))
+           + F.when(F.col("dense_rank") > 0,
+                    F.lit(1.0) / (F.lit(kfuse) + F.col("dense_rank")))
+           .otherwise(F.lit(0.0)))
+    scored = fused.withColumn("rrf_score", F.round(rrf, 6))
+    top = scored.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(top_k)
+    w = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return top.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        "doc_id", "rrf_score", "bm25_rank", "dense_rank")
+
+
 def _kmeans_sq_dists(A: np.ndarray, C: np.ndarray) -> np.ndarray:
     """(n, k) squared-L2 block, left-assoc 64-step accumulation per
     lane — bit-identical to the oracle's unrolled

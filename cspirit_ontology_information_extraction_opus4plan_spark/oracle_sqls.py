@@ -1174,6 +1174,69 @@ scored AS (
   SELECT q_id, neighbor_id, dot / sqrt(qn2 * vn2) AS cosine FROM pairs)
 {rank_tail}""".strip()
 
+    # doc_rrf_search: RRF fusion of the BM25 chain (doc_bm25_search
+    # twin at leg depth) and the single-query dense chain (ann_topk
+    # twin filtered to RRF_QUERY_VEC) — fusion runs on integer ranks,
+    # so it is float-exact across engines by construction
+    from .operators.textops import BM25_B, BM25_K1, BM25_QUERY
+    _rq = ", ".join(_q(t) for t in BM25_QUERY)
+    sqls["doc_rrf_search"] = f"WITH {tok_cte('documents')}" + f""",
+tok2 AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY 1),
+avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+tf AS (SELECT doc_id, t, count(*) AS tf FROM tok2
+       WHERE t IN ({_rq}) GROUP BY 1, 2),
+dfreq AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+bsc AS (
+  SELECT tf.doc_id,
+         round(sum(
+           ln((nd.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+           * (tf.tf * {BM25_K1 + 1.0})
+           / (tf.tf + {BM25_K1}
+              * ({1.0 - BM25_B} + {BM25_B} * dl.dl / avgdl.avgdl))
+         ), 6) AS score
+  FROM tf JOIN dfreq USING (t) JOIN dl ON dl.doc_id = tf.doc_id,
+       avgdl, nd
+  GROUP BY 1),
+lex AS (
+  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+              AS INT) AS bm25_rank, doc_id
+  FROM (SELECT * FROM bsc
+        ORDER BY score DESC, doc_id ASC LIMIT {SIM.RRF_LEG_K})),
+vn AS (SELECT e.vec_id, e.embedding, ({n2}) AS n2 FROM embeddings e),
+q AS (SELECT vec_id AS q_id, embedding AS q_emb, n2 AS qn2
+      FROM vn WHERE vec_id = {SIM.RRF_QUERY_VEC}),
+dpairs AS (
+  SELECT v.vec_id AS neighbor_id, ({dot}) AS dot, q.qn2, v.n2 AS vn2
+  FROM vn v JOIN q ON v.vec_id <> q.q_id),
+dsc AS (SELECT neighbor_id, dot / sqrt(qn2 * vn2) AS cosine
+        FROM dpairs),
+dense AS (
+  SELECT CAST(rnk AS INT) AS dense_rank, neighbor_id AS doc_id
+  FROM (SELECT neighbor_id, row_number() OVER (
+          ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM dsc) r
+  WHERE rnk <= {SIM.RRF_LEG_K}),
+fused AS (
+  SELECT coalesce(lex.doc_id, dense.doc_id) AS doc_id,
+         coalesce(bm25_rank, 0) AS bm25_rank,
+         coalesce(dense_rank, 0) AS dense_rank
+  FROM lex FULL OUTER JOIN dense ON dense.doc_id = lex.doc_id),
+rsc AS (
+  SELECT doc_id, bm25_rank, dense_rank,
+         round(CASE WHEN bm25_rank > 0
+                    THEN 1.0 / ({SIM.RRF_K} + bm25_rank)
+                    ELSE 0.0 END
+             + CASE WHEN dense_rank > 0
+                    THEN 1.0 / ({SIM.RRF_K} + dense_rank)
+                    ELSE 0.0 END, 6) AS rrf_score
+  FROM fused)
+SELECT CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC)
+            AS BIGINT) AS rank,
+       doc_id, rrf_score, bm25_rank, dense_rank
+FROM (SELECT * FROM rsc
+      ORDER BY rrf_score DESC, doc_id ASC LIMIT {SIM.RRF_TOP_K})"""
+
     sqls["ann_lsh_topk"] = f"""
 WITH vn AS (
   SELECT e.vec_id, e.embedding, ({n2}) AS n2, ({bucket('e')}) AS bucket
