@@ -1,0 +1,152 @@
+"""Semantic guarantees of the round-3 continuation operators —
+properties the oracle hash-compare can't articulate:
+
+  * winnowing has PERFECT recall on planted exact copies (identical
+    text -> identical fingerprint set -> the pair must surface), and
+    n_shared never exceeds either member's fingerprint count,
+  * the ordered funnel is monotone (step counts never grow down the
+    funnel) and its conversion ratios re-derive exactly from the
+    counts,
+  * the FFL census equals a brute-force Python count over the same
+    deduped edge set (exact, not statistical),
+  * c-TF-IDF emits a dense 1..top_n rank per class with scores
+    non-increasing in rank,
+  * RRF scores re-derive exactly from the integer leg ranks and every
+    fused doc cites at least one leg,
+  * none of the five puts row-at-a-time Python on the hot path
+    (no BatchEvalPython in any plan; the dense RRF leg's single
+    mapInPandas is the sanctioned Arrow kernel).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cspirit_ontology_information_extraction_opus4plan_spark import api
+
+
+def test_winnowing_recall_on_planted_exact_copies(spark, sf_dir):
+    from cspirit_ontology_information_extraction_opus4plan_spark import (
+        decorations as DE,
+    )
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.textops import (
+        WINNOW_MIN_SHARED, winnowing_pairs,
+    )
+
+    docs = DE.augmented_docs(spark, sf_dir)
+    pairs = {(r["a"], r["b"]): r["n_shared"]
+             for r in winnowing_pairs(docs).collect()}
+    exact_srcs = [r["doc_id"] for r in docs
+                  .filter((F.col("doc_id") % 17 == 0)
+                          & (F.col("doc_id") < 1000000)).collect()]
+    assert exact_srcs, "decoration must plant exact copies"
+    for src in exact_srcs:
+        key = (src, src + 1000000)
+        # identical text -> identical fingerprints; the pair must be
+        # found unless the doc has fewer than MIN_SHARED kept prints
+        if key in pairs:
+            assert pairs[key] >= WINNOW_MIN_SHARED
+    found = sum((s, s + 1000000) in pairs for s in exact_srcs)
+    assert found == len(exact_srcs), (found, len(exact_srcs))
+
+
+def test_funnel_monotone_and_ratios_rederive(spark, sf_dir):
+    rows = {r["step_idx"]: r
+            for r in api.q_event_funnel(spark, sf_dir).collect()}
+    assert sorted(rows) == [1, 2, 3]
+    n = {i: rows[i]["n_users"] for i in rows}
+    assert n[1] >= n[2] >= n[3]
+    assert rows[1]["conv_from_prev"] == 1.0
+    assert rows[1]["conv_from_first"] == 1.0
+    for i in (2, 3):
+        assert rows[i]["conv_from_prev"] == round(n[i] / n[i - 1], 6)
+        assert rows[i]["conv_from_first"] == round(n[i] / n[1], 6)
+
+
+def test_ffl_census_equals_bruteforce(spark, sf_dir):
+    from cspirit_ontology_information_extraction_opus4plan_spark.api import (
+        dedup_triples, triples_df,
+    )
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.graphops import (
+        ffl_motifs,
+    )
+
+    t = dedup_triples(triples_df(spark, sf_dir))
+    edges = (t.filter((F.col("subject_type") == "uri")
+                      & (F.col("object_type") == "uri")
+                      & (F.col("subject") != F.col("object")))
+             .select("subject", "predicate", "object")
+             .distinct().collect())
+    out = {(r["p_ab"], r["p_bc"], r["p_ac"]): r["n_motifs"]
+           for r in ffl_motifs(t).collect()}
+    from collections import Counter, defaultdict
+    by_src = defaultdict(list)
+    for s, p, o in edges:
+        by_src[s].append((p, o))
+    want = Counter()
+    for a, outs in by_src.items():
+        for p_ab, b in outs:
+            for p_bc, c in by_src.get(b, ()):
+                if c == a:
+                    continue
+                for p_ac, o2 in outs:
+                    if o2 == c:
+                        want[(p_ab, p_bc, p_ac)] += 1
+    assert out == dict(want)
+
+
+def test_ctfidf_dense_ranks_scores_monotone(spark, sf_dir):
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.textops import (
+        CTFIDF_TOP_N,
+    )
+    rows = api.q_doc_ctfidf_topics(spark, sf_dir).collect()
+    by_cls = {}
+    for r in rows:
+        by_cls.setdefault(r["source"], []).append(r)
+    assert by_cls
+    for cls, rs in by_cls.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1)), cls
+        assert len(rs) <= CTFIDF_TOP_N
+        ordered = sorted(rs, key=lambda r: r["rank"])
+        scores = [r["score"] for r in ordered]
+        assert scores == sorted(scores, reverse=True), cls
+        assert all(s > 0 for s in scores), cls
+
+
+def test_rrf_scores_rederive_from_leg_ranks(spark, sf_dir):
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.similarity import (
+        RRF_K,
+    )
+    rows = api.q_doc_rrf_search(spark, sf_dir).collect()
+    assert rows
+    prev = None
+    for r in sorted(rows, key=lambda r: r["rank"]):
+        assert r["bm25_rank"] > 0 or r["dense_rank"] > 0
+        want = round(
+            (1.0 / (RRF_K + r["bm25_rank"]) if r["bm25_rank"] else 0.0)
+            + (1.0 / (RRF_K + r["dense_rank"]) if r["dense_rank"] else 0.0),
+            6)
+        assert r["rrf_score"] == want, r
+        if prev is not None:
+            assert r["rrf_score"] <= prev
+        prev = r["rrf_score"]
+
+
+def test_new_ops_keep_python_off_the_hot_path(spark, sf_dir):
+    plans = {
+        name: api.queries()[name](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+        for name in ("kg_ffl_motifs", "event_funnel",
+                     "doc_ctfidf_topics", "doc_winnowing",
+                     "doc_rrf_search")
+    }
+    for name, plan in plans.items():
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    # pure-codegen ops: no Arrow crossing at all
+    for name in ("kg_ffl_motifs", "event_funnel",
+                 "doc_ctfidf_topics", "doc_winnowing"):
+        assert "MapInPandas" not in plans[name], name
+    # the RRF dense leg is exactly one sanctioned Arrow kernel
+    assert plans["doc_rrf_search"].count("MapInPandas") == 1
