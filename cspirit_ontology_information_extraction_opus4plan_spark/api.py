@@ -1290,6 +1290,15 @@ def q_kg_predicate_paths(spark, sf_dir):
     return predicate_path_stats(dedup_triples(triples_df(spark, sf_dir)))
 
 
+def q_url_frontier_plan(spark, sf_dir):
+    """Crawl-frontier politeness planner: host-hash crawler routing,
+    deterministic within-host sequencing, host_rate fetch slots."""
+    from .operators.urlops import frontier_plan
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    return frontier_plan(DE.url_decorated_docs(docs))
+
+
 def q_url_curation(spark, sf_dir):
     """Crawl-side URL curation: canonicalize (case/port/fragment/
     tracking-param/trailing-slash), blocklist by registered domain,
@@ -1916,6 +1925,7 @@ def queries() -> dict[str, QueryFn]:
         "event_rollup": q_event_rollup,
         "kg_predicate_paths": q_kg_predicate_paths,
         "url_curation": q_url_curation,
+        "url_frontier_plan": q_url_frontier_plan,
         "embedding_label_stats": q_embedding_label_stats,
         "embedding_kmeans": q_embedding_kmeans,
         "embedding_quantize": q_embedding_quantize,

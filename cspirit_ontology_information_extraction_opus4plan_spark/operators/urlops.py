@@ -16,10 +16,44 @@ plan shape.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["canonicalize_urls", "url_curation"]
+__all__ = ["canonicalize_urls", "url_curation", "frontier_plan"]
+
+N_CRAWLERS = 8   # crawler shards (hash-routed by host)
+HOST_RATE = 2    # fetches allowed per host per politeness slot
+
+
+def frontier_plan(urls: DataFrame, url_col: str = "url",
+                  n_crawlers: int = N_CRAWLERS,
+                  host_rate: int = HOST_RATE) -> DataFrame:
+    """Crawl-frontier politeness planner: distinct canonical URLs are
+    routed to a crawler shard by host hash (every URL of a host lands
+    on ONE crawler — per-host politeness needs a single rate-limiting
+    owner), sequenced deterministically within the host, and assigned
+    a fetch slot of host_rate URLs per politeness interval. Returns
+    (canon_url, host, crawler_id, seq_in_host, fetch_slot).
+
+    Scale shape: one canonicalize pass + a distinct on canon_url, then
+    a window partitioned BY HOST — per-host state is the host's own
+    URL count, which is the irreducible unit here: politeness makes a
+    host's schedule inherently serial, so a mega-host's long partition
+    is semantic backlog (it genuinely takes |host|/host_rate slots),
+    not a shuffle artifact; the executor fans out by (crawler_id,
+    fetch_slot), which is perfectly partitionable. Crawler routing is
+    the md5 idiom shared with every oracle — no engine-specific hash."""
+    c = (canonicalize_urls(urls, url_col)
+         .select("canon_url", "host").distinct())
+    crawler = (F.conv(F.substring(F.md5("host"), 1, 8), 16, 10)
+               .cast("bigint") % n_crawlers).cast("int")
+    w = Window.partitionBy("host").orderBy("canon_url")
+    return (c.withColumn("crawler_id", crawler)
+            .withColumn("seq_in_host",
+                        F.row_number().over(w).cast("bigint"))
+            .withColumn("fetch_slot",
+                        F.floor((F.col("seq_in_host") - 1) / host_rate)
+                        .cast("bigint")))
 
 # query params that never identify content
 TRACKING_PREFIXES = ("utm_", "fbclid", "gclid")

@@ -3698,8 +3698,9 @@ GROUP BY 1, 2""")
 
     from .decorations import (URL_BLOCKED_DOMAINS, url_decorated_docs_sql)
     blocked_in = ", ".join(f"'{d}'" for d in URL_BLOCKED_DOMAINS)
-    sqls["url_curation"] = f"""
-WITH {url_decorated_docs_sql()},
+    # parts+canon chain shared by url_curation and url_frontier_plan
+    # (urlops.canonicalize_urls twin)
+    url_canon_ctes = f"""{url_decorated_docs_sql()},
 parts AS (
   SELECT doc_id, url,
          lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*):', 1))
@@ -3713,7 +3714,7 @@ parts AS (
          regexp_extract(url, '\\?([^#]*)', 1) AS q
   FROM urld),
 canon AS (
-  SELECT doc_id, url,
+  SELECT doc_id, url, host,
          scheme || '://' || host
          || (CASE WHEN port <> ''
                    AND NOT (scheme = 'https' AND port = '443')
@@ -3730,7 +3731,25 @@ canon AS (
                                        OR starts_with(x, 'fbclid')
                                        OR starts_with(x, 'gclid'))),
                  '&') AS cq
-        FROM parts)),
+        FROM parts))"""
+
+    from .operators.urlops import HOST_RATE, N_CRAWLERS
+    sqls["url_frontier_plan"] = f"""
+WITH {url_canon_ctes},
+cu AS (SELECT DISTINCT canon_url, host FROM canon),
+seq AS (SELECT canon_url, host,
+               row_number() OVER (PARTITION BY host
+                                  ORDER BY canon_url) AS rn
+        FROM cu)
+SELECT canon_url, host,
+       CAST(CAST(concat('0x', substr(md5(host), 1, 8)) AS BIGINT)
+            % {N_CRAWLERS} AS INT) AS crawler_id,
+       CAST(rn AS BIGINT) AS seq_in_host,
+       CAST((rn - 1) // {HOST_RATE} AS BIGINT) AS fetch_slot
+FROM seq"""
+
+    sqls["url_curation"] = f"""
+WITH {url_canon_ctes},
 keepers AS (
   SELECT canon_url, min(doc_id) AS keeper
   FROM canon WHERE registered_domain NOT IN ({blocked_in})
