@@ -133,6 +133,27 @@ def test_rrf_scores_rederive_from_leg_ranks(spark, sf_dir):
         prev = r["rrf_score"]
 
 
+def test_frontier_plan_politeness_invariants(spark, sf_dir):
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.urlops import (
+        HOST_RATE, N_CRAWLERS,
+    )
+    rows = api.q_url_frontier_plan(spark, sf_dir).collect()
+    assert rows
+    by_host = {}
+    for r in rows:
+        assert 0 <= r["crawler_id"] < N_CRAWLERS
+        by_host.setdefault(r["host"], []).append(r)
+    for host, rs in by_host.items():
+        # one rate-limiting owner per host
+        assert len({r["crawler_id"] for r in rs}) == 1, host
+        # dense 1..n sequence, and never more than host_rate per slot
+        assert sorted(r["seq_in_host"] for r in rs) == list(
+            range(1, len(rs) + 1)), host
+        from collections import Counter
+        slots = Counter(r["fetch_slot"] for r in rs)
+        assert all(v <= HOST_RATE for v in slots.values()), host
+
+
 def test_new_ops_keep_python_off_the_hot_path(spark, sf_dir):
     plans = {
         name: api.queries()[name](spark, sf_dir)
@@ -141,12 +162,16 @@ def test_new_ops_keep_python_off_the_hot_path(spark, sf_dir):
                      "doc_ctfidf_topics", "doc_winnowing",
                      "doc_rrf_search")
     }
+    plans["url_frontier_plan"] = (
+        api.queries()["url_frontier_plan"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString())
     for name, plan in plans.items():
         assert "BatchEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
     # pure-codegen ops: no Arrow crossing at all
     for name in ("kg_ffl_motifs", "event_funnel",
-                 "doc_ctfidf_topics", "doc_winnowing"):
+                 "doc_ctfidf_topics", "doc_winnowing",
+                 "url_frontier_plan"):
         assert "MapInPandas" not in plans[name], name
     # the RRF dense leg is exactly one sanctioned Arrow kernel
     assert plans["doc_rrf_search"].count("MapInPandas") == 1
