@@ -67,6 +67,9 @@ HEADLINE = [
     "media_phash_neardup",  # perceptual-hash banded media near-dup (if present)
     "entity_disambiguation",  # coherence homonym resolution (if present)
     "doc_dup_spans",      # ExactSubstr span excision stats (if present)
+    "doc_winnowing",      # MOSS winnowing fingerprint pairs (if present)
+    "kg_ffl_motifs",      # labeled feed-forward-loop census (if present)
+    "doc_rrf_search",     # BM25+dense reciprocal-rank fusion (if present)
 ]
 
 

@@ -259,6 +259,13 @@ def q_doc_rrf_search(spark, sf_dir):
                              load_embeddings(spark, sf_dir))
 
 
+def q_doc_ngram_novelty(spark, sf_dir):
+    """Per-doc originality: share of distinct w-gram shingles found in
+    no other document of the planted-duplicate corpus."""
+    from .operators.textops import ngram_novelty
+    return ngram_novelty(DE.augmented_docs(spark, sf_dir))
+
+
 def q_doc_winnowing(spark, sf_dir):
     """MOSS winnowing near-dup pairs over the planted-duplicate corpus:
     per-window min-hash fingerprints, df-capped inverted-index join."""
@@ -1160,6 +1167,13 @@ def q_event_funnel(spark, sf_dir):
     return funnel_steps(load_events(spark, sf_dir))
 
 
+def q_event_anomaly_days(spark, sf_dir):
+    """Trailing-window daily volume anomalies per event type: integer
+    window sums -> exact z-scores, |z| >= 2 flags."""
+    from .operators.content_stats import daily_anomalies, load_events
+    return daily_anomalies(load_events(spark, sf_dir))
+
+
 def q_event_retention(spark, sf_dir):
     """Weekly cohort retention rollup over events: first-event cohort
     week x weeks-since activity with cohort-normalized rates."""
@@ -1297,6 +1311,16 @@ def q_url_frontier_plan(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .select("doc_id")
     return frontier_plan(DE.url_decorated_docs(docs))
+
+
+def q_url_robots(spark, sf_dir):
+    """robots.txt longest-prefix rule matching (RFC 9309 precedence)
+    over the decorated crawl URLs; broadcast rule dimension."""
+    from .operators.urlops import robots_match
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    return robots_match(DE.url_decorated_docs(docs),
+                        DE.robots_rules_df(spark))
 
 
 def q_url_curation(spark, sf_dir):
@@ -1898,9 +1922,11 @@ def queries() -> dict[str, QueryFn]:
         "event_approx_distinct": q_event_approx_distinct,
         "event_approx_quantiles": q_event_approx_quantiles,
         "event_funnel": q_event_funnel,
+        "event_anomaly_days": q_event_anomaly_days,
         "doc_ctfidf_topics": q_doc_ctfidf_topics,
         "doc_winnowing": q_doc_winnowing,
         "doc_rrf_search": q_doc_rrf_search,
+        "doc_ngram_novelty": q_doc_ngram_novelty,
         "event_retention": q_event_retention,
         "jsonld_namespaces": q_jsonld_namespaces,
         "csv_infer": q_csv_infer,
@@ -1926,6 +1952,7 @@ def queries() -> dict[str, QueryFn]:
         "kg_predicate_paths": q_kg_predicate_paths,
         "url_curation": q_url_curation,
         "url_frontier_plan": q_url_frontier_plan,
+        "url_robots": q_url_robots,
         "embedding_label_stats": q_embedding_label_stats,
         "embedding_kmeans": q_embedding_kmeans,
         "embedding_quantize": q_embedding_quantize,

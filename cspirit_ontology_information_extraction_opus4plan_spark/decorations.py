@@ -884,6 +884,36 @@ def url_blocklist(spark: SparkSession) -> DataFrame:
                                  "registered_domain string")
 
 
+def robots_rules() -> list[tuple[str, str, str]]:
+    """Deterministic per-host robots rules (host, path_prefix, verdict)
+    over the url_decorated_docs host universe: every host allows '/',
+    even-numbered sites deny the '/page/1' prefix (which also covers
+    /page/10../page/19 — the longest-prefix subtlety), and those same
+    sites re-allow '/page/12' as a more-specific exception."""
+    rules = []
+    for i in range(13):
+        for dom in ("example.org", "spam-net.example"):
+            host = f"www.site{i}.{dom}"
+            rules.append((host, "/", "allow"))
+            if i % 2 == 0:
+                rules.append((host, "/page/1", "deny"))
+                rules.append((host, "/page/12", "allow"))
+    return rules
+
+
+def robots_rules_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        robots_rules(), "host string, path_prefix string, verdict string")
+
+
+def robots_rules_sql() -> str:
+    """DuckDB VALUES twin of robots_rules()."""
+    vals = ",\n    ".join(f"('{h}', '{p}', '{v}')"
+                          for h, p, v in robots_rules())
+    return ("rules(host, path_prefix, verdict) AS (\n  VALUES\n    "
+            + vals + "\n)")
+
+
 def url_decorated_docs_sql() -> str:
     """DuckDB twin of url_decorated_docs over the documents view."""
     return """

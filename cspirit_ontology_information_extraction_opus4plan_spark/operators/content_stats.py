@@ -236,6 +236,52 @@ def approx_quantiles(events: DataFrame) -> DataFrame:
                     ok.alias("approx_ok")))
 
 
+ANOM_TRAIL = 7    # trailing days in the baseline window
+ANOM_Z = 2.0      # |z| flag threshold
+
+
+def daily_anomalies(events: DataFrame, trail: int = ANOM_TRAIL,
+                    z_thresh: float = ANOM_Z) -> DataFrame:
+    """Per-(event_type, day) volume anomaly detection: each day's count
+    is z-scored against the TRAILING `trail` observed days of the same
+    type (current day excluded — the baseline never contains the point
+    it judges). Emits (event_type, day, n, base_mean, base_sd, z,
+    is_anomaly); days with fewer than 2 trailing observations or zero
+    variance get NULL z and are never flagged.
+
+    Float parity by construction: the window aggregates are INTEGER
+    sums (sum, sum of squares, count) — exact in both engines — and
+    mean/variance/z derive from them in one fixed expression order, so
+    no accumulation-order noise exists for the 6-dp round to absorb.
+    The window partitions by event_type over its own DAY series
+    (bounded by the calendar, not the corpus — the per-type daily
+    rollup happens first, map-side combinable)."""
+    from pyspark.sql import Window
+
+    per = (events
+           .groupBy("event_type", F.to_date("ts").alias("day"))
+           .agg(F.count("*").cast("bigint").alias("n")))
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rowsBetween(-trail, -1))
+    s = F.sum("n").over(w).cast("double")
+    ss = F.sum(F.col("n") * F.col("n")).over(w).cast("double")
+    c = F.count("n").over(w).cast("double")
+    # try_divide == DuckDB's NULL-on-zero-divisor `/` (tested parity)
+    mean = F.try_divide(s, c)
+    var = F.try_divide(ss - F.try_divide(s * s, c), c - 1)
+    sd = F.when(var > 0, F.sqrt(var))
+    z = F.try_divide(F.col("n") - mean, sd)
+    return (per
+            .withColumn("base_mean", F.when(c >= 2, F.round(mean, 6)))
+            .withColumn("base_sd", F.when(c >= 2, F.round(sd, 6)))
+            .withColumn("z", F.when(c >= 2, F.round(z, 6)))
+            .withColumn("is_anomaly",
+                        F.coalesce(F.abs(z) >= z_thresh, F.lit(False)))
+            .select("event_type", F.date_format("day", "yyyy-MM-dd")
+                    .alias("day"), "n", "base_mean", "base_sd", "z",
+                    "is_anomaly"))
+
+
 def cohort_retention(events: DataFrame) -> DataFrame:
     """Weekly cohort retention — the canonical activity OLAP rollup:
     users are cohorted by the Monday week of their FIRST event;

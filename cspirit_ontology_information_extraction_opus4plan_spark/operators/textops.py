@@ -655,6 +655,36 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         F.array_min(F.transform(sh, F.md5)).alias("fingerprint"))
 
 
+NOVELTY_W = 5   # shingle width for novelty scoring
+
+
+def ngram_novelty(docs: DataFrame, w: int = NOVELTY_W) -> DataFrame:
+    """(doc_id, text) -> (doc_id, n_grams, n_unique, novelty): how much
+    of each document's distinct w-gram shingle set appears in NO other
+    document — the per-doc originality score curation pipelines use to
+    separate fresh prose (novelty ~1) from mirrored/templated content
+    (novelty ~0); the per-document complement of the corpus-level
+    dup_span/containment family (those locate duplication, this prices
+    it per doc).
+
+    Scale shape: one shingle pass, per-doc distinct before the explode
+    (array_distinct, no extra shuffle), df from a map-side-combinable
+    count over rows already unique per (doc, shingle), ridden back by
+    a shingle-keyed equi-join (corpus-sized — deliberately NOT
+    broadcast), one final per-doc aggregate. No window, no collect."""
+    sh = docs.select("doc_id", F.explode(F.array_distinct(
+        _shingles(tokens_col("text"), w))).alias("s"))
+    dfq = sh.groupBy("s").agg(F.count("*").alias("df"))
+    return (sh.join(dfq, "s")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_grams"),
+                 F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+                 .cast("bigint").alias("n_unique"))
+            .withColumn("novelty", F.round(
+                F.try_divide(F.col("n_unique").cast("double"),
+                             F.col("n_grams")), 6)))
+
+
 WINNOW_K = 3          # tokens per k-gram
 WINNOW_W = 4          # winnowing window (k-grams per window)
 WINNOW_MIN_SHARED = 2

@@ -19,7 +19,41 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["canonicalize_urls", "url_curation", "frontier_plan"]
+__all__ = ["canonicalize_urls", "url_curation", "frontier_plan",
+           "robots_match"]
+
+
+def robots_match(urls: DataFrame, rules: DataFrame,
+                 url_col: str = "url") -> DataFrame:
+    """robots.txt-style longest-prefix matching: each distinct
+    canonical URL takes the verdict of the LONGEST rule prefix that
+    matches its path on its host (the REP rule-precedence semantics,
+    RFC 9309 §2.2.2); URLs on hosts with no matching rule default to
+    'allow'. Returns (canon_url, host, matched_prefix, verdict).
+
+    Scale shape: the rule table is a genuinely bounded dimension (a
+    crawler's compiled robots store is rules x hosts, dimension-sized
+    next to the frontier) -> broadcast equi-join ON HOST, then the
+    prefix test is a per-row startswith and the longest-match argmax
+    is a map-side-combinable struct-max groupBy — no window, no
+    cross join; prefix uniqueness per host makes the argmax
+    deterministic without a tie-break column."""
+    c = (canonicalize_urls(urls, url_col)
+         .select("canon_url", "host").distinct()
+         .withColumn("path", F.regexp_extract(
+             "canon_url", r"^[^:]+://[^/?#]+([^?#]*)", 1)))
+    hit = (c.join(F.broadcast(rules), "host")
+           .filter(F.col("path").startswith(F.col("path_prefix")))
+           .groupBy("canon_url", "host")
+           .agg(F.max(F.struct(
+               F.length("path_prefix").alias("plen"),
+               F.col("path_prefix"), F.col("verdict"))).alias("m")))
+    return (c.join(hit, ["canon_url", "host"], "left")
+            .select("canon_url", "host",
+                    F.coalesce(F.col("m.path_prefix"), F.lit(""))
+                    .alias("matched_prefix"),
+                    F.coalesce(F.col("m.verdict"), F.lit("allow"))
+                    .alias("verdict")))
 
 N_CRAWLERS = 8   # crawler shards (hash-routed by host)
 HOST_RATE = 2    # fetches allowed per host per politeness slot

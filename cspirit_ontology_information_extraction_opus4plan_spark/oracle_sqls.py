@@ -376,6 +376,20 @@ SELECT a, b, round(cont_ab, 6) AS cont_ab, round(cont_ba, 6) AS cont_ba,
             ELSE 'b_in_a' END AS direction
 FROM v WHERE greatest(cont_ab, cont_ba) >= {th}""")
 
+    from .operators.textops import NOVELTY_W
+    sqls["doc_ngram_novelty"] = (
+        f"WITH {ADOC_CTE},\n{tok_cte('adoc')},\n"
+        f"sg AS (SELECT doc_id, list_distinct({_sh_expr(NOVELTY_W)})"
+        " AS sh FROM tok),\n"
+        "g AS (SELECT doc_id, unnest(sh) AS s FROM sg),\n"
+        "dfq AS (SELECT s, count(*) AS df FROM g GROUP BY 1)\n"
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,\n"
+        "       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_unique,\n"
+        "       round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)"
+        " AS DOUBLE) / count(*), 6) AS novelty\n"
+        "FROM g JOIN dfq USING (s) GROUP BY 1")
+
     # doc_winnowing: MOSS winnowing fingerprints — per-window min-hash
     # selection (rightmost on ties, mirrored by ORDER BY h ASC, pos
     # DESC), df-capped inverted-index pair join (textops.winnowing_pairs)
@@ -3100,6 +3114,31 @@ SELECT CAST(step_idx AS INT) AS step_idx, step, n_users,
              6) AS conv_from_first
 FROM counts""".strip()
 
+    from .operators.content_stats import ANOM_TRAIL, ANOM_Z
+    _var = "(ss - s * s / c) / (c - 1)"
+    _sd = f"CASE WHEN {_var} > 0 THEN sqrt({_var}) END"
+    _z = f"(n - s / c) / ({_sd})"
+    sqls["event_anomaly_days"] = f"""
+WITH per AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+wv AS (
+  SELECT event_type, day, n,
+         CAST(sum(n) OVER w AS DOUBLE) AS s,
+         CAST(sum(n * n) OVER w AS DOUBLE) AS ss,
+         CAST(count(n) OVER w AS DOUBLE) AS c
+  FROM per
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN {ANOM_TRAIL} PRECEDING
+                        AND 1 PRECEDING))
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+       CASE WHEN c >= 2 THEN round(s / c, 6) END AS base_mean,
+       CASE WHEN c >= 2 THEN round({_sd}, 6) END AS base_sd,
+       CASE WHEN c >= 2 THEN round({_z}, 6) END AS z,
+       coalesce(abs({_z}) >= {ANOM_Z}, FALSE) AS is_anomaly
+FROM wv""".strip()
+
     sqls["event_retention"] = """
 WITH firsts AS (
   SELECT user_id, date_trunc('week', min(ts)) AS cw
@@ -3747,6 +3786,26 @@ SELECT canon_url, host,
        CAST(rn AS BIGINT) AS seq_in_host,
        CAST((rn - 1) // {HOST_RATE} AS BIGINT) AS fetch_slot
 FROM seq"""
+
+    from .decorations import robots_rules_sql
+    sqls["url_robots"] = f"""
+WITH {url_canon_ctes},
+{robots_rules_sql()},
+cu AS (SELECT DISTINCT canon_url, host,
+              regexp_extract(canon_url,
+                             '^[^:]+://[^/?#]+([^?#]*)', 1) AS path
+       FROM canon),
+hit AS (
+  SELECT canon_url, host, path_prefix, verdict, row_number() OVER (
+           PARTITION BY canon_url, host
+           ORDER BY length(path_prefix) DESC) AS rn
+  FROM cu JOIN rules USING (host)
+  WHERE starts_with(path, path_prefix))
+SELECT cu.canon_url, cu.host,
+       coalesce(h.path_prefix, '') AS matched_prefix,
+       coalesce(h.verdict, 'allow') AS verdict
+FROM cu LEFT JOIN (SELECT * FROM hit WHERE rn = 1) h
+  ON h.canon_url = cu.canon_url AND h.host = cu.host"""
 
     sqls["url_curation"] = f"""
 WITH {url_canon_ctes},

@@ -154,6 +154,66 @@ def test_frontier_plan_politeness_invariants(spark, sf_dir):
         assert all(v <= HOST_RATE for v in slots.values()), host
 
 
+def test_robots_longest_prefix_precedence(spark, sf_dir):
+    rows = api.q_url_robots(spark, sf_dir).collect()
+    assert rows
+    import re
+    for r in rows:
+        site = int(re.search(r"site(\d+)\.", r["host"]).group(1))
+        path = r["canon_url"].split(r["host"], 1)[1]
+        if site % 2 == 0 and path.startswith("/page/12"):
+            # the more-specific allow overrides the /page/1 deny
+            assert (r["verdict"], r["matched_prefix"]) == (
+                "allow", "/page/12"), r
+        elif site % 2 == 0 and path.startswith("/page/1"):
+            assert (r["verdict"], r["matched_prefix"]) == (
+                "deny", "/page/1"), r
+        else:
+            assert (r["verdict"], r["matched_prefix"]) == (
+                "allow", "/"), r
+    assert any(r["verdict"] == "deny" for r in rows)
+
+
+def test_daily_anomaly_zscores_rederive(spark, sf_dir):
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.content_stats import (
+        ANOM_TRAIL, ANOM_Z,
+    )
+    rows = api.q_event_anomaly_days(spark, sf_dir).collect()
+    assert rows
+    series = {}
+    for r in sorted(rows, key=lambda r: (r["event_type"], r["day"])):
+        trail = series.setdefault(r["event_type"], [])
+        base = trail[-ANOM_TRAIL:]
+        if len(base) >= 2:
+            s, ss, c = float(sum(base)), float(
+                sum(x * x for x in base)), float(len(base))
+            var = (ss - s * s / c) / (c - 1)
+            sd = var ** 0.5 if var > 0 else None
+            z = (r["n"] - s / c) / sd if sd else None
+            assert r["base_mean"] == round(s / c, 6), r
+            if z is None:
+                assert r["z"] is None and not r["is_anomaly"], r
+            else:
+                assert r["z"] == round(z, 6), r
+                assert r["is_anomaly"] == (abs(z) >= ANOM_Z), r
+        else:
+            assert r["z"] is None and not r["is_anomaly"], r
+        trail.append(r["n"])
+    assert any(r["is_anomaly"] for r in rows)
+
+
+def test_novelty_zero_for_planted_exact_copies(spark, sf_dir):
+    rows = {r["doc_id"]: r for r in
+            api.q_doc_ngram_novelty(spark, sf_dir).collect()}
+    copies = [d for d in rows if 1000000 <= d < 2000000]
+    assert copies, "decoration must plant exact copies"
+    for c in copies:
+        # every shingle of an exact copy exists in its source too
+        assert rows[c]["novelty"] == 0.0, c
+        assert rows[c - 1000000]["novelty"] == 0.0, c
+    assert any(r["novelty"] > 0.5 for r in rows.values())
+
+
 def test_new_ops_keep_python_off_the_hot_path(spark, sf_dir):
     plans = {
         name: api.queries()[name](spark, sf_dir)
