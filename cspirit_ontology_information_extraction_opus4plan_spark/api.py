@@ -259,6 +259,13 @@ def q_doc_rrf_search(spark, sf_dir):
                              load_embeddings(spark, sf_dir))
 
 
+def q_embedding_mrl_error(spark, sf_dir):
+    """Matryoshka truncation audit: cosine retained by the 16-dim
+    prefix of each 64-dim embedding."""
+    from .operators.similarity import load_embeddings, mrl_truncation_stats
+    return mrl_truncation_stats(load_embeddings(spark, sf_dir))
+
+
 def q_doc_ngram_novelty(spark, sf_dir):
     """Per-doc originality: share of distinct w-gram shingles found in
     no other document of the planted-duplicate corpus."""
@@ -1927,6 +1934,7 @@ def queries() -> dict[str, QueryFn]:
         "doc_winnowing": q_doc_winnowing,
         "doc_rrf_search": q_doc_rrf_search,
         "doc_ngram_novelty": q_doc_ngram_novelty,
+        "embedding_mrl_error": q_embedding_mrl_error,
         "event_retention": q_event_retention,
         "jsonld_namespaces": q_jsonld_namespaces,
         "csv_infer": q_csv_infer,

@@ -618,6 +618,32 @@ def semdedup(emb: DataFrame, threshold: float = SEMDEDUP_COS,
                     .alias("is_dup")))
 
 
+MRL_DIM = 16        # truncation prefix under evaluation
+MRL_COS_MIN = 0.9   # retention threshold
+
+
+def mrl_truncation_stats(emb: DataFrame, prefix: int = MRL_DIM,
+                         cos_min: float = MRL_COS_MIN) -> DataFrame:
+    """Matryoshka truncation audit: per vector, the cosine between the
+    full embedding and its `prefix`-dim truncation (zero-padded), which
+    reduces to sqrt(|prefix|^2 / |full|^2) — the number that decides
+    whether a 4x-cheaper vector store keeps enough geometry (MRL,
+    Kusupati et al. 2022). Emits (vec_id, label, cos_prefix, ok).
+
+    Pure JVM per-row arithmetic: two higher-order aggregate folds
+    (prefix slice + full) per row, no join, no shuffle, no Python —
+    the fold starts at 0.0 and adds left-to-right, the exact order the
+    oracle's expanded per-dim sum evaluates in, so the doubles are
+    bit-identical before the 6-dp round."""
+    sq = lambda acc, x: acc + x.cast("double") * x.cast("double")  # noqa: E731
+    p2 = F.aggregate(F.slice("embedding", 1, prefix), F.lit(0.0), sq)
+    n2 = F.aggregate(F.col("embedding"), F.lit(0.0), sq)
+    cos = F.sqrt(F.try_divide(p2, n2))
+    return emb.select("vec_id", "label",
+                      F.round(cos, 6).alias("cos_prefix"),
+                      (cos >= cos_min).alias("ok"))
+
+
 def label_embedding_stats(emb: DataFrame) -> DataFrame:
     """Per-label embedding cluster quality — the probe a training
     pipeline runs before trusting labels for mixture sampling or

@@ -1251,6 +1251,14 @@ SELECT CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC)
 FROM (SELECT * FROM rsc
       ORDER BY rrf_score DESC, doc_id ASC LIMIT {SIM.RRF_TOP_K})"""
 
+    _p2 = " + ".join(f"{el('e', i)} * {el('e', i)}"
+                     for i in range(SIM.MRL_DIM))
+    sqls["embedding_mrl_error"] = f"""
+SELECT vec_id, label,
+       round(sqrt((0.0 + {_p2}) / (0.0 + {n2})), 6) AS cos_prefix,
+       sqrt((0.0 + {_p2}) / (0.0 + {n2})) >= {SIM.MRL_COS_MIN} AS ok
+FROM embeddings e"""
+
     sqls["ann_lsh_topk"] = f"""
 WITH vn AS (
   SELECT e.vec_id, e.embedding, ({n2}) AS n2, ({bucket('e')}) AS bucket
