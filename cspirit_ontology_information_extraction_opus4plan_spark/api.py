@@ -1174,6 +1174,13 @@ def q_event_funnel(spark, sf_dir):
     return funnel_steps(load_events(spark, sf_dir))
 
 
+def q_event_ab_srm(spark, sf_dir):
+    """Sticky md5 A/B assignment + per-type chi-square sample-ratio-
+    mismatch check (one rollup pass, '(all)' total row)."""
+    from .operators.content_stats import ab_srm_check, load_events
+    return ab_srm_check(load_events(spark, sf_dir))
+
+
 def q_event_anomaly_days(spark, sf_dir):
     """Trailing-window daily volume anomalies per event type: integer
     window sums -> exact z-scores, |z| >= 2 flags."""
@@ -1930,6 +1937,7 @@ def queries() -> dict[str, QueryFn]:
         "event_approx_quantiles": q_event_approx_quantiles,
         "event_funnel": q_event_funnel,
         "event_anomaly_days": q_event_anomaly_days,
+        "event_ab_srm": q_event_ab_srm,
         "doc_ctfidf_topics": q_doc_ctfidf_topics,
         "doc_winnowing": q_doc_winnowing,
         "doc_rrf_search": q_doc_rrf_search,

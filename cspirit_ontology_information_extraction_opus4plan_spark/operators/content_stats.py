@@ -236,6 +236,41 @@ def approx_quantiles(events: DataFrame) -> DataFrame:
                     ok.alias("approx_ok")))
 
 
+AB_CHI2_CRIT = 3.841459  # chi-square 95% critical value, 1 dof
+
+
+def ab_srm_check(events: DataFrame) -> DataFrame:
+    """Deterministic A/B assignment + sample-ratio-mismatch check, the
+    experimentation-platform guardrail: users hash into arm A or B by
+    md5 parity (sticky, engine-independent), and the per-event-type
+    arm counts are chi-square-tested against the designed 50/50 split
+    (SRM — the classic symptom of assignment or logging bugs). Emits
+    (event_type, n_a, n_b, chi2, srm) per type plus an '(all)' row.
+
+    Integer counts -> one closed-form float expression, so no
+    accumulation noise; grouping-sets rollup computes the per-type and
+    total rows in ONE pass (no re-scan union); the md5 idiom is shared
+    with every oracle."""
+    arm_a = (F.conv(F.substring(F.md5(F.col("user_id").cast("string")),
+                                1, 8), 16, 10)
+             .cast("bigint") % 2 == 0)
+    per = (events
+           .select("event_type", arm_a.alias("is_a"))
+           .rollup("event_type")
+           .agg(F.sum(F.when(F.col("is_a"), 1).otherwise(0))
+                .cast("bigint").alias("n_a"),
+                F.sum(F.when(F.col("is_a"), 0).otherwise(1))
+                .cast("bigint").alias("n_b")))
+    n = (F.col("n_a") + F.col("n_b")).cast("double")
+    exp = n / 2
+    chi2 = ((F.col("n_a") - exp) * (F.col("n_a") - exp)
+            + (F.col("n_b") - exp) * (F.col("n_b") - exp)) / exp
+    return per.select(
+        F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+        "n_a", "n_b", F.round(chi2, 6).alias("chi2"),
+        (chi2 > AB_CHI2_CRIT).alias("srm"))
+
+
 ANOM_TRAIL = 7    # trailing days in the baseline window
 ANOM_Z = 2.0      # |z| flag threshold
 

@@ -3122,6 +3122,25 @@ SELECT CAST(step_idx AS INT) AS step_idx, step, n_users,
              6) AS conv_from_first
 FROM counts""".strip()
 
+    from .operators.content_stats import AB_CHI2_CRIT
+    _exp = "(CAST(n_a + n_b AS DOUBLE) / 2)"
+    _chi2 = (f"((n_a - {_exp}) * (n_a - {_exp})"
+             f" + (n_b - {_exp}) * (n_b - {_exp})) / {_exp}")
+    sqls["event_ab_srm"] = f"""
+WITH assigned AS (
+  SELECT event_type,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 2 = 0 AS is_a
+  FROM events),
+per AS (
+  SELECT coalesce(event_type, '(all)') AS event_type,
+         CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+  FROM assigned GROUP BY ROLLUP(event_type))
+SELECT event_type, n_a, n_b, round({_chi2}, 6) AS chi2,
+       {_chi2} > {AB_CHI2_CRIT} AS srm
+FROM per""".strip()
+
     from .operators.content_stats import ANOM_TRAIL, ANOM_Z
     _var = "(ss - s * s / c) / (c - 1)"
     _sd = f"CASE WHEN {_var} > 0 THEN sqrt({_var}) END"
