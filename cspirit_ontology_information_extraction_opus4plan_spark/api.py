@@ -1327,6 +1327,15 @@ def q_url_frontier_plan(spark, sf_dir):
     return frontier_plan(DE.url_decorated_docs(docs))
 
 
+def q_web_anchor_profile(spark, sf_dir):
+    """Anchor-text aggregation over the decorated link graph: per
+    target in-degree + top anchor phrases (alt-label mining)."""
+    from .operators.urlops import anchor_text_profile
+    return anchor_text_profile(DE.link_edges(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")))
+
+
 def q_url_robots(spark, sf_dir):
     """robots.txt longest-prefix rule matching (RFC 9309 precedence)
     over the decorated crawl URLs; broadcast rule dimension."""
@@ -1969,6 +1978,7 @@ def queries() -> dict[str, QueryFn]:
         "url_curation": q_url_curation,
         "url_frontier_plan": q_url_frontier_plan,
         "url_robots": q_url_robots,
+        "web_anchor_profile": q_web_anchor_profile,
         "embedding_label_stats": q_embedding_label_stats,
         "embedding_kmeans": q_embedding_kmeans,
         "embedding_quantize": q_embedding_quantize,

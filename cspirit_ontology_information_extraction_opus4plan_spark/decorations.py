@@ -884,6 +884,50 @@ def url_blocklist(spark: SparkSession) -> DataFrame:
                                  "registered_domain string")
 
 
+LINK_MOD = 500  # link-target id space (constant across sf: smaller
+                # corpora simply have dangling targets, like a real
+                # frontier of not-yet-crawled URLs)
+
+
+def link_edges(docs: DataFrame) -> DataFrame:
+    """(src, dst, anchor): deterministic web-link decoration — doc i
+    links to (i*7+3) % LINK_MOD and (i*11+5) % LINK_MOD (self-links
+    dropped), carrying the first two tokens of the SOURCE text as the
+    anchor phrase. Rebuilt identically by link_edges_sql."""
+    i = F.col("doc_id")
+    toks = F.filter(F.split(F.lower(F.trim("text")), r"\s+"),
+                    lambda t: t != "")
+    anchor = F.array_join(F.slice(toks, 1, 2), " ")
+    base = docs.select(i.alias("src"), anchor.alias("anchor"))
+    e1 = base.withColumn("dst", (F.col("src") * 7 + 3) % LINK_MOD)
+    e2 = base.withColumn("dst", (F.col("src") * 11 + 5) % LINK_MOD)
+    return (e1.unionByName(e2)
+            .filter(F.col("dst") != F.col("src"))
+            .select("src", "dst", "anchor"))
+
+
+def link_edges_sql() -> str:
+    """DuckDB twin of link_edges over the documents view."""
+    return f"""
+ledges AS (
+  SELECT src, dst, anchor FROM (
+    SELECT doc_id AS src, (doc_id * 7 + 3) % {LINK_MOD} AS dst,
+           array_to_string(list_slice(
+             list_filter(regexp_split_to_array(lower(trim(text)),
+                                               '\\s+'), t -> t <> ''),
+             1, 2), ' ') AS anchor
+    FROM documents
+    UNION ALL
+    SELECT doc_id, (doc_id * 11 + 5) % {LINK_MOD},
+           array_to_string(list_slice(
+             list_filter(regexp_split_to_array(lower(trim(text)),
+                                               '\\s+'), t -> t <> ''),
+             1, 2), ' ')
+    FROM documents)
+  WHERE dst <> src
+)""".strip()
+
+
 def robots_rules() -> list[tuple[str, str, str]]:
     """Deterministic per-host robots rules (host, path_prefix, verdict)
     over the url_decorated_docs host universe: every host allows '/',

@@ -20,7 +20,36 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["canonicalize_urls", "url_curation", "frontier_plan",
-           "robots_match"]
+           "robots_match", "anchor_text_profile"]
+
+ANCHOR_TOP_N = 3
+
+
+def anchor_text_profile(edges: DataFrame,
+                        top_n: int = ANCHOR_TOP_N) -> DataFrame:
+    """Web-link anchor aggregation, the alt-label miner of web-scale
+    KG construction (anchor phrases pointing at a page are candidate
+    surface forms for the entity it describes — the signal behind
+    Wikipedia-anchor gazetteers): per link target, the distinct-source
+    in-degree and the top_n anchor phrases by link count. Emits
+    (dst, in_degree, anchor, n, rank).
+
+    Scale shape: two map-side-combinable aggregates off one edge scan
+    (per-(dst, anchor) counts; distinct-src in-degree), then the
+    ranking window partitions by target over its OWN anchor vocabulary
+    (bounded by the target's in-links, not the corpus). A mega-hub
+    target (wikipedia.org) has a long but self-contained partition;
+    AQE handles the skew, and a production variant would pre-aggregate
+    with a count floor before ranking."""
+    indeg = edges.groupBy("dst").agg(
+        F.countDistinct("src").cast("bigint").alias("in_degree"))
+    cnt = edges.groupBy("dst", "anchor").agg(
+        F.count("*").cast("bigint").alias("n"))
+    w = Window.partitionBy("dst").orderBy(F.desc("n"), F.asc("anchor"))
+    return (cnt.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= top_n)
+            .join(indeg, "dst")
+            .select("dst", "in_degree", "anchor", "n", "rank"))
 
 
 def robots_match(urls: DataFrame, rules: DataFrame,

@@ -3814,6 +3814,21 @@ SELECT canon_url, host,
        CAST((rn - 1) // {HOST_RATE} AS BIGINT) AS fetch_slot
 FROM seq"""
 
+    from .decorations import link_edges_sql
+    from .operators.urlops import ANCHOR_TOP_N
+    sqls["web_anchor_profile"] = f"""
+WITH {link_edges_sql()},
+indeg AS (SELECT dst, CAST(count(DISTINCT src) AS BIGINT) AS in_degree
+          FROM ledges GROUP BY 1),
+cnt AS (SELECT dst, anchor, CAST(count(*) AS BIGINT) AS n
+        FROM ledges GROUP BY 1, 2),
+ranked AS (SELECT dst, anchor, n, row_number() OVER (
+             PARTITION BY dst ORDER BY n DESC, anchor ASC) AS rank
+           FROM cnt)
+SELECT r.dst, i.in_degree, r.anchor, r.n, CAST(r.rank AS INT) AS rank
+FROM ranked r JOIN indeg i USING (dst)
+WHERE r.rank <= {ANCHOR_TOP_N}"""
+
     from .decorations import robots_rules_sql
     sqls["url_robots"] = f"""
 WITH {url_canon_ctes},
