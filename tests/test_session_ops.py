@@ -214,6 +214,69 @@ def test_novelty_zero_for_planted_exact_copies(spark, sf_dir):
     assert any(r["novelty"] > 0.5 for r in rows.values())
 
 
+def test_mrl_cos_matches_numpy(spark, sf_dir):
+    import numpy as np
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.similarity import (
+        MRL_COS_MIN, MRL_DIM, load_embeddings,
+    )
+    rows = {r["vec_id"]: r for r in
+            api.q_embedding_mrl_error(spark, sf_dir).collect()}
+    emb = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in load_embeddings(spark, sf_dir).collect()}
+    assert rows.keys() == emb.keys()
+    for vid, v in emb.items():
+        full = v / np.linalg.norm(v)
+        trunc = np.zeros_like(v)
+        trunc[:MRL_DIM] = v[:MRL_DIM]
+        cos = float(trunc @ full / np.linalg.norm(trunc))
+        assert abs(rows[vid]["cos_prefix"] - cos) < 1e-5, vid
+        assert rows[vid]["ok"] == (
+            rows[vid]["cos_prefix"] >= MRL_COS_MIN
+            or abs(rows[vid]["cos_prefix"] - MRL_COS_MIN) < 1e-6), vid
+
+
+def test_ab_srm_counts_partition_and_chi2_rederives(spark, sf_dir):
+    rows = {r["event_type"]: r
+            for r in api.q_event_ab_srm(spark, sf_dir).collect()}
+    assert "(all)" in rows
+    per_types = [k for k in rows if k != "(all)"]
+    assert sum(rows[k]["n_a"] for k in per_types) == rows["(all)"]["n_a"]
+    assert sum(rows[k]["n_b"] for k in per_types) == rows["(all)"]["n_b"]
+    for k, r in rows.items():
+        n = r["n_a"] + r["n_b"]
+        exp = n / 2.0
+        chi2 = ((r["n_a"] - exp) ** 2 + (r["n_b"] - exp) ** 2) / exp
+        assert r["chi2"] == round(chi2, 6), k
+
+
+def test_anchor_profile_indegree_and_rank(spark, sf_dir):
+    from cspirit_ontology_information_extraction_opus4plan_spark import (
+        decorations as DE,
+    )
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.urlops import (
+        ANCHOR_TOP_N,
+    )
+    rows = api.q_web_anchor_profile(spark, sf_dir).collect()
+    assert rows
+    edges = DE.link_edges(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")).collect()
+    indeg = {}
+    for e in edges:
+        indeg.setdefault(e["dst"], set()).add(e["src"])
+    by_dst = {}
+    for r in rows:
+        assert 1 <= r["rank"] <= ANCHOR_TOP_N
+        assert r["in_degree"] == len(indeg[r["dst"]]), r
+        by_dst.setdefault(r["dst"], []).append(r)
+    # ranks dense per target, counts non-increasing in rank
+    for dst, rs in by_dst.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        ns = [r["n"] for r in rs]
+        assert ns == sorted(ns, reverse=True), dst
+
+
 def test_new_ops_keep_python_off_the_hot_path(spark, sf_dir):
     plans = {
         name: api.queries()[name](spark, sf_dir)
