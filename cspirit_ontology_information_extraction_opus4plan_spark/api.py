@@ -1174,6 +1174,13 @@ def q_event_funnel(spark, sf_dir):
     return funnel_steps(load_events(spark, sf_dir))
 
 
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    streams (tie-broken lag window, row-normalized probabilities)."""
+    from .operators.content_stats import event_transitions, load_events
+    return event_transitions(load_events(spark, sf_dir))
+
+
 def q_event_ab_srm(spark, sf_dir):
     """Sticky md5 A/B assignment + per-type chi-square sample-ratio-
     mismatch check (one rollup pass, '(all)' total row)."""
@@ -1947,6 +1954,7 @@ def queries() -> dict[str, QueryFn]:
         "event_funnel": q_event_funnel,
         "event_anomaly_days": q_event_anomaly_days,
         "event_ab_srm": q_event_ab_srm,
+        "event_transitions": q_event_transitions,
         "doc_ctfidf_topics": q_doc_ctfidf_topics,
         "doc_winnowing": q_doc_winnowing,
         "doc_rrf_search": q_doc_rrf_search,

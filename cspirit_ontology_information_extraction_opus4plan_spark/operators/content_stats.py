@@ -236,6 +236,38 @@ def approx_quantiles(events: DataFrame) -> DataFrame:
                     ok.alias("approx_ok")))
 
 
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition mining over per-user event
+    streams — the clickstream model behind next-action prediction and
+    funnel design: consecutive event pairs within each user's timeline
+    are counted into a transition matrix with row-normalized
+    probabilities. Emits (prev_type, next_type, n, p) where p =
+    n / sum(n over prev_type).
+
+    Determinism: the per-user ordering breaks timestamp ties by
+    event_id, so simultaneous events sequence identically in both
+    engines. Scale shape: the lag window partitions BY USER (state =
+    one user's events — the irreducible sequence unit, same argument
+    as sessionization); the matrix aggregate is map-side combinable
+    and the row-normalizer is a transition-matrix-sized self-aggregate
+    (event-type vocabulary squared, a dimension, never corpus-sized)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (events
+             .select("user_id", "ts", "event_id",
+                     F.col("event_type").alias("next_type"),
+                     F.lag("event_type").over(w).alias("prev_type"))
+             .filter(F.col("prev_type").isNotNull()))
+    mat = pairs.groupBy("prev_type", "next_type").agg(
+        F.count("*").cast("bigint").alias("n"))
+    row = mat.groupBy("prev_type").agg(
+        F.sum("n").cast("double").alias("row_n"))
+    return (mat.join(row, "prev_type")
+            .select("prev_type", "next_type", "n",
+                    F.round(F.col("n") / F.col("row_n"), 6).alias("p")))
+
+
 AB_CHI2_CRIT = 3.841459  # chi-square 95% critical value, 1 dof
 
 

@@ -3122,6 +3122,19 @@ SELECT CAST(step_idx AS INT) AS step_idx, step, n_users,
              6) AS conv_from_first
 FROM counts""".strip()
 
+    sqls["event_transitions"] = """
+WITH seq AS (
+  SELECT event_type AS next_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events),
+mat AS (SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+rw AS (SELECT prev_type, CAST(sum(n) AS DOUBLE) AS row_n
+       FROM mat GROUP BY 1)
+SELECT m.prev_type, m.next_type, m.n, round(m.n / rw.row_n, 6) AS p
+FROM mat m JOIN rw USING (prev_type)""".strip()
+
     from .operators.content_stats import AB_CHI2_CRIT
     _exp = "(CAST(n_a + n_b AS DOUBLE) / 2)"
     _chi2 = (f"((n_a - {_exp}) * (n_a - {_exp})"
