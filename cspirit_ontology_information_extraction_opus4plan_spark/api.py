@@ -266,6 +266,13 @@ def q_embedding_mrl_error(spark, sf_dir):
     return mrl_truncation_stats(load_embeddings(spark, sf_dir))
 
 
+def q_doc_reading_ease(spark, sf_dir):
+    """Flesch reading-ease readability scoring (regexp sentence +
+    vowel-group syllable counts, pure codegen)."""
+    from .operators.textops import reading_ease
+    return reading_ease(_docs(spark, sf_dir))
+
+
 def q_doc_ngram_novelty(spark, sf_dir):
     """Per-doc originality: share of distinct w-gram shingles found in
     no other document of the planted-duplicate corpus."""
@@ -1959,6 +1966,7 @@ def queries() -> dict[str, QueryFn]:
         "doc_winnowing": q_doc_winnowing,
         "doc_rrf_search": q_doc_rrf_search,
         "doc_ngram_novelty": q_doc_ngram_novelty,
+        "doc_reading_ease": q_doc_reading_ease,
         "embedding_mrl_error": q_embedding_mrl_error,
         "event_retention": q_event_retention,
         "jsonld_namespaces": q_jsonld_namespaces,

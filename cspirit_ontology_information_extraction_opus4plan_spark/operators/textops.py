@@ -655,6 +655,41 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         F.array_min(F.transform(sh, F.md5)).alias("fingerprint"))
 
 
+READ_EASY = 90.0       # Flesch bucket boundaries (on the ROUNDED score,
+READ_STANDARD = 60.0   # so the bucket can never disagree with the
+READ_DIFFICULT = 30.0  # emitted score across engines)
+
+
+def reading_ease(docs: DataFrame) -> DataFrame:
+    """Flesch reading-ease per document — the readability axis of
+    quality filtering (a corpus skewed to score<30 legalese or >100
+    listicle fragments both need rebalancing): 206.835 - 1.015 *
+    words/sentences - 84.6 * syllables/words, with sentences counted
+    as [.!?]+ runs (min 1) and syllables approximated by [aeiouy]+
+    vowel groups (whitespace already breaks groups across words, so
+    one whole-text regexp_count replaces a per-word loop). Emits
+    (doc_id, n_words, n_sentences, n_syllables, ease, bucket) — the
+    bucket thresholds compare the ROUNDED score, so bucket and score
+    can never disagree between engines. Pure per-row codegen."""
+    words = F.size(tokens_col("text")).cast("bigint")
+    sents = F.greatest(
+        F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1)) \
+        .cast("bigint")
+    syll = F.regexp_count(F.lower("text"), F.lit("[aeiouy]+")) \
+        .cast("bigint")
+    ease = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * F.try_divide(words.cast("double"), sents)
+        - F.lit(84.6) * F.try_divide(syll.cast("double"), words), 6)
+    return docs.select(
+        "doc_id", words.alias("n_words"), sents.alias("n_sentences"),
+        syll.alias("n_syllables"), ease.alias("ease"),
+        F.when(ease >= READ_EASY, "easy")
+        .when(ease >= READ_STANDARD, "standard")
+        .when(ease >= READ_DIFFICULT, "difficult")
+        .otherwise("very_difficult").alias("bucket"))
+
+
 NOVELTY_W = 5   # shingle width for novelty scoring
 
 

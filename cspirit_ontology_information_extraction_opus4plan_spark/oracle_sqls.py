@@ -376,6 +376,26 @@ SELECT a, b, round(cont_ab, 6) AS cont_ab, round(cont_ba, 6) AS cont_ba,
             ELSE 'b_in_a' END AS direction
 FROM v WHERE greatest(cont_ab, cont_ba) >= {th}""")
 
+    from .operators.textops import (READ_DIFFICULT, READ_EASY,
+                                    READ_STANDARD)
+    _rease = ("round(206.835"
+              " - 1.015 * (CAST(len(toks) AS DOUBLE)"
+              " / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))"
+              " - 84.6 * (CAST(len(regexp_extract_all(lower(text),"
+              " '[aeiouy]+')) AS DOUBLE) / len(toks)), 6)")
+    sqls["doc_reading_ease"] = f"WITH {tok_cte('documents')}" + f"""
+SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+       CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+            AS BIGINT) AS n_sentences,
+       CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+            AS BIGINT) AS n_syllables,
+       {_rease} AS ease,
+       CASE WHEN {_rease} >= {READ_EASY} THEN 'easy'
+            WHEN {_rease} >= {READ_STANDARD} THEN 'standard'
+            WHEN {_rease} >= {READ_DIFFICULT} THEN 'difficult'
+            ELSE 'very_difficult' END AS bucket
+FROM tok"""
+
     from .operators.textops import NOVELTY_W
     sqls["doc_ngram_novelty"] = (
         f"WITH {ADOC_CTE},\n{tok_cte('adoc')},\n"
