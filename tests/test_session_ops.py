@@ -277,6 +277,45 @@ def test_anchor_profile_indegree_and_rank(spark, sf_dir):
         assert ns == sorted(ns, reverse=True), dst
 
 
+def test_transitions_mass_conservation(spark, sf_dir):
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.content_stats import (
+        load_events,
+    )
+    rows = api.q_event_transitions(spark, sf_dir).collect()
+    assert rows
+    ev = load_events(spark, sf_dir)
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    # every user with k events contributes exactly k-1 transitions
+    assert sum(r["n"] for r in rows) == n_events - n_users
+    by_prev = {}
+    for r in rows:
+        by_prev.setdefault(r["prev_type"], []).append(r)
+    for prev, rs in by_prev.items():
+        total = sum(r["n"] for r in rs)
+        for r in rs:
+            assert r["p"] == round(r["n"] / total, 6), r
+        assert abs(sum(r["p"] for r in rs) - 1.0) < 1e-4, prev
+
+
+def test_reading_ease_rederives(spark, sf_dir):
+    import re
+    rows = api.q_doc_reading_ease(spark, sf_dir).collect()
+    docs = {r["doc_id"]: r["text"] for r in spark.read.parquet(
+        f"{sf_dir}/documents.parquet").select("doc_id", "text").collect()}
+    assert len(rows) == len(docs)
+    for r in rows[:50]:
+        text = docs[r["doc_id"]]
+        words = len([t for t in re.split(r"\s+", text.lower().strip())
+                     if t])
+        sents = max(len(re.findall(r"[.!?]+", text)), 1)
+        syll = len(re.findall(r"[aeiouy]+", text.lower()))
+        assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (
+            words, sents, syll), r
+        ease = 206.835 - 1.015 * words / sents - 84.6 * syll / words
+        assert r["ease"] == round(ease, 6), r
+
+
 def test_new_ops_keep_python_off_the_hot_path(spark, sf_dir):
     plans = {
         name: api.queries()[name](spark, sf_dir)
