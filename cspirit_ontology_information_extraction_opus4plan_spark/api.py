@@ -450,6 +450,15 @@ def q_media_resize(spark, sf_dir):
         fetch_media(media_spans(spans_exploded(spark, sf_dir))))
 
 
+def q_media_vad_segments(spark, sf_dir):
+    """VAD segmentation plumbing: per-clip voiced runs from stub frame
+    energies — the row-exploding Arrow stage before ASR."""
+    from .operators.multimodal import (fetch_media, media_spans,
+                                       vad_segments)
+    return vad_segments(
+        fetch_media(media_spans(spans_exploded(spark, sf_dir))))
+
+
 def q_media_frame_sample(spark, sf_dir):
     """Frame-sampling plumbing: one row per sampled frame (row-exploding
     Arrow stage), evenly strided, at most FRAME_SAMPLE_MAX per payload."""
@@ -1942,6 +1951,7 @@ def queries() -> dict[str, QueryFn]:
         "media_content_dedup": q_media_content_dedup,
         "media_resize": q_media_resize,
         "media_frame_sample": q_media_frame_sample,
+        "media_vad_segments": q_media_vad_segments,
         "pack_fill_stats": q_pack_fill_stats,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_quality": q_doc_quality,

@@ -271,6 +271,70 @@ def media_phash_neardup(hashed: DataFrame,
             .select("a", "b", "hamming"))
 
 
+AUDIO_FRAME_MS = 30   # VAD analysis frame (the webrtcvad default)
+VAD_SCHEMA = ("doc_id string, pos int, media_ref string, n_frames int, "
+              "seg_idx int, start_frame int, end_frame int, "
+              "start_ms int, dur_ms int")
+
+
+def vad_segments(media_with_content: DataFrame,
+                 decoder: str = "stub") -> DataFrame:
+    """Voice-activity segmentation plumbing (audio payloads): decode
+    per-frame energies, threshold, and emit one row per maximal voiced
+    run — the segmentation stage an ASR/caption pipeline runs before
+    transcription, and the second row-exploding Arrow batch shape next
+    to sample_frames (a clip fans out to a variable number of
+    segments). A real VAD computes energies/GMM posteriors inside the
+    same kernel; the stub derives them from the payload bytes: clip
+    length = 20 + byte0 % 30 frames, frame i is voiced iff
+    byte[(i+1) % 16] >= 128 (i.e. its high nibble >= 8) — replayed
+    nibble-for-nibble by the DuckDB oracle, like the pHash/frame
+    stubs. Segment state is bounded by clip length, never the corpus."""
+    if decoder != "stub":
+        raise NotImplementedError(
+            f"decoder={decoder!r}: audio decode libraries are not "
+            "available in this environment; only the deterministic "
+            "'stub' decoder runs here (identical Spark plumbing).")
+
+    def segs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "pos", "media_ref",
+                                    "n_frames", "seg_idx",
+                                    "start_frame", "end_frame")}
+            for doc_id, pos, ref, content in zip(
+                    pdf["doc_id"], pdf["pos"], pdf["media_ref"],
+                    pdf["content"]):
+                b = bytes(content)
+                n = 20 + b[0] % 30
+                seg = 0
+                start = None
+                for i in range(n + 1):
+                    voiced = i < n and b[(i + 1) % 16] >= 128
+                    if voiced and start is None:
+                        start = i
+                    elif not voiced and start is not None:
+                        seg += 1
+                        rows["doc_id"].append(doc_id)
+                        rows["pos"].append(pos)
+                        rows["media_ref"].append(ref)
+                        rows["n_frames"].append(n)
+                        rows["seg_idx"].append(seg)
+                        rows["start_frame"].append(start)
+                        rows["end_frame"].append(i)
+                        start = None
+            out = pd.DataFrame(rows)
+            for k in ("pos", "n_frames", "seg_idx", "start_frame",
+                      "end_frame"):
+                out[k] = out[k].astype("int32")
+            out["start_ms"] = (out["start_frame"]
+                               * AUDIO_FRAME_MS).astype("int32")
+            out["dur_ms"] = ((out["end_frame"] - out["start_frame"])
+                             * AUDIO_FRAME_MS).astype("int32")
+            yield out
+
+    return media_with_content.mapInPandas(segs, schema=VAD_SCHEMA)
+
+
 def media_inventory(spans: DataFrame) -> DataFrame:
     """Per-kind media counts (extraction summary analog,
     metadata_framework.py:695)."""

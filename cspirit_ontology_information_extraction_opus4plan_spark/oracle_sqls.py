@@ -3045,6 +3045,42 @@ SELECT doc_id, pos, media_ref, n_frames,
 FROM vids, LATERAL unnest(range(0, n_frames,
     CAST(ceil(n_frames / {float(MM.FRAME_SAMPLE_MAX)}) AS INT))) AS t(fi)"""
 
+    # audio VAD segmentation: clip length and per-frame voicing replay
+    # the stub decode nibble-for-nibble (multimodal.vad_segments);
+    # islands via the fi - row_number() gaps trick
+    from .operators.multimodal import AUDIO_FRAME_MS
+    _voiced = ("CASE ((fi + 1) % 16) "
+               + " ".join(f"WHEN {j} THEN ({hv(2 * j + 1)} >= 8)"
+                          for j in range(16))
+               + " END")
+    sqls["media_vad_segments"] = corpus_prefix() + f"""
+, af AS (
+  SELECT doc_id, pos, media_ref, md5(media_ref) AS h
+  FROM spans WHERE kind IN ('figure', 'table') AND media_ref <> ''),
+clips AS (
+  SELECT doc_id, pos, media_ref, h,
+         CAST(20 + ({hv(1)} * 16 + {hv(2)}) % 30 AS INT) AS n_frames
+  FROM af),
+frames AS (
+  SELECT doc_id, pos, media_ref, n_frames, CAST(fi AS INT) AS fi,
+         ({_voiced}) AS voiced
+  FROM clips, LATERAL unnest(range(0, n_frames)) AS t(fi)),
+v AS (
+  SELECT *, fi - row_number() OVER (
+      PARTITION BY doc_id, pos, media_ref ORDER BY fi) AS grp
+  FROM frames WHERE voiced),
+segs AS (
+  SELECT doc_id, pos, media_ref, n_frames, grp,
+         min(fi) AS sf, max(fi) + 1 AS ef
+  FROM v GROUP BY doc_id, pos, media_ref, n_frames, grp)
+SELECT doc_id, pos, media_ref, n_frames,
+       CAST(row_number() OVER (PARTITION BY doc_id, pos, media_ref
+                               ORDER BY sf) AS INT) AS seg_idx,
+       CAST(sf AS INT) AS start_frame, CAST(ef AS INT) AS end_frame,
+       CAST(sf * {AUDIO_FRAME_MS} AS INT) AS start_ms,
+       CAST((ef - sf) * {AUDIO_FRAME_MS} AS INT) AS dur_ms
+FROM segs"""
+
     # perceptual aHash near-dup: 32 payload nibbles as pixels, integer-
     # exact threshold bit i set iff 32*p_i > sum(p); planted twins bump
     # the last nibble +1 mod 16 at ref#p; candidates = OR of the 8
