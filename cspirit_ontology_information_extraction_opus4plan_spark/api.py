@@ -266,6 +266,15 @@ def q_embedding_mrl_error(spark, sf_dir):
     return mrl_truncation_stats(load_embeddings(spark, sf_dir))
 
 
+def q_doc_mixture_reweight(spark, sf_dir):
+    """DoReMi-style loss-aware mixture reweighting: per-source unigram
+    cross-entropy excess -> exponential weights -> doc allocation."""
+    from .operators.textops import mixture_loss_reweight
+    return mixture_loss_reweight(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("source", "text"))
+
+
 def q_doc_reading_ease(spark, sf_dir):
     """Flesch reading-ease readability scoring (regexp sentence +
     vowel-group syllable counts, pure codegen)."""
@@ -1977,6 +1986,7 @@ def queries() -> dict[str, QueryFn]:
         "doc_rrf_search": q_doc_rrf_search,
         "doc_ngram_novelty": q_doc_ngram_novelty,
         "doc_reading_ease": q_doc_reading_ease,
+        "doc_mixture_reweight": q_doc_mixture_reweight,
         "embedding_mrl_error": q_embedding_mrl_error,
         "event_retention": q_event_retention,
         "jsonld_namespaces": q_jsonld_namespaces,

@@ -1362,6 +1362,53 @@ def unigram_logloss(docs: DataFrame) -> DataFrame:
                  F.round(-F.avg("lp"), 6).alias("cross_entropy")))
 
 
+MIX_ETA = 1.0       # excess-hardness temperature
+MIX_BUDGET = 1000   # docs to allocate across sources
+
+
+def mixture_loss_reweight(docs: DataFrame, eta: float = MIX_ETA,
+                          budget: int = MIX_BUDGET) -> DataFrame:
+    """Loss-aware data-mixture reweighting (DoReMi-style, Xie et al.
+    2023, reduced to the unigram proxy): sources whose tokens are
+    HARDER under the corpus unigram model (higher cross-entropy than
+    the corpus mean) get exponentially up-weighted,
+    w_s ∝ exp(eta * (H_s - H)), normalized and turned into a document
+    allocation — the hardness-seeking complement of
+    mixture_temperature_sample's size-based weights. Emits (source,
+    n_tokens, h_source, excess, weight, alloc_docs).
+
+    One tokenize pass feeds vocabulary counts and scoring (the
+    unigram_logloss shape, grouped by source instead of doc); the
+    softmax normalizer is a source-count-sized scalar aggregate
+    (broadcast, no collect). alloc uses floor, whose semantics are
+    identical across engines (round-half-at-.5 modes are not)."""
+    tok = (docs.select("source", F.explode(tokens_col("text")).alias("t"))
+           .localCheckpoint(eager=True))
+    counts = tok.groupBy("t").agg(F.count("*").alias("tf"))
+    total = counts.agg(F.sum("tf").cast("double").alias("total"))
+    lp = (tok.join(counts, "t").crossJoin(F.broadcast(total))
+          .select("source",
+                  F.log(F.col("tf") / F.col("total")).alias("lp")))
+    lp = lp.localCheckpoint(eager=True)  # read by per-source AND corpus
+    per = lp.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        (-F.avg("lp")).alias("h_src"))
+    hall = lp.agg((-F.avg("lp")).alias("h_all"))
+    ex = (per.crossJoin(F.broadcast(hall))
+          .withColumn("excess", F.col("h_src") - F.col("h_all"))
+          .withColumn("w_raw", F.exp(F.lit(eta) * F.col("excess"))))
+    z = ex.agg(F.sum("w_raw").alias("z"))
+    return (ex.crossJoin(F.broadcast(z))
+            .select("source", "n_tokens",
+                    F.round("h_src", 6).alias("h_source"),
+                    F.round("excess", 6).alias("excess"),
+                    F.round(F.col("w_raw") / F.col("z"), 6)
+                    .alias("weight"),
+                    F.floor(F.lit(float(budget)) * F.col("w_raw")
+                            / F.col("z")).cast("bigint")
+                    .alias("alloc_docs")))
+
+
 def dup_ngram_coverage(docs: DataFrame, w: int = SHINGLE_W) -> DataFrame:
     """Corpus-level duplicated n-gram coverage — the RefinedWeb-style
     dedup diagnostic read BEFORE choosing a near-dup strategy: of all

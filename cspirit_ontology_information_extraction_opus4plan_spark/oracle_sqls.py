@@ -376,6 +376,33 @@ SELECT a, b, round(cont_ab, 6) AS cont_ab, round(cont_ba, 6) AS cont_ba,
             ELSE 'b_in_a' END AS direction
 FROM v WHERE greatest(cont_ab, cont_ba) >= {th}""")
 
+    from .operators.textops import MIX_BUDGET, MIX_ETA
+    sqls["doc_mixture_reweight"] = f"""
+WITH tokc AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     t -> t <> '') AS toks
+  FROM documents),
+tok2 AS (SELECT source, unnest(toks) AS t FROM tokc),
+counts AS (SELECT t, count(*) AS tf FROM tok2 GROUP BY 1),
+total AS (SELECT CAST(sum(tf) AS DOUBLE) AS total FROM counts),
+lp AS (SELECT source, ln(tf / total.total) AS lp
+       FROM tok2 JOIN counts USING (t), total),
+per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+               -avg(lp) AS h_src
+        FROM lp GROUP BY 1),
+hall AS (SELECT -avg(lp) AS h_all FROM lp),
+ex AS (SELECT source, n_tokens, h_src, h_src - h_all AS excess,
+              exp({MIX_ETA} * (h_src - h_all)) AS w_raw
+       FROM per, hall),
+z AS (SELECT sum(w_raw) AS z FROM ex)
+SELECT source, n_tokens, round(h_src, 6) AS h_source,
+       round(excess, 6) AS excess,
+       round(w_raw / z.z, 6) AS weight,
+       CAST(floor({float(MIX_BUDGET)} * w_raw / z.z) AS BIGINT)
+         AS alloc_docs
+FROM ex, z""".strip()
+
     from .operators.textops import (READ_DIFFICULT, READ_EASY,
                                     READ_STANDARD)
     _rease = ("round(206.835"
