@@ -798,6 +798,15 @@ def q_alt_id_lookup(spark, sf_dir):
     return OA.alt_id_lookup(t, probes)
 
 
+def q_jsonl_parse(spark, sf_dir):
+    """JSONL source with malformed-row quarantine (planted truncation,
+    PERMISSIVE from_json -> parse_ok flags)."""
+    from .operators.serde import jsonl_docs, parse_jsonl
+    return parse_jsonl(jsonl_docs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang", "n_chars")))
+
+
 def q_csv_roundtrip(spark, sf_dir):
     return SR.csv_roundtrip(terms_df(spark))
 
@@ -1969,6 +1978,7 @@ def queries() -> dict[str, QueryFn]:
         "doc_unigram_logloss": q_doc_unigram_logloss,
         "kg_eval_split": q_kg_eval_split,
         "csv_roundtrip": q_csv_roundtrip,
+        "jsonl_parse": q_jsonl_parse,
         "event_pivot": q_event_pivot,
         "doc_curation_stats": q_doc_curation_stats,
         "doc_boilerplate_strip": q_doc_boilerplate_strip,

@@ -54,6 +54,39 @@ def csv_roundtrip(terms: DataFrame) -> DataFrame:
                         p["is_obsolete"].alias("is_obsolete"))
 
 
+JSONL_SCHEMA = "id bigint, lang string, nc bigint"
+
+
+def jsonl_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, line): one JSONL record per document via to_json, with
+    every doc_id % 7 == 3 line truncated by two characters — the
+    malformed-row plant the quarantine contract needs (guards.py
+    declares parse failures must surface as rows, not aborts)."""
+    line = F.to_json(F.struct(F.col("doc_id").alias("id"),
+                              F.col("lang"),
+                              F.col("n_chars").alias("nc")))
+    broken = F.col("doc_id") % 7 == 3
+    return docs.select(
+        "doc_id",
+        F.when(broken, line.substr(F.lit(1), F.length(line) - 2))
+        .otherwise(line).alias("line"))
+
+
+def parse_jsonl(lines: DataFrame) -> DataFrame:
+    """JSON-lines source with per-row quarantine: from_json in
+    PERMISSIVE mode returns an all-null struct for malformed records,
+    so bad rows surface as (parse_ok = false) quarantine rows instead
+    of aborting the job — the JSONL sibling of parse_jats/parse_auto's
+    error discipline, and the usual ingestion format for crawled /
+    API-dumped corpora. Pure codegen, one pass, no Python."""
+    p = F.from_json(F.col("line"), JSONL_SCHEMA)
+    return lines.select("doc_id",
+                        p["id"].alias("id"),
+                        p["lang"].alias("lang"),
+                        p["nc"].alias("nc"),
+                        p["id"].isNotNull().alias("parse_ok"))
+
+
 # boolean literal set for CSV type inference (parsers/__init__.py:5753)
 CSV_BOOLEAN_VALUES = ["true", "false", "yes", "no", "1", "0",
                       "t", "f", "y", "n"]

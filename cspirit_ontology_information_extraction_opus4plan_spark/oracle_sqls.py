@@ -1828,6 +1828,27 @@ SELECT l.event_id, l.user_id, l.event_type,
 FROM l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts >= p.ts"""
 
     from .operators import serde as SR
+    sqls["jsonl_parse"] = """
+WITH jl AS (
+  SELECT doc_id,
+         '{"id":' || doc_id || ',"lang":"' || lang || '","nc":'
+           || n_chars || '}' AS j
+  FROM documents),
+lines AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 3
+              THEN substring(j, 1, length(j) - 2) ELSE j END AS line
+  FROM jl)
+SELECT doc_id,
+       CASE WHEN json_valid(line)
+            THEN CAST(json_extract(line, '$.id') AS BIGINT) END AS id,
+       CASE WHEN json_valid(line)
+            THEN json_extract_string(line, '$.lang') END AS lang,
+       CASE WHEN json_valid(line)
+            THEN CAST(json_extract(line, '$.nc') AS BIGINT) END AS nc,
+       json_valid(line) AS parse_ok
+FROM lines""".strip()
+
     sqls["csv_roundtrip"] = "WITH " + terms_full_cte() + """
 SELECT id, name, definition, synonyms,
        CASE WHEN synonyms = '' THEN 0
