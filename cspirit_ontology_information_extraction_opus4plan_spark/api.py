@@ -798,6 +798,25 @@ def q_alt_id_lookup(spark, sf_dir):
     return OA.alt_id_lookup(t, probes)
 
 
+def q_sales_star_rollup(spark, sf_dir):
+    """TPC-H Q5-family star rollup: revenue per (region, year) in
+    exact decimal, broadcast nation/region dims."""
+    from .operators.relational import load_rel, star_revenue_rollup
+    return star_revenue_rollup(
+        load_rel(spark, sf_dir, "lineitem"),
+        load_rel(spark, sf_dir, "orders"),
+        load_rel(spark, sf_dir, "customer"),
+        load_rel(spark, sf_dir, "nation"),
+        load_rel(spark, sf_dir, "region"))
+
+
+def q_fk_orphan_audit(spark, sf_dir):
+    """Referential-integrity audit: orphan counts per FK relation of
+    the star schema (left_anti probes)."""
+    from .operators.relational import fk_orphan_audit
+    return fk_orphan_audit(spark, sf_dir)
+
+
 def q_jsonl_parse(spark, sf_dir):
     """JSONL source with malformed-row quarantine (planted truncation,
     PERMISSIVE from_json -> parse_ok flags)."""
@@ -1979,6 +1998,8 @@ def queries() -> dict[str, QueryFn]:
         "kg_eval_split": q_kg_eval_split,
         "csv_roundtrip": q_csv_roundtrip,
         "jsonl_parse": q_jsonl_parse,
+        "sales_star_rollup": q_sales_star_rollup,
+        "fk_orphan_audit": q_fk_orphan_audit,
         "event_pivot": q_event_pivot,
         "doc_curation_stats": q_doc_curation_stats,
         "doc_boilerplate_strip": q_doc_boilerplate_strip,

@@ -1,0 +1,90 @@
+"""Relational star-schema operators over the TPC-H-shaped side tables
+(lineitem/orders/customer/nation/region/supplier) — the classic
+fact-to-dimension analytics an engine must plan well, kept next to the
+KG/document surface so a reference user's relational workloads also
+have a home.
+
+Scale notes:
+  * the star rollup joins the FACT (lineitem) up the dimension chain;
+    nation/region are genuinely bounded dimensions -> explicit
+    broadcast; customer/orders are corpus-scale -> shuffle equi-joins
+    Catalyst is free to reorder. Money math runs in DECIMAL: double
+    inputs cast to DECIMAL(18,4) (deterministic — a binary double is
+    never exactly halfway between two scale-4 decimals), so the
+    revenue sum is EXACT and order-independent, unlike a double sum
+    whose accumulation order differs across engines; the final cast
+    back to double happens after rounding, once per output row.
+  * the FK orphan audit is one left_anti count per relation — the
+    referential-integrity QC a warehouse load runs post-ingest; each
+    probe is a semi-join the planner can broadcast when the parent is
+    small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MONEY = "decimal(18,4)"
+
+
+def load_rel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def star_revenue_rollup(lineitem: DataFrame, orders: DataFrame,
+                        customer: DataFrame, nation: DataFrame,
+                        region: DataFrame) -> DataFrame:
+    """Revenue per (region, order year): the TPC-H Q5-family star
+    rollup. revenue = sum(extendedprice * (1 - discount)) in exact
+    decimal; emits (r_name, o_year, n_items, revenue)."""
+    rev = (F.col("l_extendedprice").cast(MONEY)
+           * (F.lit(1).cast(MONEY) - F.col("l_discount").cast(MONEY)))
+    return (lineitem
+            .select("l_orderkey", rev.alias("rev"))
+            .join(orders.select("o_orderkey", "o_custkey",
+                                F.year("o_orderdate").cast("bigint")
+                                .alias("o_year")),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(customer.select("c_custkey", "c_nationkey"),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(nation.select("n_nationkey",
+                                            "n_regionkey")),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(region.select("r_regionkey", "r_name")),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy("r_name", "o_year")
+            .agg(F.count("*").cast("bigint").alias("n_items"),
+                 F.round(F.sum("rev"), 2).cast("double")
+                 .alias("revenue")))
+
+
+def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over the star schema: per FK
+    relation, total child rows and orphans (children whose parent key
+    has no parent row), via one left_anti count each. Emits
+    (relation, n_rows, n_orphans)."""
+    rels = [
+        ("orders->customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("lineitem->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("customer->nation", "customer", "c_nationkey",
+         "nation", "n_nationkey"),
+        ("supplier->nation", "supplier", "s_nationkey",
+         "nation", "n_nationkey"),
+        ("nation->region", "nation", "n_regionkey",
+         "region", "r_regionkey"),
+    ]
+    out = None
+    for label, child, ck, parent, pk in rels:
+        c = load_rel(spark, sf_dir, child).select(F.col(ck).alias("k"))
+        p = load_rel(spark, sf_dir, parent).select(F.col(pk).alias("k"))
+        row = (c.join(p, "k", "left_anti")
+               .agg(F.count("*").cast("bigint").alias("n_orphans"))
+               .crossJoin(c.agg(F.count("*").cast("bigint")
+                                .alias("n_rows")))
+               .select(F.lit(label).alias("relation"), "n_rows",
+                       "n_orphans"))
+        out = row if out is None else out.unionByName(row)
+    return out

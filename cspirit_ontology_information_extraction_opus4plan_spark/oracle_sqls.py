@@ -1828,6 +1828,51 @@ SELECT l.event_id, l.user_id, l.event_type,
 FROM l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts >= p.ts"""
 
     from .operators import serde as SR
+    sqls["sales_star_rollup"] = """
+SELECT r.r_name, year(o.o_orderdate) AS o_year,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                      * (CAST(1 AS DECIMAL(18,4))
+                         - CAST(l.l_discount AS DECIMAL(18,4)))), 2)
+            AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY 1, 2""".strip()
+
+    sqls["fk_orphan_audit"] = """
+SELECT 'orders->customer' AS relation,
+       CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_rows,
+       CAST((SELECT count(*) FROM orders o
+             WHERE o.o_custkey NOT IN
+               (SELECT c_custkey FROM customer)) AS BIGINT) AS n_orphans
+UNION ALL
+SELECT 'lineitem->orders',
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE l.l_orderkey NOT IN
+               (SELECT o_orderkey FROM orders)) AS BIGINT)
+UNION ALL
+SELECT 'customer->nation',
+       CAST((SELECT count(*) FROM customer) AS BIGINT),
+       CAST((SELECT count(*) FROM customer c
+             WHERE c.c_nationkey NOT IN
+               (SELECT n_nationkey FROM nation)) AS BIGINT)
+UNION ALL
+SELECT 'supplier->nation',
+       CAST((SELECT count(*) FROM supplier) AS BIGINT),
+       CAST((SELECT count(*) FROM supplier s
+             WHERE s.s_nationkey NOT IN
+               (SELECT n_nationkey FROM nation)) AS BIGINT)
+UNION ALL
+SELECT 'nation->region',
+       CAST((SELECT count(*) FROM nation) AS BIGINT),
+       CAST((SELECT count(*) FROM nation n
+             WHERE n.n_regionkey NOT IN
+               (SELECT r_regionkey FROM region)) AS BIGINT)""".strip()
+
     sqls["jsonl_parse"] = """
 WITH jl AS (
   SELECT doc_id,

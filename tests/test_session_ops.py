@@ -324,16 +324,25 @@ def test_new_ops_keep_python_off_the_hot_path(spark, sf_dir):
                      "doc_ctfidf_topics", "doc_winnowing",
                      "doc_rrf_search")
     }
-    plans["url_frontier_plan"] = (
-        api.queries()["url_frontier_plan"](spark, sf_dir)
-        ._jdf.queryExecution().executedPlan().toString())
+    for extra in ("url_frontier_plan", "sales_star_rollup",
+                  "fk_orphan_audit", "jsonl_parse",
+                  "doc_mixture_reweight", "event_transitions",
+                  "doc_reading_ease", "doc_ngram_novelty",
+                  "event_ab_srm", "event_anomaly_days", "url_robots",
+                  "web_anchor_profile", "embedding_mrl_error"):
+        plans[extra] = (
+            api.queries()[extra](spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString())
+    # the star rollup must broadcast its bounded dims
+    assert "BroadcastHashJoin" in plans["sales_star_rollup"]
     for name, plan in plans.items():
         assert "BatchEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
-    # pure-codegen ops: no Arrow crossing at all
-    for name in ("kg_ffl_motifs", "event_funnel",
-                 "doc_ctfidf_topics", "doc_winnowing",
-                 "url_frontier_plan"):
+    # pure-codegen ops: no Arrow crossing at all (the RRF dense leg and
+    # nothing else among this session's ops may cross)
+    for name in plans:
+        if name == "doc_rrf_search":
+            continue
         assert "MapInPandas" not in plans[name], name
     # the RRF dense leg is exactly one sanctioned Arrow kernel
     assert plans["doc_rrf_search"].count("MapInPandas") == 1
