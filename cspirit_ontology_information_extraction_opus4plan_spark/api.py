@@ -266,6 +266,22 @@ def q_embedding_mrl_error(spark, sf_dir):
     return mrl_truncation_stats(load_embeddings(spark, sf_dir))
 
 
+def q_doc_dedup_eval(spark, sf_dir):
+    """Dedup-detector recall eval vs the planted duplicate truth set
+    (minhash-LSH verified pairs as the detector under test)."""
+    from .operators.textops import dedup_recall_eval, minhash_lsh_pairs
+    docs = DE.augmented_docs(spark, sf_dir)
+    return dedup_recall_eval(minhash_lsh_pairs(docs),
+                             _docs(spark, sf_dir))
+
+
+def q_doc_license_detect(spark, sf_dir):
+    """Priority-ordered license-mention classification over planted
+    cc/mit/apache lines (rights filtering for training data)."""
+    from .operators.textops import license_detect
+    return license_detect(DE.license_docs(_docs(spark, sf_dir)))
+
+
 def q_doc_mixture_reweight(spark, sf_dir):
     """DoReMi-style loss-aware mixture reweighting: per-source unigram
     cross-entropy excess -> exponential weights -> doc allocation."""
@@ -2018,6 +2034,8 @@ def queries() -> dict[str, QueryFn]:
         "doc_ngram_novelty": q_doc_ngram_novelty,
         "doc_reading_ease": q_doc_reading_ease,
         "doc_mixture_reweight": q_doc_mixture_reweight,
+        "doc_dedup_eval": q_doc_dedup_eval,
+        "doc_license_detect": q_doc_license_detect,
         "embedding_mrl_error": q_embedding_mrl_error,
         "event_retention": q_event_retention,
         "jsonld_namespaces": q_jsonld_namespaces,

@@ -884,6 +884,35 @@ def url_blocklist(spark: SparkSession) -> DataFrame:
                                  "registered_domain string")
 
 
+def license_docs(docs: DataFrame) -> DataFrame:
+    """documents with planted license mentions: doc_id%9 in 0..3 gets
+    one of cc by-sa / cc by / mit / apache appended (0 = by-sa BEFORE
+    by, exercising the prefix-shadowing priority); others unchanged.
+    Rebuilt identically by license_docs_sql."""
+    i = F.col("doc_id")
+    lic = (F.when(i % 9 == 0, " licensed under cc by-sa 4.0")
+           .when(i % 9 == 1, " licensed under cc by 4.0")
+           .when(i % 9 == 2, " released under the mit license")
+           .when(i % 9 == 3, " under the apache license, version 2.0")
+           .otherwise(""))
+    return docs.select("doc_id", F.concat("text", lic).alias("text"))
+
+
+def license_docs_sql() -> str:
+    """DuckDB twin of license_docs over the documents view."""
+    return """
+licd AS (
+  SELECT doc_id, text ||
+         CASE doc_id % 9
+           WHEN 0 THEN ' licensed under cc by-sa 4.0'
+           WHEN 1 THEN ' licensed under cc by 4.0'
+           WHEN 2 THEN ' released under the mit license'
+           WHEN 3 THEN ' under the apache license, version 2.0'
+           ELSE '' END AS text
+  FROM documents
+)""".strip()
+
+
 LINK_MOD = 500  # link-target id space (constant across sf: smaller
                 # corpora simply have dangling targets, like a real
                 # frontier of not-yet-crawled URLs)

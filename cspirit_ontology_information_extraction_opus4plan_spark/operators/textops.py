@@ -690,6 +690,72 @@ def reading_ease(docs: DataFrame) -> DataFrame:
         .otherwise("very_difficult").alias("bucket"))
 
 
+def dedup_recall_eval(pred_pairs: DataFrame,
+                      docs: DataFrame) -> DataFrame:
+    """Dedup-detector evaluation against the PLANTED ground truth: the
+    decoration's closed form names every planted duplicate pair (exact
+    copy s -> s+1000000 at s%17==0, near copy s -> s+2000000 at
+    s%10==5), so recall on that set is exact — the harness a pipeline
+    runs when tuning LSH bands/threshold before a production sweep.
+    Emits ONE row: (n_planted, n_pred, n_overlap, planted_recall,
+    pred_planted_frac). pred_planted_frac is NOT precision — an
+    unplanted predicted pair may be a real organic near-dup; it
+    measures how much of the detector's output the plant explains.
+
+    Shape: truth derives from the base corpus by arithmetic (no text
+    touched), the overlap is a pair-keyed equi-join of two bounded
+    pair sets, and the output is three one-row aggregates cross-joined
+    — the detector's own cost dominates."""
+    base = docs.filter(F.col("doc_id") < 1000000).select("doc_id")
+    truth = (base.filter(F.col("doc_id") % 17 == 0)
+             .select(F.col("doc_id").alias("a"),
+                     (F.col("doc_id") + 1000000).alias("b"))
+             .unionByName(
+                 base.filter(F.col("doc_id") % 10 == 5)
+                 .select(F.col("doc_id").alias("a"),
+                         (F.col("doc_id") + 2000000).alias("b"))))
+    pred = pred_pairs.select("a", "b")
+    n_t = truth.agg(F.count("*").cast("bigint").alias("n_planted"))
+    n_p = pred.agg(F.count("*").cast("bigint").alias("n_pred"))
+    n_o = (truth.join(pred, ["a", "b"])
+           .agg(F.count("*").cast("bigint").alias("n_overlap")))
+    return (n_t.crossJoin(n_p).crossJoin(n_o)
+            .select("n_planted", "n_pred", "n_overlap",
+                    F.round(F.try_divide(
+                        F.col("n_overlap").cast("double"),
+                        F.col("n_planted")), 6).alias("planted_recall"),
+                    F.round(F.try_divide(
+                        F.col("n_overlap").cast("double"),
+                        F.col("n_pred")), 6).alias("pred_planted_frac")))
+
+
+LICENSE_RULES = (  # priority-ordered: first match wins
+    ("cc-by-sa", "cc by-sa"),
+    ("cc-by", "cc by"),
+    ("mit", "mit license"),
+    ("apache-2.0", "apache license"),
+)
+COPYLEFT = ("cc-by-sa",)
+
+
+def license_detect(docs: DataFrame) -> DataFrame:
+    """License-mention classification — the rights-filtering stage of a
+    training-data pipeline (keep permissive, flag copyleft, route
+    unknown to review): priority-ordered substring rules over the
+    lowercased text, first match wins (cc-by-sa before cc-by, the
+    classic prefix-shadowing pair). Emits (doc_id, license, copyleft)
+    per document. Pure codegen, zero joins; a
+    production rule set compiles to one Aho-Corasick automaton
+    (operators/automaton.py) exactly like the NER gazetteer."""
+    low = F.lower("text")
+    lic = F.lit("none")
+    for name, pat in reversed(LICENSE_RULES):
+        lic = F.when(low.contains(pat), F.lit(name)).otherwise(lic)
+    return docs.select(
+        "doc_id", lic.alias("license"),
+        lic.isin(*COPYLEFT).alias("copyleft"))
+
+
 NOVELTY_W = 5   # shingle width for novelty scoring
 
 

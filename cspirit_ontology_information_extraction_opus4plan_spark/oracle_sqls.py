@@ -376,6 +376,40 @@ SELECT a, b, round(cont_ab, 6) AS cont_ab, round(cont_ba, 6) AS cont_ba,
             ELSE 'b_in_a' END AS direction
 FROM v WHERE greatest(cont_ab, cont_ba) >= {th}""")
 
+    sqls["doc_dedup_eval"] = (
+        f"WITH {_minhash_pair_ctes()},\n"
+        """truth AS (
+  SELECT doc_id AS a, doc_id + 1000000 AS b FROM documents
+  WHERE doc_id % 17 = 0
+  UNION ALL
+  SELECT doc_id, doc_id + 2000000 FROM documents WHERE doc_id % 10 = 5),
+counts AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_planted,
+         (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_pred,
+         (SELECT CAST(count(*) AS BIGINT)
+          FROM truth t JOIN pairs p ON p.a = t.a AND p.b = t.b)
+           AS n_overlap)
+SELECT n_planted, n_pred, n_overlap,
+       round(CAST(n_overlap AS DOUBLE) / n_planted, 6)
+         AS planted_recall,
+       round(CAST(n_overlap AS DOUBLE) / n_pred, 6)
+         AS pred_planted_frac
+FROM counts""")
+
+    from .decorations import license_docs_sql
+    from .operators.textops import COPYLEFT, LICENSE_RULES
+    _lic_case = ("CASE "
+                 + " ".join(f"WHEN contains(lower(text), '{pat}') "
+                            f"THEN '{name}'"
+                            for name, pat in LICENSE_RULES)
+                 + " ELSE 'none' END")
+    _cl_in = ", ".join(f"'{c}'" for c in COPYLEFT)
+    sqls["doc_license_detect"] = f"""
+WITH {license_docs_sql()}
+SELECT doc_id, {_lic_case} AS license,
+       ({_lic_case}) IN ({_cl_in}) AS copyleft
+FROM licd""".strip()
+
     from .operators.textops import MIX_BUDGET, MIX_ETA
     sqls["doc_mixture_reweight"] = f"""
 WITH tokc AS (
