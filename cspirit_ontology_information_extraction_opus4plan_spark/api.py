@@ -259,6 +259,13 @@ def q_doc_rrf_search(spark, sf_dir):
                              load_embeddings(spark, sf_dir))
 
 
+def q_ann_maxsim_topk(spark, sf_dir):
+    """ColBERT-lite MaxSim late-interaction top-k (4x16 sub-vector
+    partition, pure-JVM folds)."""
+    from .operators.similarity import load_embeddings, maxsim_topk
+    return maxsim_topk(load_embeddings(spark, sf_dir))
+
+
 def q_embedding_mrl_error(spark, sf_dir):
     """Matryoshka truncation audit: cosine retained by the 16-dim
     prefix of each 64-dim embedding."""
@@ -2037,6 +2044,7 @@ def queries() -> dict[str, QueryFn]:
         "doc_dedup_eval": q_doc_dedup_eval,
         "doc_license_detect": q_doc_license_detect,
         "embedding_mrl_error": q_embedding_mrl_error,
+        "ann_maxsim_topk": q_ann_maxsim_topk,
         "event_retention": q_event_retention,
         "jsonld_namespaces": q_jsonld_namespaces,
         "csv_infer": q_csv_infer,

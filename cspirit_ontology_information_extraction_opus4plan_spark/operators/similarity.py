@@ -441,6 +441,60 @@ def rrf_hybrid_search(docs: DataFrame, emb: DataFrame,
         "doc_id", "rrf_score", "bm25_rank", "dense_rank")
 
 
+MAXSIM_SUB = 4                  # sub-vectors per embedding
+MAXSIM_SUBDIM = DIM // MAXSIM_SUB
+MAXSIM_QUERY_VEC = 1            # late-interaction demo query
+MAXSIM_TOP_K = 10
+
+
+def maxsim_topk(emb: DataFrame, q_vec: int = MAXSIM_QUERY_VEC,
+                top_k: int = MAXSIM_TOP_K) -> DataFrame:
+    """ColBERT-style late-interaction retrieval, reduced to the fixed
+    partition of each embedding into MAXSIM_SUB contiguous
+    MAXSIM_SUBDIM-dim sub-vectors ("token vectors"): score(q, d) =
+    sum over query sub-vectors of max over doc sub-vectors of the
+    normalized dot — MaxSim (Khattab & Zaharia 2020). Completes the
+    retrieval family: BM25 (sparse), brute/IVF/LSH (dense single-
+    vector), RRF (fusion), this (multi-vector late interaction).
+    Emits (rank, vec_id, score) for the top_k docs.
+
+    Pure JVM per-row arithmetic: the query's sub-vectors arrive as ONE
+    broadcast-free literal-free crossJoin of a one-row frame (no
+    collect of corpus data — the query row is filtered by a constant
+    id); each doc row evaluates SUB x SUB fixed-order dot folds, then
+    greatest() and a fixed-order sum — the exact expression tree the
+    oracle's expanded SQL evaluates, bit-identical before rounding.
+    Ranking sorts the bounded rounded-score frame."""
+    def sub(col: str, s: int) -> Column:
+        return F.slice(col, s * MAXSIM_SUBDIM + 1, MAXSIM_SUBDIM)
+
+    sq = lambda acc, x: acc + x.cast("double") * x.cast("double")  # noqa: E731
+
+    q = (emb.filter(F.col("vec_id") == q_vec)
+         .select(*[sub("embedding", s).alias(f"q{s}")
+                   for s in range(MAXSIM_SUB)]))
+    d = emb.filter(F.col("vec_id") != q_vec).crossJoin(F.broadcast(q))
+    score = None
+    for i in range(MAXSIM_SUB):
+        best = None
+        for j in range(MAXSIM_SUB):
+            dot = F.aggregate(
+                F.zip_with(F.col(f"q{i}"), sub("embedding", j),
+                           lambda a, b: a.cast("double")
+                           * b.cast("double")),
+                F.lit(0.0), lambda acc, v: acc + v)
+            qn = F.aggregate(F.col(f"q{i}"), F.lit(0.0), sq)
+            dn = F.aggregate(sub("embedding", j), F.lit(0.0), sq)
+            c = F.try_divide(dot, F.sqrt(qn * dn))
+            best = c if best is None else F.greatest(best, c)
+        score = best if score is None else score + best
+    scored = d.select("vec_id", F.round(score, 6).alias("score"))
+    top = scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(top_k)
+    w = Window.orderBy(F.desc("score"), F.asc("vec_id"))
+    return top.select(F.row_number().over(w).cast("bigint").alias("rank"),
+                      "vec_id", "score")
+
+
 def _kmeans_sq_dists(A: np.ndarray, C: np.ndarray) -> np.ndarray:
     """(n, k) squared-L2 block, left-assoc 64-step accumulation per
     lane — bit-identical to the oracle's unrolled

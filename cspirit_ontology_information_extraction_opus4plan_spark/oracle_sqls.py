@@ -1332,6 +1332,42 @@ SELECT CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC)
 FROM (SELECT * FROM rsc
       ORDER BY rrf_score DESC, doc_id ASC LIMIT {SIM.RRF_TOP_K})"""
 
+    # maxsim: 4x16 sub-vector late interaction; every fold is written
+    # 0.0-seeded left-assoc to match the Spark aggregate() exactly
+    _sd = SIM.MAXSIM_SUBDIM
+
+    def _qe(i: int, k: int) -> str:
+        return f"CAST(q.q_emb[{i * _sd + k + 1}] AS DOUBLE)"
+
+    def _de(j: int, k: int) -> str:
+        return f"CAST(e.embedding[{j * _sd + k + 1}] AS DOUBLE)"
+
+    def _cos_ij(i: int, j: int) -> str:
+        dot = " + ".join(f"{_qe(i, k)} * {_de(j, k)}"
+                         for k in range(_sd))
+        qn = " + ".join(f"{_qe(i, k)} * {_qe(i, k)}"
+                        for k in range(_sd))
+        dn = " + ".join(f"{_de(j, k)} * {_de(j, k)}"
+                        for k in range(_sd))
+        return (f"((0.0 + {dot}) / sqrt((0.0 + {qn})"
+                f" * (0.0 + {dn})))")
+
+    _best = [("greatest(" + ", ".join(_cos_ij(i, j)
+                                      for j in range(SIM.MAXSIM_SUB))
+              + ")")
+             for i in range(SIM.MAXSIM_SUB)]
+    _maxsim = " + ".join(_best)
+    sqls["ann_maxsim_topk"] = f"""
+WITH q AS (SELECT embedding AS q_emb FROM embeddings
+           WHERE vec_id = {SIM.MAXSIM_QUERY_VEC}),
+scored AS (
+  SELECT e.vec_id, round({_maxsim}, 6) AS score
+  FROM embeddings e, q WHERE e.vec_id <> {SIM.MAXSIM_QUERY_VEC})
+SELECT CAST(row_number() OVER (ORDER BY score DESC, vec_id ASC)
+            AS BIGINT) AS rank, vec_id, score
+FROM (SELECT * FROM scored
+      ORDER BY score DESC, vec_id ASC LIMIT {SIM.MAXSIM_TOP_K})"""
+
     _p2 = " + ".join(f"{el('e', i)} * {el('e', i)}"
                      for i in range(SIM.MRL_DIM))
     sqls["embedding_mrl_error"] = f"""
