@@ -273,6 +273,13 @@ def q_embedding_mrl_error(spark, sf_dir):
     return mrl_truncation_stats(load_embeddings(spark, sf_dir))
 
 
+def q_doc_prefix_cache(spark, sf_dir):
+    """KV prefix-cache sizing probe: shared first-k-token groups and
+    the tokens a perfect prefix cache would save."""
+    from .operators.textops import prefix_cache_stats
+    return prefix_cache_stats(DE.augmented_docs(spark, sf_dir))
+
+
 def q_doc_dedup_eval(spark, sf_dir):
     """Dedup-detector recall eval vs the planted duplicate truth set
     (minhash-LSH verified pairs as the detector under test)."""
@@ -2042,6 +2049,7 @@ def queries() -> dict[str, QueryFn]:
         "doc_reading_ease": q_doc_reading_ease,
         "doc_mixture_reweight": q_doc_mixture_reweight,
         "doc_dedup_eval": q_doc_dedup_eval,
+        "doc_prefix_cache": q_doc_prefix_cache,
         "doc_license_detect": q_doc_license_detect,
         "embedding_mrl_error": q_embedding_mrl_error,
         "ann_maxsim_topk": q_ann_maxsim_topk,

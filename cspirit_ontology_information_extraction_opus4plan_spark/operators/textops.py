@@ -729,6 +729,47 @@ def dedup_recall_eval(pred_pairs: DataFrame,
                         F.col("n_pred")), 6).alias("pred_planted_frac")))
 
 
+PREFIX_KS = (8, 16, 32)  # prefix lengths probed for cache sharing
+
+
+def prefix_cache_stats(docs: DataFrame,
+                       ks: tuple[int, ...] = PREFIX_KS) -> DataFrame:
+    """KV prefix-cache sizing probe — the serving-side question a
+    training/inference pipeline asks of its corpus (vLLM-style
+    automatic prefix caching pays off exactly when requests share
+    prefixes): for each probe length k, group docs with >= k tokens by
+    their first-k-token hash and report one row (k, n_docs,
+    n_prefixes, n_shared_docs, shared_frac, est_saved_tokens) where
+    est_saved_tokens = sum over groups of (size-1)*k — the tokens a
+    perfect prefix cache would not recompute.
+
+    One tokenize pass reused across the k probes; each probe is a
+    map-side-combinable count on a constant-width hash key and a
+    one-row aggregate — no joins, no windows."""
+    tok = docs.select("doc_id", tokens_col("text").alias("toks"))
+    tok = tok.localCheckpoint(eager=True)  # read once per probe k
+    out = None
+    for k in ks:
+        g = (tok.filter(F.size("toks") >= k)
+             .groupBy(F.md5(F.concat_ws(
+                 " ", F.slice("toks", 1, k))).alias("p"))
+             .agg(F.count("*").alias("cnt")))
+        row = g.agg(
+            F.lit(k).cast("int").alias("k"),
+            F.sum("cnt").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_prefixes"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt"))
+                  .otherwise(0)).cast("bigint").alias("n_shared_docs"),
+            F.round(F.try_divide(
+                F.sum(F.when(F.col("cnt") > 1, F.col("cnt"))
+                      .otherwise(0)).cast("double"),
+                F.sum("cnt")), 6).alias("shared_frac"),
+            (F.sum(F.col("cnt") - 1) * k).cast("bigint")
+            .alias("est_saved_tokens"))
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 LICENSE_RULES = (  # priority-ordered: first match wins
     ("cc-by-sa", "cc by-sa"),
     ("cc-by", "cc by"),

@@ -396,6 +396,24 @@ SELECT n_planted, n_pred, n_overlap,
          AS pred_planted_frac
 FROM counts""")
 
+    from .operators.textops import PREFIX_KS
+    _probe = """
+SELECT CAST({k} AS INT) AS k,
+       CAST(sum(cnt) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_prefixes,
+       CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+         AS n_shared_docs,
+       round(CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)
+                  AS DOUBLE) / sum(cnt), 6) AS shared_frac,
+       CAST(sum(cnt - 1) * {k} AS BIGINT) AS est_saved_tokens
+FROM (SELECT md5(array_to_string(toks[1:{k}], ' ')) AS p,
+             count(*) AS cnt
+      FROM tok WHERE len(toks) >= {k} GROUP BY 1) g"""
+    sqls["doc_prefix_cache"] = (
+        f"WITH {ADOC_CTE},\n{tok_cte('adoc')}\n"
+        + "\nUNION ALL\n".join(_probe.format(k=k).strip()
+                               for k in PREFIX_KS))
+
     from .decorations import license_docs_sql
     from .operators.textops import COPYLEFT, LICENSE_RULES
     _lic_case = ("CASE "
