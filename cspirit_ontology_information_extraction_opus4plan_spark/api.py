@@ -1257,6 +1257,25 @@ def q_event_funnel(spark, sf_dir):
     return funnel_steps(load_events(spark, sf_dir))
 
 
+def q_event_gap_audit(spark, sf_dir):
+    """Backfill planner: calendar days with no rows per event type
+    between each type's first and last event (days 5/16/27 dropped
+    from the input so the audit demonstrably fires)."""
+    from .operators.content_stats import load_events
+    from .operators.olap import partition_gap_audit
+    ev = load_events(spark, sf_dir)
+    return partition_gap_audit(
+        ev.filter(F.dayofmonth("ts") % 11 != 5))
+
+
+def q_event_zorder(spark, sf_dir):
+    """Z-order (Morton) layout keys over (user, value) buckets — the
+    multi-dim clustering key for file-skipping writers."""
+    from .operators.content_stats import load_events
+    from .operators.olap import zorder_keys
+    return zorder_keys(load_events(spark, sf_dir))
+
+
 def q_event_transitions(spark, sf_dir):
     """First-order Markov transition matrix over per-user event
     streams (tie-broken lag window, row-normalized probabilities)."""
@@ -2042,6 +2061,8 @@ def queries() -> dict[str, QueryFn]:
         "event_anomaly_days": q_event_anomaly_days,
         "event_ab_srm": q_event_ab_srm,
         "event_transitions": q_event_transitions,
+        "event_gap_audit": q_event_gap_audit,
+        "event_zorder": q_event_zorder,
         "doc_ctfidf_topics": q_doc_ctfidf_topics,
         "doc_winnowing": q_doc_winnowing,
         "doc_rrf_search": q_doc_rrf_search,

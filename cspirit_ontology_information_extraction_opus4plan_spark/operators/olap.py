@@ -60,6 +60,62 @@ def interval_join(left: DataFrame, right: DataFrame,
 
 ALL_LABEL = "(all)"  # rollup subtotal marker, shared with the oracle
 
+def partition_gap_audit(events: DataFrame) -> DataFrame:
+    """Backfill planner: per event type, the calendar days between the
+    type's first and last event that have NO rows — exactly the
+    partitions a daily ingestion job must re-run. Emits
+    (event_type, missing_day) rows; empty when ingestion is complete.
+
+    Shape: per-type min/max is one map-side-combinable aggregate; the
+    calendar explodes from a sequence() on the type-count-sized frame
+    (days x types, a dimension); observed days left_anti against it.
+    The calendar side is never corpus-sized."""
+    span = (events
+            .groupBy("event_type")
+            .agg(F.min(F.to_date("ts")).alias("d0"),
+                 F.max(F.to_date("ts")).alias("d1")))
+    cal = span.select(
+        "event_type",
+        F.explode(F.sequence("d0", "d1")).alias("day"))
+    seen = (events
+            .select("event_type", F.to_date("ts").alias("day"))
+            .distinct())
+    return (cal.join(seen, ["event_type", "day"], "left_anti")
+            .select("event_type",
+                    F.date_format("day", "yyyy-MM-dd")
+                    .alias("missing_day")))
+
+
+ZORDER_BITS = 8  # per-dimension bucket bits for the Morton key
+
+
+def zorder_keys(events: DataFrame, bits: int = ZORDER_BITS) -> DataFrame:
+    """Z-order (Morton) layout keys — the multi-dimensional clustering
+    trick behind Delta/Iceberg Z-ORDER: interleave the bits of two
+    bucketed dimensions (user and value rank here) so rows close in
+    BOTH dimensions land close in the sort order, letting min/max
+    file-skipping prune on either predicate. Emits (event_id,
+    u_bucket, v_bucket, zkey); a writer would sortWithinPartitions
+    on zkey before writing.
+
+    Pure integer bit arithmetic (shiftright/and/shiftleft sums) —
+    exact in both engines; value buckets come from a fixed linear
+    scale of the value column (not quantiles), so the key is a
+    per-row expression with no aggregate dependence."""
+    n = 1 << bits
+    ub = (F.col("user_id") % n).cast("bigint")
+    vb = F.least(F.floor(F.col("value") / 500.0 * n),
+                 F.lit(n - 1)).cast("bigint")
+    z = F.lit(0).cast("bigint")
+    for b in range(bits):
+        z = (z
+             + F.shiftleft(F.shiftright(ub, b).bitwiseAND(1), 2 * b)
+             + F.shiftleft(F.shiftright(vb, b).bitwiseAND(1),
+                           2 * b + 1))
+    return events.select("event_id", ub.alias("u_bucket"),
+                         vb.alias("v_bucket"), z.alias("zkey"))
+
+
 # ordered-funnel demo steps, shared with the oracle
 FUNNEL_STEPS = ("view", "click", "purchase")
 

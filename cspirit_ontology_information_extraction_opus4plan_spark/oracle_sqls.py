@@ -3359,6 +3359,41 @@ SELECT CAST(step_idx AS INT) AS step_idx, step, n_users,
              6) AS conv_from_first
 FROM counts""".strip()
 
+    sqls["event_gap_audit"] = """
+WITH ev AS (SELECT * FROM events
+            WHERE CAST(date_part('day', ts) AS BIGINT) % 11 <> 5),
+span AS (
+  SELECT event_type, min(CAST(ts AS DATE)) AS d0,
+         max(CAST(ts AS DATE)) AS d1
+  FROM ev GROUP BY 1),
+cal AS (
+  SELECT event_type, CAST(unnest(generate_series(d0, d1,
+         INTERVAL 1 DAY)) AS DATE) AS day
+  FROM span),
+seen AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS day
+         FROM ev)
+SELECT c.event_type, strftime(c.day, '%Y-%m-%d') AS missing_day
+FROM cal c LEFT JOIN seen s
+  ON s.event_type = c.event_type AND s.day = c.day
+WHERE s.day IS NULL""".strip()
+
+    from .operators.olap import ZORDER_BITS
+    _zn = 1 << ZORDER_BITS
+    _zterms = " + ".join(
+        f"(((ub >> {b}) & 1) << {2 * b})"
+        f" + (((vb >> {b}) & 1) << {2 * b + 1})"
+        for b in range(ZORDER_BITS))
+    sqls["event_zorder"] = f"""
+WITH bk AS (
+  SELECT event_id,
+         CAST(user_id % {_zn} AS BIGINT) AS ub,
+         CAST(least(floor(value / 500.0 * {_zn}), {_zn - 1})
+              AS BIGINT) AS vb
+  FROM events)
+SELECT event_id, ub AS u_bucket, vb AS v_bucket,
+       CAST({_zterms} AS BIGINT) AS zkey
+FROM bk""".strip()
+
     sqls["event_transitions"] = """
 WITH seq AS (
   SELECT event_type AS next_type,
