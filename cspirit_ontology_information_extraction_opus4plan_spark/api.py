@@ -1397,6 +1397,13 @@ def q_kg_triangles(spark, sf_dir):
         dedup_triples(triples_df(spark, sf_dir))))
 
 
+def q_kg_snapshot_asof(spark, sf_dir):
+    """Bitemporal snapshot read: per-predicate valid/expired/future/
+    open counts as of the demo day over hash-derived validity."""
+    from .operators.relations import temporal_snapshot
+    return temporal_snapshot(dedup_triples(triples_df(spark, sf_dir)))
+
+
 def q_kg_ffl_motifs(spark, sf_dir):
     """Labeled feed-forward-loop census over the deduped triple store
     (wedge join on the shared midpoint, closed on (a, c))."""
@@ -2094,6 +2101,7 @@ def queries() -> dict[str, QueryFn]:
         "lang_confusion": q_lang_confusion,
         "kg_triangles": q_kg_triangles,
         "kg_ffl_motifs": q_kg_ffl_motifs,
+        "kg_snapshot_asof": q_kg_snapshot_asof,
         "kg_two_hop": q_kg_two_hop,
         "event_rollup": q_event_rollup,
         "kg_predicate_paths": q_kg_predicate_paths,

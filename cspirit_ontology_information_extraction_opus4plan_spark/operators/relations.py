@@ -257,6 +257,51 @@ KG_SPLIT_SEED = "kgsplit-v1"
 KG_SPLIT_TEST_HEX = "199a"  # md5-hex4 < this ~ 10% of triples
 
 
+SNAPSHOT_DAY = 15      # as-of day probed by the demo query
+VALID_SPAN_BASE = 10   # validity = base + md5-nibble % span days
+VALID_SPAN_MOD = 20
+
+
+def temporal_snapshot(triples: DataFrame,
+                      as_of_day: int = SNAPSHOT_DAY) -> DataFrame:
+    """Bitemporal triple-store snapshot: every deduped triple gets a
+    deterministic validity window (valid_from = md5-nibble % 30,
+    valid_to = valid_from + 10 + nibble % 20; every 5th triple
+    open-ended), and the query reconstructs the store AS OF a day —
+    the time-travel read a KG serving layer offers alongside the
+    delta/retract maintenance paths. Emits per predicate:
+    (predicate, n_valid, n_expired, n_future, n_open).
+
+    The window derives from the triple's own identity hash (pure
+    per-row arithmetic shared with the oracle — no stored state
+    needed for the demo; a production store keeps the two columns),
+    and the status breakdown is ONE map-side-combinable conditional
+    aggregate — the as-of predicate is exactly the partition-pruning
+    filter an Iceberg time-travel read pushes down."""
+    h = F.md5(F.concat_ws("|", "subject", "predicate", "object"))
+    n1 = F.conv(F.substring(h, 1, 2), 16, 10).cast("bigint")
+    n2 = F.conv(F.substring(h, 3, 2), 16, 10).cast("bigint")
+    vf = (n1 % 30).alias("valid_from")
+    open_ended = (n2 % 5 == 0)
+    vt = F.when(~open_ended,
+                n1 % 30 + VALID_SPAN_BASE + n2 % VALID_SPAN_MOD)
+    t = (triples
+         .select("subject", "predicate", "object").distinct()
+         .select("predicate", vf, vt.alias("valid_to")))
+    d = F.lit(as_of_day)
+    return (t.groupBy("predicate")
+            .agg(F.sum(F.when((F.col("valid_from") <= d)
+                              & (F.col("valid_to").isNull()
+                                 | (F.col("valid_to") > d)), 1)
+                       .otherwise(0)).cast("bigint").alias("n_valid"),
+                 F.sum(F.when(F.col("valid_to") <= d, 1).otherwise(0))
+                 .cast("bigint").alias("n_expired"),
+                 F.sum(F.when(F.col("valid_from") > d, 1).otherwise(0))
+                 .cast("bigint").alias("n_future"),
+                 F.sum(F.when(F.col("valid_to").isNull(), 1)
+                       .otherwise(0)).cast("bigint").alias("n_open")))
+
+
 def kg_eval_split(triples: DataFrame,
                   seed: str = KG_SPLIT_SEED) -> DataFrame:
     """Deduped triples -> the held-out KG-embedding EVAL set:

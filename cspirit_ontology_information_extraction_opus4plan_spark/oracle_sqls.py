@@ -3823,6 +3823,39 @@ SELECT d.node, d.degree,
                   ELSE 0.0 END, 6) AS clustering
 FROM deg d LEFT JOIN pn USING (node)""")
 
+    from .operators.relations import (SNAPSHOT_DAY, VALID_SPAN_BASE,
+                                      VALID_SPAN_MOD)
+    sqls["kg_snapshot_asof"] = (
+        corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + f""",
+spo AS (SELECT DISTINCT subject, predicate, object FROM triples),
+tv AS (
+  SELECT predicate,
+         CAST(concat('0x', substring(md5(subject || '|' || predicate
+              || '|' || object), 1, 2)) AS BIGINT) % 30 AS valid_from,
+         CASE WHEN CAST(concat('0x', substring(md5(subject || '|'
+                   || predicate || '|' || object), 3, 2)) AS BIGINT)
+                   % 5 <> 0
+              THEN CAST(concat('0x', substring(md5(subject || '|'
+                   || predicate || '|' || object), 1, 2)) AS BIGINT)
+                   % 30 + {VALID_SPAN_BASE}
+                   + CAST(concat('0x', substring(md5(subject || '|'
+                     || predicate || '|' || object), 3, 2)) AS BIGINT)
+                     % {VALID_SPAN_MOD}
+         END AS valid_to
+  FROM spo)
+SELECT predicate,
+       CAST(sum(CASE WHEN valid_from <= {SNAPSHOT_DAY}
+                      AND (valid_to IS NULL
+                           OR valid_to > {SNAPSHOT_DAY})
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+       CAST(sum(CASE WHEN valid_to <= {SNAPSHOT_DAY} THEN 1 ELSE 0
+                END) AS BIGINT) AS n_expired,
+       CAST(sum(CASE WHEN valid_from > {SNAPSHOT_DAY} THEN 1 ELSE 0
+                END) AS BIGINT) AS n_future,
+       CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_open
+FROM tv GROUP BY 1""")
+
     sqls["kg_ffl_motifs"] = (
         corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + """,
 e AS (SELECT DISTINCT subject AS s, predicate AS p, object AS o
