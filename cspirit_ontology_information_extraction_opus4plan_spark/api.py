@@ -259,6 +259,13 @@ def q_doc_rrf_search(spark, sf_dir):
                              load_embeddings(spark, sf_dir))
 
 
+def q_embedding_drift_psi(spark, sf_dir):
+    """Per-dimension PSI drift audit between the parity halves of the
+    embedding corpus (planted +0.5 shift on dim 0 fires the alert)."""
+    from .operators.similarity import embedding_drift_psi, load_embeddings
+    return embedding_drift_psi(load_embeddings(spark, sf_dir))
+
+
 def q_ann_maxsim_topk(spark, sf_dir):
     """ColBERT-lite MaxSim late-interaction top-k (4x16 sub-vector
     partition, pure-JVM folds)."""
@@ -2081,6 +2088,7 @@ def queries() -> dict[str, QueryFn]:
         "doc_license_detect": q_doc_license_detect,
         "embedding_mrl_error": q_embedding_mrl_error,
         "ann_maxsim_topk": q_ann_maxsim_topk,
+        "embedding_drift_psi": q_embedding_drift_psi,
         "event_retention": q_event_retention,
         "jsonld_namespaces": q_jsonld_namespaces,
         "csv_infer": q_csv_infer,

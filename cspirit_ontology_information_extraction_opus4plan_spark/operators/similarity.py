@@ -441,6 +441,59 @@ def rrf_hybrid_search(docs: DataFrame, emb: DataFrame,
         "doc_id", "rrf_score", "bm25_rank", "dense_rank")
 
 
+PSI_DIMS = 8        # dimensions audited for drift
+PSI_BINS = 8
+PSI_RANGE = 3.0     # bin range [-3, 3)
+PSI_SHIFT = 0.5     # planted drift on dim 0 of the 'new' half
+PSI_DRIFT = 0.1     # industry-standard PSI alert threshold
+
+
+def embedding_drift_psi(emb: DataFrame) -> DataFrame:
+    """Population Stability Index per embedding dimension — the
+    model-monitoring check a pipeline runs when a new crawl's
+    embeddings arrive (encoder regression / domain shift shows up as
+    per-dim distribution drift before any downstream metric moves).
+    The corpus splits by vec_id parity into reference (even) and new
+    (odd); dim 0 of the new half gets a documented synthetic +0.5
+    shift so the audit demonstrably fires. PSI_d = sum over observed
+    bins of (p_new - p_ref) * ln(p_new / p_ref), probabilities
+    Laplace-smoothed as (cnt + 1) / (N_side + BINS). Emits
+    (dim, psi, drift).
+
+    Shape: one posexplode pass pruned to the audited dims, fixed-width
+    binning per row, ONE conditional-count aggregate on (dim, bin)
+    (map-side combinable, dims x bins keys), side totals as broadcast
+    scalars, and the per-dim PSI sum runs over <= BINS rows. Counts
+    are integers, so the derived floats carry no accumulation noise
+    beyond the final 8-term sum (round 6)."""
+    is_ref = (F.col("vec_id") % 2 == 0).alias("is_ref")
+    ex = (emb.select(is_ref, F.posexplode("embedding").alias("d", "x"))
+          .filter(F.col("d") < PSI_DIMS))
+    x2 = F.when(~F.col("is_ref") & (F.col("d") == 0),
+                F.col("x") + F.lit(PSI_SHIFT)).otherwise(F.col("x"))
+    b = F.least(F.greatest(F.floor(
+        (x2 + PSI_RANGE) / (2 * PSI_RANGE) * PSI_BINS), F.lit(0)),
+        F.lit(PSI_BINS - 1))
+    cnt = (ex.select("is_ref", F.col("d").cast("int").alias("dim"),
+                     b.alias("b"))
+           .groupBy("dim", "b")
+           .agg(F.sum(F.when(F.col("is_ref"), 1).otherwise(0))
+                .alias("cr"),
+                F.sum(F.when(F.col("is_ref"), 0).otherwise(1))
+                .alias("cn")))
+    nr = emb.filter(F.col("vec_id") % 2 == 0).agg(
+        F.count("*").cast("double").alias("nr"))
+    nn = emb.filter(F.col("vec_id") % 2 != 0).agg(
+        F.count("*").cast("double").alias("nn"))
+    pr = (F.col("cr") + 1) / (F.col("nr") + PSI_BINS)
+    pn = (F.col("cn") + 1) / (F.col("nn") + PSI_BINS)
+    term = (pn - pr) * F.log(pn / pr)
+    psi = (cnt.crossJoin(F.broadcast(nr)).crossJoin(F.broadcast(nn))
+           .groupBy("dim").agg(F.sum(term).alias("psi_raw")))
+    return psi.select("dim", F.round("psi_raw", 6).alias("psi"),
+                      (F.col("psi_raw") > PSI_DRIFT).alias("drift"))
+
+
 MAXSIM_SUB = 4                  # sub-vectors per embedding
 MAXSIM_SUBDIM = DIM // MAXSIM_SUB
 MAXSIM_QUERY_VEC = 1            # late-interaction demo query

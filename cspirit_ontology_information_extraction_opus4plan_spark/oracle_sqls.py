@@ -1350,6 +1350,43 @@ SELECT CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC)
 FROM (SELECT * FROM rsc
       ORDER BY rrf_score DESC, doc_id ASC LIMIT {SIM.RRF_TOP_K})"""
 
+    sqls["embedding_drift_psi"] = f"""
+WITH ex AS (
+  SELECT vec_id % 2 = 0 AS is_ref,
+         CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings),
+binned AS (
+  SELECT is_ref, d AS dim,
+         least(greatest(floor(
+           ((CASE WHEN NOT is_ref AND d = 0
+                  THEN x + {SIM.PSI_SHIFT} ELSE x END)
+            + {SIM.PSI_RANGE}) / {2 * SIM.PSI_RANGE}
+           * {SIM.PSI_BINS}), 0), {SIM.PSI_BINS - 1}) AS b
+  FROM ex WHERE d < {SIM.PSI_DIMS}),
+cnt AS (
+  SELECT dim, b,
+         sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS cr,
+         sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS cn
+  FROM binned GROUP BY 1, 2),
+tot AS (
+  SELECT CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+              AS DOUBLE) AS nr,
+         CAST(sum(CASE WHEN vec_id % 2 <> 0 THEN 1 ELSE 0 END)
+              AS DOUBLE) AS nn
+  FROM embeddings),
+terms AS (
+  SELECT dim,
+         ((cn + 1) / (nn + {SIM.PSI_BINS})
+          - (cr + 1) / (nr + {SIM.PSI_BINS}))
+         * ln(((cn + 1) / (nn + {SIM.PSI_BINS}))
+              / ((cr + 1) / (nr + {SIM.PSI_BINS}))) AS term
+  FROM cnt, tot),
+psi AS (SELECT dim, sum(term) AS psi_raw FROM terms GROUP BY 1)
+SELECT dim, round(psi_raw, 6) AS psi,
+       psi_raw > {SIM.PSI_DRIFT} AS drift
+FROM psi"""
+
     # maxsim: 4x16 sub-vector late interaction; every fold is written
     # 0.0-seeded left-assoc to match the Spark aggregate() exactly
     _sd = SIM.MAXSIM_SUBDIM
