@@ -280,6 +280,13 @@ def q_embedding_mrl_error(spark, sf_dir):
     return mrl_truncation_stats(load_embeddings(spark, sf_dir))
 
 
+def q_doc_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking + cross-doc chunk dedup (rsync/LBFS
+    boundaries survive positional shifts)."""
+    from .operators.textops import cdc_chunk_dedup
+    return cdc_chunk_dedup(DE.augmented_docs(spark, sf_dir))
+
+
 def q_doc_prefix_cache(spark, sf_dir):
     """KV prefix-cache sizing probe: shared first-k-token groups and
     the tokens a perfect prefix cache would save."""
@@ -1404,6 +1411,13 @@ def q_kg_triangles(spark, sf_dir):
         dedup_triples(triples_df(spark, sf_dir))))
 
 
+def q_kg_key_candidates(spark, sf_dir):
+    """Functional / inverse-functional predicate discovery (integer-
+    exact flags) — the OWL key-candidate profile."""
+    from .operators.graphops import key_candidate_profile
+    return key_candidate_profile(dedup_triples(triples_df(spark, sf_dir)))
+
+
 def q_kg_snapshot_asof(spark, sf_dir):
     """Bitemporal snapshot read: per-predicate valid/expired/future/
     open counts as of the demo day over hash-derived validity."""
@@ -2085,6 +2099,7 @@ def queries() -> dict[str, QueryFn]:
         "doc_mixture_reweight": q_doc_mixture_reweight,
         "doc_dedup_eval": q_doc_dedup_eval,
         "doc_prefix_cache": q_doc_prefix_cache,
+        "doc_cdc_chunks": q_doc_cdc_chunks,
         "doc_license_detect": q_doc_license_detect,
         "embedding_mrl_error": q_embedding_mrl_error,
         "ann_maxsim_topk": q_ann_maxsim_topk,
@@ -2110,6 +2125,7 @@ def queries() -> dict[str, QueryFn]:
         "kg_triangles": q_kg_triangles,
         "kg_ffl_motifs": q_kg_ffl_motifs,
         "kg_snapshot_asof": q_kg_snapshot_asof,
+        "kg_key_candidates": q_kg_key_candidates,
         "kg_two_hop": q_kg_two_hop,
         "event_rollup": q_event_rollup,
         "kg_predicate_paths": q_kg_predicate_paths,

@@ -130,6 +130,46 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
                         .otherwise(F.lit(0.0)), 6).alias("clustering")))
 
 
+def key_candidate_profile(triples: DataFrame) -> DataFrame:
+    """Schema discovery over the emitted store: per predicate, how
+    functional (one object per subject) and inverse-functional (one
+    subject per object — owl:InverseFunctionalProperty, the identity-
+    resolution key OWL reasons with) the data actually is. Emits
+    (predicate, n_subjects, n_objects, func_frac, invfunc_frac,
+    functional, inverse_functional) — the flags compare INTEGER counts
+    (single == total), so no float threshold can flip across engines.
+
+    Shape: distinct (s, p, o) once, then two map-side-combinable
+    two-level aggregates (per (p, s) and per (p, o) fan-outs, each
+    rolled up per predicate) joined on the predicate dimension."""
+    e = (triples.select("subject", "predicate", "object").distinct()
+         .localCheckpoint(eager=True))
+    so = (e.groupBy("predicate", "subject")
+          .agg(F.count("*").alias("fan"))
+          .groupBy("predicate")
+          .agg(F.count("*").cast("bigint").alias("n_subjects"),
+               F.sum(F.when(F.col("fan") == 1, 1).otherwise(0))
+               .cast("bigint").alias("subj_single")))
+    os_ = (e.groupBy("predicate", "object")
+           .agg(F.count("*").alias("fan"))
+           .groupBy("predicate")
+           .agg(F.count("*").cast("bigint").alias("n_objects"),
+                F.sum(F.when(F.col("fan") == 1, 1).otherwise(0))
+                .cast("bigint").alias("obj_single")))
+    return (so.join(os_, "predicate")
+            .select("predicate", "n_subjects", "n_objects",
+                    F.round(F.try_divide(
+                        F.col("subj_single").cast("double"),
+                        F.col("n_subjects")), 6).alias("func_frac"),
+                    F.round(F.try_divide(
+                        F.col("obj_single").cast("double"),
+                        F.col("n_objects")), 6).alias("invfunc_frac"),
+                    (F.col("subj_single") == F.col("n_subjects"))
+                    .alias("functional"),
+                    (F.col("obj_single") == F.col("n_objects"))
+                    .alias("inverse_functional")))
+
+
 def ffl_motifs(triples: DataFrame) -> DataFrame:
     """Deduped triple store -> labeled feed-forward-loop census:
     (p_ab, p_bc, p_ac, n_motifs) counting directed triads

@@ -729,6 +729,60 @@ def dedup_recall_eval(pred_pairs: DataFrame,
                         F.col("n_pred")), 6).alias("pred_planted_frac")))
 
 
+CDC_W = 3          # rolling window (tokens) for boundary hashing
+CDC_MASK = 15      # boundary when gram-hash % (MASK+1) == 0 (~16-gram
+                   # expected chunk length)
+
+
+def cdc_chunk_dedup(docs: DataFrame, w: int = CDC_W,
+                    mask: int = CDC_MASK) -> DataFrame:
+    """Content-defined chunking + cross-doc chunk dedup (the
+    rsync/LBFS/backup-dedup principle applied to text): a chunk
+    boundary falls AFTER token position p when the hash of the w-gram
+    ending there has its low bits zero, so boundaries — and therefore
+    chunk identities — survive insertions that shift absolute
+    positions, which fixed-stride chunking (doc_chunking) does not.
+    Chunks are hashed and counted corpus-wide; emits one row per doc:
+    (doc_id, n_chunks, n_shared_chunks, shared_frac) where a shared
+    chunk's content hash appears in >1 document.
+
+    Shape: one positional shingle pass; the boundary predicate is a
+    per-row hash test; chunk ids come from a running SUM of boundary
+    flags over the doc-partitioned position window (state = one doc's
+    grams, the sequence unit); chunk hashes group map-side; the
+    share test is one df count + doc-keyed aggregate. No collects."""
+    from pyspark.sql import Window
+
+    sh = docs.select(
+        "doc_id", F.posexplode(_shingles(tokens_col("text"), w))
+        .alias("pos", "gram"))
+    h = F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("bigint")
+    marked = sh.select(
+        "doc_id", "pos", "gram",
+        F.when(h % (mask + 1) == 0, 1).otherwise(0).alias("brk"))
+    wdoc = Window.partitionBy("doc_id").orderBy("pos") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    cid = F.coalesce(F.sum("brk").over(wdoc), F.lit(0))
+    chunks = (marked
+              .select("doc_id", cid.alias("chunk_id"), "pos", "gram")
+              .groupBy("doc_id", "chunk_id")
+              .agg(F.md5(F.concat_ws(
+                  " ", F.transform(
+                      F.sort_array(F.collect_list(
+                          F.struct("pos", "gram"))),
+                      lambda s: s["gram"]))).alias("chash")))
+    dfq = chunks.groupBy("chash").agg(
+        F.countDistinct("doc_id").alias("cdf"))
+    return (chunks.join(dfq, "chash")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_chunks"),
+                 F.sum(F.when(F.col("cdf") > 1, 1).otherwise(0))
+                 .cast("bigint").alias("n_shared_chunks"))
+            .withColumn("shared_frac", F.round(F.try_divide(
+                F.col("n_shared_chunks").cast("double"),
+                F.col("n_chunks")), 6)))
+
+
 PREFIX_KS = (8, 16, 32)  # prefix lengths probed for cache sharing
 
 

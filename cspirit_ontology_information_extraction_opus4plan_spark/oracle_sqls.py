@@ -396,6 +396,36 @@ SELECT n_planted, n_pred, n_overlap,
          AS pred_planted_frac
 FROM counts""")
 
+    from .operators.textops import CDC_MASK, CDC_W
+    sqls["doc_cdc_chunks"] = (
+        f"WITH {ADOC_CTE},\n{tok_cte('adoc')},\n"
+        f"sg AS (SELECT doc_id, {_sh_expr(CDC_W)} AS sh FROM tok),\n"
+        "g AS (SELECT doc_id, unnest(sh) AS gram,\n"
+        "             unnest(range(0, len(sh))) AS pos FROM sg),\n"
+        "mk AS (SELECT doc_id, pos, gram,\n"
+        "              CASE WHEN CAST(concat('0x', substr(md5(gram),"
+        f" 1, 8)) AS BIGINT) % {CDC_MASK + 1} = 0"
+        " THEN 1 ELSE 0 END AS brk FROM g),\n"
+        """cidd AS (
+  SELECT doc_id, pos, gram,
+         coalesce(sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS chunk_id
+  FROM mk),
+chunks AS (
+  SELECT doc_id, chunk_id,
+         md5(string_agg(gram, ' ' ORDER BY pos)) AS chash
+  FROM cidd GROUP BY 1, 2),
+dfq AS (SELECT chash, count(DISTINCT doc_id) AS cdf
+        FROM chunks GROUP BY 1)
+SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN cdf > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared_chunks,
+       round(CAST(sum(CASE WHEN cdf > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS shared_frac
+FROM chunks c JOIN dfq USING (chash)
+GROUP BY 1""")
+
     from .operators.textops import PREFIX_KS
     _probe = """
 SELECT CAST({k} AS INT) AS k,
@@ -3892,6 +3922,27 @@ SELECT predicate,
        CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END)
             AS BIGINT) AS n_open
 FROM tv GROUP BY 1""")
+
+    sqls["kg_key_candidates"] = (
+        corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + """,
+e AS (SELECT DISTINCT subject, predicate, object FROM triples),
+so AS (SELECT predicate, CAST(count(*) AS BIGINT) AS n_subjects,
+              CAST(sum(CASE WHEN fan = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS subj_single
+       FROM (SELECT predicate, subject, count(*) AS fan
+             FROM e GROUP BY 1, 2) s GROUP BY 1),
+os_ AS (SELECT predicate, CAST(count(*) AS BIGINT) AS n_objects,
+               CAST(sum(CASE WHEN fan = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS obj_single
+        FROM (SELECT predicate, object, count(*) AS fan
+              FROM e GROUP BY 1, 2) o GROUP BY 1)
+SELECT so.predicate, n_subjects, n_objects,
+       round(CAST(subj_single AS DOUBLE) / n_subjects, 6) AS func_frac,
+       round(CAST(obj_single AS DOUBLE) / n_objects, 6)
+         AS invfunc_frac,
+       subj_single = n_subjects AS functional,
+       obj_single = n_objects AS inverse_functional
+FROM so JOIN os_ USING (predicate)""")
 
     sqls["kg_ffl_motifs"] = (
         corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + """,
