@@ -70,6 +70,8 @@ HEADLINE = [
     "doc_winnowing",      # MOSS winnowing fingerprint pairs (if present)
     "kg_ffl_motifs",      # labeled feed-forward-loop census (if present)
     "doc_rrf_search",     # BM25+dense reciprocal-rank fusion (if present)
+    "sales_star_rollup",  # TPC-H Q5-family broadcast-dim star join (if present)
+    "doc_cdc_chunks",     # content-defined chunk dedup (if present)
 ]
 
 
