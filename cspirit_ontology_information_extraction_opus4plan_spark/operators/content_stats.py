@@ -323,11 +323,20 @@ def daily_anomalies(events: DataFrame, trail: int = ANOM_TRAIL,
     The window partitions by event_type over its own DAY series
     (bounded by the calendar, not the corpus — the per-type daily
     rollup happens first, map-side combinable)."""
-    from pyspark.sql import Window
-
     per = (events
            .groupBy("event_type", F.to_date("ts").alias("day"))
            .agg(F.count("*").cast("bigint").alias("n")))
+    return score_daily_counts(per, trail=trail, z_thresh=z_thresh)
+
+
+def score_daily_counts(per: DataFrame, trail: int = ANOM_TRAIL,
+                       z_thresh: float = ANOM_Z) -> DataFrame:
+    """The scoring stage of daily_anomalies, split out so the
+    streaming-maintained count store (streaming.pipeline.
+    stream_daily_counts) scores its CURRENT snapshot with the exact
+    batch semantics. Input: (event_type, day DATE, n)."""
+    from pyspark.sql import Window
+
     w = (Window.partitionBy("event_type").orderBy("day")
          .rowsBetween(-trail, -1))
     s = F.sum("n").over(w).cast("double")

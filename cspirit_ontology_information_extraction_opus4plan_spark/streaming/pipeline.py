@@ -286,6 +286,61 @@ def stream_merge_triples(spark: SparkSession, input_dir: str,
     return writer.start()
 
 
+def stream_daily_counts(spark: SparkSession, input_dir: str,
+                        store_dir: str, checkpoint_dir: str,
+                        trigger_available_now: bool = True):
+    """Streaming maintenance of the per-(event_type, day) volume table
+    that feeds content_stats.score_daily_counts — the anomaly monitor
+    advances with batch-sized increments instead of re-scanning the
+    event history. Same versioned snapshot-chain discipline as
+    stream_merge_triples: each micro-batch's counts SUM into the
+    latest committed parent, the version commits via the atomic
+    pointer AFTER the data lands, and a crash-replayed batch
+    re-derives from the SAME parent — counts are never double-applied
+    (the additive-merge analog of the triple store's support rule).
+    Scoring the CURRENT snapshot reproduces the batch operator exactly
+    (pinned by test_streaming), so alert flags are always consistent
+    with one committed version. Returns the started StreamingQuery."""
+    from ..plans.checkpointing import _fs_write_json_atomic
+
+    stream = (spark.readStream.schema(EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(input_dir))
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        inc = (batch_df
+               .groupBy("event_type", F.to_date("ts").alias("day"))
+               .agg(F.count("*").cast("bigint").alias("n")))
+        ptr = _read_pointer(spark, store_dir)
+        if ptr and ptr["version"] == batch_id:     # crash replay
+            parent = ptr["parent"]
+        elif ptr:
+            parent = ptr["version"]
+        else:
+            parent = None
+        cur = (spark.read.parquet(f"{store_dir}/v={parent}")
+               if parent is not None else inc.limit(0))
+        merged = (cur.unionByName(inc)
+                  .groupBy("event_type", "day")
+                  .agg(F.sum("n").cast("bigint").alias("n")))
+        merged.write.mode("overwrite") \
+            .parquet(f"{store_dir}/v={batch_id}")
+        n_rows = spark.read.parquet(f"{store_dir}/v={batch_id}").count()
+        _fs_write_json_atomic(
+            spark, f"{store_dir}/_commit_v{batch_id}.json",
+            {"version": batch_id, "parent": parent, "n_rows": n_rows})
+        _fs_write_json_atomic(
+            spark, f"{store_dir}/{STORE_POINTER}",
+            {"version": batch_id, "parent": parent})
+
+    writer = (stream.writeStream
+              .foreachBatch(process)
+              .option("checkpointLocation", checkpoint_dir))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 # --- snapshot maintenance (the Iceberg metadata surface) ---------------------
 
 def store_history(spark: SparkSession, store_dir: str) -> list[dict]:

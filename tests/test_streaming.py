@@ -618,3 +618,51 @@ def test_retract_store_version_commits_takedown(spark, sf_dir, tmp_path):
     changes = store_changes(spark, store, 0, 1).collect()
     assert changes and all(r["action"] in ("delete", "update")
                            for r in changes)
+
+
+def test_stream_daily_counts_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming count-store maintenance: after draining both staged
+    event files, scoring the CURRENT snapshot equals the batch
+    daily_anomalies over the full event table; a re-drain on the same
+    checkpoint commits nothing."""
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.content_stats import (  # noqa: E501
+        daily_anomalies,
+        load_events,
+        score_daily_counts,
+    )
+    from cspirit_ontology_information_extraction_opus4plan_spark.streaming.pipeline import (  # noqa: E501
+        _read_pointer,
+        current_store,
+        stream_daily_counts,
+    )
+
+    ev = load_events(spark, sf_dir)
+    in_dir = tmp_path / "ev_in"
+    in_dir.mkdir()
+    pdf = ev.toPandas().sort_values("event_id")
+    half = len(pdf) // 2
+    # micros: pandas defaults to ns-typed parquet, unreadable as
+    # Spark timestamp
+    pdf.iloc[:half].to_parquet(in_dir / "part0.parquet", index=False,
+                               coerce_timestamps="us",
+                               allow_truncated_timestamps=True)
+    pdf.iloc[half:].to_parquet(in_dir / "part1.parquet", index=False,
+                               coerce_timestamps="us",
+                               allow_truncated_timestamps=True)
+    store = str(tmp_path / "cnt_store")
+    ckpt = str(tmp_path / "cnt_ckpt")
+
+    q = stream_daily_counts(spark, str(in_dir), store, ckpt)
+    q.awaitTermination(120)
+
+    ptr = _read_pointer(spark, store)
+    assert ptr == {"version": 1, "parent": 0}
+    got = _sorted(score_daily_counts(
+        current_store(spark, store)).toPandas())
+    want = _sorted(daily_anomalies(ev).toPandas())
+    pd.testing.assert_frame_equal(got, want)
+
+    # exactly-once: re-drain commits nothing
+    q2 = stream_daily_counts(spark, str(in_dir), store, ckpt)
+    q2.awaitTermination(120)
+    assert _read_pointer(spark, store) == ptr
