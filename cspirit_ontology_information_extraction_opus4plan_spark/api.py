@@ -1297,6 +1297,22 @@ def q_event_transitions(spark, sf_dir):
     return event_transitions(load_events(spark, sf_dir))
 
 
+def q_event_seasonality(spark, sf_dir):
+    """Day-of-week chi-square uniformity test per event type (load
+    planning / bot detection)."""
+    from .operators.content_stats import load_events, weekly_seasonality
+    return weekly_seasonality(load_events(spark, sf_dir))
+
+
+def q_doc_source_ks(spark, sf_dir):
+    """Two-sample KS length-drift monitor per source vs the rest
+    (planted 1.5x shift on src0 fires the alert)."""
+    from .operators.content_stats import source_length_ks
+    return source_length_ks(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("source", "n_chars"))
+
+
 def q_event_ab_srm(spark, sf_dir):
     """Sticky md5 A/B assignment + per-type chi-square sample-ratio-
     mismatch check (one rollup pass, '(all)' total row)."""
@@ -2088,6 +2104,8 @@ def queries() -> dict[str, QueryFn]:
         "event_funnel": q_event_funnel,
         "event_anomaly_days": q_event_anomaly_days,
         "event_ab_srm": q_event_ab_srm,
+        "event_seasonality": q_event_seasonality,
+        "doc_source_ks": q_doc_source_ks,
         "event_transitions": q_event_transitions,
         "event_gap_audit": q_event_gap_audit,
         "event_zorder": q_event_zorder,

@@ -268,6 +268,93 @@ def event_transitions(events: DataFrame) -> DataFrame:
                     F.round(F.col("n") / F.col("row_n"), 6).alias("p")))
 
 
+CHI2_CRIT_6DOF = 12.591587  # chi-square 95% critical value, 6 dof
+
+
+def weekly_seasonality(events: DataFrame) -> DataFrame:
+    """Day-of-week seasonality test per event type: chi-square
+    goodness-of-fit of the observed DOW counts against uniform — the
+    load-planning / bot-detection probe (organic traffic has weekly
+    shape; uniform streams are synthetic or scheduled). Emits
+    (event_type, n_total, chi2, is_uniform) with is_uniform = chi2
+    below the 95% critical value at 6 dof.
+
+    Integer DOW counts -> one closed-form float expression per type;
+    the chi2 sum runs over <= 7 rows per type (round 6)."""
+    per = (events
+           .groupBy("event_type",
+                    F.dayofweek("ts").alias("dow"))
+           .agg(F.count("*").cast("bigint").alias("n")))
+    tot = per.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("n_total"))
+    e = F.col("n_total").cast("double") / 7
+    term = (F.col("n") - e) * (F.col("n") - e) / e
+    return (per.join(tot, "event_type")
+            .groupBy("event_type")
+            .agg(F.min("n_total").alias("n_total"),
+                 F.round(F.sum(term), 6).alias("chi2"))
+            .withColumn("is_uniform",
+                        F.col("chi2") < CHI2_CRIT_6DOF))
+
+
+KS_SHIFT_SRC = "src0"   # planted 1.5x length shift fires the monitor
+KS_ALPHA_C = 1.358      # two-sample KS 95% coefficient
+
+
+def source_length_ks(docs: DataFrame) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift monitor on document length:
+    each source's n_chars distribution against ALL OTHER sources —
+    the ingest-QC that catches a feed whose extraction changed
+    (truncation, boilerplate regression) before any content metric
+    moves. src0's lengths get a documented synthetic 1.5x shift so the
+    monitor demonstrably fires. Emits (source, n_src, ks, ks_crit,
+    reject).
+
+    Shape: per-(source, value) counts collapse the corpus to a
+    sources x distinct-lengths grid (a dimension); CDFs come from
+    cumulative-sum windows partitioned per source over that grid
+    (never over documents); the source-vs-rest comparison derives
+    rest counts by subtraction from the corpus marginal, so no
+    self-join. KS and its critical value are exact functions of
+    integer counts (round 6)."""
+    from pyspark.sql import Window
+
+    v = docs.select(
+        "source",
+        F.when(F.col("source") == KS_SHIFT_SRC,
+               F.floor(F.col("n_chars") * 3 / 2).cast("bigint"))
+        .otherwise(F.col("n_chars")).alias("v"))
+    cnt = v.groupBy("source", "v").agg(
+        F.count("*").cast("bigint").alias("c"))
+    marg = cnt.groupBy("v").agg(F.sum("c").cast("bigint").alias("cm"))
+    srcs = cnt.select("source").distinct()
+    grid = (srcs.crossJoin(marg)
+            .join(cnt, ["source", "v"], "left")
+            .select("source", "v", "cm",
+                    F.coalesce("c", F.lit(0)).alias("c")))
+    w = (Window.partitionBy("source").orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (grid
+           .withColumn("cs", F.sum("c").over(w))
+           .withColumn("ct", F.sum("cm").over(w)))
+    tot = (cnt.groupBy("source")
+           .agg(F.sum("c").cast("bigint").alias("n_src")))
+    n_all = cnt.agg(F.sum("c").cast("double").alias("n_all"))
+    scored = (cum.join(tot, "source").crossJoin(F.broadcast(n_all))
+              .withColumn("n_rest", F.col("n_all") - F.col("n_src"))
+              .withColumn("diff", F.abs(
+                  F.col("cs") / F.col("n_src").cast("double")
+                  - (F.col("ct") - F.col("cs")) / F.col("n_rest"))))
+    return (scored.groupBy("source")
+            .agg(F.min("n_src").alias("n_src"),
+                 F.round(F.max("diff"), 6).alias("ks"),
+                 F.round(F.lit(KS_ALPHA_C) * F.sqrt(
+                     (F.min("n_src") + F.min("n_rest"))
+                     / (F.min("n_src") * F.min("n_rest"))), 6)
+                 .alias("ks_crit"))
+            .withColumn("reject", F.col("ks") > F.col("ks_crit")))
+
+
 AB_CHI2_CRIT = 3.841459  # chi-square 95% critical value, 1 dof
 
 

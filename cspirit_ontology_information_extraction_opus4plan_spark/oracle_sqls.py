@@ -3426,6 +3426,63 @@ SELECT CAST(step_idx AS INT) AS step_idx, step, n_users,
              6) AS conv_from_first
 FROM counts""".strip()
 
+    from .operators.content_stats import CHI2_CRIT_6DOF
+    sqls["event_seasonality"] = f"""
+WITH per AS (
+  SELECT event_type, dayofweek(ts) AS dow,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_total
+        FROM per GROUP BY 1),
+sc AS (
+  SELECT p.event_type, min(t.n_total) AS n_total,
+         round(sum((p.n - CAST(t.n_total AS DOUBLE) / 7)
+                   * (p.n - CAST(t.n_total AS DOUBLE) / 7)
+                   / (CAST(t.n_total AS DOUBLE) / 7)), 6) AS chi2
+  FROM per p JOIN tot t USING (event_type) GROUP BY 1)
+SELECT event_type, n_total, chi2,
+       chi2 < {CHI2_CRIT_6DOF} AS is_uniform
+FROM sc""".strip()
+
+    from .operators.content_stats import KS_ALPHA_C, KS_SHIFT_SRC
+    sqls["doc_source_ks"] = f"""
+WITH vals AS (
+  SELECT source,
+         CASE WHEN source = '{KS_SHIFT_SRC}'
+              THEN CAST(floor(n_chars * 3 / 2) AS BIGINT)
+              ELSE n_chars END AS v
+  FROM documents),
+cnt AS (SELECT source, v, CAST(count(*) AS BIGINT) AS c
+        FROM vals GROUP BY 1, 2),
+marg AS (SELECT v, CAST(sum(c) AS BIGINT) AS cm FROM cnt GROUP BY 1),
+grid AS (
+  SELECT s.source, m.v, m.cm, coalesce(c.c, 0) AS c
+  FROM (SELECT DISTINCT source FROM cnt) s
+  CROSS JOIN marg m
+  LEFT JOIN cnt c ON c.source = s.source AND c.v = m.v),
+cum AS (
+  SELECT source, v, cm, c,
+         sum(c) OVER (PARTITION BY source ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cs,
+         sum(cm) OVER (PARTITION BY source ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS ct
+  FROM grid),
+tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_src
+        FROM cnt GROUP BY 1),
+nall AS (SELECT CAST(sum(c) AS DOUBLE) AS n_all FROM cnt),
+scored AS (
+  SELECT cum.source, tot.n_src, nall.n_all - tot.n_src AS n_rest,
+         abs(cs / CAST(tot.n_src AS DOUBLE)
+             - (ct - cs) / (nall.n_all - tot.n_src)) AS diff
+  FROM cum JOIN tot USING (source), nall)
+SELECT source, min(n_src) AS n_src, round(max(diff), 6) AS ks,
+       round({KS_ALPHA_C} * sqrt((min(n_src) + min(n_rest))
+             / (min(n_src) * min(n_rest))), 6) AS ks_crit,
+       round(max(diff), 6)
+         > round({KS_ALPHA_C} * sqrt((min(n_src) + min(n_rest))
+                 / (min(n_src) * min(n_rest))), 6) AS reject
+FROM scored GROUP BY 1""".strip()
+
     sqls["event_gap_audit"] = """
 WITH ev AS (SELECT * FROM events
             WHERE CAST(date_part('day', ts) AS BIGINT) % 11 <> 5),
