@@ -75,6 +75,42 @@ def test_key_candidates_match_bruteforce(spark, sf_dir):
         assert r["inverse_functional"] == invf, p
 
 
+def test_seasonality_chi2_rederives(spark, sf_dir):
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.content_stats import (
+        CHI2_CRIT_6DOF, load_events,
+    )
+    rows = {r["event_type"]: r
+            for r in api.q_event_seasonality(spark, sf_dir).collect()}
+    ev = load_events(spark, sf_dir).select(
+        "event_type", F.dayofweek("ts").alias("dow")).collect()
+    from collections import Counter
+    per = Counter((e["event_type"], e["dow"]) for e in ev)
+    types = {e["event_type"] for e in ev}
+    assert set(rows) == types
+    for t in types:
+        counts = [per[(t, d)] for d in range(1, 8) if per[(t, d)]]
+        n = sum(counts)
+        e = n / 7.0
+        chi2 = sum((c - e) ** 2 / e for c in counts)
+        assert rows[t]["n_total"] == n
+        assert abs(rows[t]["chi2"] - chi2) < 1e-4, t
+        assert rows[t]["is_uniform"] == (
+            rows[t]["chi2"] < CHI2_CRIT_6DOF), t
+
+
+def test_ks_rejects_only_planted_source(spark, sf_dir):
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.content_stats import (
+        KS_SHIFT_SRC,
+    )
+    rows = {r["source"]: r
+            for r in api.q_doc_source_ks(spark, sf_dir).collect()}
+    assert rows[KS_SHIFT_SRC]["reject"], rows[KS_SHIFT_SRC]
+    for s, r in rows.items():
+        assert 0.0 <= r["ks"] <= 1.0, r
+        if s != KS_SHIFT_SRC:
+            assert r["ks"] < rows[KS_SHIFT_SRC]["ks"], r
+
+
 def test_psi_fires_only_on_planted_dim(spark, sf_dir):
     from cspirit_ontology_information_extraction_opus4plan_spark.operators.similarity import (
         PSI_DIMS,
