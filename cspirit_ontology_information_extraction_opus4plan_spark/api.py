@@ -861,6 +861,17 @@ def q_fk_orphan_audit(spark, sf_dir):
     return fk_orphan_audit(spark, sf_dir)
 
 
+def q_customer_scd2(spark, sf_dir):
+    """SCD Type-2 dimension build: compress each customer's order-
+    priority change stream (orders as the change log, max_by(orderkey)
+    winner per day) into versioned [valid_from, valid_to) intervals
+    with is_current flags — the warehouse dimension-history table."""
+    from .operators.relational import load_rel, scd2_dimension
+    return scd2_dimension(load_rel(spark, sf_dir, "orders"),
+                          key="o_custkey", ts="o_orderdate",
+                          attr="o_orderpriority", seq="o_orderkey")
+
+
 def q_jsonl_parse(spark, sf_dir):
     """JSONL source with malformed-row quarantine (planted truncation,
     PERMISSIVE from_json -> parse_ok flags)."""
@@ -1209,6 +1220,23 @@ def q_event_rollup(spark, sf_dir):
     from .operators.olap import rollup_totals
     ev = _events_ntz(spark, sf_dir)
     return rollup_totals(ev, F.date_format("ts", "yyyy-MM-dd"))
+
+
+def q_event_cube(spark, sf_dir):
+    """Full grouping-set lattice over (event_type, day) with explicit
+    grouping-bit gid — the per-day-across-types marginals rollup
+    cannot emit, in one Expand+aggregate pass."""
+    from .operators.olap import cube_totals
+    ev = _events_ntz(spark, sf_dir)
+    return cube_totals(ev, F.date_format("ts", "yyyy-MM-dd"))
+
+
+def q_event_k_anonymity(spark, sf_dir):
+    """k-anonymity release audit: quasi-identifier cells
+    (event_type, day, user-bucket) with population below k=5 — the
+    cells a privacy-preserving release must suppress."""
+    from .operators.olap import k_anonymity_audit
+    return k_anonymity_audit(_events_ntz(spark, sf_dir))
 
 
 def q_event_pivot(spark, sf_dir):
@@ -1580,6 +1608,24 @@ def q_embedding_kmeans(spark, sf_dir):
     assignment, k-row map-side-combinable centroid update."""
     from .operators.similarity import embedding_kmeans, load_embeddings
     return embedding_kmeans(load_embeddings(spark, sf_dir))
+
+
+def q_embedding_covariance(spark, sf_dir):
+    """Distributed 64x64 covariance (upper triangle): per-batch
+    second-moment partials on executors, dimension-sized final
+    assembly — the PCA/whitening/Mahalanobis reduction."""
+    from .operators.similarity import covariance_matrix, load_embeddings
+    return covariance_matrix(load_embeddings(spark, sf_dir))
+
+
+def q_doc_token_entropy(spark, sf_dir):
+    """Per-doc token-distribution Shannon entropy + type-token ratio
+    (intra-document lexical diversity; the doc against ITSELF,
+    complementing unigram_logloss's corpus-model surprisal)."""
+    from .operators.textops import token_entropy
+    return token_entropy(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text"))
 
 
 def q_doc_chunking(spark, sf_dir):
@@ -2093,7 +2139,12 @@ def queries() -> dict[str, QueryFn]:
         "jsonl_parse": q_jsonl_parse,
         "sales_star_rollup": q_sales_star_rollup,
         "fk_orphan_audit": q_fk_orphan_audit,
+        "customer_scd2": q_customer_scd2,
         "event_pivot": q_event_pivot,
+        "event_cube": q_event_cube,
+        "event_k_anonymity": q_event_k_anonymity,
+        "embedding_covariance": q_embedding_covariance,
+        "doc_token_entropy": q_doc_token_entropy,
         "doc_curation_stats": q_doc_curation_stats,
         "doc_boilerplate_strip": q_doc_boilerplate_strip,
         # --- round-3 reference operators

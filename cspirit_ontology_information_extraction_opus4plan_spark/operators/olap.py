@@ -182,6 +182,61 @@ def rollup_totals(events: DataFrame, day_col: Column,
     return out.select(*sel, "n_events", "total_value")
 
 
+def cube_totals(events: DataFrame, day_col: Column,
+                levels: Sequence[str] = ("event_type",)) -> DataFrame:
+    """One-pass CUBE over (levels..., day): every subset of the
+    grouping columns gets its subtotal row (rollup emits only the
+    hierarchical prefixes; cube emits the full lattice — here also the
+    per-day-across-all-types marginals rollup cannot produce). `gid`
+    marks which columns are aggregated, built explicitly as
+    sum(grouping(c) << position) so both engines' bit orders agree by
+    construction rather than by grouping_id() convention.
+
+    Scale shape: like rollup, Spark expands the grouping sets in ONE
+    pass (Expand + single hash aggregate), never a union of re-scans;
+    the output is bounded by the product of per-level cardinalities,
+    a dimension-sized frame."""
+    base = events.withColumn("__day", day_col)
+    cols = [*levels, "__day"]
+    gid = F.lit(0)
+    for pos, c in enumerate(cols):
+        # grouping() is only resolvable inside the cube's agg list
+        gid = gid + (F.grouping(c) * F.lit(1 << (len(cols) - 1 - pos)))
+    out = (base.cube(*cols)
+           .agg(gid.cast("bigint").alias("gid"),
+                F.count("*").cast("bigint").alias("n_events"),
+                F.round(F.sum("value"), 6).alias("total_value")))
+    sel = [F.coalesce(F.col(c), F.lit(ALL_LABEL)).alias(c) for c in levels]
+    sel.append(F.coalesce(F.col("__day"), F.lit(ALL_LABEL)).alias("day"))
+    return out.select(*sel, "gid", "n_events", "total_value")
+
+
+K_ANON_DEFAULT = 5  # minimum group size below which a cell is risky
+K_ANON_BUCKETS = 10  # user-attribute quasi-identifier bucket count
+
+
+def k_anonymity_audit(events: DataFrame, k: int = K_ANON_DEFAULT,
+                      buckets: int = K_ANON_BUCKETS) -> DataFrame:
+    """Re-identification risk audit: group rows by the quasi-identifier
+    tuple (event_type, calendar day, user-attribute bucket) and emit
+    every cell whose population is below k — the cells a k-anonymity
+    release policy must suppress or generalize. Emits (event_type,
+    day, u_bucket, n_rows) for risky cells only.
+
+    Shape: one map-side-combinable count per cell; output is bounded
+    by the quasi-identifier cardinality (a dimension), never by the
+    corpus. No reference counterpart (the reference has no governance
+    surface); pairs with pii.py's redaction as the release-side QC."""
+    qi = (events
+          .select(F.col("event_type"),
+                  F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                  (F.col("user_id") % buckets).cast("bigint")
+                  .alias("u_bucket")))
+    return (qi.groupBy("event_type", "day", "u_bucket")
+            .agg(F.count("*").cast("bigint").alias("n_rows"))
+            .filter(F.col("n_rows") < k))
+
+
 def pivot_counts(events: DataFrame, key: str, pivot_col: str,
                  values: Sequence[str]) -> DataFrame:
     """key x pivot_col count matrix with an explicit (stable, oracle-

@@ -22,7 +22,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 MONEY = "decimal(18,4)"
@@ -57,6 +57,54 @@ def star_revenue_rollup(lineitem: DataFrame, orders: DataFrame,
             .agg(F.count("*").cast("bigint").alias("n_items"),
                  F.round(F.sum("rev"), 2).cast("double")
                  .alias("revenue")))
+
+
+SCD2_OPEN_END = "9999-12-31"  # open-interval sentinel, shared w/ oracle
+
+
+def scd2_dimension(changes: DataFrame, key: str, ts: str, attr: str,
+                   seq: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type-2 build: compress a change stream
+    (key, ts, attr) into versioned validity intervals — the standard
+    warehouse dimension-history table. Steps:
+
+      1. dedup to one change per (key, day): deterministic max_by(seq)
+         winner, so replayed/duplicate feeds converge;
+      2. collapse consecutive equal attribute values (lag compare) —
+         only genuine transitions open a new version;
+      3. assign half-open [valid_from, valid_to) via lead(), version
+         numbers via row_number(), is_current on the open row.
+
+    Output: (key, version, attr, valid_from, valid_to, is_current),
+    valid_to = '9999-12-31' on the current version.
+
+    Scale shape: every window partitions by the dimension key — fully
+    parallel, per-key history is bounded (a dimension's change count,
+    not the fact volume), so no global sort and no skew beyond the
+    hottest key's own history. Distinct from the bitemporal snapshot
+    read (kg_snapshot_asof): this BUILDS the interval table from a
+    change log; that QUERIES one."""
+    w = Window.partitionBy(key).orderBy("__d")
+    per_day = (changes
+               .select(F.col(key),
+                       F.to_date(ts).alias("__d"),
+                       F.col(attr).alias("__a"),
+                       F.col(seq).alias("__s"))
+               .groupBy(key, "__d")
+               .agg(F.max_by("__a", "__s").alias("__a")))
+    transitions = (per_day
+                   .withColumn("__prev", F.lag("__a").over(w))
+                   .filter(F.col("__prev").isNull()
+                           | (F.col("__a") != F.col("__prev"))))
+    vt = F.lead(F.date_format("__d", "yyyy-MM-dd")).over(w)
+    return (transitions
+            .select(F.col(key),
+                    F.row_number().over(w).cast("bigint").alias("version"),
+                    F.col("__a").alias(attr),
+                    F.date_format("__d", "yyyy-MM-dd").alias("valid_from"),
+                    F.coalesce(vt, F.lit(SCD2_OPEN_END)).alias("valid_to"),
+                    F.when(vt.isNull(), F.lit(1)).otherwise(F.lit(0))
+                    .cast("bigint").alias("is_current")))
 
 
 def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:

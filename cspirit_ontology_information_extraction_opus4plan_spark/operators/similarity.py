@@ -982,3 +982,72 @@ def ivfpq_topk(emb: DataFrame, k: int = TOP_K,
             .filter(F.col("rank") <= k)
             .select("q_id", "neighbor_id",
                     F.round("adc", 6).alias("adc_dist"), "rank"))
+
+
+# --- distributed covariance (second-moment) matrix --------------------------
+
+_COV_PARTIAL_SCHEMA = StructType([
+    StructField("i", IntegerType()),
+    StructField("j", IntegerType()),
+    StructField("s", DoubleType()),
+])
+
+
+def covariance_matrix(emb: DataFrame) -> DataFrame:
+    """Distributed DIM x DIM covariance of the embedding column — the
+    one-pass second-moment reduction behind PCA / whitening / Mahalanobis
+    drift scoring. Emits (i, j, cov) for the upper triangle i <= j,
+    cov = (S_xy - S_x * S_y / n) / n (population covariance).
+
+    Scale shape (the 100-TB point): each Arrow batch is reduced ON THE
+    EXECUTOR to one DIM*(DIM+1)/2-row partial second-moment block plus a
+    DIM-row sum vector and a count — mapInPandas emits O(DIM^2) rows PER
+    BATCH, never per input row, so the shuffle into the final (i, j)
+    aggregate carries n_batches * ~2k rows regardless of corpus size.
+    The naive alternative (posexplode the vector twice and groupBy) would
+    shuffle DIM^2 rows per vector — 4096x the corpus. Final assembly
+    joins the 2080-row moment frame against the 64-row sum vector twice
+    (broadcast) and the 1-row count (broadcast cross join): all
+    dimension-sized.
+
+    Float note: partials accumulate in float64 via numpy matmul; the
+    oracle sums doubles over unnested rows. Accumulation ORDERS differ,
+    so agreement is at round(6) tolerance (error ~1e-13 on O(1)
+    magnitudes), same contract as every summed-double oracle here —
+    bit-parity is reserved for the per-row kernels above."""
+    iu, ju = np.triu_indices(DIM)
+
+    def partial(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _stack(pdf["embedding"])
+            S = X.T @ X
+            yield pd.concat([
+                pd.DataFrame({"i": iu.astype(np.int32),
+                              "j": ju.astype(np.int32),
+                              "s": S[iu, ju]}),
+                pd.DataFrame({"i": np.arange(DIM, dtype=np.int32),
+                              "j": np.full(DIM, -1, dtype=np.int32),
+                              "s": X.sum(axis=0)}),
+                pd.DataFrame({"i": [-1], "j": [-1],
+                              "s": [float(len(X))]}),
+            ], ignore_index=True)
+
+    parts = emb.select("embedding").mapInPandas(partial, _COV_PARTIAL_SCHEMA)
+    moments = parts.groupBy("i", "j").agg(F.sum("s").alias("s"))
+    sxy = moments.filter(F.col("j") >= 0)
+    sx = moments.filter((F.col("j") == -1) & (F.col("i") >= 0))
+    n1 = (moments.filter(F.col("i") == -1)
+          .select(F.col("s").alias("n")))
+    si = sx.select(F.col("i").alias("i"), F.col("s").alias("s_i"))
+    sj = sx.select(F.col("i").alias("j"), F.col("s").alias("s_j"))
+    return (sxy
+            .join(F.broadcast(si), "i")
+            .join(F.broadcast(sj), "j")
+            .crossJoin(F.broadcast(n1))
+            .select(F.col("i").cast("bigint").alias("i"),
+                    F.col("j").cast("bigint").alias("j"),
+                    F.round((F.col("s") - F.col("s_i") * F.col("s_j")
+                             / F.col("n")) / F.col("n"), 6)
+                    .alias("cov")))

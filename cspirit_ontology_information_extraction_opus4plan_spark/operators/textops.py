@@ -1972,3 +1972,33 @@ def safety_filter(docs: DataFrame) -> DataFrame:
         flagged.cast("bigint").alias("n_flagged"),
         F.round(F.try_divide(flagged, n), 6).alias("flagged_frac"),
         (flagged == 0).cast("int").alias("keep"))
+
+
+def token_entropy(docs: DataFrame) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution plus
+    type-token ratio — the intra-document lexical-diversity quality
+    signal (low entropy = keyword-stuffed / template spam; Gopher- and
+    C4-family rules threshold on exactly this). Distinct from
+    doc_unigram_logloss, which scores each doc against the CORPUS
+    unigram model (surprisal); this is the doc against ITSELF.
+
+    H = log2(n) - sum(c * log2(c)) / n over per-token counts c,
+    n = token count. Columns: (doc_id, n_tokens, n_types, entropy,
+    type_token_ratio). Zero-token docs emit no row (no distribution to
+    score) — same contract in the oracle.
+
+    Scale shape: explode -> two map-side-combinable groupBys keyed by
+    doc then (doc, token); both partial-aggregate before the shuffle,
+    and nothing is corpus-global (no vocabulary table, no broadcast),
+    so the op is embarrassingly data-parallel at any corpus size."""
+    toks = docs.select("doc_id", F.explode(tokens_col()).alias("tok"))
+    counts = (toks.groupBy("doc_id", "tok")
+              .agg(F.count("*").alias("c")))
+    n = F.sum("c")
+    return (counts.groupBy("doc_id")
+            .agg(n.cast("bigint").alias("n_tokens"),
+                 F.count("*").cast("bigint").alias("n_types"),
+                 F.round(F.log2(n) - F.sum(F.col("c") * F.log2("c")) / n,
+                         6).alias("entropy"),
+                 F.round(F.count("*") / n.cast("double"), 6)
+                 .alias("type_token_ratio")))

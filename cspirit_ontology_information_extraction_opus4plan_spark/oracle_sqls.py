@@ -2028,6 +2028,77 @@ SELECT 'nation->region',
              WHERE n.n_regionkey NOT IN
                (SELECT r_regionkey FROM region)) AS BIGINT)""".strip()
 
+    # customer_scd2: dedup to one change per (custkey, day) via
+    # arg_max, collapse consecutive equal values, half-open intervals
+    # via lead() — mirrors operators/relational.scd2_dimension
+    sqls["customer_scd2"] = """
+WITH ch AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+         arg_max(o_orderpriority, o_orderkey) AS attr
+  FROM orders GROUP BY 1, 2),
+seq AS (
+  SELECT o_custkey, d, attr,
+         lag(attr) OVER (PARTITION BY o_custkey ORDER BY d) AS prev
+  FROM ch),
+chg AS (
+  SELECT o_custkey, d, attr FROM seq
+  WHERE prev IS NULL OR attr <> prev),
+v AS (
+  SELECT o_custkey, attr,
+         row_number() OVER w AS version,
+         strftime(d, '%Y-%m-%d') AS valid_from,
+         lead(strftime(d, '%Y-%m-%d')) OVER w AS valid_to
+  FROM chg WINDOW w AS (PARTITION BY o_custkey ORDER BY d))
+SELECT o_custkey, CAST(version AS BIGINT) AS version,
+       attr AS o_orderpriority, valid_from,
+       coalesce(valid_to, '9999-12-31') AS valid_to,
+       CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS is_current
+FROM v""".strip()
+
+    # event_cube: full grouping-set lattice; gid built explicitly from
+    # GROUPING() bits so both engines agree by construction
+    sqls["event_cube"] = """
+WITH e AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value
+           FROM events)
+SELECT coalesce(event_type, '(all)') AS event_type,
+       coalesce(day, '(all)') AS day,
+       CAST(GROUPING(event_type) * 2 + GROUPING(day) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM e GROUP BY CUBE(event_type, day)""".strip()
+
+    # event_k_anonymity: quasi-identifier cells below k=5
+    sqls["event_k_anonymity"] = """
+SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+       CAST(user_id % 10 AS BIGINT) AS u_bucket,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM events GROUP BY 1, 2, 3
+HAVING count(*) < 5""".strip()
+
+    # embedding_covariance: population covariance over unnested
+    # (vec, dim) rows; agreement at round(6) (summed-double contract)
+    sqls["embedding_covariance"] = """
+WITH e AS (
+  SELECT vec_id, CAST(t.i AS INTEGER) AS i,
+         CAST(embedding[t.i] AS DOUBLE) AS x
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i))
+SELECT CAST(a.i - 1 AS BIGINT) AS i, CAST(b.i - 1 AS BIGINT) AS j,
+       round((sum(a.x * b.x) - sum(a.x) * sum(b.x) / count(*))
+             / count(*), 6) AS cov
+FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY 1, 2""".strip()
+
+    # doc_token_entropy: H = log2(n) - sum(c*log2(c))/n per doc
+    sqls["doc_token_entropy"] = f"WITH {tok_cte('documents')}" + """,
+u AS (SELECT doc_id, t.tok FROM tok, UNNEST(toks) AS t(tok)),
+c AS (SELECT doc_id, tok, count(*) AS c FROM u GROUP BY 1, 2)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy,
+       round(count(*) / CAST(sum(c) AS DOUBLE), 6) AS type_token_ratio
+FROM c GROUP BY doc_id""".strip()
+
     sqls["jsonl_parse"] = """
 WITH jl AS (
   SELECT doc_id,
