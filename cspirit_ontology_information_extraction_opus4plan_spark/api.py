@@ -1239,6 +1239,49 @@ def q_event_k_anonymity(spark, sf_dir):
     return k_anonymity_audit(_events_ntz(spark, sf_dir))
 
 
+def q_event_hopping_windows(spark, sf_dir):
+    """Hopping 6h/3h event-time windows per type — the overlapping
+    window mode (each event in width/slide=2 windows); bounds as
+    formatted strings like event_windows."""
+    from .streaming.pipeline import hopping_event_counts
+    out = hopping_event_counts(_events_ntz(spark, sf_dir))
+    return out.select(
+        F.date_format("window_start", _TS_FMT).alias("window_start"),
+        F.date_format("window_end", _TS_FMT).alias("window_end"),
+        "event_type", "n_events", "total_value")
+
+
+def q_event_attribution(spark, sf_dir):
+    """Click->purchase attribution pairs within a 2h horizon (the
+    stream-stream join run on the batch frame; the streaming replay
+    with watermarked state expiry is tests/test_streaming.py)."""
+    from .streaming.pipeline import attributed_purchases
+    ev = _events_ntz(spark, sf_dir)
+    out = attributed_purchases(ev.filter(F.col("event_type") == "click"),
+                               ev.filter(F.col("event_type") == "purchase"))
+    return out.select(
+        "click_id", "purchase_id", "user_id",
+        F.date_format("click_ts", _TS_FMT).alias("click_ts"),
+        F.date_format("purchase_ts", _TS_FMT).alias("purchase_ts"),
+        "value")
+
+
+def q_event_running_total(spark, sf_dir):
+    """Per-user running value sum/max + sequence over event time
+    (batch reconciliation twin of the streaming running-total state)."""
+    from .operators.olap import cumulative_user_totals
+    return cumulative_user_totals(_events_ntz(spark, sf_dir))
+
+
+def q_doc_zipf_slope(spark, sf_dir):
+    """Zipf's-law least-squares fit over the top-1000 token
+    frequencies (corpus-health monitor; natural text ~ slope -1)."""
+    from .operators.textops import zipf_slope
+    return zipf_slope(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text"))
+
+
 def q_event_pivot(spark, sf_dir):
     """user_id x event_type count matrix with a declared pivot value
     list (no distinct-values pre-job; stable columns for the oracle)."""
@@ -2143,6 +2186,10 @@ def queries() -> dict[str, QueryFn]:
         "event_pivot": q_event_pivot,
         "event_cube": q_event_cube,
         "event_k_anonymity": q_event_k_anonymity,
+        "event_hopping_windows": q_event_hopping_windows,
+        "event_running_total": q_event_running_total,
+        "event_attribution": q_event_attribution,
+        "doc_zipf_slope": q_doc_zipf_slope,
         "embedding_covariance": q_embedding_covariance,
         "doc_token_entropy": q_doc_token_entropy,
         "doc_curation_stats": q_doc_curation_stats,

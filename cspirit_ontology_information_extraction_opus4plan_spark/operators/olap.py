@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def interval_join(left: DataFrame, right: DataFrame,
@@ -180,6 +180,30 @@ def rollup_totals(events: DataFrame, day_col: Column,
     sel = [F.coalesce(F.col(c), F.lit(ALL_LABEL)).alias(c) for c in levels]
     sel.append(F.coalesce(F.col("__day"), F.lit(ALL_LABEL)).alias("day"))
     return out.select(*sel, "n_events", "total_value")
+
+
+def cumulative_user_totals(events: DataFrame) -> DataFrame:
+    """Per-user running aggregates over event time: sequence number,
+    cumulative value sum, and cumulative max — the batch twin of the
+    stateful streaming running-total operator (streaming/pipeline.py),
+    here as one window pass for backfills and reconciliation checks
+    against the stream's state store.
+
+    Ties on ts break by event_id, so the running frame is a total
+    order and both engines accumulate identically. Scale shape: the
+    window partitions by user_id — embarrassingly parallel, state per
+    partition is one user's history; there is no global sort and no
+    single-partition window (the classic running-total trap of
+    `Window.orderBy(ts)` with no partition key)."""
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return events.select(
+        "event_id", "user_id",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .cast("bigint").alias("seq"),
+        F.round(F.sum("value").over(w), 6).alias("running_value"),
+        F.round(F.max("value").over(w), 6).alias("running_max"))
 
 
 def cube_totals(events: DataFrame, day_col: Column,

@@ -2002,3 +2002,41 @@ def token_entropy(docs: DataFrame) -> DataFrame:
                          6).alias("entropy"),
                  F.round(F.count("*") / n.cast("double"), 6)
                  .alias("type_token_ratio")))
+
+
+ZIPF_TOP_V = 1000  # bounded head of the frequency table the fit uses
+
+
+def zipf_slope(docs: DataFrame, top_v: int = ZIPF_TOP_V) -> DataFrame:
+    """Zipf's-law fit over the corpus frequency head: least-squares
+    slope/intercept of log2(freq) against log2(rank) for the top_v most
+    frequent tokens — natural text sits near slope -1; template spam
+    and synthetic junk bend the curve (a corpus-health monitor next to
+    doc_source_ks and the drift audits). One summary row:
+    (n_vocab, n_fit, zipf_slope, zipf_intercept).
+
+    Scale shape: token counting is the usual map-side-combinable
+    groupBy; the fit runs on the BOUNDED top_v head (orderBy+limit is
+    a distributed TakeOrdered — no global sort materialization), ranked
+    by (freq desc, token asc) so the boundary cut and the ranks are
+    deterministic under ties in both engines. The regression itself is
+    regr_slope/regr_intercept over top_v rows. Vocabulary size (the
+    only corpus-global scalar) is a count-distinct aggregate."""
+    from pyspark.sql import Window
+
+    counts = (docs
+              .select(F.explode(tokens_col()).alias("tok"))
+              .groupBy("tok").agg(F.count("*").alias("c")))
+    # unpartitioned window is safe ONLY because limit() already bounded
+    # the frame to top_v rows
+    head = (counts.orderBy(F.desc("c"), F.asc("tok")).limit(top_v)
+            .withColumn("rank", F.row_number().over(
+                Window.orderBy(F.desc("c"), F.asc("tok")))))
+    xy = head.select(F.log2("rank").alias("x"), F.log2("c").alias("y"))
+    fit = xy.agg(
+        F.count("*").cast("bigint").alias("n_fit"),
+        F.round(F.regr_slope("y", "x"), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept("y", "x"), 6).alias("zipf_intercept"))
+    vocab = counts.agg(F.count("*").cast("bigint").alias("n_vocab"))
+    return vocab.crossJoin(fit).select(
+        "n_vocab", "n_fit", "zipf_slope", "zipf_intercept")

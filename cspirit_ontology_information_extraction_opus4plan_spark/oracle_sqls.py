@@ -1904,6 +1904,69 @@ SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S.%f') AS window_start,
        round(sum(value), 6) AS total_value
 FROM w GROUP BY 1, 2, 3"""
 
+    # event_hopping_windows: each event expands to width/slide = 2
+    # slide-aligned windows, re-derived from raw epoch arithmetic
+    hop_w, hop_s = 6 * 3600, 3 * 3600
+    assert SP.HOP_DUR == "6 hours" and SP.HOP_SLIDE == "3 hours"
+    sqls["event_hopping_windows"] = f"""
+WITH w AS (
+  SELECT make_timestamp((CAST(floor(epoch(ts) / {hop_s}) AS BIGINT)
+                         - k.k) * {hop_s} * 1000000) AS window_start,
+         event_type, value
+  FROM events, UNNEST(generate_series(0, {hop_w // hop_s - 1})) AS k(k))
+SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S.%f') AS window_start,
+       strftime(window_start + INTERVAL {hop_w} SECOND,
+                '%Y-%m-%d %H:%M:%S.%f') AS window_end,
+       event_type, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM w GROUP BY 1, 2, 3"""
+
+    # event_attribution: click->purchase pairs within the 2h horizon
+    assert SP.ATTR_HORIZON == "2 hours"
+    sqls["event_attribution"] = """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       c.user_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       round(p.value, 6) AS value
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 2 HOUR
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'""".strip()
+
+    # event_running_total: per-user sequential accumulation, total
+    # order pinned by (ts, event_id)
+    sqls["event_running_total"] = """
+SELECT event_id, user_id,
+       CAST(row_number() OVER w AS BIGINT) AS seq,
+       round(sum(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 6)
+         AS running_value,
+       round(max(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 6)
+         AS running_max
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".strip()
+
+    # doc_zipf_slope: least-squares fit over the deterministic
+    # (freq desc, token asc) top-1000 head
+    sqls["doc_zipf_slope"] = f"WITH {tok_cte('documents')}" + """,
+u AS (SELECT t.tok FROM tok, UNNEST(toks) AS t(tok)),
+c AS (SELECT tok, count(*) AS c FROM u GROUP BY tok),
+head AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, tok ASC) AS rank
+  FROM c ORDER BY c DESC, tok ASC LIMIT 1000),
+fit AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_fit,
+         round(regr_slope(log2(c), log2(rank)), 6) AS zipf_slope,
+         round(regr_intercept(log2(c), log2(rank)), 6) AS zipf_intercept
+  FROM head)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_vocab,
+       n_fit, zipf_slope, zipf_intercept
+FROM fit""".strip()
+
     # event_sessions: gap-merged sessions re-derived independently via
     # the islands technique — a new session starts when the gap to the
     # previous event is >= the session gap (session windows are

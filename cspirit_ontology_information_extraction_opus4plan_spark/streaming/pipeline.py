@@ -106,6 +106,8 @@ EVENTS_SCHEMA = ("event_id bigint, ts timestamp, user_id bigint, "
 TUMBLE_DUR = "6 hours"
 SESSION_GAP = "8 hours"
 LATE_WATERMARK = "12 hours"
+HOP_DUR = "6 hours"   # hopping window width
+HOP_SLIDE = "3 hours"  # hopping window slide (width/slide windows/event)
 
 
 def windowed_event_counts(events: DataFrame,
@@ -125,6 +127,65 @@ def windowed_event_counts(events: DataFrame,
             .select(F.col("win.start").alias("window_start"),
                     F.col("win.end").alias("window_end"),
                     "event_type", "n_events", "total_value"))
+
+
+def hopping_event_counts(events: DataFrame,
+                         window_dur: str = HOP_DUR,
+                         slide: str = HOP_SLIDE,
+                         watermark: str | None = None) -> DataFrame:
+    """Hopping (sliding) event-time windows per event_type — the
+    overlapping-window mode tumbling can't express: each event lands in
+    width/slide windows, so a 6h/3h hop gives every 3h-aligned start a
+    full 6h trailing view (rolling KPIs, rate limiting, trend windows).
+    Same single definition serves batch and watermarked streaming,
+    like windowed_event_counts above.
+
+    Scale shape: Spark expands each row to width/slide window
+    assignments (a constant, 2 here) before one hash aggregate — cost
+    is the same groupBy as tumbling at 2x row fan-out, map-side
+    combinable, no window function and no global sort."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    w = F.window("ts", window_dur, slide)
+    return (src.groupBy(w.alias("win"), "event_type")
+            .agg(F.count("*").cast("bigint").alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("total_value"))
+            .select(F.col("win.start").alias("window_start"),
+                    F.col("win.end").alias("window_end"),
+                    "event_type", "n_events", "total_value"))
+
+
+ATTR_HORIZON = "2 hours"  # click->purchase attribution window
+
+
+def attributed_purchases(clicks: DataFrame,
+                         purchases: DataFrame,
+                         horizon: str = ATTR_HORIZON) -> DataFrame:
+    """Click->purchase attribution join: every purchase paired with the
+    same user's clicks in the preceding `horizon` (click_ts <=
+    purchase_ts < click_ts + horizon). ONE definition serves batch and
+    stream-stream: on streams, watermark BOTH inputs before calling —
+    the time-bound condition lets Spark expire join state older than
+    watermark + horizon instead of buffering both streams forever
+    (the unbounded-state trap of an unconstrained stream-stream join).
+
+    Emits (click_id, purchase_id, user_id, click_ts, purchase_ts,
+    value). Scale shape: equi-join on user_id with the range condition
+    as a post-filter — shuffle-partitionable, AQE-skew-splittable,
+    never a nested loop; per-user click x purchase fan-out is bounded
+    by the horizon."""
+    c = clicks.select(F.col("event_id").alias("click_id"),
+                      "user_id", F.col("ts").alias("click_ts"))
+    p = purchases.select(F.col("event_id").alias("purchase_id"),
+                         F.col("user_id").alias("p_user"),
+                         F.col("ts").alias("purchase_ts"), "value")
+    cond = ((F.col("user_id") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts")
+               < F.col("click_ts") + F.expr(f"INTERVAL {horizon}")))
+    return (c.join(p, cond)
+            .select("click_id", "purchase_id", "user_id",
+                    "click_ts", "purchase_ts",
+                    F.round("value", 6).alias("value")))
 
 
 def sessionized_events(events: DataFrame,

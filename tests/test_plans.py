@@ -708,3 +708,15 @@ def test_abbreviations_pure_codegen_no_joins(spark, sf_dir):
     assert "MapInPandas" not in plan
     assert "Join" not in plan
     assert "partial_count" in plan
+
+
+def test_attribution_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The stream-stream-shaped attribution join must plan as an
+    equi-join on user_id with the time bound as a post-condition —
+    never a nested loop / cartesian over the two event sides."""
+    plan = api.q_event_attribution(spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)

@@ -132,3 +132,57 @@ def test_token_entropy_bounds(spark, sf_dir):
     got = token_entropy(one).collect()[0]
     assert abs(got["entropy"] - 2.0) < 1e-9
     assert got["type_token_ratio"] == 1.0
+
+
+def test_hopping_windows_double_count(spark, sf_dir):
+    """width/slide = 2, so summing n_events over all hopping windows
+    counts every event exactly twice, and every window spans 6h."""
+    rows = api.q_event_hopping_windows(spark, sf_dir).collect()
+    n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert sum(r["n_events"] for r in rows) == 2 * n
+    import datetime as dt
+    fmt = "%Y-%m-%d %H:%M:%S.%f"
+    for r in rows:
+        a = dt.datetime.strptime(r["window_start"], fmt)
+        b = dt.datetime.strptime(r["window_end"], fmt)
+        assert (b - a) == dt.timedelta(hours=6)
+        assert a.minute == 0 and a.hour % 3 == 0  # slide-aligned
+
+
+def test_running_totals_reconcile_with_groupby(spark, sf_dir):
+    rows = api.q_event_running_total(spark, sf_dir).collect()
+    last = {}
+    for r in rows:
+        u = r["user_id"]
+        if u not in last or r["seq"] > last[u]["seq"]:
+            last[u] = r
+    want = {r["user_id"]: (r["n"], r["s"]) for r in
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("s")).collect()}
+    assert set(last) == set(want)
+    for u, r in last.items():
+        n, s = want[u]
+        assert r["seq"] == n
+        assert abs(r["running_value"] - s) < 1e-3, u
+
+
+def test_zipf_fit_shape(spark, sf_dir):
+    row = api.q_doc_zipf_slope(spark, sf_dir).collect()[0]
+    assert row["n_vocab"] >= row["n_fit"] >= 2
+    assert row["zipf_slope"] < 0  # frequency decreases with rank
+    # intercept = predicted log2 freq at rank 1 — at least the slope
+    # line must start above the tail
+    assert row["zipf_intercept"] > 0
+
+
+def test_attribution_pairs_within_horizon(spark, sf_dir):
+    import datetime as dt
+    rows = api.q_event_attribution(spark, sf_dir).collect()
+    assert rows
+    fmt = "%Y-%m-%d %H:%M:%S.%f"
+    for r in rows:
+        c = dt.datetime.strptime(r["click_ts"], fmt)
+        p = dt.datetime.strptime(r["purchase_ts"], fmt)
+        assert dt.timedelta(0) <= (p - c) < dt.timedelta(hours=2)

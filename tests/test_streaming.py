@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from cspirit_ontology_information_extraction_opus4plan_spark.streaming.pipeline import (
     stream_triples,
@@ -666,3 +667,38 @@ def test_stream_daily_counts_matches_batch(spark, sf_dir, tmp_path):
     q2 = stream_daily_counts(spark, str(in_dir), store, ckpt)
     q2.awaitTermination(120)
     assert _read_pointer(spark, store) == ptr
+
+
+def test_stream_stream_attribution_join(spark, sf_dir, event_files):
+    """Stream-stream inner join with watermarks on both sides: replay
+    the events in two time-ordered files; the attributed click/purchase
+    pairs must equal the batch twin over the whole input (the time-bound
+    condition lets state expire, not change results on this in-order
+    replay)."""
+    from cspirit_ontology_information_extraction_opus4plan_spark.streaming.pipeline import (
+        attributed_purchases,
+    )
+
+    in_dir, _ = event_files
+
+    def _side(event_type):
+        return (spark.readStream.schema(EVENTS_SCHEMA).parquet(in_dir)
+                .filter(F.col("event_type") == event_type)
+                .withWatermark("ts", LATE_WATERMARK))
+
+    out = attributed_purchases(_side("click"), _side("purchase"))
+    q = (out.writeStream.format("memory").queryName("mem_attr")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.table("mem_attr").toPandas()
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = attributed_purchases(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase")).toPandas()
+    assert len(want) > 0
+    for df in (got, want):
+        for c in df.columns:
+            if str(df[c].dtype).startswith("datetime"):
+                df[c] = df[c].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want))
