@@ -872,6 +872,25 @@ def q_customer_scd2(spark, sf_dir):
                           attr="o_orderpriority", seq="o_orderkey")
 
 
+SCD2_SPLIT_DATE = "1996-01-01"  # incremental-apply batch boundary
+
+
+def q_customer_scd2_incremental(spark, sf_dir):
+    """Incremental SCD2 maintenance: build the dimension from orders
+    BEFORE the split date, then scd2_apply the rest as a nightly
+    batch — the result must hash-match the oracle's FULL rebuild over
+    all orders (incremental == rebuild is the correctness contract of
+    incremental view maintenance)."""
+    from .operators.relational import load_rel, scd2_apply, scd2_dimension
+    orders = load_rel(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderdate") < SCD2_SPLIT_DATE)
+    new = orders.filter(F.col("o_orderdate") >= SCD2_SPLIT_DATE)
+    dim = scd2_dimension(old, "o_custkey", "o_orderdate",
+                         "o_orderpriority", "o_orderkey")
+    return scd2_apply(dim, new, "o_custkey", "o_orderdate",
+                      "o_orderpriority", "o_orderkey")
+
+
 def q_jsonl_parse(spark, sf_dir):
     """JSONL source with malformed-row quarantine (planted truncation,
     PERMISSIVE from_json -> parse_ok flags)."""
@@ -2183,6 +2202,7 @@ def queries() -> dict[str, QueryFn]:
         "sales_star_rollup": q_sales_star_rollup,
         "fk_orphan_audit": q_fk_orphan_audit,
         "customer_scd2": q_customer_scd2,
+        "customer_scd2_incremental": q_customer_scd2_incremental,
         "event_pivot": q_event_pivot,
         "event_cube": q_event_cube,
         "event_k_anonymity": q_event_k_anonymity,

@@ -85,17 +85,7 @@ def scd2_dimension(changes: DataFrame, key: str, ts: str, attr: str,
     read (kg_snapshot_asof): this BUILDS the interval table from a
     change log; that QUERIES one."""
     w = Window.partitionBy(key).orderBy("__d")
-    per_day = (changes
-               .select(F.col(key),
-                       F.to_date(ts).alias("__d"),
-                       F.col(attr).alias("__a"),
-                       F.col(seq).alias("__s"))
-               .groupBy(key, "__d")
-               .agg(F.max_by("__a", "__s").alias("__a")))
-    transitions = (per_day
-                   .withColumn("__prev", F.lag("__a").over(w))
-                   .filter(F.col("__prev").isNull()
-                           | (F.col("__a") != F.col("__prev"))))
+    transitions = _scd2_transitions(changes, key, ts, attr, seq)
     vt = F.lead(F.date_format("__d", "yyyy-MM-dd")).over(w)
     return (transitions
             .select(F.col(key),
@@ -105,6 +95,89 @@ def scd2_dimension(changes: DataFrame, key: str, ts: str, attr: str,
                     F.coalesce(vt, F.lit(SCD2_OPEN_END)).alias("valid_to"),
                     F.when(vt.isNull(), F.lit(1)).otherwise(F.lit(0))
                     .cast("bigint").alias("is_current")))
+
+
+def _scd2_transitions(changes: DataFrame, key: str, ts: str, attr: str,
+                      seq: str) -> DataFrame:
+    """(key, __d, __a) genuine transitions of a change stream: one
+    deterministic winner per (key, day), consecutive equal values
+    collapsed. Shared by the full build and the incremental apply."""
+    w = Window.partitionBy(key).orderBy("__d")
+    per_day = (changes
+               .select(F.col(key),
+                       F.to_date(ts).alias("__d"),
+                       F.col(attr).alias("__a"),
+                       F.col(seq).alias("__s"))
+               .groupBy(key, "__d")
+               .agg(F.max_by("__a", "__s").alias("__a")))
+    return (per_day
+            .withColumn("__prev", F.lag("__a").over(w))
+            .filter(F.col("__prev").isNull()
+                    | (F.col("__a") != F.col("__prev")))
+            .drop("__prev"))
+
+
+def scd2_apply(dim: DataFrame, changes: DataFrame, key: str, ts: str,
+               attr: str, seq: str) -> DataFrame:
+    """Incremental SCD Type-2 maintenance: apply a NEW batch of changes
+    (all later than every date already in `dim` — the nightly-batch
+    contract) to an existing dimension, producing exactly what a full
+    rebuild over old+new changes would — without touching the closed
+    history. The 100-TB point: the nightly job's cost is O(new batch +
+    current rows), never O(all history).
+
+    Steps, all equi-keyed on the dimension key:
+      1. reduce the new batch to genuine transitions (shared helper);
+      2. drop each key's LEADING new transition when it equals the
+         key's current attribute (cross-boundary collapse — a no-op
+         "change" must not open a version);
+      3. close the key's open row at its first surviving new
+         transition date; renumber new versions from the key's current
+         version; last new row becomes the open one.
+
+    Keys unseen by `dim` start at version 1. Rows of `dim` for keys
+    with no surviving new transitions pass through untouched."""
+    wk = Window.partitionBy(key).orderBy("__d")
+    cur = (dim.filter(F.col("is_current") == 1)
+           .select(F.col(key),
+                   F.col(attr).alias("__cur_a"),
+                   F.col("version").alias("__cur_v")))
+    inc = (_scd2_transitions(changes, key, ts, attr, seq)
+           .withColumn("__rn", F.row_number().over(wk))
+           .join(cur, key, "left")
+           # NULL-safe: a key with no current row (new customer) keeps
+           # its leading transition — `__a == NULL` would be NULL and
+           # silently drop it under a plain negated conjunction
+           .filter(F.col("__cur_a").isNull()
+                   | (F.col("__rn") != 1)
+                   | (F.col("__a") != F.col("__cur_a")))
+           .withColumn("__rn2", F.row_number().over(wk)))
+    vt = F.lead(F.date_format("__d", "yyyy-MM-dd")).over(wk)
+    new_rows = inc.select(
+        F.col(key),
+        (F.coalesce(F.col("__cur_v"), F.lit(0)) + F.col("__rn2"))
+        .cast("bigint").alias("version"),
+        F.col("__a").alias(attr),
+        F.date_format("__d", "yyyy-MM-dd").alias("valid_from"),
+        F.coalesce(vt, F.lit(SCD2_OPEN_END)).alias("valid_to"),
+        F.when(vt.isNull(), F.lit(1)).otherwise(F.lit(0))
+        .cast("bigint").alias("is_current"))
+    closes = (inc.groupBy(key)
+              .agg(F.date_format(F.min("__d"), "yyyy-MM-dd")
+                   .alias("__close_at")))
+    kept = (dim.join(closes, key, "left")
+            .withColumn(
+                "valid_to",
+                F.when((F.col("is_current") == 1)
+                       & F.col("__close_at").isNotNull(),
+                       F.col("__close_at"))
+                .otherwise(F.col("valid_to")))
+            .withColumn(
+                "is_current",
+                F.when(F.col("__close_at").isNotNull(), F.lit(0))
+                .otherwise(F.col("is_current")).cast("bigint"))
+            .drop("__close_at"))
+    return kept.unionByName(new_rows.select(*kept.columns))
 
 
 def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2119,6 +2119,12 @@ SELECT o_custkey, CAST(version AS BIGINT) AS version,
          AS is_current
 FROM v""".strip()
 
+    # customer_scd2_incremental: the oracle is the FULL REBUILD over
+    # all orders — the Spark side builds pre-split then applies the
+    # post-split batch incrementally; hash equality IS the incremental-
+    # view-maintenance contract
+    sqls["customer_scd2_incremental"] = sqls["customer_scd2"]
+
     # event_cube: full grouping-set lattice; gid built explicitly from
     # GROUPING() bits so both engines agree by construction
     sqls["event_cube"] = """

@@ -186,3 +186,58 @@ def test_attribution_pairs_within_horizon(spark, sf_dir):
         c = dt.datetime.strptime(r["click_ts"], fmt)
         p = dt.datetime.strptime(r["purchase_ts"], fmt)
         assert dt.timedelta(0) <= (p - c) < dt.timedelta(hours=2)
+
+
+def test_scd2_incremental_equals_full_rebuild(spark, sf_dir):
+    """The incremental apply must reproduce the full rebuild EXACTLY
+    (same frame, not just same shape) — the IVM contract."""
+    full = api.q_customer_scd2(spark, sf_dir).collect()
+    inc = api.q_customer_scd2_incremental(spark, sf_dir).collect()
+    assert sorted(map(tuple, full)) == sorted(map(tuple, inc))
+
+
+def test_scd2_apply_empty_batch_is_identity(spark, sf_dir):
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.relational import (
+        load_rel, scd2_apply, scd2_dimension,
+    )
+    orders = load_rel(spark, sf_dir, "orders")
+    dim = scd2_dimension(orders, "o_custkey", "o_orderdate",
+                         "o_orderpriority", "o_orderkey")
+    empty = orders.filter(F.lit(False))
+    out = scd2_apply(dim, empty, "o_custkey", "o_orderdate",
+                     "o_orderpriority", "o_orderkey")
+    assert sorted(map(tuple, dim.collect())) == \
+        sorted(map(tuple, out.collect()))
+
+
+def test_scd2_apply_noop_change_opens_no_version(spark):
+    """A nightly batch repeating the key's current attribute must NOT
+    open a new version; a genuine change must close the open row at
+    the change date."""
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.relational import (
+        scd2_apply, scd2_dimension,
+    )
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, schema="k long, ts string, a string, s long"
+        ).selectExpr("k", "CAST(ts AS TIMESTAMP) ts", "a", "s")
+
+    old = frame([(1, "2024-01-01", "X", 1), (1, "2024-02-01", "Y", 2),
+                 (2, "2024-01-15", "P", 3)])
+    new = frame([(1, "2024-03-01", "Y", 4),   # no-op repeat of current
+                 (1, "2024-04-01", "Z", 5),   # genuine change
+                 (2, "2024-03-10", "P", 6),   # no-op
+                 (3, "2024-03-20", "Q", 7)])  # brand-new key
+    dim = scd2_dimension(old, "k", "ts", "a", "s")
+    out = {(r["k"], r["version"]): r
+           for r in scd2_apply(dim, new, "k", "ts", "a", "s").collect()}
+    # 1: X -> Y -> Z (the repeated Y opened nothing); 2: P only; 3: Q
+    assert set(out) == {(1, 1), (1, 2), (1, 3), (2, 1), (3, 1)}
+    assert out[(1, 2)]["a"] == "Y" and out[(1, 2)]["is_current"] == 0
+    # the open Y row closed at the GENUINE change date, not the no-op
+    assert out[(1, 2)]["valid_to"] == "2024-04-01"
+    assert out[(1, 3)]["a"] == "Z" and out[(1, 3)]["is_current"] == 1
+    assert out[(2, 1)]["is_current"] == 1  # untouched passthrough
+    assert out[(2, 1)]["valid_to"] == "9999-12-31"
+    assert out[(3, 1)]["a"] == "Q" and out[(3, 1)]["is_current"] == 1
+    assert out[(3, 1)]["valid_from"] == "2024-03-20"
