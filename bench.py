@@ -72,6 +72,9 @@ HEADLINE = [
     "doc_rrf_search",     # BM25+dense reciprocal-rank fusion (if present)
     "sales_star_rollup",  # TPC-H Q5-family broadcast-dim star join (if present)
     "doc_cdc_chunks",     # content-defined chunk dedup (if present)
+    "customer_scd2_incremental",  # IVM dimension maintenance (if present)
+    "embedding_covariance",  # mapInPandas second-moment reduction (if present)
+    "event_attribution",  # user-keyed stream-stream-shaped join (if present)
 ]
 
 

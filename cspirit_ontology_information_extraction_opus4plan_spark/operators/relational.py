@@ -101,13 +101,20 @@ def _scd2_transitions(changes: DataFrame, key: str, ts: str, attr: str,
                       seq: str) -> DataFrame:
     """(key, __d, __a) genuine transitions of a change stream: one
     deterministic winner per (key, day), consecutive equal values
-    collapsed. Shared by the full build and the incremental apply."""
+    collapsed. Shared by the full build and the incremental apply.
+
+    ONE shuffle end-to-end: the explicit repartition on the key alone
+    satisfies both the (key, day) groupBy's clustered distribution
+    (partitioning on a subset of the grouping keys co-locates every
+    group) and the downstream per-key windows — without it the plan
+    pays two exchanges, (key, day) then (key). Pinned by a plan test."""
     w = Window.partitionBy(key).orderBy("__d")
     per_day = (changes
                .select(F.col(key),
                        F.to_date(ts).alias("__d"),
                        F.col(attr).alias("__a"),
                        F.col(seq).alias("__s"))
+               .repartition(key)
                .groupBy(key, "__d")
                .agg(F.max_by("__a", "__s").alias("__a")))
     return (per_day

@@ -720,3 +720,24 @@ def test_attribution_join_is_equi_not_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
             or "BroadcastHashJoin" in plan)
+
+
+def test_scd2_build_is_single_shuffle(spark, sf_dir):
+    """The SCD2 full build repartitions ONCE on the dimension key: the
+    key-only exchange satisfies both the (key, day) groupBy and every
+    per-key window, so adding a second exchange is a regression."""
+    plan = api.q_customer_scd2(spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_scd2_incremental_all_exchanges_keyed(spark, sf_dir):
+    """Every shuffle in the incremental apply is keyed on the dimension
+    key (one per independent branch); no nested loop anywhere."""
+    import re
+    plan = api.q_customer_scd2_incremental(spark, sf_dir) \
+        ._jdf.queryExecution().executedPlan().toString()
+    parts = re.findall(r"Exchange hashpartitioning\(([^,]*)", plan)
+    assert parts and all("o_custkey" in p for p in parts), parts
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
