@@ -36,7 +36,12 @@ from cspirit_ontology_information_extraction_opus4plan_spark.session import (  #
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-SCALING_CACHE = os.path.join(REPO, ".bench_scaled", "last_scaling.json")
+# durable, git-committed run ledger: .bench_scaled/ is gitignored and was
+# wiped between sessions once, losing a 48-run history (summary preserved
+# in BASELINE.md) — the ledger now lives at the repo root so each run is
+# committed alongside the code it measured
+SCALING_CACHE = os.path.join(REPO, "scaling_ledger.json")
+_OLD_SCALING_CACHE = os.path.join(REPO, ".bench_scaled", "last_scaling.json")
 
 # headline queries: the end-to-end pipeline plus its dominant stages
 HEADLINE = [
@@ -267,11 +272,12 @@ def main() -> None:
             "cpu_probe_ratio": probe_ratio,
         }
         print(json.dumps(out))
-        os.makedirs(os.path.join(REPO, ".bench_scaled"), exist_ok=True)
         history = []
-        if os.path.exists(SCALING_CACHE):
+        seed = (SCALING_CACHE if os.path.exists(SCALING_CACHE)
+                else _OLD_SCALING_CACHE)
+        if os.path.exists(seed):
             try:
-                with open(SCALING_CACHE) as fh:
+                with open(seed) as fh:
                     prev = json.load(fh)
                 history = prev.get("runs", [prev] if "value" in prev else [])
             except (OSError, ValueError):
@@ -305,7 +311,7 @@ def main() -> None:
     # attach a compact scaling SUMMARY so the per-round BENCH record
     # carries the north-rule N-vs-4N evidence (BASELINE.md "Measured")
     # without overflowing the driver's single-line capture window —
-    # the full run history lives only in .bench_scaled/last_scaling.json
+    # the full run history lives in the committed scaling_ledger.json
     if os.path.exists(SCALING_CACHE):
         try:
             with open(SCALING_CACHE) as fh:
