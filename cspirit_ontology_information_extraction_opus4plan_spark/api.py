@@ -2331,7 +2331,54 @@ def queries() -> dict[str, QueryFn]:
         "kg_graphml": q_kg_graphml,
         "doc_safety_filter": q_doc_safety_filter,
         "gazetteer_expansion": q_gazetteer_expansion,
+        "er_fellegi_sunter": q_er_fellegi_sunter,
+        "er_blocking_quality": q_er_blocking_quality,
+        "event_cuped": q_event_cuped,
+        "event_changepoint": q_event_changepoint,
+        "doc_gopher_rules": q_doc_gopher_rules,
     }
+
+
+def q_er_fellegi_sunter(spark, sf_dir):
+    """Fellegi-Sunter probabilistic record linkage over customer and
+    its hash-corrupted copy: nation blocking join, 3-field agreement
+    vector, fixed log2 m/u weights, match/possible decisions."""
+    from .operators.entity_resolution import fs_score_pairs
+    from .operators.relational import load_rel
+    return fs_score_pairs(load_rel(spark, sf_dir, "customer"))
+
+
+def q_er_blocking_quality(spark, sf_dir):
+    """Blocking-scheme audit (nation vs nation+segment): reduction
+    ratio from per-block count products (pairs never materialized),
+    pairs completeness from the identity ground truth."""
+    from .operators.entity_resolution import blocking_quality
+    from .operators.relational import load_rel
+    return blocking_quality(load_rel(spark, sf_dir, "customer"))
+
+
+def q_event_cuped(spark, sf_dir):
+    """CUPED variance-reduced A/B readout: pre-period spend covariate,
+    pooled theta from exact integer-cent moments, adjusted arm means
+    + variance-reduction estimate."""
+    from .operators.content_stats import cuped_adjust, load_events
+    return cuped_adjust(load_events(spark, sf_dir))
+
+
+def q_event_changepoint(spark, sf_dir):
+    """CUSUM changepoint per event type over daily counts; exact
+    integer argmax (|d*prefix - k*S|) so the flagged day is
+    engine-independent."""
+    from .operators.content_stats import cusum_changepoints, load_events
+    return cusum_changepoints(load_events(spark, sf_dir))
+
+
+def q_doc_gopher_rules(spark, sf_dir):
+    """Per-rule Gopher quality flags (word count, mean word length,
+    symbol/bullet/ellipsis ratios, alpha fraction, stopword floor) +
+    keep verdict, one map-only scan."""
+    from .operators.textops import gopher_rules
+    return gopher_rules(_docs(spark, sf_dir))
 
 
 def entry(spark: SparkSession) -> DataFrame:

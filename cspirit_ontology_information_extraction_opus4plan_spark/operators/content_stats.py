@@ -473,3 +473,96 @@ def cohort_retention(events: DataFrame) -> DataFrame:
                     F.round(F.col("n_active")
                             / F.col("cohort_size").cast("double"), 6)
                     .alias("retention")))
+
+
+CUPED_CUTOFF = "2024-01-16"  # pre-period < cutoff <= post-period
+
+
+def cuped_adjust(events: DataFrame) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al. 2013, WSDM):
+    per-user pre-period spend is the covariate, theta = cov(pre,post)
+    / var(pre) pooled across arms, adjusted arm mean = mean_post -
+    theta * (mean_pre_arm - mean_pre_all). Arms come from the same
+    sticky md5 parity as ab_srm_check.
+
+    Determinism at the hash gate: value quantizes to integer cents
+    BEFORE any aggregation, so every sum (x, y, xy, xx, yy) is an
+    exact bigint, order-independent across engines; theta / means /
+    variance-reduction are closed-form doubles over those integers,
+    computed once. Scale: one user-keyed aggregation plus two
+    single-row reductions broadcast back — no windows, no collect.
+    (At 100 TB swap the bigint cross-moments to DECIMAL(38,0) — same
+    plan, wider lattice — to keep whale-user products exact.)"""
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    pre = F.col("ts") < F.lit(CUPED_CUTOFF).cast("timestamp")
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+               16, 10).cast("bigint") % 2 == 0, "A").otherwise("B")
+    per_user = (events
+                .select("user_id", arm.alias("arm"),
+                        F.when(pre, cents).otherwise(F.lit(0)).alias("xc"),
+                        F.when(pre, F.lit(0)).otherwise(cents).alias("yc"))
+                .groupBy("user_id", "arm")
+                .agg(F.sum("xc").alias("x"), F.sum("yc").alias("y")))
+    g = (per_user.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy")))
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    theta = num.cast("double") / den_x.cast("double")
+    # square in double: num^2 overflows bigint (ANSI mode would abort)
+    rho2 = (num.cast("double") * num.cast("double")
+            / (den_x.cast("double") * den_y.cast("double")))
+    mean_x_all = F.col("sx").cast("double") / F.col("n").cast("double")
+    per_arm = (per_user.groupBy("arm")
+               .agg(F.count("*").cast("bigint").alias("n_users"),
+                    F.sum("x").alias("ax"), F.sum("y").alias("ay")))
+    mean_pre = F.col("ax").cast("double") / F.col("n_users") / 100.0
+    mean_post = F.col("ay").cast("double") / F.col("n_users") / 100.0
+    return (per_arm.crossJoin(F.broadcast(g))
+            .select("arm", "n_users",
+                    F.round(mean_post, 6).alias("mean_post"),
+                    F.round(mean_post - theta
+                            * (mean_pre - mean_x_all / 100.0), 6)
+                    .alias("mean_post_adj"),
+                    F.round(theta, 6).alias("theta"),
+                    F.round(rho2, 6).alias("var_reduction")))
+
+
+def cusum_changepoints(events: DataFrame) -> DataFrame:
+    """CUSUM changepoint per event type over the daily count series
+    (Page 1954): cusum_k = prefix_k - k * mean; the changepoint is the
+    day with max |cusum| (earliest on ties). Exact integer argmax: the
+    comparison key is |d * prefix_k - k * S| (all bigints), so the
+    winner is engine-independent; the reported cusum divides by d once
+    at the end. One groupBy + one per-type window over O(days) rows."""
+    from pyspark.sql import Window
+    daily = (events.groupBy("event_type",
+                            F.to_date("ts").alias("day"))
+             .agg(F.count("*").cast("bigint").alias("n")))
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    wt = Window.partitionBy("event_type")
+    cum = (daily
+           .withColumn("k", F.count("*").over(w).cast("bigint"))
+           .withColumn("prefix", F.sum("n").over(w))
+           .withColumn("d", F.count("*").over(wt).cast("bigint"))
+           .withColumn("s", F.sum("n").over(wt))
+           .withColumn("dev", F.col("d") * F.col("prefix")
+                       - F.col("k") * F.col("s")))
+    pick = Window.partitionBy("event_type").orderBy(
+        F.abs("dev").desc(), F.col("day").asc())
+    return (cum.withColumn("rn", F.row_number().over(pick))
+            .filter(F.col("rn") == 1)
+            .select("event_type",
+                    F.date_format("day", "yyyy-MM-dd").alias("cp_day"),
+                    F.round(F.col("dev").cast("double")
+                            / F.col("d").cast("double"), 6).alias("cusum"),
+                    F.round(F.col("s").cast("double")
+                            / F.col("d").cast("double"), 6)
+                    .alias("mean_daily"),
+                    F.col("d").alias("n_days")))

@@ -1,0 +1,155 @@
+"""Probabilistic record linkage (Fellegi-Sunter) and blocking-scheme
+quality audit over the customer relation — the principled,
+weight-based stage of entity resolution that complements the
+similarity-first linkers (fuzzy.py trigram, tfidf) the KG pipeline
+already has. Reference analog: the reference resolves duplicate terms
+by exact/alt-id/fuzzy cascades (aim2_project ontology merge paths);
+Fellegi-Sunter is the published generalization (Fellegi & Sunter 1969,
+JASA) every production ER system (Splink, dedupe, JedAI) implements.
+
+The record universe is DERIVED deterministically from the customer
+table: side A is the table as-is, side B is a hash-perturbed copy
+(name corrupted for custkey%5==0, balance rounded for %2==0, segment
+blanked for %7==0, nation shifted for %11==0) — the classic
+"dirty copy" ER benchmark construction, ground truth = same custkey.
+
+Scale notes:
+  * candidate generation is a BLOCKING equi-join (nationkey), never a
+    cross join — candidate count is sum over blocks of |A_b|*|B_b|;
+    at 100 TB a hot block is handled like any skewed join key (salt or
+    add a secondary blocking attribute), and the audit operator below
+    measures exactly that trade-off before you pay for it.
+  * blocking_quality counts candidates WITHOUT materializing pairs:
+    per-block counts for each side, one bounded join on the block key,
+    sum of products. Pairs completeness needs only the truth pairs
+    (identity — a per-row predicate), so the whole audit is two scans
+    and a dimension-sized join regardless of corpus size.
+  * field agreement weights are fixed published-style m/u constants
+    (log2 odds), embedded as 6-dp literals shared with the DuckDB
+    oracle; the score is a 3-term sum of those literals per row -> no
+    accumulation, bit-identical across engines. Balance math runs in
+    DECIMAL(18,2) so rounding ties are exact, not double-noise.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BAL = "decimal(18,2)"
+
+# (m, u) per comparison field: m = P(agree | match), u = P(agree | non-
+# match). Fixed constants (not EM-estimated) so both engines score
+# identically; production swaps in Splink-style EM estimates through
+# the same expressions.
+FS_MU = {
+    "name": (0.9, 0.001),
+    "bal": (0.95, 0.005),
+    "seg": (0.85, 0.2),
+}
+# log2 agreement / disagreement weights, rounded to 6 dp so the SQL
+# oracle can embed the identical literals
+FS_W = {
+    f: (round(math.log2(m / u), 6), round(math.log2((1 - m) / (1 - u)), 6))
+    for f, (m, u) in FS_MU.items()
+}
+FS_MATCH_T = 12.0     # score >= -> 'match'
+FS_POSSIBLE_T = 0.0   # score >= -> 'possible'; below -> dropped
+N_NATIONS = 25
+
+
+def dirty_pair_sides(customer: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Side A (as-is) and side B (deterministically corrupted copy) of
+    the ER benchmark universe."""
+    k = F.col("c_custkey")
+    a = customer.select(
+        k.alias("key_a"), F.col("c_name").alias("name_a"),
+        F.col("c_nationkey").alias("nat_a"),
+        F.col("c_acctbal").cast(BAL).alias("bal_a"),
+        F.col("c_mktsegment").alias("seg_a"))
+    b = customer.select(
+        k.alias("key_b"),
+        F.when(k % 5 == 0, F.concat(F.col("c_name"), F.lit("~")))
+        .otherwise(F.col("c_name")).alias("name_b"),
+        F.when(k % 11 == 0, (F.col("c_nationkey") + 1) % N_NATIONS)
+        .otherwise(F.col("c_nationkey")).alias("nat_b"),
+        F.when(k % 2 == 0, F.round(F.col("c_acctbal").cast(BAL), 0))
+        .otherwise(F.col("c_acctbal").cast(BAL)).alias("bal_b"),
+        F.when(k % 7 == 0, F.lit("UNKNOWN"))
+        .otherwise(F.col("c_mktsegment")).alias("seg_b"))
+    return a, b
+
+
+def fs_score_pairs(customer: DataFrame) -> DataFrame:
+    """Fellegi-Sunter scored candidate pairs: block on nation, compare
+    (name exact, balance within 0.5, segment exact), sum fixed log2
+    m/u weights, keep score >= FS_POSSIBLE_T with a match / possible
+    decision. is_true marks ground-truth pairs for error analysis."""
+    a, b = dirty_pair_sides(customer)
+    pairs = a.join(b, F.col("nat_a") == F.col("nat_b"))
+    ag_name = F.col("name_a") == F.col("name_b")
+    ag_bal = F.abs(F.col("bal_a") - F.col("bal_b")) < F.lit("0.5").cast(BAL)
+    ag_seg = F.col("seg_a") == F.col("seg_b")
+    score = sum(
+        F.when(ag, F.lit(wa)).otherwise(F.lit(wd))
+        for ag, (wa, wd) in zip((ag_name, ag_bal, ag_seg),
+                                (FS_W["name"], FS_W["bal"], FS_W["seg"])))
+    return (pairs
+            .select("key_a", "key_b",
+                    ag_name.alias("agree_name"), ag_bal.alias("agree_bal"),
+                    ag_seg.alias("agree_seg"),
+                    F.round(score, 6).alias("score"),
+                    (F.col("key_a") == F.col("key_b")).alias("is_true"))
+            .filter(F.col("score") >= FS_POSSIBLE_T)
+            .withColumn("decision",
+                        F.when(F.col("score") >= FS_MATCH_T, "match")
+                        .otherwise("possible")))
+
+
+def blocking_quality(customer: DataFrame) -> DataFrame:
+    """Reduction ratio + pairs completeness for two blocking schemes
+    (nation; nation+segment) over the same A/B universe — the audit
+    that decides a blocking key BEFORE paying for candidate pairs.
+    Candidate counts come from per-block count products, truth
+    coverage from a per-row block-key equality predicate."""
+    a, b = dirty_pair_sides(customer)
+    total = a.count() * b.count()
+    out = None
+    schemes = {
+        "nation": [("nat_a", "nat_b")],
+        "nation_segment": [("nat_a", "nat_b"), ("seg_a", "seg_b")],
+    }
+    for scheme, keys in schemes.items():
+        ka = [p[0] for p in keys]
+        kb = [p[1] for p in keys]
+        ca = (a.groupBy(*ka).agg(F.count("*").alias("na"))
+              .select(F.struct(*ka).alias("blk"), "na"))
+        cb = (b.groupBy(*kb).agg(F.count("*").alias("nb"))
+              .select(F.struct(*kb).alias("blk"), "nb"))
+        n_cand = ca.join(cb, ca["blk"] == cb["blk"]).agg(
+            F.sum(F.col("na") * F.col("nb")).cast("bigint")).collect()[0][0]
+        # truth pair (k,k) survives iff its A and B block keys agree —
+        # a per-row predicate on the corrupted copy
+        ab = a.join(b, F.col("key_a") == F.col("key_b"))
+        pred = F.lit(True)
+        for pa, pb in keys:
+            pred = pred & (F.col(pa) == F.col(pb))
+        found = ab.filter(pred).count()
+        n_truth = customer.count()
+        # ratios via Spark round (HALF_UP, matching the SQL oracle) —
+        # Python's round is half-even and could diverge on exact ties
+        row = (customer.sparkSession.createDataFrame(
+            [(scheme, int(n_cand or 0), int(n_truth), int(found))],
+            "scheme string, n_candidates bigint, n_truth bigint, "
+            "truth_found bigint")
+            .select("*",
+                    F.round(F.col("truth_found").cast("double")
+                            / F.col("n_truth"), 6)
+                    .alias("pairs_completeness"),
+                    F.round(F.lit(1.0) - F.col("n_candidates")
+                            .cast("double") / F.lit(float(total)), 6)
+                    .alias("reduction_ratio")))
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -2040,3 +2040,62 @@ def zipf_slope(docs: DataFrame, top_v: int = ZIPF_TOP_V) -> DataFrame:
     vocab = counts.agg(F.count("*").cast("bigint").alias("n_vocab"))
     return vocab.crossJoin(fit).select(
         "n_vocab", "n_fit", "zipf_slope", "zipf_intercept")
+
+
+# --- Gopher quality rules (Rae et al. 2021, appendix A1.1) ----------
+# Thresholds follow the paper where the sandbox corpus makes them
+# meaningful; the word-count floor is lowered (50 -> 10) because the
+# synthetic documents are short. Every rule is a pure column
+# expression over the shared tokenization -> one scan, no UDF.
+GOPHER_MIN_WORDS = 10
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MEAN_WLEN = (3.0, 10.0)
+GOPHER_SYMBOL_RATIO = 0.1     # '#' or '...' per word
+GOPHER_BULLET_RATIO = 0.9     # lines starting with a bullet
+GOPHER_ELLIPSIS_RATIO = 0.3   # lines ending in '...'
+GOPHER_ALPHA_RATIO = 0.8      # words containing >= 1 [a-z]
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_rules(docs: DataFrame) -> DataFrame:
+    """Per-rule Gopher quality flags + keep verdict per document.
+    Ratios compare integer counts against threshold * denominator
+    (no division at all, so the flag booleans are exact); line rules
+    split on newline, word rules on the shared whitespace
+    tokenization. Map-only -> trivially scale-safe."""
+    toks = tokens_col()
+    lines = F.filter(F.split("text", r"\n"),
+                     lambda ln: F.trim(ln) != "")
+    n_words = F.size(toks)
+    sum_wlen = F.aggregate(toks, F.lit(0).cast("bigint"),
+                           lambda acc, t: acc + F.length(t))
+    n_symbols = (F.length(F.regexp_replace(
+        F.regexp_replace("text", r"\.\.\.", ""), r"[^#]", "")))
+    n_bullet = F.size(F.filter(
+        lines, lambda ln: F.trim(ln).rlike(r"^[-*]")))
+    n_ellipsis = F.size(F.filter(
+        lines, lambda ln: F.trim(ln).rlike(r"\.\.\.$")))
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_EN)))
+    n_lines = F.size(lines)
+    r_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    r_wlen = ((sum_wlen.cast("double") >= F.lit(GOPHER_MEAN_WLEN[0]) * n_words)
+              & (sum_wlen.cast("double") <= F.lit(GOPHER_MEAN_WLEN[1]) * n_words))
+    r_symbol = (n_symbols.cast("double")
+                <= F.lit(GOPHER_SYMBOL_RATIO) * n_words)
+    r_bullet = (n_bullet.cast("double")
+                <= F.lit(GOPHER_BULLET_RATIO) * n_lines)
+    r_ellipsis = (n_ellipsis.cast("double")
+                  <= F.lit(GOPHER_ELLIPSIS_RATIO) * n_lines)
+    r_alpha = (n_alpha.cast("double") >= F.lit(GOPHER_ALPHA_RATIO) * n_words)
+    r_stop = n_stop >= GOPHER_MIN_STOPWORDS
+    rules = [r_words, r_wlen, r_symbol, r_bullet, r_ellipsis, r_alpha,
+             r_stop]
+    failed = sum(F.when(r, 0).otherwise(1) for r in rules)
+    return docs.select(
+        "doc_id", r_words.alias("ok_words"), r_wlen.alias("ok_word_len"),
+        r_symbol.alias("ok_symbols"), r_bullet.alias("ok_bullets"),
+        r_ellipsis.alias("ok_ellipsis"), r_alpha.alias("ok_alpha"),
+        r_stop.alias("ok_stopwords"),
+        failed.cast("int").alias("n_rules_failed"),
+        (failed == 0).alias("keep"))

@@ -3506,6 +3506,7 @@ WHERE bit_count(xor(a.phash, b.phash)) <= {MM.PHASH_HAMMING_MAX}"""
     sqls.update(_meta_sqls())
     sqls.update(_media_sqls())
     sqls.update(_round3_sqls())
+    sqls.update(_er_sqls())
     # the split variant must be row-identical to the unsplit as-of join
     sqls["event_asof_split"] = sqls["event_asof"]
 
@@ -5321,5 +5322,228 @@ bad_v AS (
   WHERE b.object_type <> s.node_kind GROUP BY 1, 2)
 SELECT * FROM over_v UNION ALL SELECT * FROM under_v
 UNION ALL SELECT * FROM bad_v"""
+
+    return sqls
+
+
+def _er_sqls() -> dict[str, str]:
+    """DuckDB twins for the entity-resolution / experimentation /
+    Gopher operators (operators/entity_resolution.py,
+    content_stats.cuped_adjust / cusum_changepoints,
+    textops.gopher_rules)."""
+    from .operators import entity_resolution as ER
+    from .operators import textops as TX
+    from .operators.content_stats import CUPED_CUTOFF
+    sqls: dict[str, str] = {}
+
+    _sides = f"""
+a AS (
+  SELECT c_custkey AS key_a, c_name AS name_a, c_nationkey AS nat_a,
+         CAST(c_acctbal AS DECIMAL(18,2)) AS bal_a,
+         c_mktsegment AS seg_a
+  FROM customer),
+b AS (
+  SELECT c_custkey AS key_b,
+         CASE WHEN c_custkey % 5 = 0 THEN c_name || '~'
+              ELSE c_name END AS name_b,
+         CASE WHEN c_custkey % 11 = 0
+              THEN (c_nationkey + 1) % {ER.N_NATIONS}
+              ELSE c_nationkey END AS nat_b,
+         CASE WHEN c_custkey % 2 = 0
+              THEN round(CAST(c_acctbal AS DECIMAL(18,2)), 0)
+              ELSE CAST(c_acctbal AS DECIMAL(18,2)) END AS bal_b,
+         CASE WHEN c_custkey % 7 = 0 THEN 'UNKNOWN'
+              ELSE c_mktsegment END AS seg_b
+  FROM customer)""".strip()
+
+    (wa_n, wd_n) = ER.FS_W["name"]
+    (wa_b, wd_b) = ER.FS_W["bal"]
+    (wa_s, wd_s) = ER.FS_W["seg"]
+    _score = (f"round(CASE WHEN agree_name THEN {wa_n} ELSE {wd_n} END"
+              f" + CASE WHEN agree_bal THEN {wa_b} ELSE {wd_b} END"
+              f" + CASE WHEN agree_seg THEN {wa_s} ELSE {wd_s} END, 6)")
+    sqls["er_fellegi_sunter"] = f"""
+WITH {_sides},
+p AS (
+  SELECT key_a, key_b,
+         name_a = name_b AS agree_name,
+         abs(bal_a - bal_b) < CAST('0.5' AS DECIMAL(18,2)) AS agree_bal,
+         seg_a = seg_b AS agree_seg,
+         key_a = key_b AS is_true
+  FROM a JOIN b ON nat_a = nat_b),
+sc AS (SELECT *, {_score} AS score FROM p)
+SELECT key_a, key_b, agree_name, agree_bal, agree_seg, score, is_true,
+       CASE WHEN score >= {ER.FS_MATCH_T} THEN 'match'
+            ELSE 'possible' END AS decision
+FROM sc WHERE score >= {ER.FS_POSSIBLE_T}""".strip()
+
+    sqls["er_blocking_quality"] = f"""
+WITH {_sides},
+tot AS (
+  SELECT CAST((SELECT count(*) FROM a) AS BIGINT)
+         * CAST((SELECT count(*) FROM b) AS BIGINT) AS t,
+         CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_truth),
+s1 AS (
+  SELECT CAST(sum(na * nb) AS BIGINT) AS n_cand
+  FROM (SELECT nat_a AS k, count(*) AS na FROM a GROUP BY 1) ca
+  JOIN (SELECT nat_b AS k, count(*) AS nb FROM b GROUP BY 1) cb
+  USING (k)),
+f1 AS (
+  SELECT CAST(count(*) AS BIGINT) AS found
+  FROM a JOIN b ON key_a = key_b WHERE nat_a = nat_b),
+s2 AS (
+  SELECT CAST(sum(na * nb) AS BIGINT) AS n_cand
+  FROM (SELECT nat_a AS k1, seg_a AS k2, count(*) AS na
+        FROM a GROUP BY 1, 2) ca
+  JOIN (SELECT nat_b AS k1, seg_b AS k2, count(*) AS nb
+        FROM b GROUP BY 1, 2) cb
+  USING (k1, k2)),
+f2 AS (
+  SELECT CAST(count(*) AS BIGINT) AS found
+  FROM a JOIN b ON key_a = key_b
+  WHERE nat_a = nat_b AND seg_a = seg_b)
+SELECT 'nation' AS scheme, n_cand AS n_candidates, n_truth,
+       found AS truth_found,
+       round(CAST(found AS DOUBLE) / n_truth, 6) AS pairs_completeness,
+       round(1.0 - CAST(n_cand AS DOUBLE) / CAST(t AS DOUBLE), 6)
+         AS reduction_ratio
+FROM s1, f1, tot
+UNION ALL
+SELECT 'nation_segment', n_cand, n_truth, found,
+       round(CAST(found AS DOUBLE) / n_truth, 6),
+       round(1.0 - CAST(n_cand AS DOUBLE) / CAST(t AS DOUBLE), 6)
+FROM s2, f2, tot""".strip()
+
+    _arm = ("CASE WHEN CAST(concat('0x', substr(md5(CAST(user_id AS "
+            "VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END")
+    sqls["event_cuped"] = f"""
+WITH ev AS (
+  SELECT user_id, {_arm} AS arm,
+         CASE WHEN ts < TIMESTAMP '{CUPED_CUTOFF}'
+              THEN CAST(round(value * 100) AS BIGINT)
+              ELSE 0 END AS xc,
+         CASE WHEN ts < TIMESTAMP '{CUPED_CUTOFF}' THEN 0
+              ELSE CAST(round(value * 100) AS BIGINT) END AS yc
+  FROM events),
+pu AS (
+  SELECT user_id, arm, CAST(sum(xc) AS BIGINT) AS x,
+         CAST(sum(yc) AS BIGINT) AS y
+  FROM ev GROUP BY 1, 2),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM pu),
+pa AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(x) AS BIGINT) AS ax, CAST(sum(y) AS BIGINT) AS ay
+  FROM pu GROUP BY 1)
+SELECT arm, n_users,
+  round(CAST(ay AS DOUBLE) / n_users / 100.0, 6) AS mean_post,
+  round(CAST(ay AS DOUBLE) / n_users / 100.0
+        - (CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE))
+          * (CAST(ax AS DOUBLE) / n_users / 100.0
+             - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0), 6)
+    AS mean_post_adj,
+  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS theta,
+  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        * CAST(n * sxy - sx * sy AS DOUBLE)
+        / (CAST(n * sxx - sx * sx AS DOUBLE)
+           * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS var_reduction
+FROM pa CROSS JOIN g""".strip()
+
+    sqls["event_changepoint"] = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, day, n,
+         CAST(row_number() OVER w AS BIGINT) AS k,
+         CAST(sum(n) OVER w AS BIGINT) AS prefix,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS d,
+         CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS s
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS UNBOUNDED PRECEDING)),
+dev AS (SELECT *, d * prefix - k * s AS dev FROM cum),
+pick AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY abs(dev) DESC, day ASC) AS rn
+  FROM dev)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS cp_day,
+       round(CAST(dev AS DOUBLE) / CAST(d AS DOUBLE), 6) AS cusum,
+       round(CAST(s AS DOUBLE) / CAST(d AS DOUBLE), 6) AS mean_daily,
+       d AS n_days
+FROM pick WHERE rn = 1""".strip()
+
+    stops = ",".join(f"'{s}'" for s in TX.STOPWORDS_EN)
+    g = dict(
+        minw=TX.GOPHER_MIN_WORDS, maxw=TX.GOPHER_MAX_WORDS,
+        wl_lo=TX.GOPHER_MEAN_WLEN[0], wl_hi=TX.GOPHER_MEAN_WLEN[1],
+        sym=TX.GOPHER_SYMBOL_RATIO, bul=TX.GOPHER_BULLET_RATIO,
+        ell=TX.GOPHER_ELLIPSIS_RATIO, alp=TX.GOPHER_ALPHA_RATIO,
+        stp=TX.GOPHER_MIN_STOPWORDS)
+    sqls["doc_gopher_rules"] = f"""
+WITH d0 AS (SELECT doc_id, text FROM documents),
+t AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                x -> x <> '') AS toks,
+    list_filter(regexp_split_to_array(text, '\\n'),
+                ln -> trim(ln) <> '') AS lines,
+    length(regexp_replace(regexp_replace(text, '\\.\\.\\.', '', 'g'),
+                          '[^#]', '', 'g')) AS n_symbols
+  FROM d0),
+c AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_words,
+    CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+         AS BIGINT) AS sum_wlen,
+    CAST(n_symbols AS BIGINT) AS n_symbols,
+    CAST(len(list_filter(lines,
+         ln -> regexp_matches(trim(ln), '^[-*]'))) AS BIGINT) AS n_bullet,
+    CAST(len(list_filter(lines,
+         ln -> regexp_matches(trim(ln), '\\.\\.\\.$'))) AS BIGINT)
+      AS n_ellipsis,
+    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+         AS BIGINT) AS n_alpha,
+    CAST(len(list_filter(toks, x -> list_contains([{stops}], x)))
+         AS BIGINT) AS n_stop,
+    CAST(len(lines) AS BIGINT) AS n_lines
+  FROM t),
+fl AS (
+  SELECT doc_id,
+    n_words >= {g['minw']} AND n_words <= {g['maxw']} AS ok_words,
+    CAST(sum_wlen AS DOUBLE) >= CAST({g['wl_lo']} AS DOUBLE) * n_words
+      AND CAST(sum_wlen AS DOUBLE) <= CAST({g['wl_hi']} AS DOUBLE)
+          * n_words AS ok_word_len,
+    CAST(n_symbols AS DOUBLE) <= CAST({g['sym']} AS DOUBLE) * n_words
+      AS ok_symbols,
+    CAST(n_bullet AS DOUBLE) <= CAST({g['bul']} AS DOUBLE) * n_lines
+      AS ok_bullets,
+    CAST(n_ellipsis AS DOUBLE) <= CAST({g['ell']} AS DOUBLE) * n_lines
+      AS ok_ellipsis,
+    CAST(n_alpha AS DOUBLE) >= CAST({g['alp']} AS DOUBLE) * n_words
+      AS ok_alpha,
+    n_stop >= {g['stp']} AS ok_stopwords
+  FROM c)
+SELECT doc_id, ok_words, ok_word_len, ok_symbols, ok_bullets,
+       ok_ellipsis, ok_alpha, ok_stopwords,
+       CAST((CASE WHEN ok_words THEN 0 ELSE 1 END)
+          + (CASE WHEN ok_word_len THEN 0 ELSE 1 END)
+          + (CASE WHEN ok_symbols THEN 0 ELSE 1 END)
+          + (CASE WHEN ok_bullets THEN 0 ELSE 1 END)
+          + (CASE WHEN ok_ellipsis THEN 0 ELSE 1 END)
+          + (CASE WHEN ok_alpha THEN 0 ELSE 1 END)
+          + (CASE WHEN ok_stopwords THEN 0 ELSE 1 END) AS INT)
+         AS n_rules_failed,
+       ok_words AND ok_word_len AND ok_symbols AND ok_bullets
+         AND ok_ellipsis AND ok_alpha AND ok_stopwords AS keep
+FROM fl""".strip()
 
     return sqls
