@@ -2336,7 +2336,43 @@ def queries() -> dict[str, QueryFn]:
         "event_cuped": q_event_cuped,
         "event_changepoint": q_event_changepoint,
         "doc_gopher_rules": q_doc_gopher_rules,
+        "doc_line_dedup": q_doc_line_dedup,
+        "kg_characteristic_sets": q_kg_characteristic_sets,
+        "event_engagement": q_event_engagement,
+        "user_rfm_segments": q_user_rfm_segments,
     }
+
+
+def q_doc_line_dedup(spark, sf_dir):
+    """C4-style keep-first segment dedup over the boilerplate-planted
+    corpus: every duplicated segment keeps exactly its globally first
+    occurrence; docs rebuilt in order."""
+    from .operators.textops import line_dedup_keep_first
+    return line_dedup_keep_first(DE.boilerplate_docs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")))
+
+
+def q_kg_characteristic_sets(spark, sf_dir):
+    """Characteristic sets over the deduped store: subjects grouped by
+    their predicate set — the star-join cardinality summary and
+    implicit entity typing for a schema-less KG."""
+    from .operators.graphops import characteristic_sets
+    return characteristic_sets(dedup_triples(triples_df(spark, sf_dir)))
+
+
+def q_event_engagement(spark, sf_dir):
+    """DAU / trailing-7-day WAU / stickiness per active day via a
+    covering explode (no range self-join)."""
+    from .operators.content_stats import engagement_daily, load_events
+    return engagement_daily(load_events(spark, sf_dir))
+
+
+def q_user_rfm_segments(spark, sf_dir):
+    """RFM quintile segmentation per user with deterministic
+    (metric, user_id) rank tiebreaks and classic segment labels."""
+    from .operators.content_stats import load_events, rfm_segments
+    return rfm_segments(load_events(spark, sf_dir))
 
 
 def q_er_fellegi_sunter(spark, sf_dir):

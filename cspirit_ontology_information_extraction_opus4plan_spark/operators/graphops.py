@@ -1723,3 +1723,29 @@ def entity_fact_summary(triples: DataFrame, k: int = ES_TOPK) -> DataFrame:
             .select("subject", "predicate", "object",
                     F.col("n_pred").cast("bigint").alias("n_pred"),
                     F.col("rank").cast("int").alias("rank")))
+
+
+def characteristic_sets(triples: DataFrame) -> DataFrame:
+    """Characteristic sets (Neumann & Moerkotte, ICDE 2011): group
+    subjects by the SET of predicates they carry; per set report how
+    many subjects share it, total triples, and mean fan-out. The RDF
+    engine's classic structure summary — it drives cardinality
+    estimation for star joins and doubles as implicit entity typing
+    for a schema-less KG (subjects sharing a characteristic set are
+    the same implicit class).
+
+    Two map-side-combinable aggregates: per-subject collect_set
+    (bounded by the predicate vocabulary, not the subject's triple
+    count) -> sort_array for a canonical key -> per-set counts. The
+    output is at most 2^|vocabulary| rows but in practice
+    vocabulary-sized; no joins, no windows."""
+    per = (triples.select("subject", "predicate")
+           .groupBy("subject")
+           .agg(F.sort_array(F.collect_set("predicate")).alias("cs"),
+                F.count("*").cast("bigint").alias("n_triples")))
+    return (per.groupBy(F.array_join("cs", ",").alias("char_set"))
+            .agg(F.count("*").cast("bigint").alias("n_subjects"),
+                 F.sum("n_triples").cast("bigint").alias("n_triples"),
+                 F.round(F.sum("n_triples")
+                         / F.count("*").cast("double"), 6)
+                 .alias("mean_fanout")))

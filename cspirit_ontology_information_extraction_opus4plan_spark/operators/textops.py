@@ -2042,6 +2042,46 @@ def zipf_slope(docs: DataFrame, top_v: int = ZIPF_TOP_V) -> DataFrame:
         "n_vocab", "n_fit", "zipf_slope", "zipf_intercept")
 
 
+def line_dedup_keep_first(docs: DataFrame) -> DataFrame:
+    """C4-style keep-FIRST line dedup (Raffel et al. 2020 kept one
+    occurrence of every duplicated three-sentence span; this is the
+    segment-level form): a segment occurrence survives iff it is the
+    globally first (min (doc_id, pos)) occurrence of that segment
+    text; documents are rebuilt in original order. Complements
+    strip_boilerplate, which removes ALL occurrences of frequent
+    segments — here every distinct segment keeps exactly one copy.
+
+    Returns (doc_id, clean_text, n_kept, n_removed). Scale shape: the
+    winner election is a map-side-combinable min(struct(doc_id, pos))
+    groupBy on the segment (hub segments collapse in the partial
+    aggregate); the join back is a plain equi-join on the segment —
+    no broadcast hint, the duplicated-segment set is corpus-sized at
+    web scale. One groupBy(doc_id) rebuilds text order-exactly
+    without a window."""
+    segs = docs.select("doc_id", F.split("text", r" \| ").alias("segs"))
+    ex = segs.select("doc_id", F.posexplode("segs").alias("pos", "seg"))
+    winner = ex.groupBy("seg").agg(
+        F.min(F.struct("doc_id", "pos")).alias("w"))
+    kept = (ex.join(winner, "seg")
+            .filter((F.col("doc_id") == F.col("w.doc_id"))
+                    & (F.col("pos") == F.col("w.pos")))
+            .select("doc_id", "pos", "seg"))
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "seg"))),
+                lambda x: x["seg"]),
+            BOILER_SEP).alias("clean_text"),
+        F.count("*").cast("int").alias("n_kept"))
+    totals = segs.select("doc_id", F.size("segs").alias("n_segs"))
+    return (totals.join(rebuilt, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    (F.col("n_segs") - F.coalesce("n_kept", F.lit(0)))
+                    .cast("int").alias("n_removed")))
+
+
 # --- Gopher quality rules (Rae et al. 2021, appendix A1.1) ----------
 # Thresholds follow the paper where the sandbox corpus makes them
 # meaningful; the word-count floor is lowered (50 -> 10) because the

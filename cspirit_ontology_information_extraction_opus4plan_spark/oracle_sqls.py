@@ -5546,4 +5546,102 @@ SELECT doc_id, ok_words, ok_word_len, ok_symbols, ok_bullets,
          AND ok_ellipsis AND ok_alpha AND ok_stopwords AS keep
 FROM fl""".strip()
 
+
+    from . import decorations as DC2
+    s0, s1, s2 = (_q(s) for s in DC2.BOILERPLATE_SEGMENTS)
+    _bdoc = f"""
+bdoc AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 5 = 0 THEN {s0} || ' | ' ELSE '' END)
+         || text
+         || (CASE WHEN doc_id % 7 = 0 THEN ' | ' ||
+               (CASE doc_id % 3 WHEN 0 THEN {s0} WHEN 1 THEN {s1}
+                ELSE {s2} END)
+             ELSE '' END) AS text
+  FROM documents)""".strip()
+    sqls["doc_line_dedup"] = f"""
+WITH {_bdoc},
+segs AS (SELECT doc_id, string_split(text, ' | ') AS segs FROM bdoc),
+ex AS (SELECT doc_id, unnest(segs) AS seg,
+              CAST(generate_subscripts(segs, 1) - 1 AS BIGINT) AS pos
+       FROM segs),
+win AS (SELECT seg, min(struct_pack(doc_id := doc_id, pos := pos)) AS w
+        FROM ex GROUP BY seg),
+kept AS (
+  SELECT e.doc_id, e.pos, e.seg
+  FROM ex e JOIN win ON e.seg = win.seg
+  WHERE e.doc_id = win.w.doc_id AND e.pos = win.w.pos),
+reb AS (
+  SELECT doc_id,
+         array_to_string(list(seg ORDER BY pos), ' | ') AS clean_text,
+         CAST(count(*) AS INT) AS n_kept
+  FROM kept GROUP BY doc_id)
+SELECT s.doc_id, coalesce(r.clean_text, '') AS clean_text,
+       coalesce(r.n_kept, 0) AS n_kept,
+       CAST(len(s.segs) - coalesce(r.n_kept, 0) AS INT) AS n_removed
+FROM segs s LEFT JOIN reb r ON s.doc_id = r.doc_id""".strip()
+
+    sqls["kg_characteristic_sets"] = (
+        corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + """,
+pe AS (SELECT DISTINCT subject, predicate, object FROM triples),
+per AS (
+  SELECT subject,
+         array_to_string(list_sort(list(DISTINCT predicate)), ',')
+           AS char_set,
+         CAST(count(*) AS BIGINT) AS n_triples
+  FROM pe GROUP BY subject)
+SELECT char_set, CAST(count(*) AS BIGINT) AS n_subjects,
+       CAST(sum(n_triples) AS BIGINT) AS n_triples,
+       round(CAST(sum(n_triples) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS mean_fanout
+FROM per GROUP BY char_set""")
+
+    sqls["event_engagement"] = """
+WITH ud AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+dau AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+cover AS (
+  SELECT DISTINCT CAST(unnest(generate_series(CAST(day AS TIMESTAMP), CAST(day + 6 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE)
+           AS day, user_id
+  FROM ud),
+wau AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS wau FROM cover GROUP BY day)
+SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau,
+       round(CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE), 6)
+         AS stickiness
+FROM dau d JOIN wau w ON d.day = w.day""".strip()
+
+    from .operators.content_stats import RFM_BINS
+    sqls["user_rfm_segments"] = f"""
+WITH per AS (
+  SELECT user_id, max(CAST(ts AS DATE)) AS last_day,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY user_id),
+mx AS (SELECT max(last_day) AS max_day, CAST(count(*) AS BIGINT) AS n
+       FROM per),
+rec AS (
+  SELECT user_id, frequency, cents,
+         CAST(date_diff('day', last_day, max_day) AS BIGINT) AS recency,
+         n
+  FROM per CROSS JOIN mx),
+rk AS (
+  SELECT *,
+    CAST(ceil({RFM_BINS} * row_number()
+         OVER (ORDER BY recency ASC, user_id ASC) / n) AS INT) AS r_q,
+    CAST(ceil({RFM_BINS} * row_number()
+         OVER (ORDER BY frequency DESC, user_id ASC) / n) AS INT) AS f_q,
+    CAST(ceil({RFM_BINS} * row_number()
+         OVER (ORDER BY cents DESC, user_id ASC) / n) AS INT) AS m_q
+  FROM rec)
+SELECT user_id, recency, frequency,
+       round(cents / 100.0, 2) AS monetary, r_q, f_q, m_q,
+       CASE WHEN r_q <= 2 AND f_q <= 2 AND m_q <= 2 THEN 'champion'
+            WHEN r_q <= 2 AND f_q <= 3 THEN 'loyal'
+            WHEN r_q >= 4 AND f_q >= 4 THEN 'hibernating'
+            WHEN r_q >= 4 THEN 'at_risk'
+            ELSE 'regular' END AS segment
+FROM rk""".strip()
+
     return sqls
