@@ -2340,7 +2340,33 @@ def queries() -> dict[str, QueryFn]:
         "kg_characteristic_sets": q_kg_characteristic_sets,
         "event_engagement": q_event_engagement,
         "user_rfm_segments": q_user_rfm_segments,
+        "doc_contrastive_pairs": q_doc_contrastive_pairs,
+        "kg_type_inference": q_kg_type_inference,
+        "event_ses_forecast": q_event_ses_forecast,
     }
+
+
+def q_doc_contrastive_pairs(spark, sf_dir):
+    """Contrastive training triplets: near-dup positives + hash-
+    bucketed deterministic negatives (broadcast n_buckets x 3
+    candidate dimension, collision-proof pick)."""
+    from .operators.curation import contrastive_pairs
+    return contrastive_pairs(DE.augmented_docs(spark, sf_dir))
+
+
+def q_kg_type_inference(spark, sf_dir):
+    """Majority-vote entity typing from predicate signatures
+    (broadcast constant vote dimension, window-free argmax), checked
+    against the CURIE prefix ground truth."""
+    from .operators.ontology_algebra import infer_entity_types
+    return infer_entity_types(dedup_triples(triples_df(spark, sf_dir)))
+
+
+def q_event_ses_forecast(spark, sf_dir):
+    """alpha=1/2 exponential smoothing over per-type daily counts —
+    dyadic-exact closed form, bit-identical across engines."""
+    from .operators.content_stats import load_events, ses_forecast
+    return ses_forecast(load_events(spark, sf_dir))
 
 
 def q_doc_line_dedup(spark, sf_dir):

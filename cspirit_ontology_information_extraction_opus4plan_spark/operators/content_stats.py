@@ -644,3 +644,38 @@ def rfm_segments(events: DataFrame) -> DataFrame:
                        F.round(F.col("cents") / 100.0, 2)
                        .alias("monetary"),
                        "r_q", "f_q", "m_q", seg.alias("segment")))
+
+
+def ses_forecast(events: DataFrame) -> DataFrame:
+    """Simple exponential smoothing (alpha = 1/2) over the per-type
+    daily count series, evaluated at every day plus the one-step-ahead
+    forecast for the next day (s_t IS that forecast). alpha is fixed
+    at 1/2 so every smoothing weight is a power of two: with integer
+    daily counts, each term x_i * 2^i is an exact bigint, the prefix
+    sum is exact, and the closed form
+
+        s_t = (P_t - 2*x_1) * 2^-(t+1) + x_1 * 2^-(t-1),
+        P_t = sum_{i<=t} x_i * 2^i
+
+    is a handful of IEEE-exact operations — bit-identical across
+    engines and accumulation orders, where a recursive float EMA
+    would drift. One groupBy + one ordered window over O(days) rows
+    per type."""
+    from pyspark.sql import Window
+    daily = (events.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.count("*").cast("bigint").alias("n")))
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    wt = Window.partitionBy("event_type").orderBy("day")
+    shifted = F.expr("n * shiftleft(cast(1 as bigint), cast(k as int))")
+    cum = (daily
+           .withColumn("k", F.row_number().over(wt).cast("bigint"))
+           .withColumn("x1", F.first("n").over(w))
+           .withColumn("p", F.sum(shifted).over(w)))
+    s = ((F.col("p") - 2 * F.col("x1")).cast("double")
+         * F.pow(F.lit(2.0), (-(F.col("k") + 1)).cast("double"))
+         + F.col("x1").cast("double")
+         * F.pow(F.lit(2.0), (1 - F.col("k")).cast("double")))
+    return cum.select(
+        "event_type", F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n", F.round(s, 6).alias("smoothed"))

@@ -146,3 +146,54 @@ def leakage_safe_split(docs: DataFrame) -> DataFrame:
              .otherwise("test"))
     return r.select("doc_id", "cluster_id", "cluster_size",
                     split.alias("split"))
+
+
+CONTRASTIVE_BUCKETS = 16
+
+
+def contrastive_pairs(docs: DataFrame,
+                      n_buckets: int = CONTRASTIVE_BUCKETS) -> DataFrame:
+    """Contrastive training triplets (anchor, positive, negative) for
+    embedding-model training: positives are the verified near-dup
+    pairs (minhash_lsh_pairs — semantically equivalent documents),
+    negatives are drawn deterministically from a hash-bucketed
+    candidate dimension so both engines, and successive runs, pick
+    the identical negative for every pair.
+
+    Negative election: every doc hashes into one of n_buckets by
+    md5; per bucket the 3 hash-smallest docs form the candidate
+    dimension (n_buckets x 3 rows, broadcast). A pair targets bucket
+    md5(a:b) % n_buckets and takes the first candidate that is
+    neither a nor b — collision-proof because 3 > 2. Scale shape:
+    the dimension build is the only per-corpus pass (top-3 per
+    bucket; at 100 TB use a hash-threshold preprune as in
+    kg_neighbor_sample so the rank sees ~fraction of the corpus);
+    the triplet join is a broadcast of n_buckets rows."""
+    from pyspark.sql import Window
+    pairs = minhash_lsh_pairs(docs)
+    hx = F.md5(F.col("doc_id").cast("string"))
+    bucket = (F.conv(F.substring(hx, 1, 8), 16, 10)
+              .cast("bigint") % n_buckets)
+    w = Window.partitionBy("bucket").orderBy("hx", "doc_id")
+    cand = (docs.select(F.col("doc_id"), bucket.alias("bucket"),
+                        hx.alias("hx"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .groupBy("bucket")
+            .agg(F.transform(
+                F.sort_array(F.collect_list(F.struct("rn", "doc_id"))),
+                lambda x: x["doc_id"]).alias("cands")))
+    tb = (F.conv(F.substring(
+        F.md5(F.concat(F.col("a").cast("string"), F.lit(":"),
+                       F.col("b").cast("string"))), 1, 8), 16, 10)
+        .cast("bigint") % n_buckets)
+    out = (pairs.withColumn("bucket", tb)
+           .join(F.broadcast(cand), "bucket")
+           .withColumn("negative",
+                       F.filter("cands",
+                                lambda x: (x != F.col("a"))
+                                & (x != F.col("b")))[0]))
+    return (out.filter(F.col("negative").isNotNull())
+            .select(F.col("a").alias("anchor"),
+                    F.col("b").alias("positive"),
+                    "negative", "jaccard"))

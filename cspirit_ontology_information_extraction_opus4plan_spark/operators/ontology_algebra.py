@@ -868,3 +868,65 @@ def shacl_validate(store: DataFrame) -> DataFrame:
                        F.lit("nodeKind").alias("check_kind"), "observed",
                        F.lit(0).cast("bigint").alias("allowed")))
     return over.unionByName(under).unionByName(badkind)
+
+
+def infer_entity_types(triples: DataFrame) -> DataFrame:
+    """Constraint-intersection entity-type inference from predicate
+    signatures (RDFS domain/range entailment over the closed
+    SEMANTIC_RULES table): an entity's candidate types are those
+    admissible in EVERY (predicate, role) context it appears in — the
+    intersection semantics, since an entity must satisfy all of its
+    contexts simultaneously, not a plurality of them. The inferred
+    type is the lexicographically smallest candidate; n_candidates
+    counts the intersection (1 = the signature pins the type,
+    >1 = genuinely ambiguous under the rule vocabulary); if the
+    intersection is empty (non-conforming data) the type admissible
+    in the most contexts wins. Checked against the CURIE-prefix
+    ground truth — the schema-less-ingest bootstrap, typing entities
+    BEFORE an ontology is attached. The `correct` column doubles as
+    an extraction-conformance meter: when the corpus violates the
+    rule vocabulary (the rows triple_semantics flags), pinned-but-
+    wrong types measure exactly that violation rate.
+
+    Shapes: the admissibility table is a constant dimension (~60
+    rows) broadcast against the DISTINCT (entity, predicate, role)
+    contexts; intersection = per-(entity, type) context count
+    equal to the entity's context total — two map-side-combinable
+    aggregates and one equi-join, window-free."""
+    rows = []
+    for p, prs in sorted(SEMANTIC_RULES.items()):
+        for s_t in sorted({s for s, _ in prs}):
+            rows.append((p, "s", s_t))
+        for o_t in sorted({o for _, o in prs}):
+            rows.append((p, "o", o_t))
+    votes_dim = triples.sparkSession.createDataFrame(
+        rows, "predicate string, role string, vtype string")
+    ends = (triples.select(F.col("subject").alias("entity"),
+                           "predicate", F.lit("s").alias("role"))
+            .unionByName(
+                triples.select(F.col("object").alias("entity"),
+                               "predicate", F.lit("o").alias("role")))
+            .distinct())
+    m = ends.groupBy("entity").agg(
+        F.count("*").cast("bigint").alias("n_contexts"))
+    k = (ends.join(F.broadcast(votes_dim), ["predicate", "role"])
+         .groupBy("entity", "vtype")
+         .agg(F.count("*").cast("bigint").alias("k")))
+    best_k = k.groupBy("entity").agg(F.max("k").alias("k"))
+    inferred = (k.join(best_k, ["entity", "k"])
+                .groupBy("entity")
+                .agg(F.min("vtype").alias("inferred_type"),
+                     F.min("k").alias("k")))
+    cand = (k.join(m, "entity")
+            .filter(F.col("k") == F.col("n_contexts"))
+            .groupBy("entity")
+            .agg(F.count("*").cast("bigint").alias("n_candidates")))
+    return (inferred.join(m, "entity")
+            .join(cand, "entity", "left")
+            .select(
+                "entity", "inferred_type", "n_contexts",
+                F.coalesce("n_candidates", F.lit(0)).cast("bigint")
+                .alias("n_candidates"),
+                F.substring_index("entity", ":", 1).alias("actual_prefix"),
+                (F.col("inferred_type")
+                 == F.substring_index("entity", ":", 1)).alias("correct")))

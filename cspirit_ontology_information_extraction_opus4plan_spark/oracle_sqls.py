@@ -5644,4 +5644,97 @@ SELECT user_id, recency, frequency,
             ELSE 'regular' END AS segment
 FROM rk""".strip()
 
+
+    from .operators.curation import CONTRASTIVE_BUCKETS
+    _b = CONTRASTIVE_BUCKETS
+    _bk = ("CAST(concat('0x', substr(md5(CAST({x} AS VARCHAR)), 1, 8))"
+           " AS BIGINT) % " + str(_b))
+    sqls["doc_contrastive_pairs"] = (
+        f"WITH {_minhash_pair_ctes()},\n" + f"""
+dh AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx,
+         {_bk.format(x='doc_id')} AS bucket
+  FROM adoc),
+cnd AS (
+  SELECT bucket, list(doc_id ORDER BY hx, doc_id)[1:3] AS cands
+  FROM dh GROUP BY bucket),
+tb AS (
+  SELECT a, b, jaccard,
+         CAST(concat('0x', substr(md5(CAST(a AS VARCHAR) || ':' ||
+              CAST(b AS VARCHAR)), 1, 8)) AS BIGINT) % {_b} AS bucket
+  FROM pairs),
+trip AS (
+  SELECT a AS anchor, b AS positive,
+         list_filter(cands, x -> x <> a AND x <> b)[1] AS negative,
+         jaccard
+  FROM tb JOIN cnd USING (bucket))
+SELECT anchor, positive, negative, jaccard
+FROM trip WHERE negative IS NOT NULL""".strip())
+
+    from .ontology_data import SEMANTIC_RULES
+    vrows = []
+    for pred, prs in sorted(SEMANTIC_RULES.items()):
+        for s_t in sorted({s for s, _ in prs}):
+            vrows.append(f"('{pred}', 's', '{s_t}')")
+        for o_t in sorted({o for _, o in prs}):
+            vrows.append(f"('{pred}', 'o', '{o_t}')")
+    _vdim = ", ".join(vrows)
+    sqls["kg_type_inference"] = (
+        corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + f""",
+pe AS (SELECT subject, predicate, object FROM (
+         SELECT DISTINCT subject, predicate, object, subject_type,
+                object_type, object_datatype, object_language
+         FROM triples)),
+vdim AS (SELECT * FROM (VALUES {_vdim}) v(predicate, role, vtype)),
+ends AS (
+  SELECT DISTINCT entity, predicate, role FROM (
+    SELECT subject AS entity, predicate, 's' AS role FROM pe
+    UNION ALL
+    SELECT object AS entity, predicate, 'o' AS role FROM pe)),
+m AS (SELECT entity, CAST(count(*) AS BIGINT) AS n_contexts
+      FROM ends GROUP BY entity),
+kk AS (
+  SELECT entity, vtype, CAST(count(*) AS BIGINT) AS k
+  FROM ends JOIN vdim USING (predicate, role)
+  GROUP BY 1, 2),
+bk AS (SELECT entity, max(k) AS k FROM kk GROUP BY entity),
+inf AS (
+  SELECT c.entity, min(c.vtype) AS inferred_type
+  FROM kk c JOIN bk ON c.entity = bk.entity AND c.k = bk.k
+  GROUP BY c.entity),
+cand AS (
+  SELECT kk.entity, CAST(count(*) AS BIGINT) AS n_candidates
+  FROM kk JOIN m ON kk.entity = m.entity AND kk.k = m.n_contexts
+  GROUP BY kk.entity)
+SELECT i.entity, i.inferred_type, m.n_contexts,
+       coalesce(cand.n_candidates, 0) AS n_candidates,
+       split_part(i.entity, ':', 1) AS actual_prefix,
+       i.inferred_type = split_part(i.entity, ':', 1) AS correct
+FROM inf i JOIN m ON i.entity = m.entity
+LEFT JOIN cand ON i.entity = cand.entity""")
+
+    sqls["event_ses_forecast"] = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+idx AS (
+  SELECT event_type, day, n,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+              AS BIGINT) AS k
+  FROM daily),
+cum AS (
+  SELECT event_type, day, n, k,
+         first_value(n) OVER w AS x1,
+         sum(n * (CAST(1 AS BIGINT) << CAST(k AS INT))) OVER w AS p
+  FROM idx
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS UNBOUNDED PRECEDING))
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+       round(CAST(p - 2 * x1 AS DOUBLE)
+               * pow(2.0, CAST(-(k + 1) AS DOUBLE))
+             + CAST(x1 AS DOUBLE)
+               * pow(2.0, CAST(1 - k AS DOUBLE)), 6) AS smoothed
+FROM cum""".strip()
+
     return sqls
