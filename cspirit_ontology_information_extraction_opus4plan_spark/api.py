@@ -2357,9 +2357,14 @@ def q_doc_contrastive_pairs(spark, sf_dir):
 def q_kg_type_inference(spark, sf_dir):
     """Majority-vote entity typing from predicate signatures
     (broadcast constant vote dimension, window-free argmax), checked
-    against the CURIE prefix ground truth."""
+    against the CURIE prefix ground truth. localCheckpoint: the
+    inference plan consumes the triple store five times (contexts,
+    per-type counts x3, candidate filter) — without it each branch
+    re-runs the whole NER->link->dedup pipeline."""
     from .operators.ontology_algebra import infer_entity_types
-    return infer_entity_types(dedup_triples(triples_df(spark, sf_dir)))
+    t = dedup_triples(triples_df(spark, sf_dir)).localCheckpoint(
+        eager=True)
+    return infer_entity_types(t)
 
 
 def q_event_ses_forecast(spark, sf_dir):

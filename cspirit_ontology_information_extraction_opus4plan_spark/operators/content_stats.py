@@ -606,12 +606,14 @@ def rfm_segments(events: DataFrame) -> DataFrame:
     engine-independent. Segment labels follow the classic rules
     (champion / loyal / at_risk / hibernating / regular).
 
-    Scale note: three row_number windows over O(users) rows (already
-    aggregated — never over raw events). At 100 TB user counts you'd
-    swap the exact ranks for pre-aggregated quantile boundaries
-    broadcast back; the sandbox keeps the exact form so the oracle
-    can replay it bit-for-bit."""
-    from pyspark.sql import Window
+    Scale shape: the three exact ranks run through
+    olap.global_row_number — range-repartitioned two-phase rank, so
+    no single-partition window ever sees the O(users) frame; each
+    rank costs one range shuffle + one hash shuffle at full
+    parallelism and stays exact (the oracle replays it bit-for-bit
+    because the rank is deterministic whatever range boundaries the
+    sampler picks)."""
+    from .olap import global_row_number
     per = (events.groupBy("user_id")
            .agg(F.max(F.to_date("ts")).alias("last_day"),
                 F.count("*").cast("bigint").alias("frequency"),
@@ -624,16 +626,25 @@ def rfm_segments(events: DataFrame) -> DataFrame:
            .drop("max_day", "last_day"))
     n = per.count()
 
-    def quintile(col: str, asc_good: bool) -> F.Column:
+    def quintile(d: DataFrame, col: str, asc_good: bool,
+                 q_col: str) -> DataFrame:
         order = ([F.col(col).asc(), F.col("user_id").asc()] if asc_good
                  else [F.col(col).desc(), F.col("user_id").asc()])
-        rn = F.row_number().over(Window.orderBy(*order))
-        return F.ceil(F.lit(RFM_BINS) * rn / F.lit(n)).cast("int")
+        # size range partitions to the (already counted) user
+        # dimension: ~100k users per rank partition, so tiny inputs
+        # skip the fan-out while 100-TB user counts get the full
+        # two-phase spread
+        d = global_row_number(d, order, out_col="__gr",
+                              num_partitions=max(1, min(
+                                  2048, n // 100_000 + 1)))
+        return (d.withColumn(
+            q_col,
+            F.ceil(F.lit(RFM_BINS) * F.col("__gr") / F.lit(n))
+            .cast("int")).drop("__gr"))
 
-    out = (per
-           .withColumn("r_q", quintile("recency", True))
-           .withColumn("f_q", quintile("frequency", False))
-           .withColumn("m_q", quintile("cents", False)))
+    out = quintile(per, "recency", True, "r_q")
+    out = quintile(out, "frequency", False, "f_q")
+    out = quintile(out, "cents", False, "m_q")
     seg = (F.when((F.col("r_q") <= 2) & (F.col("f_q") <= 2)
                   & (F.col("m_q") <= 2), "champion")
            .when((F.col("r_q") <= 2) & (F.col("f_q") <= 3), "loyal")

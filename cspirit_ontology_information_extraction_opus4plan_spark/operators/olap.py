@@ -27,6 +27,46 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
+def global_row_number(df: DataFrame, order: Sequence[Column],
+                      out_col: str = "rank",
+                      num_partitions: int | None = None) -> DataFrame:
+    """Exact global row_number over an UNBOUNDED frame without the
+    single-partition window (`Window.orderBy` with no partition key
+    moves every row to one task — the classic global-sort bottleneck).
+
+    Two-phase distributed rank: (1) `repartitionByRange` on the order
+    key spreads the sorted domain over N range partitions; (2) rank
+    within each range partition (window PARTITIONED by
+    spark_partition_id — parallel), then add each partition's starting
+    offset, computed from the per-partition counts (an N-row frame,
+    N = partition count, so its prefix-sum window is bounded by
+    cluster parallelism, not data). The result is the exact global
+    rank for ANY range boundaries the sampler picks, so the output is
+    deterministic even though the sampling is internal.
+
+    `order` must be a total order (add a unique tiebreak column) —
+    equal keys split across a range boundary would otherwise get
+    arbitrary relative ranks."""
+    n_parts = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    d = (df.repartitionByRange(n_parts, *order)
+         .withColumn("__pid", F.spark_partition_id()))
+    local = F.row_number().over(
+        Window.partitionBy("__pid").orderBy(*order))
+    counts = d.groupBy("__pid").agg(F.count("*").alias("__n"))
+    offs = counts.select(
+        "__pid",
+        (F.sum("__n").over(
+            Window.orderBy("__pid")
+            .rowsBetween(Window.unboundedPreceding, -1)))
+        .alias("__off")).na.fill({"__off": 0})
+    return (d.withColumn("__rn", local)
+            .join(F.broadcast(offs), "__pid")
+            .withColumn(out_col,
+                        (F.col("__off") + F.col("__rn")).cast("bigint"))
+            .drop("__pid", "__rn", "__off"))
+
+
 def interval_join(left: DataFrame, right: DataFrame,
                   left_ts: str, right_start: str, right_end: str,
                   bucket_width: int) -> DataFrame:

@@ -99,3 +99,40 @@ def test_cohort_retention_known_weeks(spark):
         ("2024-01-01", 2): (1, 2, 0.5),
         ("2024-01-08", 0): (1, 1, 1.0),
     }
+
+
+def test_global_row_number_matches_naive_window(spark):
+    """Two-phase range rank == single-partition window rank on a frame
+    large enough to span several range partitions, and its plan never
+    contains an unpartitioned window over the data."""
+    from pyspark.sql import Window, functions as F
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.olap import (
+        global_row_number,
+    )
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 977).alias("k"), F.col("id").alias("uid"))
+    order = [F.col("k").desc(), F.col("uid").asc()]
+    got = global_row_number(df, order, out_col="r", num_partitions=8)
+    naive = df.withColumn(
+        "r", F.row_number().over(Window.orderBy(*order)).cast("bigint"))
+    assert got.exceptAll(naive).count() == 0
+    assert naive.exceptAll(got).count() == 0
+    # every Window in the physical plan is partitioned (the N-row
+    # offset prefix-sum is over __pid groups of the tiny counts frame,
+    # guarded here by construction: no `Window [...], []` spec)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "partitionBy" not in line or "__pid" in line
+
+
+def test_global_row_number_empty_and_tiny(spark):
+    from pyspark.sql import functions as F
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.olap import (
+        global_row_number,
+    )
+    df = spark.createDataFrame([(5,), (1,), (3,)], "v int")
+    out = global_row_number(df, [F.col("v").asc()], num_partitions=4)
+    assert [r.v for r in out.orderBy("rank").collect()] == [1, 3, 5]
+    empty = df.filter("v > 100")
+    assert global_row_number(empty, [F.col("v").asc()]).count() == 0
