@@ -2343,7 +2343,38 @@ def queries() -> dict[str, QueryFn]:
         "doc_contrastive_pairs": q_doc_contrastive_pairs,
         "kg_type_inference": q_kg_type_inference,
         "event_ses_forecast": q_event_ses_forecast,
+        "doc_dsir_select": q_doc_dsir_select,
+        "doc_bigram_logloss": q_doc_bigram_logloss,
+        "event_benford": q_event_benford,
     }
+
+
+def q_doc_dsir_select(spark, sf_dir):
+    """DSIR importance-resampling data selection: hashed-unigram
+    bucket LMs for target (trusted sources) vs raw corpus, per-doc
+    log-ratio weight, distributed exact top-k rank."""
+    from .operators.textops import dsir_select
+    return dsir_select(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source", "text"))
+
+
+def q_doc_bigram_logloss(spark, sf_dir):
+    """Interpolated bigram LM cross-entropy per doc (Jelinek-Mercer
+    lambda=1/2 toward the unigram) — the repetition-aware step up
+    from doc_unigram_logloss."""
+    from .operators.textops import bigram_logloss
+    return bigram_logloss(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text"))
+
+
+def q_event_benford(spark, sf_dir):
+    """Benford first-digit audit per event_type over exact integer
+    cents: full type x digit grid with observed/expected fractions
+    and per-type chi-square."""
+    from .operators.content_stats import benford_digits, load_events
+    return benford_digits(load_events(spark, sf_dir))
 
 
 def q_doc_contrastive_pairs(spark, sf_dir):

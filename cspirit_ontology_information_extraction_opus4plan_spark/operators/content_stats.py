@@ -690,3 +690,54 @@ def ses_forecast(events: DataFrame) -> DataFrame:
     return cum.select(
         "event_type", F.date_format("day", "yyyy-MM-dd").alias("day"),
         "n", F.round(s, 6).alias("smoothed"))
+
+
+BENFORD_DIGITS = 9  # leading digits 1..9
+
+
+def benford_digits(events: DataFrame) -> DataFrame:
+    """Benford's-law first-significant-digit audit per event_type: the
+    classic fabricated-numbers screen for metric pipelines. Values are
+    scaled to exact integer cents (the rfm_segments convention, so the
+    leading digit comes from bigint->string, never from float log10 /
+    pow, whose edge rounding differs across engines); zero-cent rows
+    are excluded (no leading digit). Emits the full event_type x digit
+    1..9 grid — absent digits count 0 but still contribute their
+    expected mass to the chi-square — with observed count, observed
+    and Benford-expected fractions, and the per-type chi-square
+    statistic repeated on each row.
+
+    Scale shape: one map-side-combinable count per (type, digit);
+    everything after is dimension-sized (|types| * 9 rows) with
+    broadcast joins. No windows, no UDFs."""
+    cents = F.abs(F.round(F.col("value") * 100)).cast("bigint")
+    obs = (events.select("event_type", cents.alias("c"))
+           .filter(F.col("c") > 0)
+           .select("event_type",
+                   F.substring(F.col("c").cast("string"), 1, 1)
+                   .cast("bigint").alias("digit"))
+           .groupBy("event_type", "digit")
+           .agg(F.count("*").cast("bigint").alias("n_obs")))
+    types = obs.select("event_type").distinct()
+    digits = (events.sparkSession.range(1, BENFORD_DIGITS + 1)
+              .select(F.col("id").cast("bigint").alias("digit")))
+    grid = (types.crossJoin(F.broadcast(digits))
+            .join(obs, ["event_type", "digit"], "left")
+            .na.fill({"n_obs": 0}))
+    tot = grid.groupBy("event_type").agg(
+        F.sum("n_obs").cast("double").alias("n_total"))
+    e_frac = (F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0)))
+    per = (grid.join(F.broadcast(tot), "event_type")
+           .withColumn("exp_frac", e_frac)
+           .withColumn("chi_term",
+                       F.pow(F.col("n_obs") - F.col("n_total")
+                             * F.col("exp_frac"), 2)
+                       / (F.col("n_total") * F.col("exp_frac"))))
+    chi = per.groupBy("event_type").agg(
+        F.round(F.sum("chi_term"), 6).alias("chi_square"))
+    return (per.join(F.broadcast(chi), "event_type")
+            .select("event_type", "digit", "n_obs",
+                    F.round(F.col("n_obs") / F.col("n_total"), 6)
+                    .alias("obs_frac"),
+                    F.round("exp_frac", 6).alias("exp_frac"),
+                    "chi_square"))

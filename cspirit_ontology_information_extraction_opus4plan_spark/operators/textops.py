@@ -2139,3 +2139,112 @@ def gopher_rules(docs: DataFrame) -> DataFrame:
         r_stop.alias("ok_stopwords"),
         failed.cast("int").alias("n_rules_failed"),
         (failed == 0).alias("keep"))
+
+
+DSIR_BUCKETS = 4096   # hashed unigram feature space (Xie et al. 2023)
+DSIR_TOP_K = 120      # docs the resampling budget keeps
+
+
+def dsir_select(docs: DataFrame, buckets: int = DSIR_BUCKETS,
+                top_k: int = DSIR_TOP_K) -> DataFrame:
+    """DSIR data selection (Xie et al., NeurIPS 2023 'Data Selection
+    for Language Models via Importance Resampling'), deterministic
+    variant: per-doc importance weight = sum over tokens of
+    ln(p_target(b)/p_raw(b)) on hashed-unigram buckets with add-one
+    smoothing; the top_k docs by (rounded weight, doc_id) are selected.
+    `is_target` marks the docs defining the target distribution (here
+    the sources whose numeric suffix is divisible by 5 — the stand-in
+    for 'trusted high-quality sources'); raw = the whole corpus. The
+    doc-LEVEL complement of mixture_loss_reweight's source-level
+    DoReMi weights. Emits every doc with (n_tokens, logratio, rank,
+    selected) so the selection boundary is auditable.
+
+    Scale shape: one tokenize+explode pass -> (doc, bucket) counts
+    (both shuffles bounded by `buckets` rows per doc); the bucket
+    language models are a <= `buckets`-row dimension (broadcast), the
+    two totals a broadcast scalar; ranking runs through
+    olap.global_row_number, so no single-partition window touches the
+    O(docs) frame. ln-sum order noise handled by round 6, and the rank
+    orders by the ROUNDED weight so both engines rank the same key."""
+    from .olap import global_row_number
+    is_target = (F.regexp_extract("source", r"(\d+)$", 1).cast("int")
+                 % 5 == 0)
+    ex = docs.select(
+        "doc_id", is_target.alias("tgt"),
+        F.explode(tokens_col()).alias("tok"))
+    b = (F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
+         .cast("bigint") % buckets)
+    per = (ex.select("doc_id", "tgt", b.alias("b"))
+           .groupBy("doc_id", "tgt", "b")
+           .agg(F.count("*").alias("cnt")))
+    dim = (per.groupBy("b")
+           .agg(F.sum("cnt").alias("braw"),
+                F.sum(F.when(F.col("tgt"), F.col("cnt"))
+                      .otherwise(F.lit(0))).alias("btgt")))
+    tot = dim.agg(F.sum("braw").cast("double").alias("t_raw"),
+                  F.sum("btgt").cast("double").alias("t_tgt"))
+    scored = (per.join(F.broadcast(dim), "b")
+              .crossJoin(F.broadcast(tot))
+              .select(
+                  "doc_id", "cnt",
+                  (F.col("cnt") * (
+                      F.log(F.col("btgt") + 1.0)
+                      - F.log(F.col("braw") + 1.0)
+                      + F.log(F.col("t_raw") + float(buckets))
+                      - F.log(F.col("t_tgt") + float(buckets))))
+                  .alias("term"))
+              .groupBy("doc_id")
+              .agg(F.sum("cnt").cast("bigint").alias("n_tokens"),
+                   F.round(F.sum("term"), 6).alias("logratio")))
+    ranked = global_row_number(
+        scored, [F.col("logratio").desc(), F.col("doc_id").asc()],
+        out_col="rank")
+    return ranked.select("doc_id", "n_tokens", "logratio", "rank",
+                         (F.col("rank") <= top_k).alias("selected"))
+
+
+BIGRAM_LAMBDA = 0.5  # Jelinek-Mercer interpolation toward the unigram
+
+
+def bigram_logloss(docs: DataFrame,
+                   lam: float = BIGRAM_LAMBDA) -> DataFrame:
+    """Interpolated bigram language-model cross-entropy per doc:
+    p(cur|prev) = lam * c(prev,cur)/c(prev,*) + (1-lam) * tf(cur)/N,
+    scored over every adjacent token pair — the next step up from
+    unigram_logloss on the quality-filtering ladder (repetitive
+    boilerplate scores LOW, shuffled-word-salad scores HIGH, which the
+    unigram model cannot distinguish). Docs with < 2 tokens emit
+    nothing (no bigram events), mirroring the reference's empty-
+    return guards.
+
+    Scale shape: bigrams come from zipping the token array with its
+    own shifted slice (no positional self-join); the bigram and
+    context tables are corpus-sized so they ride equi-join shuffles
+    (deliberately NOT broadcast); the unigram total is a broadcast
+    scalar. One explode pass feeds bigram counts, context counts and
+    scoring via localCheckpoint. ln/avg order noise -> round 6."""
+    toks = tokens_col()
+    n = F.size(toks)
+    pairs = F.arrays_zip(
+        F.slice(toks, F.lit(1), n - 1).alias("prev"),
+        F.slice(toks, F.lit(2), n - 1).alias("cur"))
+    bg = (docs.filter(n >= 2)
+          .select("doc_id", F.explode(pairs).alias("p"))
+          .select("doc_id", F.col("p.prev").alias("prev"),
+                  F.col("p.cur").alias("cur"))
+          .localCheckpoint(eager=True))
+    bc = bg.groupBy("prev", "cur").agg(F.count("*").alias("cbc"))
+    cx = bg.groupBy("prev").agg(F.count("*").alias("cprev"))
+    ex = docs.select(F.explode(toks).alias("t"))
+    uni = ex.groupBy("t").agg(F.count("*").alias("tf"))
+    tot = uni.agg(F.sum("tf").cast("double").alias("n_total"))
+    p = (F.lit(lam) * F.col("cbc") / F.col("cprev")
+         + F.lit(1.0 - lam) * F.col("tf") / F.col("n_total"))
+    return (bg.join(bc, ["prev", "cur"])
+            .join(cx, "prev")
+            .join(uni, bg["cur"] == uni["t"])
+            .crossJoin(F.broadcast(tot))
+            .select("doc_id", F.log(p).alias("lp"))
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_bigrams"),
+                 F.round(-F.avg("lp"), 6).alias("cross_entropy")))

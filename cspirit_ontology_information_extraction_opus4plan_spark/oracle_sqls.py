@@ -5737,4 +5737,94 @@ SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
                * pow(2.0, CAST(1 - k AS DOUBLE)), 6) AS smoothed
 FROM cum""".strip()
 
+    from .operators.textops import (
+        BIGRAM_LAMBDA, DSIR_BUCKETS, DSIR_TOP_K,
+    )
+    sqls["doc_dsir_select"] = f"""
+WITH {tok_cte('documents')},
+ex AS (
+  SELECT doc_id,
+         CAST(substr(source, 4) AS INT) % 5 = 0 AS tgt,
+         unnest(toks) AS tok
+  FROM (SELECT doc_id, source, toks FROM tok
+        JOIN documents USING (doc_id, text))),
+per AS (
+  SELECT doc_id, tgt,
+         CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)
+           % {DSIR_BUCKETS} AS b,
+         count(*) AS cnt
+  FROM ex GROUP BY 1, 2, 3),
+dim AS (
+  SELECT b, sum(cnt) AS braw,
+         sum(CASE WHEN tgt THEN cnt ELSE 0 END) AS btgt
+  FROM per GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(braw) AS DOUBLE) AS t_raw,
+         CAST(sum(btgt) AS DOUBLE) AS t_tgt
+  FROM dim),
+scored AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         round(sum(cnt * (ln(btgt + 1.0) - ln(braw + 1.0)
+                          + ln(t_raw + {DSIR_BUCKETS})
+                          - ln(t_tgt + {DSIR_BUCKETS}))), 6) AS logratio
+  FROM per JOIN dim USING (b), tot
+  GROUP BY 1),
+rk AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY logratio DESC, doc_id ASC)
+                 AS BIGINT) AS rank
+  FROM scored)
+SELECT doc_id, n_tokens, logratio, rank,
+       rank <= {DSIR_TOP_K} AS selected
+FROM rk""".strip()
+
+    sqls["doc_bigram_logloss"] = f"""
+WITH {tok_cte('documents')},
+bg AS (
+  SELECT doc_id, unnest(toks[1:len(toks) - 1]) AS prev,
+         unnest(toks[2:len(toks)]) AS cur
+  FROM tok WHERE len(toks) >= 2),
+bc AS (SELECT prev, cur, count(*) AS cbc FROM bg GROUP BY 1, 2),
+cx AS (SELECT prev, count(*) AS cprev FROM bg GROUP BY 1),
+ex AS (SELECT unnest(toks) AS t FROM tok),
+uni AS (SELECT t, count(*) AS tf FROM ex GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM ex)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(-avg(ln({BIGRAM_LAMBDA} * cbc / cprev
+                     + {1.0 - BIGRAM_LAMBDA} * tf / n_total)),
+             6) AS cross_entropy
+FROM bg JOIN bc USING (prev, cur) JOIN cx USING (prev)
+     JOIN uni ON uni.t = bg.cur, tot
+GROUP BY 1""".strip()
+
+    sqls["event_benford"] = """
+WITH obs AS (
+  SELECT event_type,
+         CAST(substr(CAST(CAST(abs(round(value * 100)) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         CAST(count(*) AS BIGINT) AS n_obs
+  FROM events
+  WHERE CAST(abs(round(value * 100)) AS BIGINT) > 0
+  GROUP BY 1, 2),
+grid AS (
+  SELECT t.event_type, d.digit, coalesce(o.n_obs, 0) AS n_obs
+  FROM (SELECT DISTINCT event_type FROM obs) t
+  CROSS JOIN (SELECT CAST(unnest(generate_series(1, 9)) AS BIGINT) AS digit) d
+  LEFT JOIN obs o USING (event_type, digit)),
+tot AS (
+  SELECT event_type, CAST(sum(n_obs) AS DOUBLE) AS n_total
+  FROM grid GROUP BY 1),
+per AS (
+  SELECT g.event_type, g.digit, g.n_obs, t.n_total,
+         ln(1.0 + 1.0 / g.digit) / ln(10.0) AS exp_frac
+  FROM grid g JOIN tot t USING (event_type)),
+chi AS (
+  SELECT event_type,
+         round(sum(pow(n_obs - n_total * exp_frac, 2)
+                   / (n_total * exp_frac)), 6) AS chi_square
+  FROM per GROUP BY 1)
+SELECT per.event_type, digit, n_obs,
+       round(n_obs / n_total, 6) AS obs_frac,
+       round(exp_frac, 6) AS exp_frac, chi_square
+FROM per JOIN chi USING (event_type)""".strip()
+
     return sqls

@@ -1,0 +1,71 @@
+"""Semantics pins for the round-3 fourth tranche: DSIR selection,
+interpolated bigram log-loss, Benford first-digit audit."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from cspirit_ontology_information_extraction_opus4plan_spark.operators.content_stats import (
+    benford_digits,
+)
+from cspirit_ontology_information_extraction_opus4plan_spark.operators.textops import (
+    bigram_logloss, dsir_select,
+)
+
+
+def test_bigram_logloss_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, "solo")],
+        "doc_id bigint, text string")
+    rows = {r.doc_id: r for r in bigram_logloss(docs).collect()}
+    # bigrams: (a,b) x2, (a,c) x1; unigrams a:3 b:2 c:1 solo:1, N=7
+    assert 4 not in rows  # <2 tokens -> no bigram events
+    p_ab = 0.5 * 2 / 3 + 0.5 * 2 / 7
+    p_ac = 0.5 * 1 / 3 + 0.5 * 1 / 7
+    assert rows[1].n_bigrams == 1
+    assert abs(rows[1].cross_entropy - (-math.log(p_ab))) < 1e-6
+    assert abs(rows[3].cross_entropy - (-math.log(p_ac))) < 1e-6
+    assert rows[1].cross_entropy == rows[2].cross_entropy
+
+
+def test_dsir_prefers_target_distribution(spark):
+    # target sources are those with numeric suffix % 5 == 0 (src0):
+    # docs stuffed with the target-only token must outrank docs made
+    # of the raw-only token, and ranks are a dense 1..n permutation
+    rows = [(i, "src0", "quail quail quail") for i in range(4)]
+    rows += [(10 + i, "src1", "zebra zebra zebra") for i in range(4)]
+    rows += [(20, "src1", "quail quail quail")]  # target-LIKE text
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, source string, text string")
+    out = dsir_select(docs, top_k=5).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert sorted(r.rank for r in out) == list(range(1, len(rows) + 1))
+    # every quail doc (target-distribution text) outranks every zebra doc
+    quail = [r for r in out if by_id[r.doc_id].doc_id in
+             (0, 1, 2, 3, 20)]
+    zebra = [r for r in out if r.doc_id in (10, 11, 12, 13)]
+    assert max(q.rank for q in quail) < min(z.rank for z in zebra)
+    assert all(q.selected for q in quail)
+    assert not any(z.selected for z in zebra)
+
+
+def test_benford_grid_and_chi_square(spark):
+    import datetime
+    ts = datetime.datetime(2024, 1, 1)
+    vals = [1.0, 1.2, 19.0, 2.5, 0.31, 0.0, -4.0]  # digits 1,1,1,2,3,-,4
+    events = spark.createDataFrame(
+        [(i, ts, 1, "t", v, "{}") for i, v in enumerate(vals)],
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string")
+    out = {r.digit: r for r in benford_digits(events).collect()}
+    assert sorted(out) == list(range(1, 10))  # full 1..9 grid
+    n_obs = {d: out[d].n_obs for d in out}
+    assert n_obs[1] == 3 and n_obs[2] == 1 and n_obs[3] == 1 \
+        and n_obs[4] == 1 and n_obs[5] == 0
+    n = 6.0
+    chi = sum((n_obs[d] - n * math.log10(1 + 1 / d)) ** 2
+              / (n * math.log10(1 + 1 / d)) for d in range(1, 10))
+    assert abs(out[1].chi_square - chi) < 1e-5
+    assert abs(sum(r.obs_frac for r in out.values()) - 1.0) < 1e-4
