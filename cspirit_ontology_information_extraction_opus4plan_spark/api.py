@@ -2346,7 +2346,24 @@ def queries() -> dict[str, QueryFn]:
         "doc_dsir_select": q_doc_dsir_select,
         "doc_bigram_logloss": q_doc_bigram_logloss,
         "event_benford": q_event_benford,
+        "ann_recall_eval": q_ann_recall_eval,
+        "hierarchy_path_counts": q_hierarchy_path_counts,
     }
+
+
+def q_ann_recall_eval(spark, sf_dir):
+    """Recall@k of LSH ANN vs the exact brute-force baseline per
+    query, with bucket-candidate counts."""
+    from .operators.similarity import ann_recall_eval, load_embeddings
+    return ann_recall_eval(load_embeddings(spark, sf_dir))
+
+
+def q_hierarchy_path_counts(spark, sf_dir):
+    """Count of distinct shortest is_a paths from roots per term
+    (Brandes sigma over the BFS level DAG) — the multi-parent
+    redundancy meter."""
+    from .operators.ontology_algebra import shortest_path_counts
+    return shortest_path_counts(terms_df(spark), relationships_df(spark))
 
 
 def q_doc_dsir_select(spark, sf_dir):

@@ -930,3 +930,57 @@ def infer_entity_types(triples: DataFrame) -> DataFrame:
                 F.substring_index("entity", ":", 1).alias("actual_prefix"),
                 (F.col("inferred_type")
                  == F.substring_index("entity", ":", 1)).alias("correct")))
+
+
+def shortest_path_counts(terms: DataFrame, rels: DataFrame,
+                         max_iter: int = 32) -> DataFrame:
+    """(id, depth, n_paths): the number of distinct SHORTEST is_a
+    paths from any root to each root-reachable term — the sigma of
+    Brandes' betweenness and the redundancy meter for multi-parent
+    DAGs (n_paths > 1 at depth d means the term is reachable through
+    several equally-shallow parent chains). Restricting to shortest
+    paths keeps the count finite even if the relationship table
+    carries cycles (cycle members past the BFS frontier simply never
+    enter the level DAG).
+
+    Level-synchronous DP over the BFS level graph: keep only edges
+    where depth(child) == depth(parent) + 1, seed roots with 1, then
+    sigma(child) = sum of sigma(parent) one level at a time — the
+    bfs_depths frontier loop with sum instead of min, O(max depth)
+    rounds, every round an equi-join + map-side-combinable sum.
+    Same +1-verification-round truncation guard as bfs_depths."""
+    depths = bfs_depths(terms, rels, max_iter).localCheckpoint(eager=True)
+    down = (rels.filter(F.col("predicate") == "is_a")
+            .select(F.col("object").alias("parent"),
+                    F.col("subject").alias("child"))
+            .distinct())
+    lv = (down
+          .join(depths.select(F.col("id").alias("parent"),
+                              F.col("depth").alias("dp")), "parent")
+          .join(depths.select(F.col("id").alias("child"),
+                              F.col("depth").alias("dc")), "child")
+          .filter(F.col("dc") == F.col("dp") + 1)
+          .select("parent", "child")
+          .localCheckpoint(eager=True))
+    sigma = (depths.filter(F.col("depth") == 0)
+             .select("id", F.lit(1).cast("bigint").alias("n_paths")))
+    out = sigma
+    frontier = sigma
+    done = False
+    for _ in range(max_iter + 1):
+        nxt = (lv.join(frontier.withColumnRenamed("id", "parent"),
+                       "parent")
+               .groupBy(F.col("child").alias("id"))
+               .agg(F.sum("n_paths").cast("bigint").alias("n_paths"))
+               .localCheckpoint(eager=True))
+        if nxt.isEmpty():
+            done = True
+            break
+        out = out.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    if not done:
+        raise RuntimeError(
+            f"shortest_path_counts still propagating after "
+            f"max_iter={max_iter} rounds — hierarchy deeper than "
+            f"max_iter (a silent cap would under-count paths)")
+    return out.join(depths, "id").select("id", "depth", "n_paths")

@@ -1051,3 +1051,34 @@ def covariance_matrix(emb: DataFrame) -> DataFrame:
                     F.round((F.col("s") - F.col("s_i") * F.col("s_j")
                              / F.col("n")) / F.col("n"), 6)
                     .alias("cov")))
+
+
+def ann_recall_eval(emb: DataFrame, k: int = TOP_K,
+                    n_queries: int = N_QUERIES) -> DataFrame:
+    """Recall@k of the LSH ANN path measured against the exact
+    brute-force baseline, per query — the accept/reject harness for
+    any approximate index config (bands, bucket bits, probe counts):
+    recall = |approx top-k ∩ exact top-k| / k. Also reports how many
+    candidates the bucket restriction yielded (n_approx < k means the
+    bucket was starved — grow buckets before blaming the metric).
+
+    Scale shape: both legs are the already-scale-audited operators
+    (bounded query set, broadcast query matrix / bucket equi-join);
+    the eval adds one equi-join on (q_id, neighbor_id) and two
+    dimension-sized aggregates — negligible next to either leg."""
+    exact = brute_force_topk(emb, k, default_queries(emb, n_queries))
+    approx = lsh_topk(emb, k, n_queries)
+    hits = (exact.select("q_id", "neighbor_id")
+            .join(approx.select("q_id", "neighbor_id",
+                                F.lit(1).alias("hit")),
+                  ["q_id", "neighbor_id"], "left"))
+    per = hits.groupBy("q_id").agg(
+        F.count("*").cast("bigint").alias("n_exact"),
+        F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hit"))
+    nap = approx.groupBy("q_id").agg(
+        F.count("*").cast("bigint").alias("n_approx"))
+    return (per.join(nap, "q_id", "left")
+            .na.fill({"n_approx": 0})
+            .select("q_id", "n_exact", "n_approx", "n_hit",
+                    F.round(F.col("n_hit") / F.col("n_exact"), 6)
+                    .alias("recall")))

@@ -1476,6 +1476,19 @@ scored AS (
   SELECT q_id, neighbor_id, dot / sqrt(qn2 * vn2) AS cosine FROM pairs)
 {rank_tail}""".strip()
 
+    sqls["ann_recall_eval"] = f"""
+WITH ex AS (SELECT q_id, neighbor_id FROM ({sqls['ann_topk']})),
+ap AS (SELECT q_id, neighbor_id FROM ({sqls['ann_lsh_topk']})),
+per AS (
+  SELECT ex.q_id, CAST(count(*) AS BIGINT) AS n_exact,
+         CAST(count(ap.neighbor_id) AS BIGINT) AS n_hit
+  FROM ex LEFT JOIN ap USING (q_id, neighbor_id) GROUP BY 1),
+nap AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_approx
+        FROM ap GROUP BY 1)
+SELECT per.q_id, n_exact, coalesce(n_approx, 0) AS n_approx, n_hit,
+       round(CAST(n_hit AS DOUBLE) / n_exact, 6) AS recall
+FROM per LEFT JOIN nap USING (q_id)""".strip()
+
     # IVF: nearest-centroid assignment (argmax as row_number over the
     # tiny vec x centroid cross product — oracle-side only; the engine
     # assigns in one Arrow pass), top-N_PROBE probed lists per query,
@@ -3180,6 +3193,26 @@ depths AS (SELECT id, CAST(min(depth) AS INT) AS depth FROM walk GROUP BY id)
 SELECT split_part(id, ':', 1) AS ontology_id,
        CAST(max(depth) AS INT) AS max_depth
 FROM depths GROUP BY 1""")
+
+    # shortest-path counts: UNION ALL keeps one row per distinct
+    # shortest path (each step is pinned to the child's min depth, so
+    # the walk is finite even through planted cycles)
+    sp_cte = """
+sp(id, depth) AS (
+  SELECT id, 0 FROM roots
+  UNION ALL
+  SELECT r.subject, w.depth + 1
+  FROM sp w
+  JOIN rels_d r ON r.predicate = 'is_a' AND r.object = w.id
+  JOIN depths dc ON dc.id = r.subject AND dc.depth = w.depth + 1
+)""".strip()
+    sqls["hierarchy_path_counts"] = (
+        "WITH RECURSIVE "
+        + ",\n".join([tf, rd, roots_cte, walk_cte, sp_cte])
+        + """
+SELECT id, CAST(depth AS INT) AS depth,
+       CAST(count(*) AS BIGINT) AS n_paths
+FROM sp GROUP BY 1, 2""")
 
     sim_pairs = ",".join(f"({_q(a)}, {_q(b)})" for a, b in OD.SIM_PAIRS)
     sqls["term_similarity"] = ("WITH RECURSIVE "

@@ -69,3 +69,44 @@ def test_benford_grid_and_chi_square(spark):
               / (n * math.log10(1 + 1 / d)) for d in range(1, 10))
     assert abs(out[1].chi_square - chi) < 1e-5
     assert abs(sum(r.obs_frac for r in out.values()) - 1.0) < 1e-4
+
+
+def test_shortest_path_counts_diamond(spark):
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.ontology_algebra import (
+        shortest_path_counts,
+    )
+    terms = spark.createDataFrame(
+        [("A", "a", "GO"), ("B", "b", "GO"), ("C", "c", "GO"),
+         ("D", "d", "GO"), ("E", "e", "GO")],
+        "id string, name string, ontology_id string")
+    # diamond A->{B,C}->D plus a LONGER alternative A->B->E->D that
+    # must NOT count (depth(D)=2 via B/C; the E chain arrives at 3,
+    # so the E->D edge is not a level edge)
+    rels = spark.createDataFrame(
+        [("B", "is_a", "A"), ("C", "is_a", "A"),
+         ("D", "is_a", "B"), ("D", "is_a", "C"),
+         ("E", "is_a", "B"), ("D", "is_a", "E")],
+        "subject string, predicate string, object string")
+    out = {r.id: r for r in shortest_path_counts(terms, rels).collect()}
+    assert out["A"].depth == 0 and out["A"].n_paths == 1
+    assert out["B"].n_paths == 1 and out["C"].n_paths == 1
+    assert out["D"].depth == 2 and out["D"].n_paths == 2
+    assert out["E"].depth == 2 and out["E"].n_paths == 1
+
+
+def test_ann_recall_eval_bounds(spark):
+    import random
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.similarity import (
+        DIM, ann_recall_eval,
+    )
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(DIM)], 0)
+            for i in range(80)]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int")
+    out = ann_recall_eval(emb, k=3, n_queries=5).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r.n_exact == 3
+        assert 0 <= r.n_hit <= min(r.n_exact, r.n_approx)
+        assert abs(r.recall - r.n_hit / r.n_exact) < 1e-6
