@@ -2348,7 +2348,29 @@ def queries() -> dict[str, QueryFn]:
         "event_benford": q_event_benford,
         "ann_recall_eval": q_ann_recall_eval,
         "hierarchy_path_counts": q_hierarchy_path_counts,
+        "event_zorder_prune": q_event_zorder_prune,
+        "triple_salt_audit": q_triple_salt_audit,
     }
+
+
+def q_event_zorder_prune(spark, sf_dir):
+    """Min/max file-skipping simulator: files scanned for a 2-D box
+    predicate under Z-ORDER vs single-dimension linear clustering."""
+    from .operators.content_stats import load_events
+    from .operators.olap import zorder_prune_stats
+    return zorder_prune_stats(load_events(spark, sf_dir))
+
+
+def q_triple_salt_audit(spark, sf_dir):
+    """Reduce-partition balance with and without subject salting over
+    the deduped triple store — the measured case for salted joins on
+    hub entities."""
+    from .operators.olap import salt_balance_audit
+    t = (dedup_triples(triples_df(spark, sf_dir))
+         .select("subject", "predicate", "object")
+         .withColumn("rid", F.concat_ws("|", "subject", "predicate",
+                                        "object")))
+    return salt_balance_audit(t, "subject", "rid")
 
 
 def q_ann_recall_eval(spark, sf_dir):

@@ -310,3 +310,100 @@ def pivot_counts(events: DataFrame, key: str, pivot_col: str,
            .na.fill(0, list(values)))
     return out.select(key, *[F.col(v).cast("bigint").alias(f"n_{v}")
                              for v in values])
+
+
+PRUNE_FILE_BITS = 6            # 64 simulated files per layout
+PRUNE_BOX_U = (10, 25)         # box predicate on the user dimension
+PRUNE_BOX_V = (40, 80)         # box predicate on the value dimension
+
+
+def zorder_prune_stats(events: DataFrame,
+                       bits: int = ZORDER_BITS,
+                       file_bits: int = PRUNE_FILE_BITS) -> DataFrame:
+    """File-skipping simulator: how many data files a min/max-pruning
+    scan (the Iceberg/Delta manifest check) must read for a 2-D box
+    predicate under (a) Z-ORDER clustering vs (b) a single-dimension
+    linear sort. Rows are binned into 2^file_bits equal-key-range
+    'files' (zkey prefix for the Z layout, u_bucket prefix for the
+    linear one); a file is scanned unless its per-file [min, max]
+    range on EITHER dimension is disjoint from the box. The Z layout
+    must bound BOTH dimensions per file; the linear layout bounds only
+    its sort dimension, so the v-side of the box prunes nothing —
+    this operator turns that claim into a measured row.
+
+    Output: (layout, n_files, n_files_scanned, n_rows_scanned,
+    frac_files_scanned) — 2 rows. One pass per layout over the keyed
+    frame, dimension-sized aggregates after; exact integer min/max so
+    both engines agree bit-for-bit."""
+    u_lo, u_hi = PRUNE_BOX_U
+    v_lo, v_hi = PRUNE_BOX_V
+    keyed = zorder_keys(events, bits)
+    layouts = [
+        ("zorder", F.shiftright(F.col("zkey"), 2 * bits - file_bits)),
+        ("linear", F.shiftright(F.col("u_bucket"), bits - file_bits)),
+    ]
+    outs = []
+    for name, file_of in layouts:
+        per_file = (keyed
+                    .groupBy(file_of.cast("bigint").alias("file_id"))
+                    .agg(F.count("*").cast("bigint").alias("n_rows"),
+                         F.min("u_bucket").alias("min_u"),
+                         F.max("u_bucket").alias("max_u"),
+                         F.min("v_bucket").alias("min_v"),
+                         F.max("v_bucket").alias("max_v")))
+        scanned = ~((F.col("max_u") < u_lo) | (F.col("min_u") > u_hi)
+                    | (F.col("max_v") < v_lo) | (F.col("min_v") > v_hi))
+        outs.append(per_file.agg(
+            F.lit(name).alias("layout"),
+            F.count("*").cast("bigint").alias("n_files"),
+            F.sum(scanned.cast("bigint")).cast("bigint")
+            .alias("n_files_scanned"),
+            F.sum(F.when(scanned, F.col("n_rows")).otherwise(0))
+            .cast("bigint").alias("n_rows_scanned"),
+            F.round(F.sum(scanned.cast("double")) / F.count("*"), 6)
+            .alias("frac_files_scanned")))
+    return outs[0].unionByName(outs[1])
+
+
+SALT_PARTITIONS = 32   # reduce-side partition count being simulated
+SALT_FACTOR = 8        # salt fan-out for the skewed side
+
+
+def salt_balance_audit(df: DataFrame, key: str, row_id: str,
+                       n_parts: int = SALT_PARTITIONS,
+                       salt: int = SALT_FACTOR) -> DataFrame:
+    """Measured effect of key salting on reduce-partition balance: the
+    planning probe behind canonicalize.py's salted min and asof.py's
+    hub split. Rows are assigned to `n_parts` simulated shuffle
+    partitions by (a) hash(key) and (b) hash(key, row-derived salt in
+    [0, salt)); for each layout the audit reports the heaviest
+    partition's row share and the max/mean skew ratio — the number
+    that decides whether a 100-TB join needs the salt (a hub key
+    pins its whole partition at share ~ hub_share under (a); under
+    (b) it spreads across `salt` partitions).
+
+    Hashing is the md5 idiom both engines share (NOT Spark's
+    murmur3, which DuckDB cannot replay). Two map-side-combinable
+    counts + dimension-sized summaries."""
+    def bucket(col: F.Column) -> F.Column:
+        return (F.conv(F.substring(F.md5(col), 1, 8), 16, 10)
+                .cast("bigint") % n_parts)
+
+    raw_part = bucket(F.col(key))
+    salt_col = (F.conv(F.substring(F.md5(F.col(row_id)), 1, 8), 16, 10)
+                .cast("bigint") % salt)
+    salted_part = bucket(
+        F.concat(F.col(key), F.lit(":"), salt_col.cast("string")))
+    outs = []
+    for name, part in (("unsalted", raw_part), ("salted", salted_part)):
+        per = (df.groupBy(part.alias("part"))
+               .agg(F.count("*").cast("bigint").alias("n")))
+        outs.append(per.agg(
+            F.lit(name).alias("layout"),
+            F.count("*").cast("bigint").alias("n_parts_used"),
+            F.sum("n").cast("bigint").alias("total_rows"),
+            F.max("n").cast("bigint").alias("max_rows"),
+            F.round(F.avg("n"), 6).alias("mean_rows"),
+            F.round(F.max("n") / F.sum("n"), 6).alias("max_share"),
+            F.round(F.max("n") / F.avg("n"), 6).alias("skew_ratio")))
+    return outs[0].unionByName(outs[1])

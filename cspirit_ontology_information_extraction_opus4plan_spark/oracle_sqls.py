@@ -3692,6 +3692,41 @@ SELECT event_id, ub AS u_bucket, vb AS v_bucket,
        CAST({_zterms} AS BIGINT) AS zkey
 FROM bk""".strip()
 
+    from .operators.olap import (
+        PRUNE_BOX_U, PRUNE_BOX_V, PRUNE_FILE_BITS,
+    )
+    _ulo, _uhi = PRUNE_BOX_U
+    _vlo, _vhi = PRUNE_BOX_V
+    _zshift = 2 * ZORDER_BITS - PRUNE_FILE_BITS
+    _lshift = ZORDER_BITS - PRUNE_FILE_BITS
+    _prune_leg = """
+  SELECT '{name}' AS layout,
+         CAST(count(*) AS BIGINT) AS n_files,
+         CAST(sum(CASE WHEN scanned THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_files_scanned,
+         CAST(sum(CASE WHEN scanned THEN n_rows ELSE 0 END) AS BIGINT)
+           AS n_rows_scanned,
+         round(sum(CASE WHEN scanned THEN 1.0 ELSE 0.0 END)
+               / count(*), 6) AS frac_files_scanned
+  FROM (
+    SELECT count(*) AS n_rows,
+           NOT (max(ub) < {ulo} OR min(ub) > {uhi}
+                OR max(vb) < {vlo} OR min(vb) > {vhi}) AS scanned
+    FROM zk GROUP BY {file_expr}) f"""
+    sqls["event_zorder_prune"] = f"""
+WITH bk AS (
+  SELECT event_id,
+         CAST(user_id % {_zn} AS BIGINT) AS ub,
+         CAST(least(floor(value / 500.0 * {_zn}), {_zn - 1})
+              AS BIGINT) AS vb
+  FROM events),
+zk AS (SELECT ub, vb, CAST({_zterms} AS BIGINT) AS zkey FROM bk)
+{_prune_leg.format(name='zorder', file_expr=f'zkey >> {_zshift}',
+                   ulo=_ulo, uhi=_uhi, vlo=_vlo, vhi=_vhi)}
+UNION ALL
+{_prune_leg.format(name='linear', file_expr=f'ub >> {_lshift}',
+                   ulo=_ulo, uhi=_uhi, vlo=_vlo, vhi=_vhi)}""".strip()
+
     sqls["event_transitions"] = """
 WITH seq AS (
   SELECT event_type AS next_type,
@@ -5859,5 +5894,38 @@ SELECT per.event_type, digit, n_obs,
        round(n_obs / n_total, 6) AS obs_frac,
        round(exp_frac, 6) AS exp_frac, chi_square
 FROM per JOIN chi USING (event_type)""".strip()
+
+    from .operators.olap import SALT_FACTOR, SALT_PARTITIONS
+    _hp = ("CAST(concat('0x', substr(md5({x}), 1, 8)) AS BIGINT) % "
+           + str(SALT_PARTITIONS))
+    _hs = ("CAST(concat('0x', substr(md5({x}), 1, 8)) AS BIGINT) % "
+           + str(SALT_FACTOR))
+    _salt_leg = """
+  SELECT '{name}' AS layout,
+         CAST(count(*) AS BIGINT) AS n_parts_used,
+         CAST(sum(n) AS BIGINT) AS total_rows,
+         CAST(max(n) AS BIGINT) AS max_rows,
+         round(avg(n), 6) AS mean_rows,
+         round(max(n) / CAST(sum(n) AS DOUBLE), 6) AS max_share,
+         round(max(n) / avg(n), 6) AS skew_ratio
+  FROM (SELECT {part} AS part, count(*) AS n FROM keyed GROUP BY 1) p"""
+    sqls["triple_salt_audit"] = (
+        corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + f""",
+pe AS (
+  SELECT subject,
+         subject || '|' || predicate || '|' || object AS rid
+  FROM (
+    SELECT subject, predicate, object, subject_type, object_type,
+           object_datatype, object_language,
+           max(confidence) AS confidence, count(*) AS support
+    FROM triples GROUP BY 1,2,3,4,5,6,7) d),
+keyed AS (
+  SELECT subject,
+         subject || ':' || CAST({_hs.format(x='rid')} AS VARCHAR)
+           AS salted_key
+  FROM pe)
+{_salt_leg.format(name='unsalted', part=_hp.format(x='subject'))}
+UNION ALL
+{_salt_leg.format(name='salted', part=_hp.format(x='salted_key'))}""")
 
     return sqls

@@ -110,3 +110,48 @@ def test_ann_recall_eval_bounds(spark):
         assert r.n_exact == 3
         assert 0 <= r.n_hit <= min(r.n_exact, r.n_approx)
         assert abs(r.recall - r.n_hit / r.n_exact) < 1e-6
+
+
+def test_zorder_prune_beats_linear_on_v_predicate(spark):
+    # every user bucket inside the box's u-range, values mostly OUTSIDE
+    # its v-range: the u-side prunes nothing for either layout, so only
+    # the Z layout (which bounds v per file) can skip anything
+    import datetime
+    import itertools
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [(i, ts, 10 + (u % 16), "t", float(v), "{}")
+            for i, (u, v) in enumerate(itertools.product(
+                range(64), [5.0, 100.0, 200.0, 300.0, 450.0]))]
+    events = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.olap import (
+        zorder_prune_stats,
+    )
+    out = {r.layout: r for r in zorder_prune_stats(events).collect()}
+    assert set(out) == {"zorder", "linear"}
+    # the linear layout sorts on u only: every file spans all v values,
+    # so the v-side of the box prunes nothing and every u-matching
+    # file is scanned; z-order must scan a strictly smaller fraction
+    assert out["zorder"].frac_files_scanned \
+        < out["linear"].frac_files_scanned
+    for r in out.values():
+        assert 0 < r.n_files_scanned <= r.n_files
+        assert r.n_rows_scanned > 0
+
+
+def test_salt_audit_spreads_a_hub_key(spark):
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.olap import (
+        salt_balance_audit,
+    )
+    rows = [("hub", f"r{i}") for i in range(900)]
+    rows += [(f"k{i}", f"t{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, "k string, rid string")
+    out = {r.layout: r for r in
+           salt_balance_audit(df, "k", "rid").collect()}
+    assert out["unsalted"].total_rows == out["salted"].total_rows == 1000
+    # the hub key owns >= 90% of one partition unsalted; salting must
+    # cut the heaviest partition's share by a large factor
+    assert out["unsalted"].max_share >= 0.9
+    assert out["salted"].max_share < 0.5 * out["unsalted"].max_share
+    assert out["salted"].n_parts_used > out["unsalted"].n_parts_used / 2
