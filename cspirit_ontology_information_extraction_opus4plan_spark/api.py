@@ -1589,6 +1589,36 @@ def q_url_robots(spark, sf_dir):
                         DE.robots_rules_df(spark))
 
 
+def q_html_extract(spark, sf_dir):
+    """HTML field extraction over the decorated crawl pages: title,
+    link count, visible-text length, meta presence, quarantine of
+    truncated-<title> fetches."""
+    from .operators.webingest import extract_html
+    return extract_html(DE.html_docs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")))
+
+
+def q_sitemap_parse(spark, sf_dir):
+    """Sitemap XML round-trip: per-host <url> entries built from the
+    corpus, exploded back out with loc/lastmod/priority and the
+    cross-host submission check."""
+    from .operators.webingest import parse_sitemaps
+    return parse_sitemaps(DE.sitemap_entry_and_files(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")))
+
+
+def q_warc_parse(spark, sf_dir):
+    """WARC record splitting over concatenated multi-record files:
+    header fields + declared-vs-actual body length verification
+    (planted off-by-one records flag as length_mismatch)."""
+    from .operators.webingest import parse_warc
+    return parse_warc(DE.warc_files(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")))
+
+
 def q_url_curation(spark, sf_dir):
     """Crawl-side URL curation: canonicalize (case/port/fragment/
     tracking-param/trailing-slash), blocklist by registered domain,
@@ -2269,6 +2299,9 @@ def queries() -> dict[str, QueryFn]:
         "url_frontier_plan": q_url_frontier_plan,
         "url_robots": q_url_robots,
         "web_anchor_profile": q_web_anchor_profile,
+        "html_extract": q_html_extract,
+        "sitemap_parse": q_sitemap_parse,
+        "warc_parse": q_warc_parse,
         "embedding_label_stats": q_embedding_label_stats,
         "embedding_kmeans": q_embedding_kmeans,
         "embedding_quantize": q_embedding_quantize,

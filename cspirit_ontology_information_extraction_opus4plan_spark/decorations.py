@@ -1006,3 +1006,173 @@ urld AS (
          || (CASE WHEN doc_id % 8 = 0 THEN '#sec2' ELSE '' END) AS url
   FROM documents
 )""".strip()
+
+
+# --- web-crawl ingestion corpora (HTML / sitemap / WARC) ---------------------
+
+WEB_HOSTS = 13          # host universe: www.site{0..12}.example.org
+WEB_LINK_MOD = 500      # link-target page-id space (matches LINK_MOD)
+HTML_BROKEN_MOD = 97    # doc_id%97==0 -> truncated <title> (quarantine)
+SITEMAP_FOREIGN_MOD = 101   # doc_id%101==0 -> cross-host <loc> plant
+WARC_SHORT_MOD = 89     # doc_id%89==0 -> declared length off by one
+WARC_FILE_DOCS = 16     # records per synthetic WARC file
+
+
+def _web_host(did):
+    from pyspark.sql import functions as F
+    return F.concat(F.lit("www.site"), (did % WEB_HOSTS).cast("string"),
+                    F.lit(".example.org"))
+
+
+def html_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, html): deterministic HTML page per document — titled
+    head (doc_id%3==0 adds a meta description), nav/footer chrome, the
+    doc text as the body paragraph, one outbound link (two when
+    doc_id%2==0, targets the link_edges id space), and a truncated
+    <title> for doc_id%97==0 (the quarantine plant). Rebuilt
+    identically by html_docs_sql."""
+    did = F.col("doc_id")
+    host = _web_host(did)
+    a1 = F.concat(F.lit('<a href="https://'), host, F.lit("/page/"),
+                  ((did * 7 + 3) % WEB_LINK_MOD).cast("string"),
+                  F.lit('">next</a>'))
+    a2 = F.concat(F.lit('<a href="https://'), host, F.lit("/page/"),
+                  ((did * 11 + 5) % WEB_LINK_MOD).cast("string"),
+                  F.lit('">related</a>'))
+    title_close = F.when(did % HTML_BROKEN_MOD == 0, F.lit("")) \
+        .otherwise(F.lit("</title>"))
+    meta = F.when(did % 3 == 0, F.concat(
+        F.lit('<meta name="description" content="doc '),
+        did.cast("string"), F.lit(' summary">'))).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), did.cast("string"),
+        title_close, meta,
+        F.lit("</head><body><nav>Home | About</nav><p>"),
+        F.col("text"), F.lit("</p>"), a1,
+        F.when(did % 2 == 0, a2).otherwise(F.lit("")),
+        F.lit("<footer>(c) example press</footer></body></html>"))
+    return docs.select("doc_id", html.alias("html"))
+
+
+def html_docs_sql() -> str:
+    """DuckDB twin of html_docs over the documents view."""
+    return f"""
+hdocs AS (
+  SELECT doc_id,
+         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+         || (CASE WHEN doc_id % {HTML_BROKEN_MOD} = 0 THEN ''
+                  ELSE '</title>' END)
+         || (CASE WHEN doc_id % 3 = 0 THEN
+               '<meta name="description" content="doc '
+               || CAST(doc_id AS VARCHAR) || ' summary">'
+             ELSE '' END)
+         || '</head><body><nav>Home | About</nav><p>' || text || '</p>'
+         || '<a href="https://www.site' || CAST(doc_id % {WEB_HOSTS}
+              AS VARCHAR) || '.example.org/page/'
+         || CAST((doc_id * 7 + 3) % {WEB_LINK_MOD} AS VARCHAR)
+         || '">next</a>'
+         || (CASE WHEN doc_id % 2 = 0 THEN
+               '<a href="https://www.site' || CAST(doc_id % {WEB_HOSTS}
+                 AS VARCHAR) || '.example.org/page/'
+               || CAST((doc_id * 11 + 5) % {WEB_LINK_MOD} AS VARCHAR)
+               || '">related</a>'
+             ELSE '' END)
+         || '<footer>(c) example press</footer></body></html>' AS html
+  FROM documents
+)""".strip()
+
+
+def sitemap_entry_and_files(docs: DataFrame) -> DataFrame:
+    """(host, xml): one sitemap per host — its docs' <url> entries
+    (loc/lastmod/priority) concatenated in doc_id order; doc_id%101==0
+    entries point at a foreign host (the cross-host plant parse must
+    flag). Rebuilt identically by sitemap_files_sql."""
+    did = F.col("doc_id")
+    loc_host = F.when(did % SITEMAP_FOREIGN_MOD == 0,
+                      F.lit("www.other.example.net")) \
+        .otherwise(_web_host(did))
+    entry = F.concat(
+        F.lit("<url><loc>https://"), loc_host, F.lit("/page/"),
+        did.cast("string"), F.lit("</loc><lastmod>2024-01-"),
+        F.lpad((did % 27 + 1).cast("string"), 2, "0"),
+        F.lit("</lastmod><priority>0."), (did % 10).cast("string"),
+        F.lit("</priority></url>"))
+    per = docs.select(_web_host(did).alias("host"), "doc_id",
+                      entry.alias("entry"))
+    return (per.groupBy("host")
+            .agg(F.array_sort(F.collect_list(F.struct("doc_id", "entry")))
+                 .alias("es"))
+            .select("host", F.concat(
+                F.lit('<urlset>'),
+                F.array_join(F.transform("es", lambda s: s.entry), ""),
+                F.lit("</urlset>")).alias("xml")))
+
+
+def sitemap_files_sql() -> str:
+    """DuckDB twin of sitemap_entry_and_files over the documents view."""
+    return f"""
+smaps AS (
+  SELECT host, '<urlset>' || string_agg(entry, '' ORDER BY doc_id)
+           || '</urlset>' AS xml
+  FROM (
+    SELECT 'www.site' || CAST(doc_id % {WEB_HOSTS} AS VARCHAR)
+             || '.example.org' AS host,
+           doc_id,
+           '<url><loc>https://'
+           || (CASE WHEN doc_id % {SITEMAP_FOREIGN_MOD} = 0
+                    THEN 'www.other.example.net'
+                    ELSE 'www.site' || CAST(doc_id % {WEB_HOSTS}
+                           AS VARCHAR) || '.example.org' END)
+           || '/page/' || CAST(doc_id AS VARCHAR)
+           || '</loc><lastmod>2024-01-'
+           || lpad(CAST(doc_id % 27 + 1 AS VARCHAR), 2, '0')
+           || '</lastmod><priority>0.'
+           || CAST(doc_id % 10 AS VARCHAR) || '</priority></url>'
+             AS entry
+    FROM documents) e
+  GROUP BY host
+)""".strip()
+
+
+def warc_files(docs: DataFrame) -> DataFrame:
+    """(file_id, payload): docs grouped 16-per-file into concatenated
+    WARC/1.0 records (Type/Target-URI/Content-Length headers, blank
+    line, body, record terminator); doc_id%89==0 declares length+1
+    (the truncation plant). Rebuilt identically by warc_files_sql."""
+    did = F.col("doc_id")
+    declared = (F.length("text")
+                + F.when(did % WARC_SHORT_MOD == 0, 1).otherwise(0))
+    rec = F.concat(
+        F.lit("WARC/1.0\nWARC-Type: response\nWARC-Target-URI: https://"),
+        _web_host(did), F.lit("/page/"), did.cast("string"),
+        F.lit("\nContent-Length: "), declared.cast("string"),
+        F.lit("\n\n"), F.col("text"), F.lit("\n\n"))
+    per = docs.select((did / WARC_FILE_DOCS).cast("bigint")
+                      .alias("file_id"), "doc_id", rec.alias("rec"))
+    return (per.groupBy("file_id")
+            .agg(F.array_sort(F.collect_list(F.struct("doc_id", "rec")))
+                 .alias("rs"))
+            .select("file_id", F.array_join(
+                F.transform("rs", lambda s: s.rec), "").alias("payload")))
+
+
+def warc_files_sql() -> str:
+    """DuckDB twin of warc_files over the documents view."""
+    return f"""
+wfiles AS (
+  SELECT CAST(floor(doc_id / {WARC_FILE_DOCS}) AS BIGINT) AS file_id,
+         string_agg(rec, '' ORDER BY doc_id) AS payload
+  FROM (
+    SELECT doc_id,
+           'WARC/1.0' || chr(10) || 'WARC-Type: response' || chr(10)
+           || 'WARC-Target-URI: https://www.site'
+           || CAST(doc_id % {WEB_HOSTS} AS VARCHAR)
+           || '.example.org/page/' || CAST(doc_id AS VARCHAR)
+           || chr(10) || 'Content-Length: '
+           || CAST(length(text)
+                   + (CASE WHEN doc_id % {WARC_SHORT_MOD} = 0
+                           THEN 1 ELSE 0 END) AS VARCHAR)
+           || chr(10) || chr(10) || text || chr(10) || chr(10) AS rec
+    FROM documents) r
+  GROUP BY 1
+)""".strip()

@@ -1,0 +1,120 @@
+"""Web-crawl ingestion parsers — the layer between the raw crawl and
+urlops' URL curation: HTML field extraction (title/links/visible
+text), sitemap XML parsing, and WARC record splitting. The reference's
+ingestion surface is file/URL routing plus domain parsers (SURVEY
+§2.1, ontology_manager.py:196-206 URL leg); a web-scale KG build adds
+these three because its input arrives as crawl artifacts, not curated
+ontology files.
+
+All three are pure column expressions (regexp extract/replace, literal
+split, higher-order array ops) — one codegen pass per row, no Python,
+no shuffle. Payload rows are independent, so the operators scale
+linearly with input splits: a 100-TB WARC corpus is just more
+partitions. Regexes stay in the common Java-regex/RE2 dialect subset
+(char classes, non-greedy, no backreferences) so the DuckDB oracle
+replays them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["extract_html", "parse_sitemaps", "parse_warc"]
+
+
+def extract_html(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Field extraction over raw HTML payloads: title, link count,
+    visible-text length (tags stripped, whitespace collapsed), meta
+    description presence, and an ok/quarantine status (pages whose
+    <title> never closes — truncated fetches — quarantine instead of
+    aborting, the guards.py contract). Mirrors the reference's
+    "parse, never crash" ingestion stance for a format it does not
+    ship (its HTML arrives pre-extracted as text spans).
+
+    Link counting is substring occurrence arithmetic, not regex, so
+    the count is exact and dialect-free."""
+    h = F.col(html_col)
+    link_tok = "<a href="
+    stripped = F.trim(F.regexp_replace(
+        F.regexp_replace(h, r"<[^>]*>", " "), r"\s+", " "))
+    title = F.regexp_extract(h, r"<title>([^<]*)</title>", 1)
+    return pages.select(
+        "doc_id",
+        title.alias("title"),
+        ((F.length(h) - F.length(F.replace(h, F.lit(link_tok))))
+         / len(link_tok)).cast("bigint").alias("n_links"),
+        F.length(stripped).cast("bigint").alias("n_text_chars"),
+        h.contains('<meta name="description"').alias("has_meta_desc"),
+        F.when(title == "", F.lit("quarantined_no_title"))
+        .otherwise(F.lit("ok")).alias("status"))
+
+
+def parse_sitemaps(sitemaps: DataFrame,
+                   xml_col: str = "xml") -> DataFrame:
+    """Sitemap-protocol XML parser: explode <url> blocks, extract
+    loc/lastmod/priority per entry, and validate that each loc's host
+    matches the host that served the sitemap (the cross-host
+    submission rule — foreign locs are flagged, not dropped, so the
+    frontier planner can decide). Emits (host, loc, lastmod,
+    priority, host_ok), one row per <url> entry.
+
+    regexp_extract_all on the non-greedy block pattern keeps the
+    explode JVM-side; per-host sitemap payloads are bounded by that
+    host's page count, so a mega-host inflates one row's array, which
+    the explode immediately re-distributes."""
+    x = F.col(xml_col)
+    blocks = F.regexp_extract_all(x, F.lit(r"<url>(.*?)</url>"),
+                                  F.lit(1))
+    b = F.col("block")
+    loc = F.regexp_extract(b, r"<loc>([^<]*)</loc>", 1)
+    return (sitemaps
+            .select("host", F.explode(blocks).alias("block"))
+            .select(
+                "host",
+                loc.alias("loc"),
+                F.regexp_extract(b, r"<lastmod>([^<]*)</lastmod>", 1)
+                .alias("lastmod"),
+                F.regexp_extract(b, r"<priority>([^<]*)</priority>", 1)
+                .cast("double").alias("priority"),
+                (F.regexp_extract(loc, r"^https?://([^/]+)", 1)
+                 == F.col("host")).alias("host_ok")))
+
+
+def parse_warc(files: DataFrame, payload_col: str = "payload",
+               id_col: str = "file_id") -> DataFrame:
+    """WARC file splitter: cut a concatenated multi-record payload at
+    the 'WARC/1.0' record boundary, parse the header fields
+    (WARC-Type, WARC-Target-URI, Content-Length), measure the actual
+    body length after the blank line, and verify it against the
+    declared Content-Length — truncated records get status
+    'length_mismatch' instead of poisoning downstream parsers. Emits
+    (file_id, target_uri, rec_type, content_length, body_chars,
+    status), one row per record.
+
+    The split is a literal boundary (regex-escaped dot), the header
+    extracts are \\S+ captures, and the body measurement is string
+    arithmetic — all codegen, no Python. Records per file are bounded
+    by the writer's file-rotation policy, so the per-row array the
+    explode consumes is small by construction."""
+    recs = F.filter(
+        F.split(F.col(payload_col), r"WARC/1\.0\n"),
+        lambda r: r != "")
+    r = F.col("rec")
+    # record layout: 'headers\n\nbody\n\n' — body sits between the
+    # first blank line and the trailing record terminator
+    body_chars = (F.length(r) - F.instr(r, "\n\n") - 3).cast("bigint")
+    declared = F.regexp_extract(r, r"Content-Length: ([0-9]+)", 1) \
+        .cast("bigint")
+    return (files
+            .select(id_col, F.explode(recs).alias("rec"))
+            .select(
+                id_col,
+                F.regexp_extract(r, r"WARC-Target-URI: (\S+)", 1)
+                .alias("target_uri"),
+                F.regexp_extract(r, r"WARC-Type: (\S+)", 1)
+                .alias("rec_type"),
+                declared.alias("content_length"),
+                body_chars.alias("body_chars"),
+                F.when(declared == body_chars, F.lit("ok"))
+                .otherwise(F.lit("length_mismatch")).alias("status")))

@@ -4501,6 +4501,64 @@ SELECT r.dst, i.in_degree, r.anchor, r.n, CAST(r.rank AS INT) AS rank
 FROM ranked r JOIN indeg i USING (dst)
 WHERE r.rank <= {ANCHOR_TOP_N}"""
 
+    from .decorations import (
+        html_docs_sql, sitemap_files_sql, warc_files_sql,
+    )
+    _title_re = "'<title>([^<]*)</title>'"
+    sqls["html_extract"] = f"""
+WITH {html_docs_sql()}
+SELECT doc_id,
+       regexp_extract(html, {_title_re}, 1) AS title,
+       CAST((length(html) - length(replace(html, '<a href=', ''))) / 8
+            AS BIGINT) AS n_links,
+       CAST(length(trim(regexp_replace(regexp_replace(
+              html, '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')))
+            AS BIGINT) AS n_text_chars,
+       contains(html, '<meta name="description"') AS has_meta_desc,
+       CASE WHEN regexp_extract(html, {_title_re}, 1) = ''
+            THEN 'quarantined_no_title' ELSE 'ok' END AS status
+FROM hdocs"""
+
+    sqls["sitemap_parse"] = f"""
+WITH {sitemap_files_sql()},
+ex AS (
+  SELECT host,
+         unnest(regexp_extract_all(xml, '<url>(.*?)</url>', 1)) AS block
+  FROM smaps)
+SELECT host,
+       regexp_extract(block, '<loc>([^<]*)</loc>', 1) AS loc,
+       regexp_extract(block, '<lastmod>([^<]*)</lastmod>', 1) AS lastmod,
+       CAST(regexp_extract(block, '<priority>([^<]*)</priority>', 1)
+            AS DOUBLE) AS priority,
+       regexp_extract(regexp_extract(block, '<loc>([^<]*)</loc>', 1),
+                      '^https?://([^/]+)', 1) = host AS host_ok
+FROM ex"""
+
+    sqls["warc_parse"] = f"""
+WITH {warc_files_sql()},
+rx AS (
+  SELECT file_id, r AS rec FROM (
+    SELECT file_id,
+           unnest(string_split(payload, 'WARC/1.0' || chr(10))) AS r
+    FROM wfiles) s
+  WHERE r <> ''),
+px AS (
+  SELECT file_id, rec,
+         CAST(regexp_extract(rec, 'Content-Length: ([0-9]+)', 1)
+              AS BIGINT) AS content_length,
+         CAST(length(rec) - strpos(rec, chr(10) || chr(10)) - 3
+              AS BIGINT) AS body_chars
+  FROM rx)
+SELECT file_id,
+       regexp_extract(rec, 'WARC-Target-URI: ([^ ' || chr(10)
+                      || ']+)', 1) AS target_uri,
+       regexp_extract(rec, 'WARC-Type: ([^ ' || chr(10) || ']+)', 1)
+         AS rec_type,
+       content_length, body_chars,
+       CASE WHEN content_length = body_chars THEN 'ok'
+            ELSE 'length_mismatch' END AS status
+FROM px"""
+
     from .decorations import robots_rules_sql
     sqls["url_robots"] = f"""
 WITH {url_canon_ctes},
