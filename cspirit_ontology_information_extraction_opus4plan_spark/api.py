@@ -2383,7 +2383,38 @@ def queries() -> dict[str, QueryFn]:
         "hierarchy_path_counts": q_hierarchy_path_counts,
         "event_zorder_prune": q_event_zorder_prune,
         "triple_salt_audit": q_triple_salt_audit,
+        "doc_ccnet_buckets": q_doc_ccnet_buckets,
+        "event_watermark_audit": q_event_watermark_audit,
+        "kg_triple_plausibility": q_kg_triple_plausibility,
     }
+
+
+def q_doc_ccnet_buckets(spark, sf_dir):
+    """CCNet-style per-language perplexity tiers (head/middle/tail)
+    under per-language unigram models; exact distributed ntile."""
+    from .operators.textops import ccnet_ppl_buckets
+    return ccnet_ppl_buckets(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang", "text"))
+
+
+def q_event_watermark_audit(spark, sf_dir):
+    """Watermark-sizing audit: replay the (planted out-of-order)
+    arrival stream, measure lateness against the running high-water
+    mark, report per-type drop counts at candidate watermark delays."""
+    from .operators.content_stats import load_events
+    from .operators.olap import watermark_audit
+    return watermark_audit(DE.delayed_arrivals(load_events(spark, sf_dir)))
+
+
+def q_kg_triple_plausibility(spark, sf_dir):
+    """TransE-energy plausibility audit over the deduped triple store:
+    hash-derived embeddings, per-predicate z-scores, implausible
+    flags — the geometric complement of the SHACL/cardinality checks."""
+    from .operators.relations import triple_plausibility
+    return triple_plausibility(
+        dedup_triples(triples_df(spark, sf_dir))
+        .select("subject", "predicate", "object"))
 
 
 def q_event_zorder_prune(spark, sf_dir):

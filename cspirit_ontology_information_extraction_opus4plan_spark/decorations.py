@@ -1176,3 +1176,33 @@ wfiles AS (
     FROM documents) r
   GROUP BY 1
 )""".strip()
+
+
+# --- out-of-order arrival plant (watermark audit) ----------------------------
+
+ARRIVAL_DELAY_MOD = 23    # every 23rd event arrives late
+ARRIVAL_DELAY_SLOTS = 40  # ...pushed 40 arrival positions back
+
+
+def delayed_arrivals(events: DataFrame) -> DataFrame:
+    """events + arrival_seq: replayable out-of-order arrival order —
+    event_id IS the in-order arrival position except every 23rd event,
+    which arrives 40 slots later (a network-delayed producer). Ties on
+    arrival_seq (the delayed event landing between two on-time ones)
+    break by event_id. Rebuilt identically by delayed_arrivals_sql."""
+    did = F.col("event_id")
+    return events.withColumn(
+        "arrival_seq",
+        F.when(did % ARRIVAL_DELAY_MOD == 0,
+               did + ARRIVAL_DELAY_SLOTS).otherwise(did))
+
+
+def delayed_arrivals_sql() -> str:
+    """DuckDB twin of delayed_arrivals over the events view."""
+    return f"""
+arr AS (
+  SELECT *, CASE WHEN event_id % {ARRIVAL_DELAY_MOD} = 0
+                 THEN event_id + {ARRIVAL_DELAY_SLOTS}
+                 ELSE event_id END AS arrival_seq
+  FROM events
+)""".strip()

@@ -46,11 +46,18 @@ def global_row_number(df: DataFrame, order: Sequence[Column],
 
     `order` must be a total order (add a unique tiebreak column) —
     equal keys split across a range boundary would otherwise get
-    arbitrary relative ranks."""
+    arbitrary relative ranks.
+
+    The partitioned frame is localCheckpointed: the plan references it
+    from two subtrees (per-partition counts, row labeling), and each
+    Exchange re-SAMPLES range boundaries independently — without the
+    checkpoint the offsets and the labels can come from two different
+    partitionings, silently corrupting ranks."""
     n_parts = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     d = (df.repartitionByRange(n_parts, *order)
-         .withColumn("__pid", F.spark_partition_id()))
+         .withColumn("__pid", F.spark_partition_id())
+         .localCheckpoint(eager=True))
     local = F.row_number().over(
         Window.partitionBy("__pid").orderBy(*order))
     counts = d.groupBy("__pid").agg(F.count("*").alias("__n"))
@@ -407,3 +414,111 @@ def salt_balance_audit(df: DataFrame, key: str, row_id: str,
             F.round(F.max("n") / F.sum("n"), 6).alias("max_share"),
             F.round(F.max("n") / F.avg("n"), 6).alias("skew_ratio")))
     return outs[0].unionByName(outs[1])
+
+
+def grouped_ntile(df: DataFrame, group: str, order: Sequence[Column],
+                  k: int, out_col: str = "bucket",
+                  num_partitions: int | None = None) -> DataFrame:
+    """Exact per-group ntile(k) without the per-group single-task
+    window (`Window.partitionBy(group)` puts each group in ONE task —
+    a mega-group, e.g. the English split of a web corpus, becomes the
+    straggler). Same two-phase shape as global_row_number, extended
+    with the group key: range-partition on (group, *order) so each
+    group's sorted run stays contiguous, rank locally per (partition,
+    group), then add per-(partition, group) prefix offsets — a
+    dimension-sized frame (<= n_partitions x n_groups rows) whose
+    window and the per-group totals both broadcast.
+
+    Bucket assignment replays SQL ntile semantics exactly (first
+    n mod k buckets get the extra row) in integer arithmetic, so the
+    DuckDB oracle's native ntile agrees bit-for-bit. `order` must be a
+    total order within each group. localCheckpoint pins ONE sampled
+    range partitioning across the counts and labeling subtrees (see
+    global_row_number)."""
+    n_parts = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    d = (df.repartitionByRange(n_parts, F.col(group), *order)
+         .withColumn("__pid", F.spark_partition_id())
+         .localCheckpoint(eager=True))
+    local = F.row_number().over(
+        Window.partitionBy("__pid", group).orderBy(*order))
+    counts = d.groupBy("__pid", group).agg(F.count("*").alias("__n"))
+    offs = counts.select(
+        "__pid", group,
+        F.coalesce(
+            F.sum("__n").over(
+                Window.partitionBy(group).orderBy("__pid")
+                .rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0)).alias("__off"))
+    totals = counts.groupBy(group).agg(F.sum("__n").alias("__tot"))
+    rank = (F.col("__off") + F.col("__rn")).cast("bigint")
+    q = (F.col("__tot") / k).cast("bigint")          # floor: tot >= 0
+    rem = F.col("__tot") % k
+    head = rem * (q + 1)
+    # integer ceil(a/b) = (a + b - 1) div b; guard q=0 (never selected
+    # when rank > head is impossible, but keep the division total)
+    bucket = F.when(rank <= head,
+                    ((rank + q) / (q + 1)).cast("bigint")) \
+        .otherwise(rem + ((rank - head + F.greatest(q, F.lit(1)) - 1)
+                          / F.greatest(q, F.lit(1))).cast("bigint"))
+    return (d.withColumn("__rn", local)
+            .join(F.broadcast(offs), ["__pid", group])
+            .join(F.broadcast(totals), group)
+            .withColumn(out_col, bucket.cast("int"))
+            .drop("__pid", "__rn", "__off", "__tot"))
+
+
+WATERMARK_LEVELS_S = (1800, 7200)    # 30 min / 2 h candidate delays
+
+
+def watermark_audit(events: DataFrame,
+                    arrival_col: str = "arrival_seq") -> DataFrame:
+    """Watermark-sizing audit for a streaming ingest: replay the
+    arrival order, track the high-water mark (max event time seen so
+    far), measure each event's lateness against it, and report — per
+    event type — how many events a 30-minute or 2-hour watermark
+    delay would have DROPPED, plus the worst lateness observed. This
+    is the batch-side measurement that decides the `withWatermark`
+    delay the streaming pipeline (streaming/pipeline.py) should run
+    with: too short drops data, too long holds state.
+
+    The running max over the global arrival stream is the same
+    two-phase decomposition as global_row_number: range-partition by
+    arrival order, per-partition running max (parallel windows), then
+    fold in the per-partition prefix maxima — a dimension-sized frame.
+    All arithmetic is integer microseconds, so both engines agree
+    exactly."""
+    lo, hi = WATERMARK_LEVELS_S
+    n_parts = int(
+        events.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # cast makes NTZ inputs work (same idiom as interval_join); the
+    # uniform session-tz shift cancels in every lateness difference
+    d = (events
+         .withColumn("__us", F.unix_micros(F.col("ts").cast("timestamp")))
+         .repartitionByRange(n_parts, F.col(arrival_col), F.col("event_id"))
+         .withColumn("__pid", F.spark_partition_id())
+         .localCheckpoint(eager=True))  # pin ONE sampled partitioning
+    w_local = (Window.partitionBy("__pid")
+               .orderBy(arrival_col, "event_id")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    pmax = d.groupBy("__pid").agg(F.max("__us").alias("__pm"))
+    prefix = pmax.select(
+        "__pid",
+        F.max("__pm").over(
+            Window.orderBy("__pid")
+            .rowsBetween(Window.unboundedPreceding, -1)).alias("__pre"))
+    hwm = F.greatest(F.coalesce(F.max("__us").over(w_local), F.lit(-1)),
+                     F.coalesce(F.col("__pre"), F.lit(-1)))
+    late_us = F.greatest(F.lit(0), hwm - F.col("__us"))
+    return (d.join(F.broadcast(prefix), "__pid")
+            .withColumn("__late", late_us)
+            .groupBy("event_type")
+            .agg(F.count("*").cast("bigint").alias("n_events"),
+                 F.sum((F.col("__late") > 0).cast("bigint"))
+                 .cast("bigint").alias("n_late"),
+                 F.sum((F.col("__late") > lo * 1_000_000).cast("bigint"))
+                 .cast("bigint").alias(f"n_dropped_{lo}s"),
+                 F.sum((F.col("__late") > hi * 1_000_000).cast("bigint"))
+                 .cast("bigint").alias(f"n_dropped_{hi}s"),
+                 (F.max("__late") / 1_000_000).cast("bigint")
+                 .alias("max_lateness_s")))

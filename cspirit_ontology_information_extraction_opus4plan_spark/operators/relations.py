@@ -603,3 +603,60 @@ def dedup_retract(pre: DataFrame, removed_docs: DataFrame) -> DataFrame:
     kept = (old.alias("o").join(akeys.alias("k"), _nscond("o"),
                                 "left_anti"))
     return kept.unionByName(re_agg)
+
+
+TRANSE_DIMS = 8
+PLAUS_SIGMA = 2.0
+PLAUS_MIN_N = 4
+
+
+def _hash_emb(x, c: int):
+    """Deterministic pseudo-embedding component in [-1, 1): md5 of
+    'value:dim' -> 8 hex chars -> integer -> scaled. The md5 idiom is
+    the engine-portable hash both sides of the oracle replay; a
+    production run swaps in trained vectors (a (node, array<float>)
+    table) without changing the plan."""
+    h = F.conv(F.substring(
+        F.md5(F.concat(x, F.lit(f":{c}"))), 1, 8), 16, 10) \
+        .cast("bigint")
+    return (h % 2000) / 1000.0 - 1.0
+
+
+def triple_plausibility(triples: DataFrame,
+                        dims: int = TRANSE_DIMS) -> DataFrame:
+    """Embedding-based triple plausibility audit — the TransE energy
+    check (Bordes et al. 2013) used to flag suspect edges in an
+    automatically-constructed KG: energy(h, r, t) = ||h + r - t||_1
+    over per-node/per-predicate embeddings; triples whose energy sits
+    more than PLAUS_SIGMA sample deviations from their predicate's
+    mean are flagged implausible (extraction noise candidates for
+    human review). Complements the symbolic checks (SHACL shapes,
+    cardinality, inverse consistency) with a geometric one.
+
+    Embeddings here are hash-derived (see _hash_emb) so the audit is
+    self-contained and oracle-replayable; the energy is a pure per-row
+    column expression (no join against an embedding table, no
+    shuffle), and the per-predicate moments are a dimension-sized
+    aggregate broadcast back — the zscore_outliers shape. Predicates
+    with < PLAUS_MIN_N triples or zero spread emit nothing."""
+    s, p, o = F.col("subject"), F.col("predicate"), F.col("object")
+    energy = F.lit(0.0)
+    for c in range(dims):
+        energy = energy + F.abs(
+            _hash_emb(s, c) + _hash_emb(p, c) - _hash_emb(o, c))
+    scored = triples.select(
+        "subject", "predicate", "object",
+        F.round(energy, 6).alias("energy"))
+    stats = (scored.groupBy("predicate")
+             .agg(F.count("*").alias("n"),
+                  F.avg("energy").alias("mean_e"),
+                  F.stddev_samp("energy").alias("std_e"))
+             .filter((F.col("n") >= PLAUS_MIN_N)
+                     & (F.col("std_e") > 0)))
+    z = F.round((F.col("energy") - F.col("mean_e")) / F.col("std_e"), 4)
+    return (scored.join(
+        F.broadcast(stats.select("predicate", "mean_e", "std_e")),
+        "predicate")
+        .withColumn("z", z)
+        .select("subject", "predicate", "object", "energy", "z",
+                (F.abs(F.col("z")) > PLAUS_SIGMA).alias("implausible")))

@@ -2248,3 +2248,46 @@ def bigram_logloss(docs: DataFrame,
             .groupBy("doc_id")
             .agg(F.count("*").cast("bigint").alias("n_bigrams"),
                  F.round(-F.avg("lp"), 6).alias("cross_entropy")))
+
+
+CCNET_K = 3
+CCNET_BUCKETS = ("head", "middle", "tail")
+
+
+def ccnet_ppl_buckets(docs: DataFrame, k: int = CCNET_K) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.
+    2020): score each document's cross-entropy under ITS language's
+    corpus unigram model, then split every language into k equal
+    quality tiers — head (lowest perplexity, cleanest), middle, tail.
+    The head/middle cut is the standard pre-training inclusion
+    boundary; this is the per-language refinement of the corpus-wide
+    unigram_logloss.
+
+    One tokenize pass feeds per-(lang, token) counts; per-lang totals
+    are a dimension (broadcast). The tiering uses grouped_ntile's
+    two-phase exact rank, so a mega-language never collapses into one
+    window task (CCNet itself cuts on sampled thresholds; exact tiles
+    keep the oracle bit-for-bit while preserving the distributed
+    shape). Ordering is (rounded cross-entropy, doc_id) — a total
+    order both engines replay."""
+    from .olap import grouped_ntile
+    tok = (docs.select("doc_id", "lang",
+                       F.explode(tokens_col("text")).alias("t"))
+           .localCheckpoint(eager=True))
+    counts = tok.groupBy("lang", "t").agg(F.count("*").alias("tf"))
+    totals = counts.groupBy("lang").agg(
+        F.sum("tf").cast("double").alias("total"))
+    scored = (tok.join(counts, ["lang", "t"])
+              .join(F.broadcast(totals), "lang")
+              .select("doc_id", "lang",
+                      F.log(F.col("tf") / F.col("total")).alias("lp"))
+              .groupBy("doc_id", "lang")
+              .agg(F.count("*").cast("bigint").alias("n_tokens"),
+                   F.round(-F.avg("lp"), 6).alias("cross_entropy")))
+    tiled = grouped_ntile(scored, "lang",
+                          [F.col("cross_entropy"), F.col("doc_id")], k,
+                          out_col="tier")
+    names = F.array(*[F.lit(b) for b in CCNET_BUCKETS])
+    return tiled.select(
+        "doc_id", "lang", "n_tokens", "cross_entropy", "tier",
+        F.element_at(names, F.col("tier")).alias("bucket"))

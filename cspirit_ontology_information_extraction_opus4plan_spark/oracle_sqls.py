@@ -5986,4 +5986,83 @@ keyed AS (
 UNION ALL
 {_salt_leg.format(name='salted', part=_hp.format(x='salted_key'))}""")
 
+    sqls["doc_ccnet_buckets"] = """
+WITH tokc AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     t -> t <> '') AS toks
+  FROM documents),
+tok2 AS (SELECT doc_id, lang, unnest(toks) AS t FROM tokc),
+counts AS (SELECT lang, t, count(*) AS tf FROM tok2 GROUP BY 1, 2),
+totals AS (SELECT lang, CAST(sum(tf) AS DOUBLE) AS total
+           FROM counts GROUP BY 1),
+scored AS (
+  SELECT doc_id, tok2.lang, CAST(count(*) AS BIGINT) AS n_tokens,
+         round(-avg(ln(counts.tf / totals.total)), 6) AS cross_entropy
+  FROM tok2 JOIN counts USING (lang, t) JOIN totals USING (lang)
+  GROUP BY 1, 2),
+tiled AS (
+  SELECT *, ntile(3) OVER (
+    PARTITION BY lang ORDER BY cross_entropy, doc_id) AS tier
+  FROM scored)
+SELECT doc_id, lang, n_tokens, cross_entropy, CAST(tier AS INT) AS tier,
+       CASE tier WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM tiled""".strip()
+
+    from .decorations import delayed_arrivals_sql
+    from .operators.olap import WATERMARK_LEVELS_S
+    _wlo, _whi = WATERMARK_LEVELS_S
+    sqls["event_watermark_audit"] = f"""
+WITH {delayed_arrivals_sql()},
+l AS (
+  SELECT event_type, epoch_us(ts) AS us,
+         max(epoch_us(ts)) OVER (
+           ORDER BY arrival_seq, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+  FROM arr),
+x AS (SELECT event_type,
+             greatest(0, coalesce(hwm, -1) - us) AS late FROM l)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN late > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late,
+       CAST(sum(CASE WHEN late > {_wlo} * CAST(1000000 AS BIGINT) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped_{_wlo}s,
+       CAST(sum(CASE WHEN late > {_whi} * CAST(1000000 AS BIGINT) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped_{_whi}s,
+       CAST(floor(max(late) / 1000000.0) AS BIGINT) AS max_lateness_s
+FROM x GROUP BY 1""".strip()
+
+    from .operators.relations import PLAUS_MIN_N, PLAUS_SIGMA, TRANSE_DIMS
+
+    def _emb(x: str, c: int) -> str:
+        return (f"((CAST(concat('0x', substr(md5({x} || ':{c}'), 1, 8)) "
+                f"AS BIGINT) % 2000) / 1000.0 - 1.0)")
+
+    _energy = " + ".join(
+        f"abs({_emb('subject', c)} + {_emb('predicate', c)} "
+        f"- {_emb('object', c)})" for c in range(TRANSE_DIMS))
+    sqls["kg_triple_plausibility"] = (
+        corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + f""",
+pe AS (
+  SELECT subject, predicate, object,
+         round({_energy}, 6) AS energy
+  FROM (
+    SELECT subject, predicate, object, subject_type, object_type,
+           object_datatype, object_language,
+           max(confidence) AS confidence, count(*) AS support
+    FROM triples GROUP BY 1,2,3,4,5,6,7) d),
+st AS (
+  SELECT predicate, count(*) AS n, avg(energy) AS mean_e,
+         stddev_samp(energy) AS std_e
+  FROM pe GROUP BY 1
+  HAVING count(*) >= {PLAUS_MIN_N} AND stddev_samp(energy) > 0),
+zz AS (
+  SELECT pe.subject, pe.predicate, pe.object, pe.energy,
+         round((pe.energy - st.mean_e) / st.std_e, 4) AS z
+  FROM pe JOIN st USING (predicate))
+SELECT subject, predicate, object, energy, z,
+       abs(z) > {PLAUS_SIGMA} AS implausible
+FROM zz""")
+
     return sqls
