@@ -1619,6 +1619,33 @@ def q_warc_parse(spark, sf_dir):
         .select("doc_id", "text")))
 
 
+def q_file_compaction_plan(spark, sf_dir):
+    """Small-file compaction planner over the manifest-decorated
+    corpus: first-fit bin-pack per partition via one running-sum
+    window; at/over-target files pass through as keep."""
+    from .operators.maintenance import file_compaction_plan
+    return file_compaction_plan(DE.file_manifest(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")))
+
+
+def q_snapshot_expiry_orphans(spark, sf_dir):
+    """EXPIRE SNAPSHOTS audit: explode snapshot references, keep the
+    newest-3 snapshots' file set, flag unreferenced files as orphans
+    with their last referencing snapshot."""
+    from .operators.maintenance import snapshot_expiry_orphans
+    return snapshot_expiry_orphans(DE.file_manifest(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")))
+
+
+def q_doc_recrawl_diff(spark, sf_dir):
+    """Incremental-crawl page delta: digest round 1 vs the decorated
+    round 2 (gone/changed/new plants), full-outer status per page."""
+    from .operators.webingest import recrawl_diff
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    return recrawl_diff(docs, DE.recrawl_round2(docs))
+
+
 def q_url_curation(spark, sf_dir):
     """Crawl-side URL curation: canonicalize (case/port/fragment/
     tracking-param/trailing-slash), blocklist by registered domain,
@@ -2302,6 +2329,9 @@ def queries() -> dict[str, QueryFn]:
         "html_extract": q_html_extract,
         "sitemap_parse": q_sitemap_parse,
         "warc_parse": q_warc_parse,
+        "file_compaction_plan": q_file_compaction_plan,
+        "snapshot_expiry_orphans": q_snapshot_expiry_orphans,
+        "doc_recrawl_diff": q_doc_recrawl_diff,
         "embedding_label_stats": q_embedding_label_stats,
         "embedding_kmeans": q_embedding_kmeans,
         "embedding_quantize": q_embedding_quantize,

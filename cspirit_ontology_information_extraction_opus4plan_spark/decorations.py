@@ -1206,3 +1206,73 @@ arr AS (
                  ELSE event_id END AS arrival_seq
   FROM events
 )""".strip()
+
+
+# --- table-maintenance + recrawl corpora -------------------------------------
+
+def file_manifest(docs: DataFrame) -> DataFrame:
+    """(part, file_id, size_bytes, added_snap, removed_snap): the
+    documents table replayed as a lakehouse file manifest — partition
+    = source, size = n_chars, added at snapshot doc_id%8, removed at
+    added+1+doc_id%4 capped at 10 (doc_id%3==0 files still live,
+    removed_snap NULL). Rebuilt identically by file_manifest_sql."""
+    did = F.col("doc_id")
+    added = (did % 8).cast("bigint")
+    removed = F.when(did % 3 == 0, F.lit(None).cast("bigint")) \
+        .otherwise(F.least(added + 1 + did % 4, F.lit(10)).cast("bigint"))
+    return docs.select(
+        F.col("source").alias("part"), did.alias("file_id"),
+        F.col("n_chars").cast("bigint").alias("size_bytes"),
+        added.alias("added_snap"), removed.alias("removed_snap"))
+
+
+def file_manifest_sql() -> str:
+    """DuckDB twin of file_manifest over the documents view."""
+    return """
+fmani AS (
+  SELECT source AS part, doc_id AS file_id,
+         CAST(n_chars AS BIGINT) AS size_bytes,
+         CAST(doc_id % 8 AS BIGINT) AS added_snap,
+         CASE WHEN doc_id % 3 = 0 THEN NULL
+              ELSE CAST(least(doc_id % 8 + 1 + doc_id % 4, 10)
+                        AS BIGINT) END AS removed_snap
+  FROM documents
+)""".strip()
+
+
+RECRAWL_GONE_MOD = 17
+RECRAWL_CHANGED_MOD = 6
+RECRAWL_NEW_MOD = 19
+RECRAWL_NEW_BASE = 1_000_000
+
+
+def recrawl_round2(docs: DataFrame) -> DataFrame:
+    """Second crawl round over the documents corpus: doc_id%17==0
+    pages are gone, %6==0 pages changed (suffix edit), %19==0 pages
+    spawn a NEW page at doc_id+1e6. Rebuilt identically by
+    recrawl_round2_sql."""
+    did = F.col("doc_id")
+    kept = (docs.filter(did % RECRAWL_GONE_MOD != 0)
+            .select("doc_id",
+                    F.when(did % RECRAWL_CHANGED_MOD == 0,
+                           F.concat(F.col("text"), F.lit(" updated v2")))
+                    .otherwise(F.col("text")).alias("text")))
+    new = (docs.filter(did % RECRAWL_NEW_MOD == 0)
+           .select((did + RECRAWL_NEW_BASE).alias("doc_id"),
+                   F.concat(F.lit("fresh page "), F.col("text"))
+                   .alias("text")))
+    return kept.unionByName(new)
+
+
+def recrawl_round2_sql() -> str:
+    """DuckDB twin of recrawl_round2 over the documents view."""
+    return f"""
+r2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {RECRAWL_CHANGED_MOD} = 0
+              THEN text || ' updated v2' ELSE text END AS text
+  FROM documents WHERE doc_id % {RECRAWL_GONE_MOD} <> 0
+  UNION ALL
+  SELECT doc_id + {RECRAWL_NEW_BASE}, 'fresh page ' || text
+  FROM documents WHERE doc_id % {RECRAWL_NEW_MOD} = 0
+)""".strip()

@@ -1,0 +1,96 @@
+"""Table-maintenance planners — the housekeeping side of a 100-TB
+lakehouse the query operators assume has already happened: small-file
+compaction planning and snapshot-expiry orphan detection (the
+Iceberg/Delta OPTIMIZE and EXPIRE SNAPSHOTS decisions, planned here as
+deterministic DataFrame jobs so they can run as scheduled Spark
+maintenance). No reference counterpart (the reference is a
+single-process library); these pair with olap.zorder_prune_stats —
+that one measures layout quality, these plan the writes that keep it.
+
+Both are per-partition window/join plans: compaction is inherently
+sequential WITHIN a partition (bin-packing is a running sum) and
+embarrassingly parallel across partitions; expiry is an explode +
+anti-join whose snapshot dimension is bounded by the table's snapshot
+count, never by data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["file_compaction_plan", "snapshot_expiry_orphans"]
+
+COMPACT_TARGET_BYTES = 512
+SNAPSHOT_MAX = 10       # snapshots 0..9 exist
+SNAPSHOT_RETAIN = 3     # keep the newest 3 (7, 8, 9)
+
+
+def file_compaction_plan(files: DataFrame,
+                         target_bytes: int = COMPACT_TARGET_BYTES
+                         ) -> DataFrame:
+    """Small-file compaction planner: within each table partition,
+    stream the sub-target files in file order and close a compaction
+    group every time the cumulative size crosses the target — the
+    standard first-fit bin-pack every OPTIMIZE implementation runs.
+    Files already at/over target pass through as 'keep' with no
+    group. Emits (part, file_id, size_bytes, action, group_id).
+
+    group_id = floor(preceding-cumulative-size / target) is the
+    closed-form of the sequential packing, so the whole plan is ONE
+    running-sum window per partition — no iterative driver loop. A
+    partition's plan is serial by nature (groups depend on prefix
+    sums); partitions plan in parallel."""
+    small = files.filter(F.col("size_bytes") < target_bytes)
+    big = files.filter(F.col("size_bytes") >= target_bytes)
+    w = (Window.partitionBy("part").orderBy("file_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum_before = F.coalesce(F.sum("size_bytes").over(w), F.lit(0))
+    planned = small.select(
+        "part", "file_id", "size_bytes",
+        F.lit("compact").alias("action"),
+        F.floor(cum_before / target_bytes).cast("bigint")
+        .alias("group_id"))
+    passthru = big.select(
+        "part", "file_id", "size_bytes",
+        F.lit("keep").alias("action"),
+        F.lit(None).cast("bigint").alias("group_id"))
+    return planned.unionByName(passthru)
+
+
+def snapshot_expiry_orphans(manifest: DataFrame,
+                            snapshot_max: int = SNAPSHOT_MAX,
+                            retain: int = SNAPSHOT_RETAIN) -> DataFrame:
+    """EXPIRE SNAPSHOTS orphan audit: given a file manifest with each
+    file's added/removed snapshot ids, explode the (snapshot, file)
+    reference table, keep the references of the `retain` newest
+    snapshots, and anti-join the manifest against them — files no
+    retained snapshot references are safe to physically delete. Emits
+    every file with status 'retained' or 'orphan' plus its last
+    referencing snapshot, so the reclaim job and the audit trail come
+    from one pass.
+
+    The explode fans each file out to at most `snapshot_max` rows (a
+    table constant, not data-dependent), and the anti-join is an equi
+    semi-join on file_id — fully shuffle-partitionable; the retained
+    snapshot-id set is a literal predicate, not a join."""
+    cutoff = snapshot_max - retain
+    live_until = F.coalesce(F.col("removed_snap") - 1,
+                            F.lit(snapshot_max - 1))
+    refs = manifest.select(
+        "file_id",
+        F.explode(F.sequence(F.col("added_snap"),
+                             live_until)).alias("snap"))
+    retained_files = (refs.filter(F.col("snap") >= cutoff)
+                      .select("file_id").distinct())
+    last_ref = refs.groupBy("file_id").agg(
+        F.max("snap").cast("bigint").alias("last_snap"))
+    status = (manifest.join(retained_files.withColumn(
+        "__r", F.lit(True)), "file_id", "left")
+        .withColumn("status", F.when(F.col("__r").isNotNull(),
+                                     F.lit("retained"))
+                    .otherwise(F.lit("orphan")))
+        .drop("__r"))
+    return (status.join(last_ref, "file_id")
+            .select("file_id", "part", "size_bytes", "added_snap",
+                    "removed_snap", "last_snap", "status"))

@@ -20,7 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["extract_html", "parse_sitemaps", "parse_warc"]
+__all__ = ["extract_html", "parse_sitemaps", "parse_warc",
+           "recrawl_diff"]
 
 
 def extract_html(pages: DataFrame, html_col: str = "html") -> DataFrame:
@@ -118,3 +119,27 @@ def parse_warc(files: DataFrame, payload_col: str = "payload",
                 body_chars.alias("body_chars"),
                 F.when(declared == body_chars, F.lit("ok"))
                 .otherwise(F.lit("length_mismatch")).alias("status")))
+
+
+def recrawl_diff(round1: DataFrame, round2: DataFrame,
+                 key: str = "doc_id") -> DataFrame:
+    """Incremental-crawl change detector: digest both crawl rounds and
+    full-outer join per page — 'new' (no previous capture), 'gone'
+    (dropped from the frontier or 404), 'changed' (content digest
+    moved), 'unchanged' (recrawl wasted; lengthen its revisit
+    interval). This page-level delta is what decides which documents
+    re-enter the extraction pipeline, the crawl-side complement of
+    doc_cdc_chunks' within-document delta.
+
+    One digest projection per side + one equi full-outer join on the
+    page key — shuffle-partitionable, no window, no skew beyond the
+    key's own distribution."""
+    d1 = round1.select(key, F.md5("text").alias("digest_prev"))
+    d2 = round2.select(key, F.md5("text").alias("digest_curr"))
+    p, c = F.col("digest_prev"), F.col("digest_curr")
+    return (d1.join(d2, key, "full_outer")
+            .select(key, "digest_prev", "digest_curr",
+                    F.when(p.isNull(), F.lit("new"))
+                    .when(c.isNull(), F.lit("gone"))
+                    .when(p == c, F.lit("unchanged"))
+                    .otherwise(F.lit("changed")).alias("status")))

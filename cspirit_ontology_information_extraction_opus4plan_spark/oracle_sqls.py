@@ -4559,6 +4559,56 @@ SELECT file_id,
             ELSE 'length_mismatch' END AS status
 FROM px"""
 
+    from .decorations import (
+        file_manifest_sql, recrawl_round2_sql,
+    )
+    from .operators.maintenance import (
+        COMPACT_TARGET_BYTES, SNAPSHOT_MAX, SNAPSHOT_RETAIN,
+    )
+    _tgt = COMPACT_TARGET_BYTES
+    sqls["file_compaction_plan"] = f"""
+WITH {file_manifest_sql()},
+small AS (SELECT * FROM fmani WHERE size_bytes < {_tgt})
+SELECT part, file_id, size_bytes, 'compact' AS action,
+       CAST(floor(coalesce(sum(size_bytes) OVER (
+              PARTITION BY part ORDER BY file_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            / {_tgt}.0) AS BIGINT) AS group_id
+FROM small
+UNION ALL
+SELECT part, file_id, size_bytes, 'keep', CAST(NULL AS BIGINT)
+FROM fmani WHERE size_bytes >= {_tgt}"""
+
+    _cut = SNAPSHOT_MAX - SNAPSHOT_RETAIN
+    sqls["snapshot_expiry_orphans"] = f"""
+WITH {file_manifest_sql()},
+refs AS (
+  SELECT file_id,
+         unnest(generate_series(added_snap,
+                coalesce(removed_snap - 1, {SNAPSHOT_MAX - 1}))) AS snap
+  FROM fmani),
+ret AS (SELECT DISTINCT file_id FROM refs WHERE snap >= {_cut}),
+lastr AS (SELECT file_id, CAST(max(snap) AS BIGINT) AS last_snap
+          FROM refs GROUP BY 1)
+SELECT f.file_id, f.part, f.size_bytes, f.added_snap, f.removed_snap,
+       l.last_snap,
+       CASE WHEN r.file_id IS NULL THEN 'orphan'
+            ELSE 'retained' END AS status
+FROM fmani f JOIN lastr l USING (file_id)
+LEFT JOIN ret r USING (file_id)"""
+
+    sqls["doc_recrawl_diff"] = f"""
+WITH {recrawl_round2_sql()},
+d1 AS (SELECT doc_id, md5(text) AS digest_prev FROM documents),
+d2 AS (SELECT doc_id, md5(text) AS digest_curr FROM r2)
+SELECT coalesce(d1.doc_id, d2.doc_id) AS doc_id, digest_prev,
+       digest_curr,
+       CASE WHEN digest_prev IS NULL THEN 'new'
+            WHEN digest_curr IS NULL THEN 'gone'
+            WHEN digest_prev = digest_curr THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM d1 FULL OUTER JOIN d2 ON d1.doc_id = d2.doc_id"""
+
     from .decorations import robots_rules_sql
     sqls["url_robots"] = f"""
 WITH {url_canon_ctes},
