@@ -1619,6 +1619,31 @@ def q_warc_parse(spark, sf_dir):
         .select("doc_id", "text")))
 
 
+def q_crawl_admission(spark, sf_dir):
+    """Frontier admission over sitemap discoveries: cross-host reject,
+    robots longest-prefix reject, known-canonical-URL skip, admit."""
+    from .operators.urlops import canonicalize_urls
+    from .operators.webingest import crawl_admission, parse_sitemaps
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    entries = parse_sitemaps(
+        DE.sitemap_entry_and_files(docs.select("doc_id")))
+    crawled = canonicalize_urls(
+        DE.url_decorated_docs(docs.select("doc_id")))
+    return crawl_admission(entries, DE.robots_rules_df(spark), crawled)
+
+
+def q_gazetteer_anchor_mining(spark, sf_dir):
+    """Anchor-text alt-label candidates: anchors pointing at a page
+    donate surface forms to its dominant linked entity; known surfaces
+    anti-joined away."""
+    from .operators.gazetteer import gazetteer_df, mine_anchor_candidates
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    return mine_anchor_candidates(
+        DE.link_edges(docs), _linked_mentions(spark, sf_dir),
+        gazetteer_df(spark))
+
+
 def q_file_compaction_plan(spark, sf_dir):
     """Small-file compaction planner over the manifest-decorated
     corpus: first-fit bin-pack per partition via one running-sum
@@ -2332,6 +2357,8 @@ def queries() -> dict[str, QueryFn]:
         "file_compaction_plan": q_file_compaction_plan,
         "snapshot_expiry_orphans": q_snapshot_expiry_orphans,
         "doc_recrawl_diff": q_doc_recrawl_diff,
+        "crawl_admission": q_crawl_admission,
+        "gazetteer_anchor_mining": q_gazetteer_anchor_mining,
         "embedding_label_stats": q_embedding_label_stats,
         "embedding_kmeans": q_embedding_kmeans,
         "embedding_quantize": q_embedding_quantize,

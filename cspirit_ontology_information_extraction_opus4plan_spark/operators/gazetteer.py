@@ -164,3 +164,48 @@ def gazetteer_expansion(abbrevs: DataFrame, gaz: DataFrame) -> DataFrame:
                     "long_form", "n_docs"))
     return cand.join(F.broadcast(gaz.select("surface").distinct()),
                      "surface", "left_anti")
+
+
+MINE_MIN_SUPPORT = 1   # demo corpus: anchors rarely repeat; production
+                       # raises this to prune one-off anchor noise
+
+
+def mine_anchor_candidates(edges: DataFrame, mentions: DataFrame,
+                           gaz: DataFrame,
+                           min_support: int = MINE_MIN_SUPPORT
+                           ) -> DataFrame:
+    """Anchor-text alt-label mining — the Wikipedia-anchor gazetteer
+    grower, the web-graph complement of gazetteer_expansion's
+    Schwartz-Hearst pairs: anchor phrases pointing at a page are
+    candidate surface forms for that page's DOMINANT entity (the term
+    its linked mentions name most often; ties break to the smaller
+    term id). Candidates already known to the gazetteer for that term
+    are anti-joined away. Emits (term_id, candidate_label, n_links,
+    n_sources).
+
+    Per-(target, anchor) counts and the per-doc dominance argmax are
+    both map-side-combinable aggregates; the dominance argmax is a
+    struct-ordered min_by, not a window; the gazetteer is a broadcast
+    dimension. Nothing touches a corpus-sized window."""
+    cnt = (mentions.select("doc_id", "term_id", "surface")
+           .groupBy("doc_id", "term_id")
+           .agg(F.countDistinct("surface").alias("n")))
+    dom = cnt.groupBy("doc_id").agg(
+        F.min_by("term_id",
+                 F.struct((-F.col("n")).alias("nn"),
+                          F.col("term_id").alias("t"))).alias("term_id"))
+    anchors = (edges
+               .withColumn("doc_id",
+                           F.format_string("DOC:%06d", F.col("dst")))
+               .groupBy("doc_id", "anchor")
+               .agg(F.count("*").cast("bigint").alias("n_links"),
+                    F.countDistinct("src").cast("bigint")
+                    .alias("n_sources")))
+    cand = (anchors.join(dom, "doc_id")
+            .select("term_id", F.col("anchor").alias("candidate_label"),
+                    "n_links", "n_sources")
+            .filter(F.col("n_links") >= min_support))
+    known = gaz.select(F.col("term_id"),
+                       F.col("surface").alias("candidate_label"))
+    return cand.join(F.broadcast(known),
+                     ["term_id", "candidate_label"], "left_anti")

@@ -12,6 +12,15 @@ sequential WITHIN a partition (bin-packing is a running sum) and
 embarrassingly parallel across partitions; expiry is an explode +
 anti-join whose snapshot dimension is bounded by the table's snapshot
 count, never by data.
+
+Relationship to plans/compaction.py: that module is the ENGINE path —
+it lists real parquet files through Hadoop's FileSystem API and drives
+a resumable group-by-group rewrite of the triple store. This module is
+the oracle-gated planning SEMANTICS over a manifest TABLE (any
+(part, file_id, size) frame), adding the OPTIMIZE-style at-target
+'keep' exclusion the rewrite path doesn't need; the grouping rule
+(next-fit on preceding cumulative size) is deliberately the same so
+both paths produce the same groups for the same sub-target listing.
 """
 
 from __future__ import annotations

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["extract_html", "parse_sitemaps", "parse_warc",
-           "recrawl_diff"]
+           "recrawl_diff", "crawl_admission"]
 
 
 def extract_html(pages: DataFrame, html_col: str = "html") -> DataFrame:
@@ -143,3 +143,44 @@ def recrawl_diff(round1: DataFrame, round2: DataFrame,
                     .when(c.isNull(), F.lit("gone"))
                     .when(p == c, F.lit("unchanged"))
                     .otherwise(F.lit("changed")).alias("status")))
+
+
+def crawl_admission(entries: DataFrame, rules: DataFrame,
+                    crawled: DataFrame) -> DataFrame:
+    """Frontier admission control — the gate between sitemap discovery
+    and the fetch queue, composing three operators this module/urlops
+    already verify separately: per sitemap entry, reject cross-host
+    submissions, reject robots-denied paths (RFC 9309 longest-prefix
+    precedence on the loc's serving host), skip URLs the crawl already
+    holds (canonical-URL identity), admit the rest. Emits (host, loc,
+    status) for every entry — rejections are kept, not dropped, so
+    the crawl audit can explain every missing page.
+
+    Rules are a broadcast dimension (a robots file per host); the
+    known-URL check is an equi left join on the canonical URL —
+    shuffle-partitionable against a 100-TB crawl state. The
+    longest-prefix window partitions by loc over that loc's own
+    matching rules (bounded by the host's rule count)."""
+    from pyspark.sql import Window
+    l = entries.select(
+        "host", "loc", "host_ok",
+        F.regexp_extract("loc", r"^[^:]+://[^/?#]+([^?#]*)", 1)
+        .alias("path"))
+    hits = (l.join(F.broadcast(rules), "host")
+            .filter(F.col("path").startswith(F.col("path_prefix"))))
+    w = Window.partitionBy("loc").orderBy(
+        F.length("path_prefix").desc(), F.col("verdict"))
+    best = (hits.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).select("loc", "verdict"))
+    known = crawled.select("canon_url").distinct() \
+        .withColumn("__known", F.lit(True))
+    return (l.join(best, "loc", "left")
+            .join(known, l.loc == known.canon_url, "left")
+            .select(
+                "host", "loc",
+                F.when(~F.col("host_ok"), F.lit("rejected_cross_host"))
+                .when(F.coalesce(F.col("verdict"), F.lit("allow"))
+                      == "deny", F.lit("rejected_robots"))
+                .when(F.col("__known").isNotNull(),
+                      F.lit("skipped_known"))
+                .otherwise(F.lit("admitted")).alias("status")))

@@ -5499,6 +5499,77 @@ bad_v AS (
 SELECT * FROM over_v UNION ALL SELECT * FROM under_v
 UNION ALL SELECT * FROM bad_v"""
 
+    sqls["crawl_admission"] = f"""
+WITH {sitemap_files_sql()},
+{robots_rules_sql()},
+{url_canon_ctes},
+ex AS (
+  SELECT host,
+         unnest(regexp_extract_all(xml, '<url>(.*?)</url>', 1)) AS block
+  FROM smaps),
+le AS (
+  SELECT host,
+         regexp_extract(block, '<loc>([^<]*)</loc>', 1) AS loc
+  FROM ex),
+le2 AS (
+  SELECT host, loc,
+         regexp_extract(loc, '^https?://([^/]+)', 1) = host AS host_ok,
+         regexp_extract(loc, '^[^:]+://[^/?#]+([^?#]*)', 1) AS path
+  FROM le),
+hit AS (
+  SELECT loc, verdict, row_number() OVER (
+           PARTITION BY loc
+           ORDER BY length(path_prefix) DESC, verdict) AS rn
+  FROM le2 JOIN rules USING (host)
+  WHERE starts_with(path, path_prefix)),
+known AS (SELECT DISTINCT canon_url FROM canon)
+SELECT le2.host, le2.loc,
+       CASE WHEN NOT host_ok THEN 'rejected_cross_host'
+            WHEN coalesce(h.verdict, 'allow') = 'deny'
+              THEN 'rejected_robots'
+            WHEN k.canon_url IS NOT NULL THEN 'skipped_known'
+            ELSE 'admitted' END AS status
+FROM le2
+LEFT JOIN (SELECT loc, verdict FROM hit WHERE rn = 1) h USING (loc)
+LEFT JOIN known k ON k.canon_url = le2.loc"""
+
+    from .operators.gazetteer import MINE_MIN_SUPPORT
+    _nerpat = ner_pattern()
+    sqls["gazetteer_anchor_mining"] = corpus_prefix(
+        gaz_cte(), link_cte(), link_edges_sql()) + f""",
+lm AS (
+  SELECT DISTINCT m.doc_id, m.surface, l.term_id
+  FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), {_q(_nerpat)}, 1))
+             AS surface
+    FROM spans WHERE kind IN ('text','figure','table')) m
+  JOIN link l ON l.surface = m.surface),
+cntc AS (SELECT doc_id, term_id, count(DISTINCT surface) AS n
+         FROM lm GROUP BY 1, 2),
+dom AS (
+  SELECT doc_id, term_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY n DESC, term_id ASC) AS rn
+    FROM cntc) t
+  WHERE rn = 1),
+anch AS (
+  SELECT 'DOC:' || lpad(CAST(dst AS VARCHAR), 6, '0') AS doc_id,
+         anchor,
+         CAST(count(*) AS BIGINT) AS n_links,
+         CAST(count(DISTINCT src) AS BIGINT) AS n_sources
+  FROM ledges GROUP BY 1, 2),
+cand AS (
+  SELECT dom.term_id, anch.anchor AS candidate_label, n_links,
+         n_sources
+  FROM anch JOIN dom USING (doc_id)
+  WHERE n_links >= {MINE_MIN_SUPPORT})
+SELECT c.term_id, c.candidate_label, c.n_links, c.n_sources
+FROM cand c
+LEFT JOIN gaz g ON g.term_id = c.term_id
+  AND g.surface = c.candidate_label
+WHERE g.surface IS NULL"""
+
     return sqls
 
 

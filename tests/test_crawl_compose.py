@@ -1,0 +1,56 @@
+"""Semantics pins for the composed crawl-side operators: frontier
+admission control and anchor-text gazetteer candidate mining."""
+
+from __future__ import annotations
+
+from cspirit_ontology_information_extraction_opus4plan_spark.operators.gazetteer import (
+    mine_anchor_candidates,
+)
+from cspirit_ontology_information_extraction_opus4plan_spark.operators.webingest import (
+    crawl_admission,
+)
+
+
+def test_crawl_admission_statuses(spark):
+    entries = spark.createDataFrame(
+        [("h1", "https://h1/ok", True),
+         ("h1", "https://h1/blocked/page", True),
+         ("h1", "https://h1/blocked/except", True),
+         ("h1", "https://evil/x", False),
+         ("h1", "https://h1/seen", True)],
+        "host string, loc string, host_ok boolean")
+    rules = spark.createDataFrame(
+        [("h1", "/", "allow"), ("h1", "/blocked", "deny"),
+         ("h1", "/blocked/except", "allow")],
+        "host string, path_prefix string, verdict string")
+    crawled = spark.createDataFrame(
+        [("https://h1/seen",)], "canon_url string")
+    out = {r.loc: r.status for r in
+           crawl_admission(entries, rules, crawled).collect()}
+    assert out == {
+        "https://h1/ok": "admitted",
+        "https://h1/blocked/page": "rejected_robots",
+        "https://h1/blocked/except": "admitted",  # longest prefix wins
+        "https://evil/x": "rejected_cross_host",
+        "https://h1/seen": "skipped_known"}
+
+
+def test_anchor_mining_dominance_and_known_filter(spark):
+    # target doc 7 mentions T1 via two surfaces, T2 via one -> T1 wins
+    mentions = spark.createDataFrame(
+        [("DOC:000007", "T1", "alpha"), ("DOC:000007", "T1", "beta"),
+         ("DOC:000007", "T2", "gamma")],
+        "doc_id string, term_id string, surface string")
+    edges = spark.createDataFrame(
+        [(1, 7, "new label"), (2, 7, "new label"), (3, 7, "known one")],
+        "src bigint, dst bigint, anchor string")
+    gaz = spark.createDataFrame(
+        [("known one", "T1"), ("new label", "T2")],
+        "surface string, term_id string")
+    out = mine_anchor_candidates(edges, mentions, gaz).collect()
+    # 'known one' is a known T1 surface -> dropped; 'new label' is
+    # known only for T2, target's dominant entity is T1 -> kept
+    assert len(out) == 1
+    r = out[0]
+    assert (r.term_id, r.candidate_label) == ("T1", "new label")
+    assert r.n_links == 2 and r.n_sources == 2
