@@ -1644,6 +1644,28 @@ def q_gazetteer_anchor_mining(spark, sf_dir):
         gazetteer_df(spark))
 
 
+def q_recrawl_schedule(spark, sf_dir):
+    """Adaptive per-host revisit intervals from the recrawl delta:
+    inverse-change-rate days in pure integer arithmetic."""
+    from .decorations import WEB_HOSTS
+    from .operators.webingest import recrawl_diff, recrawl_schedule
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    diff = recrawl_diff(docs, DE.recrawl_round2(docs))
+    host = F.concat(F.lit("www.site"),
+                    (F.col("doc_id") % WEB_HOSTS).cast("string"),
+                    F.lit(".example.org"))
+    return recrawl_schedule(diff, host)
+
+
+def q_kg_partition_edgecut(spark, sf_dir):
+    """Hash-placement quality for the entity graph: measured edge cut
+    + vertex balance at k=8 and k=32 partitions."""
+    from .operators.graphops import partition_edgecut, undirected_entity_edges
+    return partition_edgecut(undirected_entity_edges(
+        dedup_triples(triples_df(spark, sf_dir))))
+
+
 def q_file_compaction_plan(spark, sf_dir):
     """Small-file compaction planner over the manifest-decorated
     corpus: first-fit bin-pack per partition via one running-sum
@@ -2359,6 +2381,8 @@ def queries() -> dict[str, QueryFn]:
         "doc_recrawl_diff": q_doc_recrawl_diff,
         "crawl_admission": q_crawl_admission,
         "gazetteer_anchor_mining": q_gazetteer_anchor_mining,
+        "recrawl_schedule": q_recrawl_schedule,
+        "kg_partition_edgecut": q_kg_partition_edgecut,
         "embedding_label_stats": q_embedding_label_stats,
         "embedding_kmeans": q_embedding_kmeans,
         "embedding_quantize": q_embedding_quantize,

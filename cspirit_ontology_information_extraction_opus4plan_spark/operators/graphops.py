@@ -1749,3 +1749,56 @@ def characteristic_sets(triples: DataFrame) -> DataFrame:
                  F.round(F.sum("n_triples")
                          / F.count("*").cast("double"), 6)
                  .alias("mean_fanout")))
+
+
+EDGECUT_KS = (8, 32)
+
+
+def partition_edgecut(edges: DataFrame,
+                      ks: tuple = EDGECUT_KS) -> DataFrame:
+    """Graph-partitioning quality audit for hash placement: for each
+    candidate partition count k, assign vertices by portable md5
+    bucket and measure (a) the EDGE CUT — the fraction of edges whose
+    endpoints land in different partitions, i.e. the fraction of every
+    message-passing superstep (PageRank, BFS, CC) that crosses the
+    network — and (b) vertex balance (heaviest partition's share).
+    Hash placement bounds balance well but cuts ~ (1 - 1/k) of edges;
+    this operator prices that before a 100-TB graph job picks k, the
+    same measured-not-asserted discipline as salt_balance_audit.
+
+    One scan per k over the edge list (map-side counts) + one distinct
+    vertex frame reused across ks via localCheckpoint; the per-k
+    outputs are single-row aggregates unioned — a k-count-sized
+    result."""
+    verts = (edges.select(F.col("src").alias("v"))
+             .unionByName(edges.select(F.col("dst").alias("v")))
+             .distinct().localCheckpoint(eager=True))
+    e = edges.localCheckpoint(eager=True)
+
+    def bucket(col, k):
+        return (F.conv(F.substring(F.md5(col), 1, 8), 16, 10)
+                .cast("bigint") % k)
+
+    outs = []
+    for k in ks:
+        cut = (F.sum((bucket(F.col("src"), k)
+                      != bucket(F.col("dst"), k)).cast("bigint"))
+               .cast("bigint"))
+        ecut = e.agg(F.count("*").cast("bigint").alias("n_edges"),
+                     cut.alias("n_cut"))
+        bal = (verts.groupBy(bucket(F.col("v"), k).alias("p"))
+               .agg(F.count("*").alias("n"))
+               .agg((F.max("n") / F.sum("n")).alias("max_share"),
+                    F.count("*").cast("bigint").alias("n_parts_used")))
+        outs.append(
+            ecut.crossJoin(bal).select(
+                F.lit(k).cast("int").alias("k"),
+                "n_edges", "n_cut",
+                F.round(F.col("n_cut") / F.col("n_edges"), 6)
+                .alias("cut_frac"),
+                F.round("max_share", 6).alias("max_vertex_share"),
+                "n_parts_used"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["extract_html", "parse_sitemaps", "parse_warc",
-           "recrawl_diff", "crawl_admission"]
+           "recrawl_diff", "crawl_admission", "recrawl_schedule"]
 
 
 def extract_html(pages: DataFrame, html_col: str = "html") -> DataFrame:
@@ -184,3 +184,33 @@ def crawl_admission(entries: DataFrame, rules: DataFrame,
                 .when(F.col("__known").isNotNull(),
                       F.lit("skipped_known"))
                 .otherwise(F.lit("admitted")).alias("status")))
+
+
+RECRAWL_MAX_DAYS = 30
+
+
+def recrawl_schedule(diff: DataFrame, host_col,
+                     max_days: int = RECRAWL_MAX_DAYS) -> DataFrame:
+    """Adaptive revisit scheduling from the recrawl delta: per host,
+    roll up the page-change census and set the next revisit interval
+    to floor(pages_watched / pages_changed) days — hosts where every
+    page changed get revisited daily, hosts that never change back off
+    to `max_days` (the inverse-change-rate heuristic crawl schedulers
+    converge to, in pure integer arithmetic so both engines agree
+    exactly). Emits (host, n_new, n_gone, n_changed, n_unchanged,
+    revisit_days).
+
+    One map-side-combinable rollup over the diff — host cardinality
+    output."""
+    d = diff.withColumn("host", host_col)
+    n_of = [F.sum((F.col("status") == s).cast("bigint"))
+            .cast("bigint").alias(f"n_{s}")
+            for s in ("new", "gone", "changed", "unchanged")]
+    agg = d.groupBy("host").agg(*n_of)
+    watched = F.col("n_changed") + F.col("n_unchanged")
+    return agg.select(
+        "host", "n_new", "n_gone", "n_changed", "n_unchanged",
+        F.when(F.col("n_changed") == 0, F.lit(max_days))
+        .otherwise(F.least(F.lit(max_days), F.greatest(
+            F.lit(1), F.floor(watched / F.col("n_changed")))))
+        .cast("bigint").alias("revisit_days"))

@@ -5570,6 +5570,65 @@ LEFT JOIN gaz g ON g.term_id = c.term_id
   AND g.surface = c.candidate_label
 WHERE g.surface IS NULL"""
 
+    from .decorations import WEB_HOSTS
+    from .operators.webingest import RECRAWL_MAX_DAYS
+    sqls["recrawl_schedule"] = f"""
+WITH {recrawl_round2_sql()},
+d1 AS (SELECT doc_id, md5(text) AS digest_prev FROM documents),
+d2 AS (SELECT doc_id, md5(text) AS digest_curr FROM r2),
+di AS (
+  SELECT coalesce(d1.doc_id, d2.doc_id) AS doc_id,
+         CASE WHEN digest_prev IS NULL THEN 'new'
+              WHEN digest_curr IS NULL THEN 'gone'
+              WHEN digest_prev = digest_curr THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM d1 FULL OUTER JOIN d2 ON d1.doc_id = d2.doc_id),
+agg AS (
+  SELECT 'www.site' || CAST(doc_id % {WEB_HOSTS} AS VARCHAR)
+           || '.example.org' AS host,
+         CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_new,
+         CAST(sum(CASE WHEN status = 'gone' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_gone,
+         CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_changed,
+         CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_unchanged
+  FROM di GROUP BY 1)
+SELECT host, n_new, n_gone, n_changed, n_unchanged,
+       CAST(CASE WHEN n_changed = 0 THEN {RECRAWL_MAX_DAYS}
+            ELSE least({RECRAWL_MAX_DAYS}, greatest(1, floor(
+              (n_changed + n_unchanged) / n_changed))) END
+         AS BIGINT) AS revisit_days
+FROM agg"""
+
+    from .operators.graphops import EDGECUT_KS
+    _hb = ("CAST(concat('0x', substr(md5({x}), 1, 8)) AS BIGINT) "
+           "% {k}")
+    _cut_leg = """
+  SELECT CAST({k} AS INT) AS k,
+         (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
+         (SELECT CAST(sum(CASE WHEN {ps} <> {pd} THEN 1 ELSE 0 END)
+                      AS BIGINT) FROM und) AS n_cut,
+         (SELECT round(sum(CASE WHEN {ps} <> {pd} THEN 1.0
+                           ELSE 0.0 END) / count(*), 6)
+          FROM und) AS cut_frac,
+         (SELECT round(max(n) / CAST(sum(n) AS DOUBLE), 6) FROM (
+            SELECT {pv} AS p, count(*) AS n FROM verts GROUP BY 1) b)
+           AS max_vertex_share,
+         (SELECT CAST(count(DISTINCT {pv}) AS BIGINT) FROM verts)
+           AS n_parts_used"""
+    _legs = "\nUNION ALL\n".join(
+        _cut_leg.format(k=k, ps=_hb.format(x="src", k=k),
+                        pd=_hb.format(x="dst", k=k),
+                        pv=_hb.format(x="v", k=k))
+        for k in EDGECUT_KS)
+    sqls["kg_partition_edgecut"] = (
+        corpus_prefix(gaz_cte(), link_cte(), triples_cte())
+        + und_ctes + f""",
+verts AS (SELECT src AS v FROM und UNION SELECT dst FROM und)
+{_legs}""")
+
     return sqls
 
 

@@ -54,3 +54,40 @@ def test_anchor_mining_dominance_and_known_filter(spark):
     r = out[0]
     assert (r.term_id, r.candidate_label) == ("T1", "new label")
     assert r.n_links == 2 and r.n_sources == 2
+
+
+def test_recrawl_schedule_inverse_rate(spark):
+    from pyspark.sql import functions as F
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.webingest import (
+        recrawl_schedule,
+    )
+    rows = [("h1", "changed")] * 5 + [("h1", "unchanged")] * 5 \
+        + [("h2", "unchanged")] * 8 + [("h2", "new")] \
+        + [("h3", "changed")] * 2
+    diff = spark.createDataFrame(rows, "h string, status string")
+    out = {r.host: r for r in
+           recrawl_schedule(diff, F.col("h")).collect()}
+    # h1: 10 watched / 5 changed -> 2 days
+    assert out["h1"].revisit_days == 2 and out["h1"].n_changed == 5
+    # h2: nothing changed -> back off to the 30-day cap
+    assert out["h2"].revisit_days == 30 and out["h2"].n_new == 1
+    # h3: everything changed -> daily
+    assert out["h3"].revisit_days == 1
+
+
+def test_partition_edgecut_path_graph(spark):
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.graphops import (
+        partition_edgecut,
+    )
+    edges = spark.createDataFrame(
+        [(f"N{i}", f"N{i+1}") for i in range(40)],
+        "src string, dst string")
+    out = {r.k: r for r in partition_edgecut(edges, ks=(4, 8)).collect()}
+    for k, r in out.items():
+        assert r.n_edges == 40 and 0 < r.n_cut <= 40
+        assert abs(r.cut_frac - r.n_cut / 40) < 1e-6
+        assert 0 < r.max_vertex_share <= 1.0
+        assert r.n_parts_used <= k
+    # more partitions cut at least as many edges in expectation;
+    # assert the weaker monotone bound that holds for md5 placement
+    assert out[8].n_cut >= out[4].n_cut * 0.6
