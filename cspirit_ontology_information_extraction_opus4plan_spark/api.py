@@ -1749,6 +1749,17 @@ def q_entity_disambiguation(spark, sf_dir):
         relationships_df(spark))
 
 
+def q_linking_review_queue(spark, sf_dir):
+    """Active-learning review queue: ambiguous mentions whose top-2
+    candidates tie on both coherence signals were decided by lexical
+    rank alone — flagged for human annotation first."""
+    from .operators.linking import linking_review_queue
+    return linking_review_queue(
+        detect_mentions(spans_exploded(spark, sf_dir)),
+        DE.homonym_gazetteer(gazetteer_df(spark)),
+        relationships_df(spark))
+
+
 def q_kg_shacl_validate(spark, sf_dir):
     """SHACL-core shape validation (sh:minCount / sh:maxCount /
     sh:nodeKind per sh:path) over the deduped store + planted literal
@@ -2383,6 +2394,7 @@ def queries() -> dict[str, QueryFn]:
         "gazetteer_anchor_mining": q_gazetteer_anchor_mining,
         "recrawl_schedule": q_recrawl_schedule,
         "kg_partition_edgecut": q_kg_partition_edgecut,
+        "linking_review_queue": q_linking_review_queue,
         "embedding_label_stats": q_embedding_label_stats,
         "embedding_kmeans": q_embedding_kmeans,
         "embedding_quantize": q_embedding_quantize,

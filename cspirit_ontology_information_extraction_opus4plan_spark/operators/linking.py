@@ -27,7 +27,7 @@ window here would add a second full shuffle on the near-unique
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -50,33 +50,13 @@ def link_mentions(mentions: DataFrame, gaz: DataFrame) -> DataFrame:
                     (-F.col("b.neg_rank")).alias("rank")))
 
 
-def coherent_link_mentions(mentions: DataFrame, gaz: DataFrame,
-                           rels: DataFrame) -> DataFrame:
-    """Collective (coherence-based) entity disambiguation — the
-    AIDA/TagMe pattern the per-surface rank argmax cannot express: for
-    each AMBIGUOUS (doc, surface) pair, score each candidate term by
-
-      edge_coh — distinct UNAMBIGUOUS doc entities (anchors) adjacent
-        to the candidate in the ontology graph (symmetric relationship
-        edges + is_a siblings, i.e. shared direct parent),
-      type_coh — distinct anchors sharing the candidate's namespace
-        prefix (entity-TYPE context coherence, the secondary signal
-        real EL systems fall back on when the graph is sparse),
-
-    winner = argmax(edge_coh, type_coh, lexical rank), tie -> min
-    term_id. One row per ambiguous (doc_id, surface): (doc_id, surface,
-    term_id, edge_coh, type_coh, n_cands). Extends the reference's
-    lookup-order linking (models.py:2812-2918), which has no collective
-    signal at all.
-
-    Scale shape: the gazetteer (with its per-surface candidate counts)
-    and the sibling-extended edge list are genuine broadcast dimensions
-    (the sibling self-join runs on the dimension, never the corpus);
-    the per-doc surface table is distinct-ed once and checkpointed
-    (anchor and ambiguous branches both read it); both coherence counts
-    join anchors on corpus-keyed equi-joins ((doc_id, neighbor) /
-    (doc_id, prefix)) and aggregate map-side; the final argmax is a
-    struct-min groupBy, no window, no corpus self-join."""
+def _coherence_scored(mentions: DataFrame, gaz: DataFrame,
+                      rels: DataFrame) -> DataFrame:
+    """Shared scoring stage of the collective disambiguator: every
+    candidate of every AMBIGUOUS (doc, surface) pair with its
+    edge_coh / type_coh coherence counts and lexical rank — the frame
+    coherent_link_mentions argmaxes and linking_review_queue ranks.
+    See coherent_link_mentions for semantics and scale shape."""
     g3 = gaz.select("surface", "term_id", "rank").distinct()
     surf = (g3.groupBy("surface")
             .agg(F.countDistinct("term_id").alias("n_cands")))
@@ -117,9 +97,39 @@ def coherent_link_mentions(mentions: DataFrame, gaz: DataFrame,
             .groupBy(*keys)
             .agg(F.countDistinct("nb").alias("type_coh")))
     zero = F.lit(0).cast("bigint")
-    scored = (amb.join(ecoh, keys, "left").join(tcoh, keys, "left")
-              .withColumn("edge_coh", F.coalesce("edge_coh", zero))
-              .withColumn("type_coh", F.coalesce("type_coh", zero)))
+    return (amb.join(ecoh, keys, "left").join(tcoh, keys, "left")
+            .withColumn("edge_coh", F.coalesce("edge_coh", zero))
+            .withColumn("type_coh", F.coalesce("type_coh", zero)))
+
+
+def coherent_link_mentions(mentions: DataFrame, gaz: DataFrame,
+                           rels: DataFrame) -> DataFrame:
+    """Collective (coherence-based) entity disambiguation — the
+    AIDA/TagMe pattern the per-surface rank argmax cannot express: for
+    each AMBIGUOUS (doc, surface) pair, score each candidate term by
+
+      edge_coh — distinct UNAMBIGUOUS doc entities (anchors) adjacent
+        to the candidate in the ontology graph (symmetric relationship
+        edges + is_a siblings, i.e. shared direct parent),
+      type_coh — distinct anchors sharing the candidate's namespace
+        prefix (entity-TYPE context coherence, the secondary signal
+        real EL systems fall back on when the graph is sparse),
+
+    winner = argmax(edge_coh, type_coh, lexical rank), tie -> min
+    term_id. One row per ambiguous (doc_id, surface): (doc_id, surface,
+    term_id, edge_coh, type_coh, n_cands). Extends the reference's
+    lookup-order linking (models.py:2812-2918), which has no collective
+    signal at all.
+
+    Scale shape: the gazetteer (with its per-surface candidate counts)
+    and the sibling-extended edge list are genuine broadcast dimensions
+    (the sibling self-join runs on the dimension, never the corpus);
+    the per-doc surface table is distinct-ed once and checkpointed
+    (anchor and ambiguous branches both read it); both coherence counts
+    join anchors on corpus-keyed equi-joins ((doc_id, neighbor) /
+    (doc_id, prefix)) and aggregate map-side; the final argmax is a
+    struct-min groupBy, no window, no corpus self-join."""
+    scored = _coherence_scored(mentions, gaz, rels)
     return (scored
             .groupBy("doc_id", "surface", "n_cands")
             .agg(F.min(F.struct(
@@ -256,3 +266,43 @@ def entity_drift(linked: DataFrame, seed: str = DRIFT_SEED) -> DataFrame:
                             - F.log((F.col("n_b") + 1.0)
                                     / (F.col("tb") + 1.0)), 6)
                     .alias("log_odds")))
+
+
+def linking_review_queue(mentions: DataFrame, gaz: DataFrame,
+                         rels: DataFrame) -> DataFrame:
+    """Active-learning review queue for the collective disambiguator:
+    per ambiguous (doc, surface), the winner AND runner-up with the
+    coherence gaps between them — a mention whose top-2 candidates tie
+    on BOTH coherence signals (edge_gap = type_gap = 0) was decided by
+    lexical rank alone, the lowest-confidence decision the linker
+    makes, and is exactly what a human-in-the-loop KG build routes to
+    annotators first. Emits (doc_id, surface, n_cands, winner,
+    runner_up, edge_gap, type_gap, needs_review).
+
+    Same scored frame as coherent_link_mentions (_coherence_scored);
+    the top-2 ranking windows over one mention's candidate set (size
+    n_cands, a gazetteer property — never corpus-sized)."""
+    scored = _coherence_scored(mentions, gaz, rels)
+    w = Window.partitionBy("doc_id", "surface").orderBy(
+        F.col("edge_coh").desc(), F.col("type_coh").desc(),
+        F.col("rank").desc(), F.col("term_id").asc())
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    win = ranked.filter(F.col("rn") == 1).select(
+        "doc_id", "surface", "n_cands",
+        F.col("term_id").alias("winner"),
+        F.col("edge_coh").alias("e1"), F.col("type_coh").alias("t1"))
+    run = ranked.filter(F.col("rn") == 2).select(
+        "doc_id", "surface",
+        F.col("term_id").alias("runner_up"),
+        F.col("edge_coh").alias("e2"), F.col("type_coh").alias("t2"))
+    return (win.join(run, ["doc_id", "surface"])
+            .select("doc_id", "surface",
+                    F.col("n_cands").cast("bigint").alias("n_cands"),
+                    "winner", "runner_up",
+                    (F.col("e1") - F.col("e2")).cast("bigint")
+                    .alias("edge_gap"),
+                    (F.col("t1") - F.col("t2")).cast("bigint")
+                    .alias("type_gap"),
+                    ((F.col("e1") == F.col("e2"))
+                     & (F.col("t1") == F.col("t2")))
+                    .alias("needs_review")))

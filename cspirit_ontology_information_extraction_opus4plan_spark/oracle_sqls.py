@@ -2764,8 +2764,7 @@ JOIN link l ON l.surface = m.surface"""
         return (f"'{tp}:' || CAST({base} + ((CAST(split_part(term_id, "
                 f"':', 2) AS INT) % 10000 - 1) % {size}) + 1 AS VARCHAR)")
 
-    sqls["entity_disambiguation"] = corpus_prefix(
-        gaz_cte(), rels_cte()) + f""",
+    dis_ctes = f""",
 gaz2 AS (
   SELECT surface, term_id, rank FROM gaz
   UNION
@@ -2823,7 +2822,9 @@ dis_scored AS (
   LEFT JOIN ecoh e ON e.doc_id = m.doc_id
     AND e.surface = m.surface AND e.term_id = m.term_id
   LEFT JOIN tcoh t ON t.doc_id = m.doc_id
-    AND t.surface = m.surface AND t.term_id = m.term_id)
+    AND t.surface = m.surface AND t.term_id = m.term_id)"""
+    sqls["entity_disambiguation"] = corpus_prefix(
+        gaz_cte(), rels_cte()) + dis_ctes + """
 SELECT doc_id, surface, term_id, CAST(edge_coh AS BIGINT) AS edge_coh,
        CAST(type_coh AS BIGINT) AS type_coh,
        CAST(n_cands AS BIGINT) AS n_cands
@@ -2832,6 +2833,22 @@ FROM (
     ORDER BY edge_coh DESC, type_coh DESC, rank DESC, term_id ASC) AS rn
   FROM dis_scored) x
 WHERE rn = 1"""
+
+    sqls["linking_review_queue"] = corpus_prefix(
+        gaz_cte(), rels_cte()) + dis_ctes + """,
+rankd AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id, surface
+    ORDER BY edge_coh DESC, type_coh DESC, rank DESC, term_id ASC) AS rn
+  FROM dis_scored)
+SELECT w.doc_id, w.surface, CAST(w.n_cands AS BIGINT) AS n_cands,
+       w.term_id AS winner, r.term_id AS runner_up,
+       CAST(w.edge_coh - r.edge_coh AS BIGINT) AS edge_gap,
+       CAST(w.type_coh - r.type_coh AS BIGINT) AS type_gap,
+       (w.edge_coh = r.edge_coh AND w.type_coh = r.type_coh)
+         AS needs_review
+FROM (SELECT * FROM rankd WHERE rn = 1) w
+JOIN (SELECT * FROM rankd WHERE rn = 2) r
+  ON r.doc_id = w.doc_id AND r.surface = w.surface"""
 
     # release-migration relink delta (linking.relink_delta): v2 terms
     # under the release-diff mutation (bucket '0' removed, '1' renamed,

@@ -91,3 +91,35 @@ def test_partition_edgecut_path_graph(spark):
     # more partitions cut at least as many edges in expectation;
     # assert the weaker monotone bound that holds for md5 placement
     assert out[8].n_cut >= out[4].n_cut * 0.6
+
+
+def test_linking_review_queue_flags_rank_decided_ties(spark):
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.linking import (
+        linking_review_queue,
+    )
+    # doc D: anchor surface 'anchor' -> A (unambiguous); ambiguous
+    # surface 'amb' with candidates X (edge to A) and Y (no edges) ->
+    # clear edge_coh winner X; ambiguous 'tied' with candidates P, Q
+    # both edge-adjacent to A -> decided by rank tie -> review
+    mentions = spark.createDataFrame(
+        [("D", "anchor"), ("D", "amb"), ("D", "tied")],
+        "doc_id string, surface string")
+    gaz = spark.createDataFrame(
+        [("anchor", "NS:A", 3), ("amb", "NS:X", 3), ("amb", "NS:Y", 3),
+         ("tied", "NS:P", 3), ("tied", "NS:Q", 3)],
+        "surface string, term_id string, rank int")
+    rels = spark.createDataFrame(
+        [("r1", "NS:X", "part_of", "NS:A"),
+         ("r2", "NS:P", "part_of", "NS:A"),
+         ("r3", "NS:Q", "part_of", "NS:A")],
+        "id string, subject string, predicate string, object string")
+    out = {r.surface: r for r in
+           linking_review_queue(mentions, gaz, rels).collect()}
+    assert set(out) == {"amb", "tied"}   # anchors never enqueue
+    amb = out["amb"]
+    assert (amb.winner, amb.runner_up) == ("NS:X", "NS:Y")
+    assert amb.edge_gap == 1 and not amb.needs_review
+    tied = out["tied"]
+    assert tied.needs_review
+    assert tied.edge_gap == 0 and tied.type_gap == 0
+    assert (tied.winner, tied.runner_up) == ("NS:P", "NS:Q")  # id tie
