@@ -1258,6 +1258,13 @@ def q_event_k_anonymity(spark, sf_dir):
     return k_anonymity_audit(_events_ntz(spark, sf_dir))
 
 
+def q_event_l_diversity(spark, sf_dir):
+    """l-diversity release audit: quasi-identifier cells whose
+    sensitive-value diversity is below l, with homogeneity risk."""
+    from .operators.olap import l_diversity_audit
+    return l_diversity_audit(_events_ntz(spark, sf_dir))
+
+
 def q_event_hopping_windows(spark, sf_dir):
     """Hopping 6h/3h event-time windows per type — the overlapping
     window mode (each event in width/slide=2 windows); bounds as
@@ -2395,6 +2402,7 @@ def queries() -> dict[str, QueryFn]:
         "recrawl_schedule": q_recrawl_schedule,
         "kg_partition_edgecut": q_kg_partition_edgecut,
         "linking_review_queue": q_linking_review_queue,
+        "event_l_diversity": q_event_l_diversity,
         "embedding_label_stats": q_embedding_label_stats,
         "embedding_kmeans": q_embedding_kmeans,
         "embedding_quantize": q_embedding_quantize,

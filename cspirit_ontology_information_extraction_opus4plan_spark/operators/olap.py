@@ -522,3 +522,37 @@ def watermark_audit(events: DataFrame,
                  .cast("bigint").alias(f"n_dropped_{hi}s"),
                  (F.max("__late") / 1_000_000).cast("bigint")
                  .alias("max_lateness_s")))
+
+
+L_DIV_DEFAULT = 3
+L_DIV_BUCKETS = 64   # finer QI than k-anonymity: diversity is judged
+                     # within smaller cells, where homogeneity hides
+
+
+def l_diversity_audit(events: DataFrame, l: int = L_DIV_DEFAULT,
+                      buckets: int = L_DIV_BUCKETS) -> DataFrame:
+    """l-diversity release audit — the attribute-disclosure complement
+    of k_anonymity_audit: a quasi-identifier cell can be k-anonymous
+    yet still leak if (nearly) all its rows share one SENSITIVE value
+    (here the event_type, treating (day, user-bucket) as the
+    quasi-identifier). Emits every cell whose count of DISTINCT
+    sensitive values is below l, with its population and its dominant
+    value's share (the homogeneity-attack risk number). Machanavajjhala
+    et al. 2007 semantics, distinct-l variant.
+
+    Shape: one (cell, value) count + two dimension-sized rollups —
+    all map-side-combinable, output bounded by quasi-identifier
+    cardinality."""
+    qi = events.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        (F.col("user_id") % buckets).cast("bigint").alias("u_bucket"),
+        F.col("event_type").alias("sensitive"))
+    per_val = (qi.groupBy("day", "u_bucket", "sensitive")
+               .agg(F.count("*").cast("bigint").alias("n")))
+    return (per_val.groupBy("day", "u_bucket")
+            .agg(F.countDistinct("sensitive").cast("bigint")
+                 .alias("n_distinct"),
+                 F.sum("n").cast("bigint").alias("n_rows"),
+                 F.round(F.max("n") / F.sum("n"), 6)
+                 .alias("dominant_share"))
+            .filter(F.col("n_distinct") < l))

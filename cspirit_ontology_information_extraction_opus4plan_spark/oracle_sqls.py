@@ -5646,6 +5646,20 @@ FROM agg"""
 verts AS (SELECT src AS v FROM und UNION SELECT dst FROM und)
 {_legs}""")
 
+    from .operators.olap import L_DIV_BUCKETS, L_DIV_DEFAULT
+    sqls["event_l_diversity"] = f"""
+WITH pv AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         CAST(user_id % {L_DIV_BUCKETS} AS BIGINT) AS u_bucket,
+         event_type AS sensitive, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2, 3)
+SELECT day, u_bucket,
+       CAST(count(DISTINCT sensitive) AS BIGINT) AS n_distinct,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       round(max(n) / CAST(sum(n) AS DOUBLE), 6) AS dominant_share
+FROM pv GROUP BY 1, 2
+HAVING count(DISTINCT sensitive) < {L_DIV_DEFAULT}"""
+
     return sqls
 
 

@@ -136,3 +136,24 @@ def test_global_row_number_empty_and_tiny(spark):
     assert [r.v for r in out.orderBy("rank").collect()] == [1, 3, 5]
     empty = df.filter("v > 100")
     assert global_row_number(empty, [F.col("v").asc()]).count() == 0
+
+
+def test_l_diversity_flags_homogeneous_cells(spark):
+    import datetime
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.olap import (
+        l_diversity_audit,
+    )
+    t = datetime.datetime(2024, 1, 5)
+    # user 1: 4 rows all 'click' (homogeneous -> flagged, share 1.0);
+    # user 2: 3 distinct types (diverse -> not flagged)
+    rows = [(i, t, 1, "click", 1.0, "{}") for i in range(4)] + \
+           [(10 + i, t, 2, ty, 1.0, "{}")
+            for i, ty in enumerate(("view", "click", "purchase"))]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    out = l_diversity_audit(ev, l=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.u_bucket == 1 and r.n_distinct == 1 and r.n_rows == 4
+    assert abs(r.dominant_share - 1.0) < 1e-9
