@@ -741,3 +741,64 @@ def test_scd2_incremental_all_exchanges_keyed(spark, sf_dir):
     assert parts and all("o_custkey" in p for p in parts), parts
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_webingest_parsers_pure_codegen(spark, sf_dir):
+    """HTML/sitemap/WARC parsing is regexp + literal-split column
+    expressions: no Python stage, no join at all for the row-local
+    parsers."""
+    for q in (api.q_html_extract, api.q_warc_parse):
+        plan = _plan(q(spark, sf_dir))
+        assert "BatchEvalPython" not in plan
+        assert "MapInPandas" not in plan
+        assert "Join" not in plan
+    plan = _plan(api.q_sitemap_parse(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_watermark_audit_range_shuffle_no_global_sort(spark, sf_dir):
+    """The running high-water mark decomposes over range partitions
+    (the range exchange sits behind the pinned localCheckpoint, so the
+    visible plan is the post-checkpoint tail): at most ONE
+    single-partition exchange (the pid-count dimension frame), never a
+    corpus-sized global sort window, no Python."""
+    plan = _plan(api.q_event_watermark_audit(spark, sf_dir))
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert "Exchange hashpartitioning(event_type" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_ccnet_buckets_distributed_ntile(spark, sf_dir):
+    """Per-language tiering runs through grouped_ntile (range exchange
+    + broadcast offsets), not a native per-language ntile window."""
+    plan = _plan(api.q_doc_ccnet_buckets(spark, sf_dir))
+    assert "ntile" not in plan
+    assert plan.count("Exchange SinglePartition") == 0
+    assert "BatchEvalPython" not in plan
+
+
+def test_plausibility_energy_is_row_local_moments_broadcast(spark,
+                                                            sf_dir):
+    """TransE energy is a per-row expression; the per-predicate
+    moments ride back on a broadcast join, never a window."""
+    plan = _plan(api.q_kg_triple_plausibility(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_crawl_admission_rules_broadcast_known_equi(spark, sf_dir):
+    """Robots rules broadcast; the known-URL check is an equi join —
+    no nested loop against the crawl state."""
+    plan = _plan(api.q_crawl_admission(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_compaction_and_expiry_no_python_no_nested_loop(spark, sf_dir):
+    for q in (api.q_file_compaction_plan, api.q_snapshot_expiry_orphans,
+              api.q_recrawl_schedule, api.q_doc_recrawl_diff):
+        plan = _plan(q(spark, sf_dir))
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
