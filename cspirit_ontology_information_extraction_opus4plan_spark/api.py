@@ -1265,6 +1265,38 @@ def q_event_l_diversity(spark, sf_dir):
     return l_diversity_audit(_events_ntz(spark, sf_dir))
 
 
+def q_event_exact_percentiles(spark, sf_dir):
+    """Exact per-type P50/P90/P99 by distributed rank extraction —
+    the ground truth the quantile sketches are judged against."""
+    from .operators.content_stats import load_events
+    from .operators.olap import exact_percentiles
+    return exact_percentiles(load_events(spark, sf_dir))
+
+
+def q_event_twap(spark, sf_dir):
+    """Time-weighted average value per user: observations weighted by
+    how long they remained latest (gap to next event)."""
+    from .operators.content_stats import load_events
+    from .operators.olap import time_weighted_avg
+    return time_weighted_avg(load_events(spark, sf_dir))
+
+
+def q_join_cardinality_audit(spark, sf_dir):
+    """CBO sanity probe: textbook NDV cardinality estimate vs actual
+    join count for the mention-gazetteer and triple-terms joins."""
+    from .operators.olap import join_cardinality_audit
+    a1 = join_cardinality_audit(
+        q_ner_mentions(spark, sf_dir).select("surface"),
+        gazetteer_df(spark).select("surface"),
+        "surface", "mention_gazetteer")
+    a2 = join_cardinality_audit(
+        dedup_triples(triples_df(spark, sf_dir))
+        .select(F.col("subject").alias("term")),
+        terms_df(spark).select(F.col("id").alias("term")),
+        "term", "triple_terms")
+    return a1.unionByName(a2)
+
+
 def q_event_hopping_windows(spark, sf_dir):
     """Hopping 6h/3h event-time windows per type — the overlapping
     window mode (each event in width/slide=2 windows); bounds as
@@ -2403,6 +2435,9 @@ def queries() -> dict[str, QueryFn]:
         "kg_partition_edgecut": q_kg_partition_edgecut,
         "linking_review_queue": q_linking_review_queue,
         "event_l_diversity": q_event_l_diversity,
+        "event_exact_percentiles": q_event_exact_percentiles,
+        "event_twap": q_event_twap,
+        "join_cardinality_audit": q_join_cardinality_audit,
         "embedding_label_stats": q_embedding_label_stats,
         "embedding_kmeans": q_embedding_kmeans,
         "embedding_quantize": q_embedding_quantize,

@@ -435,6 +435,30 @@ def grouped_ntile(df: DataFrame, group: str, order: Sequence[Column],
     total order within each group. localCheckpoint pins ONE sampled
     range partitioning across the counts and labeling subtrees (see
     global_row_number)."""
+    ranked = grouped_row_number(df, group, order, "__grank",
+                                num_partitions)
+    rank = F.col("__grank")
+    q = (F.col("__tot") / k).cast("bigint")          # floor: tot >= 0
+    rem = F.col("__tot") % k
+    head = rem * (q + 1)
+    # integer ceil(a/b) = (a + b - 1) div b; guard q=0 (never selected
+    # when rank > head is impossible, but keep the division total)
+    bucket = F.when(rank <= head,
+                    ((rank + q) / (q + 1)).cast("bigint")) \
+        .otherwise(rem + ((rank - head + F.greatest(q, F.lit(1)) - 1)
+                          / F.greatest(q, F.lit(1))).cast("bigint"))
+    return (ranked.withColumn(out_col, bucket.cast("int"))
+            .drop("__grank", "__tot"))
+
+
+def grouped_row_number(df: DataFrame, group: str,
+                       order: Sequence[Column], out_col: str,
+                       num_partitions: int | None = None) -> DataFrame:
+    """Exact PER-GROUP row_number + group totals ("__tot") with the
+    two-phase range-partitioned decomposition of global_row_number —
+    shared by grouped_ntile (tier assignment) and the exact-percentile
+    extractor. localCheckpoint pins ONE sampled partitioning across
+    the counts and labeling subtrees."""
     n_parts = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     d = (df.repartitionByRange(n_parts, F.col(group), *order)
@@ -451,21 +475,12 @@ def grouped_ntile(df: DataFrame, group: str, order: Sequence[Column],
                 .rowsBetween(Window.unboundedPreceding, -1)),
             F.lit(0)).alias("__off"))
     totals = counts.groupBy(group).agg(F.sum("__n").alias("__tot"))
-    rank = (F.col("__off") + F.col("__rn")).cast("bigint")
-    q = (F.col("__tot") / k).cast("bigint")          # floor: tot >= 0
-    rem = F.col("__tot") % k
-    head = rem * (q + 1)
-    # integer ceil(a/b) = (a + b - 1) div b; guard q=0 (never selected
-    # when rank > head is impossible, but keep the division total)
-    bucket = F.when(rank <= head,
-                    ((rank + q) / (q + 1)).cast("bigint")) \
-        .otherwise(rem + ((rank - head + F.greatest(q, F.lit(1)) - 1)
-                          / F.greatest(q, F.lit(1))).cast("bigint"))
     return (d.withColumn("__rn", local)
             .join(F.broadcast(offs), ["__pid", group])
             .join(F.broadcast(totals), group)
-            .withColumn(out_col, bucket.cast("int"))
-            .drop("__pid", "__rn", "__off", "__tot"))
+            .withColumn(out_col,
+                        (F.col("__off") + F.col("__rn")).cast("bigint"))
+            .drop("__pid", "__rn", "__off"))
 
 
 WATERMARK_LEVELS_S = (1800, 7200)    # 30 min / 2 h candidate delays
@@ -556,3 +571,80 @@ def l_diversity_audit(events: DataFrame, l: int = L_DIV_DEFAULT,
                  F.round(F.max("n") / F.sum("n"), 6)
                  .alias("dominant_share"))
             .filter(F.col("n_distinct") < l))
+
+
+PCTL_QS = (0.5, 0.9, 0.99)
+
+
+def exact_percentiles(events: DataFrame, group: str = "event_type",
+                      value: str = "value",
+                      qs: Sequence[float] = PCTL_QS) -> DataFrame:
+    """EXACT per-group percentiles (P50/P90/P99) by rank extraction —
+    the ground truth event_approx_quantiles' sketches are judged
+    against, computed scalably: rank every row per group with the
+    two-phase grouped_row_number (no per-group single task), then keep
+    the rows sitting at rank ceil(q*n) and pivot them wide. Exactness
+    matters when the percentile IS the SLO (a P99 latency gate);
+    sketches are for dashboards.
+
+    One range shuffle + broadcast offsets for the rank; the percentile
+    pick is a row filter; the pivot is a group-cardinality aggregate."""
+    ranked = grouped_row_number(
+        events.select(group, value, "event_id"), group,
+        [F.col(value), F.col("event_id")], "__r")
+    picks = [F.max(F.when(
+        F.col("__r") == F.least(
+            F.col("__tot"), F.ceil(F.lit(q) * F.col("__tot"))),
+        F.col(value))).alias(f"p{int(q * 100)}") for q in qs]
+    return (ranked.groupBy(group)
+            .agg(F.max("__tot").cast("bigint").alias("n"), *picks))
+
+
+def time_weighted_avg(events: DataFrame,
+                      key: str = "user_id") -> DataFrame:
+    """Time-weighted average value per key (the TWAP of market data
+    pipelines): each observation is weighted by how long it REMAINED
+    the latest one (gap to the key's next event); the trailing
+    observation carries no weight. Plain averages over-count bursts;
+    the time weighting is what a sensor/pricing rollup actually wants.
+
+    One lead() window per key ordered by event time — partition state
+    is the key's own event count; integer-microsecond weights keep
+    both engines exact."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy(key).orderBy("ts", "event_id")
+    dt = (F.lead(us, 1).over(w) - us)
+    d = events.withColumn("__dt", dt).filter(F.col("__dt").isNotNull())
+    return (d.groupBy(key)
+            .agg(F.count("*").cast("bigint").alias("n_weighted"),
+                 F.sum("__dt").cast("bigint").alias("span_us"),
+                 F.round(F.sum(F.col("value") * F.col("__dt"))
+                         / F.sum("__dt"), 6).alias("twap")))
+
+
+def join_cardinality_audit(left: DataFrame, right: DataFrame,
+                           key: str, name: str) -> DataFrame:
+    """CBO sanity probe: the textbook equi-join cardinality estimate
+    |L|*|R| / max(NDV_L, NDV_R) next to the ACTUAL join count — the
+    number that explains a mis-planned join (est/actual off by 10x =
+    correlated keys or skew the uniform-NDV model cannot see). Emits
+    one row: (join_name, n_left, n_right, ndv_left, ndv_right,
+    est_rows, actual_rows, est_ratio).
+
+    Three map-side-combinable aggregates + the real equi-join count;
+    all integer until the final ratio."""
+    ls = left.agg(F.count("*").cast("bigint").alias("n_left"),
+                  F.countDistinct(key).cast("bigint").alias("ndv_left"))
+    rs = right.agg(F.count("*").cast("bigint").alias("n_right"),
+                   F.countDistinct(key).cast("bigint")
+                   .alias("ndv_right"))
+    act = (left.join(right, key)
+           .agg(F.count("*").cast("bigint").alias("actual_rows")))
+    est = F.floor(F.col("n_left") * F.col("n_right")
+                  / F.greatest("ndv_left", "ndv_right")).cast("bigint")
+    return (ls.crossJoin(rs).crossJoin(act)
+            .select(F.lit(name).alias("join_name"),
+                    "n_left", "n_right", "ndv_left", "ndv_right",
+                    est.alias("est_rows"), "actual_rows",
+                    F.round(F.col("actual_rows") / est, 6)
+                    .alias("est_ratio")))

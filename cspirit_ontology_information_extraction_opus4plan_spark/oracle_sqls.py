@@ -5660,6 +5660,75 @@ SELECT day, u_bucket,
 FROM pv GROUP BY 1, 2
 HAVING count(DISTINCT sensitive) < {L_DIV_DEFAULT}"""
 
+    from .operators.olap import PCTL_QS
+    _pick = ", ".join(
+        f"max(CASE WHEN r = least(n, CAST(ceil({q} * n) AS BIGINT)) "
+        f"THEN value END) AS p{int(q * 100)}" for q in PCTL_QS)
+    sqls["event_exact_percentiles"] = f"""
+WITH rk AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS r,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n, {_pick}
+FROM rk GROUP BY 1"""
+
+    sqls["event_twap"] = """
+WITH g AS (
+  SELECT user_id, value,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)
+           - epoch_us(ts) AS dt
+  FROM events)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_weighted,
+       CAST(sum(dt) AS BIGINT) AS span_us,
+       round(sum(value * dt) / sum(dt), 6) AS twap
+FROM g WHERE dt IS NOT NULL GROUP BY 1"""
+
+    _card_leg = """
+  SELECT '{name}' AS join_name,
+         l.n_left, l.ndv_left, r.n_right, r.ndv_right,
+         CAST(floor(l.n_left * r.n_right
+                    / greatest(l.ndv_left, r.ndv_right)) AS BIGINT)
+           AS est_rows,
+         a.actual_rows,
+         round(a.actual_rows / floor(l.n_left * r.n_right
+               / greatest(l.ndv_left, r.ndv_right)), 6) AS est_ratio
+  FROM ({l}) l, ({r}) r, ({a}) a"""
+    sqls["join_cardinality_audit"] = (
+        corpus_prefix(gaz_cte(), link_cte(), triples_cte(), terms_cte())
+        + f""",
+m AS (
+  SELECT DISTINCT doc_id, kind, surface FROM (
+    SELECT doc_id, kind,
+           unnest(regexp_extract_all(lower(text), {_q(pat)}, 1))
+             AS surface
+    FROM spans WHERE kind IN ('text','figure','table')) t),
+dt AS (
+  SELECT subject AS term FROM (
+    SELECT subject, predicate, object, subject_type, object_type,
+           object_datatype, object_language,
+           max(confidence) AS confidence, count(*) AS support
+    FROM triples GROUP BY 1,2,3,4,5,6,7) d)
+{_card_leg.format(
+    name='mention_gazetteer',
+    l='SELECT CAST(count(*) AS BIGINT) n_left, CAST(count(DISTINCT '
+      'surface) AS BIGINT) ndv_left FROM m',
+    r='SELECT CAST(count(*) AS BIGINT) n_right, CAST(count(DISTINCT '
+      'surface) AS BIGINT) ndv_right FROM gaz',
+    a='SELECT CAST(count(*) AS BIGINT) actual_rows FROM m '
+      'JOIN gaz USING (surface)')}
+UNION ALL
+{_card_leg.format(
+    name='triple_terms',
+    l='SELECT CAST(count(*) AS BIGINT) n_left, CAST(count(DISTINCT '
+      'term) AS BIGINT) ndv_left FROM dt',
+    r='SELECT CAST(count(*) AS BIGINT) n_right, CAST(count(DISTINCT '
+      'id) AS BIGINT) ndv_right FROM terms_d',
+    a='SELECT CAST(count(*) AS BIGINT) actual_rows FROM dt '
+      'JOIN terms_d ON terms_d.id = dt.term')}""")
+
     return sqls
 
 

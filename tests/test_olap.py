@@ -157,3 +157,54 @@ def test_l_diversity_flags_homogeneous_cells(spark):
     r = out[0]
     assert r.u_bucket == 1 and r.n_distinct == 1 and r.n_rows == 4
     assert abs(r.dominant_share - 1.0) < 1e-9
+
+
+def test_exact_percentiles_hand_computed(spark):
+    import datetime
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.olap import (
+        exact_percentiles,
+    )
+    t = datetime.datetime(2024, 1, 1)
+    vals = [float(v) for v in range(1, 101)]          # 1..100
+    ev = spark.createDataFrame(
+        [(i, t, 1, "a", v, "{}") for i, v in enumerate(vals)],
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string")
+    r = exact_percentiles(ev).collect()[0]
+    # rank ceil(q*100): p50 -> 50th value, p90 -> 90th, p99 -> 99th
+    assert r.n == 100
+    assert (r.p50, r.p90, r.p99) == (50.0, 90.0, 99.0)
+
+
+def test_twap_weights_by_holding_time(spark):
+    import datetime
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.olap import (
+        time_weighted_avg,
+    )
+    t0 = datetime.datetime(2024, 1, 1)
+    s = datetime.timedelta(seconds=1)
+    # value 10 held 1s, value 20 held 3s, final value unweighted
+    rows = [(0, t0, 7, "a", 10.0, "{}"),
+            (1, t0 + 1 * s, 7, "a", 20.0, "{}"),
+            (2, t0 + 4 * s, 7, "a", 999.0, "{}")]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    r = time_weighted_avg(ev).collect()[0]
+    assert r.n_weighted == 2 and r.span_us == 4_000_000
+    assert abs(r.twap - (10 * 1 + 20 * 3) / 4.0) < 1e-6
+
+
+def test_join_cardinality_estimate_formula(spark):
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.olap import (
+        join_cardinality_audit,
+    )
+    left = spark.createDataFrame(
+        [("k1",)] * 6 + [("k2",)] * 2, "k string")
+    right = spark.createDataFrame(
+        [("k1",), ("k2",), ("k3",), ("k4",)], "k string")
+    r = join_cardinality_audit(left, right, "k", "demo").collect()[0]
+    assert (r.n_left, r.n_right, r.ndv_left, r.ndv_right) == (8, 4, 2, 4)
+    assert r.est_rows == 8          # 8*4 / max(2,4)
+    assert r.actual_rows == 8       # 6 + 2
+    assert abs(r.est_ratio - 1.0) < 1e-9
