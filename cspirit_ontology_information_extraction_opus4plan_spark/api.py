@@ -1265,6 +1265,20 @@ def q_event_l_diversity(spark, sf_dir):
     return l_diversity_audit(_events_ntz(spark, sf_dir))
 
 
+def q_event_eventually_follows(spark, sf_dir):
+    """Process-mining eventually-follows graph: ordered type pairs by
+    the number of sessions where A's first occurrence precedes B's."""
+    from .operators.content_stats import eventually_follows, load_events
+    return eventually_follows(load_events(spark, sf_dir))
+
+
+def q_event_expectations(spark, sf_dir):
+    """Declarative data-contract audit: not-null / unique / bounds /
+    enum expectations evaluated in one scan, verdict row per rule."""
+    from .operators.content_stats import expectations_audit, load_events
+    return expectations_audit(load_events(spark, sf_dir))
+
+
 def q_event_exact_percentiles(spark, sf_dir):
     """Exact per-type P50/P90/P99 by distributed rank extraction —
     the ground truth the quantile sketches are judged against."""
@@ -2438,6 +2452,8 @@ def queries() -> dict[str, QueryFn]:
         "event_exact_percentiles": q_event_exact_percentiles,
         "event_twap": q_event_twap,
         "join_cardinality_audit": q_join_cardinality_audit,
+        "event_eventually_follows": q_event_eventually_follows,
+        "event_expectations": q_event_expectations,
         "embedding_label_stats": q_embedding_label_stats,
         "embedding_kmeans": q_embedding_kmeans,
         "embedding_quantize": q_embedding_quantize,

@@ -11,7 +11,7 @@ hold at any scale because the per-group state is O(groups), not O(rows).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 IQR_FACTOR = 1.5  # Tukey fences, content_utils.py:158
@@ -741,3 +741,104 @@ def benford_digits(events: DataFrame) -> DataFrame:
                     .alias("obs_frac"),
                     F.round("exp_frac", 6).alias("exp_frac"),
                     "chi_square"))
+
+
+EF_GAP_S = 8 * 3600   # same session gap as streaming.SESSION_GAP
+
+
+def eventually_follows(events: DataFrame,
+                       gap_s: int = EF_GAP_S) -> DataFrame:
+    """Process-mining eventually-follows graph: for every ordered pair
+    of event types (A, B), the number of sessions in which A's first
+    occurrence precedes B's — the relation process-discovery tools
+    (alpha miner, Celonis-style EF graphs) start from, and a strictly
+    coarser signal than markov_transitions' immediate-successor counts
+    (A can eventually-follow B across any number of intervening
+    events). Sessions are the same gap-merged islands as
+    event_sessions. Emits (antecedent, consequent, n_sessions,
+    support) with support = n_sessions / total sessions.
+
+    Shape: the islands pass is one lag+cumsum window per user (state
+    bounded by the user's own events); per-session type-firsts cut
+    each session to <= |type| rows, so the within-session pair join is
+    a bounded fan-out equi-join on (user, session); the EF counts are
+    a type-pair-cardinality aggregate."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(us, 1).over(w)
+    new_s = (prev.isNull()
+             | ((us - prev) >= gap_s * 1_000_000)).cast("bigint")
+    sid = F.sum(new_s).over(
+        w.rowsBetween(Window.unboundedPreceding, 0))
+    d = (events
+         .withColumn("__us", us)
+         .withColumn("__sid", sid))
+    firsts = (d.groupBy("user_id", "__sid", "event_type")
+              .agg(F.min(F.struct(F.col("__us").alias("u"),
+                                  F.col("event_id").alias("e")))
+                   .alias("fk"))
+              .localCheckpoint(eager=True))
+    total = (firsts.select("user_id", "__sid").distinct()
+             .agg(F.count("*").cast("double").alias("__total")))
+    a, b = firsts.alias("a"), firsts.alias("b")
+    pairs = (a.join(b, ["user_id", "__sid"])
+             .filter((F.col("a.event_type") != F.col("b.event_type"))
+                     & (F.col("a.fk") < F.col("b.fk"))))
+    return (pairs.groupBy(F.col("a.event_type").alias("antecedent"),
+                          F.col("b.event_type").alias("consequent"))
+            .agg(F.count("*").cast("bigint").alias("n_sessions"))
+            .crossJoin(F.broadcast(total))
+            .select("antecedent", "consequent", "n_sessions",
+                    F.round(F.col("n_sessions") / F.col("__total"), 6)
+                    .alias("support")))
+
+
+EXPECT_VALUE_MIN = 0.0
+EXPECT_VALUE_MAX = 100.0      # deliberately tight: the long value tail
+                              # SHOULD fail, proving the audit reports
+                              # failures instead of masking them
+EXPECT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def expectations_audit(events: DataFrame) -> DataFrame:
+    """Declarative data-contract audit (the Great-Expectations /
+    dbt-test staple): evaluate a fixed expectation suite — not-null,
+    key uniqueness, value bounds, enum membership — in ONE scan and
+    emit a verdict row per rule: (column, rule, param, n_rows,
+    n_failed, passed). A failing rule reports its failure count, never
+    aborts the job: contracts gate the PUBLISH, not the compute
+    (guards.py's quarantine discipline at dataset granularity).
+
+    All checks are map-side-combinable counts folded into a single
+    aggregate; the rule explosion is a literal unpivot of that one
+    row, so the audit costs one pass whatever the suite size."""
+    null_ck = lambda c: F.sum(F.col(c).isNull().cast("bigint"))
+    agg = events.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        null_ck("event_id").alias("f_eid_null"),
+        (F.count("*") - F.countDistinct("event_id")).cast("bigint")
+        .alias("f_eid_dup"),
+        F.sum((F.col("value") < EXPECT_VALUE_MIN).cast("bigint"))
+        .alias("f_val_min"),
+        F.sum((F.col("value") > EXPECT_VALUE_MAX).cast("bigint"))
+        .alias("f_val_max"),
+        F.sum((~F.col("event_type").isin(*EXPECT_TYPES))
+              .cast("bigint")).alias("f_type_enum"),
+        null_ck("user_id").alias("f_uid_null"))
+    rules = [
+        ("event_id", "not_null", "", "f_eid_null"),
+        ("event_id", "unique", "", "f_eid_dup"),
+        ("value", "min", str(EXPECT_VALUE_MIN), "f_val_min"),
+        ("value", "max", str(EXPECT_VALUE_MAX), "f_val_max"),
+        ("event_type", "enum", "|".join(EXPECT_TYPES), "f_type_enum"),
+        ("user_id", "not_null", "", "f_uid_null"),
+    ]
+    stack = F.expr("stack({}, {})".format(
+        len(rules),
+        ", ".join(f"'{c}', '{r}', '{p}', {m}" for c, r, p, m in rules)
+    )).alias("column", "rule", "param", "n_failed")
+    return (agg.select("n_rows", stack)
+            .select(F.col("column").alias("col_name"), "rule", "param",
+                    "n_rows", F.col("n_failed").cast("bigint")
+                    .alias("n_failed"),
+                    (F.col("n_failed") == 0).alias("passed")))

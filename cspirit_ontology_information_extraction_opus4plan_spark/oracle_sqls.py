@@ -5686,6 +5686,74 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_weighted,
        round(sum(value * dt) / sum(dt), 6) AS twap
 FROM g WHERE dt IS NOT NULL GROUP BY 1"""
 
+    from .operators.content_stats import (
+        EF_GAP_S, EXPECT_TYPES, EXPECT_VALUE_MAX, EXPECT_VALUE_MIN,
+    )
+    sqls["event_eventually_follows"] = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                   >= {EF_GAP_S} * CAST(1000000 AS BIGINT)
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e),
+f AS (
+  SELECT user_id, sid, event_type, us, event_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY user_id, sid, event_type
+      ORDER BY us, event_id) AS rn
+    FROM s) t
+  WHERE rn = 1),
+tot AS (
+  SELECT CAST(count(*) AS DOUBLE) AS t FROM (
+    SELECT DISTINCT user_id, sid FROM s) d),
+p AS (
+  SELECT a.event_type AS antecedent, b.event_type AS consequent
+  FROM f a JOIN f b
+    ON a.user_id = b.user_id AND a.sid = b.sid
+   AND a.event_type <> b.event_type
+   AND (a.us, a.event_id) < (b.us, b.event_id))
+SELECT antecedent, consequent,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       round(count(*) / tot.t, 6) AS support
+FROM p, tot GROUP BY 1, 2, tot.t"""
+
+    _enum_in = ", ".join(f"'{t}'" for t in EXPECT_TYPES)
+    _enum_p = "|".join(EXPECT_TYPES)
+    sqls["event_expectations"] = f"""
+WITH a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS f_eid_null,
+         CAST(count(*) - count(DISTINCT event_id) AS BIGINT)
+           AS f_eid_dup,
+         CAST(sum(CASE WHEN value < {EXPECT_VALUE_MIN} THEN 1 ELSE 0
+                  END) AS BIGINT) AS f_val_min,
+         CAST(sum(CASE WHEN value > {EXPECT_VALUE_MAX} THEN 1 ELSE 0
+                  END) AS BIGINT) AS f_val_max,
+         CAST(sum(CASE WHEN event_type NOT IN ({_enum_in})
+                  THEN 1 ELSE 0 END) AS BIGINT) AS f_type_enum,
+         CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS f_uid_null
+  FROM events)
+SELECT 'event_id' AS col_name, 'not_null' AS rule, '' AS param,
+       n_rows, f_eid_null AS n_failed, f_eid_null = 0 AS passed FROM a
+UNION ALL SELECT 'event_id', 'unique', '', n_rows, f_eid_dup,
+       f_eid_dup = 0 FROM a
+UNION ALL SELECT 'value', 'min', '{EXPECT_VALUE_MIN}', n_rows,
+       f_val_min, f_val_min = 0 FROM a
+UNION ALL SELECT 'value', 'max', '{EXPECT_VALUE_MAX}', n_rows,
+       f_val_max, f_val_max = 0 FROM a
+UNION ALL SELECT 'event_type', 'enum', '{_enum_p}', n_rows,
+       f_type_enum, f_type_enum = 0 FROM a
+UNION ALL SELECT 'user_id', 'not_null', '', n_rows, f_uid_null,
+       f_uid_null = 0 FROM a"""
+
     _card_leg = """
   SELECT '{name}' AS join_name,
          l.n_left, l.ndv_left, r.n_right, r.ndv_right,

@@ -208,3 +208,49 @@ def test_join_cardinality_estimate_formula(spark):
     assert r.est_rows == 8          # 8*4 / max(2,4)
     assert r.actual_rows == 8       # 6 + 2
     assert abs(r.est_ratio - 1.0) < 1e-9
+
+
+def test_eventually_follows_hand_planted(spark):
+    import datetime
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.content_stats import (
+        eventually_follows,
+    )
+    t0 = datetime.datetime(2024, 1, 1)
+    h = datetime.timedelta(hours=1)
+    # user 1 session 1: view -> click -> view; user 1 session 2 (gap
+    # > 8h): click only; user 2: click -> view
+    rows = [(0, t0, 1, "view"), (1, t0 + 1 * h, 1, "click"),
+            (2, t0 + 2 * h, 1, "view"),
+            (3, t0 + 20 * h, 1, "click"),
+            (4, t0, 2, "click"), (5, t0 + 1 * h, 2, "view")]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string")
+    out = {(r.antecedent, r.consequent): r for r in
+           eventually_follows(ev).collect()}
+    # 3 sessions total; first-occurrence order decides
+    assert out[("view", "click")].n_sessions == 1
+    assert out[("click", "view")].n_sessions == 1
+    assert abs(out[("view", "click")].support - 1 / 3) < 1e-6
+
+
+def test_expectations_audit_reports_failures(spark):
+    import datetime
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.content_stats import (
+        expectations_audit,
+    )
+    t = datetime.datetime(2024, 1, 1)
+    rows = [(0, t, 1, "view", 50.0, "{}"), (1, t, 2, "click", 150.0, "{}"),
+            (1, t, 3, "weird", -1.0, "{}")]   # dup id, bad enum, < min
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    out = {(r.col_name, r.rule): r for r in
+           expectations_audit(ev).collect()}
+    assert len(out) == 6
+    assert out[("event_id", "unique")].n_failed == 1
+    assert out[("value", "max")].n_failed == 1
+    assert out[("value", "min")].n_failed == 1
+    assert out[("event_type", "enum")].n_failed == 1
+    assert out[("event_id", "not_null")].passed
+    assert not out[("value", "max")].passed
