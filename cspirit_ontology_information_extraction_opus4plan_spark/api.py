@@ -1265,6 +1265,15 @@ def q_event_l_diversity(spark, sf_dir):
     return l_diversity_audit(_events_ntz(spark, sf_dir))
 
 
+def q_chat_template_lint(spark, sf_dir):
+    """SFT chat-format lint over decorated JSON transcripts: role
+    grammar ^s?(ua)+$, empty-content, malformed-JSON quarantine."""
+    from .operators.textops import chat_template_lint
+    return chat_template_lint(DE.chat_docs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")))
+
+
 def q_event_eventually_follows(spark, sf_dir):
     """Process-mining eventually-follows graph: ordered type pairs by
     the number of sessions where A's first occurrence precedes B's."""
@@ -2454,6 +2463,7 @@ def queries() -> dict[str, QueryFn]:
         "join_cardinality_audit": q_join_cardinality_audit,
         "event_eventually_follows": q_event_eventually_follows,
         "event_expectations": q_event_expectations,
+        "chat_template_lint": q_chat_template_lint,
         "embedding_label_stats": q_embedding_label_stats,
         "embedding_kmeans": q_embedding_kmeans,
         "embedding_quantize": q_embedding_quantize,

@@ -1276,3 +1276,82 @@ r2 AS (
   SELECT doc_id + {RECRAWL_NEW_BASE}, 'fresh page ' || text
   FROM documents WHERE doc_id % {RECRAWL_NEW_MOD} = 0
 )""".strip()
+
+
+# --- chat-format SFT transcripts (template lint corpus) ----------------------
+
+CHAT_INVALID_MOD = 97    # truncated JSON
+CHAT_EMPTY_MOD = 13      # empty assistant content
+CHAT_AFIRST_MOD = 11     # assistant-first (structure violation)
+CHAT_DOUBLE_MOD = 7      # doubled user turn (alternation violation)
+
+
+def chat_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, chat): JSON chat transcripts with planted violations,
+    first-match precedence %97 (truncated) > %13 (empty assistant) >
+    %11 (assistant-first) > %7 (double user) > well-formed. Rebuilt
+    identically by chat_docs_sql."""
+    did = F.col("doc_id")
+    ds = did.cast("string")
+
+    def turns(*pairs):
+        return F.concat(F.lit("["), F.concat_ws(",", *[
+            F.concat(F.lit('{"role":"'), F.lit(r),
+                     F.lit('","content":"'), c, F.lit('"}'))
+            for r, c in pairs]), F.lit("]"))
+
+    base = turns(("system", F.lit("be helpful")),
+                 ("user", F.concat(F.lit("doc "), ds)),
+                 ("assistant", F.concat(F.lit("answer "), ds)))
+    chat = (
+        F.when(did % CHAT_INVALID_MOD == 0,
+               F.concat(F.lit('[{"role":"system","content":"be'),
+                        F.lit(' helpful"},{"role":"user",')))
+        .when(did % CHAT_EMPTY_MOD == 0,
+              turns(("system", F.lit("be helpful")),
+                    ("user", F.concat(F.lit("doc "), ds)),
+                    ("assistant", F.lit(""))))
+        .when(did % CHAT_AFIRST_MOD == 0,
+              turns(("assistant", F.concat(F.lit("answer "), ds)),
+                    ("user", F.concat(F.lit("doc "), ds))))
+        .when(did % CHAT_DOUBLE_MOD == 0,
+              turns(("system", F.lit("be helpful")),
+                    ("user", F.concat(F.lit("doc "), ds)),
+                    ("user", F.lit("again")),
+                    ("assistant", F.concat(F.lit("answer "), ds))))
+        .otherwise(base))
+    return docs.select("doc_id", chat.alias("chat"))
+
+
+def chat_docs_sql() -> str:
+    """DuckDB twin of chat_docs over the documents view."""
+    def turn(r: str, c: str) -> str:
+        return ("'{{\"role\":\"" + r + "\",\"content\":\"' || " + c
+                + " || '\"}}'").replace("{{", "{").replace("}}", "}")
+
+    ds = "CAST(doc_id AS VARCHAR)"
+    base = ("'[' || " + turn("system", "'be helpful'") + " || ',' || "
+            + turn("user", f"'doc ' || {ds}") + " || ',' || "
+            + turn("assistant", f"'answer ' || {ds}") + " || ']'")
+    empty = ("'[' || " + turn("system", "'be helpful'") + " || ',' || "
+             + turn("user", f"'doc ' || {ds}") + " || ',' || "
+             + turn("assistant", "''") + " || ']'")
+    afirst = ("'[' || " + turn("assistant", f"'answer ' || {ds}")
+              + " || ',' || " + turn("user", f"'doc ' || {ds}")
+              + " || ']'")
+    dbl = ("'[' || " + turn("system", "'be helpful'") + " || ',' || "
+           + turn("user", f"'doc ' || {ds}") + " || ',' || "
+           + turn("user", "'again'") + " || ',' || "
+           + turn("assistant", f"'answer ' || {ds}") + " || ']'")
+    return f"""
+chatd AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {CHAT_INVALID_MOD} = 0 THEN
+                '[{{"role":"system","content":"be helpful"}},'
+                || '{{"role":"user",'
+              WHEN doc_id % {CHAT_EMPTY_MOD} = 0 THEN {empty}
+              WHEN doc_id % {CHAT_AFIRST_MOD} = 0 THEN {afirst}
+              WHEN doc_id % {CHAT_DOUBLE_MOD} = 0 THEN {dbl}
+              ELSE {base} END AS chat
+  FROM documents
+)""".strip()

@@ -2291,3 +2291,46 @@ def ccnet_ppl_buckets(docs: DataFrame, k: int = CCNET_K) -> DataFrame:
     return tiled.select(
         "doc_id", "lang", "n_tokens", "cross_entropy", "tier",
         F.element_at(names, F.col("tier")).alias("bucket"))
+
+
+CHAT_SCHEMA = "array<struct<role:string,content:string>>"
+CHAT_SIG_RE = r"^s?(ua)+$"
+
+
+def chat_template_lint(chats: DataFrame,
+                       chat_col: str = "chat") -> DataFrame:
+    """SFT chat-transcript lint — the format QC an instruction-tuning
+    corpus runs before tokenization: parse each JSON transcript,
+    collapse the role sequence to an initial string (system->s,
+    user->u, assistant->a) and validate it against the canonical
+    template grammar ^s?(ua)+$ (optional system, strict user/assistant
+    alternation, assistant-final), plus empty-content detection.
+    Verdict precedence: invalid_json > bad_structure > empty_content >
+    ok; every transcript gets a row — lint reports, never drops.
+
+    from_json returns NULL on malformed input (the PERMISSIVE path),
+    so truncated fetches quarantine instead of aborting; everything
+    downstream is array expressions + one regexp — per-row codegen,
+    no shuffle, no Python."""
+    msgs = F.from_json(F.col(chat_col), CHAT_SCHEMA)
+    initial = F.array_join(F.transform(
+        msgs, lambda m: F.when(m.role == "system", F.lit("s"))
+        .when(m.role == "user", F.lit("u"))
+        .when(m.role == "assistant", F.lit("a"))
+        .otherwise(F.lit("x"))), "")
+    n_empty = F.size(F.filter(
+        msgs, lambda m: m.content.isNull() | (m.content == "")))
+    d = chats.select(
+        "doc_id", msgs.alias("__m"), initial.alias("role_sig"),
+        F.size(msgs).cast("bigint").alias("n_turns"),
+        n_empty.cast("bigint").alias("n_empty"))
+    return d.select(
+        "doc_id",
+        F.coalesce("role_sig", F.lit("")).alias("role_sig"),
+        F.greatest("n_turns", F.lit(0).cast("bigint")).alias("n_turns"),
+        F.greatest("n_empty", F.lit(0).cast("bigint")).alias("n_empty"),
+        F.when(F.col("__m").isNull(), F.lit("invalid_json"))
+        .when(~F.col("role_sig").rlike(CHAT_SIG_RE),
+              F.lit("bad_structure"))
+        .when(F.col("n_empty") > 0, F.lit("empty_content"))
+        .otherwise(F.lit("ok")).alias("status"))

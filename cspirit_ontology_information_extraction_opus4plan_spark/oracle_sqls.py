@@ -5754,6 +5754,42 @@ UNION ALL SELECT 'event_type', 'enum', '{_enum_p}', n_rows,
 UNION ALL SELECT 'user_id', 'not_null', '', n_rows, f_uid_null,
        f_uid_null = 0 FROM a"""
 
+    from .decorations import chat_docs_sql
+    sqls["chat_template_lint"] = f"""
+WITH {chat_docs_sql()},
+t AS (
+  SELECT doc_id, chat, json_valid(chat) AS ok,
+         CASE WHEN json_valid(chat) THEN json_array_length(chat)
+              ELSE 0 END AS n
+  FROM chatd),
+ex AS (
+  SELECT doc_id, chat,
+         unnest(generate_series(0, CAST(n AS BIGINT) - 1)) AS i
+  FROM t WHERE ok AND n > 0),
+pr AS (
+  SELECT doc_id, i,
+         json_extract_string(chat, '$[' || i || '].role') AS role,
+         json_extract_string(chat, '$[' || i || '].content') AS content
+  FROM ex),
+ag AS (
+  SELECT doc_id,
+         string_agg(CASE role WHEN 'system' THEN 's'
+                    WHEN 'user' THEN 'u' WHEN 'assistant' THEN 'a'
+                    ELSE 'x' END, '' ORDER BY i) AS role_sig,
+         CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(sum(CASE WHEN content IS NULL OR content = ''
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
+  FROM pr GROUP BY 1)
+SELECT t.doc_id, coalesce(a.role_sig, '') AS role_sig,
+       CAST(coalesce(a.n_turns, 0) AS BIGINT) AS n_turns,
+       CAST(coalesce(a.n_empty, 0) AS BIGINT) AS n_empty,
+       CASE WHEN NOT t.ok THEN 'invalid_json'
+            WHEN NOT regexp_matches(coalesce(a.role_sig, ''),
+                                    '^s?(ua)+$') THEN 'bad_structure'
+            WHEN a.n_empty > 0 THEN 'empty_content'
+            ELSE 'ok' END AS status
+FROM t LEFT JOIN ag a USING (doc_id)"""
+
     _card_leg = """
   SELECT '{name}' AS join_name,
          l.n_left, l.ndv_left, r.n_right, r.ndv_right,

@@ -514,3 +514,27 @@ def test_leakage_split_never_straddles_neardup_pairs(spark, sf_dir, adocs):
     # all three splits actually populated at this corpus size
     assert split.select("split").distinct().count() == 3
     split.unpersist()
+
+
+def test_chat_template_lint_verdicts(spark):
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.textops import (
+        chat_template_lint,
+    )
+    rows = [
+        (1, '[{"role":"system","content":"s"},{"role":"user",'
+            '"content":"q"},{"role":"assistant","content":"a"}]'),
+        (2, '[{"role":"user","content":"q"},{"role":"assistant",'
+            '"content":"a"},{"role":"user","content":"q2"},'
+            '{"role":"assistant","content":"a2"}]'),
+        (3, '[{"role":"assistant","content":"a"}]'),
+        (4, '[{"role":"user","content":"q"},{"role":"assistant",'
+            '"content":""}]'),
+        (5, '[{"role":"user","content":'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, chat string")
+    out = {r.doc_id: r for r in chat_template_lint(df).collect()}
+    assert out[1].status == "ok" and out[1].role_sig == "sua"
+    assert out[2].status == "ok" and out[2].role_sig == "uaua"
+    assert out[3].status == "bad_structure"
+    assert out[4].status == "empty_content" and out[4].n_empty == 1
+    assert out[5].status == "invalid_json" and out[5].n_turns == 0
