@@ -1265,6 +1265,20 @@ def q_event_l_diversity(spark, sf_dir):
     return l_diversity_audit(_events_ntz(spark, sf_dir))
 
 
+def q_event_ht_estimate(spark, sf_dir):
+    """Horvitz-Thompson sample-estimate accuracy: per-type totals from
+    a deterministic 10% md5 sample vs exact, with relative error."""
+    from .operators.content_stats import ht_estimate_audit, load_events
+    return ht_estimate_audit(load_events(spark, sf_dir))
+
+
+def q_encoding_benefit_audit(spark, sf_dir):
+    """Dictionary-encoding benefit per string column: plain bytes vs
+    dictionary bytes (distinct values + log2(ndv)-bit codes)."""
+    from .operators.content_stats import encoding_benefit_audit, load_events
+    return encoding_benefit_audit(load_events(spark, sf_dir))
+
+
 def q_chat_template_lint(spark, sf_dir):
     """SFT chat-format lint over decorated JSON transcripts: role
     grammar ^s?(ua)+$, empty-content, malformed-JSON quarantine."""
@@ -2464,6 +2478,8 @@ def queries() -> dict[str, QueryFn]:
         "event_eventually_follows": q_event_eventually_follows,
         "event_expectations": q_event_expectations,
         "chat_template_lint": q_chat_template_lint,
+        "event_ht_estimate": q_event_ht_estimate,
+        "encoding_benefit_audit": q_encoding_benefit_audit,
         "embedding_label_stats": q_embedding_label_stats,
         "embedding_kmeans": q_embedding_kmeans,
         "embedding_quantize": q_embedding_quantize,

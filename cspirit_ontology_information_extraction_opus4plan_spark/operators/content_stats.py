@@ -842,3 +842,81 @@ def expectations_audit(events: DataFrame) -> DataFrame:
                     "n_rows", F.col("n_failed").cast("bigint")
                     .alias("n_failed"),
                     (F.col("n_failed") == 0).alias("passed")))
+
+
+HT_RATE_PCT = 10    # deterministic 10% md5 sample
+
+
+def ht_estimate_audit(events: DataFrame,
+                      rate_pct: int = HT_RATE_PCT) -> DataFrame:
+    """Approximate-query-processing accuracy audit: estimate per-type
+    row counts and value totals from a deterministic md5 p% sample
+    with Horvitz-Thompson inverse-probability weighting, next to the
+    exact answers — the error column is the evidence for (or against)
+    answering dashboards from the sample at 100 TB instead of scanning
+    everything. Sampling is the same md5-threshold idiom as
+    doc_hash_sample, so membership is replayable by the oracle.
+
+    Two map-side-combinable aggregates over one scan (WHEN-guarded
+    sampled measures next to exact ones) — the audit costs one pass."""
+    in_sample = (F.conv(F.substring(F.md5(F.col("event_id")
+                                          .cast("string")), 1, 8),
+                        16, 10).cast("bigint") % 100) < rate_pct
+    w = 100.0 / rate_pct
+    return (events
+            .groupBy("event_type")
+            .agg(F.count("*").cast("bigint").alias("n_exact"),
+                 F.round(F.sum("value"), 6).alias("sum_exact"),
+                 F.sum(in_sample.cast("bigint")).cast("bigint")
+                 .alias("n_sampled"),
+                 (F.sum(in_sample.cast("bigint")) * F.lit(w))
+                 .cast("bigint").alias("n_est"),
+                 F.round(F.sum(F.when(in_sample, F.col("value"))
+                               .otherwise(0.0)) * w, 6)
+                 .alias("sum_est"))
+            .select("event_type", "n_exact", "n_sampled", "n_est",
+                    "sum_exact", "sum_est",
+                    F.round(F.abs(F.col("sum_est") - F.col("sum_exact"))
+                            / F.col("sum_exact"), 6)
+                    .alias("rel_err")))
+
+
+ENC_COLS = ("event_type", "props")
+
+
+def encoding_benefit_audit(events: DataFrame,
+                           cols: tuple = ENC_COLS) -> DataFrame:
+    """Storage-layout probe: for each candidate string column, the
+    dictionary-encoding benefit estimate a columnar writer computes —
+    plain size (sum of value byte lengths) vs dictionary size
+    (distinct values stored once + ceil(log2(ndv))-bit codes per
+    row). A ratio near 1 says skip the dictionary (high-cardinality
+    payloads); well under 1 says dictionary wins (enums). The same
+    arithmetic drives parquet's per-chunk PLAIN vs RLE_DICTIONARY
+    choice; surfaced as a table so layout decisions are measured, not
+    guessed.
+
+    Per column: one aggregate over the scan + one over the distinct
+    value set (bounded by ndv); integer byte math except the final
+    ratio."""
+    outs = []
+    for c in cols:
+        base = events.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.countDistinct(c).cast("bigint").alias("ndv"),
+            F.sum(F.length(c)).cast("bigint").alias("plain_bytes"))
+        dlen = (events.select(c).distinct()
+                .agg(F.sum(F.length(c)).cast("bigint")
+                     .alias("dict_val_bytes")))
+        bits = F.greatest(F.ceil(F.log2("ndv")), F.lit(1))
+        dict_bytes = (F.col("dict_val_bytes")
+                      + F.ceil(F.col("n_rows") * bits / 8))             .cast("bigint")
+        outs.append(base.crossJoin(F.broadcast(dlen)).select(
+            F.lit(c).alias("col_name"), "n_rows", "ndv",
+            "plain_bytes", dict_bytes.alias("dict_bytes"),
+            F.round(dict_bytes / F.col("plain_bytes"), 6)
+            .alias("dict_ratio")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -5754,6 +5754,45 @@ UNION ALL SELECT 'event_type', 'enum', '{_enum_p}', n_rows,
 UNION ALL SELECT 'user_id', 'not_null', '', n_rows, f_uid_null,
        f_uid_null = 0 FROM a"""
 
+    from .operators.content_stats import ENC_COLS, HT_RATE_PCT
+    _w = 100.0 / HT_RATE_PCT
+    sqls["event_ht_estimate"] = f"""
+WITH sm AS (
+  SELECT *, (CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)),
+              1, 8)) AS BIGINT) % 100) < {HT_RATE_PCT} AS smp
+  FROM events),
+ag AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_exact,
+         round(sum(value), 6) AS sum_exact,
+         CAST(sum(CASE WHEN smp THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_sampled,
+         CAST(sum(CASE WHEN smp THEN 1 ELSE 0 END) * {_w} AS BIGINT)
+           AS n_est,
+         round(sum(CASE WHEN smp THEN value ELSE 0 END) * {_w}, 6)
+           AS sum_est
+  FROM sm GROUP BY 1)
+SELECT event_type, n_exact, n_sampled, n_est, sum_exact, sum_est,
+       round(abs(sum_est - sum_exact) / sum_exact, 6) AS rel_err
+FROM ag"""
+
+    _enc_leg = """
+  SELECT '{c}' AS col_name, b.n_rows, b.ndv, b.plain_bytes,
+         CAST(d.dict_val_bytes + ceil(b.n_rows
+              * greatest(ceil(log2(b.ndv)), 1) / 8) AS BIGINT)
+           AS dict_bytes,
+         round((d.dict_val_bytes + ceil(b.n_rows
+               * greatest(ceil(log2(b.ndv)), 1) / 8))
+               / b.plain_bytes, 6) AS dict_ratio
+  FROM (SELECT CAST(count(*) AS BIGINT) n_rows,
+               CAST(count(DISTINCT {c}) AS BIGINT) ndv,
+               CAST(sum(length({c})) AS BIGINT) plain_bytes
+        FROM events) b,
+       (SELECT CAST(sum(length(v)) AS BIGINT) dict_val_bytes
+        FROM (SELECT DISTINCT {c} AS v FROM events) x) d"""
+    sqls["encoding_benefit_audit"] = "\nUNION ALL\n".join(
+        _enc_leg.format(c=c) for c in ENC_COLS)
+
     from .decorations import chat_docs_sql
     sqls["chat_template_lint"] = f"""
 WITH {chat_docs_sql()},

