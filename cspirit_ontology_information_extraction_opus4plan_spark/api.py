@@ -1265,6 +1265,22 @@ def q_event_l_diversity(spark, sf_dir):
     return l_diversity_audit(_events_ntz(spark, sf_dir))
 
 
+def q_event_conversion_lag(spark, sf_dir):
+    """Funnel time-to-convert: exact P50/P90/max seconds from first
+    view to first strictly-later purchase per user."""
+    from .operators.content_stats import load_events
+    from .operators.olap import conversion_lag
+    return conversion_lag(load_events(spark, sf_dir))
+
+
+def q_mention_kwic(spark, sf_dir):
+    """Keyword-in-context concordance: first occurrence of each
+    (doc, surface) mention with 30 chars of context each side."""
+    from .operators.textmeta import mention_kwic
+    spans = spans_exploded(spark, sf_dir)
+    return mention_kwic(spans, detect_mentions(spans))
+
+
 def q_event_ht_estimate(spark, sf_dir):
     """Horvitz-Thompson sample-estimate accuracy: per-type totals from
     a deterministic 10% md5 sample vs exact, with relative error."""
@@ -2480,6 +2496,8 @@ def queries() -> dict[str, QueryFn]:
         "chat_template_lint": q_chat_template_lint,
         "event_ht_estimate": q_event_ht_estimate,
         "encoding_benefit_audit": q_encoding_benefit_audit,
+        "event_conversion_lag": q_event_conversion_lag,
+        "mention_kwic": q_mention_kwic,
         "embedding_label_stats": q_embedding_label_stats,
         "embedding_kmeans": q_embedding_kmeans,
         "embedding_quantize": q_embedding_quantize,

@@ -648,3 +648,47 @@ def join_cardinality_audit(left: DataFrame, right: DataFrame,
                     est.alias("est_rows"), "actual_rows",
                     F.round(F.col("actual_rows") / est, 6)
                     .alias("est_ratio")))
+
+
+LAG_QS = (0.5, 0.9)
+
+
+def conversion_lag(events: DataFrame,
+                   first_step: str = FUNNEL_STEPS[0],
+                   last_step: str = FUNNEL_STEPS[-1]) -> DataFrame:
+    """Time-to-convert distribution for the funnel's endpoints: per
+    user, the lag from the earliest `first_step` event to the earliest
+    `last_step` event strictly after it (funnel_steps' min-chaining
+    rule), summarized as exact P50/P90/max seconds — the number a
+    "how long until purchase" dashboard actually wants next to the
+    funnel's conversion rates.
+
+    Two filtered min-groupBys + one user equi-join for the lags; the
+    exact percentiles run through global_row_number (converters form
+    ONE distribution, but the rank is still range-partitioned — no
+    single-task sort)."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    f = (events.filter(F.col("event_type") == first_step)
+         .groupBy("user_id").agg(F.min(us).alias("t0")))
+    l = (events.filter(F.col("event_type") == last_step)
+         .select("user_id", us.alias("t1"))
+         .join(f, "user_id").filter(F.col("t1") > F.col("t0"))
+         .groupBy("user_id").agg(F.min("t1").alias("t1"),
+                                 F.min("t0").alias("t0")))
+    lags = l.select("user_id",
+                    ((F.col("t1") - F.col("t0")) / 1_000_000)
+                    .cast("bigint").alias("lag_s"))
+    ranked = global_row_number(
+        lags, [F.col("lag_s"), F.col("user_id")], "r")
+    n = ranked.agg(F.count("*").cast("bigint").alias("n_converted"),
+                   F.max("lag_s").cast("bigint").alias("max_s"))
+    picks = [F.max(F.when(
+        F.col("r") == F.least(F.col("n_converted"),
+                              F.ceil(F.lit(q) * F.col("n_converted"))),
+        F.col("lag_s"))).cast("bigint").alias(f"p{int(q * 100)}_s")
+        for q in LAG_QS]
+    return (ranked.crossJoin(F.broadcast(n))
+            .agg(F.max("n_converted").cast("bigint")
+                 .alias("n_converted"),
+                 *picks,
+                 F.max("max_s").cast("bigint").alias("max_s")))

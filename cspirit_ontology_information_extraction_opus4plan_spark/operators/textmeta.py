@@ -239,3 +239,38 @@ def abbreviation_pairs(docs: DataFrame) -> DataFrame:
             .groupBy("abbr", "long_form")
             .agg(F.countDistinct("doc_id").cast("bigint")
                  .alias("n_docs")))
+
+
+KWIC_WIDTH = 30
+
+
+def mention_kwic(spans: DataFrame, mentions: DataFrame,
+                 width: int = KWIC_WIDTH) -> DataFrame:
+    """Keyword-in-context concordance — the curation view an ontology
+    annotator reads before accepting a new surface form: for each
+    (doc, surface) pair, the first occurrence (earliest span, earliest
+    offset) with `width` characters of left and right context from the
+    lowercased span text. Emits (doc_id, surface, left_ctx, right_ctx,
+    span_pos, char_pos).
+
+    First-occurrence selection is a min-groupBy (no window); the
+    context cut is 1-based substring arithmetic identical in both
+    engines; the span join is equi on (doc_id, pos)."""
+    firsts = (mentions.select("doc_id", "pos", "surface").distinct()
+              .groupBy("doc_id", "surface")
+              .agg(F.min("pos").alias("pos")))
+    j = firsts.join(spans.select("doc_id", "pos", "text"),
+                    ["doc_id", "pos"])
+    low = F.lower(F.col("text"))
+    p = F.instr(low, F.col("surface"))
+    left_start = F.greatest(F.lit(1), p - width)
+    right_start = p + F.length("surface")
+    return (j.filter(p > 0)
+            .select("doc_id", "surface",
+                    F.substring(low, left_start,
+                                (p - left_start).cast("int"))
+                    .alias("left_ctx"),
+                    F.substring(low, right_start.cast("int"), width)
+                    .alias("right_ctx"),
+                    F.col("pos").cast("bigint").alias("span_pos"),
+                    p.cast("bigint").alias("char_pos")))

@@ -5754,6 +5754,55 @@ UNION ALL SELECT 'event_type', 'enum', '{_enum_p}', n_rows,
 UNION ALL SELECT 'user_id', 'not_null', '', n_rows, f_uid_null,
        f_uid_null = 0 FROM a"""
 
+    from .operators.olap import FUNNEL_STEPS, LAG_QS
+    _lagp = ", ".join(
+        f"CAST(max(CASE WHEN r = least(n, CAST(ceil({q} * n) AS "
+        f"BIGINT)) THEN lag_s END) AS BIGINT) AS p{int(q * 100)}_s"
+        for q in LAG_QS)
+    sqls["event_conversion_lag"] = f"""
+WITH fs AS (
+  SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY 1),
+ls AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t1, min(fs.t0) AS t0
+  FROM events e JOIN fs ON fs.user_id = e.user_id
+  WHERE e.event_type = '{FUNNEL_STEPS[-1]}'
+    AND epoch_us(e.ts) > fs.t0
+  GROUP BY 1),
+lg AS (
+  SELECT user_id,
+         CAST(floor((t1 - t0) / 1000000.0) AS BIGINT) AS lag_s
+  FROM ls),
+rk AS (
+  SELECT lag_s, row_number() OVER (ORDER BY lag_s, user_id) AS r,
+         count(*) OVER () AS n
+  FROM lg)
+SELECT CAST(max(n) AS BIGINT) AS n_converted, {_lagp},
+       CAST(max(lag_s) AS BIGINT) AS max_s
+FROM rk"""
+
+    from .operators.textmeta import KWIC_WIDTH
+    sqls["mention_kwic"] = corpus_prefix() + f""",
+mm AS (
+  SELECT DISTINCT doc_id, pos, surface FROM (
+    SELECT doc_id, pos,
+           unnest(regexp_extract_all(lower(text), {_q(pat)}, 1))
+             AS surface
+    FROM spans WHERE kind IN ('text','figure','table')) t),
+fo AS (
+  SELECT doc_id, surface, min(pos) AS pos FROM mm GROUP BY 1, 2),
+jj AS (
+  SELECT fo.doc_id, fo.surface, fo.pos, lower(s.text) AS low,
+         strpos(lower(s.text), fo.surface) AS p
+  FROM fo JOIN spans s ON s.doc_id = fo.doc_id AND s.pos = fo.pos)
+SELECT doc_id, surface,
+       substr(low, greatest(1, p - {KWIC_WIDTH}),
+              p - greatest(1, p - {KWIC_WIDTH})) AS left_ctx,
+       substr(low, p + length(surface), {KWIC_WIDTH}) AS right_ctx,
+       CAST(pos AS BIGINT) AS span_pos,
+       CAST(p AS BIGINT) AS char_pos
+FROM jj WHERE p > 0"""
+
     from .operators.content_stats import ENC_COLS, HT_RATE_PCT
     _w = 100.0 / HT_RATE_PCT
     sqls["event_ht_estimate"] = f"""

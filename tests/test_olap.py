@@ -294,3 +294,43 @@ def test_encoding_benefit_enum_vs_payload(spark):
     assert et.dict_ratio < 0.1
     # unique payloads: dictionary strictly worse than plain
     assert out["props"].dict_ratio > 1.0
+
+
+def test_conversion_lag_min_chaining(spark):
+    import datetime
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.olap import (
+        conversion_lag,
+    )
+    t0 = datetime.datetime(2024, 1, 1)
+    s = datetime.timedelta(seconds=1)
+    # u1: view @0, purchase @100 -> lag 100; u2: purchase BEFORE first
+    # view, then purchase @50 after -> lag 50 (strictly-after rule);
+    # u3: view only -> not converted
+    rows = [(0, t0, 1, "view"), (1, t0 + 100 * s, 1, "purchase"),
+            (2, t0 - 10 * s, 2, "purchase"), (3, t0, 2, "view"),
+            (4, t0 + 50 * s, 2, "purchase"),
+            (5, t0, 3, "view")]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string")
+    r = conversion_lag(ev).collect()[0]
+    assert r.n_converted == 2
+    assert r.p50_s == 50 and r.p90_s == 100 and r.max_s == 100
+
+
+def test_mention_kwic_contexts(spark):
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.textmeta import (
+        mention_kwic,
+    )
+    spans = spark.createDataFrame(
+        [("D", 0, "text", "The quick GLUCOSE ran far"),
+         ("D", 1, "text", "again glucose here")],
+        "doc_id string, pos int, kind string, text string")
+    mentions = spark.createDataFrame(
+        [("D", 0, "glucose"), ("D", 1, "glucose")],
+        "doc_id string, pos int, surface string")
+    out = mention_kwic(spans, mentions, width=6).collect()
+    assert len(out) == 1              # first occurrence only (pos 0)
+    r = out[0]
+    assert r.span_pos == 0 and r.char_pos == 11
+    assert r.left_ctx == "quick " and r.right_ctx == " ran f"
