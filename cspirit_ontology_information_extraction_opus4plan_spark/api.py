@@ -1265,6 +1265,15 @@ def q_event_l_diversity(spark, sf_dir):
     return l_diversity_audit(_events_ntz(spark, sf_dir))
 
 
+def q_html_table_extract(spark, sf_dir):
+    """HTML table-cell extraction: positional row/cell explode with
+    header detection; ragged rows preserved as-is."""
+    from .operators.webingest import extract_html_tables
+    return extract_html_tables(DE.html_table_docs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")))
+
+
 def q_event_conversion_lag(spark, sf_dir):
     """Funnel time-to-convert: exact P50/P90/max seconds from first
     view to first strictly-later purchase per user."""
@@ -2498,6 +2507,7 @@ def queries() -> dict[str, QueryFn]:
         "encoding_benefit_audit": q_encoding_benefit_audit,
         "event_conversion_lag": q_event_conversion_lag,
         "mention_kwic": q_mention_kwic,
+        "html_table_extract": q_html_table_extract,
         "embedding_label_stats": q_embedding_label_stats,
         "embedding_kmeans": q_embedding_kmeans,
         "embedding_quantize": q_embedding_quantize,

@@ -1355,3 +1355,36 @@ chatd AS (
               ELSE {base} END AS chat
   FROM documents
 )""".strip()
+
+
+def html_table_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, html): pages whose body carries a 2x2 data table
+    (header row th, data row td with doc-derived values); doc_id%89==0
+    tables carry a ragged extra cell in the data row (the realism the
+    extractor must preserve, not 'fix'). Rebuilt identically by
+    html_table_docs_sql."""
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    ragged = F.when(did % 89 == 0, F.lit("<td>extra</td>")) \
+        .otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><body><table><tr><th>metric</th><th>value</th>"
+              "</tr><tr><td>m"), ds, F.lit("</td><td>"),
+        ((did * 7) % 1000).cast("string"), F.lit("</td>"), ragged,
+        F.lit("</tr></table></body></html>"))
+    return docs.select("doc_id", html.alias("html"))
+
+
+def html_table_docs_sql() -> str:
+    """DuckDB twin of html_table_docs over the documents view."""
+    return """
+htab AS (
+  SELECT doc_id,
+         '<html><body><table><tr><th>metric</th><th>value</th></tr>'
+         || '<tr><td>m' || CAST(doc_id AS VARCHAR) || '</td><td>'
+         || CAST((doc_id * 7) % 1000 AS VARCHAR) || '</td>'
+         || (CASE WHEN doc_id % 89 = 0 THEN '<td>extra</td>'
+                  ELSE '' END)
+         || '</tr></table></body></html>' AS html
+  FROM documents
+)""".strip()

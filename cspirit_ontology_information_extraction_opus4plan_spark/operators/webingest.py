@@ -21,7 +21,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["extract_html", "parse_sitemaps", "parse_warc",
-           "recrawl_diff", "crawl_admission", "recrawl_schedule"]
+           "recrawl_diff", "crawl_admission", "recrawl_schedule",
+           "extract_html_tables"]
 
 
 def extract_html(pages: DataFrame, html_col: str = "html") -> DataFrame:
@@ -214,3 +215,31 @@ def recrawl_schedule(diff: DataFrame, host_col,
         .otherwise(F.least(F.lit(max_days), F.greatest(
             F.lit(1), F.floor(watched / F.col("n_changed")))))
         .cast("bigint").alias("revisit_days"))
+
+
+def extract_html_tables(pages: DataFrame,
+                        html_col: str = "html") -> DataFrame:
+    """HTML table-cell extraction — the web twin of the JATS/PDF table
+    parsers (the reference's table extraction surface): explode <tr>
+    rows positionally, then th/td cells positionally within each row,
+    preserving ragged rows as-is (an extractor records what the page
+    says; schema repair is a downstream decision). Emits (doc_id,
+    row_idx, col_idx, is_header, cell), 1-based indices.
+
+    Two regexp_extract_all + posexplode passes — JVM codegen, no
+    Python; per-row fan-out is bounded by the page's own cell count."""
+    rows = F.regexp_extract_all(F.col(html_col),
+                                F.lit(r"<tr>(.*?)</tr>"), F.lit(1))
+    d = pages.select("doc_id", F.posexplode(rows)
+                     .alias("ri", "row_html"))
+    cells = F.regexp_extract_all(F.col("row_html"),
+                                 F.lit(r"<t[hd]>(.*?)</t[hd]>"),
+                                 F.lit(1))
+    return (d.select("doc_id", "ri",
+                     F.col("row_html").startswith("<th>")
+                     .alias("is_header"),
+                     F.posexplode(cells).alias("ci", "cell"))
+            .select("doc_id",
+                    (F.col("ri") + 1).cast("int").alias("row_idx"),
+                    (F.col("ci") + 1).cast("int").alias("col_idx"),
+                    "is_header", "cell"))

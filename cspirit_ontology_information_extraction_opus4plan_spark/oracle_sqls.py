@@ -5842,6 +5842,35 @@ FROM ag"""
     sqls["encoding_benefit_audit"] = "\nUNION ALL\n".join(
         _enc_leg.format(c=c) for c in ENC_COLS)
 
+    from .decorations import html_table_docs_sql
+    sqls["html_table_extract"] = f"""
+WITH {html_table_docs_sql()},
+r AS (
+  SELECT doc_id,
+         regexp_extract_all(html, '<tr>(.*?)</tr>', 1) AS trows
+  FROM htab),
+rr AS (
+  SELECT doc_id, trows,
+         unnest(generate_series(1, len(trows))) AS row_idx
+  FROM r),
+re AS (
+  SELECT doc_id, CAST(row_idx AS INT) AS row_idx,
+         trows[row_idx] AS row_html
+  FROM rr),
+ce AS (
+  SELECT doc_id, row_idx,
+         starts_with(row_html, '<th>') AS is_header,
+         regexp_extract_all(row_html,
+                            '<t[hd]>(.*?)</t[hd]>', 1) AS cells
+  FROM re),
+cc AS (
+  SELECT doc_id, row_idx, is_header, cells,
+         unnest(generate_series(1, len(cells))) AS col_idx
+  FROM ce)
+SELECT doc_id, row_idx, CAST(col_idx AS INT) AS col_idx, is_header,
+       cells[col_idx] AS cell
+FROM cc"""
+
     from .decorations import chat_docs_sql
     sqls["chat_template_lint"] = f"""
 WITH {chat_docs_sql()},

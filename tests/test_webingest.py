@@ -58,3 +58,24 @@ def test_parse_warc_length_verification(spark):
     assert good.rec_type == "response"
     assert good.body_chars == good.content_length \
         == len("alpha beta gamma 7")
+
+
+def test_extract_html_tables_positional_and_ragged(spark):
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.webingest import (
+        extract_html_tables,
+    )
+    out = extract_html_tables(DE.html_table_docs(_docs(spark, 90))) \
+        .collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: 2x2 table -> 4 cells, header row flagged
+    d1 = sorted(by_doc[1], key=lambda r: (r.row_idx, r.col_idx))
+    assert [(r.row_idx, r.col_idx, r.is_header, r.cell) for r in d1] == [
+        (1, 1, True, "metric"), (1, 2, True, "value"),
+        (2, 1, False, "m1"), (2, 2, False, "7")]
+    # doc 0 and doc 89: ragged plant -> 5 cells, extra at (2, 3)
+    for did in (0, 89):
+        ragged = sorted(by_doc[did], key=lambda r: (r.row_idx, r.col_idx))
+        assert len(ragged) == 5
+        assert ragged[-1].cell == "extra" and ragged[-1].col_idx == 3
