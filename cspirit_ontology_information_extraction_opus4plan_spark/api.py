@@ -1265,6 +1265,15 @@ def q_event_l_diversity(spark, sf_dir):
     return l_diversity_audit(_events_ntz(spark, sf_dir))
 
 
+def q_distant_supervision(spark, sf_dir):
+    """Mintz-style distant supervision: doc-level linked entity pairs
+    labeled by the deduped KB's predicates, NO_RELATION negatives."""
+    from .operators.relations import distant_supervision_labels
+    return distant_supervision_labels(
+        _linked_mentions(spark, sf_dir),
+        dedup_triples(triples_df(spark, sf_dir)))
+
+
 def q_html_table_extract(spark, sf_dir):
     """HTML table-cell extraction: positional row/cell explode with
     header detection; ragged rows preserved as-is."""
@@ -2508,6 +2517,7 @@ def queries() -> dict[str, QueryFn]:
         "event_conversion_lag": q_event_conversion_lag,
         "mention_kwic": q_mention_kwic,
         "html_table_extract": q_html_table_extract,
+        "distant_supervision": q_distant_supervision,
         "embedding_label_stats": q_embedding_label_stats,
         "embedding_kmeans": q_embedding_kmeans,
         "embedding_quantize": q_embedding_quantize,

@@ -660,3 +660,35 @@ def triple_plausibility(triples: DataFrame,
         .withColumn("z", z)
         .select("subject", "predicate", "object", "energy", "z",
                 (F.abs(F.col("z")) > PLAUS_SIGMA).alias("implausible")))
+
+
+def distant_supervision_labels(mentions: DataFrame,
+                               triples: DataFrame) -> DataFrame:
+    """Distant-supervision training-set builder (Mintz et al. 2009):
+    every ordered pair of distinct entities linked within one document
+    becomes a relation-classifier example, labeled with the KB
+    predicate(s) the deduped triple store holds for that pair — or
+    NO_RELATION when the KB is silent (the negative class real DS
+    corpora are mostly made of). Emits (doc_id, subject_term,
+    object_term, label, in_kb); multi-predicate pairs emit one row per
+    predicate, the standard multi-label DS convention.
+
+    Per-doc entity sets bound the pair fan-out (k choose 2 within a
+    doc, never cross-doc); the KB probe is one equi left join on the
+    (subject, object) pair — shuffle-partitionable against a
+    billion-edge store, no broadcast assumption on the KB side."""
+    ents = mentions.select("doc_id", "term_id").distinct()
+    a, b = ents.alias("a"), ents.alias("b")
+    pairs = (a.join(b, "doc_id")
+             .filter(F.col("a.term_id") != F.col("b.term_id"))
+             .select("doc_id",
+                     F.col("a.term_id").alias("subject_term"),
+                     F.col("b.term_id").alias("object_term")))
+    kb = triples.select(F.col("subject").alias("subject_term"),
+                        F.col("object").alias("object_term"),
+                        "predicate").distinct()
+    return (pairs.join(kb, ["subject_term", "object_term"], "left")
+            .select("doc_id", "subject_term", "object_term",
+                    F.coalesce("predicate", F.lit("NO_RELATION"))
+                    .alias("label"),
+                    F.col("predicate").isNotNull().alias("in_kb")))

@@ -5842,6 +5842,34 @@ FROM ag"""
     sqls["encoding_benefit_audit"] = "\nUNION ALL\n".join(
         _enc_leg.format(c=c) for c in ENC_COLS)
 
+    sqls["distant_supervision"] = corpus_prefix(
+        gaz_cte(), link_cte(), triples_cte()) + f""",
+lm2 AS (
+  SELECT DISTINCT m.doc_id, l.term_id
+  FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), {_q(pat)}, 1))
+             AS surface
+    FROM spans WHERE kind IN ('text','figure','table')) m
+  JOIN link l ON l.surface = m.surface),
+prs AS (
+  SELECT a.doc_id, a.term_id AS subject_term,
+         b.term_id AS object_term
+  FROM lm2 a JOIN lm2 b ON a.doc_id = b.doc_id
+  WHERE a.term_id <> b.term_id),
+kb AS (
+  SELECT DISTINCT subject AS subject_term, object AS object_term,
+         predicate
+  FROM (
+    SELECT subject, predicate, object, subject_type, object_type,
+           object_datatype, object_language,
+           max(confidence) AS confidence, count(*) AS support
+    FROM triples GROUP BY 1,2,3,4,5,6,7) d)
+SELECT p.doc_id, p.subject_term, p.object_term,
+       coalesce(kb.predicate, 'NO_RELATION') AS label,
+       kb.predicate IS NOT NULL AS in_kb
+FROM prs p LEFT JOIN kb USING (subject_term, object_term)"""
+
     from .decorations import html_table_docs_sql
     sqls["html_table_extract"] = f"""
 WITH {html_table_docs_sql()},

@@ -123,3 +123,31 @@ def test_linking_review_queue_flags_rank_decided_ties(spark):
     assert tied.needs_review
     assert tied.edge_gap == 0 and tied.type_gap == 0
     assert (tied.winner, tied.runner_up) == ("NS:P", "NS:Q")  # id tie
+
+
+def test_distant_supervision_labels_and_negatives(spark):
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.relations import (
+        distant_supervision_labels,
+    )
+    mentions = spark.createDataFrame(
+        [("D1", "A"), ("D1", "A"), ("D1", "B"), ("D1", "C"),
+         ("D2", "A"), ("D2", "B")],
+        "doc_id string, term_id string")
+    triples = spark.createDataFrame(
+        [("A", "part_of", "B"), ("A", "regulates", "B")],
+        "subject string, predicate string, object string")
+    out = distant_supervision_labels(mentions, triples).collect()
+    by = {}
+    for r in out:
+        by.setdefault((r.doc_id, r.subject_term, r.object_term),
+                      []).append(r)
+    # multi-label pair (A,B) in both docs
+    for d in ("D1", "D2"):
+        labels = sorted(r.label for r in by[(d, "A", "B")])
+        assert labels == ["part_of", "regulates"]
+        assert all(r.in_kb for r in by[(d, "A", "B")])
+    # reverse direction is a negative
+    assert [r.label for r in by[("D1", "B", "A")]] == ["NO_RELATION"]
+    assert not by[("D1", "B", "A")][0].in_kb
+    # D1 has 3 entities -> 6 ordered pairs, one doubled by multi-label
+    assert sum(len(v) for k, v in by.items() if k[0] == "D1") == 7
