@@ -1274,6 +1274,17 @@ def q_distant_supervision(spark, sf_dir):
         dedup_triples(triples_df(spark, sf_dir)))
 
 
+def q_relation_pattern_mining(spark, sf_dir):
+    """DIPRE/Snowball pattern induction: between-entity phrases
+    labeled by the KB, ranked by pair/doc support."""
+    from .operators.relations import relation_pattern_mining
+    spans = spans_exploded(spark, sf_dir) \
+        .filter(F.col("kind").isin("text", "figure", "table"))
+    return relation_pattern_mining(
+        spans, _linked_mentions(spark, sf_dir),
+        dedup_triples(triples_df(spark, sf_dir)))
+
+
 def q_html_table_extract(spark, sf_dir):
     """HTML table-cell extraction: positional row/cell explode with
     header detection; ragged rows preserved as-is."""
@@ -2518,6 +2529,7 @@ def queries() -> dict[str, QueryFn]:
         "mention_kwic": q_mention_kwic,
         "html_table_extract": q_html_table_extract,
         "distant_supervision": q_distant_supervision,
+        "relation_pattern_mining": q_relation_pattern_mining,
         "embedding_label_stats": q_embedding_label_stats,
         "embedding_kmeans": q_embedding_kmeans,
         "embedding_quantize": q_embedding_quantize,

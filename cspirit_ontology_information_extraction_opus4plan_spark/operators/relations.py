@@ -692,3 +692,58 @@ def distant_supervision_labels(mentions: DataFrame,
                     F.coalesce("predicate", F.lit("NO_RELATION"))
                     .alias("label"),
                     F.col("predicate").isNotNull().alias("in_kb")))
+
+
+PATTERN_MAX_LEN = 40
+
+
+def relation_pattern_mining(spans: DataFrame, links: DataFrame,
+                            kb: DataFrame,
+                            max_len: int = PATTERN_MAX_LEN) -> DataFrame:
+    """Bootstrap pattern induction (DIPRE / Snowball): harvest the
+    literal text BETWEEN co-occurring linked entities within a span,
+    label each occurrence with the KB predicate for that entity pair
+    (distant supervision), and rank candidate patterns by support —
+    the miner that grows the closed PREDICATE_PHRASES table the
+    extractor (extract_triples) matches against. Emits
+    (between_phrase, label, n_pairs, n_docs).
+
+    Occurrence positions are FIRST-occurrence instr() within the span
+    (engine-portable; the automaton's all-occurrence offsets are not
+    replayable in SQL) — a deliberate, documented narrowing that
+    biases toward the common case of one mention per surface per
+    span. Pair fan-out is per-span linked-surface pairs (bounded by a
+    span's own entity count); everything else is equi joins + one
+    map-side-combinable rollup."""
+    lm = links.select("doc_id", "surface", "term_id").distinct()
+    a = lm.alias("a")
+    b = lm.alias("b")
+    pairs = (a.join(b, "doc_id")
+             .filter(F.col("a.surface") != F.col("b.surface"))
+             .select("doc_id",
+                     F.col("a.surface").alias("sa"),
+                     F.col("a.term_id").alias("ta"),
+                     F.col("b.surface").alias("sb"),
+                     F.col("b.term_id").alias("tb")))
+    sp = spans.select("doc_id", "pos", F.lower("text").alias("low"))
+    j = pairs.join(sp, "doc_id")
+    pa = F.instr(F.col("low"), F.col("sa"))
+    pb = F.instr(F.col("low"), F.col("sb"))
+    start = pa + F.length("sa")
+    between = F.trim(F.substring(
+        F.col("low"), start.cast("int"), (pb - start).cast("int")))
+    occ = (j.filter((pa > 0) & (pb > 0) & (start < pb))
+           .select("doc_id", "ta", "tb", between.alias("between_phrase"))
+           .filter((F.col("between_phrase") != "")
+                   & (F.length("between_phrase") <= max_len)))
+    kbd = kb.select(F.col("subject").alias("ta"),
+                    F.col("object").alias("tb"),
+                    "predicate").distinct()
+    return (occ.join(kbd, ["ta", "tb"], "left")
+            .select("doc_id", "between_phrase",
+                    F.coalesce("predicate", F.lit("NO_RELATION"))
+                    .alias("label"))
+            .groupBy("between_phrase", "label")
+            .agg(F.count("*").cast("bigint").alias("n_pairs"),
+                 F.countDistinct("doc_id").cast("bigint")
+                 .alias("n_docs")))

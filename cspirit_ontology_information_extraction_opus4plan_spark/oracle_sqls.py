@@ -5870,6 +5870,51 @@ SELECT p.doc_id, p.subject_term, p.object_term,
        kb.predicate IS NOT NULL AS in_kb
 FROM prs p LEFT JOIN kb USING (subject_term, object_term)"""
 
+    from .operators.relations import PATTERN_MAX_LEN
+    sqls["relation_pattern_mining"] = corpus_prefix(
+        gaz_cte(), link_cte(), triples_cte()) + f""",
+lm3 AS (
+  SELECT DISTINCT m.doc_id, m.surface, l.term_id
+  FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), {_q(pat)}, 1))
+             AS surface
+    FROM spans WHERE kind IN ('text','figure','table')) m
+  JOIN link l ON l.surface = m.surface),
+sp3 AS (
+  SELECT doc_id, pos, lower(text) AS low FROM spans
+  WHERE kind IN ('text','figure','table')),
+oc3 AS (
+  SELECT p.doc_id, p.ta, p.tb,
+         trim(substr(low,
+              CAST(strpos(low, sa) + length(sa) AS INT),
+              CAST(strpos(low, sb) - strpos(low, sa) - length(sa)
+                   AS INT))) AS between_phrase
+  FROM (
+    SELECT a.doc_id, a.surface AS sa, a.term_id AS ta,
+           b.surface AS sb, b.term_id AS tb
+    FROM lm3 a JOIN lm3 b
+      ON a.doc_id = b.doc_id AND a.surface <> b.surface) p
+  JOIN sp3 ON sp3.doc_id = p.doc_id
+  WHERE strpos(low, sa) > 0 AND strpos(low, sb) > 0
+    AND strpos(low, sa) + length(sa) < strpos(low, sb)),
+ocf AS (
+  SELECT * FROM oc3
+  WHERE between_phrase <> ''
+    AND length(between_phrase) <= {PATTERN_MAX_LEN}),
+kbd AS (
+  SELECT DISTINCT subject AS ta, object AS tb, predicate FROM (
+    SELECT subject, predicate, object, subject_type, object_type,
+           object_datatype, object_language,
+           max(confidence) AS confidence, count(*) AS support
+    FROM triples GROUP BY 1,2,3,4,5,6,7) d)
+SELECT between_phrase,
+       coalesce(kbd.predicate, 'NO_RELATION') AS label,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT ocf.doc_id) AS BIGINT) AS n_docs
+FROM ocf LEFT JOIN kbd ON kbd.ta = ocf.ta AND kbd.tb = ocf.tb
+GROUP BY 1, 2"""
+
     from .decorations import html_table_docs_sql
     sqls["html_table_extract"] = f"""
 WITH {html_table_docs_sql()},

@@ -151,3 +151,26 @@ def test_distant_supervision_labels_and_negatives(spark):
     assert not by[("D1", "B", "A")][0].in_kb
     # D1 has 3 entities -> 6 ordered pairs, one doubled by multi-label
     assert sum(len(v) for k, v in by.items() if k[0] == "D1") == 7
+
+
+def test_relation_pattern_mining_recovers_phrase(spark):
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.relations import (
+        relation_pattern_mining,
+    )
+    spans = spark.createDataFrame(
+        [("D1", 0, "alpha binds tightly to beta today"),
+         ("D2", 0, "alpha binds tightly to gamma now")],
+        "doc_id string, pos int, text string")
+    links = spark.createDataFrame(
+        [("D1", "alpha", "A"), ("D1", "beta", "B"),
+         ("D2", "alpha", "A"), ("D2", "gamma", "C")],
+        "doc_id string, surface string, term_id string")
+    kb = spark.createDataFrame(
+        [("A", "binds", "B")],
+        "subject string, predicate string, object string")
+    out = {(r.between_phrase, r.label): r for r in
+           relation_pattern_mining(spans, links, kb).collect()}
+    # same phrase supports a KB label once and a negative once
+    assert out[("binds tightly to", "binds")].n_pairs == 1
+    assert out[("binds tightly to", "NO_RELATION")].n_pairs == 1
+    # reverse-direction pair never matches (beta after alpha only)
