@@ -861,6 +861,24 @@ def q_fk_orphan_audit(spark, sf_dir):
     return fk_orphan_audit(spark, sf_dir)
 
 
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 pricing summary: wide aggregate over shipped
+    lineitems, exact-decimal money math, averages from exact sums."""
+    from .operators.relational import load_rel, tpch_q1_pricing_summary
+    return tpch_q1_pricing_summary(load_rel(spark, sf_dir, "lineitem"))
+
+
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shipping priority: top unshipped BUILDING-segment
+    orders by discounted revenue (TakeOrderedAndProject top-n)."""
+    from .operators.relational import (load_rel,
+                                       tpch_q3_shipping_priority)
+    return tpch_q3_shipping_priority(
+        load_rel(spark, sf_dir, "lineitem"),
+        load_rel(spark, sf_dir, "orders"),
+        load_rel(spark, sf_dir, "customer"))
+
+
 def q_customer_scd2(spark, sf_dir):
     """SCD Type-2 dimension build: compress each customer's order-
     priority change stream (orders as the change log, max_by(orderkey)
@@ -2437,6 +2455,8 @@ def queries() -> dict[str, QueryFn]:
         "jsonl_parse": q_jsonl_parse,
         "sales_star_rollup": q_sales_star_rollup,
         "fk_orphan_audit": q_fk_orphan_audit,
+        "tpch_q1_pricing": q_tpch_q1,
+        "tpch_q3_top_orders": q_tpch_q3,
         "customer_scd2": q_customer_scd2,
         "customer_scd2_incremental": q_customer_scd2_incremental,
         "event_pivot": q_event_pivot,

@@ -216,3 +216,88 @@ def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "n_orphans"))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+Q1_CUTOFF = "1998-09-02"   # TPC-H Q1's DATE '1998-12-01' - 90 days
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1995-03-15"
+Q3_TOP_N = 10
+
+
+def tpch_q1_pricing_summary(lineitem: DataFrame,
+                            cutoff: str = Q1_CUTOFF) -> DataFrame:
+    """TPC-H Q1 pricing summary — the canonical wide-aggregate OLAP
+    benchmark, included so a reference user gets the well-known
+    baseline query verbatim: per (returnflag, linestatus), quantity /
+    price / discounted / charged sums, averages, and row count over
+    lineitems shipped on or before the cutoff. All money math in
+    exact DECIMAL (module header), averages derived FROM the exact
+    sums so both engines round the same quotient once.
+
+    One filter-then-aggregate — map-side combinable, the textbook
+    whole-stage-codegen plan; the shipdate predicate pushes to the
+    parquet scan."""
+    one = F.lit(1).cast(MONEY)
+    price = F.col("l_extendedprice").cast(MONEY)
+    disc = F.col("l_discount").cast(MONEY)
+    qty = F.col("l_quantity").cast(MONEY)
+    agg = (lineitem
+           .filter(F.to_date("l_shipdate") <= F.lit(cutoff))
+           .groupBy("l_returnflag", "l_linestatus")
+           .agg(F.sum(qty).alias("sum_qty"),
+                F.sum(price).alias("sum_base_price"),
+                F.sum(price * (one - disc)).alias("sum_disc_price"),
+                F.sum(price * (one - disc)
+                      * (one + F.col("l_tax").cast(MONEY)))
+                .alias("sum_charge"),
+                F.sum(disc).alias("sum_disc"),
+                F.count("*").cast("bigint").alias("count_order")))
+    return agg.select(
+        "l_returnflag", "l_linestatus",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("sum_base_price").cast("double").alias("sum_base_price"),
+        F.round(F.col("sum_disc_price").cast("double"), 4)
+        .alias("sum_disc_price"),
+        F.round(F.col("sum_charge").cast("double"), 4)
+        .alias("sum_charge"),
+        F.round(F.col("sum_qty").cast("double")
+                / F.col("count_order"), 6).alias("avg_qty"),
+        F.round(F.col("sum_base_price").cast("double")
+                / F.col("count_order"), 6).alias("avg_price"),
+        F.round(F.col("sum_disc").cast("double")
+                / F.col("count_order"), 6).alias("avg_disc"),
+        "count_order")
+
+
+def tpch_q3_shipping_priority(lineitem: DataFrame, orders: DataFrame,
+                              customer: DataFrame,
+                              segment: str = Q3_SEGMENT,
+                              date: str = Q3_DATE,
+                              top_n: int = Q3_TOP_N) -> DataFrame:
+    """TPC-H Q3 shipping priority: top unshipped orders of a market
+    segment by discounted revenue. Customer-segment filter broadcasts
+    (segment dimension is tiny after the filter); revenue in exact
+    DECIMAL; the top-n is orderBy+limit, which Spark plans as
+    TakeOrderedAndProject (per-partition heaps, no global sort)."""
+    rev = (F.col("l_extendedprice").cast(MONEY)
+           * (F.lit(1).cast(MONEY) - F.col("l_discount").cast(MONEY)))
+    cust = customer.filter(F.col("c_mktsegment") == segment) \
+        .select("c_custkey")
+    o = (orders.filter(F.to_date("o_orderdate") < F.lit(date))
+         .join(F.broadcast(cust),
+               F.col("o_custkey") == F.col("c_custkey"))
+         .select("o_orderkey", "o_orderdate", "o_orderpriority"))
+    l = lineitem.filter(F.to_date("l_shipdate") > F.lit(date)) \
+        .select("l_orderkey", rev.alias("rev"))
+    return (l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_orderkey",
+                     F.date_format("o_orderdate", "yyyy-MM-dd")
+                     .alias("o_orderdate"),
+                     "o_orderpriority")
+            .agg(F.sum("rev").alias("rev"))
+            .select(F.col("l_orderkey").alias("orderkey"),
+                    F.round(F.col("rev").cast("double"), 4)
+                    .alias("revenue"),
+                    "o_orderdate", "o_orderpriority")
+            .orderBy(F.desc("revenue"), F.asc("orderkey"))
+            .limit(top_n))

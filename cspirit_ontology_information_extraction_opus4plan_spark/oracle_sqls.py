@@ -2073,6 +2073,51 @@ JOIN nation n ON n.n_nationkey = c.c_nationkey
 JOIN region r ON r.r_regionkey = n.n_regionkey
 GROUP BY 1, 2""".strip()
 
+    # tpch_q1/q3: DuckDB mirrors the Spark decimal discipline — all
+    # money math in DECIMAL(18,4) (exact, order-independent sums),
+    # cast to DOUBLE then round once, same order as the Spark side.
+    d = "DECIMAL(18,4)"
+    sqls["tpch_q1_pricing"] = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS {d})) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS {d})) AS DOUBLE)
+         AS sum_base_price,
+       round(CAST(sum(CAST(l_extendedprice AS {d})
+                      * (CAST(1 AS {d}) - CAST(l_discount AS {d})))
+                  AS DOUBLE), 4) AS sum_disc_price,
+       round(CAST(sum(CAST(l_extendedprice AS {d})
+                      * (CAST(1 AS {d}) - CAST(l_discount AS {d}))
+                      * (CAST(1 AS {d}) + CAST(l_tax AS {d})))
+                  AS DOUBLE), 4) AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS {d})) AS DOUBLE)
+             / count(*), 6) AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS {d})) AS DOUBLE)
+             / count(*), 6) AS avg_price,
+       round(CAST(sum(CAST(l_discount AS {d})) AS DOUBLE)
+             / count(*), 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+GROUP BY 1, 2""".strip()
+
+    sqls["tpch_q3_top_orders"] = f"""
+SELECT l.l_orderkey AS orderkey,
+       round(CAST(sum(CAST(l.l_extendedprice AS {d})
+                      * (CAST(1 AS {d})
+                         - CAST(l.l_discount AS {d}))) AS DOUBLE), 4)
+         AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o.o_orderpriority
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1995-03-15'
+  AND CAST(l.l_shipdate AS DATE) > DATE '1995-03-15'
+GROUP BY 1, 3, 4
+ORDER BY revenue DESC, orderkey ASC
+LIMIT 10""".strip()
+
     sqls["fk_orphan_audit"] = """
 SELECT 'orders->customer' AS relation,
        CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_rows,

@@ -241,3 +241,33 @@ def test_scd2_apply_noop_change_opens_no_version(spark):
     assert out[(2, 1)]["valid_to"] == "9999-12-31"
     assert out[(3, 1)]["a"] == "Q" and out[(3, 1)]["is_current"] == 1
     assert out[(3, 1)]["valid_from"] == "2024-03-20"
+
+
+def test_tpch_q1_invariants(spark, sf_dir):
+    """Q1's derived averages must re-multiply to the exact sums and
+    the group counts must re-total the filtered scan."""
+    rows = api.q_tpch_q1(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 6          # |returnflag| x |linestatus|
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n_filtered = li.filter(
+        F.to_date("l_shipdate") <= F.lit("1998-09-02")).count()
+    assert sum(r["count_order"] for r in rows) == n_filtered
+    for r in rows:
+        assert r["sum_disc_price"] <= r["sum_base_price"]
+        assert r["sum_charge"] >= r["sum_disc_price"]
+        assert abs(r["avg_qty"] * r["count_order"] - r["sum_qty"]) \
+            < 0.5 + 1e-6 * r["count_order"]
+
+
+def test_tpch_q3_plan_and_order(spark, sf_dir):
+    """Q3 must plan the top-n as TakeOrderedAndProject (per-partition
+    heaps, no global sort) and emit strictly rank-ordered rows."""
+    df = api.q_tpch_q3(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert len(rows) <= 10
+    revs = [r["revenue"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    assert len({r["orderkey"] for r in rows}) == len(rows)
