@@ -879,6 +879,34 @@ def q_tpch_q3(spark, sf_dir):
         load_rel(spark, sf_dir, "customer"))
 
 
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 returned-item report: top customers by lost revenue
+    from 'R' lineitems in one quarter."""
+    from .operators.relational import load_rel, tpch_q10_returned_items
+    return tpch_q10_returned_items(
+        load_rel(spark, sf_dir, "lineitem"),
+        load_rel(spark, sf_dir, "orders"),
+        load_rel(spark, sf_dir, "customer"),
+        load_rel(spark, sf_dir, "nation"))
+
+
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 promotion effect: PROMO-part share of one month's
+    revenue, exact-decimal sums, one double division."""
+    from .operators.relational import load_rel, tpch_q14_promo_effect
+    return tpch_q14_promo_effect(load_rel(spark, sf_dir, "lineitem"),
+                                 load_rel(spark, sf_dir, "part"))
+
+
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 large-volume customers: orders over the quantity
+    threshold ranked by total price (pre-join HAVING on the fact)."""
+    from .operators.relational import load_rel, tpch_q18_large_orders
+    return tpch_q18_large_orders(load_rel(spark, sf_dir, "lineitem"),
+                                 load_rel(spark, sf_dir, "orders"),
+                                 load_rel(spark, sf_dir, "customer"))
+
+
 def q_customer_scd2(spark, sf_dir):
     """SCD Type-2 dimension build: compress each customer's order-
     priority change stream (orders as the change log, max_by(orderkey)
@@ -2457,6 +2485,9 @@ def queries() -> dict[str, QueryFn]:
         "fk_orphan_audit": q_fk_orphan_audit,
         "tpch_q1_pricing": q_tpch_q1,
         "tpch_q3_top_orders": q_tpch_q3,
+        "tpch_q10_returned_items": q_tpch_q10,
+        "tpch_q14_promo_effect": q_tpch_q14,
+        "tpch_q18_large_orders": q_tpch_q18,
         "customer_scd2": q_customer_scd2,
         "customer_scd2_incremental": q_customer_scd2_incremental,
         "event_pivot": q_event_pivot,

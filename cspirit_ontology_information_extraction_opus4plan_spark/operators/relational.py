@@ -301,3 +301,100 @@ def tpch_q3_shipping_priority(lineitem: DataFrame, orders: DataFrame,
                     "o_orderdate", "o_orderpriority")
             .orderBy(F.desc("revenue"), F.asc("orderkey"))
             .limit(top_n))
+
+
+Q10_FROM, Q10_TO = "1995-10-01", "1996-01-01"   # one quarter
+Q14_FROM, Q14_TO = "1995-09-01", "1995-10-01"   # one month
+Q18_QTY_THRESHOLD = 150.0
+Q18_TOP_N = 100
+
+
+def tpch_q10_returned_items(lineitem: DataFrame, orders: DataFrame,
+                            customer: DataFrame, nation: DataFrame,
+                            date_from: str = Q10_FROM,
+                            date_to: str = Q10_TO,
+                            top_n: int = 20) -> DataFrame:
+    """TPC-H Q10 returned-item report: customers who returned goods
+    ('R' lineitems) in a quarter, ranked by lost revenue. The orders
+    date filter pushes to the scan; nation is a bounded dimension ->
+    explicit broadcast; customer/orders/lineitem join on their keys
+    as shuffle equi-joins Catalyst may reorder. Exact-decimal revenue;
+    top-n plans as TakeOrderedAndProject."""
+    rev = (F.col("l_extendedprice").cast(MONEY)
+           * (F.lit(1).cast(MONEY) - F.col("l_discount").cast(MONEY)))
+    o = (orders
+         .filter((F.to_date("o_orderdate") >= F.lit(date_from))
+                 & (F.to_date("o_orderdate") < F.lit(date_to)))
+         .select("o_orderkey", "o_custkey"))
+    l = (lineitem.filter(F.col("l_returnflag") == "R")
+         .select("l_orderkey", rev.alias("rev")))
+    per_cust = (l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+                .groupBy("o_custkey")
+                .agg(F.sum("rev").alias("rev")))
+    return (per_cust
+            .join(customer,
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(nation),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .select(F.col("c_custkey").alias("custkey"), "c_name",
+                    F.round(F.col("rev").cast("double"), 4)
+                    .alias("revenue"),
+                    F.round("c_acctbal", 6).alias("c_acctbal"),
+                    "n_name")
+            .orderBy(F.desc("revenue"), F.asc("custkey"))
+            .limit(top_n))
+
+
+def tpch_q14_promo_effect(lineitem: DataFrame, part: DataFrame,
+                          date_from: str = Q14_FROM,
+                          date_to: str = Q14_TO) -> DataFrame:
+    """TPC-H Q14 promotion effect: the share of one month's revenue
+    that came from PROMO-type parts (testdata p_type is categorical,
+    so equality stands in for TPC-H's LIKE 'PROMO%%'). Part is a
+    dimension equi-join on partkey — no hint, AQE broadcasts when it
+    fits. Numerator/denominator summed in exact decimal; ONE double
+    division at the end."""
+    rev = (F.col("l_extendedprice").cast(MONEY)
+           * (F.lit(1).cast(MONEY) - F.col("l_discount").cast(MONEY)))
+    l = (lineitem
+         .filter((F.to_date("l_shipdate") >= F.lit(date_from))
+                 & (F.to_date("l_shipdate") < F.lit(date_to)))
+         .select("l_partkey", rev.alias("rev")))
+    j = l.join(part.select("p_partkey", "p_type"),
+               F.col("l_partkey") == F.col("p_partkey"))
+    agg = j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev"))
+              .otherwise(F.lit(0).cast(MONEY))).alias("promo"),
+        F.sum("rev").alias("total"))
+    return agg.select(
+        F.round(F.lit(100.0) * F.col("promo").cast("double")
+                / F.col("total").cast("double"), 6)
+        .alias("promo_revenue_pct"),
+        F.round(F.col("promo").cast("double"), 4).alias("promo_revenue"),
+        F.round(F.col("total").cast("double"), 4).alias("total_revenue"))
+
+
+def tpch_q18_large_orders(lineitem: DataFrame, orders: DataFrame,
+                          customer: DataFrame,
+                          qty_threshold: float = Q18_QTY_THRESHOLD,
+                          top_n: int = Q18_TOP_N) -> DataFrame:
+    """TPC-H Q18 large-volume customers: orders whose total quantity
+    exceeds the threshold, with their customer, ranked by total price.
+    The HAVING aggregate runs on lineitem alone FIRST (map-side
+    combinable, shrinks the fact before any join); survivors join to
+    orders/customer. Top-n is TakeOrderedAndProject."""
+    big = (lineitem.groupBy("l_orderkey")
+           .agg(F.sum(F.col("l_quantity").cast(MONEY)).alias("sum_qty"))
+           .filter(F.col("sum_qty") > F.lit(qty_threshold).cast(MONEY)))
+    return (big
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+            .select("c_name",
+                    F.col("c_custkey").alias("custkey"),
+                    F.col("o_orderkey").alias("orderkey"),
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                    .alias("o_orderdate"),
+                    F.round("o_totalprice", 6).alias("o_totalprice"),
+                    F.col("sum_qty").cast("double").alias("sum_qty"))
+            .orderBy(F.desc("o_totalprice"), F.asc("orderkey"))
+            .limit(top_n))

@@ -2118,6 +2118,59 @@ GROUP BY 1, 3, 4
 ORDER BY revenue DESC, orderkey ASC
 LIMIT 10""".strip()
 
+    sqls["tpch_q10_returned_items"] = f"""
+SELECT c.c_custkey AS custkey, c.c_name,
+       round(CAST(sum(CAST(l.l_extendedprice AS {d})
+                      * (CAST(1 AS {d})
+                         - CAST(l.l_discount AS {d}))) AS DOUBLE), 4)
+         AS revenue,
+       round(c.c_acctbal, 6) AS c_acctbal, n.n_name
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+  AND CAST(o.o_orderdate AS DATE) >= DATE '1995-10-01'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1996-01-01'
+GROUP BY 1, 2, 4, 5
+ORDER BY revenue DESC, custkey ASC
+LIMIT 20""".strip()
+
+    sqls["tpch_q14_promo_effect"] = f"""
+WITH j AS (
+  SELECT CAST(l.l_extendedprice AS {d})
+         * (CAST(1 AS {d}) - CAST(l.l_discount AS {d})) AS rev,
+         p.p_type
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE CAST(l.l_shipdate AS DATE) >= DATE '1995-09-01'
+    AND CAST(l.l_shipdate AS DATE) < DATE '1995-10-01')
+SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                                   THEN rev ELSE CAST(0 AS {d}) END)
+                     AS DOUBLE)
+             / CAST(sum(rev) AS DOUBLE), 6) AS promo_revenue_pct,
+       round(CAST(sum(CASE WHEN p_type = 'PROMO'
+                           THEN rev ELSE CAST(0 AS {d}) END)
+                  AS DOUBLE), 4) AS promo_revenue,
+       round(CAST(sum(rev) AS DOUBLE), 4) AS total_revenue
+FROM j""".strip()
+
+    sqls["tpch_q18_large_orders"] = f"""
+WITH big AS (
+  SELECT l_orderkey,
+         sum(CAST(l_quantity AS {d})) AS sum_qty
+  FROM lineitem GROUP BY 1
+  HAVING sum(CAST(l_quantity AS {d})) > CAST(150.0 AS {d}))
+SELECT c.c_name, c.c_custkey AS custkey,
+       o.o_orderkey AS orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(o.o_totalprice, 6) AS o_totalprice,
+       CAST(big.sum_qty AS DOUBLE) AS sum_qty
+FROM big
+JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o_totalprice DESC, orderkey ASC
+LIMIT 100""".strip()
+
     sqls["fk_orphan_audit"] = """
 SELECT 'orders->customer' AS relation,
        CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_rows,

@@ -271,3 +271,32 @@ def test_tpch_q3_plan_and_order(spark, sf_dir):
     revs = [r["revenue"] for r in rows]
     assert revs == sorted(revs, reverse=True)
     assert len({r["orderkey"] for r in rows}) == len(rows)
+
+
+def test_tpch_q10_q18_invariants(spark, sf_dir):
+    """Q10: only 'R' revenue, rank-ordered; Q18: every emitted order
+    genuinely exceeds the quantity threshold and appears once."""
+    q10 = api.q_tpch_q10(spark, sf_dir).collect()
+    assert 0 < len(q10) <= 20
+    revs = [r["revenue"] for r in q10]
+    assert revs == sorted(revs, reverse=True)
+    assert len({r["custkey"] for r in q10}) == len(q10)
+
+    q18 = api.q_tpch_q18(spark, sf_dir).collect()
+    assert len({r["orderkey"] for r in q18}) == len(q18)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sums = {r["l_orderkey"]: r["s"] for r in
+            li.groupBy("l_orderkey")
+              .agg(F.sum("l_quantity").alias("s")).collect()}
+    for r in q18:
+        assert sums[r["orderkey"]] > 150.0 - 1e-9
+        assert abs(r["sum_qty"] - sums[r["orderkey"]]) < 1e-6
+
+
+def test_tpch_q14_share_bounds(spark, sf_dir):
+    row = api.q_tpch_q14(spark, sf_dir).collect()[0]
+    assert 0.0 <= row["promo_revenue_pct"] <= 100.0
+    assert row["promo_revenue"] <= row["total_revenue"]
+    assert abs(row["promo_revenue_pct"]
+               - 100.0 * row["promo_revenue"] / row["total_revenue"]) \
+        < 1e-3
