@@ -977,6 +977,35 @@ def q_cycle_chains(spark, sf_dir):
     return OA.cycle_chains(edges)
 
 
+def q_kg_scc(spark, sf_dir):
+    """Strongly connected components over is_a edges + planted
+    cycles/chains: MultiStep coloring (forward min-label + same-color
+    pivot marking), scc_id = least member. The planted knots surface
+    as multi-member SCCs; the acyclic bulk stays singleton."""
+    from .operators.graphops import scc_labels
+    edges = (relationships_df(spark)
+             .filter(F.col("predicate") == "is_a")
+             .select(F.col("subject").alias("src"),
+                     F.col("object").alias("dst"))
+             .unionByName(spark.createDataFrame(
+                 OA.PLANTED_CYCLE + OA.PLANTED_CHAINS,
+                 "src string, dst string")))
+    return scc_labels(edges)
+
+
+def q_kg_topo_layers(spark, sf_dir):
+    """Longest-path topological layering of the is_a DAG: layer(v) =
+    1 + max(layer(parents)), roots at 0 — the staged-load stratum
+    (bfs_depths' MAX dual); non-convergence doubles as cycle
+    detection."""
+    from .operators.graphops import topo_longest_path_layers
+    edges = (relationships_df(spark)
+             .filter(F.col("predicate") == "is_a")
+             .select(F.col("subject").alias("src"),
+                     F.col("object").alias("dst")))
+    return topo_longest_path_layers(edges)
+
+
 def q_hierarchy_redundant_edges(spark, sf_dir):
     """Transitive-reduction QC over the is_a hierarchy plus planted
     shortcut edges: flags every edge implied by a >=2-step path (OBO
@@ -2394,6 +2423,8 @@ def queries() -> dict[str, QueryFn]:
         "event_range_join": q_event_range_join,
         "kg_pagerank": q_kg_pagerank,
         "cycle_chains": q_cycle_chains,
+        "kg_scc": q_kg_scc,
+        "kg_topo_layers": q_kg_topo_layers,
         "hierarchy_redundant_edges": q_hierarchy_redundant_edges,
         "term_similarity": q_term_similarity,
         "term_ic_similarity": q_term_ic_similarity,

@@ -1802,3 +1802,210 @@ def partition_edgecut(edges: DataFrame,
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+SCC_INNER_MAX = 24
+SCC_OUTER_MAX = 8
+
+
+def scc_labels(edges: DataFrame, inner_max: int = SCC_INNER_MAX,
+               outer_max: int = SCC_OUTER_MAX) -> DataFrame:
+    """Strongly connected components of the directed (src, dst) edge
+    graph -> (node, scc_id, scc_size), scc_id = least node id in the
+    component. Beyond-the-reference graph QC: cycle_triads/cycle_chains
+    enumerate SHORT cycles; SCC names every vertex set that is mutually
+    reachable at ANY length (ontology is_a knots, redirect loops).
+
+    MultiStep algorithm (Slota et al., IPDPS 2014) with all pivots
+    run simultaneously:
+      0. TRIM: iteratively peel vertices missing an in-edge or an
+         out-edge in the live graph — they cannot sit in a multi-node
+         SCC, so they assign as singletons immediately. On a DAG this
+         alone drains the whole graph in O(depth) rounds; without it
+         the pivot loop claims acyclic-bulk singletons one outer
+         round at a time (measured 500 s -> ~25 s on the sf0.01
+         ontology graph). Coloring only ever sees the cyclic core.
+      1. color F(v) = min node id reachable FROM v (synchronous
+         min-propagation along out-edges to fixpoint). For any v with
+         F(v) = c the pivot c satisfies F(c) = c, and every vertex on
+         a c->..->v path inside color class c keeps color c, so
+      2. marking: propagate a mark forward from each pivot along
+         SAME-COLOR edges to fixpoint; marked vertices are exactly
+         {v : v reaches c AND c reaches v} = SCC(c).
+      3. assign marked vertices scc_id = color, drop them from the
+         graph, repeat — inter-cycle chain vertices become trimmable
+         the moment their cycles are claimed.
+    Each inner round is one equi-join + map-side-combinable min/max —
+    no driver-side graph state; frames persist per round and the
+    previous round unpersists (bfs_distances discipline). Rounds are
+    bounded by the longest simple path, not data size; the color/mark
+    loops carry canonicalize.py's hard non-convergence error. 100-TB
+    note: web-graph cores additionally want label-doubling for long
+    chains; ontology/link graphs are shallow."""
+    edges = (edges.select("src", "dst").distinct()
+             .localCheckpoint(eager=True))
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionByName(edges.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint(eager=True))
+    assigned = None
+    live_edges, live_nodes = edges, nodes
+
+    def _accumulate(batch: DataFrame, acc: DataFrame | None) -> DataFrame:
+        out = batch if acc is None else acc.unionByName(batch)
+        return out.localCheckpoint(eager=True)
+
+    for _ in range(outer_max):
+        # 0. trim to the cyclic core, iterating on EDGES alone: an
+        #    edge survives iff its src has an in-edge and its dst has
+        #    an out-edge; the fixpoint is the subgraph of min in/out
+        #    degree >= 1. Everything outside it is a certain
+        #    singleton, assigned in ONE batch after the peel (two
+        #    semi-joins + count per round — the node-frame variant
+        #    cost ~5 blocking jobs per round).
+        e, n_e = live_edges, live_edges.count()
+        for _i in range(inner_max):
+            if n_e == 0:
+                break
+            e2 = (e.join(e.select(F.col("dst").alias("src"))
+                         .distinct(), "src")
+                  .join(e.select(F.col("src").alias("dst"))
+                        .distinct(), "dst")
+                  .localCheckpoint(eager=True))
+            n2 = e2.count()
+            if n2 == n_e:
+                break
+            e, n_e = e2, n2
+        core = (e.select(F.col("src").alias("node"))
+                .unionByName(e.select(F.col("dst").alias("node")))
+                .distinct().localCheckpoint(eager=True))
+        trimmed = (live_nodes.join(core, "node", "left_anti")
+                   .select("node", F.col("node").alias("scc_id")))
+        if not trimmed.isEmpty():
+            assigned = _accumulate(trimmed, assigned)
+        live_nodes, live_edges = core, e
+        n_live = core.count()
+        if n_live == 0:
+            break
+        # 1. forward min-label colors. Each round's frame is
+        # localCheckpoint'd, NOT merely persisted: nxt references f
+        # twice (union + convergence join), so an uncut logical plan
+        # doubles per round and plan processing, not data, becomes
+        # the cost (canonicalize.py:33's rule).
+        f = live_nodes.select("node", F.col("node").alias("color"))
+        converged = False
+        for _i in range(inner_max):
+            stepped = (f.join(live_edges,
+                              f["node"] == live_edges["dst"])
+                       .select(F.col("src").alias("node"), "color"))
+            nxt = (f.unionByName(stepped)
+                   .groupBy("node").agg(F.min("color").alias("color"))
+                   .localCheckpoint(eager=True))
+            n_moved = (nxt.join(f.withColumnRenamed("color", "old"),
+                                "node")
+                       .filter(F.col("color") != F.col("old")).count())
+            f = nxt
+            if n_moved == 0:
+                converged = True
+                break
+        if not converged:
+            raise RuntimeError(
+                f"scc_labels: coloring did not converge in {inner_max} "
+                "rounds — graph has a longer path than inner_max; "
+                "raise inner_max")
+        # 2. forward mark from pivots along same-color edges
+        ce = (live_edges
+              .join(f.withColumnRenamed("node", "src")
+                    .withColumnRenamed("color", "c_src"), "src")
+              .join(f.withColumnRenamed("node", "dst")
+                    .withColumnRenamed("color", "c_dst"), "dst")
+              .filter(F.col("c_src") == F.col("c_dst"))
+              .select("src", "dst").localCheckpoint(eager=True))
+        m = (f.filter(F.col("node") == F.col("color")).select("node")
+             .localCheckpoint(eager=True))
+        n_m = m.count()
+        converged = False
+        for _i in range(inner_max):
+            stepped = (m.join(ce, m["node"] == ce["src"])
+                       .select(F.col("dst").alias("node")))
+            nxt = (m.unionByName(stepped).distinct()
+                   .localCheckpoint(eager=True))
+            n_nxt = nxt.count()
+            m = nxt
+            if n_nxt == n_m:
+                converged = True
+                break
+            n_m = n_nxt
+        if not converged:
+            raise RuntimeError(
+                f"scc_labels: marking did not converge in {inner_max} "
+                "rounds — raise inner_max")
+        batch = m.join(f, "node").select(
+            "node", F.col("color").alias("scc_id"))
+        assigned = _accumulate(batch, assigned)
+        live_nodes = (live_nodes.join(assigned, "node", "left_anti")
+                      .localCheckpoint(eager=True))
+        live_edges = (live_edges
+                      .join(live_nodes.withColumnRenamed("node", "src"),
+                            "src")
+                      .join(live_nodes.withColumnRenamed("node", "dst"),
+                            "dst")
+                      .localCheckpoint(eager=True))
+    else:
+        if not live_nodes.isEmpty():
+            raise RuntimeError(
+                f"scc_labels: {outer_max} pivot rounds left vertices "
+                "unassigned — pathological SCC nesting; raise outer_max")
+    if assigned is None:   # empty edge set: no vertices at all
+        return (edges.sparkSession.createDataFrame(
+            [], "node string, scc_id string, scc_size bigint"))
+    sizes = assigned.groupBy("scc_id").agg(
+        F.count("*").cast("bigint").alias("scc_size"))
+    return assigned.join(sizes, "scc_id").select(
+        "node", "scc_id", "scc_size")
+
+
+TOPO_MAX_ROUNDS = 24
+
+
+def topo_longest_path_layers(edges: DataFrame,
+                             max_rounds: int = TOPO_MAX_ROUNDS
+                             ) -> DataFrame:
+    """DAG (src, dst) = (child, parent) -> (node, layer): longest-path
+    topological level, layer(root) = 0 (no parent), layer(v) = 1 +
+    max(layer(parent)) — the scheduling stratum: every node's
+    dependencies live in strictly lower layers, so layer k can be
+    processed after k-1 wholesale (bfs_depths is the MIN-depth dual;
+    the max layering is what a staged loader needs). Synchronous
+    Bellman-style max-relaxation: layer_{k+1} = max(layer_k, 1 +
+    layer_k over one child<-parent hop); converges in longest-path
+    rounds on a DAG and provably NEVER on a cycle — the convergence
+    cap doubles as cycle detection (cycle_chains then names the
+    culprits). One equi-join + map-side max per round."""
+    edges = (edges.select(F.col("src").alias("child"),
+                          F.col("dst").alias("parent"))
+             .distinct().localCheckpoint(eager=True))
+    nodes = (edges.select(F.col("child").alias("node"))
+             .unionByName(edges.select(F.col("parent").alias("node")))
+             .distinct())
+    lay = nodes.select("node", F.lit(0).alias("layer"))
+    for _i in range(max_rounds):
+        stepped = (lay.join(edges, lay["node"] == edges["parent"])
+                   .select(F.col("child").alias("node"),
+                           (F.col("layer") + 1).alias("layer")))
+        # localCheckpoint, not persist: nxt references lay twice
+        # (union + convergence join), so an uncut plan doubles per
+        # round (canonicalize.py:33's rule)
+        nxt = (lay.unionByName(stepped)
+               .groupBy("node").agg(F.max("layer").alias("layer"))
+               .localCheckpoint(eager=True))
+        n_moved = (nxt.join(lay.withColumnRenamed("layer", "old"),
+                            "node")
+                   .filter(F.col("layer") != F.col("old")).count())
+        lay = nxt
+        if n_moved == 0:
+            return lay.select("node",
+                              F.col("layer").cast("int").alias("layer"))
+    raise RuntimeError(
+        f"topo_longest_path_layers: no fixpoint in {max_rounds} rounds "
+        "— either a cycle (run cycle_chains/scc_labels to name it) or "
+        "a longer dependency chain than max_rounds")

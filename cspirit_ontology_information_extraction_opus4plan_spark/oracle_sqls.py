@@ -2333,6 +2333,53 @@ SELECT array_to_string(w.path, '->') AS chain,
        CAST(len(w.path) AS INT) AS cycle_len
 FROM walk w JOIN edges e ON e.src = w.cur AND e.dst = w.start"""
 
+    # kg_scc: pairwise-reachability re-derivation — scc_id(v) = min of
+    # {v} ∪ {u : v reaches u AND u reaches v}; independent of the
+    # Spark side's coloring algorithm.
+    sqls["kg_scc"] = "WITH RECURSIVE " + rels_cte() + f""",
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT subject AS src, object AS dst FROM rels_d
+    WHERE predicate = 'is_a'
+    UNION ALL
+    SELECT * FROM (VALUES {planted_all}) v(src, dst)) e),
+nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+  UNION
+  SELECT DISTINCT dst FROM edges),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
+mutual AS (
+  SELECT a.src AS u, a.dst AS v
+  FROM reach a JOIN reach b ON b.src = a.dst AND b.dst = a.src),
+scc AS (
+  SELECT n.node,
+         least(n.node, coalesce(min(m.v), n.node)) AS scc_id
+  FROM nodes n LEFT JOIN mutual m ON m.u = n.node
+  GROUP BY n.node),
+sized AS (SELECT scc_id, count(*) AS n FROM scc GROUP BY 1)
+SELECT s.node, s.scc_id, CAST(z.n AS BIGINT) AS scc_size
+FROM scc s JOIN sized z USING (scc_id)"""
+
+    # kg_topo_layers: longest root->v path via recursive CTE max —
+    # the Spark side reaches the same fixpoint by max-relaxation.
+    sqls["kg_topo_layers"] = "WITH RECURSIVE " + rels_cte() + """,
+e AS (
+  SELECT DISTINCT subject AS child, object AS parent FROM rels_d
+  WHERE predicate = 'is_a'),
+nodes AS (
+  SELECT DISTINCT child AS node FROM e
+  UNION
+  SELECT DISTINCT parent FROM e),
+lp(node, lvl) AS (
+  SELECT node, 0 FROM nodes
+  WHERE node NOT IN (SELECT child FROM e)
+  UNION
+  SELECT e.child, lp.lvl + 1 FROM lp JOIN e ON e.parent = lp.node)
+SELECT node, CAST(max(lvl) AS INT) AS layer FROM lp GROUP BY 1"""
+
     planted = ",".join(f"({_q(s)}, {_q(d)})" for s, d in OA.PLANTED_CYCLE)
     sqls["cycle_triads"] = "WITH " + rels_cte() + f""",
 edges AS (

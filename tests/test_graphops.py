@@ -503,3 +503,64 @@ def test_node2vec_walks_replay_pure_python(spark):
              for r in graphops.random_walks(
                  _triples(spark, pairs), n_steps=3).collect()}
     assert any(plain.get(key) != got.get(key) for key in got)
+
+
+def test_scc_labels_planted_knots(spark):
+    """Two planted SCCs (a 3-cycle and a 2-knot) inside an acyclic
+    tail: members share the least-id label, the rest are singletons."""
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.graphops import (
+        scc_labels,
+    )
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"),       # SCC {a,b,c}
+         ("c", "d"), ("d", "e"),                   # acyclic tail
+         ("x", "y"), ("y", "x"),                   # SCC {x,y}
+         ("e", "x")],                              # bridge into the knot
+        "src string, dst string")
+    out = {r["node"]: (r["scc_id"], r["scc_size"])
+           for r in scc_labels(edges).collect()}
+    assert out["a"] == out["b"] == out["c"] == ("a", 3)
+    assert out["x"] == out["y"] == ("x", 2)
+    assert out["d"] == ("d", 1) and out["e"] == ("e", 1)
+    assert len(out) == 7
+
+
+def test_scc_labels_nested_pivot_rounds(spark):
+    """An SCC whose min label is NOT the color pivot of round 1:
+    z1<->z2 both reach the smaller 'a' cycle, so round 1 colors them
+    'a' without marking them — the outer loop must claim them in a
+    later pivot round."""
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.graphops import (
+        scc_labels,
+    )
+    edges = spark.createDataFrame(
+        [("z1", "z2"), ("z2", "z1"), ("z1", "a"),
+         ("a", "b"), ("b", "a")],
+        "src string, dst string")
+    out = {r["node"]: (r["scc_id"], r["scc_size"])
+           for r in scc_labels(edges).collect()}
+    assert out["a"] == out["b"] == ("a", 2)
+    assert out["z1"] == out["z2"] == ("z1", 2)
+
+
+def test_topo_layers_longest_path_not_min_depth(spark):
+    """Diamond with a long arm: layer must be the LONGEST root path
+    (d sits at layer 3 via the long arm even though a 1-hop path
+    exists), and a planted cycle must raise instead of converging."""
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.graphops import (
+        topo_longest_path_layers,
+    )
+    # edges are (child, parent): r is the root
+    edges = spark.createDataFrame(
+        [("a", "r"), ("b", "a"), ("c", "b"),   # long arm r<-a<-b<-c
+         ("c", "r")],                          # shortcut r<-c
+        "src string, dst string")
+    out = {r["node"]: r["layer"]
+           for r in topo_longest_path_layers(edges).collect()}
+    assert out == {"r": 0, "a": 1, "b": 2, "c": 3}
+
+    import pytest as _pytest
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string")
+    with _pytest.raises(RuntimeError, match="cycle"):
+        topo_longest_path_layers(cyc, max_rounds=6)
