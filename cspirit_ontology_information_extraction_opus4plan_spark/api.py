@@ -993,6 +993,22 @@ def q_kg_scc(spark, sf_dir):
     return scc_labels(edges)
 
 
+def q_kg_condensation(spark, sf_dir):
+    """Condensed DAG of the cyclic is_a+planted graph: SCCs contracted
+    to their least-member label, intra-SCC edges dropped, per-pair
+    edge multiplicity kept. Composes scc_labels -> condensation_edges;
+    the output is provably acyclic (pinned by test via topo layering)."""
+    from .operators.graphops import condensation_edges, scc_labels
+    edges = (relationships_df(spark)
+             .filter(F.col("predicate") == "is_a")
+             .select(F.col("subject").alias("src"),
+                     F.col("object").alias("dst"))
+             .unionByName(spark.createDataFrame(
+                 OA.PLANTED_CYCLE + OA.PLANTED_CHAINS,
+                 "src string, dst string")))
+    return condensation_edges(edges, scc_labels(edges))
+
+
 def q_kg_topo_layers(spark, sf_dir):
     """Longest-path topological layering of the is_a DAG: layer(v) =
     1 + max(layer(parents)), roots at 0 — the staged-load stratum
@@ -2424,6 +2440,7 @@ def queries() -> dict[str, QueryFn]:
         "kg_pagerank": q_kg_pagerank,
         "cycle_chains": q_cycle_chains,
         "kg_scc": q_kg_scc,
+        "kg_condensation": q_kg_condensation,
         "kg_topo_layers": q_kg_topo_layers,
         "hierarchy_redundant_edges": q_hierarchy_redundant_edges,
         "term_similarity": q_term_similarity,

@@ -2009,3 +2009,23 @@ def topo_longest_path_layers(edges: DataFrame,
         f"topo_longest_path_layers: no fixpoint in {max_rounds} rounds "
         "— either a cycle (run cycle_chains/scc_labels to name it) or "
         "a longer dependency chain than max_rounds")
+
+
+def condensation_edges(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Contract each SCC to its label: (c_src, c_dst, n_edges) over
+    distinct SCC pairs, self-loops (intra-SCC edges) dropped. The
+    condensation is provably acyclic, so topo_longest_path_layers
+    composes on top of it even when the raw graph has knots — the
+    staged-load recipe for a graph with cycles: scc_labels ->
+    condensation_edges -> topo layers. Two equi-joins against the
+    label frame (broadcastable when the vertex set is dim-sized;
+    shuffle equi-join otherwise) + one map-side-combinable count."""
+    lsrc = labels.select(F.col("node").alias("src"),
+                         F.col("scc_id").alias("c_src"))
+    ldst = labels.select(F.col("node").alias("dst"),
+                         F.col("scc_id").alias("c_dst"))
+    return (edges.select("src", "dst")
+            .join(lsrc, "src").join(ldst, "dst")
+            .filter(F.col("c_src") != F.col("c_dst"))
+            .groupBy("c_src", "c_dst")
+            .agg(F.count("*").cast("bigint").alias("n_edges")))

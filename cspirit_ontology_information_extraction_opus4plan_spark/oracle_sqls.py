@@ -2363,6 +2363,39 @@ sized AS (SELECT scc_id, count(*) AS n FROM scc GROUP BY 1)
 SELECT s.node, s.scc_id, CAST(z.n AS BIGINT) AS scc_size
 FROM scc s JOIN sized z USING (scc_id)"""
 
+    # kg_condensation: same reachability-derived scc mapping, edges
+    # contracted through it (self-loops dropped)
+    sqls["kg_condensation"] = "WITH RECURSIVE " + rels_cte() + f""",
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT subject AS src, object AS dst FROM rels_d
+    WHERE predicate = 'is_a'
+    UNION ALL
+    SELECT * FROM (VALUES {planted_all}) v(src, dst)) e),
+nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+  UNION
+  SELECT DISTINCT dst FROM edges),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
+mutual AS (
+  SELECT a.src AS u, a.dst AS v
+  FROM reach a JOIN reach b ON b.src = a.dst AND b.dst = a.src),
+scc AS (
+  SELECT n.node,
+         least(n.node, coalesce(min(m.v), n.node)) AS scc_id
+  FROM nodes n LEFT JOIN mutual m ON m.u = n.node
+  GROUP BY n.node)
+SELECT s1.scc_id AS c_src, s2.scc_id AS c_dst,
+       CAST(count(*) AS BIGINT) AS n_edges
+FROM edges e
+JOIN scc s1 ON s1.node = e.src
+JOIN scc s2 ON s2.node = e.dst
+WHERE s1.scc_id <> s2.scc_id
+GROUP BY 1, 2"""
+
     # kg_topo_layers: longest root->v path via recursive CTE max —
     # the Spark side reaches the same fixpoint by max-relaxation.
     sqls["kg_topo_layers"] = "WITH RECURSIVE " + rels_cte() + """,

@@ -564,3 +564,27 @@ def test_topo_layers_longest_path_not_min_depth(spark):
         [("a", "b"), ("b", "a")], "src string, dst string")
     with _pytest.raises(RuntimeError, match="cycle"):
         topo_longest_path_layers(cyc, max_rounds=6)
+
+
+def test_condensation_is_acyclic_and_contracts(spark):
+    """Condensing a graph with knots yields a DAG (topo layering
+    converges) whose vertices are SCC labels."""
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.graphops import (
+        condensation_edges, scc_labels, topo_longest_path_layers,
+    )
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"),   # SCC {a,b,c}
+         ("c", "d"), ("d", "e"), ("e", "d"),   # SCC {d,e} downstream
+         ("e", "f")],
+        "src string, dst string")
+    labels = scc_labels(edges)
+    cond = condensation_edges(edges, labels).collect()
+    got = {(r["c_src"], r["c_dst"]): r["n_edges"] for r in cond}
+    assert got == {("a", "d"): 1, ("d", "f"): 1}
+    # provably acyclic: the layering fixpoint exists; with edges read
+    # as (child, parent), f is the root: a -> d -> f
+    layers = {r["node"]: r["layer"] for r in topo_longest_path_layers(
+        spark.createDataFrame(
+            [(s, d) for (s, d) in got], "src string, dst string")
+    ).collect()}
+    assert layers == {"f": 0, "d": 1, "a": 2}
