@@ -2693,6 +2693,7 @@ def queries() -> dict[str, QueryFn]:
         "gazetteer_expansion": q_gazetteer_expansion,
         "er_fellegi_sunter": q_er_fellegi_sunter,
         "er_blocking_quality": q_er_blocking_quality,
+        "er_em_weights": q_er_em_weights,
         "event_cuped": q_event_cuped,
         "event_changepoint": q_event_changepoint,
         "doc_gopher_rules": q_doc_gopher_rules,
@@ -2883,6 +2884,15 @@ def q_er_blocking_quality(spark, sf_dir):
     from .operators.entity_resolution import blocking_quality
     from .operators.relational import load_rel
     return blocking_quality(load_rel(spark, sf_dir, "customer"))
+
+
+def q_er_em_weights(spark, sf_dir):
+    """Splink-style unsupervised EM training of the Fellegi-Sunter
+    m/u/lambda parameters over comparison-PATTERN counts (2^k rows,
+    never pairs) — the data-derived replacement for FS_W."""
+    from .operators.entity_resolution import fs_em_weights
+    from .operators.relational import load_rel
+    return fs_em_weights(load_rel(spark, sf_dir, "customer"))
 
 
 def q_event_cuped(spark, sf_dir):

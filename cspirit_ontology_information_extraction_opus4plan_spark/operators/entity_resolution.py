@@ -153,3 +153,82 @@ def blocking_quality(customer: DataFrame) -> DataFrame:
                     .alias("reduction_ratio")))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+FS_EM_ITER = 3
+FS_EM_INIT = (0.9, 0.1, 0.01)   # m0, u0, lambda0 (Splink defaults)
+
+
+def fs_em_weights(customer: DataFrame,
+                  n_iter: int = FS_EM_ITER) -> DataFrame:
+    """Unsupervised EM estimation of the Fellegi-Sunter m/u
+    probabilities (Splink's `estimate_parameters_using_em`): the
+    training that replaces FS_MU's fixed constants with data-derived
+    ones, no labels needed.
+
+    The E/M steps run on COMPARISON-PATTERN COUNTS, not pairs — the
+    published Splink optimization: blocked pairs aggregate once to
+    2^k pattern rows (k = 3 fields -> 8 rows), and every EM iteration
+    is arithmetic over that bounded table. The only Spark shuffle is
+    the pattern groupBy (map-side combinable over the blocked join);
+    the collect is 2^k rows, dimension-sized by construction like the
+    TF-IDF vocab, NEVER corpus-sized. Parameters round to 12 dp each
+    iteration so the DuckDB oracle (same recurrence unrolled in SQL)
+    tracks bit-identically; outputs round to 6 dp.
+
+    Emits one row per field: (field, m, u, w_agree, w_disagree,
+    lam, n_pairs) — w = log2 odds from the FINAL 6-dp m/u, the
+    drop-in replacement for FS_W."""
+    a, b = dirty_pair_sides(customer)
+    pairs = a.join(b, F.col("nat_a") == F.col("nat_b"))
+    ag = {
+        "name": F.col("name_a") == F.col("name_b"),
+        "bal": F.abs(F.col("bal_a") - F.col("bal_b"))
+        < F.lit("0.5").cast(BAL),
+        "seg": F.col("seg_a") == F.col("seg_b"),
+    }
+    fields = list(ag)
+    pat = (pairs
+           .groupBy(*[ag[f].alias(f"g_{f}") for f in fields])
+           .agg(F.count("*").alias("n")))
+    rows = sorted(
+        ((tuple(bool(r[f"g_{f}"]) for f in fields), int(r["n"]))
+         for r in pat.collect()))
+    m0, u0, lam0 = FS_EM_INIT
+    m = {f: m0 for f in fields}
+    u = {f: u0 for f in fields}
+    lam = lam0
+    for _ in range(n_iter):
+        num_lam = den_lam = 0.0
+        num_m = {f: 0.0 for f in fields}
+        num_u = {f: 0.0 for f in fields}
+        den_m = den_u = 0.0
+        for gamma, n in rows:
+            pm = lam
+            pu = 1.0 - lam
+            for f, gf in zip(fields, gamma):
+                pm *= m[f] if gf else 1.0 - m[f]
+                pu *= u[f] if gf else 1.0 - u[f]
+            r = pm / (pm + pu)
+            num_lam += n * r
+            den_lam += n
+            den_m += n * r
+            den_u += n * (1.0 - r)
+            for f, gf in zip(fields, gamma):
+                if gf:
+                    num_m[f] += n * r
+                    num_u[f] += n * (1.0 - r)
+        lam = round(num_lam / den_lam, 12)
+        m = {f: round(num_m[f] / den_m, 12) for f in fields}
+        u = {f: round(num_u[f] / den_u, 12) for f in fields}
+    n_pairs = sum(n for _, n in rows)
+    out = []
+    for f in fields:
+        m6, u6 = round(m[f], 6), round(u[f], 6)
+        out.append((f, m6, u6,
+                    round(math.log2(m6 / u6), 6),
+                    round(math.log2((1.0 - m6) / (1.0 - u6)), 6),
+                    round(lam, 6), n_pairs))
+    return customer.sparkSession.createDataFrame(
+        out, "field string, m double, u double, w_agree double, "
+             "w_disagree double, lam double, n_pairs bigint")

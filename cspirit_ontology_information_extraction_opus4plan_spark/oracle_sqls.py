@@ -6292,6 +6292,56 @@ SELECT 'nation_segment', n_cand, n_truth, found,
        round(1.0 - CAST(n_cand AS DOUBLE) / CAST(t AS DOUBLE), 6)
 FROM s2, f2, tot""".strip()
 
+    # er_em_weights: the Spark side's EM recurrence unrolled one CTE
+    # pair per iteration, multiplication order and 12-dp per-iteration
+    # parameter rounding matched term-for-term so doubles track
+    # bit-identically.
+    _em_m0, _em_u0, _em_lam0 = ER.FS_EM_INIT
+    _em_fields = ["name", "bal", "seg"]
+    _em = f"""
+pat AS (
+  SELECT name_a = name_b AS g_name,
+         abs(bal_a - bal_b) < CAST('0.5' AS DECIMAL(18,2)) AS g_bal,
+         seg_a = seg_b AS g_seg,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM a JOIN b ON nat_a = nat_b GROUP BY 1, 2, 3),
+np AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs
+  FROM a JOIN b ON nat_a = nat_b),
+it0 AS (SELECT {_em_m0} AS m_name, {_em_m0} AS m_bal, {_em_m0} AS m_seg,
+               {_em_u0} AS u_name, {_em_u0} AS u_bal, {_em_u0} AS u_seg,
+               {_em_lam0} AS lam)"""
+    for _i in range(1, ER.FS_EM_ITER + 1):
+        _pm = "lam" + "".join(
+            f" * (CASE WHEN g_{f} THEN m_{f} ELSE 1 - m_{f} END)"
+            for f in _em_fields)
+        _pu = "(1 - lam)" + "".join(
+            f" * (CASE WHEN g_{f} THEN u_{f} ELSE 1 - u_{f} END)"
+            for f in _em_fields)
+        _upd = ", ".join(
+            f"round(sum(CASE WHEN g_{f} THEN n * r ELSE 0 END)"
+            f" / sum(n * r), 12) AS m_{f}" for f in _em_fields)
+        _upd += ", " + ", ".join(
+            f"round(sum(CASE WHEN g_{f} THEN n * (1 - r) ELSE 0 END)"
+            f" / sum(n * (1 - r)), 12) AS u_{f}" for f in _em_fields)
+        _em += f""",
+r{_i} AS (
+  SELECT p.*, {_pm} / ({_pm} + {_pu}) AS r
+  FROM pat p, it{_i - 1}),
+it{_i} AS (
+  SELECT {_upd},
+         round(sum(n * r) / sum(n), 12) AS lam
+  FROM r{_i})"""
+    _em_out = "\nUNION ALL\n".join(
+        f"SELECT '{f}' AS field, round(m_{f}, 6) AS m,"
+        f" round(u_{f}, 6) AS u,"
+        f" round(log2(round(m_{f}, 6) / round(u_{f}, 6)), 6) AS w_agree,"
+        f" round(log2((1 - round(m_{f}, 6)) / (1 - round(u_{f}, 6))), 6)"
+        f" AS w_disagree,"
+        f" round(lam, 6) AS lam, n_pairs"
+        f" FROM it{ER.FS_EM_ITER}, np" for f in _em_fields)
+    sqls["er_em_weights"] = f"WITH {_sides},{_em}\n{_em_out}"
+
     _arm = ("CASE WHEN CAST(concat('0x', substr(md5(CAST(user_id AS "
             "VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END")
     sqls["event_cuped"] = f"""

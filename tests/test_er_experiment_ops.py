@@ -129,3 +129,20 @@ def test_gopher_rules_fail_specific_rules(spark):
     assert not out[3]["ok_symbols"]
     assert not out[4]["ok_words"]
     assert out[5]["ok_bullets"]  # 4 of 5 lines bulleted, under the 0.9 cap
+
+
+def test_em_learns_separating_parameters(spark, sf_dir):
+    """Unsupervised EM must recover m >> u on every field (agreement
+    is far likelier among matches) and a lambda near the true match
+    rate of the blocked candidate space."""
+    from cspirit_ontology_information_extraction_opus4plan_spark import api
+    rows = {r["field"]: r
+            for r in api.q_er_em_weights(spark, sf_dir).collect()}
+    assert set(rows) == {"name", "bal", "seg"}
+    lam = next(iter(rows.values()))["lam"]
+    assert 0.0 < lam < 0.5
+    for f, r in rows.items():
+        assert r["m"] > r["u"], f
+        assert r["w_agree"] > 0.0 > r["w_disagree"], f
+        assert r["lam"] == lam            # shared across fields
+        assert r["n_pairs"] > 0
