@@ -1599,6 +1599,33 @@ def q_event_transitions(spark, sf_dir):
     return event_transitions(load_events(spark, sf_dir))
 
 
+def q_event_sequence_match(spark, sf_dir):
+    """CEP regex over per-user journey strings (event-type initials,
+    ts/event_id ordered): conversion-path and error-burst counts."""
+    from .operators.content_stats import load_events
+    from .operators.olap import journey_pattern_match
+    return journey_pattern_match(load_events(spark, sf_dir))
+
+
+def q_user_erasure_audit(spark, sf_dir):
+    """GDPR right-to-be-forgotten blast-radius audit: per-relation
+    affected-row counts for a deterministic request set, including
+    the two-hop lineitem cascade through orders."""
+    from .operators.maintenance import erasure_cascade_audit
+    return erasure_cascade_audit(spark, sf_dir)
+
+
+def q_kg_property_path(spark, sf_dir):
+    """SPARQL 1.1 property path `seed (is_a|part_of)+ ?x` with
+    min-hop distances from every seed (ids ending in '0')."""
+    from .operators.graphops import property_path_closure
+    rels = relationships_df(spark)
+    seeds = (rels.filter(F.col("predicate").isin("is_a", "part_of"))
+             .filter(F.col("subject").endswith("0"))
+             .select(F.col("subject").alias("start")))
+    return property_path_closure(rels, seeds)
+
+
 def q_event_seasonality(spark, sf_dir):
     """Day-of-week chi-square uniformity test per event type (load
     planning / bot detection)."""
@@ -2560,6 +2587,9 @@ def queries() -> dict[str, QueryFn]:
         "event_seasonality": q_event_seasonality,
         "doc_source_ks": q_doc_source_ks,
         "event_transitions": q_event_transitions,
+        "event_sequence_match": q_event_sequence_match,
+        "user_erasure_audit": q_user_erasure_audit,
+        "kg_property_path": q_kg_property_path,
         "event_gap_audit": q_event_gap_audit,
         "event_zorder": q_event_zorder,
         "doc_ctfidf_topics": q_doc_ctfidf_topics,

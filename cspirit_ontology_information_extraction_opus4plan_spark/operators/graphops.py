@@ -2029,3 +2029,44 @@ def condensation_edges(edges: DataFrame, labels: DataFrame) -> DataFrame:
             .filter(F.col("c_src") != F.col("c_dst"))
             .groupBy("c_src", "c_dst")
             .agg(F.count("*").cast("bigint").alias("n_edges")))
+
+
+PP_PREDS = ("is_a", "part_of")
+PP_ROUNDS = 8
+
+
+def property_path_closure(rels: DataFrame, seeds: DataFrame,
+                          preds: tuple[str, ...] = PP_PREDS,
+                          n_rounds: int = PP_ROUNDS) -> DataFrame:
+    """SPARQL property-path evaluation `seed (is_a|part_of)+ ?x`:
+    min-hop closure over the predicate ALTERNATION from every seed —
+    the generalization of dependency_closure (single predicate, no
+    distance) to SPARQL 1.1 path semantics with per-pair distance.
+    `seeds` is a one-column (start) frame; emits (start, node, dist)
+    with dist >= 1, min over paths, capped at n_rounds.
+
+    Labeled multi-source BFS: state (start, node, dist), one frontier
+    equi-join on the edge src + map-side-combinable min per round,
+    fixed round count so the DuckDB oracle unrolls the identical
+    recurrence (recursive CTE + min). State size is bounded by
+    |seeds| x |reachable closure|, the size of the ANSWER — the same
+    bound any SPARQL engine pays for this query; each round is
+    localCheckpoint'd (canonicalize.py:33's rule)."""
+    edges = (rels.filter(F.col("predicate").isin(*preds))
+             .select(F.col("subject").alias("src"),
+                     F.col("object").alias("dst"))
+             .distinct().localCheckpoint(eager=True))
+    d = (seeds.select(F.col("start"))
+         .distinct()
+         .select("start", F.col("start").alias("node"),
+                 F.lit(0).alias("dist")))
+    for _ in range(n_rounds):
+        stepped = (d.join(edges, d["node"] == edges["src"])
+                   .select("start", F.col("dst").alias("node"),
+                           (F.col("dist") + 1).alias("dist")))
+        d = (d.unionByName(stepped)
+             .groupBy("start", "node").agg(F.min("dist").alias("dist"))
+             .localCheckpoint(eager=True))
+    return (d.filter(F.col("dist") >= 1)
+            .select("start", "node", F.col("dist").cast("int")
+                    .alias("dist")))

@@ -103,3 +103,60 @@ def snapshot_expiry_orphans(manifest: DataFrame,
     return (status.join(last_ref, "file_id")
             .select("file_id", "part", "size_bytes", "added_snap",
                     "removed_snap", "last_snap", "status"))
+
+
+ERASE_MOD = 97   # deterministic deletion-request predicate
+
+
+def erasure_cascade_audit(spark, sf_dir: str,
+                          erase_mod: int = ERASE_MOD) -> DataFrame:
+    """Right-to-be-forgotten cascade audit: given the deletion-request
+    set (customers with custkey % erase_mod == 0 — a deterministic
+    stand-in for the GDPR request table), count the blast radius per
+    relation BEFORE running the deletes: customer rows directly,
+    orders via o_custkey, lineitem via the TWO-HOP cascade through its
+    order, events via user_id. Emits (relation, n_total, n_erased,
+    erased_pct).
+
+    Each probe is one semi-join count — the parent side is the
+    request set (dimension-sized: 1/erase_mod of one key column), so
+    every join broadcasts; the lineitem hop reuses the affected-order
+    keys rather than re-deriving customers transitively. This is the
+    audit a lakehouse runs to size a DELETE + VACUUM job; the deletes
+    themselves are the same anti-joins, write-side."""
+    from .relational import load_rel
+    requests = (load_rel(spark, sf_dir, "customer")
+                .filter(F.col("c_custkey") % erase_mod == 0)
+                .select(F.col("c_custkey").alias("k")))
+    customer = load_rel(spark, sf_dir, "customer")
+    orders = load_rel(spark, sf_dir, "orders")
+    lineitem = load_rel(spark, sf_dir, "lineitem")
+    events = load_rel(spark, sf_dir, "events")
+    hit_orders = (orders.join(
+        F.broadcast(requests), orders["o_custkey"] == F.col("k"))
+        .select("o_orderkey"))
+    probes = [
+        ("customer", customer,
+         customer.join(F.broadcast(requests),
+                       customer["c_custkey"] == F.col("k"), "left_semi")),
+        ("orders", orders,
+         orders.join(F.broadcast(requests),
+                     orders["o_custkey"] == F.col("k"), "left_semi")),
+        ("lineitem", lineitem,
+         lineitem.join(F.broadcast(hit_orders),
+                       lineitem["l_orderkey"] == F.col("o_orderkey"),
+                       "left_semi")),
+        ("events", events,
+         events.join(F.broadcast(requests),
+                     events["user_id"] == F.col("k"), "left_semi")),
+    ]
+    out = None
+    for name, full, hit in probes:
+        row = (spark.createDataFrame(
+            [(name, full.count(), hit.count())],
+            "relation string, n_total bigint, n_erased bigint")
+            .select("*", F.round(F.col("n_erased").cast("double")
+                                 / F.col("n_total"), 6)
+                    .alias("erased_pct")))
+        out = row if out is None else out.unionByName(row)
+    return out

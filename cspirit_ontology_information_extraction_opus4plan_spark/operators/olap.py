@@ -692,3 +692,42 @@ def conversion_lag(events: DataFrame,
                  .alias("n_converted"),
                  *picks,
                  F.max("max_s").cast("bigint").alias("max_s")))
+
+
+JOURNEY_CONVERSION_RE = "vc*p"   # view, any clicks, purchase
+JOURNEY_ERROR_RE = "ee+"         # >=2 consecutive errors
+
+
+def journey_pattern_match(events: DataFrame) -> DataFrame:
+    """MATCH_RECOGNIZE-style complex-event-processing over per-user
+    event streams: each user's events collapse (ordered by ts,
+    event_id) into a journey string of event-type initials — the five
+    synthetic types (click/error/purchase/signup/view) have distinct
+    initials by construction — and leftmost non-overlapping regex
+    matches count conversion paths (view->clicks->purchase) and error
+    bursts. Java regex and RE2 agree on these patterns, so the DuckDB
+    oracle re-derives matches independently via string_agg ORDER BY +
+    regexp_extract_all.
+
+    Scale: one groupBy shuffle; per-user state is the journey string,
+    bounded by that user's event count — a hub user with millions of
+    events wants the sessionized variant (session_windows) upstream,
+    exactly like any per-key collect. The regex runs JVM-side
+    (codegen), one row per user."""
+    journey = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(
+                F.col("ts"), F.col("event_id"),
+                F.substring("event_type", 1, 1).alias("i")))),
+            lambda s: s["i"]), "")
+    return (events
+            .groupBy("user_id")
+            .agg(journey.alias("journey"))
+            .select("user_id", "journey",
+                    F.size(F.regexp_extract_all(
+                        "journey", F.lit(JOURNEY_CONVERSION_RE), F.lit(0)))
+                    .cast("int").alias("n_conversion_paths"),
+                    F.size(F.regexp_extract_all(
+                        "journey", F.lit(JOURNEY_ERROR_RE), F.lit(0)))
+                    .cast("int").alias("n_error_bursts"),
+                    F.length("journey").cast("int").alias("n_events")))

@@ -2363,6 +2363,75 @@ sized AS (SELECT scc_id, count(*) AS n FROM scc GROUP BY 1)
 SELECT s.node, s.scc_id, CAST(z.n AS BIGINT) AS scc_size
 FROM scc s JOIN sized z USING (scc_id)"""
 
+    sqls["event_sequence_match"] = """
+WITH j AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), ''
+                    ORDER BY ts, event_id) AS journey
+  FROM events GROUP BY 1)
+SELECT user_id, journey,
+       CAST(len(regexp_extract_all(journey, 'vc*p')) AS INT)
+         AS n_conversion_paths,
+       CAST(len(regexp_extract_all(journey, 'ee+')) AS INT)
+         AS n_error_bursts,
+       CAST(length(journey) AS INT) AS n_events
+FROM j""".strip()
+
+    sqls["user_erasure_audit"] = """
+WITH req AS (
+  SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0),
+ho AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT k FROM req))
+SELECT 'customer' AS relation,
+       CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_total,
+       CAST((SELECT count(*) FROM customer
+             WHERE c_custkey IN (SELECT k FROM req)) AS BIGINT)
+         AS n_erased,
+       round(CAST((SELECT count(*) FROM customer
+                   WHERE c_custkey IN (SELECT k FROM req)) AS DOUBLE)
+             / (SELECT count(*) FROM customer), 6) AS erased_pct
+UNION ALL
+SELECT 'orders',
+       CAST((SELECT count(*) FROM orders) AS BIGINT),
+       CAST((SELECT count(*) FROM orders
+             WHERE o_custkey IN (SELECT k FROM req)) AS BIGINT),
+       round(CAST((SELECT count(*) FROM orders
+                   WHERE o_custkey IN (SELECT k FROM req)) AS DOUBLE)
+             / (SELECT count(*) FROM orders), 6)
+UNION ALL
+SELECT 'lineitem',
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+       CAST((SELECT count(*) FROM lineitem
+             WHERE l_orderkey IN (SELECT o_orderkey FROM ho)) AS BIGINT),
+       round(CAST((SELECT count(*) FROM lineitem
+                   WHERE l_orderkey IN (SELECT o_orderkey FROM ho))
+                  AS DOUBLE)
+             / (SELECT count(*) FROM lineitem), 6)
+UNION ALL
+SELECT 'events',
+       CAST((SELECT count(*) FROM events) AS BIGINT),
+       CAST((SELECT count(*) FROM events
+             WHERE user_id IN (SELECT k FROM req)) AS BIGINT),
+       round(CAST((SELECT count(*) FROM events
+                   WHERE user_id IN (SELECT k FROM req)) AS DOUBLE)
+             / (SELECT count(*) FROM events), 6)""".strip()
+
+    sqls["kg_property_path"] = "WITH RECURSIVE " + rels_cte() + """,
+e AS (
+  SELECT DISTINCT subject AS src, object AS dst FROM rels_d
+  WHERE predicate IN ('is_a', 'part_of')),
+seeds AS (
+  SELECT DISTINCT subject AS start FROM rels_d
+  WHERE predicate IN ('is_a', 'part_of') AND subject LIKE '%0'),
+walk(start, node, dist) AS (
+  SELECT start, start, 0 FROM seeds
+  UNION
+  SELECT w.start, e.dst, w.dist + 1
+  FROM walk w JOIN e ON e.src = w.node WHERE w.dist < 8)
+SELECT start, node, CAST(min(dist) AS INT) AS dist
+FROM walk WHERE dist >= 1 GROUP BY 1, 2"""
+
     # kg_condensation: same reachability-derived scc mapping, edges
     # contracted through it (self-loops dropped)
     sqls["kg_condensation"] = "WITH RECURSIVE " + rels_cte() + f""",

@@ -300,3 +300,66 @@ def test_tpch_q14_share_bounds(spark, sf_dir):
     assert abs(row["promo_revenue_pct"]
                - 100.0 * row["promo_revenue"] / row["total_revenue"]) \
         < 1e-3
+
+
+def test_journey_pattern_match_semantics(spark):
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.olap import (
+        journey_pattern_match,
+    )
+    rows = [
+        # user 1: view, click, click, purchase, error, error, error
+        (1, "2024-01-01 00:00:0%d" % i, t) for i, t in enumerate(
+            ["view", "click", "click", "purchase",
+             "error", "error", "error"])
+    ] + [
+        # user 2: purchase with no leading view, then view->purchase
+        (2, "2024-01-01 00:00:00", "purchase"),
+        (2, "2024-01-01 00:00:01", "view"),
+        (2, "2024-01-01 00:00:02", "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        [(i, u, ts, t, 0.0) for i, (u, ts, t) in enumerate(rows)],
+        "event_id long, user_id long, ts string, event_type string, "
+        "value double"
+    ).selectExpr("event_id", "user_id", "CAST(ts AS TIMESTAMP) ts",
+                 "event_type", "value")
+    out = {r["user_id"]: r
+           for r in journey_pattern_match(ev).collect()}
+    assert out[1]["journey"] == "vccpeee"
+    assert out[1]["n_conversion_paths"] == 1
+    assert out[1]["n_error_bursts"] == 1     # eee = ONE burst
+    assert out[2]["journey"] == "pvp"
+    assert out[2]["n_conversion_paths"] == 1
+    assert out[2]["n_error_bursts"] == 0
+
+
+def test_erasure_cascade_two_hop(spark, sf_dir):
+    """The lineitem count must equal the manual two-hop derivation."""
+    out = {r["relation"]: r for r in api.q_user_erasure_audit(
+        spark, sf_dir).collect()}
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    hit = (orders.filter(F.col("o_custkey") % 97 == 0)
+           .join(li, orders["o_orderkey"] == li["l_orderkey"])
+           .count())
+    assert out["lineitem"]["n_erased"] == hit
+    assert out["customer"]["n_erased"] > 0
+    for r in out.values():
+        assert 0.0 <= r["erased_pct"] <= 1.0
+
+
+def test_property_path_alternation(spark):
+    """The closure must cross predicate boundaries (is_a then part_of)
+    and report min-hop distance."""
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.graphops import (
+        property_path_closure,
+    )
+    rels = spark.createDataFrame(
+        [("a", "is_a", "b"), ("b", "part_of", "c"),
+         ("a", "regulates", "z"),       # excluded predicate
+         ("a", "part_of", "c")],        # shortcut: dist(a,c)=1
+        "subject string, predicate string, object string")
+    seeds = spark.createDataFrame([("a",)], "start string")
+    out = {(r["start"], r["node"]): r["dist"]
+           for r in property_path_closure(rels, seeds).collect()}
+    assert out == {("a", "b"): 1, ("a", "c"): 1}
