@@ -907,6 +907,35 @@ def q_tpch_q18(spark, sf_dir):
                                  load_rel(spark, sf_dir, "customer"))
 
 
+def q_order_reconciliation(spark, sf_dir):
+    """Financial-close QC: per-order lineitem charge vs header
+    total, 1-cent tolerance, mismatch magnitude profile."""
+    from .operators.relational import (load_rel,
+                                       order_total_reconciliation)
+    return order_total_reconciliation(
+        load_rel(spark, sf_dir, "lineitem"),
+        load_rel(spark, sf_dir, "orders"))
+
+
+def q_bitemporal_snapshot(spark, sf_dir):
+    """Bitemporal point query over the orders change stream (tx time
+    = order date + a deterministic correction lag): what we KNEW at
+    BT_TX_AT about each customer's priority as of BT_VALID_AT."""
+    from .operators.relational import (BT_TX_AT, BT_VALID_AT, load_rel,
+                                       bitemporal_snapshot)
+    o = load_rel(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("valid_ts"),
+        F.date_add(F.to_date("o_orderdate"),
+                   ((F.col("o_orderkey") % 5) * 7).cast("int"))
+        .alias("tx_ts"),
+        "o_orderpriority", "o_orderkey")
+    return bitemporal_snapshot(o, key="o_custkey", valid_ts="valid_ts",
+                               tx_ts="tx_ts", attr="o_orderpriority",
+                               seq="o_orderkey", tx_at=BT_TX_AT,
+                               valid_at=BT_VALID_AT)
+
+
 def q_customer_scd2(spark, sf_dir):
     """SCD Type-2 dimension build: compress each customer's order-
     priority change stream (orders as the change log, max_by(orderkey)
@@ -2563,6 +2592,8 @@ def queries() -> dict[str, QueryFn]:
         "tpch_q10_returned_items": q_tpch_q10,
         "tpch_q14_promo_effect": q_tpch_q14,
         "tpch_q18_large_orders": q_tpch_q18,
+        "order_reconciliation": q_order_reconciliation,
+        "bitemporal_snapshot": q_bitemporal_snapshot,
         "customer_scd2": q_customer_scd2,
         "customer_scd2_incremental": q_customer_scd2_incremental,
         "event_pivot": q_event_pivot,

@@ -398,3 +398,81 @@ def tpch_q18_large_orders(lineitem: DataFrame, orders: DataFrame,
                     F.col("sum_qty").cast("double").alias("sum_qty"))
             .orderBy(F.desc("o_totalprice"), F.asc("orderkey"))
             .limit(top_n))
+
+
+def order_total_reconciliation(lineitem: DataFrame,
+                               orders: DataFrame) -> DataFrame:
+    """Warehouse reconciliation audit: per-order lineitem charge
+    (sum of extendedprice*(1-discount)*(1+tax), exact decimal) vs the
+    order header's o_totalprice — the financial-close QC every
+    warehouse runs post-load. Emits ONE summary row: order counts,
+    match/mismatch split at a 1-cent tolerance, and the mismatch
+    magnitude profile (max / mean absolute diff). Left join from
+    orders so headerless... lineitem-less orders count as mismatches
+    with the full header amount as the diff.
+
+    One map-side-combinable groupBy on the fact + one equi-join on
+    the order key + one global agg — the minimal-shuffle shape."""
+    one = F.lit(1).cast(MONEY)
+    charge = (F.col("l_extendedprice").cast(MONEY)
+              * (one - F.col("l_discount").cast(MONEY))
+              * (one + F.col("l_tax").cast(MONEY)))
+    per_order = (lineitem.groupBy("l_orderkey")
+                 .agg(F.sum(charge).alias("computed")))
+    j = (orders.select("o_orderkey",
+                       F.col("o_totalprice").cast(MONEY).alias("header"))
+         .join(per_order,
+               F.col("o_orderkey") == F.col("l_orderkey"), "left")
+         .select("o_orderkey", "header",
+                 F.coalesce(F.col("computed"), F.lit(0).cast(MONEY))
+                 .alias("computed")))
+    diff = F.abs(F.col("header") - F.col("computed"))
+    tol = F.lit("0.01").cast(MONEY)
+    return j.agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.when(diff <= tol, 1).otherwise(0)).cast("bigint")
+        .alias("n_reconciled"),
+        F.sum(F.when(diff > tol, 1).otherwise(0)).cast("bigint")
+        .alias("n_mismatched"),
+        F.round(F.max(diff).cast("double"), 4).alias("max_abs_diff"),
+        F.round(F.sum(diff).cast("double") / F.count("*"), 4)
+        .alias("mean_abs_diff"))
+
+
+BT_TX_AT = "1997-06-01"      # transaction-time cut: what we KNEW then
+BT_VALID_AT = "1996-06-01"   # valid-time cut: about WHEN
+
+
+def bitemporal_snapshot(changes: DataFrame, key: str, valid_ts: str,
+                        tx_ts: str, attr: str, seq: str,
+                        tx_at: str, valid_at: str) -> DataFrame:
+    """Bitemporal point query: "what did we BELIEVE as of transaction
+    time tx_at about each key's attribute as of valid time valid_at"
+    — the two-axis generalization of scd2_dimension (valid time only)
+    and kg_snapshot_asof (transaction time only); the audit/backtest
+    query a regulated warehouse must answer exactly.
+
+    Evaluation order is the bitemporal contract: (1) discard facts
+    not yet recorded at tx_at (tx_ts > tx_at); (2) among surviving
+    records of the SAME valid instant, the latest-recorded wins
+    (arg_max by (tx_ts, seq) — a late correction supersedes); (3)
+    the belief at valid_at is the surviving record with the greatest
+    valid_ts <= valid_at (arg_max again). Two map-side-combinable
+    max_by aggregations on the key — no window, no sort, two
+    shuffles total, both on the entity key."""
+    visible = changes.filter(F.col(tx_ts) <= F.lit(tx_at))
+    latest_belief = (visible
+                     .groupBy(key, valid_ts)
+                     .agg(F.max_by(F.col(attr),
+                                   F.struct(F.col(tx_ts), F.col(seq)))
+                          .alias("attr")))
+    return (latest_belief
+            .filter(F.col(valid_ts) <= F.lit(valid_at))
+            .groupBy(key)
+            .agg(F.max_by(F.struct(F.col("attr"),
+                                   F.date_format(valid_ts, "yyyy-MM-dd")
+                                   .alias("vf")),
+                          F.col(valid_ts)).alias("s"))
+            .select(F.col(key),
+                    F.col("s.attr").alias(attr),
+                    F.col("s.vf").alias("valid_from")))

@@ -2118,6 +2118,48 @@ GROUP BY 1, 3, 4
 ORDER BY revenue DESC, orderkey ASC
 LIMIT 10""".strip()
 
+    sqls["order_reconciliation"] = f"""
+WITH per_order AS (
+  SELECT l_orderkey,
+         sum(CAST(l_extendedprice AS {d})
+             * (CAST(1 AS {d}) - CAST(l_discount AS {d}))
+             * (CAST(1 AS {d}) + CAST(l_tax AS {d}))) AS computed
+  FROM lineitem GROUP BY 1),
+j AS (
+  SELECT CAST(o.o_totalprice AS {d}) AS header,
+         coalesce(p.computed, CAST(0 AS {d})) AS computed
+  FROM orders o LEFT JOIN per_order p ON p.l_orderkey = o.o_orderkey),
+di AS (SELECT abs(header - computed) AS diff FROM j)
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN diff <= CAST('0.01' AS {d})
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_reconciled,
+       CAST(sum(CASE WHEN diff > CAST('0.01' AS {d})
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+       round(CAST(max(diff) AS DOUBLE), 4) AS max_abs_diff,
+       round(CAST(sum(diff) AS DOUBLE) / count(*), 4) AS mean_abs_diff
+FROM di""".strip()
+
+    sqls["bitemporal_snapshot"] = """
+WITH ch AS (
+  SELECT o_custkey,
+         CAST(o_orderdate AS DATE) AS valid_ts,
+         CAST(o_orderdate AS DATE)
+           + INTERVAL 1 DAY * ((o_orderkey % 5) * 7) AS tx_ts,
+         o_orderpriority, o_orderkey
+  FROM orders),
+vis AS (SELECT * FROM ch WHERE tx_ts <= DATE '1997-06-01'),
+belief AS (
+  SELECT o_custkey, valid_ts,
+         arg_max(o_orderpriority,
+                 date_diff('day', DATE '1970-01-01', tx_ts)
+                 * 100000000 + o_orderkey) AS attr
+  FROM vis GROUP BY 1, 2)
+SELECT o_custkey,
+       arg_max(attr, valid_ts) AS o_orderpriority,
+       strftime(max(valid_ts), '%Y-%m-%d') AS valid_from
+FROM belief WHERE valid_ts <= DATE '1996-06-01'
+GROUP BY 1""".strip()
+
     sqls["tpch_q10_returned_items"] = f"""
 SELECT c.c_custkey AS custkey, c.c_name,
        round(CAST(sum(CAST(l.l_extendedprice AS {d})

@@ -363,3 +363,40 @@ def test_property_path_alternation(spark):
     out = {(r["start"], r["node"]): r["dist"]
            for r in property_path_closure(rels, seeds).collect()}
     assert out == {("a", "b"): 1, ("a", "c"): 1}
+
+
+def test_bitemporal_late_correction_and_knowledge_cutoff(spark):
+    """A correction recorded BEFORE tx_at supersedes the original for
+    the same valid instant; one recorded AFTER tx_at must be invisible
+    — the two defining bitemporal behaviors."""
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.relational import (
+        bitemporal_snapshot,
+    )
+    ch = spark.createDataFrame(
+        [  # key 1: original P at v=Jan01 (recorded Jan01), corrected
+           # to Q for the SAME valid instant on Feb01 (visible),
+           # corrected again to R on Dec01 (AFTER tx_at: invisible)
+            (1, "2024-01-01", "2024-01-01", "P", 1),
+            (1, "2024-01-01", "2024-02-01", "Q", 2),
+            (1, "2024-01-01", "2024-12-01", "R", 3),
+            # key 1: a LATER valid instant after valid_at: ignored
+            (1, "2024-09-01", "2024-09-01", "S", 4),
+            # key 2: only fact recorded after tx_at -> key absent
+            (2, "2024-01-15", "2024-11-01", "X", 5),
+        ], "k long, valid_ts string, tx_ts string, a string, s long"
+    ).selectExpr("k", "CAST(valid_ts AS DATE) valid_ts",
+                 "CAST(tx_ts AS DATE) tx_ts", "a", "s")
+    out = {r["k"]: r for r in bitemporal_snapshot(
+        ch, key="k", valid_ts="valid_ts", tx_ts="tx_ts", attr="a",
+        seq="s", tx_at="2024-06-01", valid_at="2024-06-30").collect()}
+    assert set(out) == {1}
+    assert out[1]["a"] == "Q"              # visible correction wins
+    assert out[1]["valid_from"] == "2024-01-01"
+
+
+def test_order_reconciliation_totals(spark, sf_dir):
+    r = api.q_order_reconciliation(spark, sf_dir).collect()[0]
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert r["n_orders"] == n_orders
+    assert r["n_reconciled"] + r["n_mismatched"] == n_orders
+    assert r["max_abs_diff"] >= r["mean_abs_diff"] >= 0.0
