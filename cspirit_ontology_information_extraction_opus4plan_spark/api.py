@@ -1006,6 +1006,21 @@ def q_cycle_chains(spark, sf_dir):
     return OA.cycle_chains(edges)
 
 
+def q_kg_disjointness(spark, sf_dir):
+    """owl:disjointWith closure check over is_a + planted dual-rooted
+    probes: terms subsumed under two declared-disjoint namespace
+    roots (DIS:dual violates; DIS:clean is the negative control)."""
+    from .operators.ontology_algebra import (PLANTED_DISJOINT,
+                                             disjointness_audit)
+    edges = (relationships_df(spark)
+             .filter(F.col("predicate") == "is_a")
+             .select(F.col("subject").alias("src"),
+                     F.col("object").alias("dst"))
+             .unionByName(spark.createDataFrame(
+                 PLANTED_DISJOINT, "src string, dst string")))
+    return disjointness_audit(edges)
+
+
 def q_kg_scc(spark, sf_dir):
     """Strongly connected components over is_a edges + planted
     cycles/chains: MultiStep coloring (forward min-label + same-color
@@ -2497,6 +2512,7 @@ def queries() -> dict[str, QueryFn]:
         "cycle_chains": q_cycle_chains,
         "kg_scc": q_kg_scc,
         "kg_condensation": q_kg_condensation,
+        "kg_disjointness": q_kg_disjointness,
         "kg_topo_layers": q_kg_topo_layers,
         "hierarchy_redundant_edges": q_hierarchy_redundant_edges,
         "term_similarity": q_term_similarity,

@@ -984,3 +984,70 @@ def shortest_path_counts(terms: DataFrame, rels: DataFrame,
             f"max_iter={max_iter} rounds — hierarchy deeper than "
             f"max_iter (a silent cap would under-count paths)")
     return out.join(depths, "id").select("id", "depth", "n_paths")
+
+
+# owl:disjointWith declarations between the four namespace roots
+# (canonicalized a < b), plus planted probe terms: DIS:dual sits under
+# TWO disjoint roots (a genuine violation), DIS:clean under one (the
+# negative control) — same planted-fixture discipline as PLANTED_CYCLE.
+DISJOINT_ROOT_DECLS = [
+    ("CHEBI:10001", "GO:20001"), ("CHEBI:10001", "PO:30001"),
+    ("CHEBI:10001", "TAXON:40001"), ("GO:20001", "PO:30001"),
+    ("GO:20001", "TAXON:40001"), ("PO:30001", "TAXON:40001"),
+]
+PLANTED_DISJOINT = [
+    ("DIS:dual", "CHEBI:10005"), ("DIS:dual", "GO:20004"),
+    ("DIS:clean", "CHEBI:10006"),
+]
+DISJ_MAX_ROUNDS = 24
+
+
+def disjointness_audit(edges, decls=DISJOINT_ROOT_DECLS,
+                       max_rounds: int = DISJ_MAX_ROUNDS):
+    """owl:disjointWith consistency check: a term subsumed (via is_a*)
+    under BOTH roots of a declared-disjoint pair is inconsistent — the
+    reasoner-grade ontology QC beyond per-triple domain checks
+    (triple_semantics_check validates single edges; this one needs the
+    CLOSURE). Emits (node, root_a, root_b) per violated declaration.
+
+    Reflexive-transitive ancestor closure (node, anc) built by
+    frontier join to fixpoint (localCheckpoint per round,
+    canonicalize.py:33's rule; non-convergence raises — an is_a cycle
+    is itself an inconsistency, and scc_labels names it), then the
+    per-node ancestor pair set joins the declaration list. Closure
+    state is O(nodes x depth) — the ontology-hierarchy bound, not the
+    corpus; the decls join is dimension-sized."""
+    from pyspark.sql import functions as F
+    edges = (edges.select(F.col("src").alias("child"),
+                          F.col("dst").alias("parent"))
+             .distinct().localCheckpoint(eager=True))
+    nodes = (edges.select(F.col("child").alias("node"))
+             .unionByName(edges.select(F.col("parent").alias("node")))
+             .distinct())
+    anc = (nodes.select("node", F.col("node").alias("anc"))
+           .localCheckpoint(eager=True))
+    n_anc = anc.count()
+    for _ in range(max_rounds):
+        stepped = (anc.join(edges, anc["anc"] == edges["child"])
+                   .select("node", F.col("parent").alias("anc")))
+        nxt = (anc.unionByName(stepped).distinct()
+               .localCheckpoint(eager=True))
+        n_nxt = nxt.count()
+        anc = nxt
+        if n_nxt == n_anc:
+            break
+        n_anc = n_nxt
+    else:
+        raise RuntimeError(
+            f"disjointness_audit: ancestor closure open after "
+            f"{max_rounds} rounds — is_a cycle (see scc_labels) or "
+            "deeper hierarchy than max_rounds")
+    d = edges.sparkSession.createDataFrame(
+        list(decls), "root_a string, root_b string")
+    x = anc.select("node", F.col("anc").alias("root_a"))
+    y = anc.select(F.col("node").alias("n2"), F.col("anc").alias("anc_b"))
+    return (x.join(F.broadcast(d), "root_a")
+            .join(y, (F.col("node") == F.col("n2"))
+                  & (F.col("anc_b") == F.col("root_b")))
+            .select("node", "root_a", "root_b")
+            .distinct())

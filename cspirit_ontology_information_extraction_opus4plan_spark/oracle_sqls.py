@@ -2375,6 +2375,31 @@ SELECT array_to_string(w.path, '->') AS chain,
        CAST(len(w.path) AS INT) AS cycle_len
 FROM walk w JOIN edges e ON e.src = w.cur AND e.dst = w.start"""
 
+    _disj_planted = ",".join(
+        f"({_q(s)}, {_q(d)})" for s, d in OA.PLANTED_DISJOINT)
+    _disj_decls = ",".join(
+        f"({_q(a)}, {_q(b)})" for a, b in OA.DISJOINT_ROOT_DECLS)
+    sqls["kg_disjointness"] = "WITH RECURSIVE " + rels_cte() + f""",
+e AS (
+  SELECT DISTINCT src AS child, dst AS parent FROM (
+    SELECT subject AS src, object AS dst FROM rels_d
+    WHERE predicate = 'is_a'
+    UNION ALL
+    SELECT * FROM (VALUES {_disj_planted}) v(src, dst)) u),
+nodes AS (
+  SELECT DISTINCT child AS node FROM e
+  UNION
+  SELECT DISTINCT parent FROM e),
+anc(node, anc) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT a.node, e.parent FROM anc a JOIN e ON e.child = a.anc),
+decls(root_a, root_b) AS (VALUES {_disj_decls})
+SELECT DISTINCT x.node, d.root_a, d.root_b
+FROM anc x
+JOIN decls d ON d.root_a = x.anc
+JOIN anc y ON y.node = x.node AND y.anc = d.root_b"""
+
     # kg_scc: pairwise-reachability re-derivation — scc_id(v) = min of
     # {v} ∪ {u : v reaches u AND u reaches v}; independent of the
     # Spark side's coloring algorithm.

@@ -400,3 +400,11 @@ def test_order_reconciliation_totals(spark, sf_dir):
     assert r["n_orders"] == n_orders
     assert r["n_reconciled"] + r["n_mismatched"] == n_orders
     assert r["max_abs_diff"] >= r["mean_abs_diff"] >= 0.0
+
+
+def test_disjointness_flags_only_dual_rooted(spark, sf_dir):
+    """DIS:dual (under CHEBI and GO roots) must be the ONLY violation
+    in the planted graph; DIS:clean must not appear."""
+    rows = api.q_kg_disjointness(spark, sf_dir).collect()
+    assert [(r["node"], r["root_a"], r["root_b"]) for r in rows] == \
+        [("DIS:dual", "CHEBI:10001", "GO:20001")]
