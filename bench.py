@@ -80,6 +80,10 @@ HEADLINE = [
     "customer_scd2_incremental",  # IVM dimension maintenance (if present)
     "embedding_covariance",  # mapInPandas second-moment reduction (if present)
     "event_attribution",  # user-keyed stream-stream-shaped join (if present)
+    "tpch_q1_pricing",    # TPC-H Q1 wide decimal aggregate (if present)
+    "event_sequence_match",  # CEP journey-regex matching (if present)
+    "er_em_weights",      # Splink-style EM over pattern counts (if present)
+    "kg_property_path",   # SPARQL alternation closure BFS (if present)
 ]
 
 
