@@ -557,6 +557,15 @@ def q_ann_topk(spark, sf_dir):
     return brute_force_topk(load_embeddings(spark, sf_dir))
 
 
+def q_bitext_margin_mine(spark, sf_dir):
+    """CCMatrix-style margin-scored bitext mining: LSH-bucketed
+    cross-lingual candidates, k-NN-normalized margin, best target
+    per English source above threshold."""
+    from .operators.similarity import bitext_margin_mine, load_embeddings
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bitext_margin_mine(load_embeddings(spark, sf_dir), docs)
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     from .operators.similarity import load_embeddings, lsh_topk
     return lsh_topk(load_embeddings(spark, sf_dir))
@@ -2587,6 +2596,7 @@ def queries() -> dict[str, QueryFn]:
         "url_parse": q_url_parse,
         "owl_export": q_owl_export,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "bitext_margin_mine": q_bitext_margin_mine,
         "media_inventory": q_media_inventory,
         "media_content_dedup": q_media_content_dedup,
         "media_resize": q_media_resize,

@@ -1082,3 +1082,69 @@ def ann_recall_eval(emb: DataFrame, k: int = TOP_K,
             .select("q_id", "n_exact", "n_approx", "n_hit",
                     F.round(F.col("n_hit") / F.col("n_exact"), 6)
                     .alias("recall")))
+
+
+# --- margin-scored bitext mining -------------------------------------------
+
+BITEXT_SRC_LANG = "en"
+BITEXT_K = 4          # k-NN pool for the margin denominator
+BITEXT_MARGIN_T = 1.05
+
+
+def bitext_margin_mine(emb: DataFrame, docs: DataFrame,
+                       src_lang: str = BITEXT_SRC_LANG,
+                       k: int = BITEXT_K,
+                       margin_t: float = BITEXT_MARGIN_T) -> DataFrame:
+    """LASER/CCMatrix-style parallel-corpus mining: score cross-lingual
+    candidate pairs by the MARGIN criterion (Artetxe & Schwenk 2019) —
+    cosine divided by the mean of both sides' k-NN cosines — instead
+    of raw cosine, which cannot separate "close because translated"
+    from "close because that source is close to everything" (hubness).
+    Emits the best target per source doc with margin >= margin_t.
+
+    Candidates come from the hyperplane-LSH bucket equi-join (the
+    embedding_neardup_pairs shape, cross-lingual version): scale-safe
+    — no corpus cross join; the k-NN means are computed WITHIN the
+    candidate set, the standard approximation every production miner
+    (CCMatrix FAISS sharding included) makes. Per-pair work is one
+    Arrow dot product; ranking windows partition by doc id."""
+    v = (emb.join(docs.select(F.col("doc_id").alias("vec_id"), "lang"),
+                  "vec_id")
+         .select("vec_id", "lang", "embedding",
+                 _norm2_udf("embedding").alias("n2"),
+                 lsh_bucket_col("embedding").alias("bucket"))
+         .localCheckpoint(eager=True))
+    s = (v.filter(F.col("lang") == src_lang)
+         .select(F.col("vec_id").alias("src_id"),
+                 F.col("embedding").alias("emb_s"),
+                 F.col("n2").alias("n2_s"), "bucket"))
+    t = (v.filter(F.col("lang") != src_lang)
+         .select(F.col("vec_id").alias("tgt_id"),
+                 F.col("lang").alias("tgt_lang"),
+                 F.col("embedding").alias("emb_t"),
+                 F.col("n2").alias("n2_t"), "bucket"))
+    p = (s.join(t, "bucket")
+         .withColumn("cosine", _dot_udf("emb_s", "emb_t")
+                     / F.sqrt(F.col("n2_s") * F.col("n2_t")))
+         .select("src_id", "tgt_id", "tgt_lang", "cosine")
+         .localCheckpoint(eager=True))
+    ws = Window.partitionBy("src_id").orderBy(F.desc("cosine"),
+                                              F.asc("tgt_id"))
+    wt = Window.partitionBy("tgt_id").orderBy(F.desc("cosine"),
+                                              F.asc("src_id"))
+    ks = (p.withColumn("r", F.row_number().over(ws))
+          .filter(F.col("r") <= k)
+          .groupBy("src_id").agg(F.avg("cosine").alias("knn_s")))
+    kt = (p.withColumn("r", F.row_number().over(wt))
+          .filter(F.col("r") <= k)
+          .groupBy("tgt_id").agg(F.avg("cosine").alias("knn_t")))
+    m = (p.join(ks, "src_id").join(kt, "tgt_id")
+         .withColumn("margin", F.col("cosine")
+                     / ((F.col("knn_s") + F.col("knn_t")) / 2)))
+    wb = Window.partitionBy("src_id").orderBy(F.desc("margin"),
+                                              F.asc("tgt_id"))
+    return (m.withColumn("rb", F.row_number().over(wb))
+            .filter((F.col("rb") == 1) & (F.col("margin") >= margin_t))
+            .select("src_id", "tgt_id", "tgt_lang",
+                    F.round("cosine", 6).alias("cosine"),
+                    F.round("margin", 6).alias("margin")))

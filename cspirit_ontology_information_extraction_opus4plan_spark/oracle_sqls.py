@@ -1728,6 +1728,42 @@ FROM (
     PARTITION BY q_id ORDER BY adc ASC, neighbor_id ASC) AS rank
   FROM adc) r
 WHERE rank <= {SIM.TOP_K}""".strip()
+
+    # bitext_margin_mine: same bucket/dot fragments; margin = cosine
+    # over the mean of both sides' candidate k-NN cosines (ratio
+    # variant), best target per source above the threshold
+    sqls["bitext_margin_mine"] = f"""
+WITH dv AS (
+  SELECT e.vec_id, d.lang, e.embedding, ({n2}) AS n2,
+         ({bucket('e')}) AS bucket
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+p AS (
+  SELECT a.vec_id AS src_id, b.vec_id AS tgt_id, b.lang AS tgt_lang,
+         ({dot_ab}) / sqrt(a.n2 * b.n2) AS cosine
+  FROM dv a JOIN dv b ON a.bucket = b.bucket
+  WHERE a.lang = '{SIM.BITEXT_SRC_LANG}'
+    AND b.lang <> '{SIM.BITEXT_SRC_LANG}'),
+ks AS (
+  SELECT src_id, avg(cosine) AS knn_s FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY src_id ORDER BY cosine DESC, tgt_id ASC) AS r
+    FROM p) x WHERE r <= {SIM.BITEXT_K} GROUP BY 1),
+kt AS (
+  SELECT tgt_id, avg(cosine) AS knn_t FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY tgt_id ORDER BY cosine DESC, src_id ASC) AS r
+    FROM p) x WHERE r <= {SIM.BITEXT_K} GROUP BY 1),
+m AS (
+  SELECT p.src_id, p.tgt_id, p.tgt_lang, p.cosine,
+         p.cosine / ((ks.knn_s + kt.knn_t) / 2) AS margin
+  FROM p JOIN ks USING (src_id) JOIN kt USING (tgt_id))
+SELECT src_id, tgt_id, tgt_lang, round(cosine, 6) AS cosine,
+       round(margin, 6) AS margin
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY src_id ORDER BY margin DESC, tgt_id ASC) AS rb
+  FROM m) r
+WHERE rb = 1 AND margin >= {SIM.BITEXT_MARGIN_T}""".strip()
     return sqls
 
 

@@ -408,3 +408,13 @@ def test_disjointness_flags_only_dual_rooted(spark, sf_dir):
     rows = api.q_kg_disjointness(spark, sf_dir).collect()
     assert [(r["node"], r["root_a"], r["root_b"]) for r in rows] == \
         [("DIS:dual", "CHEBI:10001", "GO:20001")]
+
+
+def test_bitext_margin_semantics(spark, sf_dir):
+    rows = api.q_bitext_margin_mine(spark, sf_dir).collect()
+    assert rows
+    assert len({r["src_id"] for r in rows}) == len(rows)  # best-per-src
+    for r in rows:
+        assert r["tgt_lang"] != "en"
+        assert r["margin"] >= 1.05
+        assert -1.0 <= r["cosine"] <= 1.0 + 1e-9
