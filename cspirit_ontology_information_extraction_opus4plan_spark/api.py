@@ -2418,6 +2418,14 @@ def q_kg_random_walks(spark, sf_dir):
     return random_walks(dedup_triples(triples_df(spark, sf_dir)))
 
 
+def q_kg_bisimulation(spark, sf_dir):
+    """Level-2 k-bisimulation quotient of the entity graph: structural
+    blocks split on labeled out-neighborhood signatures (namespace ->
+    md5 multiset recurrence), with block sizes."""
+    from .operators.graphops import bisimulation_blocks
+    return bisimulation_blocks(dedup_triples(triples_df(spark, sf_dir)))
+
+
 def q_kg_schema_graph(spark, sf_dir):
     """Namespace-level quotient graph (auto-derived schema diagram +
     vocabulary-misuse QC): distinct edges per (src_ns, predicate,
@@ -2749,6 +2757,7 @@ def queries() -> dict[str, QueryFn]:
         "kg_walk_skipgrams": q_kg_walk_skipgrams,
         "kg_node2vec_walks": q_kg_node2vec_walks,
         "kg_schema_graph": q_kg_schema_graph,
+        "kg_bisimulation": q_kg_bisimulation,
         "kg_bgp_query": q_kg_bgp_query,
         "kg_optional_query": q_kg_optional_query,
         "turtle_parse": q_turtle_parse,

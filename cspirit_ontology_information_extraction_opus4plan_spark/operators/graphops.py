@@ -2070,3 +2070,53 @@ def property_path_closure(rels: DataFrame, seeds: DataFrame,
     return (d.filter(F.col("dist") >= 1)
             .select("start", "node", F.col("dist").cast("int")
                     .alias("dist")))
+
+
+BISIM_LEVELS = 2
+
+
+def bisimulation_blocks(triples: DataFrame,
+                        levels: int = BISIM_LEVELS) -> DataFrame:
+    """k-bisimulation graph summarization (the SNAP/ExpLOD quotient
+    every graph DB builds for cardinality estimation and structural
+    indexing): nodes start in namespace blocks (sig_0) and split
+    level by level on their labeled out-neighborhood block multiset —
+    sig_{k+1}(v) = md5(sig_k(v) # sorted distinct {pred|sig_k(w)}).
+    Two nodes share a level-k block iff they are k-bisimilar; emits
+    (node, block, block_size) at level `levels`.
+
+    Per level: one equi-join on the edge dst + one
+    map-side-combinable collect_set groupBy — the signature string is
+    bounded by out-degree x digest width, and md5 keeps it O(1)
+    thereafter. The DuckDB oracle unrolls the identical recurrence
+    (same separator/sort/hash), so blocks match byte-for-byte."""
+    edges = (triples
+             .filter((F.col("subject_type") == "uri")
+                     & (F.col("object_type") == "uri"))
+             .select(F.col("subject").alias("src"), "predicate",
+                     F.col("object").alias("dst"))
+             .distinct().localCheckpoint(eager=True))
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionByName(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    sig = nodes.select(
+        "node", F.substring_index("node", ":", 1).alias("sig"))
+    for _ in range(levels):
+        nb = (edges.join(sig.select(F.col("node").alias("dst"),
+                                    F.col("sig").alias("nsig")), "dst")
+              .select("src",
+                      F.concat_ws("|", "predicate", "nsig").alias("e")))
+        agg = (nb.groupBy("src")
+               .agg(F.array_join(F.array_sort(F.collect_set("e")), ",")
+                    .alias("arr")))
+        sig = (sig.join(agg.withColumnRenamed("src", "node"),
+                        "node", "left")
+               .select("node",
+                       F.md5(F.concat_ws(
+                           "#", "sig", F.coalesce("arr", F.lit(""))))
+                       .alias("sig"))
+               .localCheckpoint(eager=True))
+    sizes = sig.groupBy("sig").agg(
+        F.count("*").cast("bigint").alias("block_size"))
+    return (sig.join(sizes, "sig")
+            .select("node", F.col("sig").alias("block"), "block_size"))

@@ -4726,6 +4726,35 @@ ed AS (SELECT DISTINCT subject AS s, object AS o FROM triples
 w0 AS (SELECT DISTINCT s AS start, s AS node FROM ed){rw_iters}
 {rw_steps_union}""")
 
+    # kg_bisimulation: unroll the signature recurrence — same
+    # separator, sort order (byte-wise on ASCII), and md5 as Spark
+    sqls["kg_bisimulation"] = (
+        corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + """,
+e AS (SELECT DISTINCT subject AS src, predicate, object AS dst
+      FROM triples
+      WHERE subject_type = 'uri' AND object_type = 'uri'),
+nd AS (SELECT DISTINCT src AS node FROM e
+       UNION SELECT DISTINCT dst FROM e),
+s0 AS (SELECT node, split_part(node, ':', 1) AS sig FROM nd),
+n1 AS (SELECT e.src,
+              array_to_string(list_sort(
+                list(DISTINCT e.predicate || '|' || s.sig)), ',') AS arr
+       FROM e JOIN s0 s ON s.node = e.dst GROUP BY 1),
+s1 AS (SELECT s0.node,
+              md5(s0.sig || '#' || coalesce(n1.arr, '')) AS sig
+       FROM s0 LEFT JOIN n1 ON n1.src = s0.node),
+n2 AS (SELECT e.src,
+              array_to_string(list_sort(
+                list(DISTINCT e.predicate || '|' || s.sig)), ',') AS arr
+       FROM e JOIN s1 s ON s.node = e.dst GROUP BY 1),
+s2 AS (SELECT s1.node,
+              md5(s1.sig || '#' || coalesce(n2.arr, '')) AS sig
+       FROM s1 LEFT JOIN n2 ON n2.src = s1.node),
+sz AS (SELECT sig, CAST(count(*) AS BIGINT) AS block_size
+       FROM s2 GROUP BY 1)
+SELECT s2.node, s2.sig AS block, sz.block_size
+FROM s2 JOIN sz USING (sig)""")
+
     sqls["kg_schema_graph"] = (
         corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + """,
 e AS (SELECT DISTINCT subject, predicate, object FROM triples

@@ -588,3 +588,27 @@ def test_condensation_is_acyclic_and_contracts(spark):
             [(s, d) for (s, d) in got], "src string, dst string")
     ).collect()}
     assert layers == {"f": 0, "d": 1, "a": 2}
+
+
+def test_bisimulation_splits_on_structure(spark):
+    """Nodes with identical labeled out-neighborhood signatures share
+    a block; structurally different nodes in the same namespace
+    split; blocks refine namespaces."""
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.graphops import (
+        bisimulation_blocks,
+    )
+    def t(s, p, o):
+        return (s, p, o, "uri", "uri")
+    tr = spark.createDataFrame(
+        [t("A:1", "is_a", "B:9"), t("A:2", "is_a", "B:8"),  # bisimilar
+         t("A:3", "part_of", "B:9"),                        # different label
+         t("C:1", "is_a", "B:9")],                          # different ns
+        "subject string, predicate string, object string, "
+        "subject_type string, object_type string")
+    out = {r["node"]: r for r in bisimulation_blocks(tr).collect()}
+    assert out["A:1"]["block"] == out["A:2"]["block"]
+    assert out["A:1"]["block_size"] == 2
+    assert out["A:3"]["block"] != out["A:1"]["block"]
+    assert out["C:1"]["block"] != out["A:1"]["block"]
+    # sinks B:8/B:9 share the B-namespace empty-signature block
+    assert out["B:8"]["block"] == out["B:9"]["block"]
