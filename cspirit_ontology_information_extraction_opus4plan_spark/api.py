@@ -1652,6 +1652,14 @@ def q_event_transitions(spark, sf_dir):
     return event_transitions(load_events(spark, sf_dir))
 
 
+def q_event_trailing_window(spark, sf_dir):
+    """Trailing 7-day RANGE-frame window: per (user, active day)
+    trailing sum/avg of daily spend over sparse days."""
+    from .operators.content_stats import load_events
+    from .operators.olap import trailing_window_avg
+    return trailing_window_avg(load_events(spark, sf_dir))
+
+
 def q_event_sequence_match(spark, sf_dir):
     """CEP regex over per-user journey strings (event-type initials,
     ts/event_id ordered): conversion-path and error-burst counts."""
@@ -2653,6 +2661,7 @@ def queries() -> dict[str, QueryFn]:
         "doc_source_ks": q_doc_source_ks,
         "event_transitions": q_event_transitions,
         "event_sequence_match": q_event_sequence_match,
+        "event_trailing_window": q_event_trailing_window,
         "user_erasure_audit": q_user_erasure_audit,
         "kg_property_path": q_kg_property_path,
         "event_gap_audit": q_event_gap_audit,
@@ -2790,6 +2799,7 @@ def queries() -> dict[str, QueryFn]:
         "er_fellegi_sunter": q_er_fellegi_sunter,
         "er_blocking_quality": q_er_blocking_quality,
         "er_em_weights": q_er_em_weights,
+        "ontology_alignment": q_ontology_alignment,
         "event_cuped": q_event_cuped,
         "event_changepoint": q_event_changepoint,
         "doc_gopher_rules": q_doc_gopher_rules,
@@ -2980,6 +2990,13 @@ def q_er_blocking_quality(spark, sf_dir):
     from .operators.entity_resolution import blocking_quality
     from .operators.relational import load_rel
     return blocking_quality(load_rel(spark, sf_dir, "customer"))
+
+
+def q_ontology_alignment(spark, sf_dir):
+    """OAEI-style GO<->PO lexical alignment: best candidate mapping
+    per GO term over name+synonym surfaces with mutual-best flags."""
+    from .operators.fuzzy import ontology_alignment
+    return ontology_alignment(terms_df(spark))
 
 
 def q_er_em_weights(spark, sf_dir):

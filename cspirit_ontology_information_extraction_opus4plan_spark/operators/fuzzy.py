@@ -139,3 +139,64 @@ def fuzzy_candidates(mention_surfaces: DataFrame, candidates: DataFrame,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= top_k)
             .select("surface", "candidate", "term_id", "score", "rank"))
+
+
+ALIGN_NS_A, ALIGN_NS_B = "GO", "PO"
+ALIGN_THRESHOLD = 0.35
+ALIGN_LENGTH_BAND = 4
+
+
+def ontology_alignment(terms: DataFrame, ns_a: str = ALIGN_NS_A,
+                       ns_b: str = ALIGN_NS_B,
+                       threshold: float = ALIGN_THRESHOLD,
+                       length_band: int = ALIGN_LENGTH_BAND) -> DataFrame:
+    """OAEI-style cross-ontology term matching: candidate mappings
+    between two namespaces scored over name+synonym surface pairs
+    ((levenshtein_sim + trigram_jaccard) / 2, the fuzzy_candidates
+    formula — exact rational arithmetic, bit-identical across
+    engines), best-per-term with the MUTUAL-BEST stability flag
+    (term_a's best is term_b AND term_b's best is term_a) — the
+    alignment-selection criterion OAEI matchers (LogMap, AML) apply
+    before semantic verification. Emits (term_a, term_b, name_a,
+    name_b, score, mutual_best) with score >= threshold.
+
+    Scale: same blocking as fuzzy_candidates — first-letter block +
+    length band keeps pairs near-linear; per-term surface fan-out is
+    the synonym count (bounded); both ranking windows partition by a
+    term id. The smaller ontology side is broadcastable; here both
+    are dimension-sized, so the block join broadcasts whichever
+    Catalyst prefers."""
+    def side(ns: str, tag: str) -> DataFrame:
+        return (terms.filter(F.col("id").startswith(ns + ":"))
+                .select(F.col("id").alias(f"id_{tag}"),
+                        F.col("name").alias(f"name_{tag}"),
+                        F.explode(F.array_union(
+                            F.array(F.col("name")), F.col("synonyms")))
+                        .alias("s"))
+                .select(f"id_{tag}", f"name_{tag}",
+                        F.lower(F.col("s")).alias(f"surf_{tag}"),
+                        F.substring(F.lower(F.col("s")), 1, 1)
+                        .alias("blk")))
+    a, b = side(ns_a, "a"), side(ns_b, "b")
+    pairs = (a.join(b, "blk")
+             .filter(F.abs(F.length("surf_a") - F.length("surf_b"))
+                     <= length_band))
+    lev_sim = (F.lit(1.0)
+               - F.levenshtein("surf_a", "surf_b")
+               / F.greatest(F.length("surf_a"), F.length("surf_b")))
+    scored = pairs.withColumn(
+        "score",
+        F.round((lev_sim + trigram_jaccard("surf_a", "surf_b")) / 2, 6))
+    gm = (scored.groupBy("id_a", "id_b", "name_a", "name_b")
+          .agg(F.max("score").alias("score")))
+    ra = Window.partitionBy("id_a").orderBy(F.desc("score"),
+                                            F.asc("id_b"))
+    rb = Window.partitionBy("id_b").orderBy(F.desc("score"),
+                                            F.asc("id_a"))
+    return (gm.withColumn("ra", F.row_number().over(ra))
+            .withColumn("rb", F.row_number().over(rb))
+            .filter((F.col("ra") == 1) & (F.col("score") >= threshold))
+            .select(F.col("id_a").alias("term_a"),
+                    F.col("id_b").alias("term_b"),
+                    "name_a", "name_b", "score",
+                    (F.col("rb") == 1).cast("int").alias("mutual_best")))

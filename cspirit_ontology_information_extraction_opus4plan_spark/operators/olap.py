@@ -731,3 +731,35 @@ def journey_pattern_match(events: DataFrame) -> DataFrame:
                         "journey", F.lit(JOURNEY_ERROR_RE), F.lit(0)))
                     .cast("int").alias("n_error_bursts"),
                     F.length("journey").cast("int").alias("n_events")))
+
+
+TRAILING_DAYS = 7
+
+
+def trailing_window_avg(events: DataFrame,
+                        days: int = TRAILING_DAYS) -> DataFrame:
+    """Interval-frame sliding aggregate: per (user, active day), the
+    trailing `days`-day average and sum of the user's daily spend —
+    the RANGE BETWEEN INTERVAL window (time-based frame over sparse
+    days, NOT a row-count frame: a user active on Mon and Fri has a
+    2-day window, not 5). Daily pre-aggregation first (map-side
+    combinable) so the window runs over per-(user, day) rows — the
+    frame is bounded by `days`, and the partition by user is the same
+    per-key bound every user-keyed window carries. The rangeBetween
+    frame runs on epoch-day longs; the DuckDB twin uses its native
+    RANGE BETWEEN over the same day numbers."""
+    daily = (events
+             .groupBy("user_id", F.to_date("ts").alias("day"))
+             .agg(F.sum("value").alias("spend")))
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.unix_date(F.col("day")))
+         .rangeBetween(-(days - 1), 0))
+    return (daily
+            .select("user_id",
+                    F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    F.round(F.sum("spend").over(w), 6)
+                    .alias("trailing_sum"),
+                    F.round(F.avg("spend").over(w), 6)
+                    .alias("trailing_avg"),
+                    F.count("*").over(w).cast("int")
+                    .alias("n_active_days")))

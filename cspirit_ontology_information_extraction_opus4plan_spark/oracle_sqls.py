@@ -2466,6 +2466,20 @@ sized AS (SELECT scc_id, count(*) AS n FROM scc GROUP BY 1)
 SELECT s.node, s.scc_id, CAST(z.n AS BIGINT) AS scc_size
 FROM scc s JOIN sized z USING (scc_id)"""
 
+    sqls["event_trailing_window"] = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, sum(value) AS spend
+  FROM events GROUP BY 1, 2)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+       round(sum(spend) OVER w, 6) AS trailing_sum,
+       round(avg(spend) OVER w, 6) AS trailing_avg,
+       CAST(count(*) OVER w AS INT) AS n_active_days
+FROM daily
+WINDOW w AS (
+  PARTITION BY user_id
+  ORDER BY date_diff('day', DATE '1970-01-01', day)
+  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".strip()
+
     sqls["event_sequence_match"] = """
 WITH j AS (
   SELECT user_id,
@@ -3417,6 +3431,64 @@ SELECT surface, candidate, term_id, score, CAST(rank AS INT) AS rank FROM (
     PARTITION BY surface ORDER BY score DESC, term_id ASC, candidate ASC
   ) AS rank FROM scored) r
 WHERE rank <= 3"""
+
+    from .operators import fuzzy as FZ
+    sqls["ontology_alignment"] = "WITH " + terms_full_cte() + f""",
+sa AS (
+  SELECT id AS id_a, name AS name_a, lower(s) AS surf_a,
+         substring(lower(s), 1, 1) AS blk
+  FROM (SELECT id, name, unnest(
+          CASE WHEN synonyms = '' THEN [name]
+               ELSE list_prepend(name, string_split(synonyms, ';'))
+          END) AS s
+        FROM terms_f WHERE id LIKE '{FZ.ALIGN_NS_A}:%') t),
+sb AS (
+  SELECT id AS id_b, name AS name_b, lower(s) AS surf_b,
+         substring(lower(s), 1, 1) AS blk
+  FROM (SELECT id, name, unnest(
+          CASE WHEN synonyms = '' THEN [name]
+               ELSE list_prepend(name, string_split(synonyms, ';'))
+          END) AS s
+        FROM terms_f WHERE id LIKE '{FZ.ALIGN_NS_B}:%') t),
+ap AS (
+  SELECT sa.id_a, sa.name_a, sa.surf_a, sb.id_b, sb.name_b, sb.surf_b
+  FROM sa JOIN sb USING (blk)
+  WHERE abs(length(sa.surf_a) - length(sb.surf_b))
+        <= {FZ.ALIGN_LENGTH_BAND}),
+astr AS (SELECT surf_a AS s FROM sa UNION SELECT surf_b FROM sb),
+aidx AS (SELECT CAST(t.i AS INT) AS i FROM generate_series(1, 64) t(i)),
+atg AS (
+  SELECT DISTINCT s,
+         CASE WHEN length(s) >= 3 THEN substring(s, i, 3) ELSE s END AS g
+  FROM astr JOIN aidx ON i <= greatest(length(s) - 2, 1)),
+atcnt AS (SELECT s, count(*) AS n FROM atg GROUP BY s),
+ainter AS (
+  SELECT a.s AS x, b.s AS y, count(*) AS i
+  FROM atg a JOIN atg b ON a.g = b.g GROUP BY 1, 2),
+ascored AS (
+  SELECT p.id_a, p.id_b, p.name_a, p.name_b,
+    round(((1 - CAST(levenshtein(p.surf_a, p.surf_b) AS DOUBLE)
+                / greatest(length(p.surf_a), length(p.surf_b)))
+           + (CAST(coalesce(i.i, 0) AS DOUBLE)
+              / (ca.n + cb.n - coalesce(i.i, 0)))) / 2, 6) AS score
+  FROM ap p
+  JOIN atcnt ca ON ca.s = p.surf_a
+  JOIN atcnt cb ON cb.s = p.surf_b
+  LEFT JOIN ainter i ON i.x = p.surf_a AND i.y = p.surf_b),
+agm AS (
+  SELECT id_a, id_b, name_a, name_b, max(score) AS score
+  FROM ascored GROUP BY 1, 2, 3, 4),
+aranked AS (
+  SELECT agm.*,
+         row_number() OVER (PARTITION BY id_a
+                            ORDER BY score DESC, id_b ASC) AS ra,
+         row_number() OVER (PARTITION BY id_b
+                            ORDER BY score DESC, id_a ASC) AS rb
+  FROM agm)
+SELECT id_a AS term_a, id_b AS term_b, name_a, name_b, score,
+       CAST(CASE WHEN rb = 1 THEN 1 ELSE 0 END AS INT) AS mutual_best
+FROM aranked
+WHERE ra = 1 AND score >= {FZ.ALIGN_THRESHOLD}"""
 
     sqls["tfidf_linking"] = corpus_prefix(gaz_cte()) + f"""
 , msurf AS (

@@ -42,3 +42,18 @@ def test_no_python_udf_outside_arrow(spark):
         .executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" in plan
+
+
+def test_ontology_alignment_mutual_best(spark):
+    from cspirit_ontology_information_extraction_opus4plan_spark import api
+    rows = {r["term_a"]: r for r in
+            api.q_ontology_alignment(spark, None).collect()}
+    # flowering <-> flower: the canonical lexical alignment, mutual
+    f = rows["GO:20006"]
+    assert f["term_b"] == "PO:30004" and f["mutual_best"] == 1
+    assert f["score"] > 0.6
+    # at most one mapping per GO term; mutual flags are 0/1
+    assert all(r["mutual_best"] in (0, 1) for r in rows.values())
+    # preflowering loses protoflower to postflowering -> not mutual
+    if "GO:20066" in rows:
+        assert rows["GO:20066"]["mutual_best"] == 0
