@@ -2426,6 +2426,14 @@ def q_kg_random_walks(spark, sf_dir):
     return random_walks(dedup_triples(triples_df(spark, sf_dir)))
 
 
+def q_kg_explain_paths(spark, sf_dir):
+    """Labeled shortest-path witnesses from glucose across the entity
+    graph (forward + ^inverse edges), one deterministic path per
+    reached node within 3 hops."""
+    from .operators.graphops import explain_paths
+    return explain_paths(dedup_triples(triples_df(spark, sf_dir)))
+
+
 def q_kg_bisimulation(spark, sf_dir):
     """Level-2 k-bisimulation quotient of the entity graph: structural
     blocks split on labeled out-neighborhood signatures (namespace ->
@@ -2767,6 +2775,7 @@ def queries() -> dict[str, QueryFn]:
         "kg_node2vec_walks": q_kg_node2vec_walks,
         "kg_schema_graph": q_kg_schema_graph,
         "kg_bisimulation": q_kg_bisimulation,
+        "kg_explain_paths": q_kg_explain_paths,
         "kg_bgp_query": q_kg_bgp_query,
         "kg_optional_query": q_kg_optional_query,
         "turtle_parse": q_turtle_parse,

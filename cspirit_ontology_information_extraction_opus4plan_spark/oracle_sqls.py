@@ -4798,6 +4798,38 @@ ed AS (SELECT DISTINCT subject AS s, object AS o FROM triples
 w0 AS (SELECT DISTINCT s AS start, s AS node FROM ed){rw_iters}
 {rw_steps_union}""")
 
+    # kg_explain_paths: unroll the BFS witness-path recurrence with
+    # the SAME per-round (dist, path) collapse as the Spark side —
+    # the twins pin the recurrence, not a global path min
+    from .operators import graphops as GO2
+    _ex_rounds = []
+    for _i in range(1, GO2.EXPLAIN_ROUNDS + 1):
+        _ex_rounds.append(f""",
+xpe{_i} AS (
+  SELECT node, dist, path FROM xpd{_i - 1}
+  UNION ALL
+  SELECT s.b, d.dist + 1,
+         d.path || ' -' || s.predicate || '-> ' || s.b
+  FROM xpd{_i - 1} d JOIN symx s ON s.a = d.node),
+xpd{_i} AS (
+  SELECT node, dist, path FROM (
+    SELECT xpe{_i}.*, row_number() OVER (
+      PARTITION BY node ORDER BY dist, path) AS rn FROM xpe{_i}) x
+  WHERE rn = 1)""")
+    sqls["kg_explain_paths"] = (
+        corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + f""",
+edx AS (SELECT DISTINCT subject AS a, predicate, object AS b
+        FROM triples
+        WHERE subject_type = 'uri' AND object_type = 'uri'
+          AND subject <> object),
+symx AS (SELECT a, predicate, b FROM edx
+         UNION ALL SELECT b, '^' || predicate, a FROM edx),
+xpd0 AS (SELECT '{GO2.EXPLAIN_SRC}' AS node, 0 AS dist,
+              '{GO2.EXPLAIN_SRC}' AS path)"""
+        + "".join(_ex_rounds) + f"""
+SELECT node, CAST(dist AS INT) AS dist, path
+FROM xpd{GO2.EXPLAIN_ROUNDS} WHERE dist >= 1""")
+
     # kg_bisimulation: unroll the signature recurrence — same
     # separator, sort order (byte-wise on ASCII), and md5 as Spark
     sqls["kg_bisimulation"] = (

@@ -612,3 +612,24 @@ def test_bisimulation_splits_on_structure(spark):
     assert out["C:1"]["block"] != out["A:1"]["block"]
     # sinks B:8/B:9 share the B-namespace empty-signature block
     assert out["B:8"]["block"] == out["B:9"]["block"]
+
+
+def test_explain_paths_witness_semantics(spark):
+    """Witness path must be the round-greedy (dist, path)-min, use
+    ^inverse labels for backward hops, and respect hop minimality."""
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.graphops import (
+        explain_paths,
+    )
+    def t(s, p, o):
+        return (s, p, o, "uri", "uri")
+    tr = spark.createDataFrame(
+        [t("S:1", "is_a", "M:1"), t("M:1", "part_of", "T:1"),
+         t("T:2", "regulates", "S:1"),       # reachable only backward
+         t("S:1", "affects", "T:1")],        # 1-hop shortcut to T:1
+        "subject string, predicate string, object string, "
+        "subject_type string, object_type string")
+    out = {r["node"]: r for r in explain_paths(tr, src="S:1").collect()}
+    assert out["T:1"]["dist"] == 1                 # shortcut wins
+    assert out["T:1"]["path"] == "S:1 -affects-> T:1"
+    assert out["M:1"]["path"] == "S:1 -is_a-> M:1"
+    assert out["T:2"]["path"] == "S:1 -^regulates-> T:2"
