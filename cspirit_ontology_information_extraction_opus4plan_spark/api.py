@@ -1652,6 +1652,15 @@ def q_event_transitions(spark, sf_dir):
     return event_transitions(load_events(spark, sf_dir))
 
 
+def q_partition_evolution(spark, sf_dir):
+    """Iceberg spec-evolution read plan: per-spec files read, rows
+    scanned vs matched, read amplification for a (day, type) filter
+    spanning the spec cutover."""
+    from .operators.content_stats import load_events
+    from .operators.maintenance import partition_evolution_plan
+    return partition_evolution_plan(load_events(spark, sf_dir))
+
+
 def q_event_trailing_window(spark, sf_dir):
     """Trailing 7-day RANGE-frame window: per (user, active day)
     trailing sum/avg of daily spend over sparse days."""
@@ -2670,6 +2679,7 @@ def queries() -> dict[str, QueryFn]:
         "event_transitions": q_event_transitions,
         "event_sequence_match": q_event_sequence_match,
         "event_trailing_window": q_event_trailing_window,
+        "partition_evolution": q_partition_evolution,
         "user_erasure_audit": q_user_erasure_audit,
         "kg_property_path": q_kg_property_path,
         "event_gap_audit": q_event_gap_audit,

@@ -160,3 +160,54 @@ def erasure_cascade_audit(spark, sf_dir: str,
                     .alias("erased_pct")))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+PE_CUTOVER = "2024-01-16"   # partition-spec change date
+PE_FROM, PE_TO = "2024-01-08", "2024-01-24"
+PE_TYPE = "purchase"
+
+
+def partition_evolution_plan(events: DataFrame,
+                             cutover: str = PE_CUTOVER,
+                             d_from: str = PE_FROM, d_to: str = PE_TO,
+                             etype: str = PE_TYPE) -> DataFrame:
+    """Iceberg partition-spec-evolution read planning: files written
+    BEFORE the cutover are partitioned by day alone (spec 0), files
+    after by (day, event_type) (spec 1) — spec evolution never
+    rewrites old files, so a reader filtering on (day range AND
+    event_type) can prune spec-1 files on both keys but spec-0 files
+    on day only, and must scan every matching-day spec-0 file
+    whole. Emits one row per spec: file counts, files read, rows
+    scanned vs rows actually matching, and the read amplification the
+    un-rewritten layout costs — the number that prices an OPTIMIZE
+    rewrite of the old spec (file_compaction_plan's sibling decision).
+
+    The manifest derives deterministically from events (one file per
+    partition tuple); everything is two map-side-combinable groupBys
+    + a global per-spec aggregate."""
+    day = F.to_date("ts")
+    spec = F.when(day >= F.lit(cutover), 1).otherwise(0)
+    part_type = F.when(day >= F.lit(cutover), F.col("event_type"))
+    files = (events
+             .groupBy(spec.alias("spec"), day.alias("day"),
+                      part_type.alias("part_type"))
+             .agg(F.count("*").alias("n_rows"),
+                  F.sum(F.when(F.col("event_type") == etype, 1)
+                        .otherwise(0)).alias("n_match")))
+    in_range = (F.col("day") >= F.lit(d_from)) \
+        & (F.col("day") < F.lit(d_to))
+    is_read = in_range & ((F.col("spec") == 0)
+                          | (F.col("part_type") == etype))
+    return (files
+            .groupBy("spec")
+            .agg(F.count("*").cast("bigint").alias("n_files"),
+                 F.sum(is_read.cast("int")).cast("bigint")
+                 .alias("n_files_read"),
+                 F.sum(F.when(is_read, F.col("n_rows")).otherwise(0))
+                 .cast("bigint").alias("rows_scanned"),
+                 F.sum(F.when(in_range, F.col("n_match")).otherwise(0))
+                 .cast("bigint").alias("rows_matched"))
+            .select("*", F.round(F.col("rows_scanned")
+                                 / F.greatest(F.col("rows_matched"),
+                                              F.lit(1)), 6)
+                    .alias("read_amplification")))

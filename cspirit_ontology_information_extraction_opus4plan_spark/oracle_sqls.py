@@ -2466,6 +2466,38 @@ sized AS (SELECT scc_id, count(*) AS n FROM scc GROUP BY 1)
 SELECT s.node, s.scc_id, CAST(z.n AS BIGINT) AS scc_size
 FROM scc s JOIN sized z USING (scc_id)"""
 
+    sqls["partition_evolution"] = """
+WITH f AS (
+  SELECT CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+              THEN 1 ELSE 0 END AS spec,
+         CAST(ts AS DATE) AS day,
+         CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+              THEN event_type END AS part_type,
+         count(*) AS n_rows,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS n_match
+  FROM events GROUP BY 1, 2, 3),
+g AS (
+  SELECT spec,
+         day >= DATE '2024-01-08' AND day < DATE '2024-01-24'
+           AS in_range,
+         (day >= DATE '2024-01-08' AND day < DATE '2024-01-24')
+           AND (spec = 0 OR part_type = 'purchase') AS is_read,
+         n_rows, n_match
+  FROM f),
+a AS (
+  SELECT spec, CAST(count(*) AS BIGINT) AS n_files,
+         CAST(sum(CASE WHEN is_read THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_files_read,
+         CAST(sum(CASE WHEN is_read THEN n_rows ELSE 0 END) AS BIGINT)
+           AS rows_scanned,
+         CAST(sum(CASE WHEN in_range THEN n_match ELSE 0 END)
+              AS BIGINT) AS rows_matched
+  FROM g GROUP BY 1)
+SELECT *, round(CAST(rows_scanned AS DOUBLE)
+                / greatest(rows_matched, 1), 6) AS read_amplification
+FROM a""".strip()
+
     sqls["event_trailing_window"] = """
 WITH daily AS (
   SELECT user_id, CAST(ts AS DATE) AS day, sum(value) AS spend

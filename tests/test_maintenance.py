@@ -50,3 +50,20 @@ def test_recrawl_diff_statuses(spark):
         "doc_id bigint, text string")
     out = {r.doc_id: r.status for r in recrawl_diff(r1, r2).collect()}
     assert out == {1: "unchanged", 2: "changed", 3: "gone", 4: "new"}
+
+
+def test_partition_evolution_amplification(spark, sf_dir):
+    """Spec-0 (day-only) files must show strictly higher read
+    amplification than spec-1 ((day, type)) files for the type
+    filter, and spec-1 must prune files spec-0 cannot."""
+    from cspirit_ontology_information_extraction_opus4plan_spark import api
+    rows = {r["spec"]: r
+            for r in api.q_partition_evolution(spark, sf_dir).collect()}
+    assert set(rows) == {0, 1}
+    s0, s1 = rows[0], rows[1]
+    assert s0["read_amplification"] > s1["read_amplification"]
+    # spec 1 reads only the purchase partition of each in-range day
+    assert s1["n_files_read"] < s1["n_files"]
+    assert s1["rows_scanned"] == s1["rows_matched"]
+    # spec 0 must scan whole day files
+    assert s0["rows_scanned"] > s0["rows_matched"] > 0
