@@ -319,6 +319,14 @@ def q_doc_mixture_reweight(spark, sf_dir):
         .select("source", "text"))
 
 
+def q_doc_textrank(spark, sf_dir):
+    """TextRank extractive summaries over the corpus sentence spans:
+    top-2 salient sentences per document via weighted PageRank on the
+    unigram-Jaccard sentence graph."""
+    from .operators.textops import textrank_summary
+    return textrank_summary(spans_exploded(spark, sf_dir))
+
+
 def q_doc_reading_ease(spark, sf_dir):
     """Flesch reading-ease readability scoring (regexp sentence +
     vowel-group syllable counts, pure codegen)."""
@@ -2689,6 +2697,7 @@ def queries() -> dict[str, QueryFn]:
         "doc_rrf_search": q_doc_rrf_search,
         "doc_ngram_novelty": q_doc_ngram_novelty,
         "doc_reading_ease": q_doc_reading_ease,
+        "doc_textrank": q_doc_textrank,
         "doc_mixture_reweight": q_doc_mixture_reweight,
         "doc_dedup_eval": q_doc_dedup_eval,
         "doc_prefix_cache": q_doc_prefix_cache,

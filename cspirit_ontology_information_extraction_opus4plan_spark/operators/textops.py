@@ -22,7 +22,7 @@ combinable). No window over the full corpus, no driver collect.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # --- shared vocabulary (mirrored in oracle_sqls) ---------------------------
@@ -2334,3 +2334,93 @@ def chat_template_lint(chats: DataFrame,
               F.lit("bad_structure"))
         .when(F.col("n_empty") > 0, F.lit("empty_content"))
         .otherwise(F.lit("ok")).alias("status"))
+
+
+TEXTRANK_D = 0.85
+TEXTRANK_ITER = 3
+TEXTRANK_TOP = 2
+
+
+def textrank_summary(spans: DataFrame, d: float = TEXTRANK_D,
+                     n_iter: int = TEXTRANK_ITER,
+                     top_n: int = TEXTRANK_TOP) -> DataFrame:
+    """TextRank extractive summarization (Mihalcea & Tarau 2004) per
+    document: sentences (the corpus text spans) form a graph weighted
+    by unigram-set Jaccard; a weighted PageRank ranks them; the top-n
+    per doc are the extract — the salience selector a training-data
+    pipeline uses to keep a document's densest content.
+
+    Per-doc pair fan-out is O(sentences^2) with sentences bounded by
+    the document, the same per-key bound every within-doc operator
+    carries; hub docs want a sentence cap upstream. The power
+    iteration is FIXED-round (oracle unrolls the identical
+    recurrence), each round one equi-join + map-side-combinable sum on
+    (doc, sentence); isolated sentences keep the teleport term only
+    (dangling mass leaks, pagerank_fixed's convention). Jaccard
+    weights are exact rationals; only the rank sums are double."""
+    sents = (spans.filter(F.col("kind") == "text")
+             .select("doc_id", F.col("pos").alias("idx"),
+                     F.col("text").alias("sentence"))
+             .localCheckpoint(eager=True))
+    words = (sents.select(
+        "doc_id", "idx",
+        F.explode(F.array_distinct(F.filter(
+            F.split(F.regexp_replace(F.lower("sentence"),
+                                     F.lit("[^a-z ]"), F.lit("")),
+                    r"\s+"),
+            lambda w: w != ""))).alias("w")))
+    sizes = words.groupBy("doc_id", "idx").agg(
+        F.count("*").alias("nw"))
+    inter = (words.alias("x").join(
+        words.alias("y"),
+        (F.col("x.doc_id") == F.col("y.doc_id"))
+        & (F.col("x.idx") < F.col("y.idx"))
+        & (F.col("x.w") == F.col("y.w")))
+        .groupBy(F.col("x.doc_id").alias("doc_id"),
+                 F.col("x.idx").alias("i"), F.col("y.idx").alias("j"))
+        .agg(F.count("*").alias("ni")))
+    jac = (inter
+           .join(sizes.select(F.col("doc_id"), F.col("idx").alias("i"),
+                              F.col("nw").alias("na")), ["doc_id", "i"])
+           .join(sizes.select(F.col("doc_id"), F.col("idx").alias("j"),
+                              F.col("nw").alias("nb")), ["doc_id", "j"])
+           .select("doc_id", "i", "j",
+                   (F.col("ni")
+                    / (F.col("na") + F.col("nb") - F.col("ni")))
+                   .alias("w"))
+           .filter(F.col("w") > 0))
+    edges = (jac.select("doc_id", F.col("i").alias("src"),
+                        F.col("j").alias("dst"), "w")
+             .unionByName(jac.select("doc_id", F.col("j").alias("src"),
+                                     F.col("i").alias("dst"), "w"))
+             .localCheckpoint(eager=True))
+    wout = edges.groupBy("doc_id", "src").agg(F.sum("w").alias("wout"))
+    k = sents.groupBy("doc_id").agg(F.count("*").alias("k"))
+    pr = (sents.join(k, "doc_id")
+          .select("doc_id", "idx", (F.lit(1.0) / F.col("k"))
+                  .alias("pr")))
+    for _ in range(n_iter):
+        contrib = (edges
+                   .join(wout, ["doc_id", "src"])
+                   .join(pr.select("doc_id",
+                                   F.col("idx").alias("src"),
+                                   F.col("pr").alias("pr_src")),
+                         ["doc_id", "src"])
+                   .groupBy("doc_id", F.col("dst").alias("idx"))
+                   .agg(F.sum(F.col("w") / F.col("wout")
+                              * F.col("pr_src")).alias("c")))
+        pr = (sents.select("doc_id", "idx").join(k, "doc_id")
+              .join(contrib, ["doc_id", "idx"], "left")
+              .select("doc_id", "idx",
+                      ((1.0 - d) / F.col("k")
+                       + d * F.coalesce(F.col("c"), F.lit(0.0)))
+                      .alias("pr"))
+              .localCheckpoint(eager=True))
+    wr = Window.partitionBy("doc_id").orderBy(F.desc("pr"),
+                                              F.asc("idx"))
+    return (pr.withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= top_n)
+            .join(sents, ["doc_id", "idx"])
+            .select("doc_id", F.col("idx").cast("int").alias("idx"),
+                    "sentence", F.round("pr", 6).alias("score"),
+                    F.col("rank").cast("int").alias("rank")))

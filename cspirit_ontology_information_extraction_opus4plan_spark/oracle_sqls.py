@@ -4830,6 +4830,69 @@ ed AS (SELECT DISTINCT subject AS s, object AS o FROM triples
 w0 AS (SELECT DISTINCT s AS start, s AS node FROM ed){rw_iters}
 {rw_steps_union}""")
 
+    # doc_textrank: sentence graph + fixed-round weighted pagerank,
+    # the iteration unrolled; jaccard weights are exact rationals
+    from .operators import textops as TX2
+    _tr_iters = []
+    for _i in range(1, TX2.TEXTRANK_ITER + 1):
+        _tr_iters.append(f""",
+trc{_i} AS (
+  SELECT e.doc_id, e.dst AS idx, sum(e.w / wo.wout * p.pr) AS c
+  FROM tredge e
+  JOIN trwout wo ON wo.doc_id = e.doc_id AND wo.src = e.src
+  JOIN trpr{_i - 1} p ON p.doc_id = e.doc_id AND p.idx = e.src
+  GROUP BY 1, 2),
+trpr{_i} AS (
+  SELECT s.doc_id, s.idx,
+         (1 - {TX2.TEXTRANK_D}) / k.k
+         + {TX2.TEXTRANK_D} * coalesce(c.c, 0) AS pr
+  FROM trsent s
+  JOIN trk k ON k.doc_id = s.doc_id
+  LEFT JOIN trc{_i} c ON c.doc_id = s.doc_id AND c.idx = s.idx)""")
+    sqls["doc_textrank"] = (corpus_prefix() + f""",
+trsent AS (
+  SELECT doc_id, pos AS idx, text AS sentence
+  FROM spans WHERE kind = 'text'),
+trwd AS (
+  SELECT DISTINCT doc_id, idx, w FROM (
+    SELECT doc_id, idx,
+           unnest(string_split(regexp_replace(lower(sentence),
+                                              '[^a-z ]', '', 'g'),
+                  ' ')) AS w
+    FROM trsent) x WHERE w <> ''),
+trsz AS (SELECT doc_id, idx, count(*) AS nw FROM trwd GROUP BY 1, 2),
+trint AS (
+  SELECT a.doc_id, a.idx AS i, b.idx AS j, count(*) AS ni
+  FROM trwd a JOIN trwd b
+    ON b.doc_id = a.doc_id AND a.idx < b.idx AND a.w = b.w
+  GROUP BY 1, 2, 3),
+trjac AS (
+  SELECT t.doc_id, t.i, t.j,
+         t.ni / (sa.nw + sb.nw - t.ni) AS w
+  FROM trint t
+  JOIN trsz sa ON sa.doc_id = t.doc_id AND sa.idx = t.i
+  JOIN trsz sb ON sb.doc_id = t.doc_id AND sb.idx = t.j
+  WHERE t.ni / (sa.nw + sb.nw - t.ni) > 0),
+tredge AS (
+  SELECT doc_id, i AS src, j AS dst, w FROM trjac
+  UNION ALL
+  SELECT doc_id, j, i, w FROM trjac),
+trwout AS (
+  SELECT doc_id, src, sum(w) AS wout FROM tredge GROUP BY 1, 2),
+trk AS (SELECT doc_id, count(*) AS k FROM trsent GROUP BY 1),
+trpr0 AS (
+  SELECT s.doc_id, s.idx, 1.0 / k.k AS pr
+  FROM trsent s JOIN trk k ON k.doc_id = s.doc_id)"""
+        + "".join(_tr_iters) + f"""
+SELECT p.doc_id, CAST(p.idx AS INT) AS idx, s.sentence,
+       round(p.pr, 6) AS score, CAST(p.rnk AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY pr DESC, idx ASC) AS rnk
+  FROM trpr{TX2.TEXTRANK_ITER}) p
+JOIN trsent s ON s.doc_id = p.doc_id AND s.idx = p.idx
+WHERE p.rnk <= {TX2.TEXTRANK_TOP}""")
+
     # kg_explain_paths: unroll the BFS witness-path recurrence with
     # the SAME per-round (dist, path) collapse as the Spark side —
     # the twins pin the recurrence, not a global path min

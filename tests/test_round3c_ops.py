@@ -418,3 +418,22 @@ def test_bitext_margin_semantics(spark, sf_dir):
         assert r["tgt_lang"] != "en"
         assert r["margin"] >= 1.05
         assert -1.0 <= r["cosine"] <= 1.0 + 1e-9
+
+
+def test_textrank_ranks_connected_over_isolated(spark):
+    """Sentences sharing vocabulary reinforce each other; an isolated
+    sentence keeps only the teleport mass and ranks last."""
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.textops import (
+        textrank_summary,
+    )
+    spans = spark.createDataFrame(
+        [("D1", 0, "text", "glucose regulates growth"),
+         ("D1", 1, "text", "glucose regulates flowering"),
+         ("D1", 2, "text", "zzz qqq xxx"),          # isolated
+         ("D1", 3, "figure", "ignored caption")],
+        "doc_id string, pos int, kind string, text string")
+    out = textrank_summary(spans, top_n=3).collect()
+    scores = {r["idx"]: r["score"] for r in out}
+    assert set(scores) == {0, 1, 2}
+    assert scores[0] == scores[1] > scores[2]       # symmetric pair wins
+    assert abs(scores[2] - round(0.15 / 3, 6)) < 1e-9  # teleport only
