@@ -1669,6 +1669,14 @@ def q_partition_evolution(spark, sf_dir):
     return partition_evolution_plan(load_events(spark, sf_dir))
 
 
+def q_eval_pass_at_k(spark, sf_dir):
+    """Unbiased pass@k (Codex estimator) over the synthetic attempts
+    table: per-task (n, c) then the left-associative product form of
+    1 - C(n-c,k)/C(n,k), averaged per k in (1, 5, 10)."""
+    from .operators.content_stats import load_events, pass_at_k
+    return pass_at_k(load_events(spark, sf_dir))
+
+
 def q_event_trailing_window(spark, sf_dir):
     """Trailing 7-day RANGE-frame window: per (user, active day)
     trailing sum/avg of daily spend over sparse days."""
@@ -2688,6 +2696,7 @@ def queries() -> dict[str, QueryFn]:
         "event_sequence_match": q_event_sequence_match,
         "event_trailing_window": q_event_trailing_window,
         "partition_evolution": q_partition_evolution,
+        "eval_pass_at_k": q_eval_pass_at_k,
         "user_erasure_audit": q_user_erasure_audit,
         "kg_property_path": q_kg_property_path,
         "event_gap_audit": q_event_gap_audit,

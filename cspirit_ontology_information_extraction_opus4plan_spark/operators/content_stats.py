@@ -920,3 +920,40 @@ def encoding_benefit_audit(events: DataFrame,
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+PASSK_KS = (1, 5, 10)
+PASSK_THRESHOLD = 40.0
+
+
+def pass_at_k(events: DataFrame, ks=PASSK_KS,
+              threshold: float = PASSK_THRESHOLD) -> DataFrame:
+    """Unbiased pass@k estimation (Chen et al. 2021, the Codex
+    estimator) over an attempts table — the eval-suite aggregation an
+    LLM pipeline runs nightly: tasks = users, attempts = their
+    events, an attempt is correct when value >= threshold; pass@k =
+    E_tasks[1 - C(n-c, k)/C(n, k)], computed per task as the
+    LEFT-ASSOCIATIVE product prod_{i<k} (n-c-i)/(n-i) — hits zero
+    exactly when fewer than k failures exist (pass@k = 1), no
+    combinatorial overflow, and the same factor order in the DuckDB
+    twin makes the doubles track bit-identically. One
+    map-side-combinable groupBy per task + one global mean per k."""
+    per_task = (events.groupBy("user_id")
+                .agg(F.count("*").alias("n"),
+                     F.sum((F.col("value") >= threshold).cast("int"))
+                     .alias("c")))
+    out = None
+    for k in ks:
+        prod = F.lit(1.0)
+        for i in range(k):
+            prod = prod * ((F.col("n") - F.col("c") - F.lit(i))
+                           .cast("double")
+                           / (F.col("n") - F.lit(i)))
+        row = (per_task.filter(F.col("n") >= k)
+               .agg(F.count("*").cast("bigint").alias("n_tasks"),
+                    F.round(F.avg(F.lit(1.0) - prod), 6)
+                    .alias("pass_at_k"))
+               .select(F.lit(k).cast("int").alias("k"), "n_tasks",
+                       "pass_at_k"))
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -2466,6 +2466,27 @@ sized AS (SELECT scc_id, count(*) AS n FROM scc GROUP BY 1)
 SELECT s.node, s.scc_id, CAST(z.n AS BIGINT) AS scc_size
 FROM scc s JOIN sized z USING (scc_id)"""
 
+    # eval_pass_at_k: same left-associative factor chain per k
+    from .operators.content_stats import PASSK_KS, PASSK_THRESHOLD
+    _pk_legs = []
+    for _k in PASSK_KS:
+        _prod = "1.0" + "".join(
+            f" * (CAST(n - c - {i} AS DOUBLE) / (n - {i}))"
+            for i in range(_k))
+        _pk_legs.append(f"""
+SELECT CAST({_k} AS INT) AS k,
+       CAST(count(*) AS BIGINT) AS n_tasks,
+       round(avg(1.0 - {_prod}), 6) AS pass_at_k
+FROM pt WHERE n >= {_k}""")
+    sqls["eval_pass_at_k"] = f"""
+WITH pt AS (
+  SELECT user_id, count(*) AS n,
+         sum(CASE WHEN value >= {PASSK_THRESHOLD} THEN 1 ELSE 0 END)
+           AS c
+  FROM events GROUP BY 1)
+{chr(10).join("UNION ALL" + leg if i else leg
+              for i, leg in enumerate(_pk_legs))}""".strip()
+
     sqls["partition_evolution"] = """
 WITH f AS (
   SELECT CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'

@@ -437,3 +437,21 @@ def test_textrank_ranks_connected_over_isolated(spark):
     assert set(scores) == {0, 1, 2}
     assert scores[0] == scores[1] > scores[2]       # symmetric pair wins
     assert abs(scores[2] - round(0.15 / 3, 6)) < 1e-9  # teleport only
+
+
+def test_pass_at_k_monotone_and_exact_on_tiny(spark, sf_dir):
+    """pass@k must be nondecreasing in k, and exact on a hand case:
+    n=3, c=1 -> pass@1 = 1/3, pass@2 = 1 - (2*1)/(3*2) = 2/3."""
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.content_stats import (
+        pass_at_k,
+    )
+    rows = {r["k"]: r["pass_at_k"]
+            for r in api.q_eval_pass_at_k(spark, sf_dir).collect()}
+    assert rows[1] <= rows[5] <= rows[10]
+    assert 0.0 < rows[1] < 1.0
+    tiny = spark.createDataFrame(
+        [(1, 50.0), (1, 10.0), (1, 20.0)], "user_id long, value double")
+    got = {r["k"]: r["pass_at_k"]
+           for r in pass_at_k(tiny, ks=(1, 2), threshold=40.0).collect()}
+    assert abs(got[1] - round(1 / 3, 6)) < 1e-9
+    assert abs(got[2] - round(2 / 3, 6)) < 1e-9
