@@ -1669,6 +1669,14 @@ def q_partition_evolution(spark, sf_dir):
     return partition_evolution_plan(load_events(spark, sf_dir))
 
 
+def q_bt_ratings(spark, sf_dir):
+    """Bradley-Terry preference ratings (Hunter MM, 5 fixed rounds)
+    from deterministic head-to-head matches — the RLHF-preference /
+    arena-leaderboard aggregation."""
+    from .operators.content_stats import bradley_terry_ratings, load_events
+    return bradley_terry_ratings(load_events(spark, sf_dir))
+
+
 def q_eval_pass_at_k(spark, sf_dir):
     """Unbiased pass@k (Codex estimator) over the synthetic attempts
     table: per-task (n, c) then the left-associative product form of
@@ -2697,6 +2705,7 @@ def queries() -> dict[str, QueryFn]:
         "event_trailing_window": q_event_trailing_window,
         "partition_evolution": q_partition_evolution,
         "eval_pass_at_k": q_eval_pass_at_k,
+        "bt_ratings": q_bt_ratings,
         "user_erasure_audit": q_user_erasure_audit,
         "kg_property_path": q_kg_property_path,
         "event_gap_audit": q_event_gap_audit,

@@ -957,3 +957,86 @@ def pass_at_k(events: DataFrame, ks=PASSK_KS,
                        "pass_at_k"))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+BT_ITER = 5
+
+
+def bradley_terry_ratings(events: DataFrame,
+                          n_iter: int = BT_ITER) -> DataFrame:
+    """Bradley-Terry preference ratings via Hunter's MM algorithm —
+    the model behind every RLHF preference pipeline and chatbot-arena
+    leaderboard. Matches derive deterministically from the events
+    stream (consecutive event_ids with different users compete,
+    higher value wins, lower user id wins ties); the MM iteration
+    p_i <- W_i / sum_j n_ij / (p_i + p_j), renormalized to sum N and
+    rounded to 12 dp per round, runs a FIXED n_iter times so the
+    DuckDB twin unrolls the identical recurrence.
+
+    Scale shape: the state is one rating per player and the pair
+    table aggregates matches once up front (map-side combinable);
+    each round is one equi-join per side of the pair table + one
+    groupBy sum — the exact shape of pagerank_fixed, with players as
+    nodes and head-to-head counts as edges."""
+    e1 = events.select(F.col("event_id").alias("m"),
+                       F.col("user_id").alias("u1"),
+                       F.col("value").alias("v1"))
+    e2 = events.select((F.col("event_id") - 1).alias("m"),
+                       F.col("user_id").alias("u2"),
+                       F.col("value").alias("v2"))
+    matches = (e1.join(e2, "m")
+               .filter(F.col("u1") != F.col("u2"))
+               .select(
+                   F.when((F.col("v1") > F.col("v2"))
+                          | ((F.col("v1") == F.col("v2"))
+                             & (F.col("u1") < F.col("u2"))),
+                          F.col("u1")).otherwise(F.col("u2"))
+                   .alias("winner"),
+                   F.when((F.col("v1") > F.col("v2"))
+                          | ((F.col("v1") == F.col("v2"))
+                             & (F.col("u1") < F.col("u2"))),
+                          F.col("u2")).otherwise(F.col("u1"))
+                   .alias("loser")))
+    pairs = (matches
+             .select(F.least("winner", "loser").alias("i"),
+                     F.greatest("winner", "loser").alias("j"))
+             .groupBy("i", "j").agg(F.count("*").alias("nij"))
+             .localCheckpoint(eager=True))
+    wins = (matches.groupBy(F.col("winner").alias("u"))
+            .agg(F.count("*").alias("w")))
+    played = (matches.select(F.col("winner").alias("u"))
+              .unionByName(matches.select(F.col("loser").alias("u")))
+              .groupBy("u").agg(F.count("*").alias("n_matches")))
+    players = (played.join(wins, "u", "left")
+               .select("u", F.coalesce("w", F.lit(0)).alias("w"),
+                       "n_matches")
+               .localCheckpoint(eager=True))
+    n_players = players.count()
+    sym = (pairs.select(F.col("i").alias("u"), F.col("j").alias("o"),
+                        "nij")
+           .unionByName(pairs.select(F.col("j").alias("u"),
+                                     F.col("i").alias("o"), "nij")))
+    p = players.select("u", F.lit(1.0).alias("r"))
+    for _ in range(n_iter):
+        denom = (sym
+                 .join(p.select(F.col("u"), F.col("r").alias("r_u")),
+                       "u")
+                 .join(p.select(F.col("u").alias("o"),
+                                F.col("r").alias("r_o")), "o")
+                 .groupBy("u")
+                 .agg(F.sum(F.col("nij")
+                            / (F.col("r_u") + F.col("r_o")))
+                      .alias("d")))
+        raw = (players.join(denom, "u")
+               .select("u", (F.col("w") / F.col("d")).alias("r")))
+        tot = raw.agg(F.sum("r").alias("t"))
+        p = (raw.crossJoin(F.broadcast(tot))
+             .select("u", F.round(F.col("r") * n_players / F.col("t"),
+                                  12).alias("r"))
+             .localCheckpoint(eager=True))
+    return (players.join(p, "u")
+            .select(F.col("u").alias("user_id"),
+                    F.round("r", 6).alias("rating"),
+                    F.col("w").cast("bigint").alias("wins"),
+                    F.col("n_matches").cast("bigint")
+                    .alias("n_matches")))

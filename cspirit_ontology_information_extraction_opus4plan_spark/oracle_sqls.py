@@ -2466,6 +2466,55 @@ sized AS (SELECT scc_id, count(*) AS n FROM scc GROUP BY 1)
 SELECT s.node, s.scc_id, CAST(z.n AS BIGINT) AS scc_size
 FROM scc s JOIN sized z USING (scc_id)"""
 
+    # bt_ratings: Hunter MM unrolled, same 12-dp renormalized rounds
+    from .operators.content_stats import BT_ITER
+    _bt_iters = []
+    for _i in range(1, BT_ITER + 1):
+        _bt_iters.append(f""",
+btd{_i} AS MATERIALIZED (
+  SELECT s.u, sum(s.nij / (pu.r + po.r)) AS d
+  FROM btsym s
+  JOIN btp{_i - 1} pu ON pu.u = s.u
+  JOIN btp{_i - 1} po ON po.u = s.o
+  GROUP BY 1),
+btr{_i} AS MATERIALIZED (
+  SELECT p.u, p.w / d.d AS r FROM btply p JOIN btd{_i} d USING (u)),
+btp{_i} AS MATERIALIZED (
+  SELECT u, round(r * (SELECT n FROM btnp)
+                  / (SELECT sum(r) FROM btr{_i}), 12) AS r
+  FROM btr{_i})""")
+    sqls["bt_ratings"] = f"""
+WITH btm AS MATERIALIZED (
+  SELECT CASE WHEN v1 > v2 OR (v1 = v2 AND u1 < u2)
+              THEN u1 ELSE u2 END AS winner,
+         CASE WHEN v1 > v2 OR (v1 = v2 AND u1 < u2)
+              THEN u2 ELSE u1 END AS loser
+  FROM (SELECT event_id AS m, user_id AS u1, value AS v1 FROM events) a
+  JOIN (SELECT event_id - 1 AS m, user_id AS u2, value AS v2
+        FROM events) b USING (m)
+  WHERE u1 <> u2),
+btprs AS MATERIALIZED (
+  SELECT least(winner, loser) AS i, greatest(winner, loser) AS j,
+         count(*) AS nij
+  FROM btm GROUP BY 1, 2),
+btwns AS (SELECT winner AS u, count(*) AS w FROM btm GROUP BY 1),
+btpld AS (
+  SELECT u, count(*) AS n_matches FROM (
+    SELECT winner AS u FROM btm
+    UNION ALL SELECT loser FROM btm) x GROUP BY 1),
+btply AS MATERIALIZED (
+  SELECT p.u, coalesce(w.w, 0) AS w, p.n_matches
+  FROM btpld p LEFT JOIN btwns w USING (u)),
+btnp AS MATERIALIZED (SELECT count(*) AS n FROM btply),
+btsym AS MATERIALIZED (
+  SELECT i AS u, j AS o, nij FROM btprs
+  UNION ALL SELECT j, i, nij FROM btprs),
+btp0 AS MATERIALIZED (SELECT u, 1.0 AS r FROM btply){"".join(_bt_iters)}
+SELECT p.u AS user_id, round(f.r, 6) AS rating,
+       CAST(p.w AS BIGINT) AS wins,
+       CAST(p.n_matches AS BIGINT) AS n_matches
+FROM btply p JOIN btp{BT_ITER} f USING (u)""".strip()
+
     # eval_pass_at_k: same left-associative factor chain per k
     from .operators.content_stats import PASSK_KS, PASSK_THRESHOLD
     _pk_legs = []

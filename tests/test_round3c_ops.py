@@ -455,3 +455,30 @@ def test_pass_at_k_monotone_and_exact_on_tiny(spark, sf_dir):
            for r in pass_at_k(tiny, ks=(1, 2), threshold=40.0).collect()}
     assert abs(got[1] - round(1 / 3, 6)) < 1e-9
     assert abs(got[2] - round(2 / 3, 6)) < 1e-9
+
+
+def test_bradley_terry_order_and_exact_two_player(spark, sf_dir):
+    """Ratings must rank a dominant player above a dominated one, and
+    reproduce the exact MM fixpoint on a 2-player hand case."""
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.content_stats import (
+        bradley_terry_ratings,
+    )
+    rows = {r["user_id"]: r
+            for r in api.q_bt_ratings(spark, sf_dir).collect()}
+    assert len(rows) > 10
+    best = max(rows.values(), key=lambda r: r["rating"])
+    worst = min(rows.values(), key=lambda r: r["rating"])
+    assert best["wins"] / best["n_matches"] \
+        > worst["wins"] / worst["n_matches"]
+    # two players over 8 consecutive events = 7 matches; A wins 6
+    # (incl. the value tie at (5,6), lower id wins), B wins 1 ->
+    # p_A/p_B -> 6, sum-2 normalization -> (12/7, 2/7)
+    ev = spark.createDataFrame(
+        [(0, 1, 10.0), (1, 2, 1.0),
+         (2, 1, 10.0), (3, 2, 1.0),
+         (4, 1, 10.0), (5, 2, 1.0),
+         (6, 1, 1.0), (7, 2, 10.0)],
+        "event_id long, user_id long, value double")
+    got = {r["user_id"]: r["rating"]
+           for r in bradley_terry_ratings(ev).collect()}
+    assert abs(got[1] - 12 / 7) < 0.01 and abs(got[2] - 2 / 7) < 0.01
