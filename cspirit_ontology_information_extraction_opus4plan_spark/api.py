@@ -1669,6 +1669,13 @@ def q_partition_evolution(spark, sf_dir):
     return partition_evolution_plan(load_events(spark, sf_dir))
 
 
+def q_event_bandit(spark, sf_dir):
+    """Per-arm Beta posterior + UCB1 index from logged feedback —
+    the batch seed for an online bandit policy."""
+    from .operators.content_stats import bandit_posteriors, load_events
+    return bandit_posteriors(load_events(spark, sf_dir))
+
+
 def q_bt_ratings(spark, sf_dir):
     """Bradley-Terry preference ratings (Hunter MM, 5 fixed rounds)
     from deterministic head-to-head matches — the RLHF-preference /
@@ -2706,6 +2713,7 @@ def queries() -> dict[str, QueryFn]:
         "partition_evolution": q_partition_evolution,
         "eval_pass_at_k": q_eval_pass_at_k,
         "bt_ratings": q_bt_ratings,
+        "event_bandit": q_event_bandit,
         "user_erasure_audit": q_user_erasure_audit,
         "kg_property_path": q_kg_property_path,
         "event_gap_audit": q_event_gap_audit,

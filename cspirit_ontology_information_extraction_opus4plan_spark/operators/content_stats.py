@@ -1040,3 +1040,31 @@ def bradley_terry_ratings(events: DataFrame,
                     F.col("w").cast("bigint").alias("wins"),
                     F.col("n_matches").cast("bigint")
                     .alias("n_matches")))
+
+
+BANDIT_THRESHOLD = 40.0
+
+
+def bandit_posteriors(events: DataFrame,
+                      threshold: float = BANDIT_THRESHOLD) -> DataFrame:
+    """Multi-armed-bandit state from logged feedback: per event-type
+    arm, Beta(1+s, 1+f) posterior over the success rate (success =
+    value >= threshold) and the UCB1 index at the logged horizon —
+    the nightly batch job that seeds an online Thompson/UCB policy
+    from historical data. One map-side-combinable groupBy; the
+    horizon total broadcasts as a 1-row dimension."""
+    arms = (events.groupBy(F.col("event_type").alias("arm"))
+            .agg(F.count("*").alias("n"),
+                 F.sum((F.col("value") >= threshold).cast("int"))
+                 .alias("s")))
+    total = events.agg(F.count("*").alias("t"))
+    return (arms.crossJoin(F.broadcast(total))
+            .select("arm", F.col("n").cast("bigint").alias("n_pulls"),
+                    F.col("s").cast("bigint").alias("n_successes"),
+                    F.round((F.lit(1.0) + F.col("s"))
+                            / (F.lit(2.0) + F.col("n")), 6)
+                    .alias("posterior_mean"),
+                    F.round(F.col("s") / F.col("n")
+                            + F.sqrt(F.lit(2.0) * F.log(F.col("t"))
+                                     / F.col("n")), 6)
+                    .alias("ucb1")))

@@ -2466,6 +2466,18 @@ sized AS (SELECT scc_id, count(*) AS n FROM scc GROUP BY 1)
 SELECT s.node, s.scc_id, CAST(z.n AS BIGINT) AS scc_size
 FROM scc s JOIN sized z USING (scc_id)"""
 
+    sqls["event_bandit"] = """
+WITH a AS (
+  SELECT event_type AS arm, count(*) AS n,
+         sum(CASE WHEN value >= 40.0 THEN 1 ELSE 0 END) AS s
+  FROM events GROUP BY 1),
+t AS (SELECT count(*) AS t FROM events)
+SELECT arm, CAST(n AS BIGINT) AS n_pulls,
+       CAST(s AS BIGINT) AS n_successes,
+       round((1.0 + s) / (2.0 + n), 6) AS posterior_mean,
+       round(s / n + sqrt(2.0 * ln(t.t) / n), 6) AS ucb1
+FROM a, t""".strip()
+
     # bt_ratings: Hunter MM unrolled, same 12-dp renormalized rounds
     from .operators.content_stats import BT_ITER
     _bt_iters = []
