@@ -802,3 +802,43 @@ def test_compaction_and_expiry_no_python_no_nested_loop(spark, sf_dir):
         plan = _plan(q(spark, sf_dir))
         assert "BatchEvalPython" not in plan
         assert "CartesianProduct" not in plan
+
+
+def test_tpch_q1_filter_pushed_to_scan(spark, sf_dir):
+    plan = api.q_tpch_q1(spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # the shipdate predicate must reach the parquet scan, and only the
+    # 7 referenced columns may be read
+    assert "PushedFilters: [" in plan and "l_shipdate" in \
+        re.search(r"PushedFilters: \[([^\]]*)\]", plan).group(1)
+    schema = re.search(r"ReadSchema: (\S+)", plan).group(1)
+    assert "l_orderkey" not in schema and "l_partkey" not in schema
+    # one partial+final aggregate pair -> exactly one exchange
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_tpch_q10_broadcasts_nation(spark, sf_dir):
+    plan = api.q_tpch_q10(spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bitext_candidates_are_equi_joined(spark, sf_dir):
+    """The cross-lingual candidate join must be the LSH bucket
+    equi-join, never a corpus cross join."""
+    df = api.queries()["bitext_margin_mine"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_journey_cep_single_shuffle(spark, sf_dir):
+    """Journey assembly is one groupBy on user_id — one exchange, all
+    regex work post-aggregation."""
+    df = api.queries()["event_sequence_match"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "BatchEvalPython" not in plan
