@@ -41,10 +41,17 @@ def main():
     from cspirit_ontology_information_extraction_opus4plan_spark.session import get_spark
 
     spark = get_spark()
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    # fresh bounded connection per query: one long-lived connection
+    # accumulated allocator state across 300+ oracle executions until
+    # DuckDB hit a bad allocation mid-run (observed at query ~282)
+    def fresh_con():
+        c = duckdb.connect()
+        c.execute("SET memory_limit = '8GB'")
+        for t in TABLES:
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        return c
 
     qs, oracles = E.queries(), E.oracle_sql()
     failures = []
@@ -65,12 +72,15 @@ def main():
             if len(sdf) == 0:
                 failures.append(name)
             continue
+        con = fresh_con()
         try:
             ddf = con.execute(oracles[name]).df()
         except Exception as ex:
             print(f"{name}: DUCKDB ERROR {str(ex)[:300]}")
             failures.append(name)
             continue
+        finally:
+            con.close()
         t2 = time.time()
         a, b = normalize(sdf), normalize(ddf)
         status = "OK"
