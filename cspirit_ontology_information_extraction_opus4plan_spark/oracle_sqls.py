@@ -4918,13 +4918,13 @@ w0 AS (SELECT DISTINCT s AS start, s AS node FROM ed){rw_iters}
     _tr_iters = []
     for _i in range(1, TX2.TEXTRANK_ITER + 1):
         _tr_iters.append(f""",
-trc{_i} AS (
+trc{_i} AS MATERIALIZED (
   SELECT e.doc_id, e.dst AS idx, sum(e.w / wo.wout * p.pr) AS c
   FROM tredge e
   JOIN trwout wo ON wo.doc_id = e.doc_id AND wo.src = e.src
   JOIN trpr{_i - 1} p ON p.doc_id = e.doc_id AND p.idx = e.src
   GROUP BY 1, 2),
-trpr{_i} AS (
+trpr{_i} AS MATERIALIZED (
   SELECT s.doc_id, s.idx,
          (1 - {TX2.TEXTRANK_D}) / k.k
          + {TX2.TEXTRANK_D} * coalesce(c.c, 0) AS pr
@@ -4932,37 +4932,37 @@ trpr{_i} AS (
   JOIN trk k ON k.doc_id = s.doc_id
   LEFT JOIN trc{_i} c ON c.doc_id = s.doc_id AND c.idx = s.idx)""")
     sqls["doc_textrank"] = (corpus_prefix() + f""",
-trsent AS (
+trsent AS MATERIALIZED (
   SELECT doc_id, pos AS idx, text AS sentence
   FROM spans WHERE kind = 'text'),
-trwd AS (
+trwd AS MATERIALIZED (
   SELECT DISTINCT doc_id, idx, w FROM (
     SELECT doc_id, idx,
            unnest(string_split(regexp_replace(lower(sentence),
                                               '[^a-z ]', '', 'g'),
                   ' ')) AS w
     FROM trsent) x WHERE w <> ''),
-trsz AS (SELECT doc_id, idx, count(*) AS nw FROM trwd GROUP BY 1, 2),
-trint AS (
+trsz AS MATERIALIZED (SELECT doc_id, idx, count(*) AS nw FROM trwd GROUP BY 1, 2),
+trint AS MATERIALIZED (
   SELECT a.doc_id, a.idx AS i, b.idx AS j, count(*) AS ni
   FROM trwd a JOIN trwd b
     ON b.doc_id = a.doc_id AND a.idx < b.idx AND a.w = b.w
   GROUP BY 1, 2, 3),
-trjac AS (
+trjac AS MATERIALIZED (
   SELECT t.doc_id, t.i, t.j,
          t.ni / (sa.nw + sb.nw - t.ni) AS w
   FROM trint t
   JOIN trsz sa ON sa.doc_id = t.doc_id AND sa.idx = t.i
   JOIN trsz sb ON sb.doc_id = t.doc_id AND sb.idx = t.j
   WHERE t.ni / (sa.nw + sb.nw - t.ni) > 0),
-tredge AS (
+tredge AS MATERIALIZED (
   SELECT doc_id, i AS src, j AS dst, w FROM trjac
   UNION ALL
   SELECT doc_id, j, i, w FROM trjac),
-trwout AS (
+trwout AS MATERIALIZED (
   SELECT doc_id, src, sum(w) AS wout FROM tredge GROUP BY 1, 2),
-trk AS (SELECT doc_id, count(*) AS k FROM trsent GROUP BY 1),
-trpr0 AS (
+trk AS MATERIALIZED (SELECT doc_id, count(*) AS k FROM trsent GROUP BY 1),
+trpr0 AS MATERIALIZED (
   SELECT s.doc_id, s.idx, 1.0 / k.k AS pr
   FROM trsent s JOIN trk k ON k.doc_id = s.doc_id)"""
         + "".join(_tr_iters) + f"""

@@ -47,7 +47,7 @@ def main():
     # DuckDB hit a bad allocation mid-run (observed at query ~282)
     def fresh_con():
         c = duckdb.connect()
-        c.execute("SET memory_limit = '8GB'")
+        c.execute("SET memory_limit = '24GB'")
         for t in TABLES:
             c.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
