@@ -2534,6 +2534,45 @@ def q_kg_negative_samples(spark, sf_dir):
                             terms_df(spark))
 
 
+def q_ner_negation(spark, sf_dir):
+    """NegEx-lite negation scoping over the (negation-decorated) text
+    spans: every gazetteer mention flagged negated when a trigger
+    phrase ('no', 'without', 'absence of', 'lacking') precedes it with
+    at most one intervening word — assertion-status QC before a
+    mention becomes a triple. Pure JVM regexp, no Arrow crossing."""
+    from .operators.ner import negation_flags
+    return negation_flags(DE.negation_decorated_texts(
+        spans_exploded(spark, sf_dir)))
+
+
+def q_er_typo_candidates(spark, sf_dir):
+    """Edit-distance typo blocking over term names (+ planted
+    keystroke variants): 2-char-prefix blocked candidate pairs with
+    Levenshtein 1..2 — the gazetteer typo-merge stage exact keys
+    miss."""
+    from .operators.entity_resolution import typo_candidate_pairs
+    return typo_candidate_pairs(DE.typo_terms(
+        terms_df(spark).select("id", "name")))
+
+
+def q_event_did(spark, sf_dir):
+    """Difference-in-differences 2x2 over the event log: md5-assigned
+    arm x day-of-month cutover, cell means + DiD effect in one
+    map-side-combinable aggregate."""
+    return CS.did_estimate(CS.load_events(spark, sf_dir))
+
+
+def q_doc_weighted_sample(spark, sf_dir):
+    """Efraimidis-Spirakis weighted reservoir sample (k per language,
+    weight = n_chars): exact-size, length-proportional corpus cut via
+    deterministic u^(1/w) keys and a two-phase partition-local top-k
+    (no stratum-wide sort)."""
+    from .operators.textops import weighted_reservoir_sample
+    return weighted_reservoir_sample(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang", "n_chars"))
+
+
 def queries() -> dict[str, QueryFn]:
     """Ordered so the driver's CORRECTNESS gate (which covered exactly
     the first 50 entries in round 1) lands one green row per
@@ -2853,6 +2892,10 @@ def queries() -> dict[str, QueryFn]:
         "er_fellegi_sunter": q_er_fellegi_sunter,
         "er_blocking_quality": q_er_blocking_quality,
         "er_em_weights": q_er_em_weights,
+        "er_typo_candidates": q_er_typo_candidates,
+        "ner_negation": q_ner_negation,
+        "event_did": q_event_did,
+        "doc_weighted_sample": q_doc_weighted_sample,
         "ontology_alignment": q_ontology_alignment,
         "event_cuped": q_event_cuped,
         "event_changepoint": q_event_changepoint,

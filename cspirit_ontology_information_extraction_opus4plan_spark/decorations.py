@@ -1388,3 +1388,83 @@ htab AS (
          || '</tr></table></body></html>' AS html
   FROM documents
 )""".strip()
+
+
+# ---------------------------------------------------------------------------
+# negation-trigger decoration (NegEx-lite scoping corpus)
+# ---------------------------------------------------------------------------
+
+# (seq % 9, snippet): each snippet ends in a gazetteer surface so the
+# scoper has positives; slot 8 exercises the one-intervening-word branch
+NEGATION_SNIPPETS = [
+    (2, " sample without alanine detected."),
+    (5, " no caffeine trace."),
+    (7, " assay lacking auxin signal."),
+    (8, " no residual caffeine found."),
+]
+
+
+def negation_decorated_texts(spans: DataFrame) -> DataFrame:
+    """(doc_id, text): the corpus text spans with planted negation
+    sites — seq%9 picks one of four trigger snippets (NEGATION_SNIPPETS),
+    each ending in a gazetteer surface, so the NegEx-lite scoper's
+    negated branch has rows while every corpus-planted mention stays
+    un-negated. Rebuilt identically by negation_decorated_sql()."""
+    seq = F.regexp_extract("doc_id", r"(\d+)$", 1).cast("long")
+    t = F.col("text")
+    for m, sn in NEGATION_SNIPPETS:
+        t = F.when(seq % 9 == m, F.concat("text", F.lit(sn))).otherwise(t)
+    return (spans.filter(F.col("kind") == "text")
+            .select("doc_id", t.alias("text")))
+
+
+def negation_decorated_sql() -> str:
+    """DuckDB twin of negation_decorated_texts over the spans CTE."""
+    cases = "\n         ".join(
+        f"WHEN seq % 9 = {m} THEN text || '{sn}'"
+        for m, sn in NEGATION_SNIPPETS)
+    return f"""
+ntexts AS (
+  SELECT doc_id,
+         CASE {cases}
+              ELSE text END AS text
+  FROM (SELECT doc_id, text,
+               CAST(regexp_extract(doc_id, '(\\d+)$', 1) AS BIGINT) AS seq
+        FROM spans WHERE kind = 'text') s
+)""".strip()
+
+
+# ---------------------------------------------------------------------------
+# planted typo names (edit-distance ER blocking corpus)
+# ---------------------------------------------------------------------------
+
+
+def typo_terms(terms: DataFrame) -> DataFrame:
+    """(id, name): term names + planted typo rows — every term with
+    seq%6==1 and a name of >= 5 characters gains a copy (id || ':t')
+    with its 4th character dropped, an edit-distance-1 neighbour whose
+    2-character blocking prefix survives (dropping an EARLIER character
+    would defeat prefix blocking — that residual recall loss is the
+    documented cost of the blocking scheme, not of the decoration).
+    Rebuilt identically by the oracle SQL (typo_terms_sql)."""
+    seq = F.regexp_extract("id", r"(\d+)$", 1).cast("long")
+    base = terms.select("id", "name")
+    typo = (base.filter((seq % 6 == 1) & (F.length("name") >= 5))
+            .select(F.concat("id", F.lit(":t")).alias("id"),
+                    F.concat(F.substring("name", 1, 3),
+                             F.expr("substr(name, 5)")).alias("name")))
+    return base.unionByName(typo)
+
+
+def typo_terms_sql() -> str:
+    """DuckDB twin of typo_terms over the terms_d CTE."""
+    return """
+tn AS (
+  SELECT id, name FROM terms_d
+  UNION ALL
+  SELECT id || ':t' AS id,
+         substr(name, 1, 3) || substr(name, 5) AS name
+  FROM terms_d
+  WHERE CAST(regexp_extract(id, '(\\d+)$', 1) AS BIGINT) % 6 = 1
+    AND length(name) >= 5
+)""".strip()

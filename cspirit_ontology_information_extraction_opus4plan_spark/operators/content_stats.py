@@ -1068,3 +1068,38 @@ def bandit_posteriors(events: DataFrame,
                             + F.sqrt(F.lit(2.0) * F.log(F.col("t"))
                                      / F.col("n")), 6)
                     .alias("ucb1")))
+
+
+# --- difference-in-differences ---------------------------------------------
+
+DID_CUTOVER_DAY = 16
+
+
+def did_estimate(events: DataFrame) -> DataFrame:
+    """2x2 difference-in-differences over the event log: treatment arm
+    by the shared md5-user assignment (the ab_srm idiom), post period =
+    day-of-month >= DID_CUTOVER_DAY, cell means of value, effect =
+    (treat_post - treat_pre) - (ctrl_post - ctrl_pre) — the
+    quasi-experimental estimator for a launch that can't be randomized
+    at exposure time (CUPED's sibling; event_cuped handles the
+    randomized case). ONE map-side-combinable aggregate over the scan
+    (four conditional means), single-row output — nothing here grows
+    with data size."""
+    arm_t = (F.conv(F.substring(F.md5(F.col("user_id").cast("string")),
+                                1, 8), 16, 10)
+             .cast("bigint") % 2 == 0)
+    post = F.dayofmonth("ts") >= DID_CUTOVER_DAY
+
+    def cell(t: bool, p: bool):
+        cond = (arm_t == F.lit(t)) & (post == F.lit(p))
+        return F.avg(F.when(cond, F.col("value")))
+
+    return events.agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.round(cell(False, False), 6).alias("ctrl_pre"),
+        F.round(cell(False, True), 6).alias("ctrl_post"),
+        F.round(cell(True, False), 6).alias("treat_pre"),
+        F.round(cell(True, True), 6).alias("treat_post"),
+        F.round((cell(True, True) - cell(True, False))
+                - (cell(False, True) - cell(False, False)), 6)
+        .alias("did"))

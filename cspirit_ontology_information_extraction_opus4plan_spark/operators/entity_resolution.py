@@ -232,3 +232,41 @@ def fs_em_weights(customer: DataFrame,
     return customer.sparkSession.createDataFrame(
         out, "field string, m double, u double, w_agree double, "
              "w_disagree double, lam double, n_pairs bigint")
+
+
+# --- edit-distance typo blocking over term names ---------------------------
+
+TYPO_MAX_DIST = 2
+TYPO_PREFIX = 2
+
+
+def typo_candidate_pairs(names: DataFrame,
+                         max_dist: int = TYPO_MAX_DIST) -> DataFrame:
+    """(id, name) -> near-identical name pairs (id_a, id_b, name_a,
+    name_b, dist): candidates blocked on the 2-character lowercase
+    prefix plus a |len| gap <= max_dist filter, then verified with
+    exact Levenshtein in 1..max_dist. The typo-merge stage of the
+    gazetteer/ontology dedup cascade — the reference merges duplicate
+    terms only on exact name/alt-id keys (ontology merge paths); edit
+    distance catches single-keystroke variants those keys miss.
+
+    Scale shape: the prefix block is an equi-join — candidate count is
+    sum_b |block_b|^2, never N^2; a 2-char prefix over lowercase text
+    yields ~26^2 blocks and AQE's skew-join splits hot prefixes (the
+    'co'/'pro' pile-ups of real vocabularies). The length-gap filter
+    prunes before levenshtein runs (codegen, JVM-side). Pairs are
+    emitted once (name_a < name_b); identical names are the EXACT
+    dedup path's job (dist >= 1 here)."""
+    n = names.select("id", F.lower(F.trim("name")).alias("name"))
+    a = (n.select(F.col("id").alias("id_a"), F.col("name").alias("name_a"))
+         .withColumn("blk", F.substring("name_a", 1, TYPO_PREFIX)))
+    b = (n.select(F.col("id").alias("id_b"), F.col("name").alias("name_b"))
+         .withColumn("blk", F.substring("name_b", 1, TYPO_PREFIX)))
+    return (a.join(b, "blk")
+            .filter((F.col("name_a") < F.col("name_b"))
+                    & (F.abs(F.length("name_a") - F.length("name_b"))
+                       <= max_dist))
+            .withColumn("dist", F.levenshtein("name_a", "name_b"))
+            .filter((F.col("dist") >= 1) & (F.col("dist") <= max_dist))
+            .select("id_a", "id_b", "name_a", "name_b",
+                    F.col("dist").cast("int").alias("dist")))

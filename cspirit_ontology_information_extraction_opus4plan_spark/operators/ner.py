@@ -107,3 +107,51 @@ def detect_mentions(spans: DataFrame) -> DataFrame:
     pruned = spans.filter(F.col("kind").isin(*NER_KINDS)) \
                   .select("doc_id", "pos", "kind", "text")
     return pruned.mapInPandas(_ner_batches, schema=MENTION_SCHEMA)
+
+
+# --- NegEx-lite negation scoping -------------------------------------------
+
+# trigger phrases: a mention is negated when one of these precedes it
+# with at most one intervening word (Chapman et al.'s NegEx, reduced to
+# its pre-UMLS core: trigger + bounded forward scope). The reference
+# extracts mentions without polarity (find_terms_by_name
+# models.py:2849); negation scoping is the assertion-status QC a KG
+# built from scientific text needs before trusting a triple.
+NEG_TRIGGERS = ("absence of", "lacking", "no", "without")
+
+
+def negation_pattern() -> str:
+    """Trigger→scope→surface regex shared verbatim with the DuckDB
+    oracle: a trigger word, at most one intervening word, then a
+    gazetteer surface (capture group 1). Alternation order matters for
+    neither engine here — triggers are prefix-free and surfaces are
+    longest-first via alternation()."""
+    trig = "|".join(NEG_TRIGGERS)
+    return (r"\b(?:" + trig + r")\s+(?:\w+\s+)?("
+            + alternation(surfaces()) + r")\b")
+
+
+def negation_flags(texts: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, surface, negated): every distinct
+    gazetteer mention in the text, flagged negated when ANY of its
+    occurrences in the document sits in a trigger's scope (standard
+    NegEx aggregation: negation is per assertion, a doc asserting both
+    gets the negated flag for QC review).
+
+    Pure JVM codegen — two regexp_extract_all passes over the same
+    scan (no Arrow crossing, unlike the automaton NER path: polarity
+    needs only the mention SET, not offsets), one map-side-combinable
+    distinct, one broadcast-sized left join per doc-surface key. Scales
+    as the mention table does; no window, no collect."""
+    men = (texts.select("doc_id", F.explode(
+               F.regexp_extract_all(F.lower("text"),
+                                    F.lit(ner_pattern()), 1))
+           .alias("surface")).distinct())
+    neg = (texts.select("doc_id", F.explode(
+               F.regexp_extract_all(F.lower("text"),
+                                    F.lit(negation_pattern()), 1))
+           .alias("surface")).distinct()
+           .withColumn("negated", F.lit(True)))
+    return (men.join(neg, ["doc_id", "surface"], "left")
+            .select("doc_id", "surface",
+                    F.coalesce("negated", F.lit(False)).alias("negated")))

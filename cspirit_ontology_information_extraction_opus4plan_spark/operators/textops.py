@@ -2424,3 +2424,46 @@ def textrank_summary(spans: DataFrame, d: float = TEXTRANK_D,
             .select("doc_id", F.col("idx").cast("int").alias("idx"),
                     "sentence", F.round("pr", 6).alias("score"),
                     F.col("rank").cast("int").alias("rank")))
+
+
+# --- weighted reservoir sampling (A-ES) ------------------------------------
+
+WS_K = 8
+WS_SEED = "wsamp"
+
+
+def weighted_reservoir_sample(docs: DataFrame, k: int = WS_K,
+                              seed: str = WS_SEED) -> DataFrame:
+    """Efraimidis-Spirakis A-ES weighted sampling WITHOUT replacement,
+    k docs per language stratum, weight = n_chars: key = u^(1/w) with
+    u a deterministic md5 uniform in (0,1); the k largest keys per
+    stratum are an exact weight-proportional sample (Efraimidis &
+    Spirakis 2006, IPL). hash_stratified_sample is the Bernoulli
+    cousin (rate-targeted, size varies); this one returns EXACTLY k,
+    inclusion probability proportional to document length — the
+    token-budgeted corpus cut.
+
+    Scale shape — two-phase top-k, no stratum-wide sort: rows first
+    carry their INPUT partition id, and a window over (lang, pid)
+    prunes to k survivors per physical partition (sorts only
+    partition-local chunks); the global window over lang then ranks
+    <= k * n_partitions survivors. The output is provably invariant
+    to the physical partitioning (top-k of a union of per-chunk
+    top-ks IS the global top-k), so the nondeterministic pid never
+    leaks into the result."""
+    u = ((F.conv(F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(seed))),
+            1, 6), 16, 10).cast("double") + 0.5) / F.lit(16777216.0))
+    w = F.greatest(F.col("n_chars").cast("double"), F.lit(1.0))
+    d = (docs.select("doc_id", "lang",
+                     F.pow(u, F.lit(1.0) / w).alias("key"))
+         .withColumn("pid", F.spark_partition_id()))
+    wpp = Window.partitionBy("lang", "pid") \
+        .orderBy(F.desc("key"), F.asc("doc_id"))
+    pruned = (d.withColumn("r", F.row_number().over(wpp))
+              .filter(F.col("r") <= k).drop("r", "pid"))
+    wl = Window.partitionBy("lang").orderBy(F.desc("key"), F.asc("doc_id"))
+    return (pruned.withColumn("rank", F.row_number().over(wl))
+            .filter(F.col("rank") <= k)
+            .select("doc_id", "lang", F.col("rank").cast("int").alias("rank"),
+                    F.round("key", 6).alias("key")))

@@ -4093,6 +4093,7 @@ WHERE bit_count(xor(a.phash, b.phash)) <= {MM.PHASH_HAMMING_MAX}"""
     sqls.update(_media_sqls())
     sqls.update(_round3_sqls())
     sqls.update(_er_sqls())
+    sqls.update(_round3b_sqls())
     # the split variant must be row-identical to the unsplit as-of join
     sqls["event_asof_split"] = sqls["event_asof"]
 
@@ -7348,5 +7349,87 @@ zz AS (
 SELECT subject, predicate, object, energy, z,
        abs(z) > {PLAUS_SIGMA} AS implausible
 FROM zz""")
+
+    return sqls
+
+
+def _round3b_sqls() -> dict[str, str]:
+    """DuckDB twins for the round-3 additions: NegEx-lite negation
+    scoping (operators/ner.negation_flags), edit-distance typo
+    blocking (entity_resolution.typo_candidate_pairs),
+    difference-in-differences (content_stats.did_estimate) and the
+    Efraimidis-Spirakis weighted reservoir sample
+    (textops.weighted_reservoir_sample)."""
+    from . import decorations as DE
+    from .operators.content_stats import DID_CUTOVER_DAY
+    from .operators.entity_resolution import TYPO_MAX_DIST, TYPO_PREFIX
+    from .operators.ner import negation_pattern
+    from .operators.textops import WS_K, WS_SEED
+    sqls: dict[str, str] = {}
+
+    pat = ner_pattern()
+    sqls["ner_negation"] = (
+        corpus_prefix() + ",\n" + DE.negation_decorated_sql() + f""",
+men AS (
+  SELECT DISTINCT doc_id, surface FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), {_q(pat)}, 1)) AS surface
+    FROM ntexts) t),
+neg AS (
+  SELECT DISTINCT doc_id, surface FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text),
+                                     {_q(negation_pattern())}, 1)) AS surface
+    FROM ntexts) t)
+SELECT m.doc_id, m.surface, (n.surface IS NOT NULL) AS negated
+FROM men m
+LEFT JOIN neg n ON n.doc_id = m.doc_id AND n.surface = m.surface""")
+
+    sqls["er_typo_candidates"] = (
+        "WITH " + terms_cte() + ",\n" + DE.typo_terms_sql() + f""",
+n AS (SELECT id, lower(trim(name)) AS name FROM tn)
+SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS INT) AS dist
+FROM n a JOIN n b
+  ON substr(a.name, 1, {TYPO_PREFIX}) = substr(b.name, 1, {TYPO_PREFIX})
+ AND a.name < b.name
+WHERE abs(length(a.name) - length(b.name)) <= {TYPO_MAX_DIST}
+  AND levenshtein(a.name, b.name) BETWEEN 1 AND {TYPO_MAX_DIST}""")
+
+    def _cell(t: str, p: str) -> str:
+        return (f"avg(CASE WHEN {t} t AND {p} p THEN value END)")
+
+    _did = (f"({_cell('', '')} - {_cell('', 'NOT')})"
+            f" - ({_cell('NOT', '')} - {_cell('NOT', 'NOT')})")
+    sqls["event_did"] = f"""
+WITH c AS (
+  SELECT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 2 = 0 AS t,
+         date_part('day', ts) >= {DID_CUTOVER_DAY} AS p,
+         value
+  FROM events)
+SELECT CAST(count(*) AS BIGINT) AS n_events,
+       round({_cell('NOT', 'NOT')}, 6) AS ctrl_pre,
+       round({_cell('NOT', '')}, 6) AS ctrl_post,
+       round({_cell('', 'NOT')}, 6) AS treat_pre,
+       round({_cell('', '')}, 6) AS treat_post,
+       round({_did}, 6) AS did
+FROM c""".strip()
+
+    sqls["doc_weighted_sample"] = f"""
+WITH keyed AS (
+  SELECT doc_id, lang,
+         pow((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)
+                                           || '{WS_SEED}'), 1, 6))
+                   AS BIGINT) + 0.5) / 16777216.0,
+             1.0 / greatest(CAST(n_chars AS DOUBLE), 1.0)) AS k
+  FROM documents),
+r AS (
+  SELECT doc_id, lang, k,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY k DESC, doc_id) AS rank
+  FROM keyed)
+SELECT doc_id, lang, CAST(rank AS INT) AS rank, round(k, 6) AS "key"
+FROM r WHERE rank <= {WS_K}""".strip()
 
     return sqls
