@@ -924,6 +924,25 @@ def q_tpch_q18(spark, sf_dir):
                                  load_rel(spark, sf_dir, "customer"))
 
 
+def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 order-priority check (shipdate-lateness adaptation):
+    per-priority count of a quarter's orders with at least one late
+    lineitem — the canonical EXISTS semi-join aggregate."""
+    from .operators.relational import load_rel, tpch_q4_order_priority
+    return tpch_q4_order_priority(load_rel(spark, sf_dir, "lineitem"),
+                                  load_rel(spark, sf_dir, "orders"))
+
+
+def q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 waiting suppliers (shipdate-lateness adaptation):
+    suppliers solely responsible for delaying multi-supplier finished
+    orders — EXISTS + NOT-EXISTS as two bounded per-order aggregates."""
+    from .operators.relational import load_rel, tpch_q21_waiting_suppliers
+    return tpch_q21_waiting_suppliers(load_rel(spark, sf_dir, "lineitem"),
+                                      load_rel(spark, sf_dir, "orders"),
+                                      load_rel(spark, sf_dir, "supplier"))
+
+
 def q_order_reconciliation(spark, sf_dir):
     """Financial-close QC: per-order lineitem charge vs header
     total, 1-cent tolerance, mismatch magnitude profile."""
@@ -2721,6 +2740,8 @@ def queries() -> dict[str, QueryFn]:
         "tpch_q10_returned_items": q_tpch_q10,
         "tpch_q14_promo_effect": q_tpch_q14,
         "tpch_q18_large_orders": q_tpch_q18,
+        "tpch_q4_priority_check": q_tpch_q4,
+        "tpch_q21_waiting_suppliers": q_tpch_q21,
         "order_reconciliation": q_order_reconciliation,
         "bitemporal_snapshot": q_bitemporal_snapshot,
         "customer_scd2": q_customer_scd2,

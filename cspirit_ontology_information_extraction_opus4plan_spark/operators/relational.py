@@ -476,3 +476,83 @@ def bitemporal_snapshot(changes: DataFrame, key: str, valid_ts: str,
             .select(F.col(key),
                     F.col("s.attr").alias(attr),
                     F.col("s.vf").alias("valid_from")))
+
+
+Q4_FROM, Q4_TO = "1996-01-01", "1996-04-01"   # one quarter
+LATE_DAYS = 60                                # shipdate lateness rule
+Q21_TOP_N = 20
+
+
+def tpch_q4_order_priority(lineitem: DataFrame, orders: DataFrame,
+                           date_from: str = Q4_FROM,
+                           date_to: str = Q4_TO,
+                           late_days: int = LATE_DAYS) -> DataFrame:
+    """TPC-H Q4 order-priority check, adapted to this corpus: count a
+    quarter's orders per priority where AT LEAST ONE lineitem shipped
+    more than `late_days` after the order date (the testdata carries
+    no commit/receipt dates, so shipdate-vs-orderdate lateness stands
+    in for TPC-H's commitdate < receiptdate — same EXISTS shape).
+
+    The canonical semi-join aggregate: a LEFT SEMI equi-join on
+    orderkey with the lateness predicate folded into the join
+    condition — Spark never materializes per-order match counts, and
+    the date filter pushes to the orders scan."""
+    o = (orders
+         .filter((F.to_date("o_orderdate") >= F.lit(date_from))
+                 & (F.to_date("o_orderdate") < F.lit(date_to)))
+         .select("o_orderkey", "o_orderdate", "o_orderpriority"))
+    l = lineitem.select("l_orderkey", "l_shipdate")
+    late = ((F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.to_date("l_shipdate")
+               > F.date_add(F.to_date("o_orderdate"), late_days)))
+    return (o.join(l, late, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").cast("bigint").alias("order_count")))
+
+
+def tpch_q21_waiting_suppliers(lineitem: DataFrame, orders: DataFrame,
+                               supplier: DataFrame,
+                               late_days: int = LATE_DAYS,
+                               top_n: int = Q21_TOP_N) -> DataFrame:
+    """TPC-H Q21 suppliers-who-kept-orders-waiting, adapted to this
+    corpus (same lateness rule as Q4; multi-supplier finished orders
+    where EXACTLY ONE supplier shipped late): per supplier, the number
+    of 'F' orders it alone delayed. The classic EXISTS + NOT-EXISTS
+    pair becomes two bounded aggregates instead of two correlated
+    self-joins: per order, distinct-supplier count and distinct-LATE-
+    supplier count (map-side combinable), then a filter and one
+    fact-sized equi-join back to the late rows — no second scan of
+    lineitem per EXISTS branch. Top-n plans as
+    TakeOrderedAndProject."""
+    o = (orders.filter(F.col("o_orderstatus") == "F")
+         .select("o_orderkey", "o_orderdate"))
+    l = (lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+         .select("l_orderkey", "l_suppkey",
+                 (F.to_date("l_shipdate")
+                  > F.date_add(F.to_date("o_orderdate"), late_days))
+                 .alias("late"))
+         # both the per-order aggregate and the late-rows branch read
+         # this 3-column frame: materialize it once (the repo's
+         # frame-read-twice discipline) instead of re-scanning
+         # lineitem+orders per branch
+         .localCheckpoint(eager=True))
+    per_order = (l.groupBy("l_orderkey")
+                 .agg(F.count_distinct("l_suppkey").alias("n_supp"),
+                      F.count_distinct(F.when(F.col("late"),
+                                              F.col("l_suppkey")))
+                      .alias("n_late_supp")))
+    blamed = per_order.filter((F.col("n_supp") >= 2)
+                              & (F.col("n_late_supp") == 1)) \
+        .select("l_orderkey")
+    waits = (l.filter(F.col("late"))
+             .join(blamed, "l_orderkey")
+             .select("l_orderkey", "l_suppkey").distinct()
+             .groupBy("l_suppkey")
+             .agg(F.count("*").cast("bigint").alias("numwait")))
+    return (waits.join(supplier,
+                       F.col("l_suppkey") == F.col("s_suppkey"))
+            .select(F.col("s_suppkey").cast("bigint").alias("suppkey"),
+                    "s_name", "numwait")
+            .orderBy(F.desc("numwait"), F.asc("suppkey"))
+            .limit(top_n))

@@ -7432,4 +7432,43 @@ r AS (
 SELECT doc_id, lang, CAST(rank AS INT) AS rank, round(k, 6) AS "key"
 FROM r WHERE rank <= {WS_K}""".strip()
 
+    from .operators.relational import (LATE_DAYS, Q4_FROM, Q4_TO, Q21_TOP_N)
+    sqls["tpch_q4_priority_check"] = f"""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE CAST(o_orderdate AS DATE) >= DATE '{Q4_FROM}'
+  AND CAST(o_orderdate AS DATE) < DATE '{Q4_TO}'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND CAST(l.l_shipdate AS DATE)
+          > CAST(o.o_orderdate AS DATE) + {LATE_DAYS})
+GROUP BY 1""".strip()
+
+    sqls["tpch_q21_waiting_suppliers"] = f"""
+WITH l AS (
+  SELECT l_orderkey, l_suppkey,
+         CAST(l_shipdate AS DATE)
+         > CAST(o_orderdate AS DATE) + {LATE_DAYS} AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'),
+per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN late THEN l_suppkey END)
+         AS n_late_supp
+  FROM l GROUP BY 1),
+blamed AS (
+  SELECT l_orderkey FROM per_order
+  WHERE n_supp >= 2 AND n_late_supp = 1),
+waits AS (
+  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS numwait
+  FROM (SELECT DISTINCT l_orderkey, l_suppkey
+        FROM l JOIN blamed USING (l_orderkey) WHERE late) d
+  GROUP BY 1)
+SELECT CAST(l_suppkey AS BIGINT) AS suppkey, s_name, numwait
+FROM waits JOIN supplier ON l_suppkey = s_suppkey
+ORDER BY numwait DESC, suppkey ASC
+LIMIT {Q21_TOP_N}""".strip()
+
     return sqls

@@ -842,3 +842,29 @@ def test_journey_cep_single_shuffle(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_tpch_q4_is_a_semi_join(spark, sf_dir):
+    """Q4's EXISTS must plan as a LEFT SEMI equi-join on orderkey with
+    the lateness predicate inside the join — never a per-order count
+    or a nested-loop probe."""
+    plan = api.queries()["tpch_q4_priority_check"](spark, sf_dir) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q21_no_correlated_rescan(spark, sf_dir):
+    """Q21's EXISTS/NOT-EXISTS pair is two bounded per-order
+    aggregates over ONE lineitem+orders join — the fact table is
+    scanned a bounded number of times (once per physical reuse), never
+    once per supplier, and nothing nested-loops."""
+    plan = api.queries()["tpch_q21_waiting_suppliers"](spark, sf_dir) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # l materialized once: only the supplier dim scans parquet; both
+    # aggregate branches read the checkpointed RDD
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Scan ExistingRDD") == 2
