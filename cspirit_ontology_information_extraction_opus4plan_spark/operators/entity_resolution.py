@@ -157,6 +157,7 @@ def blocking_quality(customer: DataFrame) -> DataFrame:
 
 FS_EM_ITER = 3
 FS_EM_INIT = (0.9, 0.1, 0.01)   # m0, u0, lambda0 (Splink defaults)
+FS_EM_EPS = 1e-6                # probability clamp before log-odds
 
 
 def fs_em_weights(customer: DataFrame,
@@ -225,9 +226,16 @@ def fs_em_weights(customer: DataFrame,
     out = []
     for f in fields:
         m6, u6 = round(m[f], 6), round(u[f], 6)
+        # Splink-style probability clamp before the log-odds: on a
+        # large corpus EM legitimately drives u below the 6-dp grid
+        # (name agreement among non-matches ~ 1/#names), and log2(x/0)
+        # must not abort the job — clamp into [eps, 1-eps] exactly as
+        # the oracle SQL does (greatest/least on the rounded value)
+        mc = min(max(m6, FS_EM_EPS), 1.0 - FS_EM_EPS)
+        uc = min(max(u6, FS_EM_EPS), 1.0 - FS_EM_EPS)
         out.append((f, m6, u6,
-                    round(math.log2(m6 / u6), 6),
-                    round(math.log2((1.0 - m6) / (1.0 - u6)), 6),
+                    round(math.log2(mc / uc), 6),
+                    round(math.log2((1.0 - mc) / (1.0 - uc)), 6),
                     round(lam, 6), n_pairs))
     return customer.sparkSession.createDataFrame(
         out, "field string, m double, u double, w_agree double, "

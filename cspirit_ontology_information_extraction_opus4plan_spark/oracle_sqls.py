@@ -6815,11 +6815,20 @@ it{_i} AS (
   SELECT {_upd},
          round(sum(n * r) / sum(n), 12) AS lam
   FROM r{_i})"""
+    # probability clamp before the log-odds (ER.FS_EM_EPS): EM can
+    # legitimately round u to 0 at 6 dp on a large corpus
+    _eps = ER.FS_EM_EPS
+
+    def _clamp(x: str) -> str:
+        return f"least(greatest({x}, {_eps}), 1 - {_eps})"
+
     _em_out = "\nUNION ALL\n".join(
         f"SELECT '{f}' AS field, round(m_{f}, 6) AS m,"
         f" round(u_{f}, 6) AS u,"
-        f" round(log2(round(m_{f}, 6) / round(u_{f}, 6)), 6) AS w_agree,"
-        f" round(log2((1 - round(m_{f}, 6)) / (1 - round(u_{f}, 6))), 6)"
+        f" round(log2({_clamp(f'round(m_{f}, 6)')}"
+        f" / {_clamp(f'round(u_{f}, 6)')}), 6) AS w_agree,"
+        f" round(log2((1 - {_clamp(f'round(m_{f}, 6)')})"
+        f" / (1 - {_clamp(f'round(u_{f}, 6)')})), 6)"
         f" AS w_disagree,"
         f" round(lam, 6) AS lam, n_pairs"
         f" FROM it{ER.FS_EM_ITER}, np" for f in _em_fields)
