@@ -2581,6 +2581,13 @@ def q_event_did(spark, sf_dir):
     return CS.did_estimate(CS.load_events(spark, sf_dir))
 
 
+def q_event_holt(spark, sf_dir):
+    """Holt double-exponential (level+trend) forecast per event type:
+    dyadic alpha=beta=1/2 fold over the bounded daily series, h=1..3
+    forecasts — the trend-aware sibling of event_ses_forecast."""
+    return CS.holt_forecast(CS.load_events(spark, sf_dir))
+
+
 def q_doc_weighted_sample(spark, sf_dir):
     """Efraimidis-Spirakis weighted reservoir sample (k per language,
     weight = n_chars): exact-size, length-proportional corpus cut via
@@ -2916,6 +2923,7 @@ def queries() -> dict[str, QueryFn]:
         "er_typo_candidates": q_er_typo_candidates,
         "ner_negation": q_ner_negation,
         "event_did": q_event_did,
+        "event_holt_forecast": q_event_holt,
         "doc_weighted_sample": q_doc_weighted_sample,
         "ontology_alignment": q_ontology_alignment,
         "event_cuped": q_event_cuped,

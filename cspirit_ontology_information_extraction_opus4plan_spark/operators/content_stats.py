@@ -1103,3 +1103,55 @@ def did_estimate(events: DataFrame) -> DataFrame:
         F.round((cell(True, True) - cell(True, False))
                 - (cell(False, True) - cell(False, False)), 6)
         .alias("did"))
+
+
+# --- Holt linear-trend forecast --------------------------------------------
+
+HOLT_HORIZONS = (1, 2, 3)
+
+
+def holt_forecast(events: DataFrame) -> DataFrame:
+    """Holt double exponential smoothing (alpha = beta = 1/2) over the
+    per-type daily count series -> one row per event_type with the
+    final level/trend state and the h-step-ahead forecasts
+    level + h*trend (ses_forecast is the trendless sibling; Holt
+    tracks a drifting daily volume). Init: level_1 = x_1, trend_1 = 0.
+
+    alpha = beta = 1/2 makes every step two exact halvings:
+        l_t = (x_t + l_{t-1} + b_{t-1}) / 2
+        b_t = (l_t - l_{t-1} + b_{t-1}) / 2
+    and BOTH engines execute the identical IEEE expression sequence —
+    Spark as an `aggregate` fold over the sorted daily array, DuckDB
+    as a recursive CTE with the same two formulas — so the doubles
+    track bit-for-bit with no per-step rounding needed.
+
+    Scale shape: the daily aggregate is map-side combinable; the
+    per-type series array is bounded by the calendar (O(days), the
+    same bound event_seasonality relies on), so sort_array +
+    collect_list state stays dimension-sized however large the event
+    log grows; the fold itself is one JVM higher-order expression —
+    no Python, no window over raw events."""
+    daily = (events.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.count("*").cast("double").alias("n")))
+    series = (daily.groupBy("event_type")
+              .agg(F.sort_array(F.collect_list(F.struct("day", "n")))
+                   .alias("xs")))
+    fold = F.aggregate(
+        F.slice("xs", 2, 100000),
+        F.struct(F.element_at("xs", 1)["n"].alias("l"),
+                 F.lit(0.0).alias("b")),
+        lambda acc, x: F.struct(
+            ((x["n"] + acc["l"] + acc["b"]) / F.lit(2.0)).alias("l"),
+            ((((x["n"] + acc["l"] + acc["b"]) / F.lit(2.0))
+              - acc["l"] + acc["b"]) / F.lit(2.0)).alias("b")))
+    out = series.select(
+        "event_type", F.size("xs").cast("int").alias("n_days"),
+        fold.alias("st"))
+    cols = ["event_type", "n_days",
+            F.round(F.col("st")["l"], 6).alias("level"),
+            F.round(F.col("st")["b"], 6).alias("trend")]
+    for h in HOLT_HORIZONS:
+        cols.append(F.round(F.col("st")["l"]
+                            + F.lit(float(h)) * F.col("st")["b"], 6)
+                    .alias(f"fc_{h}"))
+    return out.select(*cols)

@@ -7480,4 +7480,34 @@ FROM waits JOIN supplier ON l_suppkey = s_suppkey
 ORDER BY numwait DESC, suppkey ASC
 LIMIT {Q21_TOP_N}""".strip()
 
+    from .operators.content_stats import HOLT_HORIZONS
+    _fcs = ",\n       ".join(
+        f"round(l + {h}.0 * b, 6) AS fc_{h}" for h in HOLT_HORIZONS)
+    sqls["event_holt_forecast"] = f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1, 2),
+idx AS (
+  SELECT event_type, n,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS k,
+         count(*) OVER (PARTITION BY event_type) AS nd
+  FROM daily),
+rec(event_type, k, l, b) AS (
+  SELECT event_type, 1, n, CAST(0.0 AS DOUBLE) FROM idx WHERE k = 1
+  UNION ALL
+  SELECT r.event_type, r.k + 1,
+         (i.n + r.l + r.b) / 2.0,
+         (((i.n + r.l + r.b) / 2.0) - r.l + r.b) / 2.0
+  FROM rec r JOIN idx i ON i.event_type = r.event_type
+                       AND i.k = r.k + 1)
+SELECT r.event_type, CAST(d.nd AS INT) AS n_days,
+       round(l, 6) AS level, round(b, 6) AS trend,
+       {_fcs}
+FROM rec r
+JOIN (SELECT DISTINCT event_type, nd FROM idx) d
+  ON d.event_type = r.event_type
+WHERE r.k = d.nd""".strip()
+
+
     return sqls

@@ -123,3 +123,28 @@ def test_weighted_sample_exact_k_and_partition_invariant(spark, sf_dir):
     a = out.sort_values(["lang", "rank"]).reset_index(drop=True)
     b = out2.sort_values(["lang", "rank"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_holt_matches_reference_recursion(spark, sf_dir):
+    """The aggregate-fold Holt state equals an explicit Python
+    recursion over the same daily series (alpha = beta = 1/2), and
+    forecasts are level + h*trend."""
+    rows = api.q_event_holt(spark, sf_dir).collect()
+    assert rows
+    daily = (spark.read.parquet(f"{sf_dir}/events.parquet")
+             .groupBy("event_type", F.to_date("ts").alias("day"))
+             .count().orderBy("event_type", "day").collect())
+    series: dict[str, list[float]] = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append(float(r["count"]))
+    for r in rows:
+        xs = series[r["event_type"]]
+        l, b = xs[0], 0.0
+        for x in xs[1:]:
+            nl = (x + l + b) / 2.0
+            nb = (nl - l + b) / 2.0
+            l, b = nl, nb
+        assert r["n_days"] == len(xs)
+        assert abs(r["level"] - round(l, 6)) < 1e-9
+        assert abs(r["trend"] - round(b, 6)) < 1e-9
+        assert abs(r["fc_2"] - round(l + 2.0 * b, 6)) < 1e-6
