@@ -2581,6 +2581,15 @@ def q_event_did(spark, sf_dir):
     return CS.did_estimate(CS.load_events(spark, sf_dir))
 
 
+def q_kg_diameter(spark, sf_dir):
+    """Double-sweep BFS diameter lower bound over the undirected
+    entity graph (deterministic seed/argmax picks; exact on trees)."""
+    from .operators.graphops import (diameter_double_sweep,
+                                     undirected_entity_edges)
+    return diameter_double_sweep(undirected_entity_edges(
+        dedup_triples(triples_df(spark, sf_dir))))
+
+
 def q_event_holt(spark, sf_dir):
     """Holt double-exponential (level+trend) forecast per event type:
     dyadic alpha=beta=1/2 fold over the bounded daily series, h=1..3
@@ -2924,6 +2933,7 @@ def queries() -> dict[str, QueryFn]:
         "ner_negation": q_ner_negation,
         "event_did": q_event_did,
         "event_holt_forecast": q_event_holt,
+        "kg_diameter": q_kg_diameter,
         "doc_weighted_sample": q_doc_weighted_sample,
         "ontology_alignment": q_ontology_alignment,
         "event_cuped": q_event_cuped,

@@ -2171,3 +2171,64 @@ def explain_paths(triples: DataFrame, src: str = EXPLAIN_SRC,
                      F.col("s.path").alias("path"))
              .localCheckpoint(eager=True))
     return d.filter(F.col("dist") >= 1)
+
+
+DIA_ROUNDS = 6
+
+
+def diameter_double_sweep(edges: DataFrame,
+                          n_rounds: int = DIA_ROUNDS) -> DataFrame:
+    """Double-sweep diameter lower bound over the undirected entity
+    graph (Magnien/Latapy/Habib's BFS heuristic, the standard cheap
+    diameter probe): BFS from a deterministic seed (least node id),
+    hop to the farthest reached node (ties -> least id), BFS again —
+    the second eccentricity is a provably valid diameter lower bound
+    and is exact on trees. One row: seed, its eccentricity, the far
+    endpoint pair, the bound, and the second sweep's reach (a
+    disconnected graph shows up as n_reached < |V|).
+
+    Scale shape: two fixed-round synchronous BFS passes (equi-join +
+    map-side min per round, persisted frontier, previous round
+    unpersisted — bfs_distances' discipline); the two argmax picks
+    are 1-row broadcast joins, never a collect of the distance
+    table."""
+    edges = edges.localCheckpoint(eager=True)
+    sym = _sym(edges).localCheckpoint(eager=True)
+
+    def _bfs(seed: DataFrame) -> DataFrame:
+        d = seed.select("node", F.lit(0).alias("dist"))
+        prev = None
+        for _ in range(n_rounds):
+            stepped = (d.join(sym, d["node"] == sym["src"])
+                       .select(F.col("dst").alias("node"),
+                               (F.col("dist") + 1).alias("dist")))
+            nxt = (d.unionByName(stepped)
+                   .groupBy("node").agg(F.min("dist").alias("dist"))
+                   .persist())
+            nxt.count()
+            if prev is not None:
+                prev.unpersist()
+            prev, d = nxt, nxt
+        return d
+
+    def _farthest(d: DataFrame) -> DataFrame:
+        m = d.agg(F.max("dist").alias("m"))
+        return (d.join(F.broadcast(m), d["dist"] == m["m"])
+                .agg(F.min("node").alias("node"),
+                     F.max("dist").alias("ecc")))
+
+    seed = sym.agg(F.min("src").alias("node")).filter(
+        F.col("node").isNotNull())
+    d1 = _bfs(seed)
+    f1 = _farthest(d1).localCheckpoint(eager=True)
+    d2 = _bfs(f1.select("node"))
+    f2 = _farthest(d2)
+    stats = d2.agg(F.count("*").cast("bigint").alias("n_reached"))
+    return (seed.select(F.col("node").alias("seed"))
+            .crossJoin(F.broadcast(
+                f1.select(F.col("node").alias("sweep1_far"),
+                          F.col("ecc").cast("int").alias("ecc_seed"))))
+            .crossJoin(F.broadcast(
+                f2.select(F.col("node").alias("sweep2_far"),
+                          F.col("ecc").cast("int").alias("diameter_lb"))))
+            .crossJoin(F.broadcast(stats)))

@@ -7509,5 +7509,46 @@ JOIN (SELECT DISTINCT event_type, nd FROM idx) d
   ON d.event_type = r.event_type
 WHERE r.k = d.nd""".strip()
 
+    from .operators.graphops import DIA_ROUNDS
+    _dund = """,
+und AS (SELECT DISTINCT least(subject, object) AS src,
+               greatest(subject, object) AS dst
+        FROM triples
+        WHERE subject_type = 'uri' AND object_type = 'uri'
+          AND subject <> object),
+sym AS (SELECT src, dst FROM und
+        UNION ALL SELECT dst, src FROM und)"""
+
+    def _dia_bfs(tag: str, rounds: int) -> str:
+        out = ""
+        for i in range(1, rounds + 1):
+            out += f""",
+{tag}{i} AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM {tag}{i - 1}
+    UNION ALL
+    SELECT sym.dst AS node, p.dist + 1 AS dist
+    FROM {tag}{i - 1} p JOIN sym ON sym.src = p.node
+  ) GROUP BY 1)"""
+        return out
+
+    sqls["kg_diameter"] = (
+        corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + _dund + f""",
+sd AS MATERIALIZED (SELECT min(src) AS node FROM sym),
+a0 AS MATERIALIZED (SELECT node, 0 AS dist FROM sd){_dia_bfs('a', DIA_ROUNDS)},
+f1 AS MATERIALIZED (
+  SELECT min(node) AS node, max(dist) AS ecc FROM a{DIA_ROUNDS}
+  WHERE dist = (SELECT max(dist) FROM a{DIA_ROUNDS})),
+b0 AS MATERIALIZED (SELECT node, 0 AS dist FROM f1){_dia_bfs('b', DIA_ROUNDS)},
+f2 AS MATERIALIZED (
+  SELECT min(node) AS node, max(dist) AS ecc FROM b{DIA_ROUNDS}
+  WHERE dist = (SELECT max(dist) FROM b{DIA_ROUNDS})),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n_reached FROM b{DIA_ROUNDS})
+SELECT sd.node AS seed, f1.node AS sweep1_far,
+       CAST(f1.ecc AS INT) AS ecc_seed,
+       f2.node AS sweep2_far, CAST(f2.ecc AS INT) AS diameter_lb,
+       st.n_reached
+FROM sd, f1, f2, st""")
+
 
     return sqls
