@@ -58,3 +58,12 @@ def test_query_matches_oracle(name, spark, duck):
     assert list(got.columns) == list(want.columns)
     assert len(got) == len(want), f"{len(got)} vs {len(want)} rows"
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_bench_roster_queries_all_exist():
+    """Every bench.py HEADLINE entry must resolve to a queries()
+    entry (a stale roster name would silently drop a headline metric
+    from BENCH_r{N}.json rather than fail)."""
+    import bench
+    missing = [q for q in bench.HEADLINE if q not in _QUERIES]
+    assert not missing, missing
