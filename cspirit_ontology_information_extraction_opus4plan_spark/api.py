@@ -2581,6 +2581,14 @@ def q_event_did(spark, sf_dir):
     return CS.did_estimate(CS.load_events(spark, sf_dir))
 
 
+def q_kg_describe(spark, sf_dir):
+    """SPARQL DESCRIBE: concise bounded description of every resource
+    under the seed prefix (all triples it subjects or objects),
+    completing the SELECT/OPTIONAL/CONSTRUCT query-form family."""
+    from .operators.graphops import describe_resources
+    return describe_resources(dedup_triples(triples_df(spark, sf_dir)))
+
+
 def q_kg_diameter(spark, sf_dir):
     """Double-sweep BFS diameter lower bound over the undirected
     entity graph (deterministic seed/argmax picks; exact on trees)."""
@@ -2934,6 +2942,7 @@ def queries() -> dict[str, QueryFn]:
         "event_did": q_event_did,
         "event_holt_forecast": q_event_holt,
         "kg_diameter": q_kg_diameter,
+        "kg_describe": q_kg_describe,
         "doc_weighted_sample": q_doc_weighted_sample,
         "ontology_alignment": q_ontology_alignment,
         "event_cuped": q_event_cuped,

@@ -2232,3 +2232,31 @@ def diameter_double_sweep(edges: DataFrame,
                 f2.select(F.col("node").alias("sweep2_far"),
                           F.col("ecc").cast("int").alias("diameter_lb"))))
             .crossJoin(F.broadcast(stats)))
+
+
+DESCRIBE_PREFIX = "CHEBI:100"
+
+
+def describe_resources(triples: DataFrame,
+                       prefix: str = DESCRIBE_PREFIX) -> DataFrame:
+    """SPARQL DESCRIBE over the triple store: for every resource
+    matching the seed prefix, emit its Concise Bounded Description —
+    all triples where it is subject or object, tagged with role and
+    the described resource — completing the query-form family next to
+    SELECT (bgp_conjunctive), OPTIONAL (bgp_optional) and CONSTRUCT
+    (construct_colocated).
+
+    Two predicate-pruned scans of the (subject | object)-partitioned
+    store unioned (each side an equi-prunable filter — on a
+    subject-bucketed layout the subject arm is exchange-free), one
+    distinct. Seed sets in real use are request-sized; a prefix seed
+    here keeps the demo deterministic."""
+    s = (triples.filter(F.col("subject").startswith(prefix))
+         .select(F.col("subject").alias("resource"),
+                 F.lit("subject").alias("role"),
+                 "subject", "predicate", "object"))
+    o = (triples.filter(F.col("object").startswith(prefix))
+         .select(F.col("object").alias("resource"),
+                 F.lit("object").alias("role"),
+                 "subject", "predicate", "object"))
+    return s.unionByName(o).distinct()

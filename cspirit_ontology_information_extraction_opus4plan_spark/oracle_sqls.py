@@ -7550,5 +7550,16 @@ SELECT sd.node AS seed, f1.node AS sweep1_far,
        st.n_reached
 FROM sd, f1, f2, st""")
 
+    from .operators.graphops import DESCRIBE_PREFIX
+    sqls["kg_describe"] = (
+        corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + f"""
+SELECT DISTINCT subject AS resource, 'subject' AS role,
+       subject, predicate, object
+FROM triples WHERE subject LIKE '{DESCRIBE_PREFIX}%'
+UNION
+SELECT DISTINCT object AS resource, 'object' AS role,
+       subject, predicate, object
+FROM triples WHERE object LIKE '{DESCRIBE_PREFIX}%'""")
+
 
     return sqls
