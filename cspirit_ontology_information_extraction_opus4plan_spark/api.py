@@ -2581,6 +2581,13 @@ def q_event_did(spark, sf_dir):
     return CS.did_estimate(CS.load_events(spark, sf_dir))
 
 
+def q_event_power(spark, sf_dir):
+    """A/B sample-size planning from observed per-type variance:
+    n per arm for a 5% relative MDE at alpha=.05 / power=.8, plus
+    days-to-power at the observed daily rate."""
+    return CS.power_analysis(CS.load_events(spark, sf_dir))
+
+
 def q_kg_describe(spark, sf_dir):
     """SPARQL DESCRIBE: concise bounded description of every resource
     under the seed prefix (all triples it subjects or objects),
@@ -2943,6 +2950,7 @@ def queries() -> dict[str, QueryFn]:
         "event_holt_forecast": q_event_holt,
         "kg_diameter": q_kg_diameter,
         "kg_describe": q_kg_describe,
+        "event_power_analysis": q_event_power,
         "doc_weighted_sample": q_doc_weighted_sample,
         "ontology_alignment": q_ontology_alignment,
         "event_cuped": q_event_cuped,

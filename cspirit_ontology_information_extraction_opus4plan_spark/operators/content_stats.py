@@ -1155,3 +1155,41 @@ def holt_forecast(events: DataFrame) -> DataFrame:
                             + F.lit(float(h)) * F.col("st")["b"], 6)
                     .alias(f"fc_{h}"))
     return out.select(*cols)
+
+
+# --- A/B power analysis ----------------------------------------------------
+
+POWER_Z_ALPHA = 1.959964   # two-sided alpha = 0.05
+POWER_Z_BETA = 0.841621    # power = 0.80
+POWER_MDE_REL = 0.05       # minimum detectable effect, relative
+
+
+def power_analysis(events: DataFrame,
+                   mde_rel: float = POWER_MDE_REL) -> DataFrame:
+    """Per-event-type A/B sample-size calculation from OBSERVED
+    variance: n per arm = 2 (z_a + z_b)^2 sigma^2 / delta^2 with
+    delta = mde_rel * mean — the pre-experiment planning twin of
+    event_ab_srm (which audits a running one) and event_cuped (which
+    shrinks sigma after the fact). Also emits the days-to-power at
+    the type's observed daily event rate, rounding UP (ceil) like
+    every power calculator.
+
+    One map-side-combinable aggregate (count/mean/variance/active
+    days); z constants are published literals shared with the oracle,
+    so both engines compute the identical closed form."""
+    z2 = (POWER_Z_ALPHA + POWER_Z_BETA) ** 2
+    per = (events.groupBy("event_type")
+           .agg(F.count("*").cast("bigint").alias("n_obs"),
+                F.avg("value").alias("mu"),
+                F.var_samp("value").alias("s2"),
+                F.count_distinct(F.to_date("ts")).alias("n_days")))
+    delta = F.lit(mde_rel) * F.col("mu")
+    n_arm = F.ceil(F.lit(2.0 * z2) * F.col("s2") / (delta * delta))
+    return per.select(
+        "event_type", "n_obs",
+        F.round("mu", 6).alias("mean_value"),
+        F.round("s2", 6).alias("var_value"),
+        n_arm.cast("bigint").alias("n_per_arm"),
+        F.ceil(F.lit(2.0) * n_arm
+               / (F.col("n_obs") / F.col("n_days")))
+        .cast("bigint").alias("days_to_power"))

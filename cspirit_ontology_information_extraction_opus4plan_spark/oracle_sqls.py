@@ -7561,5 +7561,23 @@ SELECT DISTINCT object AS resource, 'object' AS role,
        subject, predicate, object
 FROM triples WHERE object LIKE '{DESCRIBE_PREFIX}%'""")
 
+    from .operators.content_stats import (POWER_MDE_REL, POWER_Z_ALPHA,
+                                          POWER_Z_BETA)
+    _z2 = (POWER_Z_ALPHA + POWER_Z_BETA) ** 2
+    _narm = (f"ceil(2.0 * {_z2!r} * var_samp(value)"
+             f" / (({POWER_MDE_REL!r} * avg(value))"
+             f" * ({POWER_MDE_REL!r} * avg(value))))")
+    sqls["event_power_analysis"] = f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_obs,
+       round(avg(value), 6) AS mean_value,
+       round(var_samp(value), 6) AS var_value,
+       CAST({_narm} AS BIGINT) AS n_per_arm,
+       CAST(ceil(2.0 * CAST({_narm} AS BIGINT)
+                 / (count(*) / CAST(count(DISTINCT CAST(ts AS DATE))
+                                    AS DOUBLE))) AS BIGINT)
+       AS days_to_power
+FROM events GROUP BY 1""".strip()
+
 
     return sqls
