@@ -2581,6 +2581,12 @@ def q_event_did(spark, sf_dir):
     return CS.did_estimate(CS.load_events(spark, sf_dir))
 
 
+def q_event_winsorized(spark, sf_dir):
+    """Winsorized per-type means: rank-picked 5/95 percentile clip,
+    raw vs robust mean + clip counts."""
+    return CS.winsorized_stats(CS.load_events(spark, sf_dir))
+
+
 def q_event_power(spark, sf_dir):
     """A/B sample-size planning from observed per-type variance:
     n per arm for a 5% relative MDE at alpha=.05 / power=.8, plus
@@ -2951,6 +2957,7 @@ def queries() -> dict[str, QueryFn]:
         "kg_diameter": q_kg_diameter,
         "kg_describe": q_kg_describe,
         "event_power_analysis": q_event_power,
+        "event_winsorized": q_event_winsorized,
         "doc_weighted_sample": q_doc_weighted_sample,
         "ontology_alignment": q_ontology_alignment,
         "event_cuped": q_event_cuped,

@@ -1193,3 +1193,50 @@ def power_analysis(events: DataFrame,
         F.ceil(F.lit(2.0) * n_arm
                / (F.col("n_obs") / F.col("n_days")))
         .cast("bigint").alias("days_to_power"))
+
+
+# --- winsorized robust statistics ------------------------------------------
+
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+def winsorized_stats(events: DataFrame, lo: float = WINSOR_LO,
+                     hi: float = WINSOR_HI) -> DataFrame:
+    """Per-type winsorized mean: clip values at the rank-picked
+    lo/hi percentiles (value at row ceil(q*n) under the deterministic
+    (value, event_id) order — rank picking, NOT interpolation, so both
+    engines select the identical concrete value), then one aggregate
+    of raw vs clipped means and the clip counts — the robust-mean
+    companion to the IQR/z-score outlier detectors (which FLAG rows;
+    winsorizing bounds their influence instead).
+
+    Two passes: a per-type ordered window finds the two threshold
+    rows (the same shape event_exact_percentiles already pays), the
+    thresholds broadcast back as a dimension, and the clip itself is
+    one map-side-combinable aggregate."""
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    rk = (events.select("event_type", "value", "event_id")
+          .withColumn("r", F.row_number().over(w))
+          .withColumn("n", F.count("*").over(wn)))
+    th = (rk.groupBy("event_type")
+          .agg(F.max(F.when(F.col("r")
+                            == F.ceil(F.lit(lo) * F.col("n")),
+                            F.col("value"))).alias("p_lo"),
+               F.max(F.when(F.col("r")
+                            == F.ceil(F.lit(hi) * F.col("n")),
+                            F.col("value"))).alias("p_hi")))
+    clipped = (events.join(F.broadcast(th), "event_type")
+               .select("event_type", "value", "p_lo", "p_hi",
+                       F.greatest(F.least("value", F.col("p_hi")),
+                                  F.col("p_lo")).alias("wv")))
+    return (clipped.groupBy("event_type")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.round(F.first("p_lo"), 6).alias("p_lo"),
+                 F.round(F.first("p_hi"), 6).alias("p_hi"),
+                 F.round(F.avg("value"), 6).alias("mean_raw"),
+                 F.round(F.avg("wv"), 6).alias("mean_winsorized"),
+                 F.sum((F.col("value") < F.col("p_lo")).cast("int"))
+                 .cast("bigint").alias("n_clipped_lo"),
+                 F.sum((F.col("value") > F.col("p_hi")).cast("int"))
+                 .cast("bigint").alias("n_clipped_hi")))

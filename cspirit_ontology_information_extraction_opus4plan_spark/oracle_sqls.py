@@ -7579,5 +7579,34 @@ SELECT event_type,
        AS days_to_power
 FROM events GROUP BY 1""".strip()
 
+    from .operators.content_stats import WINSOR_HI, WINSOR_LO
+    sqls["event_winsorized"] = f"""
+WITH rk AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS r,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events),
+th AS (
+  SELECT event_type,
+         max(CASE WHEN r = ceil({WINSOR_LO!r} * n) THEN value END)
+         AS p_lo,
+         max(CASE WHEN r = ceil({WINSOR_HI!r} * n) THEN value END)
+         AS p_hi
+  FROM rk GROUP BY 1)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(max(p_lo), 6) AS p_lo,
+       round(max(p_hi), 6) AS p_hi,
+       round(avg(e.value), 6) AS mean_raw,
+       round(avg(greatest(least(e.value, p_hi), p_lo)), 6)
+       AS mean_winsorized,
+       CAST(sum(CASE WHEN e.value < p_lo THEN 1 ELSE 0 END) AS BIGINT)
+       AS n_clipped_lo,
+       CAST(sum(CASE WHEN e.value > p_hi THEN 1 ELSE 0 END) AS BIGINT)
+       AS n_clipped_hi
+FROM events e JOIN th USING (event_type)
+GROUP BY 1""".strip()
+
 
     return sqls
