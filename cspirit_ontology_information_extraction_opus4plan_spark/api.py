@@ -2581,6 +2581,19 @@ def q_event_did(spark, sf_dir):
     return CS.did_estimate(CS.load_events(spark, sf_dir))
 
 
+def q_event_ses_backtest(spark, sf_dir):
+    """Rolling-origin one-step backtest of the SES forecaster: MAE /
+    RMSE vs the naive last-value baseline + skill ratio."""
+    return CS.ses_backtest(CS.load_events(spark, sf_dir))
+
+
+def q_ann_range_search(spark, sf_dir):
+    """Exact cosine radius search (cos >= tau) for the bounded query
+    set — recall-complete near-neighbor retrieval beside top-k."""
+    from .operators.similarity import brute_force_range, load_embeddings
+    return brute_force_range(load_embeddings(spark, sf_dir))
+
+
 def q_event_winsorized(spark, sf_dir):
     """Winsorized per-type means: rank-picked 5/95 percentile clip,
     raw vs robust mean + clip counts."""
@@ -2958,6 +2971,8 @@ def queries() -> dict[str, QueryFn]:
         "kg_describe": q_kg_describe,
         "event_power_analysis": q_event_power,
         "event_winsorized": q_event_winsorized,
+        "event_ses_backtest": q_event_ses_backtest,
+        "ann_range_search": q_ann_range_search,
         "doc_weighted_sample": q_doc_weighted_sample,
         "ontology_alignment": q_ontology_alignment,
         "event_cuped": q_event_cuped,

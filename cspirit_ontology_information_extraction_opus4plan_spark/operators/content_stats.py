@@ -1240,3 +1240,31 @@ def winsorized_stats(events: DataFrame, lo: float = WINSOR_LO,
                  .cast("bigint").alias("n_clipped_lo"),
                  F.sum((F.col("value") > F.col("p_hi")).cast("int"))
                  .cast("bigint").alias("n_clipped_hi")))
+
+
+# --- rolling-origin forecast backtest --------------------------------------
+
+
+def ses_backtest(events: DataFrame) -> DataFrame:
+    """Rolling-origin one-step-ahead backtest of the SES forecaster:
+    s_{t-1} IS the day-t forecast, so the whole evaluation is one lag
+    over ses_forecast's per-day output — per type: MAE, RMSE, the
+    naive last-value baseline's MAE, and the MASE-style skill ratio
+    (< 1 means the smoother beats carry-forward). Forecast evaluation
+    as a first-class operator: a forecaster without a backtest is a
+    guess. Consumes the ROUNDED published forecasts (what a consumer
+    sees), the same values the oracle recomputes."""
+    s = ses_forecast(events)
+    w = Window.partitionBy("event_type").orderBy("day")
+    e = (s.withColumn("fc", F.lag("smoothed").over(w))
+         .withColumn("prev_n", F.lag("n").over(w))
+         .filter(F.col("fc").isNotNull()))
+    err = F.abs(F.col("n") - F.col("fc"))
+    nerr = F.abs((F.col("n") - F.col("prev_n")).cast("double"))
+    return (e.groupBy("event_type")
+            .agg(F.count("*").cast("bigint").alias("n_eval"),
+                 F.round(F.avg(err), 6).alias("mae"),
+                 F.round(F.sqrt(F.avg(err * err)), 6).alias("rmse"),
+                 F.round(F.avg(nerr), 6).alias("mae_naive"),
+                 F.round(F.try_divide(F.avg(err), F.nullif(
+                     F.avg(nerr), F.lit(0.0))), 6).alias("skill")))

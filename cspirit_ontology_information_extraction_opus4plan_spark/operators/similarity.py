@@ -1148,3 +1148,64 @@ def bitext_margin_mine(emb: DataFrame, docs: DataFrame,
             .select("src_id", "tgt_id", "tgt_lang",
                     F.round("cosine", 6).alias("cosine"),
                     F.round("margin", 6).alias("margin")))
+
+
+# --- cosine range (radius) search ------------------------------------------
+
+RANGE_TAU = 0.25
+
+
+def brute_force_range(emb: DataFrame, tau: float = RANGE_TAU,
+                      queries: DataFrame | None = None) -> DataFrame:
+    """Exact cosine RANGE search: every corpus vector with
+    cosine(query, v) >= tau, per bounded query — the radius-query
+    sibling of brute_force_topk (recall-complete near-neighbor
+    retrieval where top-k's fixed k under- or over-shoots; the dedup
+    and contrastive-mining callers want *all* neighbors above a
+    similarity bar, not the k nearest).
+
+    Same scale shape as the top-k path: broadcast BOUNDED query
+    matrix, one corpus pass through the Arrow Gram kernel with the
+    64-step left-associated accumulation the SQL oracle mirrors
+    bit-for-bit (so the >= tau cut selects identical pairs on both
+    engines), threshold filter INSIDE the kernel — only qualifying
+    pairs ever leave a batch."""
+    spark = emb.sparkSession
+    if queries is None:
+        queries = default_queries(emb)
+    qpdf = queries.select("vec_id", "embedding").toPandas()
+    if len(qpdf) == 0:
+        return spark.createDataFrame(
+            [], "q_id bigint, neighbor_id bigint, score double")
+    Q = _stack(qpdf["embedding"])
+    qids = qpdf["vec_id"].to_numpy()
+    qn2 = _np_norm2(Q)
+    bq = _query_broadcast(spark, qids, Q, qn2)
+
+    def gram_range(batches):
+        qids, Q, qn2 = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = _stack(pdf["embedding"])
+            vids = pdf["vec_id"].to_numpy()
+            acc = A[:, 0:1] * Q[None, :, 0]
+            for i in range(1, DIM):
+                acc = acc + A[:, i:i + 1] * Q[None, :, i]
+            vn2 = _np_norm2(A)
+            cos = acc / np.sqrt(qn2[None, :] * vn2[:, None])
+            cos[vids[:, None] == qids[None, :]] = -np.inf  # drop self
+            rows, qcol = np.nonzero(cos >= tau)
+            yield pd.DataFrame({
+                "q_id": qids[qcol],
+                "neighbor_id": vids[rows],
+                "dot": acc[rows, qcol],
+                "qn2": qn2[qcol],
+                "vn2": vn2[rows],
+            })
+
+    pairs = emb.select("vec_id", "embedding") \
+        .mapInPandas(gram_range, _PAIR_SCHEMA)
+    cosc = F.col("dot") / F.sqrt(F.col("qn2") * F.col("vn2"))
+    return pairs.select("q_id", "neighbor_id",
+                        F.round(cosc, 6).alias("score"))

@@ -7608,5 +7608,67 @@ SELECT e.event_type,
 FROM events e JOIN th USING (event_type)
 GROUP BY 1""".strip()
 
+    from .operators import similarity as SIM2
+
+    def _rel(t: str, i: int) -> str:
+        return f"CAST({t}.embedding[{i + 1}] AS DOUBLE)"
+
+    _rn2 = " + ".join(f"{_rel('e', i)} * {_rel('e', i)}"
+                      for i in range(SIM2.DIM))
+    _rdot = " + ".join(
+        f"CAST(q.q_emb[{i + 1}] AS DOUBLE) * {_rel('v', i)}"
+        for i in range(SIM2.DIM))
+    sqls["ann_range_search"] = f"""
+WITH vn AS (
+  SELECT e.vec_id, e.embedding, ({_rn2}) AS n2 FROM embeddings e),
+q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb, n2 AS qn2
+  FROM vn WHERE vec_id < {SIM2.N_QUERIES}),
+pairs AS (
+  SELECT q.q_id, v.vec_id AS neighbor_id, ({_rdot}) AS dot,
+         q.qn2, v.n2 AS vn2
+  FROM vn v JOIN q ON v.vec_id <> q.q_id)
+SELECT q_id, neighbor_id, round(dot / sqrt(qn2 * vn2), 6) AS score
+FROM pairs WHERE dot / sqrt(qn2 * vn2) >= {SIM2.RANGE_TAU}""".strip()
+
+    sqls["event_ses_backtest"] = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+idx AS (
+  SELECT event_type, day, n,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+              AS BIGINT) AS k
+  FROM daily),
+cum AS (
+  SELECT event_type, day, n, k,
+         first_value(n) OVER w AS x1,
+         sum(n * (CAST(1 AS BIGINT) << CAST(k AS INT))) OVER w AS p
+  FROM idx
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS UNBOUNDED PRECEDING)),
+sm AS (
+  SELECT event_type, day, n,
+         round(CAST(p - 2 * x1 AS DOUBLE)
+                 * pow(2.0, CAST(-(k + 1) AS DOUBLE))
+               + CAST(x1 AS DOUBLE)
+                 * pow(2.0, CAST(1 - k AS DOUBLE)), 6) AS smoothed
+  FROM cum),
+lg AS (
+  SELECT event_type, n,
+         lag(smoothed) OVER (PARTITION BY event_type ORDER BY day)
+         AS fc,
+         lag(n) OVER (PARTITION BY event_type ORDER BY day) AS prev_n
+  FROM sm)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval,
+       round(avg(abs(n - fc)), 6) AS mae,
+       round(sqrt(avg((n - fc) * (n - fc))), 6) AS rmse,
+       round(avg(abs(CAST(n - prev_n AS DOUBLE))), 6) AS mae_naive,
+       round(avg(abs(n - fc))
+             / nullif(avg(abs(CAST(n - prev_n AS DOUBLE))), 0), 6)
+       AS skill
+FROM lg WHERE fc IS NOT NULL GROUP BY 1""".strip()
+
 
     return sqls
