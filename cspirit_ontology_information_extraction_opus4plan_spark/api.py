@@ -2581,6 +2581,19 @@ def q_event_did(spark, sf_dir):
     return CS.did_estimate(CS.load_events(spark, sf_dir))
 
 
+def q_event_histogram(spark, sf_dir):
+    """Per-type equi-width value histogram (12 bins, max folded into
+    the last) — the distribution-viz feed."""
+    return CS.value_histogram(CS.load_events(spark, sf_dir))
+
+
+def q_event_dp_counts(spark, sf_dir):
+    """Laplace-mechanism eps-DP count release with deterministic
+    md5-seeded noise — the publishable-aggregate member of the
+    privacy family."""
+    return CS.dp_noisy_counts(CS.load_events(spark, sf_dir))
+
+
 def q_event_ses_backtest(spark, sf_dir):
     """Rolling-origin one-step backtest of the SES forecaster: MAE /
     RMSE vs the naive last-value baseline + skill ratio."""
@@ -2973,6 +2986,8 @@ def queries() -> dict[str, QueryFn]:
         "event_winsorized": q_event_winsorized,
         "event_ses_backtest": q_event_ses_backtest,
         "ann_range_search": q_ann_range_search,
+        "event_histogram": q_event_histogram,
+        "event_dp_counts": q_event_dp_counts,
         "doc_weighted_sample": q_doc_weighted_sample,
         "ontology_alignment": q_ontology_alignment,
         "event_cuped": q_event_cuped,

@@ -1268,3 +1268,66 @@ def ses_backtest(events: DataFrame) -> DataFrame:
                  F.round(F.avg(nerr), 6).alias("mae_naive"),
                  F.round(F.try_divide(F.avg(err), F.nullif(
                      F.avg(nerr), F.lit(0.0))), 6).alias("skill")))
+
+
+# --- equi-width histogram --------------------------------------------------
+
+HIST_BINS = 12
+
+
+def value_histogram(events: DataFrame,
+                    n_bins: int = HIST_BINS) -> DataFrame:
+    """Per-type equi-width histogram of value: bin i covers
+    [min + i*w, min + (i+1)*w), w = (max-min)/n_bins, the max value
+    folded into the last bin — the dashboard/distribution-viz feed
+    next to value_distribution's moments. Two passes: per-type
+    min/max (map-side combinable) broadcast back as a dimension, then
+    one groupBy over the binned scan; empty bins are absent by
+    construction (the consumer densifies)."""
+    rng = (events.groupBy("event_type")
+           .agg(F.min("value").alias("lo"), F.max("value").alias("hi")))
+    w = (F.col("hi") - F.col("lo")) / F.lit(float(n_bins))
+    binned = (events.join(F.broadcast(rng), "event_type")
+              .select("event_type", "lo", "hi",
+                      F.least(F.floor((F.col("value") - F.col("lo")) / w)
+                              .cast("int"), F.lit(n_bins - 1))
+                      .alias("bin")))
+    return (binned.groupBy("event_type", "bin")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.round(F.first("lo")
+                         + F.col("bin") * (F.first("hi") - F.first("lo"))
+                         / F.lit(float(n_bins)), 6).alias("bin_lo")))
+
+
+# --- differentially-private count release ----------------------------------
+
+DP_EPSILON = 1.0
+DP_SEED = "dpseed"
+
+
+def dp_noisy_counts(events: DataFrame, epsilon: float = DP_EPSILON,
+                    seed: str = DP_SEED) -> DataFrame:
+    """Laplace-mechanism count release per event type: count + Lap(1/eps)
+    noise with the noise drawn DETERMINISTICALLY from an md5 uniform via
+    the inverse CDF (u in (-1/2, 1/2), noise = -(1/eps) * sign(u) *
+    ln(1 - 2|u|)) — the publishable-aggregate member of the privacy
+    family (event_k_anonymity and event_l_diversity audit; user_erasure
+    deletes; this RELEASES). A count query has sensitivity 1, so
+    Lap(1/eps) gives eps-DP; the deterministic seed makes the release
+    reproducible across engines and reruns (a production system would
+    draw fresh noise per release and budget eps across them — noted,
+    not reproduced, because the oracle gate needs bit-equality).
+
+    One map-side-combinable aggregate; the noise is one md5 + one ln
+    per OUTPUT row."""
+    per = (events.groupBy("event_type")
+           .agg(F.count("*").cast("bigint").alias("true_n")))
+    u = ((F.conv(F.substring(F.md5(F.concat("event_type", F.lit(seed))),
+                             1, 6), 16, 10).cast("double") + 0.5)
+         / F.lit(16777216.0) - F.lit(0.5))
+    noise = (F.lit(-1.0 / epsilon) * F.signum(u)
+             * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u)))
+    return per.select(
+        "event_type", "true_n",
+        F.round(noise, 6).alias("noise"),
+        F.round(F.col("true_n") + noise, 6).alias("released_n"))

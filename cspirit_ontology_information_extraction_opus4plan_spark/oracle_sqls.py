@@ -7670,5 +7670,33 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval,
        AS skill
 FROM lg WHERE fc IS NOT NULL GROUP BY 1""".strip()
 
+    from .operators.content_stats import (DP_EPSILON, DP_SEED, HIST_BINS)
+    sqls["event_histogram"] = f"""
+WITH rng AS (
+  SELECT event_type, min(value) AS lo, max(value) AS hi
+  FROM events GROUP BY 1),
+binned AS (
+  SELECT e.event_type, r.lo, r.hi,
+         least(CAST(floor((e.value - r.lo)
+                          / ((r.hi - r.lo) / {float(HIST_BINS)}))
+                    AS INT), {HIST_BINS - 1}) AS bin
+  FROM events e JOIN rng r ON r.event_type = e.event_type)
+SELECT event_type, CAST(bin AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min(lo) + bin * (min(hi) - min(lo)) / {float(HIST_BINS)},
+             6) AS bin_lo
+FROM binned GROUP BY event_type, bin""".strip()
+
+    _udp = (f"((CAST(concat('0x', substr(md5(event_type || '{DP_SEED}'),"
+            f" 1, 6)) AS BIGINT) + 0.5) / 16777216.0 - 0.5)")
+    _noise = (f"(-1.0 / {DP_EPSILON!r}) * sign({_udp})"
+              f" * ln(1.0 - 2.0 * abs({_udp}))")
+    sqls["event_dp_counts"] = f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS true_n,
+       round({_noise}, 6) AS noise,
+       round(count(*) + {_noise}, 6) AS released_n
+FROM events GROUP BY 1""".strip()
+
 
     return sqls
