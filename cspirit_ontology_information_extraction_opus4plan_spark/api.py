@@ -2581,6 +2581,16 @@ def q_event_did(spark, sf_dir):
     return CS.did_estimate(CS.load_events(spark, sf_dir))
 
 
+def q_doc_bpe_apply(spark, sf_dir):
+    """BPE train->apply round trip: top-8 iteration-1 merges applied
+    to the distinct-word vocabulary via nested JVM replace(), with
+    the symbol-compression they buy."""
+    from .operators.textops import bpe_apply_merges
+    return bpe_apply_merges(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text"))
+
+
 def q_event_histogram(spark, sf_dir):
     """Per-type equi-width value histogram (12 bins, max folded into
     the last) — the distribution-viz feed."""
@@ -2988,6 +2998,7 @@ def queries() -> dict[str, QueryFn]:
         "ann_range_search": q_ann_range_search,
         "event_histogram": q_event_histogram,
         "event_dp_counts": q_event_dp_counts,
+        "doc_bpe_apply": q_doc_bpe_apply,
         "doc_weighted_sample": q_doc_weighted_sample,
         "ontology_alignment": q_ontology_alignment,
         "event_cuped": q_event_cuped,

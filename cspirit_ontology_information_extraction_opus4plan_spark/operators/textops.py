@@ -2467,3 +2467,72 @@ def weighted_reservoir_sample(docs: DataFrame, k: int = WS_K,
             .filter(F.col("rank") <= k)
             .select("doc_id", "lang", F.col("rank").cast("int").alias("rank"),
                     F.round("key", 6).alias("key")))
+
+
+# --- BPE merge application (train -> apply loop) ---------------------------
+
+BPE_APPLY_K = 8
+
+
+def bpe_apply_merges(docs: DataFrame, k: int = BPE_APPLY_K) -> DataFrame:
+    """Tokenizer train->apply round trip: take the top-k adjacent-pair
+    merges from bpe_merge_pair_counts (rank = count desc, pair asc)
+    and APPLY them to the corpus vocabulary, reporting the symbol
+    compression they buy — one row: words, distinct words, symbols
+    before/after, compression ratio, and the merge list. Deliberate,
+    documented simplification vs a full BPE learner: all k merges
+    come from the ITERATION-1 count table (no recount between merges,
+    so no chained multi-char merges) and replace() applies each merge
+    left-to-right non-overlapping — both engines implement that scan
+    identically, which is what makes the round trip oracle-checkable.
+
+    Scale shape: merges derive from the bounded pair table (<= ~26^2
+    rows — the window rank is dimension-sized); application runs on
+    the DISTINCT-word vocabulary (map-side-combined first, corpus
+    never re-scanned per merge) as k nested JVM replace() calls over
+    a 1-row broadcast merge dimension — no Python, no driver loop."""
+    words = docs.select(
+        F.explode(F.split(F.lower("text"), r"[^a-z]+")).alias("w"))
+    wc = (words.filter(F.length("w") >= 2)
+          .groupBy("w").agg(F.count("*").alias("freq")))
+    grams = wc.select(
+        "freq",
+        F.explode(F.expr(
+            "transform(sequence(1, length(w) - 1),"
+            " i -> substring(w, i, 2))")).alias("pair"))
+    pairs = grams.groupBy("pair").agg(F.sum("freq").alias("n"))
+    wr = Window.orderBy(F.desc("n"), F.asc("pair"))
+    merges = (pairs.withColumn("r", F.row_number().over(wr))
+              .filter(F.col("r") <= k))
+    mdim = merges.groupBy().agg(
+        *[F.max(F.when(F.col("r") == i, F.col("pair")))
+          .alias(f"m{i}") for i in range(1, k + 1)])
+    spaced = F.expr(
+        "concat(' ', array_join(transform(sequence(1, length(w)),"
+        " i -> substring(w, i, 1)), ' '), ' ')")
+    appl = wc.crossJoin(F.broadcast(mdim)).withColumn("sp", spaced)
+    for i in range(1, k + 1):
+        m = F.col(f"m{i}")
+        appl = appl.withColumn(
+            "sp", F.replace(
+                F.col("sp"),
+                F.concat(F.lit(" "), F.substring(m, 1, 1), F.lit(" "),
+                         F.substring(m, 2, 1), F.lit(" ")),
+                F.concat(F.lit(" "), m, F.lit(" "))))
+    appl = appl.withColumn(
+        "n_sym", F.size(F.split(F.trim("sp"), " +")))
+    stats = appl.agg(
+        F.sum("freq").cast("bigint").alias("n_words"),
+        F.count("*").cast("bigint").alias("n_distinct_words"),
+        F.sum(F.col("freq") * F.length("w")).cast("bigint")
+        .alias("syms_before"),
+        F.sum(F.col("freq") * F.col("n_sym")).cast("bigint")
+        .alias("syms_after"),
+        F.round(F.sum(F.col("freq") * F.length("w"))
+                / F.sum(F.col("freq") * F.col("n_sym")), 6)
+        .alias("compression"))
+    mlist = merges.agg(
+        F.array_join(F.array_sort(F.collect_list(
+            F.concat_ws(":", F.lpad("r", 2, "0"), "pair"))), ",")
+        .alias("merges"))
+    return stats.crossJoin(F.broadcast(mlist))

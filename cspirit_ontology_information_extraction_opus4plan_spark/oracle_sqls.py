@@ -7698,5 +7698,49 @@ SELECT event_type,
        round(count(*) + {_noise}, 6) AS released_n
 FROM events GROUP BY 1""".strip()
 
+    from .operators.textops import BPE_APPLY_K
+    _mcols = ", ".join(
+        f"max(CASE WHEN r = {i} THEN pair END) AS m{i}"
+        for i in range(1, BPE_APPLY_K + 1))
+    _sp = ("' ' || array_to_string(list_transform("
+           "range(1, length(w) + 1), i -> substring(w, i, 1)), ' ')"
+           " || ' '")
+    for _i in range(1, BPE_APPLY_K + 1):
+        _sp = (f"replace({_sp}, ' ' || substring(m{_i}, 1, 1) || ' '"
+               f" || substring(m{_i}, 2, 1) || ' ',"
+               f" ' ' || m{_i} || ' ')")
+    sqls["doc_bpe_apply"] = f"""
+WITH words AS (
+  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+  FROM documents),
+wc AS (
+  SELECT w, count(*) AS freq FROM words
+  WHERE length(w) >= 2 GROUP BY 1),
+grams AS (
+  SELECT freq,
+         unnest(list_transform(range(1, length(w)),
+                               i -> substring(w, i, 2))) AS pair
+  FROM wc),
+pairs AS (SELECT pair, sum(freq) AS n FROM grams GROUP BY 1),
+mr AS (
+  SELECT pair, row_number() OVER (ORDER BY n DESC, pair ASC) AS r
+  FROM pairs),
+mdim AS (SELECT {_mcols} FROM mr WHERE r <= {BPE_APPLY_K}),
+appl AS (SELECT freq, w, {_sp} AS sp FROM wc, mdim),
+counted AS (
+  SELECT freq, w,
+         length(string_split_regex(trim(sp), ' +')) AS n_sym
+  FROM appl)
+SELECT CAST(sum(freq) AS BIGINT) AS n_words,
+       CAST(count(*) AS BIGINT) AS n_distinct_words,
+       CAST(sum(freq * length(w)) AS BIGINT) AS syms_before,
+       CAST(sum(freq * n_sym) AS BIGINT) AS syms_after,
+       round(CAST(sum(freq * length(w)) AS DOUBLE)
+             / sum(freq * n_sym), 6) AS compression,
+       (SELECT string_agg(lpad(CAST(r AS VARCHAR), 2, '0')
+                          || ':' || pair, ',' ORDER BY r)
+        FROM mr WHERE r <= {BPE_APPLY_K}) AS merges
+FROM counted""".strip()
+
 
     return sqls
