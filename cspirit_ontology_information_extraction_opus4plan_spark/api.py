@@ -2581,6 +2581,12 @@ def q_event_did(spark, sf_dir):
     return CS.did_estimate(CS.load_events(spark, sf_dir))
 
 
+def q_event_sprt(spark, sf_dir):
+    """Wald SPRT day-by-day sequential monitor of the conversion
+    rate per event type (always-valid stop/continue decisions)."""
+    return CS.sprt_monitor(CS.load_events(spark, sf_dir))
+
+
 def q_doc_bpe_apply(spark, sf_dir):
     """BPE train->apply round trip: top-8 iteration-1 merges applied
     to the distinct-word vocabulary via nested JVM replace(), with
@@ -2999,6 +3005,7 @@ def queries() -> dict[str, QueryFn]:
         "event_histogram": q_event_histogram,
         "event_dp_counts": q_event_dp_counts,
         "doc_bpe_apply": q_doc_bpe_apply,
+        "event_sprt": q_event_sprt,
         "doc_weighted_sample": q_doc_weighted_sample,
         "ontology_alignment": q_ontology_alignment,
         "event_cuped": q_event_cuped,

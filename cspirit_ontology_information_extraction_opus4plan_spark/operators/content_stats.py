@@ -1331,3 +1331,47 @@ def dp_noisy_counts(events: DataFrame, epsilon: float = DP_EPSILON,
         "event_type", "true_n",
         F.round(noise, 6).alias("noise"),
         F.round(F.col("true_n") + noise, 6).alias("released_n"))
+
+
+# --- Wald SPRT sequential test ---------------------------------------------
+
+SPRT_P0, SPRT_P1 = 0.45, 0.55      # H0 vs H1 conversion rates
+SPRT_ALPHA = 0.05                  # -> upper bound ln((1-b)/a)
+SPRT_BETA = 0.20                   # -> lower bound ln(b/(1-a))
+
+
+def sprt_monitor(events: DataFrame, threshold: float = BANDIT_THRESHOLD
+                 ) -> DataFrame:
+    """Wald sequential probability-ratio test over the daily
+    conversion stream, per event type: cumulative log-likelihood
+    ratio of H1 (p=SPRT_P1) vs H0 (p=SPRT_P0) on the success =
+    (value >= threshold) indicator, with the day-by-day decision
+    against Wald's alpha/beta bounds — the always-monitoring member
+    of the experimentation family (power_analysis sizes a fixed
+    horizon; SPRT stops as soon as the evidence does).
+
+    llr_t = cumsum_days[ s_d * ln(p1/p0) + (n_d - s_d) *
+    ln((1-p1)/(1-p0)) ] — the log constants fold at plan time, the
+    daily aggregate is map-side combinable, and the cumsum is one
+    ordered window over O(days) rows per type."""
+    import math as _m
+    l_s = _m.log(SPRT_P1 / SPRT_P0)
+    l_f = _m.log((1.0 - SPRT_P1) / (1.0 - SPRT_P0))
+    hi = _m.log((1.0 - SPRT_BETA) / SPRT_ALPHA)
+    lo = _m.log(SPRT_BETA / (1.0 - SPRT_ALPHA))
+    daily = (events.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.count("*").alias("n"),
+                  F.sum((F.col("value") >= threshold).cast("int"))
+                  .alias("s")))
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    llr = F.sum(F.col("s") * F.lit(l_s)
+                + (F.col("n") - F.col("s")) * F.lit(l_f)).over(w)
+    return daily.select(
+        "event_type", F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("s").cast("bigint").alias("s"),
+        F.round(llr, 6).alias("llr"),
+        F.when(llr >= F.lit(hi), F.lit("accept_h1"))
+        .when(llr <= F.lit(lo), F.lit("accept_h0"))
+        .otherwise(F.lit("continue")).alias("decision"))

@@ -7742,5 +7742,32 @@ SELECT CAST(sum(freq) AS BIGINT) AS n_words,
         FROM mr WHERE r <= {BPE_APPLY_K}) AS merges
 FROM counted""".strip()
 
+    import math as _m
+    from .operators.content_stats import (BANDIT_THRESHOLD, SPRT_ALPHA,
+                                          SPRT_BETA, SPRT_P0, SPRT_P1)
+    _ls = _m.log(SPRT_P1 / SPRT_P0)
+    _lf = _m.log((1.0 - SPRT_P1) / (1.0 - SPRT_P0))
+    _hi = _m.log((1.0 - SPRT_BETA) / SPRT_ALPHA)
+    _lo = _m.log(SPRT_BETA / (1.0 - SPRT_ALPHA))
+    sqls["event_sprt"] = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
+         sum(CASE WHEN value >= {BANDIT_THRESHOLD!r} THEN 1 ELSE 0 END)
+         AS s
+  FROM events GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, day, n, s,
+         sum(s * {_ls!r} + (n - s) * {_lf!r})
+           OVER (PARTITION BY event_type ORDER BY day
+                 ROWS UNBOUNDED PRECEDING) AS llr
+  FROM daily)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+       CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS s,
+       round(llr, 6) AS llr,
+       CASE WHEN llr >= {_hi!r} THEN 'accept_h1'
+            WHEN llr <= {_lo!r} THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM cum""".strip()
+
 
     return sqls
