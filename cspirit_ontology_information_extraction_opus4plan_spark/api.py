@@ -2581,6 +2581,12 @@ def q_event_did(spark, sf_dir):
     return CS.did_estimate(CS.load_events(spark, sf_dir))
 
 
+def q_event_outliers_mad(spark, sf_dir):
+    """MAD modified-z outlier summary (rank-picked medians) — the
+    robust member of the IQR / z-score outlier family."""
+    return CS.mad_outliers(CS.load_events(spark, sf_dir))
+
+
 def q_event_sprt(spark, sf_dir):
     """Wald SPRT day-by-day sequential monitor of the conversion
     rate per event type (always-valid stop/continue decisions)."""
@@ -3006,6 +3012,7 @@ def queries() -> dict[str, QueryFn]:
         "event_dp_counts": q_event_dp_counts,
         "doc_bpe_apply": q_doc_bpe_apply,
         "event_sprt": q_event_sprt,
+        "event_outliers_mad": q_event_outliers_mad,
         "doc_weighted_sample": q_doc_weighted_sample,
         "ontology_alignment": q_ontology_alignment,
         "event_cuped": q_event_cuped,

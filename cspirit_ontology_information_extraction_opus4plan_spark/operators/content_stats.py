@@ -1375,3 +1375,51 @@ def sprt_monitor(events: DataFrame, threshold: float = BANDIT_THRESHOLD
         F.when(llr >= F.lit(hi), F.lit("accept_h1"))
         .when(llr <= F.lit(lo), F.lit("accept_h0"))
         .otherwise(F.lit("continue")).alias("decision"))
+
+
+# --- MAD robust anomalies --------------------------------------------------
+
+MAD_SIGMA = 3.5          # Iglewicz-Hoaglin modified-z cutoff
+MAD_CONSISTENCY = 1.4826  # Gaussian consistency constant
+
+
+def mad_outliers(events: DataFrame, cutoff: float = MAD_SIGMA
+                 ) -> DataFrame:
+    """Median-absolute-deviation outlier summary per event type:
+    modified z = |x - median| / (1.4826 * MAD) > cutoff
+    (Iglewicz & Hoaglin) — the robust third member of the outlier
+    family (IQR fences and 3-sigma z-scores both move when the
+    outliers themselves inflate the spread; MAD doesn't). Medians are
+    RANK-PICKED (value at row ceil(n/2) under the deterministic
+    (value, event_id) order), not interpolated, so both engines
+    select identical concrete values; the same trick re-runs on the
+    absolute deviations for the MAD.
+
+    Two ordered windows (the event_exact_percentiles shape) + one
+    final aggregate; thresholds travel as a broadcast dimension."""
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    rk = (events.select("event_type", "value", "event_id")
+          .withColumn("r", F.row_number().over(w))
+          .withColumn("n", F.count("*").over(wn)))
+    med = (rk.groupBy("event_type")
+           .agg(F.max(F.when(F.col("r") == F.ceil(F.col("n") / 2),
+                             F.col("value"))).alias("med")))
+    dev = (events.join(F.broadcast(med), "event_type")
+           .select("event_type", "event_id", "value", "med",
+                   F.abs(F.col("value") - F.col("med")).alias("ad")))
+    w2 = Window.partitionBy("event_type").orderBy("ad", "event_id")
+    rk2 = (dev.withColumn("r", F.row_number().over(w2))
+           .withColumn("n", F.count("*").over(wn)))
+    mad = (rk2.groupBy("event_type")
+           .agg(F.max(F.when(F.col("r") == F.ceil(F.col("n") / 2),
+                             F.col("ad"))).alias("mad")))
+    z = F.col("ad") / (F.lit(MAD_CONSISTENCY) * F.col("mad"))
+    return (dev.join(F.broadcast(mad), "event_type")
+            .groupBy("event_type")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.round(F.first("med"), 6).alias("median"),
+                 F.round(F.first("mad"), 6).alias("mad"),
+                 F.sum((z > cutoff).cast("int")).cast("bigint")
+                 .alias("n_outliers"),
+                 F.round(F.max(z), 6).alias("max_modified_z")))

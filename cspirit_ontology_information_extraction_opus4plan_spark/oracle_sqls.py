@@ -7769,5 +7769,43 @@ SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
             ELSE 'continue' END AS decision
 FROM cum""".strip()
 
+    from .operators.content_stats import MAD_CONSISTENCY, MAD_SIGMA
+    sqls["event_outliers_mad"] = f"""
+WITH rk AS (
+  SELECT event_type, value, event_id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS r,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events),
+med AS (
+  SELECT event_type,
+         max(CASE WHEN r = ceil(n / 2.0) THEN value END) AS med
+  FROM rk GROUP BY 1),
+dev AS (
+  SELECT e.event_type, e.event_id, e.value, m.med,
+         abs(e.value - m.med) AS ad
+  FROM events e JOIN med m ON m.event_type = e.event_type),
+rk2 AS (
+  SELECT event_type, ad,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ad, event_id) AS r,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM dev),
+mad AS (
+  SELECT event_type,
+         max(CASE WHEN r = ceil(n / 2.0) THEN ad END) AS mad
+  FROM rk2 GROUP BY 1)
+SELECT d.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(max(d.med), 6) AS median,
+       round(max(m.mad), 6) AS mad,
+       CAST(sum(CASE WHEN d.ad / ({MAD_CONSISTENCY!r} * m.mad)
+                          > {MAD_SIGMA!r} THEN 1 ELSE 0 END) AS BIGINT)
+       AS n_outliers,
+       round(max(d.ad / ({MAD_CONSISTENCY!r} * m.mad)), 6)
+       AS max_modified_z
+FROM dev d JOIN mad m ON m.event_type = d.event_type
+GROUP BY 1""".strip()
+
 
     return sqls
