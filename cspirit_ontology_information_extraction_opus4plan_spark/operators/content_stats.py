@@ -661,35 +661,41 @@ def ses_forecast(events: DataFrame) -> DataFrame:
     """Simple exponential smoothing (alpha = 1/2) over the per-type
     daily count series, evaluated at every day plus the one-step-ahead
     forecast for the next day (s_t IS that forecast). alpha is fixed
-    at 1/2 so every smoothing weight is a power of two: with integer
-    daily counts, each term x_i * 2^i is an exact bigint, the prefix
-    sum is exact, and the closed form
+    at 1/2 so every step is one exact halving:
 
-        s_t = (P_t - 2*x_1) * 2^-(t+1) + x_1 * 2^-(t-1),
-        P_t = sum_{i<=t} x_i * 2^i
+        s_1 = x_1,   s_t = (x_t + s_{t-1}) / 2
 
-    is a handful of IEEE-exact operations — bit-identical across
-    engines and accumulation orders, where a recursive float EMA
-    would drift. One groupBy + one ordered window over O(days) rows
-    per type."""
-    from pyspark.sql import Window
+    and BOTH engines execute the identical IEEE expression sequence —
+    Spark as an `aggregate` fold over the sorted daily array (the
+    holt_forecast shape), DuckDB as a recursive CTE with the same
+    formula — so the doubles track bit-for-bit. (An earlier closed
+    form accumulated P_t = sum x_i * 2^i in a BIGINT, which silently
+    overflows once a series exceeds ~62 days; the fold has no
+    magnitude limit.)
+
+    Scale shape: the daily aggregate is map-side combinable; the
+    per-type series array is calendar-bounded (O(days)), the fold and
+    the arrays_zip re-explosion are single JVM higher-order
+    expressions — no Python, no window over raw events."""
     daily = (events.groupBy("event_type", F.to_date("ts").alias("day"))
              .agg(F.count("*").cast("bigint").alias("n")))
-    w = (Window.partitionBy("event_type").orderBy("day")
-         .rowsBetween(Window.unboundedPreceding, 0))
-    wt = Window.partitionBy("event_type").orderBy("day")
-    shifted = F.expr("n * shiftleft(cast(1 as bigint), cast(k as int))")
-    cum = (daily
-           .withColumn("k", F.row_number().over(wt).cast("bigint"))
-           .withColumn("x1", F.first("n").over(w))
-           .withColumn("p", F.sum(shifted).over(w)))
-    s = ((F.col("p") - 2 * F.col("x1")).cast("double")
-         * F.pow(F.lit(2.0), (-(F.col("k") + 1)).cast("double"))
-         + F.col("x1").cast("double")
-         * F.pow(F.lit(2.0), (1 - F.col("k")).cast("double")))
-    return cum.select(
-        "event_type", F.date_format("day", "yyyy-MM-dd").alias("day"),
-        "n", F.round(s, 6).alias("smoothed"))
+    series = (daily.groupBy("event_type")
+              .agg(F.sort_array(F.collect_list(F.struct("day", "n")))
+                   .alias("xs")))
+    states = F.aggregate(
+        F.slice("xs", 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+        F.array(F.element_at("xs", 1)["n"].cast("double")),
+        lambda acc, x: F.concat(
+            acc, F.array((x["n"].cast("double") + F.element_at(acc, -1))
+                         / F.lit(2.0))))
+    z = series.select(
+        "event_type",
+        F.explode(F.arrays_zip("xs", states.alias("st"))).alias("e"))
+    return z.select(
+        "event_type",
+        F.date_format(F.col("e")["xs"]["day"], "yyyy-MM-dd").alias("day"),
+        F.col("e")["xs"]["n"].alias("n"),
+        F.round(F.col("e")["st"], 6).alias("smoothed"))
 
 
 BENFORD_DIGITS = 9  # leading digits 1..9
@@ -1137,7 +1143,7 @@ def holt_forecast(events: DataFrame) -> DataFrame:
               .agg(F.sort_array(F.collect_list(F.struct("day", "n")))
                    .alias("xs")))
     fold = F.aggregate(
-        F.slice("xs", 2, 100000),
+        F.slice("xs", 2, F.greatest(F.size("xs") - 1, F.lit(0))),
         F.struct(F.element_at("xs", 1)["n"].alias("l"),
                  F.lit(0.0).alias("b")),
         lambda acc, x: F.struct(
@@ -1184,7 +1190,11 @@ def power_analysis(events: DataFrame,
                 F.var_samp("value").alias("s2"),
                 F.count_distinct(F.to_date("ts")).alias("n_days")))
     delta = F.lit(mde_rel) * F.col("mu")
-    n_arm = F.ceil(F.lit(2.0 * z2) * F.col("s2") / (delta * delta))
+    # mean == 0 makes delta^2 = 0: nullif the denominator so both
+    # engines publish NULL (undefined sample size) instead of Spark
+    # NULL vs DuckDB inf → CAST abort.
+    n_arm = F.ceil(F.lit(2.0 * z2) * F.col("s2")
+                   / F.nullif(delta * delta, F.lit(0.0)))
     return per.select(
         "event_type", "n_obs",
         F.round("mu", 6).alias("mean_value"),
@@ -1287,10 +1297,16 @@ def value_histogram(events: DataFrame,
     rng = (events.groupBy("event_type")
            .agg(F.min("value").alias("lo"), F.max("value").alias("hi")))
     w = (F.col("hi") - F.col("lo")) / F.lit(float(n_bins))
+    # hi == lo (a constant-valued type) makes the bin width 0; both
+    # engines must short-circuit to bin 0 rather than divide (DuckDB's
+    # IEEE '/' gives inf and CAST(inf AS INT) aborts the gate).
     binned = (events.join(F.broadcast(rng), "event_type")
               .select("event_type", "lo", "hi",
-                      F.least(F.floor((F.col("value") - F.col("lo")) / w)
-                              .cast("int"), F.lit(n_bins - 1))
+                      F.when(F.col("hi") == F.col("lo"), F.lit(0))
+                      .otherwise(
+                          F.least(F.floor((F.col("value") - F.col("lo"))
+                                          / w).cast("int"),
+                                  F.lit(n_bins - 1)))
                       .alias("bin")))
     return (binned.groupBy("event_type", "bin")
             .agg(F.count("*").cast("bigint").alias("n"),
@@ -1414,12 +1430,18 @@ def mad_outliers(events: DataFrame, cutoff: float = MAD_SIGMA
     mad = (rk2.groupBy("event_type")
            .agg(F.max(F.when(F.col("r") == F.ceil(F.col("n") / 2),
                              F.col("ad"))).alias("mad")))
-    z = F.col("ad") / (F.lit(MAD_CONSISTENCY) * F.col("mad"))
+    # MAD = 0 (over half a type's values equal the median) would turn
+    # z into a div-by-zero: Spark's non-ANSI '/' yields NULL but
+    # DuckDB's IEEE '/' yields inf/nan and aborts the gate on the
+    # int cast — nullif the denominator on BOTH engines so degenerate
+    # distributions report n_outliers = 0 and a NULL max_modified_z.
+    z = F.col("ad") / F.nullif(F.lit(MAD_CONSISTENCY) * F.col("mad"),
+                               F.lit(0.0))
     return (dev.join(F.broadcast(mad), "event_type")
             .groupBy("event_type")
             .agg(F.count("*").cast("bigint").alias("n"),
                  F.round(F.first("med"), 6).alias("median"),
                  F.round(F.first("mad"), 6).alias("mad"),
-                 F.sum((z > cutoff).cast("int")).cast("bigint")
-                 .alias("n_outliers"),
+                 F.sum(F.when(z > cutoff, 1).otherwise(0))
+                 .cast("bigint").alias("n_outliers"),
                  F.round(F.max(z), 6).alias("max_modified_z")))

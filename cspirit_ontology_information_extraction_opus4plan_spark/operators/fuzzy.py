@@ -32,6 +32,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
+# Driver-side idf vocabularies are closure-shipped to executors; past
+# this many distinct candidates the frame is no longer "dimension-sized"
+# and tfidf_candidates refuses to collect it (override per session with
+# spark.cspirit.tfidf.maxCandidates).
+MAX_IDF_CANDIDATES = 2_000_000
+
 
 def _trigrams(s: str) -> set:
     return {s[i:i + 3] for i in range(len(s) - 2)} if len(s) >= 3 else {s}
@@ -71,9 +77,23 @@ def tfidf_candidates(mention_surfaces: DataFrame, candidates: DataFrame,
     import math
     from collections import Counter
 
+    # The driver-side collect below is safe ONLY while `candidates` is
+    # the gazetteer dimension (the same broadcast-scale assumption the
+    # entity-linking join makes). Guard it explicitly: a corpus-sized
+    # frame wired in by mistake should fail loudly with the remedy,
+    # not OOM the driver.
+    n_cand_bound = int((candidates.sparkSession.conf.get(
+        "spark.cspirit.tfidf.maxCandidates", str(MAX_IDF_CANDIDATES))))
+    n_cand = candidates.select("candidate").distinct().count()
+    if n_cand > n_cand_bound:
+        raise ValueError(
+            f"tfidf_candidates: {n_cand} distinct candidates exceeds the "
+            f"driver-side idf bound ({n_cand_bound}). The candidate set "
+            "must be a gazetteer-sized dimension; for corpus-scale "
+            "inputs compute idf distributively (groupBy token) instead, "
+            "or raise spark.cspirit.tfidf.maxCandidates.")
     cand_rows = [r["candidate"] for r in
                  candidates.select("candidate").distinct().collect()]
-    n_cand = len(cand_rows)
     df_counts = Counter(
         tok for c in cand_rows for tok in set(c.split()))
     idf = {t: math.log(n_cand / d) for t, d in df_counts.items()}

@@ -2221,9 +2221,12 @@ def diameter_double_sweep(edges: DataFrame,
         F.col("node").isNotNull())
     d1 = _bfs(seed)
     f1 = _farthest(d1).localCheckpoint(eager=True)
+    d1.unpersist()  # f1 is materialized; drop the sweep-1 frontier
     d2 = _bfs(f1.select("node"))
-    f2 = _farthest(d2)
-    stats = d2.agg(F.count("*").cast("bigint").alias("n_reached"))
+    f2 = _farthest(d2).localCheckpoint(eager=True)
+    stats = (d2.agg(F.count("*").cast("bigint").alias("n_reached"))
+             .localCheckpoint(eager=True))
+    d2.unpersist()  # both 1-row outputs are pinned; drop sweep 2 too
     return (seed.select(F.col("node").alias("seed"))
             .crossJoin(F.broadcast(
                 f1.select(F.col("node").alias("sweep1_far"),

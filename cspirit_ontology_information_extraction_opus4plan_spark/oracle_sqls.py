@@ -7133,8 +7133,12 @@ SELECT i.entity, i.inferred_type, m.n_contexts,
 FROM inf i JOIN m ON i.entity = m.entity
 LEFT JOIN cand ON i.entity = cand.entity""")
 
+    # Recursive-CTE fold (the holt pattern): s_1 = x_1,
+    # s_t = (x_t + s_{t-1}) / 2 — the same IEEE sequence Spark's
+    # aggregate() fold runs, with no BIGINT-shift magnitude limit
+    # (the previous closed form overflowed past ~62 days per type).
     sqls["event_ses_forecast"] = """
-WITH daily AS (
+WITH RECURSIVE daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
          CAST(count(*) AS BIGINT) AS n
   FROM events GROUP BY 1, 2),
@@ -7143,19 +7147,16 @@ idx AS (
          CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
               AS BIGINT) AS k
   FROM daily),
-cum AS (
-  SELECT event_type, day, n, k,
-         first_value(n) OVER w AS x1,
-         sum(n * (CAST(1 AS BIGINT) << CAST(k AS INT))) OVER w AS p
-  FROM idx
-  WINDOW w AS (PARTITION BY event_type ORDER BY day
-               ROWS UNBOUNDED PRECEDING))
-SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
-       round(CAST(p - 2 * x1 AS DOUBLE)
-               * pow(2.0, CAST(-(k + 1) AS DOUBLE))
-             + CAST(x1 AS DOUBLE)
-               * pow(2.0, CAST(1 - k AS DOUBLE)), 6) AS smoothed
-FROM cum""".strip()
+rec(event_type, k, s) AS (
+  SELECT event_type, CAST(1 AS BIGINT), CAST(n AS DOUBLE)
+  FROM idx WHERE k = 1
+  UNION ALL
+  SELECT r.event_type, r.k + 1, (CAST(i.n AS DOUBLE) + r.s) / 2.0
+  FROM rec r JOIN idx i ON i.event_type = r.event_type
+                       AND i.k = r.k + 1)
+SELECT i.event_type, strftime(i.day, '%Y-%m-%d') AS day, i.n,
+       round(r.s, 6) AS smoothed
+FROM idx i JOIN rec r ON r.event_type = i.event_type AND r.k = i.k""".strip()
 
     from .operators.textops import (
         BIGRAM_LAMBDA, DSIR_BUCKETS, DSIR_TOP_K,
@@ -7534,7 +7535,8 @@ sym AS (SELECT src, dst FROM und
 
     sqls["kg_diameter"] = (
         corpus_prefix(gaz_cte(), link_cte(), triples_cte()) + _dund + f""",
-sd AS MATERIALIZED (SELECT min(src) AS node FROM sym),
+sd AS MATERIALIZED (SELECT node FROM (SELECT min(src) AS node FROM sym)
+                    WHERE node IS NOT NULL),
 a0 AS MATERIALIZED (SELECT node, 0 AS dist FROM sd){_dia_bfs('a', DIA_ROUNDS)},
 f1 AS MATERIALIZED (
   SELECT min(node) AS node, max(dist) AS ecc FROM a{DIA_ROUNDS}
@@ -7565,8 +7567,8 @@ FROM triples WHERE object LIKE '{DESCRIBE_PREFIX}%'""")
                                           POWER_Z_BETA)
     _z2 = (POWER_Z_ALPHA + POWER_Z_BETA) ** 2
     _narm = (f"ceil(2.0 * {_z2!r} * var_samp(value)"
-             f" / (({POWER_MDE_REL!r} * avg(value))"
-             f" * ({POWER_MDE_REL!r} * avg(value))))")
+             f" / nullif(({POWER_MDE_REL!r} * avg(value))"
+             f" * ({POWER_MDE_REL!r} * avg(value)), 0))")
     sqls["event_power_analysis"] = f"""
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_obs,
@@ -7631,8 +7633,10 @@ pairs AS (
 SELECT q_id, neighbor_id, round(dot / sqrt(qn2 * vn2), 6) AS score
 FROM pairs WHERE dot / sqrt(qn2 * vn2) >= {SIM2.RANGE_TAU}""".strip()
 
+    # Shares event_ses_forecast's recursive fold (no BIGINT-shift
+    # overflow past 62 days), then lags the rounded published series.
     sqls["event_ses_backtest"] = """
-WITH daily AS (
+WITH RECURSIVE daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
          CAST(count(*) AS BIGINT) AS n
   FROM events GROUP BY 1, 2),
@@ -7641,20 +7645,17 @@ idx AS (
          CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
               AS BIGINT) AS k
   FROM daily),
-cum AS (
-  SELECT event_type, day, n, k,
-         first_value(n) OVER w AS x1,
-         sum(n * (CAST(1 AS BIGINT) << CAST(k AS INT))) OVER w AS p
-  FROM idx
-  WINDOW w AS (PARTITION BY event_type ORDER BY day
-               ROWS UNBOUNDED PRECEDING)),
+rec(event_type, k, s) AS (
+  SELECT event_type, CAST(1 AS BIGINT), CAST(n AS DOUBLE)
+  FROM idx WHERE k = 1
+  UNION ALL
+  SELECT r.event_type, r.k + 1, (CAST(i.n AS DOUBLE) + r.s) / 2.0
+  FROM rec r JOIN idx i ON i.event_type = r.event_type
+                       AND i.k = r.k + 1),
 sm AS (
-  SELECT event_type, day, n,
-         round(CAST(p - 2 * x1 AS DOUBLE)
-                 * pow(2.0, CAST(-(k + 1) AS DOUBLE))
-               + CAST(x1 AS DOUBLE)
-                 * pow(2.0, CAST(1 - k AS DOUBLE)), 6) AS smoothed
-  FROM cum),
+  SELECT i.event_type, i.day, i.n AS n, round(r.s, 6) AS smoothed
+  FROM idx i JOIN rec r ON r.event_type = i.event_type
+                       AND r.k = i.k),
 lg AS (
   SELECT event_type, n,
          lag(smoothed) OVER (PARTITION BY event_type ORDER BY day)
@@ -7677,9 +7678,10 @@ WITH rng AS (
   FROM events GROUP BY 1),
 binned AS (
   SELECT e.event_type, r.lo, r.hi,
-         least(CAST(floor((e.value - r.lo)
-                          / ((r.hi - r.lo) / {float(HIST_BINS)}))
-                    AS INT), {HIST_BINS - 1}) AS bin
+         CASE WHEN r.hi = r.lo THEN 0
+              ELSE least(CAST(floor((e.value - r.lo)
+                               / ((r.hi - r.lo) / {float(HIST_BINS)}))
+                         AS INT), {HIST_BINS - 1}) END AS bin
   FROM events e JOIN rng r ON r.event_type = e.event_type)
 SELECT event_type, CAST(bin AS INT) AS bin,
        CAST(count(*) AS BIGINT) AS n,
@@ -7799,10 +7801,10 @@ SELECT d.event_type,
        CAST(count(*) AS BIGINT) AS n,
        round(max(d.med), 6) AS median,
        round(max(m.mad), 6) AS mad,
-       CAST(sum(CASE WHEN d.ad / ({MAD_CONSISTENCY!r} * m.mad)
+       CAST(sum(CASE WHEN d.ad / nullif({MAD_CONSISTENCY!r} * m.mad, 0)
                           > {MAD_SIGMA!r} THEN 1 ELSE 0 END) AS BIGINT)
        AS n_outliers,
-       round(max(d.ad / ({MAD_CONSISTENCY!r} * m.mad)), 6)
+       round(max(d.ad / nullif({MAD_CONSISTENCY!r} * m.mad, 0)), 6)
        AS max_modified_z
 FROM dev d JOIN mad m ON m.event_type = d.event_type
 GROUP BY 1""".strip()
