@@ -718,6 +718,36 @@ def q_rdfxml_parse(spark, sf_dir):
     return SR.parse_rdfxml(SR.rdfxml_docs(terms_df(spark)))
 
 
+def q_turtle_full_parse(spark, sf_dir):
+    """Full-grammar Turtle source: terms serialized as rich Turtle
+    documents (directives, ';'/',' lists, long literals, @lang,
+    datatypes, bnode property lists, collections, labeled bnodes) and
+    parsed back into 7-tuple triples via the W3C-grammar parser —
+    beyond serde.parse_turtle's per-line regular subset (OWLParser
+    Turtle leg, parsers/__init__.py:2990)."""
+    from .operators import rdf_full as RF
+    return RF.parse_turtle_full(RF.turtle_full_docs(terms_df(spark)))
+
+
+def q_rdfxml_full_parse(spark, sf_dir):
+    """General-grammar RDF/XML source: typed nodes, property
+    attributes, parseType Resource/Collection, rdf:li containers,
+    rdf:nodeID, xml:lang/rdf:datatype — beyond serde.parse_rdfxml's
+    Description/label/subClassOf walker."""
+    from .operators import rdf_full as RF
+    return RF.parse_rdfxml_full(RF.rdfxml_full_docs(terms_df(spark)))
+
+
+def q_rdf_model_relationships(spark, sf_dir):
+    """Model conversion of the full-grammar parse: rdfs:subClassOf
+    triples -> ('is_a', #fragment-stripped ids, confidence 1.0) — the
+    reference's extract_relationships (parsers/__init__.py:3686-3746)
+    over parse_turtle_full output."""
+    from .operators import rdf_full as RF
+    return RF.to_model_relationships(
+        RF.parse_turtle_full(RF.turtle_full_docs(terms_df(spark))))
+
+
 def q_jats_parse(spark, sf_dir):
     """XML (PMC/JATS) source: structural etree parse of synthesized
     JATS/PMC articles into title/abstract/sections/figures; malformed
@@ -2960,6 +2990,9 @@ def queries() -> dict[str, QueryFn]:
         "doc_leakage_split": q_doc_leakage_split,
         "doc_bpe_merge_pairs": q_doc_bpe_merge_pairs,
         "rdfxml_parse": q_rdfxml_parse,
+        "rdfxml_full_parse": q_rdfxml_full_parse,
+        "turtle_full_parse": q_turtle_full_parse,
+        "rdf_model_relationships": q_rdf_model_relationships,
         "kg_random_walks": q_kg_random_walks,
         "kg_walk_skipgrams": q_kg_walk_skipgrams,
         "kg_node2vec_walks": q_kg_node2vec_walks,

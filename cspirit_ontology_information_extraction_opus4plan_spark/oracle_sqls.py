@@ -73,6 +73,27 @@ def terms_full_cte() -> str:
                     "namespace", "is_obsolete", "replaced_by", "ontology_id"])
 
 
+def terms_rdf_cte() -> str:
+    """terms_r with the exact fields the full-grammar RDF document
+    synthesis consumes (rdf_full.turtle_full_docs / rdfxml_full_docs):
+    first-xref / first-alt scalars and ';'-joined synonyms, so the SQL
+    side re-derives the expected triples independently of the
+    serializer + parser under test."""
+    rows = [
+        (_q(t["id"]), _q(t["name"]), _q(t["definition"]),
+         _q(t["namespace"]),
+         "TRUE" if t["is_obsolete"] else "FALSE",
+         _q(t["parents"][0]) if t["parents"] else "NULL",
+         _q(";".join(t["synonyms"])),
+         _q(t["xrefs"][0]) if t["xrefs"] else "NULL",
+         _q(t["alt_ids"][0]) if t["alt_ids"] else "NULL")
+        for t in OD.terms()
+    ]
+    return _values(rows, "terms_r",
+                   ["id", "name", "definition", "namespace",
+                    "is_obsolete", "parent", "syns", "xref1", "alt1"])
+
+
 def cc_ctes() -> str:
     """Equivalence edges + connected components (recursive reachability,
     min-id label). Requires terms_f; the statement must open with
@@ -7809,5 +7830,110 @@ SELECT d.event_type,
 FROM dev d JOIN mad m ON m.event_type = d.event_type
 GROUP BY 1""".strip()
 
+    # ---- full-grammar RDF parse round-trips (rdf_full.py) ----------------
+    # Expected 7-tuple triples re-derived relationally from the terms
+    # dimension, independent of the serializer + parser under test.
+    from .operators.rdf_full import OWL_NS, RDF_NS, RDFS_NS, XSD_NS
+    _u = "'urn:graft#' || replace(id, ':', '_')"
+    _pu = "'urn:graft#' || replace(parent, ':', '_')"
+    _nv = "CAST(NULL AS VARCHAR)"
+    _k0 = "CASE WHEN xref1 IS NOT NULL THEN 1 ELSE 0 END"
+
+    def _t7(subj, pred, obj, st, ot, dt=_nv, lang=_nv, where=""):
+        return (f"SELECT id AS src_id, {subj} AS subject,"
+                f" {pred} AS predicate, {obj} AS object,"
+                f" {st} AS subject_type, {ot} AS object_type,"
+                f" {dt} AS object_datatype, {lang} AS object_language"
+                f" FROM terms_r{(' WHERE ' + where) if where else ''}")
+
+    _common_arms = [
+        _t7(_u, f"'{RDF_NS}type'", f"'{OWL_NS}Class'", "'uri'", "'uri'"),
+        _t7(_u, f"'{RDFS_NS}label'", "name", "'uri'", "'literal'",
+            lang="'en'"),
+        _t7(_u, "'urn:obo#idnum'", r"regexp_extract(id, '(\d+)$', 1)",
+            "'uri'", "'literal'", dt=f"'{XSD_NS}integer'"),
+        _t7(_u, f"'{RDFS_NS}subClassOf'", _pu, "'uri'", "'uri'",
+            where="parent IS NOT NULL"),
+        _t7(_u, "'urn:obo#xref'", "'_:' || id || '.g0'", "'uri'",
+            "'bnode'", where="xref1 IS NOT NULL"),
+        _t7("'_:' || id || '.g0'", "'urn:obo#src'", "xref1", "'bnode'",
+            "'literal'", where="xref1 IS NOT NULL"),
+    ]
+
+    def _cell(off: str) -> str:
+        return f"'_:' || id || '.g' || (({_k0}) + {off})"
+
+    _ttl_arms = _common_arms + [
+        _t7(_u, "'urn:obo#definition'",
+            "regexp_replace(definition, '^synthetic ([a-z]+) term ',"
+            " 'synthetic \\1' || chr(10) || 'term ')",
+            "'uri'", "'literal'"),
+        _t7(_u, "'urn:obo#obsolete'",
+            "CASE WHEN is_obsolete THEN 'true' ELSE 'false' END",
+            "'uri'", "'literal'", dt=f"'{XSD_NS}boolean'"),
+        _t7(_u, "'urn:obo#note'", "'quote \" ok'", "'uri'", "'literal'"),
+        # ',' object list -> one row per synonym
+        "SELECT id AS src_id, " + _u + " AS subject,"
+        " 'urn:obo#synonym' AS predicate, unnest(string_split(syns, ';'))"
+        " AS object, 'uri' AS subject_type, 'literal' AS object_type,"
+        f" {_nv} AS object_datatype, {_nv} AS object_language"
+        " FROM terms_r WHERE syns <> ''",
+        # keys collection: two cells
+        _t7(_u, "'urn:obo#keys'", _cell("0"), "'uri'", "'bnode'"),
+        _t7(_cell("0"), f"'{RDF_NS}first'", "id", "'bnode'", "'literal'"),
+        _t7(_cell("0"), f"'{RDF_NS}rest'", _cell("1"), "'bnode'",
+            "'bnode'"),
+        _t7(_cell("1"), f"'{RDF_NS}first'", "namespace", "'bnode'",
+            "'literal'"),
+        _t7(_cell("1"), f"'{RDF_NS}rest'", f"'{RDF_NS}nil'", "'bnode'",
+            "'uri'"),
+        # alts collection: one cell or rdf:nil
+        _t7(_u, "'urn:obo#alts'", _cell("2"), "'uri'", "'bnode'",
+            where="alt1 IS NOT NULL"),
+        _t7(_cell("2"), f"'{RDF_NS}first'", "alt1", "'bnode'",
+            "'literal'", where="alt1 IS NOT NULL"),
+        _t7(_cell("2"), f"'{RDF_NS}rest'", f"'{RDF_NS}nil'", "'bnode'",
+            "'uri'", where="alt1 IS NOT NULL"),
+        _t7(_u, "'urn:obo#alts'", f"'{RDF_NS}nil'", "'uri'", "'uri'",
+            where="alt1 IS NULL"),
+        # labeled bnode statement
+        _t7("'_:' || id || '.meta'", "'urn:obo#for'", _u, "'bnode'",
+            "'uri'"),
+    ]
+    sqls["turtle_full_parse"] = ("WITH " + terms_rdf_cte() + "\n"
+                                 + "\nUNION ALL\n".join(_ttl_arms))
+
+    _xml_arms = _common_arms + [
+        _t7(_u, "'urn:obo#ns'", "namespace", "'uri'", "'literal'"),
+        # keys Collection: one cell pointing at the k_ node
+        _t7(_u, "'urn:obo#keys'", _cell("0"), "'uri'", "'bnode'"),
+        _t7(_cell("0"), f"'{RDF_NS}first'",
+            "'urn:graft#k_' || replace(id, ':', '_')", "'bnode'",
+            "'uri'"),
+        _t7(_cell("0"), f"'{RDF_NS}rest'", f"'{RDF_NS}nil'", "'bnode'",
+            "'uri'"),
+        # nested rdf:Seq node with rdf:li children
+        _t7(_cell("1"), f"'{RDF_NS}type'", f"'{RDF_NS}Seq'", "'bnode'",
+            "'uri'"),
+        _t7(_cell("1"), f"'{RDF_NS}_1'", "id", "'bnode'", "'literal'"),
+        _t7(_cell("1"), f"'{RDF_NS}_2'", "namespace", "'bnode'",
+            "'literal'"),
+        _t7(_u, "'urn:obo#rels'", _cell("1"), "'uri'", "'bnode'"),
+        # rdf:nodeID pair
+        _t7(_u, "'urn:obo#peer'", "'_:' || id || '.meta'", "'uri'",
+            "'bnode'"),
+        _t7("'_:' || id || '.meta'", "'urn:obo#note'",
+            "'peer of ' || id", "'bnode'", "'literal'"),
+    ]
+    sqls["rdfxml_full_parse"] = ("WITH " + terms_rdf_cte() + "\n"
+                                 + "\nUNION ALL\n".join(_xml_arms))
+
+    # model conversion of the full-grammar parse: fragment strip +
+    # is_a rewrite (extract_relationships parsers/__init__.py:3686)
+    sqls["rdf_model_relationships"] = "WITH " + terms_rdf_cte() + """
+SELECT replace(id, ':', '_') AS subject, 'is_a' AS predicate,
+       replace(parent, ':', '_') AS object,
+       CAST(1.0 AS DOUBLE) AS confidence
+FROM terms_r WHERE parent IS NOT NULL"""
 
     return sqls

@@ -1,0 +1,311 @@
+"""In-process parity vs the ACTUAL reference code (round-4 priority 1).
+
+Every other correctness claim in this repo is vs the builder-authored
+DuckDB oracle; these tests close the loop by importing the reference's
+own modules from /root/reference and diffing behavior directly:
+
+  * models.RDFTriple — the 7-tuple identity (models.py:4408
+    __hash__/__eq__ over subject/predicate/object/subject_type/
+    object_type/object_datatype/object_language) vs this engine's
+    7-column dropDuplicates.
+  * parsers.OWLParser.extract_relationships (parsers/__init__.py:3686)
+    — subClassOf -> is_a rewrite + URI #fragment stripping — vs
+    rdf_full.to_model_relationships, on the same fixture.
+  * parsers.OWLParser.extract_terms (:3626 rdf-graph fallback) —
+    owl:Class + rdfs:label -> Term(id=#fragment, name=label) — vs a
+    DataFrame derivation over parse_turtle_full output.
+  * OWLParser.detect_format (:2655, pure Python) vs
+    textmeta.detect_formats under the fixed label mapping.
+
+rdflib/owlready2 are not installed in this container, so the rdflib
+GRAPH is duck-typed (a list of plain-string triples + the two lookup
+methods the reference calls); everything downstream of the graph —
+the loops, rewrites, stripping, model construction, validation — is
+the genuine reference code, untouched. The reference package imports
+watchdog at package-init time (config_manager); a no-op module stub
+satisfies that without modifying /root/reference.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import types
+
+import pytest
+
+from pyspark.sql import functions as F
+
+REF = "/root/reference"
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference tree not present")
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """Import the reference package with the watchdog dependency
+    stubbed (it is only used by its config file-watcher)."""
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    for name in ("watchdog", "watchdog.observers", "watchdog.events"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    sys.modules["watchdog.observers"].Observer = object
+    sys.modules["watchdog.events"].FileSystemEventHandler = type(
+        "FileSystemEventHandler", (), {})
+    from aim2_project.aim2_ontology import models
+    from aim2_project.aim2_ontology.parsers import OWLParser
+    return types.SimpleNamespace(models=models, OWLParser=OWLParser)
+
+
+# --- duck-typed rdflib surface (only what the reference touches) ----------
+
+class _NS:
+    def __init__(self, base: str):
+        self._base = base
+
+    def __getattr__(self, name: str) -> str:
+        return self._base + name
+
+
+class _FakeRdflib:
+    Namespace = _NS
+
+    class RDF:
+        type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+class _FakeGraph:
+    """list-of-string-triples graph exposing the two rdflib lookups
+    the reference's extract_terms/extract_relationships call."""
+
+    def __init__(self, triples):
+        self._t = list(triples)
+
+    def __iter__(self):
+        return iter(self._t)
+
+    def subjects(self, pred, obj):
+        return [s for s, p, o in self._t if p == pred and o == obj]
+
+    def objects(self, subj, pred):
+        return [o for s, p, o in self._t if s == subj and p == pred]
+
+
+def _owl_parser(ref):
+    p = ref.OWLParser()
+    p._rdflib = _FakeRdflib
+    p._rdflib_available = True
+    return p
+
+
+def _pr(got: set, want: set) -> tuple:
+    tp = len(got & want)
+    precision = tp / len(got) if got else 1.0
+    recall = tp / len(want) if want else 1.0
+    return precision, recall
+
+
+# --- 7-tuple identity ------------------------------------------------------
+
+_ID_FIXTURE = """\
+@prefix ont: <urn:graft#> .
+@prefix obo: <urn:obo#> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+ont:A obo:p "x"@en .
+ont:A obo:p "x"@fr .
+ont:A obo:p "x" .
+ont:A obo:p "x"^^xsd:integer .
+ont:A obo:p "x" .
+ont:A obo:p ont:B .
+ont:A obo:p ont:B .
+ont:A obo:q ont:B .
+_:b obo:p "x" .
+"""
+
+
+def test_7tuple_identity_parity(ref, spark):
+    """The engine's 7-column dropDuplicates must dedup exactly like a
+    set of reference RDFTriple objects (models.py:4408): triples
+    differing ONLY in language tag or datatype are distinct; exact
+    repeats collapse."""
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators import (  # noqa: E501
+        rdf_full as RF,
+    )
+    docs = spark.createDataFrame([("D1", _ID_FIXTURE)],
+                                 "src_id string, payload string")
+    parsed = RF.parse_turtle_full(docs)
+    seven = ["subject", "predicate", "object", "subject_type",
+             "object_type", "object_datatype", "object_language"]
+    rows = parsed.select(*seven).collect()
+    assert len(rows) == 9
+
+    ref_set = {ref.models.RDFTriple(**{k: r[k] for k in seven})
+               for r in rows}
+    spark_distinct = parsed.select(*seven).dropDuplicates(seven)
+    assert spark_distinct.count() == len(ref_set) == 7
+
+    # and the surviving identities agree member-for-member
+    got = {tuple(r[k] for k in seven) for r in spark_distinct.collect()}
+    want = {(t.subject, t.predicate, t.object, t.subject_type,
+             t.object_type, t.object_datatype, t.object_language)
+            for t in ref_set}
+    assert got == want
+    assert all(t.is_valid() for t in ref_set)
+
+
+# --- extract_relationships: subClassOf -> is_a + fragment strip -----------
+
+def test_extract_relationships_parity(ref, spark):
+    """Same term dimension through both stacks: reference
+    extract_relationships (genuine code over a duck-typed graph built
+    straight from the dimension) vs the Spark path
+    turtle_full_docs -> parse_turtle_full -> to_model_relationships.
+    P/R must be 1.0."""
+    from cspirit_ontology_information_extraction_opus4plan_spark import (
+        ontology_data as OD,
+    )
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators import (  # noqa: E501
+        gazetteer as GZ,
+        rdf_full as RF,
+    )
+    sub_class_of = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+    graph = _FakeGraph(
+        (f"urn:graft#{t['id'].replace(':', '_')}", sub_class_of,
+         f"urn:graft#{t['parents'][0].replace(':', '_')}")
+        for t in OD.terms() if t["parents"])
+    rels = _owl_parser(ref).extract_relationships({"rdf_graph": graph})
+    assert rels, "reference produced no relationships"
+    assert all(r.predicate == "is_a" for r in rels)
+    assert all(r.confidence == 1.0 for r in rels)
+    want = {(r.subject, r.predicate, r.object) for r in rels}
+    assert all("#" not in s and "#" not in o for s, _, o in want)
+
+    mine = RF.to_model_relationships(
+        RF.parse_turtle_full(RF.turtle_full_docs(GZ.terms_df(spark))))
+    got = {(r["subject"], r["predicate"], r["object"])
+           for r in mine.collect()}
+    precision, recall = _pr(got, want)
+    assert (precision, recall) == (1.0, 1.0), (precision, recall)
+
+
+# --- extract_terms: owl:Class + rdfs:label -> Term ------------------------
+
+_TERMS_FIXTURE_IDS = ["CHEBI:10001", "CHEBI:10002", "GO:20001"]
+
+_TERMS_FIXTURE = """\
+@prefix ont: <urn:graft#> .
+@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+@prefix owl: <http://www.w3.org/2002/07/owl#> .
+ont:CHEBI:10001 a owl:Class ; rdfs:label "glucose" .
+ont:CHEBI:10002 a owl:Class ; rdfs:label "fructose" .
+ont:GO:20001 a owl:Class ; rdfs:label "budding" .
+ont:GO:20002 a owl:Thing ; rdfs:label "not a class" .
+ont:GO:20003 a owl:Class .
+"""
+
+
+def test_extract_terms_parity(ref, spark):
+    """Identical Turtle content through both stacks. The reference's
+    rdf-graph fallback builds Term(id=#fragment, name=first label,
+    name=id when unlabeled) — parsers/__init__.py:3656-3683; Term's
+    ctor itself validates the id format (colon form), which is why the
+    fixture uses colon PN_LOCALs. The Spark leg derives the same pairs
+    from parse_turtle_full output with column ops."""
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators import (  # noqa: E501
+        rdf_full as RF,
+    )
+    rdf_type = _FakeRdflib.RDF.type
+    owl_class = "http://www.w3.org/2002/07/owl#Class"
+    rdfs_label = "http://www.w3.org/2000/01/rdf-schema#label"
+
+    raw = RF.parse_turtle_text("D1", _TERMS_FIXTURE)
+    graph = _FakeGraph((r[1], r[2], r[3]) for r in raw)
+    terms = _owl_parser(ref).extract_terms({"rdf_graph": graph})
+    want = {(t.id, t.name) for t in terms}
+    assert want == {("CHEBI:10001", "glucose"), ("CHEBI:10002",
+                    "fructose"), ("GO:20001", "budding"),
+                    ("GO:20003", "GO:20003")}
+
+    docs = spark.createDataFrame([("D1", _TERMS_FIXTURE)],
+                                 "src_id string, payload string")
+    parsed = RF.parse_turtle_full(docs)
+    frag = F.substring_index("subject", "#", -1)
+    classes = (parsed
+               .filter((F.col("predicate") == rdf_type)
+                       & (F.col("object") == owl_class))
+               .select(frag.alias("id"), "subject"))
+    labels = (parsed.filter(F.col("predicate") == rdfs_label)
+              .select("subject", F.col("object").alias("label")))
+    mine = (classes.join(labels, "subject", "left")
+            .select("id", F.coalesce("label", "id").alias("name")))
+    got = {(r["id"], r["name"]) for r in mine.collect()}
+    precision, recall = _pr(got, want)
+    assert (precision, recall) == (1.0, 1.0), (precision, recall)
+
+
+# --- detect_format --------------------------------------------------------
+
+# (payload, reference label, this engine's textmeta label)
+_SNIFF_BATTERY = [
+    ('{"@context": {"ont": "urn:graft#"}, "@id": "x"}',
+     "json-ld", "json-ld"),
+    ('<?xml version="1.0"?><rdf:RDF><owl:Ontology rdf:about=""/>'
+     "</rdf:RDF>", "owl", "owl"),
+    ('<?xml version="1.0"?><rdf:RDF><rdf:Description rdf:about="#x"/>'
+     "</rdf:RDF>", "rdf", "rdf-xml"),
+    ("@prefix ont: <urn:graft#> .\nont:a ont:b ont:c .",
+     "ttl", "turtle"),
+    ("<urn:a> <urn:b> <urn:c> .\n<urn:d> <urn:e> <urn:f> .",
+     "nt", "ntriples"),
+]
+
+
+def test_detect_format_parity(ref, spark):
+    """OWLParser.detect_format (pure Python, runs as-is) and
+    textmeta.detect_formats agree on the battery modulo the fixed
+    label mapping (owl/rdf->rdf-xml/ttl->turtle/nt->ntriples)."""
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators import (  # noqa: E501
+        textmeta as TM,
+    )
+    p = ref.OWLParser()
+    for payload, want_ref, _ in _SNIFF_BATTERY:
+        assert p.detect_format(payload) == want_ref, payload[:40]
+    docs = spark.createDataFrame(
+        [(str(i), payload) for i, (payload, _, _)
+         in enumerate(_SNIFF_BATTERY)],
+        "doc_id string, content string")
+    got = {r["doc_id"]: r["fmt"] for r in TM.detect_formats(docs).collect()}
+    for i, (_, _, want_mine) in enumerate(_SNIFF_BATTERY):
+        assert got[str(i)] == want_mine
+
+
+# --- flagship pipeline triples are valid reference models -----------------
+
+def test_pipeline_triples_are_valid_reference_models(ref, spark, sf_dir):
+    """Every triple the flagship pipeline emits at sf0.001 round-trips
+    into a genuine reference Relationship (the model whose shape the
+    triple table carries: CURIE ids + the closed snake_case predicate
+    vocabulary — Relationship.__post_init__ REJECTS predicates outside
+    it, models.py:940) and passes is_valid(); and the reference's
+    RDFTriple set-dedup (7-tuple identity) agrees with the pipeline's
+    own dedup count. (RDFTriple.is_valid itself demands full-URI
+    predicates — the raw-graph shape parse_turtle_full emits — so the
+    identity check constructs RDFTriples without the validation
+    gate.)"""
+    import __spark_entry__ as E
+    rows = E.queries()["triples"](spark, sf_dir).collect()
+    assert rows
+    rels = [ref.models.Relationship(
+        id=f"REL:{i:06d}", subject=r["subject"],
+        predicate=r["predicate"], object=r["object"],
+        confidence=r["confidence"])
+        for i, r in enumerate(rows)]
+    assert all(r.is_valid() for r in rels)
+    triples = [ref.models.RDFTriple(
+        subject=r["subject"], predicate=r["predicate"],
+        object=r["object"], subject_type=r["subject_type"],
+        object_type=r["object_type"], confidence=r["confidence"])
+        for r in rows]
+    dedup = E.queries()["triples_dedup"](spark, sf_dir).count()
+    assert len(set(triples)) == dedup
