@@ -473,10 +473,13 @@ def q_terms_csv(spark, sf_dir):
 # --- multimodal media plumbing ----------------------------------------------
 
 def q_media_features(spark, sf_dir):
-    from .operators.multimodal import (extract_media_features, fetch_media,
-                                       media_spans)
+    """Real-codec media features: synthesize an actual zlib PNG per
+    ref, then a genuine decode (chunk walk + inflate + un-filter) into
+    integer pixel statistics."""
+    from .operators.multimodal import (extract_media_features, media_spans,
+                                       synthesize_png)
     return extract_media_features(
-        fetch_media(media_spans(spans_exploded(spark, sf_dir))))
+        synthesize_png(media_spans(spans_exploded(spark, sf_dir))))
 
 
 def q_media_inventory(spark, sf_dir):
@@ -494,30 +497,36 @@ def q_media_content_dedup(spark, sf_dir):
 
 
 def q_media_phash_neardup(spark, sf_dir):
-    """Perceptual-hash (aHash) media near-dup: one Arrow decode+hash
-    crossing, banded-LSH equi-join, exact hamming verify — catches the
-    re-encoded twins the exact content digest misses."""
-    from .operators.multimodal import (fetch_media, media_phash,
-                                       media_phash_neardup, media_spans)
-    return media_phash_neardup(media_phash(DE.phash_media(
-        fetch_media(media_spans(spans_exploded(spark, sf_dir))))))
+    """Perceptual-hash (aHash) media near-dup over REAL decoded
+    pixels: one Arrow decode+hash crossing, banded-LSH equi-join,
+    exact hamming verify. The synthesizer's canonical groups plant
+    brightness-shifted twins whose bytes (and exact digests) differ
+    but whose mean-relative aHash is invariant — the perceptual-dedup
+    catch the content digest misses."""
+    from .operators.multimodal import (media_phash, media_phash_neardup,
+                                       media_spans, synthesize_png)
+    return media_phash_neardup(media_phash(
+        synthesize_png(media_spans(spans_exploded(spark, sf_dir)))))
 
 
 def q_media_resize(spark, sf_dir):
-    """Aspect-preserving resize plumbing: decode dims (stub), cap the
-    longer edge at RESIZE_MAX_DIM, integer target box."""
-    from .operators.multimodal import fetch_media, media_spans, resize_media
+    """Aspect-preserving resize plumbing: REAL decode of the PNG dims,
+    cap the longer edge at RESIZE_DEMO_DIM, integer target box."""
+    from .operators.multimodal import (RESIZE_DEMO_DIM, media_spans,
+                                       resize_media, synthesize_png)
     return resize_media(
-        fetch_media(media_spans(spans_exploded(spark, sf_dir))))
+        synthesize_png(media_spans(spans_exploded(spark, sf_dir))),
+        max_dim=RESIZE_DEMO_DIM)
 
 
 def q_media_vad_segments(spark, sf_dir):
-    """VAD segmentation plumbing: per-clip voiced runs from stub frame
-    energies — the row-exploding Arrow stage before ASR."""
-    from .operators.multimodal import (fetch_media, media_spans,
+    """VAD segmentation over REAL audio: synthesize an actual RIFF/WAV
+    PCM clip per ref, decode it, gate per-frame energies — the
+    row-exploding Arrow stage before ASR."""
+    from .operators.multimodal import (media_spans, synthesize_wav,
                                        vad_segments)
     return vad_segments(
-        fetch_media(media_spans(spans_exploded(spark, sf_dir))))
+        synthesize_wav(media_spans(spans_exploded(spark, sf_dir))))
 
 
 def q_media_frame_sample(spark, sf_dir):

@@ -241,28 +241,10 @@ def shacl_triples(dedup: DataFrame) -> DataFrame:
             .unionByName(notes))
 
 
-def phash_media(media: DataFrame) -> DataFrame:
-    """media_with_content + planted perceptual NEAR-twins: payloads
-    whose md5(media_ref) leads with nibble '0' (~1/16 of media rows —
-    a POSITION-independent plant: the corpus emits media only at
-    pos % 5 in {2, 3}) are re-encoded with the LAST nibble bumped
-    +1 mod 16 (ref#p, pos+1000) — one changed 'pixel' plus at most a
-    few mean-threshold bit flips, far inside the hamming verify
-    radius, while unrelated payloads sit near 16/32 bits apart.
-    Rebuilt identically by the oracle from md5(media_ref) hex text."""
-    twin = (media.filter(F.substring(F.md5("media_ref"), 1, 1) == "0")
-            .select("doc_id",
-                    (F.col("pos") + 1000).cast("int").alias("pos"),
-                    "kind",
-                    F.concat(F.col("media_ref"), F.lit("#p"))
-                    .alias("media_ref"),
-                    F.unhex(F.concat(
-                        F.expr("substring(lower(hex(content)), 1, 31)"),
-                        F.expr("substr('0123456789abcdef', "
-                               "(locate(substring(lower(hex(content)), 32, 1),"
-                               " '0123456789abcdef') % 16) + 1, 1)")))
-                    .alias("content")))
-    return media.unionByName(twin)
+# (phash twin-planting by payload-nibble bump was removed when the
+# media pipeline moved to real PNG bytes: perceptual twins are now
+# planted by the synthesizer's canonical brightness groups,
+# multimodal._image_params)
 
 
 # ---------------------------------------------------------------------------

@@ -3971,16 +3971,47 @@ FROM terms_f"""
     def hv(pos: int) -> str:
         return f"(strpos('0123456789abcdef', substring(h, {pos}, 1)) - 1)"
 
-    sqls["media_features"] = corpus_prefix() + f"""
+    def hb(i: int) -> str:
+        """byte i (0-based) of the md5 hex column h."""
+        return f"({hv(2 * i + 1)} * 16 + {hv(2 * i + 2)})"
+
+    from .operators.multimodal import (FIG_GROUP, GRAY_MOD, TAB_GROUP)
+    # the synthesized-image model (multimodal._image_params): geometry
+    # seeded by the md5 of the CANONICAL group ref, per-doc brightness
+    # delta; pixel g(x,y) = (a*x + b*y + c0) % GRAY_MOD + delta
+    _img_dims = corpus_prefix() + rf"""
 , mf AS (
-  SELECT doc_id, pos, kind, media_ref, md5(media_ref) AS h
-  FROM spans WHERE kind IN ('figure', 'table') AND media_ref <> '')
+  SELECT doc_id, pos, kind, media_ref,
+         CAST(regexp_extract(media_ref, 'DOC(\d+)', 1) AS INT) AS d,
+         CASE WHEN kind = 'figure' THEN {FIG_GROUP}
+              ELSE {TAB_GROUP} END AS grp,
+         CASE WHEN kind = 'figure' THEN 'fig1.png'
+              ELSE 'tab1.parquet' END AS sfx
+  FROM spans WHERE kind IN ('figure', 'table') AND media_ref <> ''),
+cm AS (
+  SELECT doc_id, pos, kind, media_ref, d % grp AS delta,
+         md5('media/DOC' || (d - d % grp) || '/' || sfx) AS h
+  FROM mf),
+dims AS (
+  SELECT doc_id, pos, kind, media_ref, delta,
+         16 + {hb(0)} % 17 AS w, 16 + {hb(1)} % 17 AS ht,
+         1 + {hb(2)} % 7 AS ca, 1 + {hb(3)} % 5 AS cb, {hb(4)} AS c0
+  FROM cm)"""
+
+    sqls["media_features"] = _img_dims + f""",
+px AS (
+  SELECT doc_id, pos, kind, media_ref, w, ht,
+         (ca * x * x + cb * y * y + 3 * x * y + c0) % {GRAY_MOD} + delta AS g
+  FROM dims, LATERAL unnest(range(0, w)) AS tx(x),
+             LATERAL unnest(range(0, ht)) AS ty(y))
 SELECT doc_id, pos, kind, media_ref,
-       CAST(64 + {hv(1)} * 16 + {hv(2)} AS INT) AS width,
-       CAST(64 + {hv(3)} * 16 + {hv(4)} AS INT) AS height,
-       CAST(1 + ({hv(5)} * 16 + {hv(6)}) % 4 AS INT) AS n_channels,
-       CAST(16 AS INT) AS content_len
-FROM mf"""
+       CAST(w AS INT) AS width, CAST(ht AS INT) AS height,
+       CAST(1 AS INT) AS n_channels, CAST(8 AS INT) AS bit_depth,
+       CAST(w * ht AS INT) AS raw_len,
+       CAST(sum(g) AS BIGINT) AS px_sum,
+       CAST(min(g) AS INT) AS px_min, CAST(max(g) AS INT) AS px_max,
+       CAST(sum(g) // (w * ht) AS INT) AS mean_gray
+FROM px GROUP BY doc_id, pos, kind, media_ref, w, ht"""
 
     # blob digest = md5 over base64(content): the one canonical
     # byte->text encoding both engines share (DuckDB md5 is
@@ -4003,25 +4034,18 @@ FROM spans WHERE kind IN ('figure', 'table') AND media_ref <> ''
 GROUP BY kind"""
 
     from .operators import multimodal as MM
-    # resize: same stub dims as media_features; target box is pure
-    # integer arithmetic ((w * max_dim) // longer edge), mirrored here
-    # with DuckDB's // integer division
-    sqls["media_resize"] = corpus_prefix() + f"""
-, mf AS (
-  SELECT doc_id, pos, kind, media_ref, md5(media_ref) AS h
-  FROM spans WHERE kind IN ('figure', 'table') AND media_ref <> ''),
-dims AS (
-  SELECT doc_id, pos, kind, media_ref,
-         CAST(64 + {hv(1)} * 16 + {hv(2)} AS INT) AS width,
-         CAST(64 + {hv(3)} * 16 + {hv(4)} AS INT) AS height
-  FROM mf)
-SELECT doc_id, pos, kind, media_ref, width, height,
-       CAST(CASE WHEN greatest(width, height) > {MM.RESIZE_MAX_DIM}
-            THEN (width * {MM.RESIZE_MAX_DIM}) // greatest(width, height)
-            ELSE width END AS INT) AS out_width,
-       CAST(CASE WHEN greatest(width, height) > {MM.RESIZE_MAX_DIM}
-            THEN (height * {MM.RESIZE_MAX_DIM}) // greatest(width, height)
-            ELSE height END AS INT) AS out_height
+    # resize: REAL decoded dims (the synthesized-image model above);
+    # target box is pure integer arithmetic ((w * max_dim) // longer
+    # edge), mirrored here with DuckDB's // integer division
+    sqls["media_resize"] = _img_dims + f"""
+SELECT doc_id, pos, kind, media_ref,
+       CAST(w AS INT) AS width, CAST(ht AS INT) AS height,
+       CAST(CASE WHEN greatest(w, ht) > {MM.RESIZE_DEMO_DIM}
+            THEN (w * {MM.RESIZE_DEMO_DIM}) // greatest(w, ht)
+            ELSE w END AS INT) AS out_width,
+       CAST(CASE WHEN greatest(w, ht) > {MM.RESIZE_DEMO_DIM}
+            THEN (ht * {MM.RESIZE_DEMO_DIM}) // greatest(w, ht)
+            ELSE ht END AS INT) AS out_height
 FROM dims"""
 
     # frame sampling: n_frames = 8 + byte3 % 56 (hex digits 7-8 of the
@@ -4076,36 +4100,50 @@ SELECT doc_id, pos, media_ref, n_frames,
        CAST((ef - sf) * {AUDIO_FRAME_MS} AS INT) AS dur_ms
 FROM segs"""
 
-    # perceptual aHash near-dup: 32 payload nibbles as pixels, integer-
-    # exact threshold bit i set iff 32*p_i > sum(p); planted twins bump
-    # the last nibble +1 mod 16 at ref#p; candidates = OR of the 8
-    # 4-bit band equalities (same pair set as the engine's banded
-    # equi-join + distinct), verify bit_count(xor) <= max
-    nibsum = " + ".join(hv(i) for i in range(1, 33))
-    phash_expr = " + ".join(
-        f"(CASE WHEN 32 * {hv(i + 1)} > ({nibsum}) THEN {1 << i} "
-        f"ELSE 0 END)" for i in range(MM.PHASH_BITS))
-    band_or = " OR ".join(
-        f"((a.phash // {1 << (4 * j)}) % 16) = "
-        f"((b.phash // {1 << (4 * j)}) % 16)"
-        for j in range(MM.PHASH_BANDS))
-    sqls["media_phash_neardup"] = corpus_prefix() + f"""
-, med AS (
-  SELECT doc_id, pos, kind, media_ref, md5(media_ref) AS h
-  FROM spans WHERE kind IN ('figure', 'table') AND media_ref <> ''),
-allm AS (
-  SELECT media_ref, h FROM med
-  UNION ALL
-  SELECT media_ref || '#p',
-         substring(h, 1, 31) || substr('0123456789abcdef',
-           (strpos('0123456789abcdef', substring(h, 32, 1)) % 16) + 1, 1)
-  FROM med WHERE substring(h, 1, 1) = '0'),
+    # perceptual aHash near-dup over the REAL decoded pixels: 8x8
+    # point samples (x_i = i*w // 8), integer-exact threshold bit
+    # k = j*8 + i set iff 64*g > sum; phash assembled into a signed
+    # BIGINT via two's complement (bit 63 contributes -(2^63));
+    # candidates via the 8-bit band equi-match on the NON-NEGATIVE
+    # per-band sums (same pair set as the engine's shift+mask bands),
+    # verify bit_count(xor) <= max. Brightness-shifted group twins
+    # hash identically (the mean-relative threshold cancels delta).
+    sqls["media_phash_neardup"] = _img_dims + f""",
+refs AS (
+  SELECT DISTINCT media_ref, w, ht, ca, cb, c0, delta FROM dims),
+sm AS (
+  SELECT media_ref, i, j,
+         (ca * ((i * w) // 8) * ((i * w) // 8)
+           + cb * ((j * ht) // 8) * ((j * ht) // 8)
+           + 3 * ((i * w) // 8) * ((j * ht) // 8) + c0)
+           % {GRAY_MOD} + delta AS g
+  FROM refs, LATERAL unnest(range(0, 8)) AS t1(i),
+             LATERAL unnest(range(0, 8)) AS t2(j)),
+ssum AS (SELECT media_ref, sum(g) AS s FROM sm GROUP BY 1),
+bits AS (
+  SELECT sm.media_ref, i, j,
+         CASE WHEN 64 * g > s THEN 1 ELSE 0 END AS b
+  FROM sm JOIN ssum USING (media_ref)),
+bands AS MATERIALIZED (
+  SELECT media_ref, j,
+         CAST(sum(b * (CAST(1 AS BIGINT) << i)) AS INT) AS band
+  FROM bits GROUP BY 1, 2),
 ph AS MATERIALIZED (
-  SELECT media_ref, ({phash_expr}) AS phash FROM allm)
-SELECT DISTINCT a.media_ref AS a, b.media_ref AS b,
-       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
-FROM ph a JOIN ph b ON a.media_ref < b.media_ref AND ({band_or})
-WHERE bit_count(xor(a.phash, b.phash)) <= {MM.PHASH_HAMMING_MAX}"""
+  SELECT media_ref,
+         CAST(sum(CASE WHEN j * 8 + i = 63
+                       THEN b * (-9223372036854775807 - 1)
+                       ELSE b * (CAST(1 AS BIGINT) << (j * 8 + i))
+                  END) AS BIGINT) AS phash
+  FROM bits GROUP BY 1)
+SELECT DISTINCT cand.a, cand.b,
+       CAST(bit_count(xor(pa.phash, pb.phash)) AS INT) AS hamming
+FROM (SELECT DISTINCT x.media_ref AS a, y.media_ref AS b
+      FROM bands x JOIN bands y
+        ON x.j = y.j AND x.band = y.band
+       AND x.media_ref < y.media_ref) cand
+JOIN ph pa ON pa.media_ref = cand.a
+JOIN ph pb ON pb.media_ref = cand.b
+WHERE bit_count(xor(pa.phash, pb.phash)) <= {MM.PHASH_HAMMING_MAX}"""
 
     sqls.update(_textops_sqls())
     sqls.update(_curation_sqls())

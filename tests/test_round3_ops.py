@@ -42,38 +42,56 @@ def test_semdedup_resolves_planted_twins_keep_farthest(spark, sf_dir):
 
 
 def test_phash_recall_on_planted_twins(spark, sf_dir):
+    """Every canonical-group brightness twin MUST be found (the
+    mean-relative aHash is provably invariant to the constant shift,
+    so twins are hamming 0 and the banded join cannot miss them), and
+    the hash must come from the REAL decoded pixels (cross-checked
+    against a driver-side render + point-sample)."""
     from cspirit_ontology_information_extraction_opus4plan_spark.operators.multimodal import (
-        PHASH_HAMMING_MAX,
-    )
-    pairs = api.q_media_phash_neardup(spark, sf_dir).collect()
-    found = {(r["a"], r["b"]) for r in pairs}
-    assert all(r["hamming"] <= PHASH_HAMMING_MAX for r in pairs)
-    # every planted twin whose hamming is within the radius MUST be
-    # found (pigeonhole: bands > hamming_max); verify against a direct
-    # hash compute
-    from cspirit_ontology_information_extraction_opus4plan_spark import decorations as DE
-    from cspirit_ontology_information_extraction_opus4plan_spark.operators.multimodal import (
-        fetch_media, media_phash, media_spans,
+        FIG_GROUP, PHASH_HAMMING_MAX, TAB_GROUP, _render_rows,
+        media_phash, media_spans, synthesize_png,
     )
     from cspirit_ontology_information_extraction_opus4plan_spark.api import (
         spans_exploded,
     )
-    hashed = media_phash(DE.phash_media(fetch_media(
-        media_spans(spans_exploded(spark, sf_dir))))).collect()
+    pairs = api.q_media_phash_neardup(spark, sf_dir).collect()
+    found = {(r["a"], r["b"]) for r in pairs}
+    assert all(r["hamming"] <= PHASH_HAMMING_MAX for r in pairs)
+
+    hashed = media_phash(synthesize_png(media_spans(
+        spans_exploded(spark, sf_dir)))).collect()
     h = {r["media_ref"]: r["phash"] for r in hashed}
-    n_checked = 0
-    for ref, ph in h.items():
-        if not ref.endswith("#p"):
-            continue
-        src = ref[:-2]
-        if src not in h:
-            continue
-        d = bin(ph ^ h[src]).count("1")
-        if d <= PHASH_HAMMING_MAX:
-            a, b = sorted([src, ref])
-            assert (a, b) in found, (a, b, d)
-            n_checked += 1
-    assert n_checked > 0
+
+    def group_key(ref):
+        doc = int(ref.split("DOC", 1)[1].split("/", 1)[0])
+        g = FIG_GROUP if ref.endswith("fig1.png") else TAB_GROUP
+        return (ref.rsplit("/", 1)[1], doc // g)
+
+    groups = {}
+    for ref in h:
+        groups.setdefault(group_key(ref), []).append(ref)
+    n_twin_pairs = 0
+    for refs in groups.values():
+        for i, a in enumerate(sorted(refs)):
+            for b in sorted(refs)[i + 1:]:
+                assert h[a] == h[b], (a, b)   # brightness invariance
+                assert (a, b) in found, (a, b)
+                n_twin_pairs += 1
+    assert n_twin_pairs > 0
+    # the hash really is the decoded-pixel aHash
+    some = sorted(h)[0]
+    rows = _render_rows(some)
+    w, ht = len(rows[0]), len(rows)
+    samples = [rows[j * ht // 8][i * w // 8]
+               for j in range(8) for i in range(8)]
+    s = sum(samples)
+    want = 0
+    for k, g in enumerate(samples):
+        if 64 * g > s:
+            want |= 1 << k
+    if want >= 1 << 63:
+        want -= 1 << 64
+    assert h[some] == want
 
 
 def test_ranking_eval_metrics_well_formed(spark, sf_dir):

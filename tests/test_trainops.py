@@ -128,11 +128,13 @@ def test_ann_broadcast_reused_across_calls(spark, sf_dir):
 
 def test_media_decoder_gate(spark, sf_dir):
     spans = spans_exploded(spark, sf_dir)
-    media = multimodal.fetch_media(multimodal.media_spans(spans))
+    media = multimodal.synthesize_png(multimodal.media_spans(spans))
     with pytest.raises(NotImplementedError):
         multimodal.extract_media_features(media, decoder="pil")
     feats = multimodal.extract_media_features(media).limit(5).collect()
-    assert all(64 <= r["width"] <= 319 and r["content_len"] == 16
+    assert all(16 <= r["width"] <= 32 and r["bit_depth"] == 8
+               and r["raw_len"] == r["width"] * r["height"]
+               and r["px_min"] <= r["mean_gray"] <= r["px_max"]
                for r in feats)
 
 
