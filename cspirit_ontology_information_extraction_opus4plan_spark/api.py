@@ -757,6 +757,25 @@ def q_rdf_model_relationships(spark, sf_dir):
         RF.parse_turtle_full(RF.turtle_full_docs(terms_df(spark))))
 
 
+def q_parse_recovery(spark, sf_dir):
+    """Error-recovery taxonomy: planted failures of every class
+    through the columnar severity/strategy rule table with context
+    defaults (reference _classify_error_severity :1059 /
+    _select_recovery_strategy :1135 / _recover_default :1259)."""
+    from .operators import recovery as RC
+    return RC.recover(RC.planted_failures(terms_df(spark)))
+
+
+def q_parse_recovery_reparse(spark, sf_dir):
+    """REPLACE lane against the real parser: corrupted Turtle docs ->
+    quarantine -> corrected-payload reparse; curable defects land back
+    in the triple stream, incurable ones re-quarantine."""
+    from .operators import recovery as RC
+    from .operators.rdf_full import parse_turtle_full
+    docs = RC.recovery_demo_docs(terms_df(spark))
+    return RC.reparse_with_corrections(docs, parse_turtle_full(docs))
+
+
 def q_jats_parse(spark, sf_dir):
     """XML (PMC/JATS) source: structural etree parse of synthesized
     JATS/PMC articles into title/abstract/sections/figures; malformed
@@ -3000,6 +3019,8 @@ def queries() -> dict[str, QueryFn]:
         "doc_bpe_merge_pairs": q_doc_bpe_merge_pairs,
         "rdfxml_parse": q_rdfxml_parse,
         "rdfxml_full_parse": q_rdfxml_full_parse,
+        "parse_recovery": q_parse_recovery,
+        "parse_recovery_reparse": q_parse_recovery_reparse,
         "turtle_full_parse": q_turtle_full_parse,
         "rdf_model_relationships": q_rdf_model_relationships,
         "kg_random_walks": q_kg_random_walks,

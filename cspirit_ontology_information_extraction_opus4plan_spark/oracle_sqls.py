@@ -7974,4 +7974,86 @@ SELECT replace(id, ':', '_') AS subject, 'is_a' AS predicate,
        CAST(1.0 AS DOUBLE) AS confidence
 FROM terms_r WHERE parent IS NOT NULL"""
 
+    # ---- error-recovery taxonomy (recovery.py) ---------------------------
+    from .operators import recovery as RC
+
+    def _in(col, vals):
+        return f"{col} IN ({', '.join(_q(v) for v in vals)})"
+
+    def _like_any(col, words):
+        return " OR ".join(f"{col} LIKE '%{w}%'" for w in words)
+
+    _sev = f"""CASE
+  WHEN {_in('error_type', RC.FATAL_TYPES)} THEN 'fatal'
+  WHEN {_in('error_type', RC.RECOVERABLE_TYPES)} THEN 'recoverable'
+  WHEN {_in('error_type', RC.WARNING_TYPES)} THEN 'warning'
+  WHEN {_like_any('lower(error_message)', RC.FATAL_INDICATORS)}
+    THEN 'fatal'
+  WHEN {_like_any('lower(error_message)', RC.RECOVERABLE_INDICATORS)}
+    THEN 'recoverable'
+  WHEN {_like_any('lower(error_message)', RC.WARNING_INDICATORS)}
+    THEN 'warning'
+  ELSE 'recoverable' END"""
+    _strat = """CASE
+  WHEN severity = 'fatal' THEN 'abort'
+  WHEN severity = 'warning' THEN 'continue'
+  WHEN error_type IN ('SyntaxError', 'ValueError') THEN 'skip'
+  WHEN error_type IN ('KeyError', 'AttributeError') THEN 'default'
+  WHEN error_type IN ('TimeoutError', 'ConnectionError') THEN 'retry'
+  ELSE 'skip' END"""
+    _cls_rows = [(str(i + 1), _q(c[0]), _q(c[1]), _q(c[2]))
+                 for i, c in enumerate(RC.FAILURE_CLASSES)]
+    sqls["parse_recovery"] = ("WITH " + terms_rdf_cte() + ",\n"
+                              + _values(_cls_rows, "classes",
+                                        ["k", "location", "error_type",
+                                         "error_message"]) + rf""",
+planted AS (
+  SELECT t.id AS src_id, c.location, c.error_type, c.error_message
+  FROM terms_r t JOIN classes c
+    ON c.k = CAST(regexp_extract(t.id, '(\d+)$', 1) AS INT)
+             % {len(RC.FAILURE_CLASSES)} + 1),
+sev AS (SELECT *, {_sev} AS severity FROM planted),
+st AS (SELECT *, {_strat} AS strategy FROM sev)
+SELECT src_id, location, error_type, severity, strategy,
+  CASE WHEN strategy = 'default' AND location LIKE '%namespace%'
+         THEN {_q(RC.DEFAULT_NAMESPACE[0])}
+       WHEN strategy = 'default' AND location LIKE '%term%'
+         THEN {_q(RC.DEFAULT_TERM[0])}
+       WHEN strategy = 'default' AND location LIKE '%relationship%'
+         THEN {_q(RC.DEFAULT_RELATIONSHIP[0])} END AS default_id,
+  CASE WHEN strategy = 'default' AND location LIKE '%namespace%'
+         THEN {_q(RC.DEFAULT_NAMESPACE[1])}
+       WHEN strategy = 'default' AND location LIKE '%term%'
+         THEN {_q(RC.DEFAULT_TERM[1])}
+       WHEN strategy = 'default' AND location LIKE '%relationship%'
+         THEN {_q(RC.DEFAULT_RELATIONSHIP[1])} END AS default_name,
+  CASE WHEN strategy = 'default' AND location LIKE '%term%'
+         THEN {_q(RC.DEFAULT_TERM[2])}
+       WHEN strategy = 'default' AND location LIKE '%relationship%'
+         THEN {_q(RC.DEFAULT_RELATIONSHIP[2])} END AS default_extra
+FROM st""")
+
+    # REPLACE-lane reparse: classes 0/1 cure into the triple stream,
+    # class 3 re-quarantines with the parser's deterministic lex-error
+    # message, class 2 parsed clean first pass (absent here)
+    _pl = len(RC._PREFIX_PREAMBLE)
+    sqls["parse_recovery_reparse"] = "WITH " + terms_rdf_cte() + rf""",
+cls AS (
+  SELECT id, name, replace(id, ':', '_') AS frag,
+         CAST(regexp_extract(id, '(\d+)$', 1) AS INT) % 4 AS k
+  FROM terms_r)
+SELECT id AS src_id, 'urn:graft#' || frag AS subject,
+       'urn:obo#src' AS predicate, name AS object,
+       'uri' AS subject_type, 'literal' AS object_type,
+       CAST(NULL AS VARCHAR) AS object_datatype,
+       CAST(NULL AS VARCHAR) AS object_language
+FROM cls WHERE k IN (0, 1)
+UNION ALL
+SELECT id, '', 'parse_error',
+       'ValueError: lex error at offset '
+         || ({2 * _pl + 13} + length(frag)) || ': ' || chr(39)
+         || '%%% .' || chr(39),
+       'error', 'error', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM cls WHERE k = 3"""
+
     return sqls
