@@ -320,12 +320,16 @@ def register_parser(fmt: str, fn: "Callable[[DataFrame], DataFrame]"
     PARSER_REGISTRY[fmt] = fn
 
 
-register_parser(
-    "ntriples",
-    lambda df: parse_ntriples(df.select(F.col("payload").alias("line"))))
-register_parser(
-    "turtle",
-    lambda df: parse_turtle(df.select(F.col("payload").alias("line"))))
+def _payload_lines(df: DataFrame) -> DataFrame:
+    """Line-based formats accept BOTH one-statement payloads and whole
+    fetched files: split on newlines, drop blanks — a no-op for the
+    single-line case."""
+    return (df.select(F.explode(F.split("payload", "\n")).alias("line"))
+            .filter(F.trim("line") != ""))
+
+
+register_parser("ntriples", lambda df: parse_ntriples(_payload_lines(df)))
+register_parser("turtle", lambda df: parse_turtle(_payload_lines(df)))
 register_parser(
     "rdfxml",
     lambda df: parse_rdfxml(df.select(F.col("payload").alias("xml"))))
@@ -457,6 +461,49 @@ def parse_url_sources(files: DataFrame) -> DataFrame:
     """Routed parse over URL-addressed payloads — the same per-format
     branch dispatch as parse_auto, fed by URL routing."""
     return dispatch_parsers(route_url_sources(files))
+
+
+URL_FETCH_TIMEOUT = 30  # seconds — the reference's requests.get
+#                         timeout (ontology_manager.py:205)
+
+
+def fetch_url_sources(spark, urls, *, online: bool = False,
+                      transport=None,
+                      timeout: int = URL_FETCH_TIMEOUT) -> DataFrame:
+    """Ontology download stage — the reference's URL path
+    (`parser.parse_url` / requests fallback with timeout=30,
+    ontology_manager.py:200-208; parsers/__init__.py:3191) behind an
+    OFFLINE-DEFAULT flag so hermetic runs can never reach the network:
+
+      * `file://` URLs always resolve (a local read, not network),
+      * `http(s)://` requires `online=True` (production) or an
+        injected `transport` callable (tests mock it) — otherwise the
+        call raises at plan-build time with the remedy in the message.
+
+    Fetching runs driver-side because ontology source lists are
+    request-sized (the reference downloads one URL per load_ontology
+    call); the returned (url, payload) frame feeds the existing
+    route -> dispatch pipeline (parse_url_sources). A crawl-scale
+    variant maps partitions of a URL table through the same transport
+    inside mapInPandas — the webingest module owns that shape."""
+    import urllib.request
+
+    def default_transport(url: str) -> str:
+        with urllib.request.urlopen(url, timeout=timeout) as r:
+            return r.read().decode("utf-8")
+
+    fetch = transport if transport is not None else default_transport
+    rows = []
+    for url in urls:
+        scheme = url.split(":", 1)[0].lower()
+        if transport is None and scheme in ("http", "https") \
+                and not online:
+            raise RuntimeError(
+                f"fetch_url_sources: {url!r} needs network access, and "
+                "offline is the default. Pass online=True in production "
+                "or inject a transport callable for tests.")
+        rows.append((url, fetch(url)))
+    return spark.createDataFrame(rows, "url string, payload string")
 
 
 # --- conversion filters (class / property / individual groups) ---------------
