@@ -776,6 +776,20 @@ def q_parse_recovery_reparse(spark, sf_dir):
     return RC.reparse_with_corrections(docs, parse_turtle_full(docs))
 
 
+def q_owl_validate(spark, sf_dir):
+    """validate_owl analog (parsers/__init__.py:3403): per-document
+    report (is_valid, triple/error/namespace counts, completeness
+    warnings) over the full-grammar corpus plus the planted-defect
+    docs (prefixed V:), through the real parser."""
+    from .operators import rdf_full as RF
+    from .operators import recovery as RC
+    t = terms_df(spark)
+    docs = RF.turtle_full_docs(t).unionByName(
+        RC.recovery_demo_docs(t).select(
+            F.concat(F.lit("V:"), "src_id").alias("src_id"), "payload"))
+    return RF.owl_validation_report(RF.parse_turtle_full(docs))
+
+
 def q_jats_parse(spark, sf_dir):
     """XML (PMC/JATS) source: structural etree parse of synthesized
     JATS/PMC articles into title/abstract/sections/figures; malformed
@@ -3020,6 +3034,7 @@ def queries() -> dict[str, QueryFn]:
         "rdfxml_parse": q_rdfxml_parse,
         "rdfxml_full_parse": q_rdfxml_full_parse,
         "parse_recovery": q_parse_recovery,
+        "owl_validate": q_owl_validate,
         "parse_recovery_reparse": q_parse_recovery_reparse,
         "turtle_full_parse": q_turtle_full_parse,
         "rdf_model_relationships": q_rdf_model_relationships,

@@ -667,6 +667,64 @@ def rdfxml_full_docs(terms: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# validate_owl analog: per-document validation report
+# --------------------------------------------------------------------------
+
+def owl_validation_report(parsed: DataFrame) -> DataFrame:
+    """Per-document validation report — the reference's `validate_owl`
+    surface (parsers/__init__.py:3403: is_valid + errors + statistics
+    {triple_count, namespace_count} + completeness warnings). Where
+    the reference returns placeholder True for its consistency/
+    namespace checks (:3525-3545), this computes the REAL structural
+    facts the parse exposes: parse success (quarantine-row absence),
+    triple and distinct-namespace counts, and completeness warnings
+    (no rdf:type / no rdfs:label — the warnings the reference's
+    validators flag). DL satisfiability is out of scope by the same
+    contract as the reference's own placeholder; the deeper structural
+    checks (disjointness, cycles, SHACL shapes, entailment) live as
+    first-class queries in ontology_algebra/graphops.
+
+    One explode + one groupBy(src_id): the aggregate is doc-bounded
+    and map-side combinable except the distinct-namespace count."""
+    err = (F.col("predicate") == "parse_error").cast("int")
+
+    def ns(col: str) -> F.Column:
+        return F.regexp_extract(col, r"^(.*[#/])", 1)
+
+    nss = F.array(
+        F.when(F.col("subject_type") == "uri", ns("subject")),
+        F.when(F.col("predicate") != "parse_error", ns("predicate")),
+        F.when(F.col("object_type") == "uri", ns("object")))
+    rows = parsed.select(
+        "src_id", err.alias("err"),
+        F.col("predicate").alias("p"),
+        F.explode_outer(F.array_distinct(F.filter(
+            nss, lambda x: x.isNotNull() & (x != "")))).alias("ns"))
+    agg = (rows.groupBy("src_id")
+           .agg(F.countDistinct(F.when(F.col("err") == 0, F.col("ns")))
+                .alias("n_namespaces"),
+                F.max((F.col("p") == RDF_NS + "type").cast("int"))
+                .alias("_ht"),
+                F.max((F.col("p") == RDFS_NS + "label").cast("int"))
+                .alias("_hl")))
+    # triple/error counts need row (not exploded) granularity
+    counts = (parsed.groupBy("src_id")
+              .agg(F.sum(F.lit(1) - err).cast("bigint").alias("n_triples"),
+                   F.sum(err).cast("bigint").alias("n_errors")))
+    return (counts.join(agg, "src_id")
+            .select(
+                "src_id", F.lit("turtle").alias("format"),
+                ((F.col("n_errors") == 0) & (F.col("n_triples") > 0))
+                .alias("is_valid"),
+                "n_triples", "n_errors",
+                F.col("n_namespaces").cast("int").alias("n_namespaces"),
+                (F.col("_ht") == 1).alias("has_type"),
+                (F.col("_hl") == 1).alias("has_label"),
+                ((F.lit(1) - F.col("_ht")) + (F.lit(1) - F.col("_hl")))
+                .cast("int").alias("n_warnings")))
+
+
+# --------------------------------------------------------------------------
 # Model conversion: raw 7-tuples -> the reference's Relationship view
 # --------------------------------------------------------------------------
 

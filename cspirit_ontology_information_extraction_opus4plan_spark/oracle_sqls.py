@@ -8033,6 +8033,33 @@ SELECT src_id, location, error_type, severity, strategy,
          THEN {_q(RC.DEFAULT_RELATIONSHIP[2])} END AS default_extra
 FROM st""")
 
+    # validate_owl analog: full-grammar docs all valid (triple count
+    # from the serialization contract; the 5 namespaces are constant
+    # by construction), planted-defect docs (V:) valid only for the
+    # clean class
+    sqls["owl_validate"] = "WITH " + terms_rdf_cte() + rf"""
+SELECT id AS src_id, 'turtle' AS format, TRUE AS is_valid,
+       CAST(13 + CASE WHEN syns <> ''
+                      THEN len(string_split(syns, ';')) ELSE 0 END
+               + CASE WHEN parent IS NOT NULL THEN 1 ELSE 0 END
+               + CASE WHEN xref1 IS NOT NULL THEN 2 ELSE 0 END
+               + CASE WHEN alt1 IS NOT NULL THEN 2 ELSE 0 END
+            AS BIGINT) AS n_triples,
+       CAST(0 AS BIGINT) AS n_errors, CAST(5 AS INT) AS n_namespaces,
+       TRUE AS has_type, TRUE AS has_label, CAST(0 AS INT) AS n_warnings
+FROM terms_r
+UNION ALL
+SELECT 'V:' || id, 'turtle',
+       CAST(regexp_extract(id, '(\d+)$', 1) AS INT) % 4 = 2,
+       CASE WHEN CAST(regexp_extract(id, '(\d+)$', 1) AS INT) % 4 = 2
+            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END,
+       CASE WHEN CAST(regexp_extract(id, '(\d+)$', 1) AS INT) % 4 = 2
+            THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END,
+       CASE WHEN CAST(regexp_extract(id, '(\d+)$', 1) AS INT) % 4 = 2
+            THEN CAST(2 AS INT) ELSE CAST(0 AS INT) END,
+       FALSE, FALSE, CAST(2 AS INT)
+FROM terms_r"""
+
     # REPLACE-lane reparse: classes 0/1 cure into the triple stream,
     # class 3 re-quarantines with the parser's deterministic lex-error
     # message, class 2 parsed clean first pass (absent here)
