@@ -84,6 +84,11 @@ HEADLINE = [
     "event_sequence_match",  # CEP journey-regex matching (if present)
     "er_em_weights",      # Splink-style EM over pattern counts (if present)
     "kg_property_path",   # SPARQL alternation closure BFS (if present)
+    "turtle_full_parse",  # full-grammar Turtle parse round-trip (r4)
+    "rdfxml_full_parse",  # general RDF/XML grammar parse (r4)
+    "media_features",     # real PNG decode -> pixel stats (r4)
+    "parse_recovery_reparse",  # REPLACE-lane corrected reparse (r4)
+    "owl_validate",       # per-doc validate_owl report (r4)
 ]
 
 
