@@ -776,6 +776,18 @@ def q_parse_recovery_reparse(spark, sf_dir):
     return RC.reparse_with_corrections(docs, parse_turtle_full(docs))
 
 
+def q_turtle_full_roundtrip(spark, sf_dir):
+    """Write-side identity: full-grammar parse -> to_turtle_full sink
+    (prefix compaction, escaping, lang/dt suffixes, doc-scoped bnode
+    labels) -> document reassembly -> REPARSE. The output must equal
+    the original parse 7-tuple-for-7-tuple (same oracle as
+    turtle_full_parse), proving the sink loses nothing."""
+    from .operators import rdf_full as RF
+    parsed = RF.parse_turtle_full(RF.turtle_full_docs(terms_df(spark)))
+    return RF.parse_turtle_full(
+        RF.reassemble_turtle_docs(RF.to_turtle_full(parsed)))
+
+
 def q_owl_validate(spark, sf_dir):
     """validate_owl analog (parsers/__init__.py:3403): per-document
     report (is_valid, triple/error/namespace counts, completeness
@@ -3035,6 +3047,7 @@ def queries() -> dict[str, QueryFn]:
         "rdfxml_full_parse": q_rdfxml_full_parse,
         "parse_recovery": q_parse_recovery,
         "owl_validate": q_owl_validate,
+        "turtle_full_roundtrip": q_turtle_full_roundtrip,
         "parse_recovery_reparse": q_parse_recovery_reparse,
         "turtle_full_parse": q_turtle_full_parse,
         "rdf_model_relationships": q_rdf_model_relationships,

@@ -667,6 +667,89 @@ def rdfxml_full_docs(terms: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# full-Turtle sink: 7-tuples -> prefix-compacted statements
+# --------------------------------------------------------------------------
+
+# namespace -> prefix table the sink compacts against (the serializer
+# side of _TTL_PREFIXES)
+TTL_PREFIX_TABLE = (
+    (RDF_NS, "rdf"), (RDFS_NS, "rdfs"), (OWL_NS, "owl"),
+    (XSD_NS, "xsd"), ("urn:graft#", "ont"), ("urn:obo#", "obo"),
+)
+
+_PN_SAFE = r"^[A-Za-z][A-Za-z0-9_-]*$"
+
+
+def _ttl_escape(col: F.Column) -> F.Column:
+    out = F.regexp_replace(col, r"\\", r"\\\\")
+    out = F.regexp_replace(out, '"', '\\\\"')
+    out = F.regexp_replace(out, "\n", r"\\n")
+    out = F.regexp_replace(out, "\r", r"\\r")
+    out = F.regexp_replace(out, "\t", r"\\t")
+    return out
+
+
+def _ttl_iri(col: F.Column) -> F.Column:
+    """Compact an IRI to a prefixed name when its namespace is in the
+    table AND the local part is PN-safe; full <IRI> otherwise."""
+    out = F.concat(F.lit("<"), col, F.lit(">"))
+    for ns, pfx in TTL_PREFIX_TABLE:
+        local = F.substring(col, len(ns) + 1, 10_000)
+        out = F.when(col.startswith(ns) & local.rlike(_PN_SAFE),
+                     F.concat(F.lit(pfx + ":"), local)).otherwise(out)
+    return out
+
+
+def _ttl_bnode(col: F.Column) -> F.Column:
+    """Strip the per-document skolem prefix ('_:<src>.g0' -> '_:g0'):
+    the doc-scoped label round-trips back to the same skolemized form
+    when the document is reparsed under the same src_id."""
+    return F.concat(F.lit("_:"), F.substring_index(col, ".", -1))
+
+
+def to_turtle_full(triples: DataFrame) -> DataFrame:
+    """7-tuple triples -> (src_id, line): one full-Turtle statement per
+    triple with prefix compaction, literal escaping, @lang / ^^dt
+    suffixes and doc-scoped bnode labels — the write side of
+    parse_turtle_full (reference sink analog: RDFTriple.to_turtle
+    models.py:4547). Pure column expressions (codegen'd concat/when
+    chains), no Python; pairs with `reassemble_turtle_docs` for a
+    parse -> serialize -> reparse identity round-trip."""
+    term = lambda c, t: (F.when(t == "uri", _ttl_iri(c))
+                         .otherwise(_ttl_bnode(c)))
+    lit_sfx = (F.when(F.col("object_language").isNotNull(),
+                      F.concat(F.lit("@"), F.col("object_language")))
+               .when(F.col("object_datatype").isNotNull(),
+                     F.concat(F.lit("^^"),
+                              _ttl_iri(F.col("object_datatype"))))
+               .otherwise(F.lit("")))
+    obj = (F.when(F.col("object_type") == "literal",
+                  F.concat(F.lit('"'), _ttl_escape(F.col("object")),
+                           F.lit('"'), lit_sfx))
+           .otherwise(term(F.col("object"), F.col("object_type"))))
+    line = F.concat(
+        term(F.col("subject"), F.col("subject_type")), F.lit(" "),
+        _ttl_iri(F.col("predicate")), F.lit(" "), obj, F.lit(" ."))
+    return (triples.filter(F.col("predicate") != "parse_error")
+            .select("src_id", line.alias("line")))
+
+
+def reassemble_turtle_docs(lines: DataFrame) -> DataFrame:
+    """(src_id, line) -> (src_id, payload): group a document's
+    statements back under one prefix preamble. Statement order within
+    a document is semantically irrelevant (every bnode is LABELED in
+    the serialization — the parser allocates anonymous ids only for
+    [] / collections, which the sink never emits), so the collect_list
+    order needs no sort."""
+    preamble = "".join(f"@prefix {p}: <{ns}> .\n"
+                       for ns, p in TTL_PREFIX_TABLE)
+    return (lines.groupBy("src_id")
+            .agg(F.concat(F.lit(preamble),
+                          F.concat_ws("\n", F.collect_list("line")))
+                 .alias("payload")))
+
+
+# --------------------------------------------------------------------------
 # validate_owl analog: per-document validation report
 # --------------------------------------------------------------------------
 

@@ -7940,6 +7940,9 @@ GROUP BY 1""".strip()
     ]
     sqls["turtle_full_parse"] = ("WITH " + terms_rdf_cte() + "\n"
                                  + "\nUNION ALL\n".join(_ttl_arms))
+    # the serialize -> reassemble -> reparse identity must reproduce
+    # the original parse exactly
+    sqls["turtle_full_roundtrip"] = sqls["turtle_full_parse"]
 
     _xml_arms = _common_arms + [
         _t7(_u, "'urn:obo#ns'", "namespace", "'uri'", "'literal'"),

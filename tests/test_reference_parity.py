@@ -280,6 +280,49 @@ def test_detect_format_parity(ref, spark):
         assert got[str(i)] == want_mine
 
 
+# --- citation parsing: subsystem #2 of the parity loop --------------------
+
+def test_citation_field_parity(ref, spark, sf_dir):
+    """Field-level parity vs the reference's ACTUAL citation parser
+    (reference_parser.ReferenceParser.parse_reference) on the shared
+    synthesized APA/IEEE/MLA citations: wherever the reference
+    extracts year / pages / volume / issue, this engine's
+    parse_citation_fields must agree. Field level is the honest
+    surface: the reference's FORMAT labels are self-inconsistent
+    (probed in-process: detect_citation_format says ('Unknown', 0.4)
+    on a lowercase APA string that parse_reference then routes as
+    'MLA'), so format-label parity would be parity with noise; the
+    extracted field VALUES are stable and comparable."""
+    from aim2_project.aim2_ontology.parsers.reference_parser import (
+        ReferenceParser,
+    )
+    import __spark_entry__ as E
+    rows = (E.queries()["citation_fields_by_format"](spark, sf_dir)
+            .collect())
+    assert len(rows) > 100
+    # rebuild the citation strings the same way the query's input does
+    from cspirit_ontology_information_extraction_opus4plan_spark import (
+        decorations as DE,
+    )
+    cits = {r["doc_id"]: r["citation"] for r in DE.citation_samples(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")).collect()}
+    p = ReferenceParser()
+    n_year = n_pages = n_vol = 0
+    for r in rows[:300]:
+        m = p.parse_reference(cits[r["doc_id"]]).metadata
+        if m.year is not None:
+            assert r["year"] == m.year, (r["doc_id"], r["year"], m.year)
+            n_year += 1
+        if m.pages and r["page_start"] is not None:
+            assert f"{r['page_start']}-{r['page_end']}" == m.pages
+            n_pages += 1
+        if m.volume and r["volume"] is not None:
+            assert str(r["volume"]) == str(m.volume)
+            n_vol += 1
+    assert n_year > 200 and n_pages > 200 and n_vol > 50
+
+
 # --- flagship pipeline triples are valid reference models -----------------
 
 def test_pipeline_triples_are_valid_reference_models(ref, spark, sf_dir):
