@@ -21,37 +21,67 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
+def _rank_quartiles(events: DataFrame) -> DataFrame:
+    """Per-type RANK-PICKED quartiles — the reference's exact
+    convention (analyze_distribution / detect_outliers
+    content_utils.py:143-146, :166-169: q1 = sorted[n // 4],
+    q3 = sorted[3n // 4], None below 4 values), verified equal
+    in-process by tests/test_reference_parity.py. An interpolated
+    percentile() is NOT the same number — the parity harness caught
+    that divergence. The ordered-window + position-match shape is
+    event_exact_percentiles'; deterministic via the (value, event_id)
+    order (ties pick the same concrete element on both engines)."""
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    rk = (events.select("event_type", "value", "event_id")
+          .withColumn("r", F.row_number().over(w))
+          .withColumn("n", F.count("*").over(wn)))
+    pos1 = (F.col("n") / 4).cast("int") + 1
+    pos3 = (F.col("n") * 3 / 4).cast("int") + 1
+    return (rk.groupBy("event_type")
+            .agg(F.max("n").alias("n"),
+                 F.max(F.when((F.col("r") == pos1) & (F.col("n") >= 4),
+                              F.col("value"))).alias("q1"),
+                 F.max(F.when((F.col("r") == pos3) & (F.col("n") >= 4),
+                              F.col("value"))).alias("q3")))
+
+
 def value_distribution(events: DataFrame) -> DataFrame:
     """Per event_type distribution summary: n, mean, stddev (sample),
-    min/max, interpolated quartiles (analyze_distribution's
-    mean/median/stdev/min/max/quartiles)."""
-    q = F.percentile("value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
-    return (events.groupBy("event_type").agg(
+    min/max, median (statistics.median = linear mid-interpolation) and
+    the reference's rank-picked quartiles (analyze_distribution
+    content_utils.py:125)."""
+    base = (events.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.round(F.avg("value"), 6).alias("mean_v"),
         F.round(F.stddev_samp("value"), 6).alias("stddev_v"),
         F.round(F.min("value"), 6).alias("min_v"),
         F.round(F.max("value"), 6).alias("max_v"),
-        F.round(q[0], 6).alias("q1"),
-        F.round(q[1], 6).alias("median_v"),
-        F.round(q[2], 6).alias("q3")))
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("median_v")))
+    qs = _rank_quartiles(events).select(
+        "event_type", F.round("q1", 6).alias("q1"),
+        F.round("q3", 6).alias("q3"))
+    return (base.join(F.broadcast(qs), "event_type")
+            .select("event_type", "n", "mean_v", "stddev_v", "min_v",
+                    "max_v", "q1", "median_v", "q3"))
 
 
 def iqr_outliers(events: DataFrame) -> DataFrame:
     """IQR-method outliers per event_type: value outside
-    [q1 - 1.5*iqr, q3 + 1.5*iqr] (detect_outliers). Per-group fences
-    are a tiny aggregate broadcast back against the stream — the
-    window-free shape from SURVEY §2.4."""
-    q = F.percentile("value", F.array(F.lit(0.25), F.lit(0.75)))
-    fences = (events.groupBy("event_type")
-              .agg(q[0].alias("q1"), q[1].alias("q3"))
-              .select("event_type", "q1", "q3",
-                      (F.col("q1") - IQR_FACTOR * (F.col("q3") - F.col("q1")))
-                      .alias("lo"),
-                      (F.col("q3") + IQR_FACTOR * (F.col("q3") - F.col("q1")))
-                      .alias("hi")))
-    return (events.join(F.broadcast(fences.select("event_type", "lo", "hi")),
-                        "event_type")
+    [q1 - 1.5*iqr, q3 + 1.5*iqr] with the reference's RANK-PICKED
+    quartiles and its n >= 4 guard (detect_outliers
+    content_utils.py:160-177). Per-group fences are a tiny aggregate
+    broadcast back against the stream — the window-free probe shape
+    from SURVEY §2.4 (the quartile pick itself pays one ordered
+    window, the event_exact_percentiles shape)."""
+    fences = (_rank_quartiles(events)
+              .filter(F.col("n") >= 4)
+              .select("event_type",
+                      (F.col("q1") - IQR_FACTOR
+                       * (F.col("q3") - F.col("q1"))).alias("lo"),
+                      (F.col("q3") + IQR_FACTOR
+                       * (F.col("q3") - F.col("q1"))).alias("hi")))
+    return (events.join(F.broadcast(fences), "event_type")
             .filter((F.col("value") < F.col("lo"))
                     | (F.col("value") > F.col("hi")))
             .select("event_id", "event_type", "value"))

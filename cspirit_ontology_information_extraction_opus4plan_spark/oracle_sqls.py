@@ -1923,27 +1923,44 @@ SELECT col_name, CAST(count(*) AS BIGINT) AS n_rows,
        round(max(v), 6) AS max_v
 FROM melted GROUP BY col_name"""
 
-    sqls["event_value_stats"] = """
-SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-       round(avg(value), 6) AS mean_v,
-       round(stddev_samp(value), 6) AS stddev_v,
-       round(min(value), 6) AS min_v,
-       round(max(value), 6) AS max_v,
-       round(quantile_cont(value, 0.25), 6) AS q1,
-       round(quantile_cont(value, 0.5), 6) AS median_v,
-       round(quantile_cont(value, 0.75), 6) AS q3
-FROM events GROUP BY event_type"""
+    # rank-picked quartiles — the reference's exact convention
+    # (content_utils.py:143-146: q1 = sorted[n // 4], q3 =
+    # sorted[3n // 4], NULL below 4 values); quantile_cont would
+    # interpolate a DIFFERENT number (caught by the in-process parity
+    # harness)
+    _rankq = """
+rk AS (
+  SELECT event_type, value, event_id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS r,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events),
+qs AS (
+  SELECT event_type, max(n) AS n,
+         max(CASE WHEN r = n // 4 + 1 AND n >= 4 THEN value END) AS q1,
+         max(CASE WHEN r = (3 * n) // 4 + 1 AND n >= 4 THEN value END)
+           AS q3
+  FROM rk GROUP BY 1)"""
+    sqls["event_value_stats"] = f"""
+WITH {_rankq}
+SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+       round(avg(e.value), 6) AS mean_v,
+       round(stddev_samp(e.value), 6) AS stddev_v,
+       round(min(e.value), 6) AS min_v,
+       round(max(e.value), 6) AS max_v,
+       round(max(q.q1), 6) AS q1,
+       round(quantile_cont(e.value, 0.5), 6) AS median_v,
+       round(max(q.q3), 6) AS q3
+FROM events e JOIN qs q USING (event_type)
+GROUP BY e.event_type"""
 
     sqls["event_outliers"] = f"""
-WITH fences AS (
+WITH {_rankq},
+fences AS (
   SELECT event_type,
-         quantile_cont(value, 0.25)
-           - {CS.IQR_FACTOR} * (quantile_cont(value, 0.75)
-                         - quantile_cont(value, 0.25)) AS lo,
-         quantile_cont(value, 0.75)
-           + {CS.IQR_FACTOR} * (quantile_cont(value, 0.75)
-                         - quantile_cont(value, 0.25)) AS hi
-  FROM events GROUP BY event_type)
+         q1 - {CS.IQR_FACTOR} * (q3 - q1) AS lo,
+         q3 + {CS.IQR_FACTOR} * (q3 - q1) AS hi
+  FROM qs WHERE n >= 4)
 SELECT e.event_id, e.event_type, e.value
 FROM events e JOIN fences f USING (event_type)
 WHERE e.value < f.lo OR e.value > f.hi"""

@@ -323,6 +323,108 @@ def test_citation_field_parity(ref, spark, sf_dir):
     assert n_year > 200 and n_pages > 200 and n_vol > 50
 
 
+# --- JATS/PMC XML parsing: subsystem #3 of the parity loop ----------------
+
+def test_jats_parity(ref, spark, sf_dir):
+    """Schema detection + title/abstract extraction vs the reference's
+    ACTUAL XMLParser (xml_parser.py:496 parse, :698 _detect_xml_schema,
+    extract_metadata) on the shared synthesized PMC/JATS documents:
+    both stacks must agree on the schema label and the extracted title
+    and abstract text for every sampled document."""
+    from aim2_project.aim2_ontology.parsers.xml_parser import XMLParser
+    from cspirit_ontology_information_extraction_opus4plan_spark import (
+        decorations as DE,
+    )
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators import (  # noqa: E501
+        xmlsource as XS,
+    )
+    from pyspark.sql import functions as F
+
+    docs = DE.jats_docs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text", "n_chars")).limit(50)
+    rows = docs.collect()
+    parsed = XS.parse_jats(docs).collect()
+    sniffed = {r["doc_id"]: r["sch"] for r in docs.select(
+        "doc_id", XS.detect_xml_schema(F.col("xml")).alias("sch"))
+        .collect()}
+    mine = {}
+    for r in parsed:
+        mine.setdefault(r["doc_id"], {})[r["elem"]] = r
+    p = XMLParser()
+    n_ok = n_bad = 0
+    for r in rows:
+        m = mine[r["doc_id"]]
+        try:
+            res = p.parse(r["xml"])
+        except Exception:
+            # the corpus plants malformed docs: BOTH stacks must
+            # refuse them — mine as a parse_error quarantine row
+            assert "parse_error" in m, r["doc_id"]
+            n_bad += 1
+            continue
+        schema = res["schema_info"]["schema"]
+        md = p.extract_metadata(res)
+        # schema label agreement (column sniff vs reference detector)
+        assert sniffed[r["doc_id"]] == schema, r["doc_id"]
+        assert m["title"]["xml_schema"] == schema
+        if md.get("title"):
+            assert m["title"]["content"] == md["title"]
+        if md.get("abstract"):
+            assert m["abstract"]["content"] == md["abstract"]
+        n_ok += 1
+    assert n_ok >= 40 and n_bad >= 1 and n_ok + n_bad == 50
+
+
+# --- statistics: subsystem #4 of the parity loop --------------------------
+
+def test_statistics_parity(ref, spark, sf_dir):
+    """Distribution summary + IQR/z-score outlier sets vs the
+    reference's ACTUAL StatisticalAnalyzer (content_utils.py:125
+    analyze_distribution, :160 detect_outliers) on the same per-type
+    event values at sf0.001."""
+    from aim2_project.aim2_ontology.parsers.content_utils import (
+        StatisticalAnalyzer,
+    )
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators import (  # noqa: E501
+        content_stats as CS,
+    )
+    events = CS.load_events(spark, sf_dir)
+    vals = {}
+    for r in events.select("event_type", "event_id", "value").collect():
+        vals.setdefault(r["event_type"], []).append(
+            (r["event_id"], r["value"]))
+    sa = StatisticalAnalyzer()
+
+    dist = {r["event_type"]: r
+            for r in CS.value_distribution(events).collect()}
+    for et, pairs in vals.items():
+        want = sa.analyze_distribution([v for _, v in pairs])
+        got = dist[et]
+        assert got["n"] == want["count"]
+        for mine_k, ref_k in (("mean_v", "mean"), ("min_v", "min"),
+                              ("max_v", "max"), ("median_v", "median"),
+                              ("stddev_v", "std_dev"), ("q1", "q1"),
+                              ("q3", "q3")):
+            assert abs(got[mine_k] - want[ref_k]) < 1e-5, (
+                et, mine_k, got[mine_k], want[ref_k])
+
+    got_iqr = {(r["event_type"], r["event_id"])
+               for r in CS.iqr_outliers(events).collect()}
+    got_z = {(r["event_type"], r["event_id"])
+             for r in CS.zscore_outliers(events).collect()}
+    want_iqr, want_z = set(), set()
+    for et, pairs in vals.items():
+        series = [v for _, v in pairs]
+        for i in sa.detect_outliers(series):
+            want_iqr.add((et, pairs[i][0]))
+        for i in sa.detect_outliers(series, method="zscore"):
+            want_z.add((et, pairs[i][0]))
+    assert got_iqr == want_iqr
+    assert got_z == want_z
+    assert want_iqr, "fixture should contain IQR outliers"
+
+
 # --- flagship pipeline triples are valid reference models -----------------
 
 def test_pipeline_triples_are_valid_reference_models(ref, spark, sf_dir):
