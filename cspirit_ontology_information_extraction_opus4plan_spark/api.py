@@ -788,6 +788,23 @@ def q_turtle_full_roundtrip(spark, sf_dir):
         RF.reassemble_turtle_docs(RF.to_turtle_full(parsed)))
 
 
+def q_obo_parse(spark, sf_dir):
+    """OBO flat-file source: terms serialized to per-ontology OBO
+    documents (to_obo), parsed back into exploded (term_id, tag,
+    value) rows with PURE column ops — posexplode + regexp tag split +
+    a last(ignoreNulls) stanza-id window; zero Python (the line
+    protocol needs no tokenizer)."""
+    from .operators import obo as OB
+    return OB.parse_obo(OB.to_obo(terms_df(spark)))
+
+
+def q_obo_roundtrip(spark, sf_dir):
+    """OBO round-trip identity: sink -> parse -> per-term pivot equals
+    the source dimension field-for-field."""
+    from .operators import obo as OB
+    return OB.obo_terms(OB.parse_obo(OB.to_obo(terms_df(spark))))
+
+
 def q_owl_validate(spark, sf_dir):
     """validate_owl analog (parsers/__init__.py:3403): per-document
     report (is_valid, triple/error/namespace counts, completeness
@@ -3048,6 +3065,8 @@ def queries() -> dict[str, QueryFn]:
         "parse_recovery": q_parse_recovery,
         "owl_validate": q_owl_validate,
         "turtle_full_roundtrip": q_turtle_full_roundtrip,
+        "obo_parse": q_obo_parse,
+        "obo_roundtrip": q_obo_roundtrip,
         "parse_recovery_reparse": q_parse_recovery_reparse,
         "turtle_full_parse": q_turtle_full_parse,
         "rdf_model_relationships": q_rdf_model_relationships,

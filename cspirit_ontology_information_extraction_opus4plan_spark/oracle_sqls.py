@@ -86,12 +86,14 @@ def terms_rdf_cte() -> str:
          _q(t["parents"][0]) if t["parents"] else "NULL",
          _q(";".join(t["synonyms"])),
          _q(t["xrefs"][0]) if t["xrefs"] else "NULL",
-         _q(t["alt_ids"][0]) if t["alt_ids"] else "NULL")
+         _q(t["alt_ids"][0]) if t["alt_ids"] else "NULL",
+         _q(t["ontology_id"]))
         for t in OD.terms()
     ]
     return _values(rows, "terms_r",
                    ["id", "name", "definition", "namespace",
-                    "is_obsolete", "parent", "syns", "xref1", "alt1"])
+                    "is_obsolete", "parent", "syns", "xref1", "alt1",
+                    "ontology_id"])
 
 
 def cc_ctes() -> str:
@@ -8078,6 +8080,46 @@ SELECT 'V:' || id, 'turtle',
        CASE WHEN CAST(regexp_extract(id, '(\d+)$', 1) AS INT) % 4 = 2
             THEN CAST(2 AS INT) ELSE CAST(0 AS INT) END,
        FALSE, FALSE, CAST(2 AS INT)
+FROM terms_r"""
+
+    # OBO source: exploded (src_id, term_id, tag, value) rows
+    # re-derived relationally from the terms dimension (the sink's
+    # serialization contract)
+    def _obo_arm(tag, value, where=""):
+        return (f"SELECT ontology_id AS src_id, id AS term_id,"
+                f" '{tag}' AS tag, {value} AS value FROM terms_r"
+                f"{(' WHERE ' + where) if where else ''}")
+
+    sqls["obo_parse"] = ("WITH " + terms_rdf_cte() + "\n"
+                         + "\nUNION ALL\n".join([
+                             _obo_arm("id", "id"),
+                             _obo_arm("name", "name"),
+                             _obo_arm("namespace", "namespace"),
+                             _obo_arm("def",
+                                      "'\"' || definition || '\" []'"),
+                             "SELECT ontology_id AS src_id,"
+                             " id AS term_id, 'synonym' AS tag,"
+                             " '\"' || unnest(string_split(syns, ';'))"
+                             " || '\" EXACT []' AS value"
+                             " FROM terms_r WHERE syns <> ''",
+                             _obo_arm("alt_id", "alt1",
+                                      where="alt1 IS NOT NULL"),
+                             _obo_arm("xref", "xref1",
+                                      where="xref1 IS NOT NULL"),
+                             _obo_arm("is_a", "parent",
+                                      where="parent IS NOT NULL"),
+                             _obo_arm("is_obsolete", "'true'",
+                                      where="is_obsolete"),
+                         ]))
+
+    # OBO round-trip identity: sink -> parse -> pivot == the dimension
+    sqls["obo_roundtrip"] = "WITH " + terms_rdf_cte() + """
+SELECT ontology_id AS src_id, id AS term_id, name, namespace,
+       definition,
+       CAST(CASE WHEN syns = '' THEN 0
+                 ELSE len(string_split(syns, ';')) END AS INT)
+         AS n_synonyms,
+       alt1 AS alt_id, xref1 AS xref, parent, is_obsolete
 FROM terms_r"""
 
     # REPLACE-lane reparse: classes 0/1 cure into the triple stream,
