@@ -788,6 +788,23 @@ def q_turtle_full_roundtrip(spark, sf_dir):
         RF.reassemble_turtle_docs(RF.to_turtle_full(parsed)))
 
 
+def q_trig_parse(spark, sf_dir):
+    """TriG source: named-graph blocks (labeled, GRAPH-keyword with a
+    bnode label, bare default-graph statements) parsed into quads with
+    the graph provenance column a quad store partitions on."""
+    from .operators import rdf_full as RF
+    return RF.parse_trig_full(RF.trig_docs(terms_df(spark)))
+
+
+def q_nquads_roundtrip(spark, sf_dir):
+    """Quad round-trip: TriG parse -> canonical N-Quads sink ->
+    document reassembly -> N-Quads source; must equal the original
+    quads (oracle shared with trig_parse)."""
+    from .operators import rdf_full as RF
+    quads = RF.parse_trig_full(RF.trig_docs(terms_df(spark)))
+    return RF.parse_nquads(RF.reassemble_docs(RF.to_nquads(quads)))
+
+
 def q_obo_parse(spark, sf_dir):
     """OBO flat-file source: terms serialized to per-ontology OBO
     documents (to_obo), parsed back into exploded (term_id, tag,
@@ -3066,6 +3083,8 @@ def queries() -> dict[str, QueryFn]:
         "owl_validate": q_owl_validate,
         "turtle_full_roundtrip": q_turtle_full_roundtrip,
         "obo_parse": q_obo_parse,
+        "trig_parse": q_trig_parse,
+        "nquads_roundtrip": q_nquads_roundtrip,
         "obo_roundtrip": q_obo_roundtrip,
         "parse_recovery_reparse": q_parse_recovery_reparse,
         "turtle_full_parse": q_turtle_full_parse,

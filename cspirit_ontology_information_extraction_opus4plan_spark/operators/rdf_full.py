@@ -85,8 +85,8 @@ _TOKEN_RE = re.compile(r"""
                   [A-Za-z0-9_](?:[A-Za-z0-9_.:-]*[A-Za-z0-9_:-])?
             | [A-Za-z][A-Za-z0-9_-]*:
             | :[A-Za-z0-9_](?:[A-Za-z0-9_.-]*[A-Za-z0-9_-])?)
-  | (?P<KEYWORD>\b(?:a|true|false|PREFIX|BASE|prefix|base)\b)
-  | (?P<PUNCT>[.;,()\[\]])
+  | (?P<KEYWORD>\b(?:a|true|false|PREFIX|BASE|prefix|base|GRAPH)\b)
+  | (?P<PUNCT>[.;,(){}\[\]])
 """, re.VERBOSE)
 
 _ESCAPES = {"t": "\t", "b": "\b", "n": "\n", "r": "\r", "f": "\f",
@@ -143,6 +143,7 @@ class _TurtleDoc:
         self.prefixes: dict[str, str] = {}
         self.base = ""
         self.n_anon = 0
+        self.graph: Optional[str] = None   # current TriG graph label
         self.rows: List[tuple] = []
 
     def anon(self) -> str:
@@ -165,14 +166,17 @@ class _TurtleDoc:
         return self.prefixes[pfx] + local
 
     def emit(self, s, p, o, st, ot, dt=None, lang=None):
-        self.rows.append((self.src, s, p, o, st, ot, dt, lang))
+        self.rows.append((self.src, s, p, o, st, ot, dt, lang,
+                          self.graph))
 
 
 class _TurtleParser:
-    def __init__(self, doc: _TurtleDoc, toks: List[Tuple[str, str]]):
+    def __init__(self, doc: _TurtleDoc, toks: List[Tuple[str, str]],
+                 trig: bool = False):
         self.d = doc
         self.toks = toks
         self.i = 0
+        self.trig = trig
 
     def peek(self) -> Optional[Tuple[str, str]]:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -196,9 +200,44 @@ class _TurtleParser:
                                      and v in ("PREFIX", "BASE",
                                                "prefix", "base")):
                 self.directive()
+            elif self.trig and k == "KEYWORD" and v in ("GRAPH",):
+                self.next()
+                label, _ = self.subject()   # iri or bnode graph label
+                self.graph_block(label)
+            elif self.trig and k == "PUNCT" and v == "{":
+                self.graph_block(None)      # wrapped default graph
+            elif self.trig and k not in ("PUNCT",):
+                # triplesOrGraph: a label followed by '{' opens a
+                # graph block, else it is an ordinary subject
+                subj, st = self.subject()
+                nk = self.peek()
+                if nk and nk[0] == "PUNCT" and nk[1] == "{":
+                    self.graph_block(subj)
+                else:
+                    self.predicate_object_list(subj, st)
+                    self.expect_punct(".")
             else:
                 self.triples()
                 self.expect_punct(".")
+
+    def graph_block(self, label: Optional[str]) -> None:
+        """TriG wrappedGraph: '{' (triples '.'?)* '}' under the given
+        graph label (None = default graph)."""
+        prev = self.d.graph
+        self.d.graph = label
+        self.expect_punct("{")
+        while True:
+            nk = self.peek()
+            if nk is None:
+                raise ValueError("unterminated graph block")
+            if nk[0] == "PUNCT" and nk[1] == "}":
+                self.next()
+                break
+            self.triples()
+            nk = self.peek()
+            if nk and nk[0] == "PUNCT" and nk[1] == ".":
+                self.next()
+        self.d.graph = prev
 
     def directive(self) -> None:
         k, v = self.next()
@@ -364,6 +403,43 @@ def parse_turtle_text(src_id: str, text: str) -> List[tuple]:
     tests; the Spark surface is parse_turtle_full)."""
     doc = _TurtleDoc(src_id)
     _TurtleParser(doc, _tokenize(text)).parse()
+    return [r[:8] for r in doc.rows]
+
+
+def parse_trig_text(src_id: str, text: str) -> List[tuple]:
+    """Parse one TriG document (Turtle + named-graph blocks) into
+    8-tuple+graph rows; graph is None for default-graph statements."""
+    doc = _TurtleDoc(src_id)
+    _TurtleParser(doc, _tokenize(text), trig=True).parse()
+    return doc.rows
+
+
+def parse_nquads_text(src_id: str, text: str) -> List[tuple]:
+    """Parse one N-Quads document: subject predicate object [graph] '.'
+    per statement; the optional graph term lands in the 9th column
+    (None = default graph). Reuses the Turtle term machinery, so
+    literals with escapes/lang/datatype and bnode labels behave
+    identically."""
+    doc = _TurtleDoc(src_id)
+    p = _TurtleParser(doc, _tokenize(text))
+    while p.peek() is not None:
+        subj, st = p.subject()
+        pred = p.predicate()
+        before = len(doc.rows)
+        p.object_(subj, st, pred)
+        nk = p.peek()
+        g = None
+        if nk and nk[0] in ("IRIREF", "PNAME", "BNODE"):
+            k, v = p.next()
+            if k == "IRIREF":
+                g = doc.resolve(v[1:-1])
+            elif k == "PNAME":
+                g = doc.expand(v)
+            else:
+                g = doc.label_bnode(v)
+        p.expect_punct(".")
+        if g is not None:
+            doc.rows[before] = doc.rows[before][:8] + (g,)
     return doc.rows
 
 
@@ -520,20 +596,25 @@ def parse_rdfxml_text(src_id: str, text: str,
 # Spark surfaces: one mapInPandas Arrow stage each
 # --------------------------------------------------------------------------
 
-def _make_batcher(parse_fn):
+_T7_COLS = ["src_id", "subject", "predicate", "object",
+            "subject_type", "object_type",
+            "object_datatype", "object_language"]
+
+
+def _make_batcher(parse_fn, cols: Optional[List[str]] = None):
+    cols = cols or _T7_COLS
+
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = ["src_id", "subject", "predicate", "object",
-                "subject_type", "object_type",
-                "object_datatype", "object_language"]
         for pdf in batches:
             rows: List[tuple] = []
             for src_id, payload in zip(pdf["src_id"], pdf["payload"]):
                 try:
                     rows.extend(parse_fn(src_id, payload))
                 except Exception as e:  # quarantine, don't abort
-                    rows.append((src_id, "", "parse_error",
-                                 f"{type(e).__name__}: {e}", "error",
-                                 "error", None, None))
+                    q = (src_id, "", "parse_error",
+                         f"{type(e).__name__}: {e}", "error", "error",
+                         None, None)
+                    rows.append(q + (None,) * (len(cols) - len(q)))
             yield pd.DataFrame(rows, columns=cols)
     return _batches
 
@@ -553,6 +634,66 @@ def parse_rdfxml_full(docs: DataFrame) -> DataFrame:
     Reference: OWLParser.parse RDF/XML leg (parsers/__init__.py:2990)."""
     return docs.select("src_id", "payload").mapInPandas(
         _make_batcher(parse_rdfxml_text), schema=TRIPLE7_SCHEMA)
+
+
+QUAD_SCHEMA = TRIPLE7_SCHEMA + ", graph string"
+_Q_COLS = _T7_COLS + ["graph"]
+
+
+def parse_trig_full(docs: DataFrame) -> DataFrame:
+    """(src_id, payload) -> quads via TriG (the full Turtle grammar
+    plus named-graph blocks: `<g> { ... }`, `GRAPH <g> { ... }`,
+    wrapped and bare default-graph statements). graph is NULL for
+    default-graph statements — the provenance column a quad store
+    partitions on."""
+    return docs.select("src_id", "payload").mapInPandas(
+        _make_batcher(parse_trig_text, _Q_COLS), schema=QUAD_SCHEMA)
+
+
+def parse_nquads(docs: DataFrame) -> DataFrame:
+    """(src_id, payload) -> quads via N-Quads lines (the bulk
+    interchange format of quad stores)."""
+    return docs.select("src_id", "payload").mapInPandas(
+        _make_batcher(parse_nquads_text, _Q_COLS), schema=QUAD_SCHEMA)
+
+
+def to_nquads(quads: DataFrame) -> DataFrame:
+    """Quads -> (src_id, line): canonical N-Quads statements (full
+    IRIs, escaped literals, doc-scoped bnode labels, graph term only
+    for named graphs). Pure column expressions; pairs with
+    reassemble_docs + parse_nquads for the lossless round-trip."""
+    def term(c, t):
+        return (F.when(t == "uri", F.concat(F.lit("<"), c, F.lit(">")))
+                .otherwise(_ttl_bnode(c)))
+    lit_sfx = (F.when(F.col("object_language").isNotNull(),
+                      F.concat(F.lit("@"), F.col("object_language")))
+               .when(F.col("object_datatype").isNotNull(),
+                     F.concat(F.lit("^^<"), F.col("object_datatype"),
+                              F.lit(">")))
+               .otherwise(F.lit("")))
+    obj = (F.when(F.col("object_type") == "literal",
+                  F.concat(F.lit('"'), _ttl_escape(F.col("object")),
+                           F.lit('"'), lit_sfx))
+           .otherwise(term(F.col("object"), F.col("object_type"))))
+    gterm = (F.when(F.col("graph").isNull(), F.lit(""))
+             .when(F.col("graph").startswith("_:"),
+                   F.concat(F.lit(" "), _ttl_bnode(F.col("graph"))))
+             .otherwise(F.concat(F.lit(" <"), F.col("graph"),
+                                 F.lit(">"))))
+    line = F.concat(
+        term(F.col("subject"), F.col("subject_type")), F.lit(" <"),
+        F.col("predicate"), F.lit("> "), obj, gterm, F.lit(" ."))
+    return (quads.filter(F.col("predicate") != "parse_error")
+            .select("src_id", line.alias("line")))
+
+
+def reassemble_docs(lines: DataFrame) -> DataFrame:
+    """(src_id, line) -> (src_id, payload) with no preamble (N-Quads
+    needs none); statement order is irrelevant (labeled bnodes only,
+    as in reassemble_turtle_docs)."""
+    return (lines.groupBy("src_id")
+            .agg(F.concat_ws("\n", F.collect_list("line"))
+                 .alias("payload")))
 
 
 # --------------------------------------------------------------------------
@@ -619,6 +760,25 @@ def turtle_full_docs(terms: DataFrame) -> DataFrame:
                F.concat(F.lit('"'), alt1, F.lit('" '))).otherwise(""),
         F.lit(") .\n"),
         F.lit("_:meta obo:for ont:"), _frag("id"), F.lit(" .\n"))
+    return terms.select(F.col("id").alias("src_id"),
+                        payload.alias("payload"))
+
+
+def trig_docs(terms: DataFrame) -> DataFrame:
+    """Serialize each term as one TriG document (src_id, payload):
+    a labeled graph block, a bare default-graph statement, and a
+    GRAPH-keyword block with a BNODE graph label — the three
+    named-graph forms the TriG grammar adds over Turtle."""
+    payload = F.concat(
+        F.lit(_TTL_PREFIXES),
+        F.lit("ont:g_"), F.col("ontology_id"), F.lit(" {\n"),
+        F.lit("    ont:"), _frag("id"), F.lit(" a owl:Class ;\n"),
+        F.lit('        rdfs:label "'), F.col("name"),
+        F.lit('"@en .\n}\n'),
+        F.lit("ont:"), _frag("id"), F.lit(' obo:src "'), F.col("name"),
+        F.lit('" .\n'),
+        F.lit("GRAPH _:meta {\n    ont:"), _frag("id"),
+        F.lit(' obo:note "peer of '), F.col("id"), F.lit('" .\n}\n'))
     return terms.select(F.col("id").alias("src_id"),
                         payload.alias("payload"))
 

@@ -8082,6 +8082,32 @@ SELECT 'V:' || id, 'turtle',
        FALSE, FALSE, CAST(2 AS INT)
 FROM terms_r"""
 
+    # TriG / N-Quads: quads with the graph provenance column — the
+    # three named-graph forms (labeled block, bare default statement,
+    # GRAPH keyword + bnode label) re-derived from the dimension
+    def _q8(pred, obj, ot, lang, graph):
+        return (f"SELECT id AS src_id, {_u} AS subject,"
+                f" {pred} AS predicate, {obj} AS object,"
+                f" 'uri' AS subject_type, {ot} AS object_type,"
+                f" {_nv} AS object_datatype, {lang} AS object_language,"
+                f" {graph} AS graph FROM terms_r")
+
+    _gg = "'urn:graft#g_' || ontology_id"
+    sqls["trig_parse"] = ("WITH " + terms_rdf_cte() + "\n"
+                          + "\nUNION ALL\n".join([
+                              _q8(f"'{RDF_NS}type'", f"'{OWL_NS}Class'",
+                                  "'uri'", _nv, _gg),
+                              _q8(f"'{RDFS_NS}label'", "name",
+                                  "'literal'", "'en'", _gg),
+                              _q8("'urn:obo#src'", "name", "'literal'",
+                                  _nv, _nv),
+                              _q8("'urn:obo#note'", "'peer of ' || id",
+                                  "'literal'", _nv,
+                                  "'_:' || id || '.meta'"),
+                          ]))
+    # sink -> reassemble -> N-Quads parse must reproduce the quads
+    sqls["nquads_roundtrip"] = sqls["trig_parse"]
+
     # OBO source: exploded (src_id, term_id, tag, value) rows
     # re-derived relationally from the terms dimension (the sink's
     # serialization contract)
