@@ -857,3 +857,62 @@ def retract_store_version(spark: SparkSession, store_dir: str,
         spark, f"{store_dir}/{STORE_POINTER}",
         {"version": version, "parent": parent})
     return commit
+
+
+# --- streaming RDF document ingestion with recovery --------------------------
+
+RDF_DOCS_SCHEMA = "src_id string, payload string"
+
+
+def stream_rdf_triples(spark: SparkSession, input_dir: str, out_dir: str,
+                       checkpoint_dir: str,
+                       trigger_available_now: bool = True):
+    """Streaming full-grammar RDF ingestion: readStream over raw
+    Turtle documents -> per micro-batch the REAL parser
+    (rdf_full.parse_turtle_full) with its quarantine lane, then the
+    REPLACE recovery pass (recovery.reparse_with_corrections) so
+    mechanically-curable defects land in the triple stream in the SAME
+    batch — cured rows never wait for a backfill job. Outputs are
+    idempotent per-batch subdirectories (the stream_triples overwrite
+    discipline): triples/batch_id=N for parsed quads and
+    quarantine/batch_id=N for documents the corrections could not
+    cure (the dead-letter table an operator pages on).
+
+    One Arrow parse stage per batch plus one bounded reparse over the
+    failed subset only — the recovery join broadcasts the failed-id
+    dimension, so a clean batch pays nothing beyond the parse."""
+    from ..operators.rdf_full import parse_turtle_full
+    from ..operators.recovery import reparse_with_corrections
+
+    if any(name.startswith("batch_id=")
+           for name in fs_list_names(spark, f"{out_dir}/triples")):
+        if not fs_list_names(spark, checkpoint_dir):
+            raise ValueError(
+                f"{out_dir} already holds batch output but "
+                f"{checkpoint_dir} is empty — restarting would reuse "
+                f"batch ids; clear out_dir or reuse the checkpoint")
+
+    stream = (spark.readStream.schema(RDF_DOCS_SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(input_dir))
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        docs = batch_df.localCheckpoint(eager=True)  # parsed twice below
+        parsed = parse_turtle_full(docs).localCheckpoint(eager=True)
+        second = reparse_with_corrections(docs, parsed) \
+            .localCheckpoint(eager=True)
+        good = (parsed.filter(F.col("predicate") != "parse_error")
+                .unionByName(
+                    second.filter(F.col("predicate") != "parse_error")))
+        dead = second.filter(F.col("predicate") == "parse_error")
+        good.write.mode("overwrite").parquet(
+            f"{out_dir}/triples/batch_id={batch_id}")
+        dead.write.mode("overwrite").parquet(
+            f"{out_dir}/quarantine/batch_id={batch_id}")
+
+    writer = (stream.writeStream
+              .foreachBatch(process)
+              .option("checkpointLocation", checkpoint_dir))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
