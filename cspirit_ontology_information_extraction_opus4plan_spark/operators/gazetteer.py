@@ -64,8 +64,14 @@ def gazetteer_from_terms(terms: DataFrame) -> DataFrame:
     """Derive the gazetteer from an arbitrary terms table (the scale path:
     ontology loaded from OBO/OWL/CSV into a table, exploded, broadcast).
 
-    Mirrors _build_indexes (models.py:3134): name index + synonym index,
-    lower/trimmed keys, obsolete excluded."""
+    Mirrors _build_indexes (models.py:3134): name index + synonym
+    index, lower/trimmed keys. One DELIBERATE divergence: the
+    reference indexes obsolete terms too (no filter at :3164); this
+    gazetteer excludes them because it feeds LINKING, where an
+    obsolete-term match is a wrong answer (the reference applies its
+    obsolete filter downstream, at trim time — ontology_trimmer). The
+    in-process parity test pins the delta as exactly the obsolete
+    set (tests/test_reference_parity.py)."""
     live = terms.filter(~F.col("is_obsolete"))
     names = live.select(
         F.lower(F.trim("name")).alias("surface"), F.col("id").alias("term_id"),

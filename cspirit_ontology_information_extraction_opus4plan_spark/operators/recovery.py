@@ -206,12 +206,14 @@ def reparse_with_corrections(docs: DataFrame,
     parse_turtle_full once. Returns the second-pass output (recovered
     triples, or a second quarantine row for payloads the corrections
     cannot cure — those fall through the progression to skip/abort).
-    The failed-id set is dimension-sized relative to the corpus (the
-    broadcast), and the reparse touches only failed payloads."""
+    The reparse touches only failed payloads; the failed-id semi-join
+    is left to AQE rather than force-broadcast — quarantine volume is
+    normally dimension-sized, but a poisoned corpus (every document
+    failing) must degrade to a shuffle join, not OOM the driver."""
     from .rdf_full import parse_turtle_full
     failed = (parsed.filter(F.col("predicate") == "parse_error")
               .select("src_id").distinct())
-    to_fix = (docs.join(F.broadcast(failed), "src_id")
+    to_fix = (docs.join(failed, "src_id", "left_semi")
               .select("src_id", correct_payload(F.col("payload"))
                       .alias("payload")))
     return parse_turtle_full(to_fix)

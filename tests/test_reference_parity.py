@@ -376,6 +376,87 @@ def test_jats_parity(ref, spark, sf_dir):
     assert n_ok >= 40 and n_bad >= 1 and n_ok + n_bad == 50
 
 
+# --- find_terms lookup trio: the north-star index semantics ---------------
+
+@pytest.fixture(scope="module")
+def ref_ontology(ref):
+    """The full terms dimension loaded into a genuine reference
+    Ontology (its real _name/_synonym/_alt_id indexes)."""
+    from cspirit_ontology_information_extraction_opus4plan_spark import (
+        ontology_data as OD,
+    )
+    ont = ref.models.Ontology(id="ONT:0001", name="graft parity")
+    for t in OD.terms():
+        ont.add_term(ref.models.Term(
+            id=t["id"], name=t["name"], definition=t["definition"],
+            synonyms=list(t["synonyms"]), namespace=t["namespace"],
+            is_obsolete=t["is_obsolete"], alt_ids=list(t["alt_ids"])))
+    return ont
+
+
+def test_find_terms_substring_parity(ref_ontology, spark):
+    """term_search must return exactly the reference's find_terms id
+    set (substring over name/definition/synonyms, models.py:2812) for
+    a battery of queries."""
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators import (  # noqa: E501
+        gazetteer as GZ,
+        ontology_algebra as OA,
+    )
+    terms = GZ.terms_df(spark)
+    for q in ("glucose", "ose", "budding", "synthetic process",
+              "dextrose", "zzz-no-match"):
+        want = {t.id for t in ref_ontology.find_terms(q)}
+        got = {r["id"] for r in OA.term_search(terms, q).collect()}
+        assert got == want, (q, got ^ want)
+
+
+def test_gazetteer_index_parity(ref_ontology, spark):
+    """The gazetteer's name/synonym rows must agree with the
+    reference's real _name_index/_synonym_index lookups
+    (find_terms_by_name/:2889 find_terms_by_synonym) for every
+    surface; the ONLY divergence is the documented deliberate one —
+    obsolete terms, which the reference indexes (:3164 has no filter)
+    and the linking gazetteer excludes."""
+    from cspirit_ontology_information_extraction_opus4plan_spark import (
+        ontology_data as OD,
+    )
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators import (  # noqa: E501
+        gazetteer as GZ,
+    )
+    gaz = GZ.gazetteer_from_terms(GZ.terms_df(spark)).collect()
+    mine_name = {r["surface"]: r["term_id"] for r in gaz
+                 if r["match_kind"] == "name"}
+    mine_syn = {}
+    for r in gaz:
+        if r["match_kind"] == "synonym":
+            mine_syn.setdefault(r["surface"], set()).add(r["term_id"])
+
+    obsolete = {t["id"] for t in OD.terms() if t["is_obsolete"]}
+    # every gazetteer row round-trips through the reference index
+    for surface, tid in mine_name.items():
+        found = ref_ontology.find_terms_by_name(surface)
+        assert found is not None and found.id == tid, surface
+    for surface, tids in mine_syn.items():
+        got = {t.id for t in ref_ontology.find_terms_by_synonym(surface)}
+        assert tids <= got, surface
+        assert got - tids <= obsolete, (surface, got - tids)
+    # the reference-side surplus is EXACTLY the obsolete set
+    ref_names = {t["name"].lower().strip(): t["id"] for t in OD.terms()}
+    missing = {s for s in ref_names if s not in mine_name}
+    assert missing == {t["name"].lower().strip() for t in OD.terms()
+                       if t["is_obsolete"]
+                       # an obsolete name can be shadowed by a live
+                       # term sharing it (dict overwrite in :3168)
+                       and t["name"].lower().strip() not in mine_name}
+
+    # alt-id index parity (find_term_by_alt_id, models.py:2954)
+    alt = {r["alt_id"]: r["term_id"]
+           for r in GZ.alt_id_index(GZ.terms_df(spark)).collect()}
+    for a, tid in alt.items():
+        found = ref_ontology.find_term_by_alt_id(a)
+        assert found is not None and found.id == tid, a
+
+
 # --- statistics: subsystem #4 of the parity loop --------------------------
 
 def test_statistics_parity(ref, spark, sf_dir):
