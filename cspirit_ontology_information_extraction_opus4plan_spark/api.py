@@ -805,6 +805,27 @@ def q_nquads_roundtrip(spark, sf_dir):
     return RF.parse_nquads(RF.reassemble_docs(RF.to_nquads(quads)))
 
 
+def q_kg_graph_bgp(spark, sf_dir):
+    """GRAPH-scoped BGP over the quad store — SPARQL's
+    `SELECT ?g ... WHERE { GRAPH ?g { ?s a owl:Class } }` form: per
+    named graph, the class-assertion count and distinct subjects, with
+    default-graph statements reported under the '(default)' label.
+    Completes the named-graph family: TriG/N-Quads PARSE the
+    provenance column; this QUERIES it (one pushdown-eligible filter +
+    one map-side-combinable aggregate — on a graph-partitioned quad
+    store the scan prunes to matching partitions)."""
+    from pyspark.sql import functions as F
+    from .operators import rdf_full as RF
+    quads = RF.parse_trig_full(RF.trig_docs(terms_df(spark)))
+    return (quads
+            .filter(F.col("predicate") == RF.RDF_NS + "type")
+            .groupBy(F.coalesce("graph", F.lit("(default)"))
+                     .alias("graph"))
+            .agg(F.count("*").cast("bigint").alias("n_class_assertions"),
+                 F.countDistinct("subject").cast("bigint")
+                 .alias("n_subjects")))
+
+
 def q_obo_parse(spark, sf_dir):
     """OBO flat-file source: terms serialized to per-ontology OBO
     documents (to_obo), parsed back into exploded (term_id, tag,
@@ -3084,6 +3105,7 @@ def queries() -> dict[str, QueryFn]:
         "turtle_full_roundtrip": q_turtle_full_roundtrip,
         "obo_parse": q_obo_parse,
         "trig_parse": q_trig_parse,
+        "kg_graph_bgp": q_kg_graph_bgp,
         "nquads_roundtrip": q_nquads_roundtrip,
         "obo_roundtrip": q_obo_roundtrip,
         "parse_recovery_reparse": q_parse_recovery_reparse,

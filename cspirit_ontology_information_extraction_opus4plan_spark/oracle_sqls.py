@@ -8108,6 +8108,15 @@ FROM terms_r"""
     # sink -> reassemble -> N-Quads parse must reproduce the quads
     sqls["nquads_roundtrip"] = sqls["trig_parse"]
 
+    # GRAPH-scoped BGP: only the labeled graph block carries the
+    # rdf:type assertion (one per term), grouped per graph label
+    sqls["kg_graph_bgp"] = "WITH " + terms_rdf_cte() + """
+SELECT 'urn:graft#g_' || ontology_id AS graph,
+       CAST(count(*) AS BIGINT) AS n_class_assertions,
+       CAST(count(DISTINCT 'urn:graft#' || replace(id, ':', '_'))
+            AS BIGINT) AS n_subjects
+FROM terms_r GROUP BY 1"""
+
     # OBO source: exploded (src_id, term_id, tag, value) rows
     # re-derived relationally from the terms dimension (the sink's
     # serialization contract)
