@@ -472,6 +472,17 @@ def q_terms_csv(spark, sf_dir):
 
 # --- multimodal media plumbing ----------------------------------------------
 
+def q_media_type_classify(spark, sf_dir):
+    """Figure/table type classification with the reference's OWN regex
+    tables and first-match-wins order (ContentExtractor
+    metadata_framework.py:328-370), incl. the precedence trap where
+    'line graph' lands in CHART via its \\bgraph\\b pattern."""
+    from .operators.media import classify_media_types_ref
+    from .operators.multimodal import media_spans
+    return classify_media_types_ref(DE.media_caption_samples(
+        media_spans(spans_exploded(spark, sf_dir))))
+
+
 def q_media_features(spark, sf_dir):
     """Real-codec media features: synthesize an actual zlib PNG per
     ref, then a genuine decode (chunk walk + inflate + un-filter) into
@@ -3106,6 +3117,7 @@ def queries() -> dict[str, QueryFn]:
         "obo_parse": q_obo_parse,
         "trig_parse": q_trig_parse,
         "kg_graph_bgp": q_kg_graph_bgp,
+        "media_type_classify": q_media_type_classify,
         "nquads_roundtrip": q_nquads_roundtrip,
         "obo_roundtrip": q_obo_roundtrip,
         "parse_recovery_reparse": q_parse_recovery_reparse,

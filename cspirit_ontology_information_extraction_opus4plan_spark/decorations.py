@@ -1450,3 +1450,46 @@ tn AS (
   WHERE CAST(regexp_extract(id, '(\\d+)$', 1) AS BIGINT) % 6 = 1
     AND length(name) >= 5
 )""".strip()
+
+
+# --- media-caption battery for the reference-pattern classifier -------------
+
+# every reference FigureType/TableType bucket + the precedence trap
+# ("line graph" -> chart, because CHART's \bgraph\b pattern runs before
+# the GRAPH bucket) + an unknown per kind
+FIGURE_CAPTION_BATTERY = [
+    "bar chart of expression levels",
+    "workflow schematic overview",
+    "photograph of leaf tissue",
+    "scatter plot of abundance",
+    "geographic sampling overview map",
+    "hand drawing of cell anatomy",
+    "line graph of growth",
+    "microscopy of stained sections",
+]
+TABLE_CAPTION_BATTERY = [
+    "mean and p-value summary",
+    "age and gender baseline",
+    "treatment and control arms",
+    "comparison versus prior work",
+    "summary of findings",
+    "reagent inventory listing",
+]
+
+
+def media_caption_samples(media: DataFrame) -> DataFrame:
+    """(doc_id, kind, media_ref) -> + caption drawn deterministically
+    from the per-kind battery (doc number mod battery size)."""
+    d = F.regexp_extract("doc_id", r"(\d+)$", 1).cast("int")
+    figs = F.array(*[F.lit(c) for c in FIGURE_CAPTION_BATTERY])
+    tabs = F.array(*[F.lit(c) for c in TABLE_CAPTION_BATTERY])
+    caption = (F.when(F.col("kind") == "figure",
+                      F.element_at(figs,
+                                   d % len(FIGURE_CAPTION_BATTERY) + 1))
+               .otherwise(F.element_at(
+                   # table docs are multiples of 4: d % 6 would only
+                   # reach even residues; d//4 walks every battery row
+                   tabs, (d / 4).cast("int")
+                   % len(TABLE_CAPTION_BATTERY) + 1)))
+    return media.select("doc_id", "kind", "media_ref",
+                        caption.alias("caption"))

@@ -194,3 +194,59 @@ def media_context(spans: DataFrame) -> DataFrame:
                     F.col("_ctx.text").alias("context_text"),
                     (F.col("offset") - F.col("_ctx.offset"))
                     .alias("context_gap")))
+
+
+# --- reference-pattern media type classification -----------------------------
+
+# the reference's EXACT pattern tables in their dict-iteration order —
+# order matters: "line graph" hits CHART's second pattern (\bgraph\b)
+# BEFORE the GRAPH bucket's own patterns (ContentExtractor
+# metadata_framework.py:328-344; classify_figure_type :346 /
+# classify_table_type :357 are first-match-wins over this order)
+FIGURE_TYPE_PATTERNS = [
+    ("chart", [r"\b(chart|bar\s+chart|pie\s+chart|histogram)\b",
+               r"\bgraph\b"]),
+    ("diagram", [r"\b(diagram|schematic|flowchart|flow\s+chart)\b"]),
+    ("photo", [r"\b(photo|photograph|image|picture)\b"]),
+    ("graph", [r"\b(plot|scatter\s+plot|line\s+graph|xy\s+plot)\b"]),
+    ("map", [r"\b(map|geographic|spatial)\b"]),
+    ("illustration", [r"\b(illustration|drawing|sketch)\b"]),
+]
+TABLE_TYPE_PATTERNS = [
+    ("statistical",
+     [r"\b(mean|median|std|p-value|confidence|statistical)\b"]),
+    ("demographic",
+     [r"\b(age|gender|demographics|population|baseline)\b"]),
+    ("experimental",
+     [r"\b(trial|experiment|treatment|control|intervention)\b"]),
+    ("comparison",
+     [r"\b(comparison|compare|versus|vs\.?|before|after)\b"]),
+    ("results", [r"\b(results|outcomes|findings|measurements)\b"]),
+]
+
+
+def classify_media_types_ref(media: DataFrame) -> DataFrame:
+    """(doc_id, kind, media_ref, caption) -> + media_type using the
+    reference's OWN regex tables and first-match-wins order — the
+    rules-exact sibling of textmeta.classify_captions (which uses this
+    corpus's keyword vocabulary). Pure rlike CASE chains; the parity
+    test runs the genuine ContentExtractor on the same captions."""
+    cap = F.lower("caption")
+
+    def chain(table):
+        expr = None
+        for label, patterns in table:
+            hit = None
+            for p in patterns:
+                h = cap.rlike(p)
+                hit = h if hit is None else (hit | h)
+            clause = (expr.when(hit, label) if expr is not None
+                      else F.when(hit, label))
+            expr = clause
+        return expr.otherwise("unknown")
+
+    media_type = (F.when(F.col("kind") == "figure",
+                         chain(FIGURE_TYPE_PATTERNS))
+                  .otherwise(chain(TABLE_TYPE_PATTERNS)))
+    return media.select("doc_id", "kind", "media_ref", "caption",
+                        media_type.alias("media_type"))

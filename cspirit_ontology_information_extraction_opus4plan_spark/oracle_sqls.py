@@ -8117,6 +8117,43 @@ SELECT 'urn:graft#g_' || ontology_id AS graph,
             AS BIGINT) AS n_subjects
 FROM terms_r GROUP BY 1"""
 
+    # reference-pattern media type classification: battery captions by
+    # doc number, labels re-derived with the same RE2 regexes and the
+    # same first-match-wins order
+    from . import decorations as _DE
+    from .operators.media import (FIGURE_TYPE_PATTERNS,
+                                  TABLE_TYPE_PATTERNS)
+    _figs = ", ".join(_q(c) for c in _DE.FIGURE_CAPTION_BATTERY)
+    _tabs = ", ".join(_q(c) for c in _DE.TABLE_CAPTION_BATTERY)
+
+    def _type_case(table):
+        arms = []
+        for label, patterns in table:
+            cond = " OR ".join(
+                f"regexp_matches(lower(caption), '{p}')"
+                for p in patterns)
+            arms.append(f"WHEN {cond} THEN '{label}'")
+        return "CASE " + " ".join(arms) + " ELSE 'unknown' END"
+
+    sqls["media_type_classify"] = corpus_prefix() + rf"""
+, med AS (
+  SELECT doc_id, kind, media_ref,
+         CAST(regexp_extract(doc_id, '(\d+)$', 1) AS INT) AS d
+  FROM spans WHERE kind IN ('figure', 'table') AND media_ref <> ''),
+cap AS (
+  SELECT doc_id, kind, media_ref,
+         CASE WHEN kind = 'figure'
+              THEN ([{_figs}])[d % {len(_DE.FIGURE_CAPTION_BATTERY)} + 1]
+              ELSE ([{_tabs}])[(d // 4) % {len(_DE.TABLE_CAPTION_BATTERY)} + 1]
+         END AS caption
+  FROM med)
+SELECT doc_id, kind, media_ref, caption,
+       CASE WHEN kind = 'figure'
+            THEN {_type_case(FIGURE_TYPE_PATTERNS)}
+            ELSE {_type_case(TABLE_TYPE_PATTERNS)}
+       END AS media_type
+FROM cap"""
+
     # OBO source: exploded (src_id, term_id, tag, value) rows
     # re-derived relationally from the terms dimension (the sink's
     # serialization contract)

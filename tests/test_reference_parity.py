@@ -457,6 +457,37 @@ def test_gazetteer_index_parity(ref_ontology, spark):
         assert found is not None and found.id == tid, a
 
 
+# --- media type classification: subsystem #5 of the parity loop -----------
+
+def test_media_type_classification_parity(ref, spark, sf_dir):
+    """classify_media_types_ref vs the reference's ACTUAL
+    ContentExtractor (metadata_framework.py:346/:357) on every battery
+    caption — including the precedence trap where 'line graph' lands
+    in CHART because its \\bgraph\\b pattern runs before the GRAPH
+    bucket."""
+    from aim2_project.aim2_ontology.parsers.metadata_framework import (
+        ContentExtractor,
+    )
+    import __spark_entry__ as E
+    ce = ContentExtractor()
+    rows = E.queries()["media_type_classify"](spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        if r["kind"] == "figure":
+            want = ce.classify_figure_type(r["caption"]).value
+        else:
+            want = ce.classify_table_type(r["caption"]).value
+        assert r["media_type"] == want, (r["caption"], r["media_type"],
+                                         want)
+        seen.add((r["kind"], r["media_type"]))
+    # the battery exercises every bucket incl. unknown and the trap
+    assert ("figure", "chart") in seen and ("figure", "unknown") in seen
+    assert ("table", "unknown") in seen
+    assert len({t for k, t in seen if k == "figure"}) >= 6
+    assert len({t for k, t in seen if k == "table"}) >= 5
+
+
 # --- statistics: subsystem #4 of the parity loop --------------------------
 
 def test_statistics_parity(ref, spark, sf_dir):
