@@ -472,6 +472,19 @@ def q_terms_csv(spark, sf_dir):
 
 # --- multimodal media plumbing ----------------------------------------------
 
+def q_doc_text_complexity(spark, sf_dir):
+    """The reference's text-complexity metrics (analyze_text_complexity
+    content_utils.py:94) over documents decorated with a deterministic
+    scientific tail so every pattern family fires."""
+    from pyspark.sql import functions as F
+    from .operators import textmeta as TMX
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id",
+                    F.concat("text", F.lit(TMX.SCI_DECORATION))
+                    .alias("text")))
+    return TMX.text_complexity(docs)
+
+
 def q_media_type_classify(spark, sf_dir):
     """Figure/table type classification with the reference's OWN regex
     tables and first-match-wins order (ContentExtractor
@@ -3118,6 +3131,7 @@ def queries() -> dict[str, QueryFn]:
         "trig_parse": q_trig_parse,
         "kg_graph_bgp": q_kg_graph_bgp,
         "media_type_classify": q_media_type_classify,
+        "doc_text_complexity": q_doc_text_complexity,
         "nquads_roundtrip": q_nquads_roundtrip,
         "obo_roundtrip": q_obo_roundtrip,
         "parse_recovery_reparse": q_parse_recovery_reparse,

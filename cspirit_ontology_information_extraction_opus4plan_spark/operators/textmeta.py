@@ -274,3 +274,61 @@ def mention_kwic(spans: DataFrame, mentions: DataFrame,
                     .alias("right_ctx"),
                     F.col("pos").cast("bigint").alias("span_pos"),
                     p.cast("bigint").alias("char_pos")))
+
+
+# --- reference text-complexity metrics ---------------------------------------
+
+# TextAnalyzer.scientific_patterns (content_utils.py:41-49), verbatim —
+# the parity test runs the genuine analyzer on the same strings
+SCIENTIFIC_PATTERNS = [
+    r"\bp\s*[<>=]\s*\d+\.?\d*\b",                       # p_values
+    r"\b\d+\.?\d*%?\s*CI\b",                            # confidence_intervals
+    r"\b\d+\.?\d*\s*[µμ]?[gmkMGT]?[lLgGmMsShHzZ]?\b",   # measurements
+    r"\b\d+\.?\d*\s*%\b",                               # percentages
+    r"\b\d+\.?\d*\s*[-–—]\s*\d+\.?\d*\b",               # ranges
+    r"\b\d+\.?\d*\s*[×x]\s*10\s*[\^]?\s*[-]?\d+\b",     # scientific_notation
+    r"\b\d+\.?\d*\s*[µμnpfakMGT]?[gmlsAVWJKNPa]/?[0-9]*\b",  # units
+]
+
+# deterministic scientific tail the demo query appends so every pattern
+# family fires on the plain-prose corpus (the NORM_DECORATION pattern)
+SCI_DECORATION = (" p < 0.05 with 95% CI at 12.5 mg, range 3-7, "
+                  "about 2.5 x 10^3 units.")
+
+
+def text_complexity(docs: DataFrame) -> DataFrame:
+    """The reference's text-complexity metrics with its EXACT
+    definitions (TextAnalyzer.analyze_text_complexity
+    content_utils.py:94-117): words = whitespace split, sentences =
+    re.split('[.!?]+'), average_sentence_length divides by the split
+    count INCLUDING the empty tail piece (the reference's own
+    denominator — reproduced, not 'fixed'), lexical diversity over
+    lowercased words, scientific term count/density over the 7 pattern
+    families (case-insensitive, non-overlapping). All columnar:
+    split/filter/aggregate + regexp_extract_all counts — one map-only
+    projection, no shuffle."""
+    words = F.filter(F.split("text", r"\s+"), lambda w: w != "")
+    sent_pieces = F.split("text", r"[.!?]+")
+    n_sent = F.size(F.filter(sent_pieces,
+                             lambda s: F.trim(s) != ""))
+    n_words = F.size(words)
+    sci = None
+    for p in SCIENTIFIC_PATTERNS:
+        c = F.size(F.regexp_extract_all("text", F.lit("(?i)" + p), 0))
+        sci = c if sci is None else sci + c
+    uniq = F.size(F.array_distinct(F.transform(words, F.lower)))
+    return docs.select(
+        "doc_id",
+        n_words.alias("word_count"),
+        n_sent.alias("sentence_count"),
+        F.round(F.coalesce(F.try_divide(
+            F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w)),
+            n_words), F.lit(0.0)), 6).alias("avg_word_length"),
+        F.round(F.coalesce(F.try_divide(n_words, F.size(sent_pieces)),
+                           F.lit(0.0)), 6).alias("avg_sentence_length"),
+        uniq.alias("unique_words"),
+        F.round(F.coalesce(F.try_divide(uniq, n_words), F.lit(0.0)), 6)
+        .alias("lexical_diversity"),
+        sci.alias("scientific_terms"),
+        F.round(F.coalesce(F.try_divide(sci, n_words), F.lit(0.0)), 6)
+        .alias("scientific_density"))

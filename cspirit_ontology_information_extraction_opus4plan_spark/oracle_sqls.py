@@ -8154,6 +8154,51 @@ SELECT doc_id, kind, media_ref, caption,
        END AS media_type
 FROM cap"""
 
+    # reference text-complexity metrics re-derived with DuckDB list
+    # ops + the same case-insensitive pattern families (incl. the
+    # reference's avg-sentence denominator: split count WITH the empty
+    # tail piece)
+    from .operators.textmeta import SCI_DECORATION, SCIENTIFIC_PATTERNS
+    _sci_sum = " + ".join(
+        f"len(regexp_extract_all(text, {_q(p)}, 0, 'i'))"
+        for p in SCIENTIFIC_PATTERNS)
+    sqls["doc_text_complexity"] = rf"""
+WITH deco AS (
+  SELECT doc_id, text || {_q(SCI_DECORATION)} AS text FROM documents),
+base AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\s+'),
+                     w -> w <> '') AS words,
+         string_split_regex(text, '[.!?]+') AS pieces
+  FROM deco),
+agg AS (
+  SELECT doc_id,
+         len(words) AS wc,
+         len(list_filter(pieces, s -> trim(s) <> '')) AS sc,
+         len(pieces) AS np,
+         len(list_distinct(list_transform(words,
+                                          w -> lower(w)))) AS uw,
+         CAST(list_sum(list_transform(words, w -> length(w)))
+              AS DOUBLE) AS wlen,
+         ({_sci_sum}) AS sci
+  FROM base)
+SELECT doc_id, CAST(wc AS INT) AS word_count,
+       CAST(sc AS INT) AS sentence_count,
+       round(CASE WHEN wc = 0 THEN 0 ELSE wlen / wc END, 6)
+         AS avg_word_length,
+       round(CASE WHEN np = 0 THEN 0
+                  ELSE CAST(wc AS DOUBLE) / np END, 6)
+         AS avg_sentence_length,
+       CAST(uw AS INT) AS unique_words,
+       round(CASE WHEN wc = 0 THEN 0
+                  ELSE CAST(uw AS DOUBLE) / wc END, 6)
+         AS lexical_diversity,
+       CAST(sci AS INT) AS scientific_terms,
+       round(CASE WHEN wc = 0 THEN 0
+                  ELSE CAST(sci AS DOUBLE) / wc END, 6)
+         AS scientific_density
+FROM agg"""
+
     # OBO source: exploded (src_id, term_id, tag, value) rows
     # re-derived relationally from the terms dimension (the sink's
     # serialization contract)

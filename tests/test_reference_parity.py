@@ -537,6 +537,42 @@ def test_statistics_parity(ref, spark, sf_dir):
     assert want_iqr, "fixture should contain IQR outliers"
 
 
+# --- text complexity: subsystem #6 of the parity loop ---------------------
+
+def test_text_complexity_parity(ref, spark, sf_dir):
+    """doc_text_complexity vs the reference's ACTUAL
+    TextAnalyzer.analyze_text_complexity (content_utils.py:94) on the
+    same decorated documents — every field, including the reference's
+    own avg-sentence denominator (split count WITH the empty tail)."""
+    from aim2_project.aim2_ontology.parsers.content_utils import (
+        TextAnalyzer,
+    )
+    import __spark_entry__ as E
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators.textmeta import (  # noqa: E501
+        SCI_DECORATION,
+    )
+    ta = TextAnalyzer()
+    rows = E.queries()["doc_text_complexity"](spark, sf_dir).collect()
+    texts = {r["doc_id"]: r["text"] + SCI_DECORATION
+             for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+             .select("doc_id", "text").collect()}
+    assert rows
+    for r in rows[:200]:
+        want = ta.analyze_text_complexity(texts[r["doc_id"]])
+        assert r["word_count"] == want["word_count"]
+        assert r["sentence_count"] == want["sentence_count"]
+        assert r["unique_words"] == want["unique_words"]
+        assert r["scientific_terms"] == want["scientific_terms"]
+        for mine_k, ref_k in (
+                ("avg_word_length", "average_word_length"),
+                ("avg_sentence_length", "average_sentence_length"),
+                ("lexical_diversity", "lexical_diversity"),
+                ("scientific_density", "scientific_density")):
+            assert abs(r[mine_k] - want[ref_k]) < 1e-5, (
+                r["doc_id"], mine_k, r[mine_k], want[ref_k])
+        assert r["scientific_terms"] > 0  # the decoration fires
+
+
 # --- flagship pipeline triples are valid reference models -----------------
 
 def test_pipeline_triples_are_valid_reference_models(ref, spark, sf_dir):
