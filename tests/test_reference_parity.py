@@ -536,6 +536,27 @@ def test_statistics_parity(ref, spark, sf_dir):
     assert got_z == want_z
     assert want_iqr, "fixture should contain IQR outliers"
 
+    # Pearson correlation (correlation_analysis content_utils.py:191)
+    import json as _json
+    xy = {}
+    for r in events.select("event_type", "value", "props").collect():
+        k = _json.loads(r["props"]).get("k")
+        if k is not None:
+            xy.setdefault(r["event_type"], []).append(
+                (r["value"], float(k)))
+    got_corr = {r["event_type"]: r["pearson_r"]
+                for r in CS.value_prop_correlation(events).collect()}
+    n_checked = 0
+    for et, pairs in xy.items():
+        want = sa.correlation_analysis([x for x, _ in pairs],
+                                       [y for _, y in pairs])
+        if not want or got_corr.get(et) is None:
+            continue
+        assert abs(got_corr[et]
+                   - want["correlation_coefficient"]) < 1e-5, et
+        n_checked += 1
+    assert n_checked >= 3
+
 
 # --- text complexity: subsystem #6 of the parity loop ---------------------
 
