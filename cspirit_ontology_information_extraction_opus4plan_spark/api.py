@@ -711,6 +711,32 @@ def q_term_search(spark, sf_dir):
     return OA.term_search(terms_df(spark), "gluc")
 
 
+def _closure_seeds_df(spark):
+    return spark.createDataFrame([(s,) for s in CLOSURE_SEEDS], "id string")
+
+
+def q_trimmer_term_list(spark, sf_dir):
+    """Reference-exact term-list extraction (TRANSITIVE deps over the
+    bidirectional all-predicate graph) — contrast with
+    dependency_closure, the scale-oriented ancestors-only variant."""
+    return OA.trimmer_term_list_extract(
+        terms_df(spark), relationships_df(spark), _closure_seeds_df(spark))
+
+
+def q_trimmer_term_list_rels(spark, sf_dir):
+    """_extract_relationships leg: both endpoints extracted AND
+    confidence >= 0.8 (exercises the threshold on the 0.3/0.7 rows)."""
+    ext = OA.trimmer_term_list_extract(
+        terms_df(spark), relationships_df(spark), _closure_seeds_df(spark))
+    return OA.trimmer_relationship_extract(
+        relationships_df(spark), ext, min_confidence=0.8)
+
+
+def q_trimmer_depth_extract(spark, sf_dir):
+    return OA.trimmer_depth_extract(
+        terms_df(spark), relationships_df(spark), max_depth=2)
+
+
 def _merge_sources(spark):
     t = terms_df(spark).select("id", "name", "namespace", "ontology_id")
     a = t.filter(F.col("ontology_id").isin("CHEBI", "GO"))
@@ -2915,6 +2941,9 @@ def queries() -> dict[str, QueryFn]:
         "dangling_refs": q_dangling_refs,
         "namespace_chemical": q_namespace_chemical,
         "dependency_closure": q_dependency_closure,
+        "trimmer_term_list": q_trimmer_term_list,
+        "trimmer_term_list_rels": q_trimmer_term_list_rels,
+        "trimmer_depth_extract": q_trimmer_depth_extract,
         "term_search": q_term_search,
         "merge_union": q_merge_union,
         "inverse_edges": q_inverse_edges,

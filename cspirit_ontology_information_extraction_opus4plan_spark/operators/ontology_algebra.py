@@ -657,6 +657,131 @@ def dependency_closure(terms: DataFrame, rels: DataFrame,
     return seen
 
 
+# Predicates the reference treats as hierarchical for root finding and
+# hierarchy graphs (_find_root_terms ontology_trimmer.py:709,
+# _build_hierarchy_graph :684)
+HIERARCHICAL_PREDICATES = ("is_a", "part_of", "subclass_of", "child_of")
+
+
+def _bidirectional_edges(rels: DataFrame) -> DataFrame:
+    """The trimmer's UNDIRECTED relationship graph
+    (_build_relationship_graph ontology_trimmer.py:658): every
+    relationship row of EVERY predicate contributes both directions.
+    This is deliberately broader than the is_a-only directed graphs the
+    statistics operators use — the reference's dependency resolution and
+    depth-limited extraction both walk this graph."""
+    fwd = rels.select(F.col("subject").alias("src"),
+                      F.col("object").alias("dst"))
+    rev = rels.select(F.col("object").alias("src"),
+                      F.col("subject").alias("dst"))
+    return fwd.unionByName(rev).distinct()
+
+
+def trimmer_term_list_extract(terms: DataFrame, rels: DataFrame,
+                              seeds: DataFrame,
+                              max_iter: int = 32) -> DataFrame:
+    """Reference-exact term-list extraction with TRANSITIVE dependency
+    resolution (_extract_by_term_list ontology_trimmer.py:228 +
+    _resolve_dependencies :586 over the bidirectional all-predicate
+    graph :658). Faithful quirks, pinned by test_reference_parity_trimmer:
+
+      * seeds not present in the term table are dropped; OBSOLETE seeds
+        are dropped (include_obsolete=False default, :253);
+      * dependency terms reached by the walk are kept EVEN IF OBSOLETE —
+        the reference's additional_terms path (:620-627) has no obsolete
+        check;
+      * the walk never traverses THROUGH a node that is not a term
+        (dangling relationship endpoints are skipped, :624 membership
+        guard).
+
+    Frontier BFS to fixpoint, one equi-join per round; localCheckpoint
+    truncates lineage like dependency_closure. At 100 TB the edge table
+    shuffles once on src and is reused every round."""
+    edges = _bidirectional_edges(rels).persist()
+    term_ids = terms.select("id")
+    seen = (seeds.select("id").distinct()
+            .join(terms.filter(~F.col("is_obsolete")).select("id"),
+                  "id", "left_semi"))
+    frontier = seen
+    done = False
+    for _ in range(max_iter + 1):  # +1 verification round, see bfs_depths
+        nxt = (edges.join(frontier.withColumnRenamed("id", "src"), "src")
+               .select(F.col("dst").alias("id")).distinct()
+               .join(term_ids, "id", "left_semi")
+               .join(seen, "id", "left_anti")
+               .localCheckpoint(eager=True))
+        if nxt.isEmpty():
+            done = True
+            break
+        seen = seen.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    edges.unpersist()
+    if not done:
+        raise RuntimeError(
+            f"trimmer_term_list_extract frontier still active after "
+            f"{max_iter + 1} rounds — incomplete transitive closure would "
+            f"silently drop dependency terms")
+    is_seed = F.col("id").isin(
+        [r["id"] for r in seeds.select("id").distinct().collect()])
+    return (terms.join(seen, "id", "left_semi")
+            .select("id", "name", "namespace", is_seed.alias("is_seed")))
+
+
+def trimmer_relationship_extract(rels: DataFrame, extracted: DataFrame,
+                                 min_confidence: float = 0.0) -> DataFrame:
+    """Relationship extraction for a trimmed term set
+    (_extract_relationships ontology_trimmer.py:630): keep a
+    relationship iff BOTH endpoints survived the term extraction AND
+    confidence >= min_confidence. Two semi-joins — the term set is
+    dimension-sized, so both broadcast."""
+    ids = extracted.select("id")
+    return (rels
+            .join(ids.withColumnRenamed("id", "subject"), "subject",
+                  "left_semi")
+            .join(ids.withColumnRenamed("id", "object"), "object",
+                  "left_semi")
+            .filter(F.col("confidence") >= F.lit(min_confidence))
+            .select("id", "subject", "predicate", "object", "confidence"))
+
+
+def trimmer_depth_extract(terms: DataFrame, rels: DataFrame,
+                          max_depth: int) -> DataFrame:
+    """Reference-exact depth-limited extraction (_extract_by_depth
+    ontology_trimmer.py:342): roots default to terms that are never the
+    SUBJECT of a hierarchical predicate (_find_root_terms :709 — is_a /
+    part_of / subclass_of / child_of), then a FIFO BFS over the
+    bidirectional ALL-predicate graph visits each term at its minimum
+    distance and extracts those with depth <= max_depth. Obsolete terms
+    are excluded from the OUTPUT but still traversed through (:384-390 —
+    the children-enqueue is outside the obsolete else-branch). Exactly
+    max_depth frontier rounds, so the loop is bounded by contract."""
+    hp_subjects = (rels
+                   .filter(F.col("predicate").isin(*HIERARCHICAL_PREDICATES))
+                   .select(F.col("subject").alias("id")).distinct())
+    roots = terms.join(hp_subjects, "id", "left_anti") \
+                 .select("id", F.lit(0).alias("depth"))
+    edges = _bidirectional_edges(rels).persist()
+    term_ids = terms.select("id")
+    labeled = roots.localCheckpoint(eager=True)
+    frontier = labeled
+    for _ in range(max_depth):
+        nxt = (edges.join(frontier.withColumnRenamed("id", "src"), "src")
+               .select(F.col("dst").alias("id"),
+                       (F.col("depth") + 1).alias("depth"))
+               .groupBy("id").agg(F.min("depth").alias("depth"))
+               .join(term_ids, "id", "left_semi")
+               .join(labeled, "id", "left_anti")
+               .localCheckpoint(eager=True))
+        if nxt.isEmpty():
+            break
+        labeled = labeled.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    edges.unpersist()
+    return (terms.filter(~F.col("is_obsolete"))
+            .join(labeled, "id")
+            .select("id", "name", "namespace", "depth"))
+
+
 def term_search(terms: DataFrame, query: str) -> DataFrame:
     """Substring search over name/definition/synonyms (find_terms,
     models.py:2812) — the theta-join-as-filter form; matched_in reports

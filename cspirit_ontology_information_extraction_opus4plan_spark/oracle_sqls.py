@@ -3911,6 +3911,66 @@ anc(id) AS (
 )
 SELECT id FROM anc""")
 
+    # reference-exact trimmer extraction: bidirectional all-predicate
+    # edges, traversal only THROUGH nodes that are terms, obsolete seeds
+    # dropped but obsolete dependency terms kept
+    bidir_edges = """
+edges AS (
+  SELECT DISTINCT subject AS src, object AS dst FROM rels_d
+  UNION
+  SELECT DISTINCT object AS src, subject AS dst FROM rels_d)
+""".strip()
+    reach_cte = f"""
+seeds(id) AS (SELECT * FROM (VALUES {seeds_values})),
+reach(id) AS (
+  SELECT s.id FROM seeds s
+  JOIN terms_f t ON t.id = s.id AND NOT t.is_obsolete
+  UNION
+  SELECT e.dst
+  FROM reach r
+  JOIN edges e ON e.src = r.id
+  JOIN terms_f t ON t.id = e.dst)
+""".strip()
+    sqls["trimmer_term_list"] = (
+        "WITH RECURSIVE " + ",\n".join([tf, rd, bidir_edges, reach_cte])
+        + """
+SELECT t.id, t.name, t.namespace,
+       t.id IN (SELECT id FROM seeds) AS is_seed
+FROM terms_f t JOIN reach r ON r.id = t.id""")
+
+    sqls["trimmer_term_list_rels"] = (
+        "WITH RECURSIVE " + ",\n".join([tf, rd, bidir_edges, reach_cte])
+        + """
+SELECT id, subject, predicate, object, confidence
+FROM rels_d
+WHERE subject IN (SELECT id FROM reach)
+  AND object IN (SELECT id FROM reach)
+  AND confidence >= 0.8""")
+
+    # depth-limited: min-distance BFS from the 4-predicate-rule roots
+    # over the bidirectional graph, depth <= 2; obsolete excluded from
+    # output but traversed through
+    sqls["trimmer_depth_extract"] = (
+        "WITH RECURSIVE " + ",\n".join([tf, rd, bidir_edges]) + """,
+hp_roots AS (
+  SELECT id FROM terms_f
+  WHERE id NOT IN (
+    SELECT subject FROM rels_d
+    WHERE predicate IN ('is_a', 'part_of', 'subclass_of', 'child_of'))),
+walk(id, depth) AS (
+  SELECT id, 0 FROM hp_roots
+  UNION
+  SELECT e.dst, w.depth + 1
+  FROM walk w
+  JOIN edges e ON e.src = w.id
+  JOIN terms_f t ON t.id = e.dst
+  WHERE w.depth < 2),
+dmin AS (SELECT id, CAST(min(depth) AS INT) AS depth
+         FROM walk GROUP BY id)
+SELECT t.id, t.name, t.namespace, d.depth
+FROM terms_f t JOIN dmin d ON d.id = t.id
+WHERE NOT t.is_obsolete""")
+
     sqls["term_search"] = "WITH " + tf + """
 SELECT id, name,
        CASE WHEN lower(name) LIKE '%gluc%' THEN 'name'

@@ -1,0 +1,489 @@
+"""In-process parity vs the ACTUAL reference OntologyIntegrator and
+OntologyTrimmer (round-5 priority 1).
+
+Round 4 pinned models/parsers/statistics; the biggest uncovered semantic
+surface was merge conflict resolution (ontology_integrator.py:246 union,
+:321 intersection, :416 selective, :435 priority, :462 term-conflict
+resolution) and trimmer extraction (_extract_by_term_list :228,
+_extract_by_depth :342, _resolve_dependencies :586,
+_extract_relationships :630). These tests run the GENUINE reference
+code on the shared ontology dimension and diff row-for-row against this
+engine's queries.
+
+Bridge note (the only non-reference code in the loop): the reference
+integrator/trimmer package their results via `Ontology(id=
+f"extracted_{int(time.time())}")`. That call CRASHES against the
+reference's own real models — models.Ontology.__post_init__ rejects the
+underscore id format (models.py:2282) and _build_indexes iterates
+`term.synonyms` without the None-guard the trimmer's _copy_term output
+needs (models.py:3173); the integrator/trimmer were evidently written
+against their ImportError-fallback dataclasses. We therefore rebind the
+module-level `Ontology` name in those two modules to a plain attribute
+container. Every line of merge/extraction LOGIC — the loops, conflict
+resolution, BFS, confidence gates — runs untouched; only the final
+result container is swapped.
+
+Pinned quirks (each asserted explicitly):
+  * PRIORITY_BASED looks up the EXISTING term's priority by its
+    NAMESPACE but the new term's by its source ontology id
+    (ontology_integrator.py:520-521) — so with priorities
+    {A: 2, B: 1} the LOWER-priority B still wins every conflict, which
+    is exactly this engine's merge_union (B wins).
+  * Obsolete seeds are dropped but obsolete DEPENDENCY terms are kept
+    (ontology_trimmer.py:253 vs :620-627).
+  * The dependency/depth walk is BIDIRECTIONAL over ALL predicates and
+    never traverses through non-term endpoints (:658, :624).
+  * Depth-limited extraction excludes obsolete terms from the OUTPUT
+    but still traverses through them (:384-390).
+
+dependency_closure / term_depths are directed is_a-only by design (the
+scale-oriented variants); they are pinned here on chain/tree fixtures
+where the reference's bidirectional walk provably coincides with the
+directed one, while trimmer_term_list / trimmer_depth_extract are the
+reference-exact operators pinned on the full shared dimension.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import types
+
+import pytest
+
+from pyspark.sql import functions as F
+
+REF = "/root/reference"
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference tree not present")
+
+
+@pytest.fixture(scope="module")
+def refmod():
+    """Import the reference integrator/trimmer with watchdog stubbed and
+    the result-container name bridged (see module docstring)."""
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    for name in ("watchdog", "watchdog.observers", "watchdog.events"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    sys.modules["watchdog.observers"].Observer = object
+    sys.modules["watchdog.events"].FileSystemEventHandler = type(
+        "FileSystemEventHandler", (), {})
+    from aim2_project.aim2_ontology import models
+    from aim2_project.aim2_ontology import ontology_integrator as OI
+    from aim2_project.aim2_ontology import ontology_trimmer as OT
+
+    def _container(**kw):
+        base = dict(terms={}, relationships={}, namespaces=[])
+        base.update(kw)
+        return types.SimpleNamespace(**base)
+
+    OI.Ontology = _container
+    OT.Ontology = _container
+    return types.SimpleNamespace(models=models, OI=OI, OT=OT)
+
+
+def _build_ontology(refmod, term_dicts, rel_dicts, oid,
+                    decorate_names=""):
+    """A genuine reference Ontology holding the given dimension slice."""
+    m = refmod.models
+    ont = m.Ontology(id=oid, name=oid)
+    for t in term_dicts:
+        ont.add_term(m.Term(
+            id=t["id"], name=t["name"] + decorate_names,
+            definition=t["definition"], synonyms=list(t["synonyms"]),
+            namespace=t["namespace"], is_obsolete=t["is_obsolete"],
+            alt_ids=list(t["alt_ids"])))
+    ont.namespaces = sorted({t["namespace"] for t in term_dicts})
+    for r in rel_dicts:
+        ont.add_relationship(m.Relationship(
+            id=r["id"], subject=r["subject"], predicate=r["predicate"],
+            object=r["object"], confidence=r["confidence"],
+            evidence=r["evidence"]))
+    return ont
+
+
+@pytest.fixture(scope="module")
+def dim():
+    from cspirit_ontology_information_extraction_opus4plan_spark import (
+        ontology_data as OD,
+    )
+    return OD
+
+
+@pytest.fixture(scope="module")
+def full_ont(refmod, dim):
+    return _build_ontology(refmod, dim.terms(), dim.relationships(),
+                           "ONT:FULL")
+
+
+# --- integrator: union / priority quirk ------------------------------------
+
+def _ab_split(dim, decorate_b=False):
+    a = [t for t in dim.terms() if t["ontology_id"] in ("CHEBI", "GO")]
+    b = [t for t in dim.terms() if t["ontology_id"] in ("GO", "PO")]
+    return a, b
+
+
+def _ab_dfs(spark, decorate_b=True):
+    """The same A/B split the merge_* queries use, with B's names
+    decorated so the conflict WINNER is visible in the values."""
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators import (  # noqa: E501
+        gazetteer as GZ,
+    )
+    t = GZ.terms_df(spark).select("id", "name", "namespace", "ontology_id")
+    a = t.filter(F.col("ontology_id").isin("CHEBI", "GO"))
+    b = t.filter(F.col("ontology_id").isin("GO", "PO"))
+    if decorate_b:
+        b = b.withColumn("name", F.concat("name", F.lit(" (B)")))
+    return a, b
+
+
+def test_union_keep_last_parity(refmod, dim, spark):
+    """merge_union must equal the reference's UNION + KEEP_LAST merge
+    value-for-value; B's decorated names prove the conflict winner."""
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators import (  # noqa: E501
+        ontology_algebra as OA,
+    )
+    ta, tb = _ab_split(dim)
+    oa = _build_ontology(refmod, ta, [], "ONT:A")
+    ob = _build_ontology(refmod, tb, [], "ONT:B", decorate_names=" (B)")
+    res = refmod.OI.OntologyIntegrator().merge_ontologies(
+        [oa, ob], refmod.OI.MergeStrategy.UNION,
+        refmod.OI.ConflictResolution.KEEP_LAST)
+    assert res.success
+    want = {tid: (t.name, t.namespace)
+            for tid, t in res.merged_ontology.terms.items()}
+
+    a_df, b_df = _ab_dfs(spark, decorate_b=True)
+    got = {r["id"]: (r["name"], r["namespace"])
+           for r in OA.merge_union(a_df, b_df).collect()}
+    assert got == want
+    # every conflict is a GO id and resolved keep_last (B's decoration)
+    conflict_ids = {c.term_id for c in res.conflicts}
+    assert conflict_ids == {t["id"] for t in ta} & {t["id"] for t in tb}
+    assert all(c.resolution == "keep_last" for c in res.conflicts)
+    assert all(want[i][0].endswith(" (B)") for i in conflict_ids)
+    # merged namespaces = union of source namespace lists
+    assert set(res.merged_ontology.namespaces) == \
+        {t["namespace"] for t in ta} | {t["namespace"] for t in tb}
+
+
+def test_priority_quirk_parity(refmod, dim, spark):
+    """PRIORITY_BASED with priorities {A: 2, B: 1}: the reference keys
+    the EXISTING side by term namespace and the NEW side by ontology id
+    (ontology_integrator.py:520-521), so B wins every conflict despite
+    the lower declared priority — which is exactly merge_union."""
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators import (  # noqa: E501
+        ontology_algebra as OA,
+    )
+    ta, tb = _ab_split(dim)
+    oa = _build_ontology(refmod, ta, [], "ONT:A")
+    ob = _build_ontology(refmod, tb, [], "ONT:B", decorate_names=" (B)")
+    res = refmod.OI.OntologyIntegrator().merge_ontologies(
+        [oa, ob], refmod.OI.MergeStrategy.PRIORITY_BASED,
+        priorities={"ONT:A": 2, "ONT:B": 1})
+    assert res.success
+    want = {tid: t.name for tid, t in res.merged_ontology.terms.items()}
+
+    a_df, b_df = _ab_dfs(spark, decorate_b=True)
+    got = {r["id"]: r["name"]
+           for r in OA.merge_union(a_df, b_df).collect()}
+    assert got == want
+    term_conflicts = [c for c in res.conflicts
+                      if c.conflict_type == "term_definition"]
+    assert term_conflicts
+    assert all(c.resolution == "priority_new" for c in term_conflicts)
+
+
+def test_intersection_keep_first_parity(refmod, dim, spark):
+    """merge_intersection must equal the reference's INTERSECTION merge
+    (common ids, base ontology's copy under KEEP_FIRST): undecorated
+    names prove A's copy survives; common namespaces only."""
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators import (  # noqa: E501
+        ontology_algebra as OA,
+    )
+    ta, tb = _ab_split(dim)
+    oa = _build_ontology(refmod, ta, [], "ONT:A")
+    ob = _build_ontology(refmod, tb, [], "ONT:B", decorate_names=" (B)")
+    res = refmod.OI.OntologyIntegrator().merge_ontologies(
+        [oa, ob], refmod.OI.MergeStrategy.INTERSECTION,
+        refmod.OI.ConflictResolution.KEEP_FIRST)
+    assert res.success
+    want = {tid: (t.name, t.namespace)
+            for tid, t in res.merged_ontology.terms.items()}
+    assert want and not any(n.endswith(" (B)") for n, _ in want.values())
+
+    a_df, b_df = _ab_dfs(spark, decorate_b=True)
+    got = {r["id"]: (r["name"], r["namespace"])
+           for r in OA.merge_intersection(a_df, b_df).collect()}
+    assert got == want
+    assert set(res.merged_ontology.namespaces) == \
+        {t["namespace"] for t in ta} & {t["namespace"] for t in tb}
+
+
+def test_selective_parity(refmod, dim, spark):
+    """merge_selective = the reference's SELECTIVE strategy (it IS
+    union, ontology_integrator.py:433) restricted to the selected
+    namespaces. The engine pushes the namespace filter BELOW the merge;
+    that commutes with the reference's post-hoc restriction because the
+    conflict winner is per-id and both sources carry the same namespace
+    per id — asserted as a precondition."""
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators import (  # noqa: E501
+        ontology_algebra as OA,
+    )
+    namespaces = ["chemical", "biological_process"]
+    ta, tb = _ab_split(dim)
+    ns_by_id = {}
+    for t in ta + tb:
+        assert ns_by_id.setdefault(t["id"], t["namespace"]) == \
+            t["namespace"]
+    oa = _build_ontology(refmod, ta, [], "ONT:A")
+    ob = _build_ontology(refmod, tb, [], "ONT:B", decorate_names=" (B)")
+    res = refmod.OI.OntologyIntegrator().merge_ontologies(
+        [oa, ob], refmod.OI.MergeStrategy.SELECTIVE,
+        refmod.OI.ConflictResolution.KEEP_LAST)
+    assert res.success
+    want = {tid: t.name for tid, t in res.merged_ontology.terms.items()
+            if t.namespace in namespaces}
+
+    a_df, b_df = _ab_dfs(spark, decorate_b=True)
+    got = {r["id"]: r["name"]
+           for r in OA.merge_selective(a_df, b_df, namespaces).collect()}
+    assert got == want
+
+
+def test_merge_statistics_parity(refmod, dim, spark, sf_dir):
+    """merge_stats vs the reference's _calculate_merge_statistics on
+    the same terms-only A/B merge: n_a + n_b = source_terms_total,
+    n_union = merged_terms_count, n_conflicts = terms_reduction."""
+    import __spark_entry__ as E
+    ta, tb = _ab_split(dim)
+    oa = _build_ontology(refmod, ta, [], "ONT:A")
+    ob = _build_ontology(refmod, tb, [], "ONT:B")
+    res = refmod.OI.OntologyIntegrator().merge_ontologies(
+        [oa, ob], refmod.OI.MergeStrategy.UNION,
+        refmod.OI.ConflictResolution.KEEP_LAST)
+    stats = res.statistics
+    row = E.queries()["merge_stats"](spark, sf_dir).collect()[0]
+    assert row["n_a"] + row["n_b"] == stats["source_terms_total"]
+    assert row["n_union"] == stats["merged_terms_count"]
+    assert row["n_conflicts"] == stats["terms_reduction"]
+    assert row["n_only_a"] == row["n_a"] - row["n_conflicts"]
+    assert row["n_only_b"] == row["n_b"] - row["n_conflicts"]
+
+
+# --- trimmer: term-list + transitive dependencies --------------------------
+
+def test_trimmer_term_list_parity(refmod, full_ont, dim, spark, sf_dir):
+    """trimmer_term_list vs the ACTUAL _extract_by_term_list with
+    TRANSITIVE dependency resolution on the full dimension: same id
+    set, same names/namespaces, is_seed marks exactly the seed list,
+    and the obsolete-dependency quirk fires (obsolete terms reached by
+    the walk ARE included even though obsolete SEEDS would not be)."""
+    import __spark_entry__ as E
+    OT = refmod.OT
+    crit = OT.ExtractionCriteria(
+        strategy=OT.ExtractionStrategy.TERM_LIST,
+        term_ids=list(dim.CLOSURE_SEEDS),
+        dependency_mode=OT.DependencyMode.TRANSITIVE)
+    res = OT.OntologyTrimmer().extract_subset(full_ont, crit)
+    assert res.success, res.errors
+    want = {tid: (t.name, t.namespace)
+            for tid, t in res.extracted_ontology.terms.items()}
+    assert sum(t.is_obsolete
+               for t in res.extracted_ontology.terms.values()) > 0
+
+    rows = E.queries()["trimmer_term_list"](spark, sf_dir).collect()
+    got = {r["id"]: (r["name"], r["namespace"]) for r in rows}
+    assert got == want
+    assert {r["id"] for r in rows if r["is_seed"]} == \
+        set(dim.CLOSURE_SEEDS)
+    # dangling endpoints are never traversed through
+    assert "CHEBI:99999" not in got and "GO:99999" not in got
+
+
+def test_trimmer_relationships_parity(refmod, full_ont, dim, spark,
+                                      sf_dir):
+    """trimmer_term_list_rels vs the ACTUAL _extract_relationships leg
+    (both endpoints extracted AND confidence >= 0.8) — row-for-row on
+    the full 5-column relationship shape."""
+    import __spark_entry__ as E
+    OT = refmod.OT
+    crit = OT.ExtractionCriteria(
+        strategy=OT.ExtractionStrategy.TERM_LIST,
+        term_ids=list(dim.CLOSURE_SEEDS),
+        dependency_mode=OT.DependencyMode.TRANSITIVE,
+        min_confidence=0.8)
+    res = OT.OntologyTrimmer().extract_subset(full_ont, crit)
+    assert res.success
+    want = {(r.id, r.subject, r.predicate, r.object, r.confidence)
+            for r in res.extracted_ontology.relationships.values()}
+    got = {(r["id"], r["subject"], r["predicate"], r["object"],
+            r["confidence"])
+           for r in E.queries()["trimmer_term_list_rels"](
+               spark, sf_dir).collect()}
+    assert got == want
+    # the confidence gate actually excluded something
+    assert len(res.excluded_relationships) > 0
+
+
+def test_trimmer_depth_parity(refmod, full_ont, dim, spark, sf_dir):
+    """trimmer_depth_extract vs the ACTUAL _extract_by_depth for
+    max_depth 0/1/2: id sets agree at every k, and the engine's depth
+    column equals the first k at which the reference extracts the term
+    (FIFO BFS visits at minimum distance). Obsolete terms are excluded
+    from every output but traversed through."""
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators import (  # noqa: E501
+        gazetteer as GZ,
+        ontology_algebra as OA,
+    )
+    import __spark_entry__ as E
+    OT = refmod.OT
+    terms = GZ.terms_df(spark)
+    rels = GZ.relationships_df(spark)
+    first_seen = {}
+    for k in (0, 1, 2):
+        res = OT.OntologyTrimmer().extract_subset(
+            full_ont, OT.ExtractionCriteria(
+                strategy=OT.ExtractionStrategy.DEPTH_LIMITED,
+                max_depth=k))
+        assert res.success, res.errors
+        want_ids = set(res.extracted_ontology.terms.keys())
+        assert not any(t.is_obsolete
+                       for t in res.extracted_ontology.terms.values())
+        got_rows = OA.trimmer_depth_extract(terms, rels, k).collect()
+        assert {r["id"] for r in got_rows} == want_ids, k
+        for tid in want_ids:
+            first_seen.setdefault(tid, k)
+    # the registered query is the k=2 leg; pin depth values too
+    rows = E.queries()["trimmer_depth_extract"](spark, sf_dir).collect()
+    assert {r["id"]: r["depth"] for r in rows} == first_seen
+
+
+# --- chain/tree fixtures: the directed variants pinned where they
+# --- provably coincide with the reference's bidirectional walk ------------
+
+def _chain_fixture(refmod):
+    """Two disjoint is_a chains; seeds are the leaves. On a chain the
+    reference's bidirectional transitive walk from the leaf reaches
+    exactly the leaf's ancestors — the directed dependency_closure
+    contract."""
+    terms = [dict(id=f"{p}:{i:04d}", name=f"{p.lower()} {i}",
+                  definition=None, synonyms=[], namespace="chemical",
+                  is_obsolete=False, replaced_by=None, alt_ids=[],
+                  xrefs=[], parents=[], ontology_id=p)
+             for p in ("XA", "XB") for i in range(1, 6)]
+    rels = [dict(id=f"REL:9{pi}{i:04d}", subject=f"{p}:{i + 1:04d}",
+                 predicate="is_a", object=f"{p}:{i:04d}",
+                 confidence=1.0, evidence=None, source="synthetic",
+                 ontology_id=p)
+            for pi, p in enumerate(("XA", "XB")) for i in range(1, 5)]
+    return terms, rels
+
+
+def test_dependency_closure_chain_parity(refmod, spark):
+    """dependency_closure (directed is_a ancestors) row-for-row vs the
+    ACTUAL reference trimmer on chain fixtures where the two walks
+    provably coincide. (On branching inputs the reference's walk is
+    bidirectional — trimmer_term_list is the reference-exact operator
+    there; this pins that the shared machinery agrees where the
+    contracts overlap.)"""
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators import (  # noqa: E501
+        gazetteer as GZ,
+        ontology_algebra as OA,
+    )
+    OT = refmod.OT
+    term_dicts, rel_dicts = _chain_fixture(refmod)
+    ont = _build_ontology(refmod, term_dicts, rel_dicts, "ONT:CHAIN")
+    seeds = ["XA:0005", "XB:0005"]
+    res = OT.OntologyTrimmer().extract_subset(
+        ont, OT.ExtractionCriteria(
+            strategy=OT.ExtractionStrategy.TERM_LIST, term_ids=seeds,
+            dependency_mode=OT.DependencyMode.TRANSITIVE))
+    assert res.success
+    want = set(res.extracted_ontology.terms.keys())
+    assert want == {f"{p}:{i:04d}" for p in ("XA", "XB")
+                    for i in range(1, 6)}
+
+    terms = spark.createDataFrame(
+        [tuple(t.values()) for t in term_dicts], GZ.TERMS_SCHEMA)
+    rels = spark.createDataFrame(
+        [tuple(r.values()) for r in rel_dicts], GZ.RELS_SCHEMA)
+    seeds_df = spark.createDataFrame([(s,) for s in seeds], "id string")
+    got = {r["id"] for r in OA.dependency_closure(
+        terms, rels, seeds_df).collect()}
+    assert got == want
+    # and the reference-exact operator agrees with both here
+    got_ref_exact = {r["id"] for r in OA.trimmer_term_list_extract(
+        terms, rels, seeds_df).collect()}
+    assert got_ref_exact == want
+
+
+def _tree_fixture():
+    """A 3-level is_a tree (1 root, 3 children, 9 grandchildren) —
+    bidirectional BFS from the root coincides with the directed
+    downward walk, so reference depth extraction pins bfs_depths."""
+    terms = [dict(id="XT:0001", name="root", definition=None,
+                  synonyms=[], namespace="chemical", is_obsolete=False,
+                  replaced_by=None, alt_ids=[], xrefs=[], parents=[],
+                  ontology_id="XT")]
+    rels = []
+    n = 2
+    for c in range(3):
+        cid = f"XT:{n:04d}"; n += 1
+        terms.append(dict(id=cid, name=f"child {c}", definition=None,
+                          synonyms=[], namespace="chemical",
+                          is_obsolete=False, replaced_by=None,
+                          alt_ids=[], xrefs=[], parents=[],
+                          ontology_id="XT"))
+        rels.append(dict(id=f"TRL:{n:03d}", subject=cid,
+                         predicate="is_a", object="XT:0001",
+                         confidence=1.0, evidence=None,
+                         source="synthetic", ontology_id="XT"))
+        for g in range(3):
+            gid = f"XT:{n:04d}"; n += 1
+            terms.append(dict(id=gid, name=f"gc {c}.{g}",
+                              definition=None, synonyms=[],
+                              namespace="chemical", is_obsolete=False,
+                              replaced_by=None, alt_ids=[], xrefs=[],
+                              parents=[], ontology_id="XT"))
+            rels.append(dict(id=f"TRL:{n:03d}", subject=gid,
+                             predicate="is_a", object=cid,
+                             confidence=1.0, evidence=None,
+                             source="synthetic", ontology_id="XT"))
+    return terms, rels
+
+
+def test_bfs_depths_tree_parity(refmod, spark):
+    """term_depths (bfs_depths) pinned against the ACTUAL reference
+    depth extraction on a tree: depth(t) must equal the first max_depth
+    at which _extract_by_depth extracts t, and the root set must equal
+    _find_root_terms."""
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators import (  # noqa: E501
+        gazetteer as GZ,
+        ontology_algebra as OA,
+    )
+    OT = refmod.OT
+    term_dicts, rel_dicts = _tree_fixture()
+    ont = _build_ontology(refmod, term_dicts, rel_dicts, "ONT:TREE")
+    first_seen = {}
+    for k in (0, 1, 2):
+        res = OT.OntologyTrimmer().extract_subset(
+            ont, OT.ExtractionCriteria(
+                strategy=OT.ExtractionStrategy.DEPTH_LIMITED,
+                max_depth=k))
+        assert res.success
+        for tid in res.extracted_ontology.terms:
+            first_seen.setdefault(tid, k)
+
+    terms = spark.createDataFrame(
+        [tuple(t.values()) for t in term_dicts], GZ.TERMS_SCHEMA)
+    rels = spark.createDataFrame(
+        [tuple(r.values()) for r in rel_dicts], GZ.RELS_SCHEMA)
+    got = {r["id"]: r["depth"]
+           for r in OA.bfs_depths(terms, rels).collect()}
+    assert got == first_seen
+    assert {r["id"] for r in OA.hierarchy_roots(terms, rels).collect()} \
+        == set(OT.OntologyTrimmer()._find_root_terms(ont))
