@@ -1980,6 +1980,25 @@ def q_jsonld_namespaces(spark, sf_dir):
     return SR.jsonld_namespaces(terms_df(spark))
 
 
+def q_jsonld_context_namespaces(spark, sf_dir):
+    """get_namespaces over documents with mixed/nested @context forms
+    (string, @id-dict, alias, numeric, override traps) + the
+    reference's default-namespace injection."""
+    return SR.jsonld_context_namespaces(
+        DE.jsonld_context_docs(terms_df(spark)))
+
+
+def q_csv_dialect(spark, sf_dir):
+    """CSV dialect + header detection over the seven-document battery
+    (CSVParser.detect_dialect / detect_headers / detect_format);
+    method/confidence stay operator-side, pinned by the parity suite —
+    the oracle scores dialects independently via manual consistency
+    scoring."""
+    return SR.detect_csv_dialects(
+        DE.csv_dialect_files(terms_df(spark))).select(
+            "path", "fmt", "delimiter", "quotechar", "has_header")
+
+
 def q_csv_infer(spark, sf_dir):
     """CSV header + column-type inference over a typed CSV payload
     (CSVParser.infer_column_types) — the ontology-domain rules
@@ -3071,7 +3090,9 @@ def queries() -> dict[str, QueryFn]:
         "embedding_drift_psi": q_embedding_drift_psi,
         "event_retention": q_event_retention,
         "jsonld_namespaces": q_jsonld_namespaces,
+        "jsonld_context_namespaces": q_jsonld_context_namespaces,
         "csv_infer": q_csv_infer,
+        "csv_dialect": q_csv_dialect,
         "event_asof_split": q_event_asof_split,
         # --- round-3 training-pipeline / KG diagnostics
         "doc_repetition": q_doc_repetition,

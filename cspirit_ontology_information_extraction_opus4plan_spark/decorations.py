@@ -1493,3 +1493,103 @@ def media_caption_samples(media: DataFrame) -> DataFrame:
                    % len(TABLE_CAPTION_BATTERY) + 1)))
     return media.select("doc_id", "kind", "media_ref",
                         caption.alias("caption"))
+
+
+def jsonld_context_docs(terms: DataFrame) -> DataFrame:
+    """(doc_id, payload): one JSON-LD document per ontology whose
+    @context exercises every branch of the reference's get_namespaces
+    (parsers/__init__.py:7274): a plain prefix->IRI string, an @id-DICT
+    form ({"@id": <https uri>}), a non-IRI term alias (dropped), a
+    numeric entry (dropped), a non-http @id dict (dropped), plus two
+    planted traps — CHEBI overrides the 'owl' prefix (so the default
+    owl namespace must NOT be injected there) and GO maps 'rdf' to a
+    non-URI (dropped, so the default rdf MUST still be injected).
+    Payload built by deterministic string concat so the DuckDB oracle
+    re-derives expected namespaces from the dimension without parsing
+    JSON (the rdfxml_parse pattern)."""
+    from .operators.serde import OBO_BASE
+    ont = F.col("ontology_id")
+    extra = (
+        F.when(ont == "CHEBI",
+               ', "owl": "http://example.org/owl-override#"')
+        .when(ont == "GO", ', "rdf": "not-a-uri"')
+        .otherwise(""))
+    payload = F.concat(
+        F.lit('{"@context": {"'), F.lower(ont), F.lit('": "'),
+        F.lit(OBO_BASE), ont, F.lit('_", '),
+        F.lit('"xref": {"@id": "https://example.org/xref/'), ont,
+        F.lit('#"}, '),
+        F.lit('"label": "rdfs:label", "version": 17, '),
+        F.lit('"local": {"@id": "urn:local:x"}'), extra,
+        F.lit('}, "@id": "urn:ont:'), ont, F.lit('"}'))
+    return (terms.select("ontology_id").distinct()
+            .select(F.col("ontology_id").alias("doc_id"),
+                    payload.alias("payload")))
+
+
+def csv_dialect_files(terms: DataFrame) -> DataFrame:
+    """(path, payload): a seven-document CSV dialect battery built from
+    the first 8 CHEBI terms — comma with quoted fields (embedded comma
+    + doubled ""escape""), TSV, semicolon, pipe, single-quoted fields,
+    a headerless all-numeric doc, and a single-line doc that forces the
+    detector's exception/fallback paths. Deterministic by construction;
+    the DuckDB oracle re-synthesizes the same payloads from terms_f and
+    scores dialects independently (manual consistency scoring), while
+    test_reference_parity_csv_jsonld pins the operator against the
+    ACTUAL CSVParser.detect_dialect/detect_headers per document."""
+    seq = F.regexp_extract("id", r"(\d+)$", 1).cast("long")
+    base = (terms.filter(F.col("ontology_id") == "CHEBI")
+            .select("id", "name", seq.alias("seq"))
+            .orderBy("id").limit(8))
+    ts = base.agg(F.sort_array(
+        F.collect_list(F.struct("id", "name", "seq"))).alias("ts"))
+
+    def rows(fmt):
+        return F.array_join(F.transform("ts", fmt), "\n")
+
+    dq = '"'
+    payloads = F.array(
+        F.struct(
+            F.lit("comma_quoted.csv").alias("path"),
+            F.concat(
+                F.lit("term_id,description,seq\n"),
+                rows(lambda t: F.concat(
+                    t["id"], F.lit(f',{dq}'), t["name"],
+                    F.lit(f', annotated {dq}{dq}x{dq}{dq}{dq},'),
+                    t["seq"].cast("string")))).alias("payload")),
+        F.struct(
+            F.lit("tab.tsv").alias("path"),
+            F.concat(F.lit("term_id\tdescription\tseq\n"),
+                     rows(lambda t: F.concat_ws(
+                         "\t", t["id"], t["name"],
+                         t["seq"].cast("string")))).alias("payload")),
+        F.struct(
+            F.lit("semicolon.csv").alias("path"),
+            F.concat(F.lit("term_id;description;seq\n"),
+                     rows(lambda t: F.concat_ws(
+                         ";", t["id"], t["name"],
+                         t["seq"].cast("string")))).alias("payload")),
+        F.struct(
+            F.lit("pipe.csv").alias("path"),
+            F.concat(F.lit("term_id|description|seq\n"),
+                     rows(lambda t: F.concat_ws(
+                         "|", t["id"], t["name"],
+                         t["seq"].cast("string")))).alias("payload")),
+        F.struct(
+            F.lit("single_quote.csv").alias("path"),
+            F.concat(F.lit("term_id,description,seq\n"),
+                     rows(lambda t: F.concat(
+                         t["id"], F.lit(",'"), t["name"],
+                         F.lit(", annotated',"),
+                         t["seq"].cast("string")))).alias("payload")),
+        F.struct(
+            F.lit("no_header.csv").alias("path"),
+            rows(lambda t: F.concat_ws(
+                ",", t["seq"].cast("string"),
+                (t["seq"] % 10).cast("string"),
+                (t["seq"] * 2).cast("string"))).alias("payload")),
+        F.struct(
+            F.lit("one_line.csv").alias("path"),
+            F.lit("term_id,description,seq").alias("payload")))
+    return (ts.select(F.explode(payloads).alias("f"))
+            .select("f.path", "f.payload"))

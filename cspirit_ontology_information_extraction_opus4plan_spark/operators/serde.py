@@ -653,6 +653,59 @@ def jsonld_namespaces(terms: DataFrame) -> DataFrame:
                     | F.col("uri").startswith("https://")))
 
 
+# The four namespaces the reference injects when a @context does not
+# already bind the prefix (get_namespaces parsers/__init__.py:7330-7341)
+JSONLD_DEFAULT_NAMESPACES = {
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+    "owl": "http://www.w3.org/2002/07/owl#",
+    "xsd": "http://www.w3.org/2001/XMLSchema#",
+}
+
+
+def jsonld_context_namespaces(docs: DataFrame) -> DataFrame:
+    """Reference-exact @context namespace extraction over arbitrary
+    JSON-LD documents (JSONLDParser.get_namespaces
+    parsers/__init__.py:7274, pinned in-process by
+    test_reference_parity_csv_jsonld): an entry survives iff its value
+    is a string starting with http:// or https://, OR a dict whose @id
+    is such a string; afterwards the four default RDF namespaces are
+    injected for any prefix the SURVIVING entries did not bind (an
+    entry dropped by the filter does NOT block its default — the
+    reference checks `prefix not in namespaces` AFTER filtering).
+
+    Spark shape: from_json(map<string,string>) coerces dict values to
+    their JSON text, so the @id-dict branch is a startswith('{') +
+    get_json_object — one codegen pass, no UDF; defaults are a 4-row
+    broadcast anti-joined per doc. Output (doc_id, prefix, uri,
+    source)."""
+    ctx = F.from_json(F.get_json_object("payload", "$['@context']"),
+                      "map<string,string>")
+    entries = (docs
+               .select("doc_id", F.explode(ctx).alias("prefix", "raw"))
+               .withColumn(
+                   "uri",
+                   F.when(F.col("raw").startswith("{"),
+                          F.get_json_object("raw", "$['@id']"))
+                   .otherwise(F.col("raw"))))
+    kept = (entries
+            .filter(F.col("uri").startswith("http://")
+                    | F.col("uri").startswith("https://"))
+            .select("doc_id", "prefix", "uri",
+                    F.lit("context").alias("source")))
+    defaults = F.explode(F.array(*[
+        F.struct(F.lit(p).alias("prefix"), F.lit(u).alias("uri"))
+        for p, u in sorted(JSONLD_DEFAULT_NAMESPACES.items())]))
+    injected = (docs.select("doc_id").distinct()
+                .select("doc_id", defaults.alias("d"))
+                .select("doc_id", "d.prefix", "d.uri")
+                .join(kept.select("doc_id", "prefix"),
+                      ["doc_id", "prefix"], "left_anti")
+                .select("doc_id", "prefix", "uri",
+                        F.lit("default").alias("source")))
+    return kept.unionByName(injected)
+
+
 def jsonld_flatten(terms: DataFrame) -> DataFrame:
     """JSON-LD flatten (parsers/__init__.py:7777): a @graph-nested
     document per ontology is flattened back to one row per node.
@@ -673,3 +726,167 @@ def jsonld_flatten(terms: DataFrame) -> DataFrame:
             .select("ontology_id",
                     F.col("node.id").alias("node_id"),
                     F.col("node.name").alias("name")))
+
+
+# ---------------------------------------------------------------------------
+# CSV dialect detection (CSVParser.detect_dialect parsers/__init__.py:5212)
+# ---------------------------------------------------------------------------
+
+# the reference's extended sniffer delimiter set (:5319)
+CSV_SNIFF_DELIMITERS = ",\t|;: \u00A0"
+CSV_DIALECT_SCHEMA = ("path string, fmt string, delimiter string, "
+                      "quotechar string, method string, "
+                      "confidence double, has_header boolean")
+
+
+def _csv_detect_format(content: str) -> str:
+    """CSVParser.detect_format (:5182): delimiter frequency over the
+    first 10 lines; tsv only when tabs beat commas AND pipes."""
+    if not content:
+        return "csv"
+    sample = "\n".join(content.split("\n")[:10])
+    comma, tab, pipe = (sample.count(","), sample.count("\t"),
+                        sample.count("|"))
+    if tab > comma and tab > pipe:
+        return "tsv"
+    return "csv"
+
+
+def _csv_sniffer_confidence(csv_mod, sample: str, dialect) -> float:
+    """_calculate_sniffer_confidence (:5520): field-count consistency
+    of the first 10 lines under the detected dialect — 0.9 when
+    uniform, else the modal ratio clamped to [0.3, 0.9]."""
+    valid = [ln for ln in sample.split("\n")[:10] if ln.strip()]
+    if len(valid) < 2:
+        return 0.5
+    counts = []
+    for ln in valid:
+        try:
+            counts.append(len(next(csv_mod.reader([ln], dialect=dialect))))
+        except Exception:
+            continue
+    if not counts:
+        return 0.3
+    if len(set(counts)) == 1:
+        return 0.9
+    modal = max(set(counts), key=counts.count)
+    return max(0.3, min(0.9, counts.count(modal) / len(counts)))
+
+
+def _csv_manual_dialect(re_mod, sample: str):
+    """_manual_dialect_detection (:5342): per-candidate consistency
+    scoring (uniform field counts -> 1.0, else 1 - variance/avg) times
+    occurrence rate; quote chars scored by quoted-field regex hits.
+    Returns (delimiter, quotechar, confidence) or None when fewer than
+    two lines."""
+    lines = sample.split("\n")[:10]
+    if len(lines) < 2:
+        return None
+    candidates = {",": 0.0, "\t": 0.0, "|": 0.0, ";": 0.0, ":": 0.0,
+                  " ": 0.0, "\u00A0": 0.0}
+    for ln in lines:
+        if not ln.strip():
+            continue
+        for d in candidates:
+            c = ln.count(d)
+            if c > 0:
+                candidates[d] += c
+    best_delimiter, best_score = ",", 0.0
+    for d, total in candidates.items():
+        if total == 0:
+            continue
+        field_counts = [ln.count(d) + 1 for ln in lines if ln.strip()]
+        if not field_counts:
+            continue
+        if len(set(field_counts)) == 1 and field_counts[0] > 1:
+            consistency = 1.0
+        else:
+            avg = sum(field_counts) / len(field_counts)
+            var = sum((x - avg) ** 2 for x in field_counts) \
+                / len(field_counts)
+            consistency = max(0.0, 1.0 - (var / avg) if avg > 0 else 0.0)
+        score = consistency * (total / len(lines))
+        if score > best_score:
+            best_score, best_delimiter = score, d
+    best_quote, quote_hits = '"', 0
+    for q in ('"', "'", "`"):
+        hits = sum(1 for ln in lines if re_mod.search(
+            rf"{re_mod.escape(q)}[^{re_mod.escape(q)}]*{re_mod.escape(q)}",
+            ln))
+        if hits > quote_hits:
+            quote_hits, best_quote = hits, q
+    confidence = min(1.0, best_score + (quote_hits / len(lines)) * 0.1)
+    return best_delimiter, best_quote, confidence
+
+
+def _csv_fallback_dialect(sample: str):
+    """_fallback_dialect_detection (:5467). The tab/pipe/semicolon
+    heuristics are DEAD CODE in the reference: its default options
+    always carry delimiter=',' (:5650 area defaults), and the
+    user-delimiter branch overrides whatever the heuristics picked,
+    pinning the fallback to (',', 0.7) for every input — mirrored
+    faithfully (and pinned by the oneline battery doc)."""
+    return ",", 0.7
+
+
+def detect_csv_dialects(files: DataFrame) -> DataFrame:
+    """Per-document CSV dialect + header detection reproducing the
+    reference's full decision chain (detect_dialect :5212 — stdlib
+    csv.Sniffer over content[:8192] with the extended delimiter set,
+    accepted above confidence 0.6; else manual pattern scoring above
+    0.4; else fallback heuristics — plus detect_format :5182 and
+    detect_headers :5604 with its exception->True conservative
+    default). The reference runs this once per file in-process; here it
+    is an Arrow-batched mapInPandas stage, one stdlib-csv call per
+    DOCUMENT (bounded metadata work, never per-row), so a 100 TB crawl
+    of small CSV files dialect-sniffs embarrassingly parallel.
+    In-process parity: test_reference_parity_csv_jsonld."""
+    def _batch(batches):
+        import csv
+        import re
+
+        def one(path: str, content: str):
+            fmt = _csv_detect_format(content)
+            sample = content[:8192]
+            method = None
+            delimiter = quotechar = None
+            confidence = 0.0
+            if not content:
+                method, confidence = "fallback", 0.0
+            else:
+                try:
+                    dialect = csv.Sniffer().sniff(
+                        sample, delimiters=CSV_SNIFF_DELIMITERS)
+                    conf = _csv_sniffer_confidence(csv, sample, dialect)
+                    if conf > 0.6:
+                        method, confidence = "sniffer", conf
+                        delimiter = dialect.delimiter
+                        quotechar = dialect.quotechar
+                except Exception:
+                    pass
+                if method is None:
+                    manual = _csv_manual_dialect(re, sample)
+                    if manual is not None and manual[2] > 0.4:
+                        delimiter, quotechar, confidence = manual
+                        method = "manual"
+                if method is None:
+                    delimiter, confidence = _csv_fallback_dialect(sample)
+                    quotechar, method = '"', "fallback"
+            if not content:
+                has_header = False
+            else:
+                try:
+                    has_header = csv.Sniffer().has_header(
+                        "\n".join(content.split("\n")[:10]))
+                except Exception:
+                    has_header = True  # conservative default (:5621)
+            return (path, fmt, delimiter, quotechar, method,
+                    float(confidence), bool(has_header))
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                [one(p, c) for p, c in zip(pdf["path"], pdf["payload"])],
+                columns=["path", "fmt", "delimiter", "quotechar",
+                         "method", "confidence", "has_header"])
+
+    return files.mapInPandas(_batch, CSV_DIALECT_SCHEMA)

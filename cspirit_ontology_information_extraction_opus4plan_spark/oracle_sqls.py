@@ -4515,6 +4515,159 @@ SELECT DISTINCT ontology_id,
        '{SR.OBO_BASE}' || string_split(id, ':')[1] || '_' AS uri
 FROM terms_d"""
 
+    # jsonld_context_namespaces: expected rows derived from the
+    # dimension + the fixture's planted traps, never by re-parsing the
+    # JSON — per ontology doc: its own prefix entry, the https xref
+    # @id-dict entry, CHEBI's owl override, then the four defaults
+    # except where a SURVIVING context entry binds the prefix (GO's
+    # dropped non-URI rdf does not block the rdf default)
+    dflt = " UNION ALL ".join(
+        f"SELECT {_q(p)} AS prefix, {_q(u)} AS uri"
+        for p, u in sorted(SR.JSONLD_DEFAULT_NAMESPACES.items()))
+    sqls["jsonld_context_namespaces"] = "WITH " + terms_cte() + f"""
+, docs AS (SELECT DISTINCT ontology_id AS doc_id FROM terms_d),
+kept AS (
+  SELECT doc_id, lower(doc_id) AS prefix,
+         '{SR.OBO_BASE}' || doc_id || '_' AS uri,
+         'context' AS source
+  FROM docs
+  UNION ALL
+  SELECT doc_id, 'xref',
+         'https://example.org/xref/' || doc_id || '#', 'context'
+  FROM docs
+  UNION ALL
+  SELECT 'CHEBI', 'owl', 'http://example.org/owl-override#', 'context'),
+defaults(prefix, uri) AS ({dflt})
+SELECT doc_id, prefix, uri, source FROM kept
+UNION ALL
+SELECT d.doc_id, f.prefix, f.uri, 'default' AS source
+FROM docs d, defaults f
+WHERE NOT EXISTS (SELECT 1 FROM kept k
+                  WHERE k.doc_id = d.doc_id AND k.prefix = f.prefix)"""
+
+    # csv_dialect: independent twin — re-synthesize the seven battery
+    # payloads from terms_f, then score delimiters by the MANUAL
+    # consistency algorithm (_manual_dialect_detection :5342: per-line
+    # field-count uniformity x occurrence rate, first-candidate wins
+    # ties), quote chars by quoted-field regex hits, and headers by the
+    # numeric-shape rule (first row has no numeric field, data rows
+    # do). The Spark operator goes through stdlib csv.Sniffer first —
+    # on this battery both roads must reach the same dialect, which is
+    # exactly the cross-check; confidence/method are deliberately NOT
+    # oracle-facing (sniffer and manual confidences differ by
+    # construction) and are pinned by the in-process parity suite.
+    sqls["csv_dialect"] = "WITH " + terms_full_cte() + """
+, base AS (
+  SELECT id, name,
+         CAST(regexp_extract(id, '(\\d+)$', 1) AS BIGINT) AS seq
+  FROM terms_f WHERE ontology_id = 'CHEBI' ORDER BY id LIMIT 8),
+docs(path, payload) AS (
+  SELECT 'comma_quoted.csv',
+         'term_id,description,seq' || chr(10) ||
+         string_agg(id || ',"' || name || ', annotated ""x""'
+                    || '",' || seq, chr(10) ORDER BY id)
+  FROM base
+  UNION ALL
+  SELECT 'tab.tsv',
+         'term_id' || chr(9) || 'description' || chr(9) || 'seq'
+         || chr(10) ||
+         string_agg(id || chr(9) || name || chr(9) || seq,
+                    chr(10) ORDER BY id)
+  FROM base
+  UNION ALL
+  SELECT 'semicolon.csv',
+         'term_id;description;seq' || chr(10) ||
+         string_agg(id || ';' || name || ';' || seq,
+                    chr(10) ORDER BY id)
+  FROM base
+  UNION ALL
+  SELECT 'pipe.csv',
+         'term_id|description|seq' || chr(10) ||
+         string_agg(id || '|' || name || '|' || seq,
+                    chr(10) ORDER BY id)
+  FROM base
+  UNION ALL
+  SELECT 'single_quote.csv',
+         'term_id,description,seq' || chr(10) ||
+         string_agg(id || ',''' || name || ', annotated'',' || seq,
+                    chr(10) ORDER BY id)
+  FROM base
+  UNION ALL
+  SELECT 'no_header.csv',
+         string_agg(seq || ',' || (seq % 10) || ',' || (seq * 2),
+                    chr(10) ORDER BY id)
+  FROM base
+  UNION ALL
+  SELECT 'one_line.csv', 'term_id,description,seq'),
+lines AS (
+  SELECT d.path, ls[r.i + 1] AS line, r.i AS idx
+  FROM (SELECT path, string_split(payload, chr(10)) AS ls FROM docs) d,
+       range(10) r(i)
+  WHERE r.i < len(d.ls)),
+nl AS (SELECT path, count(*) AS n FROM lines GROUP BY 1),
+cands(d, ord) AS (VALUES (',', 1), (chr(9), 2), ('|', 3), (';', 4)),
+cnt AS (
+  SELECT l.path, c.d, c.ord,
+         length(l.line) - length(replace(l.line, c.d, '')) AS occ
+  FROM lines l, cands c
+  WHERE trim(l.line) <> ''),
+scored AS (
+  SELECT path, d, ord, sum(occ) AS total,
+         CASE WHEN count(DISTINCT occ + 1) = 1 AND min(occ + 1) > 1
+              THEN 1.0
+              ELSE greatest(0.0, 1.0 - var_pop(occ + 1) / avg(occ + 1))
+         END AS consistency
+  FROM cnt GROUP BY 1, 2, 3),
+best AS (
+  SELECT s.path, s.d, row_number() OVER (
+    PARTITION BY s.path
+    ORDER BY s.consistency * (CAST(s.total AS DOUBLE) / nl.n) DESC,
+             s.ord ASC) AS rn
+  FROM scored s JOIN nl USING (path) WHERE s.total > 0),
+delim AS (
+  SELECT nl.path,
+         CASE WHEN nl.n < 2 THEN ',' ELSE b.d END AS delimiter
+  FROM nl LEFT JOIN best b ON b.path = nl.path AND b.rn = 1),
+quotes(qc, re, ord) AS (VALUES
+  ('"', '"[^"]*"', 1), ('''', '''[^'']*''', 2), ('`', '`[^`]*`', 3)),
+qhits AS (
+  SELECT l.path, q.qc, q.ord,
+         sum(CASE WHEN regexp_matches(l.line, q.re) THEN 1 ELSE 0 END)
+           AS hits
+  FROM lines l, quotes q GROUP BY 1, 2, 3),
+qbest AS (
+  SELECT path, qc, row_number() OVER (
+    PARTITION BY path ORDER BY hits DESC, ord ASC) AS rn
+  FROM qhits),
+fields AS (
+  SELECT l.path, l.idx, unnest(string_split(l.line, dl.delimiter)) AS fv
+  FROM lines l JOIN delim dl USING (path)),
+numc AS (
+  SELECT path, idx,
+         sum(CASE WHEN try_cast(fv AS DOUBLE) IS NOT NULL
+             THEN 1 ELSE 0 END) AS nn
+  FROM fields GROUP BY 1, 2),
+hh AS (
+  SELECT n.path,
+         CASE WHEN nl.n < 2 THEN TRUE
+              ELSE max(CASE WHEN n.idx = 0 THEN n.nn END) = 0
+                   AND sum(CASE WHEN n.idx > 0 THEN n.nn ELSE 0 END) > 0
+         END AS has_header
+  FROM numc n JOIN nl USING (path) GROUP BY n.path, nl.n),
+fmtc AS (
+  SELECT path,
+         CASE WHEN length(payload) - length(replace(payload, chr(9), ''))
+                   > length(payload) - length(replace(payload, ',', ''))
+               AND length(payload) - length(replace(payload, chr(9), ''))
+                   > length(payload) - length(replace(payload, '|', ''))
+              THEN 'tsv' ELSE 'csv' END AS fmt
+  FROM docs)
+SELECT d.path, f.fmt, d.delimiter, q.qc AS quotechar, h.has_header
+FROM delim d
+JOIN fmtc f USING (path)
+JOIN (SELECT path, qc FROM qbest WHERE rn = 1) q USING (path)
+JOIN hh h USING (path)"""
+
     # csv_infer: expected (path, col_name, inferred_type) — the same
     # full-scan inference rules applied to the dimension columns the
     # CSV document serializes (values are comma-free by construction,
