@@ -89,6 +89,13 @@ HEADLINE = [
     "media_features",     # real PNG decode -> pixel stats (r4)
     "parse_recovery_reparse",  # REPLACE-lane corrected reparse (r4)
     "owl_validate",       # per-doc validate_owl report (r4)
+    "kg_entailment",      # RDFS-style closure to fixpoint (r5)
+    "kg_entailment_delta",  # semi-naive entailment maintenance (r5)
+    "canonical_entities_delta",  # incremental CC canonicalization (r5)
+    "kg_node2vec_walks",  # biased 2nd-order walk corpus (r5)
+    "kg_closeness_centrality",  # multi-source BFS closeness (r5)
+    "kg_diameter",        # double-sweep BFS eccentricity bound (r5)
+    "doc_minhash_delta_store",  # bucketed-store delta near-dup (r5)
 ]
 
 

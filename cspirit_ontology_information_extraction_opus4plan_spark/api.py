@@ -192,6 +192,22 @@ def q_doc_minhash_delta(spark, sf_dir):
     return minhash_delta_pairs(docs, delta)
 
 
+def q_doc_minhash_delta_store(spark, sf_dir):
+    """Store-backed incremental near-dup (the verdict's 100-TB wiring):
+    the 'previous run' (docs with doc_id%10 >= 3) PUBLISHES the
+    bucketed signature store, then the delta run joins its fresh bands
+    against that store bucket-local — old document bodies are never
+    re-read. Output must equal doc_minhash_delta exactly."""
+    from .operators.textops import (
+        minhash_delta_pairs_from_store,
+        publish_minhash_store,
+    )
+    docs = DE.augmented_docs(spark, sf_dir)
+    publish_minhash_store(docs.filter(F.col("doc_id") % 10 >= 3))
+    return minhash_delta_pairs_from_store(
+        spark, docs.filter(F.col("doc_id") % 10 < 3))
+
+
 def q_doc_simhash_clusters(spark, sf_dir):
     from .operators.textops import simhash_clusters
     return simhash_clusters(DE.augmented_docs(spark, sf_dir))
@@ -2912,6 +2928,7 @@ def queries() -> dict[str, QueryFn]:
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_minhash_delta": q_doc_minhash_delta,
+        "doc_minhash_delta_store": q_doc_minhash_delta_store,
         "doc_simhash_neardup": q_doc_simhash_neardup,
         "event_windows": q_event_windows,
         "doc_token_stats": q_doc_token_stats,

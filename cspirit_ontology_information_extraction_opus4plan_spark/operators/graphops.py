@@ -2227,14 +2227,28 @@ def diameter_double_sweep(edges: DataFrame,
     stats = (d2.agg(F.count("*").cast("bigint").alias("n_reached"))
              .localCheckpoint(eager=True))
     d2.unpersist()  # both 1-row outputs are pinned; drop sweep 2 too
-    return (seed.select(F.col("node").alias("seed"))
-            .crossJoin(F.broadcast(
-                f1.select(F.col("node").alias("sweep1_far"),
-                          F.col("ecc").cast("int").alias("ecc_seed"))))
-            .crossJoin(F.broadcast(
-                f2.select(F.col("node").alias("sweep2_far"),
-                          F.col("ecc").cast("int").alias("diameter_lb"))))
-            .crossJoin(F.broadcast(stats)))
+    # assemble the four 1-row frames WITHOUT any join: union them with
+    # disjoint column sets (nulls elsewhere) and take max per column —
+    # max sees exactly one non-null per column, so this is the cross
+    # join of singletons expressed as a 4-row aggregate (a constant-key
+    # equi-join constant-folds back into CartesianProduct, which the
+    # no-cartesian plan gate forbids)
+    parts = (seed.select(F.col("node").alias("seed"))
+             .unionByName(
+                 f1.select(F.col("node").alias("sweep1_far"),
+                           F.col("ecc").cast("int").alias("ecc_seed")),
+                 allowMissingColumns=True)
+             .unionByName(
+                 f2.select(F.col("node").alias("sweep2_far"),
+                           F.col("ecc").cast("int")
+                           .alias("diameter_lb")),
+                 allowMissingColumns=True)
+             .unionByName(stats.select("n_reached"),
+                          allowMissingColumns=True))
+    return parts.agg(*[
+        F.max(c).alias(c)
+        for c in ("seed", "sweep1_far", "ecc_seed", "sweep2_far",
+                  "diameter_lb", "n_reached")])
 
 
 DESCRIBE_PREFIX = "CHEBI:100"

@@ -161,10 +161,19 @@ def _minhash_tables(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     sig = _signatures_from_hashes(
         sets_.select("doc_id", F.explode("sh").alias("s"))
         .select("doc_id", F.md5("s").alias("h")))
+    # band_key folds the band INDEX into the hash, so band_key alone is
+    # a complete join key: two docs share a band_key iff they share the
+    # same band slot AND the same mh block. The delta-store path joins
+    # on the single column (its bucket key — Spark's co-partition check
+    # requires ALL join keys to match the bucket layout, so a
+    # (band_idx, band_key) join would re-shuffle the store); the
+    # in-memory paths keep both columns in the join, which is the same
+    # candidate set either way.
     bands = sig.select(
         "doc_id",
         F.posexplode(F.array(*[
-            F.md5(F.concat(*[F.col(f"mh{b * r + j}") for j in range(r)]))
+            F.md5(F.concat(F.lit(f"{b}|"),
+                           *[F.col(f"mh{b * r + j}") for j in range(r)]))
             for b in range(MINHASH_BANDS)
         ])).alias("band_idx", "band_key")).localCheckpoint(eager=True)
     return sets_, bands
@@ -233,6 +242,83 @@ def minhash_delta_pairs(docs: DataFrame, delta_ids: DataFrame) -> DataFrame:
                     F.greatest("d", "x").alias("b"))
             .distinct())
     return _verify_pairs(cand, sets_)
+
+
+MINHASH_STORE_BUCKETS = 16
+
+
+def publish_minhash_store(docs: DataFrame,
+                          prefix: str = "minhash_store",
+                          n_buckets: int = MINHASH_STORE_BUCKETS) -> None:
+    """Materialize the signature store a dedup run publishes for the
+    NEXT run's delta maintenance — the 100-TB wiring the
+    minhash_delta_pairs docstring promises: `<prefix>_bands` hash-
+    bucketed AND sorted by band_key (so the next delta's corpus-side
+    band join reads bucket-local with no Exchange) and `<prefix>_sets`
+    bucketed by doc_id (the exact-Jaccard verify side). One shuffle at
+    publish time buys every subsequent delta run's corpus-side join.
+    mode=overwrite keeps re-publication idempotent."""
+    from ..plans.bucketing import write_bucketed
+    spark = docs.sparkSession
+    for t in (f"{prefix}_bands", f"{prefix}_sets"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # a warehouse dir orphaned by a PREVIOUS session is invisible
+        # to this session's catalog, and saveAsTable refuses to reuse
+        # the location — clear it so publication stays idempotent
+        # across sessions, not just within one
+        import shutil
+        from urllib.parse import urlparse
+        wh = urlparse(spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse")).path
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    sets_, bands = _minhash_tables(docs)
+    write_bucketed(bands, f"{prefix}_bands", n_buckets, key="band_key")
+    write_bucketed(sets_, f"{prefix}_sets", n_buckets, key="doc_id")
+
+
+def minhash_delta_pairs_from_store(spark, delta_docs: DataFrame,
+                                   prefix: str = "minhash_store"
+                                   ) -> DataFrame:
+    """Store-backed incremental near-dup: the corpus side of the band
+    join is the PUBLISHED bucketed signature store, not a recompute —
+    only the (small) delta is tokenized/shingled/hashed this run.
+
+    Join shape: delta_bands JOIN store_bands ON band_key — the single
+    complete join key (the band index is folded into the hash) and the
+    store's bucket column, so the store side scans bucket-local with NO
+    shuffle Exchange (tests/test_bucketing.py::
+    test_minhash_store_band_join_is_exchange_free asserts it on the
+    executed plan; Spark's co-partition check needs ALL join keys to
+    match the bucket layout, which is why the key must be complete);
+    only the delta side shuffles, so maintenance IO scales with the
+    delta. new x new pairs come from a delta-only self-join; old x old
+    never forms anywhere. Verification reuses the store's shingle sets
+    for old docs and the fresh delta sets for new ones — document
+    bodies of unchanged docs are never re-read.
+
+    Parity contract (same as minhash_delta_pairs): output == the full
+    recompute restricted to delta-touching pairs; the oracle proves
+    incremental == full."""
+    d_sets, d_bands = _minhash_tables(delta_docs)
+    delta_ids = delta_docs.select("doc_id")
+    # a re-crawl UPDATE supersedes the store's stale rows for that doc:
+    # broadcast anti-joins (delta ids are small by definition) drop them
+    # without disturbing the store scan's bucket partitioning
+    s_bands = (spark.table(f"{prefix}_bands")
+               .join(F.broadcast(delta_ids), "doc_id", "left_anti"))
+    s_sets = (spark.table(f"{prefix}_sets")
+              .join(F.broadcast(delta_ids), "doc_id", "left_anti"))
+    d = d_bands.select(F.col("doc_id").alias("d"), "band_key")
+    old = s_bands.select(F.col("doc_id").alias("x"), "band_key")
+    dd = d_bands.select(F.col("doc_id").alias("x"), "band_key")
+    cand_old = d.join(old, "band_key")
+    cand_new = d.join(dd, "band_key").filter(F.col("d") != F.col("x"))
+    cand = (cand_old.unionByName(cand_new)
+            .select(F.least("d", "x").alias("a"),
+                    F.greatest("d", "x").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct())
+    return _verify_pairs(cand, s_sets.unionByName(d_sets))
 
 
 # --- exact n-gram Jaccard (inverted-index join) ----------------------------

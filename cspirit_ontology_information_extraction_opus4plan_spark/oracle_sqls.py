@@ -318,6 +318,11 @@ FROM adoc GROUP BY 1 HAVING count(*) > 1"""
         "SELECT a, b, jaccard FROM pairs "
         "WHERE a % 10 < 3 OR b % 10 < 3")
 
+    # store-backed delta: IDENTICAL expected output — incremental over
+    # the published bucketed store must equal the full recompute
+    # restricted to delta-touching pairs, same as the recompute path
+    sqls["doc_minhash_delta_store"] = sqls["doc_minhash_delta"]
+
     # minhash calibration: estimate (component-collision fraction) vs
     # true jaccard over the UNthresholded candidate set, 2-SE verdict
     est_expr = ("(" + " + ".join(

@@ -72,3 +72,63 @@ def test_mismatched_bucket_counts_still_correct(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_minhash_store_band_join_is_exchange_free(spark, sf_dir):
+    """Round-5 priority 4: the delta near-dup's corpus-side band join
+    reads the PUBLISHED bucketed signature store with no shuffle — the
+    store scan's ancestors up to its SortMergeJoin contain no Exchange
+    (only the small delta side shuffles), and the store-backed result
+    equals the recompute path exactly."""
+    from pyspark.sql import functions as F
+
+    from cspirit_ontology_information_extraction_opus4plan_spark import (
+        decorations as DE,
+    )
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators import (  # noqa: E501
+        textops as T,
+    )
+    docs = DE.augmented_docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 10 >= 3)
+    delta = docs.filter(F.col("doc_id") % 10 < 3)
+    T.publish_minhash_store(old, prefix="bkt_mh_test")
+    try:
+        with _conf(spark,
+                   **{"spark.sql.autoBroadcastJoinThreshold": "-1",
+                      "spark.sql.adaptive.enabled": "false"}):
+            out = T.minhash_delta_pairs_from_store(
+                spark, delta, prefix="bkt_mh_test")
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            lines = plan.split("\n")
+
+            def indent(line):
+                for marker in ("+- ", ":- "):
+                    if marker in line:
+                        return line.index(marker)
+                return -1
+
+            scan_i = next(i for i, ln in enumerate(lines)
+                          if "bkt_mh_test_bands" in ln
+                          and "FileScan" in ln)
+            assert "Bucketed: true" in lines[scan_i]
+            cur = indent(lines[scan_i])
+            ancestors = []
+            for i in range(scan_i - 1, -1, -1):
+                ind = indent(lines[i])
+                if ind == -1 or ind >= cur:
+                    continue
+                cur = ind
+                ancestors.append(lines[i])
+                if "SortMergeJoin" in lines[i]:
+                    break
+            assert ancestors and "SortMergeJoin" in ancestors[-1]
+            assert not any("Exchange" in a for a in ancestors), ancestors
+            got = {(r["a"], r["b"], r["jaccard"])
+                   for r in out.collect()}
+        want = {(r["a"], r["b"], r["jaccard"])
+                for r in T.minhash_delta_pairs(
+                    docs, delta.select("doc_id")).collect()}
+        assert got == want and got
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_mh_test_bands")
+        spark.sql("DROP TABLE IF EXISTS bkt_mh_test_sets")

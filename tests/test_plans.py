@@ -868,3 +868,19 @@ def test_tpch_q21_no_correlated_rescan(spark, sf_dir):
     # aggregate branches read the checkpointed RDD
     assert plan.count("FileScan parquet") == 1
     assert plan.count("Scan ExistingRDD") == 2
+
+
+def test_round5_heavy_iterative_plans_are_clean(spark, sf_dir):
+    """Round-5 priority 5: the heaviest iterative families are on the
+    audit roster with the same hard gates as the headline path — no
+    cartesian/nested-loop joins, no row-at-a-time Python — including
+    kg_diameter, whose 1-row result assembly is a union+aggregate
+    precisely so no singleton cross join appears."""
+    for name in ("kg_entailment", "kg_entailment_delta",
+                 "canonical_entities_delta", "kg_node2vec_walks",
+                 "kg_diameter", "doc_minhash_delta_store"):
+        plan = api.queries()[name](spark, sf_dir) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BatchEvalPython" not in plan, name
