@@ -570,12 +570,14 @@ def q_media_vad_segments(spark, sf_dir):
 
 
 def q_media_frame_sample(spark, sf_dir):
-    """Frame-sampling plumbing: one row per sampled frame (row-exploding
-    Arrow stage), evenly strided, at most FRAME_SAMPLE_MAX per payload."""
-    from .operators.multimodal import (fetch_media, media_spans,
-                                       sample_frames)
+    """Frame sampling over REAL multi-frame GIF payloads: synthesize an
+    actual GIF87a per ref, gif_decode it, emit one row per sampled
+    frame with the decoded-pixel mean — the round-4 stub decoder is
+    retired (round-5 priority 6)."""
+    from .operators.multimodal import (media_spans, sample_frames,
+                                       synthesize_gif)
     return sample_frames(
-        fetch_media(media_spans(spans_exploded(spark, sf_dir))))
+        synthesize_gif(media_spans(spans_exploded(spark, sf_dir))))
 
 
 # --- embedding similarity search -------------------------------------------

@@ -27,9 +27,13 @@ so their decoded BYTES differ (exact digest dedup misses them) while
 the mean-relative aHash is provably invariant — the re-encoded-twin
 case perceptual dedup exists for.
 
-Video frame sampling (sample_frames) keeps the deterministic stub
-decoder: no pure-stdlib video container codec is reasonable, and any
-other decoder name raises NotImplementedError at plan-build time.
+Video frame sampling (sample_frames) decodes REAL multi-frame GIF87a
+payloads through a pure-stdlib LZW decoder (gif_decode — variable-width
+codes, dictionary growth to the 12-bit cap, CLEAR resets, sub-block
+reassembly), synthesized per ref by gif_encode; per-frame stats come
+from the decoded pixels. True container codecs (mp4/webm) remain
+unavailable in this environment and raise NotImplementedError at
+plan-build time.
 """
 
 from __future__ import annotations
@@ -334,35 +338,248 @@ FRAME_SAMPLE_MAX = 4
 FRAME_MS = 40  # 25 fps stand-in
 
 FRAME_SCHEMA = ("doc_id string, pos int, media_ref string, "
-                "n_frames int, frame_idx int, ts_ms int")
+                "n_frames int, frame_idx int, ts_ms int, "
+                "mean_gray double")
+
+# --------------------------------------------------------------------------
+# GIF codec (stdlib-only LZW; 8-bit grayscale global palette)
+# --------------------------------------------------------------------------
+
+GIF_W, GIF_H = 16, 12      # synthesized frame geometry
+GIF_SEED_MOD = 240         # base + x stays < 256 for x < GIF_W
+GIF_FRAME_STEP = 7         # per-frame brightness step
+
+
+def _lzw_encode(indices: list[int], min_code_size: int = 8) -> bytes:
+    """GIF-flavor LZW: variable-width codes starting min+1 bits,
+    dictionary growth to 4096 then CLEAR, LSB-first bit packing."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    table = {bytes([i]): i for i in range(1 << min_code_size)}
+    width, nxt = min_code_size + 1, eoi + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, w: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear, width)
+    prev = bytes([indices[0]])
+    for k in indices[1:]:
+        cand = prev + bytes([k])
+        if cand in table:
+            prev = cand
+            continue
+        emit(table[prev], width)
+        if nxt < 4096:
+            table[cand] = nxt
+            nxt += 1
+            if nxt == (1 << width) and width < 12:
+                width += 1
+        else:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(1 << min_code_size)}
+            width, nxt = min_code_size + 1, eoi + 1
+        prev = bytes([k])
+    emit(table[prev], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """Inverse of _lzw_encode, spec-pinned by the 1x1 GIF89a fixture in
+    tests/test_codecs.py (the canonical tracking-pixel bytes). The
+    table list is indexed by code (clear/eoi hold placeholders), so
+    len(table) IS the next free code — the same quantity the encoder
+    tracks, which keeps the width-growth points aligned. Handles the
+    KwKwK case (code == next free) per the spec."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    base = [bytes([i]) for i in range(1 << min_code_size)] + [b"", b""]
+    table = list(base)
+    width = min_code_size + 1
+    out = bytearray()
+    acc = nbits = 0
+    prev: bytes | None = None
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return list(out)  # missing EOI: tolerate truncation
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width, prev = min_code_size + 1, None
+            continue
+        if code == eoi:
+            return list(out)
+        if code < len(table):
+            entry = table[code]
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]      # KwKwK
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW stream")
+        out += entry
+        prev = entry
+        # the decoder's table lags the encoder's by exactly one entry
+        # (its add for code j happens while processing code j+1), so it
+        # must widen one entry EARLY to read the next code at the width
+        # the encoder wrote it
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1
+    return list(out)
+
+
+def gif_encode(frames: list[list[int]], w: int, h: int) -> bytes:
+    """Real GIF87a container: logical screen descriptor, 256-entry
+    grayscale global color table (index i -> gray i), one full-size
+    image block per frame (LZW min code size 8), trailer."""
+    head = (b"GIF87a" + struct.pack("<HH", w, h)
+            + bytes([0xF7, 0, 0]))  # GCT flag, 8-bit, 256 entries
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    body = bytearray()
+    for px in frames:
+        body += b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        body.append(8)  # LZW min code size
+        stream = _lzw_encode(px, 8)
+        for i in range(0, len(stream), 255):
+            chunk = stream[i:i + 255]
+            body.append(len(chunk))
+            body += chunk
+        body.append(0)  # block terminator
+    return head + gct + bytes(body) + b"\x3B"
+
+
+def gif_decode(data: bytes) -> tuple[int, int, list[list[int]]]:
+    """Parse a GIF87a/89a stream: screen descriptor, global/local color
+    tables, extension blocks (skipped), one decoded frame per image
+    block — pixels mapped to gray via the palette's red channel.
+    Interlaced images are refused loudly (the synthesizer never emits
+    them; silent de-interlacing would fake data)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream")
+    w, h = struct.unpack("<HH", data[6:10])
+    flags = data[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = data[pos:pos + 3 * n]
+        pos += 3 * n
+    frames: list[list[int]] = []
+    while pos < len(data):
+        b0 = data[pos]
+        pos += 1
+        if b0 == 0x3B:          # trailer
+            break
+        if b0 == 0x21:          # extension: label + sub-blocks
+            pos += 1
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+        fw, fh = struct.unpack("<HH", data[pos + 4:pos + 8])
+        iflags = data[pos + 8]
+        pos += 9
+        pal = gct
+        if iflags & 0x80:       # local color table
+            n = 2 << (iflags & 0x07)
+            pal = data[pos:pos + 3 * n]
+            pos += 3 * n
+        if iflags & 0x40:
+            raise ValueError("interlaced GIF not supported")
+        min_code = data[pos]
+        pos += 1
+        stream = bytearray()
+        while data[pos]:
+            ln = data[pos]
+            stream += data[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decode(bytes(stream), min_code)
+        if len(idx) < fw * fh:
+            raise ValueError("short LZW stream")
+        frames.append([pal[3 * i] for i in idx[:fw * fh]])
+    return w, h, frames
+
+
+def _gif_plan(ref: str) -> tuple[int, int]:
+    """(n_frames, base) from the ref digest — n_frames keeps the stub
+    era's 8 + byte3 % 56 contract so the oracle's nibble replay is
+    unchanged; base seeds the per-frame brightness."""
+    d = _hashlib_md5(ref.encode()).digest()
+    return 8 + d[3] % 56, d[4] % GIF_SEED_MOD
+
+
+def synthesize_gif(media: DataFrame) -> DataFrame:
+    """Attach a REAL multi-frame GIF87a payload per media ref: frame f
+    is a constant raster at brightness base + 7f (mod GIF_SEED_MOD)
+    with a +x gradient across row 0 — every pixel is closed-form in
+    (ref, f, x, y), so the DuckDB oracle replays the decoded frame
+    means without a decoder. One Arrow crossing."""
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for ref in pdf["media_ref"]:
+                n, base = _gif_plan(ref)
+                frames = []
+                for f in range(n):
+                    v = (base + GIF_FRAME_STEP * f) % GIF_SEED_MOD
+                    px = [(v + x) if y == 0 else v
+                          for y in range(GIF_H) for x in range(GIF_W)]
+                    frames.append(px)
+                payloads.append(gif_encode(frames, GIF_W, GIF_H))
+            out = pdf.copy()
+            out["content"] = payloads
+            yield out
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in media.schema.fields) + ", content binary"
+    return media.mapInPandas(enc, schema=schema)
 
 
 def sample_frames(media_with_content: DataFrame,
                   max_frames: int = FRAME_SAMPLE_MAX,
-                  decoder: str = "stub") -> DataFrame:
-    """Frame-sampling plumbing (video payloads): decode the frame count,
-    take evenly-strided frames capped at max_frames, emit ONE ROW PER
-    SAMPLED FRAME — the row-exploding Arrow batch shape a real
-    keyframe/fps sampler needs (input rows fan out; the output schema
-    carries the frame index + timestamp, a real decoder adds the frame
-    bytes column). Stub frame count = 8 + byte3(md5 payload) % 56, so
-    8..63-frame 'videos'; stride = ceil(n / max_frames) keeps at most
-    max_frames frames, always including frame 0."""
-    if decoder != "stub":
+                  decoder: str = "gif") -> DataFrame:
+    """Frame sampling over REAL video-ish payloads: gif_decode the
+    multi-frame stream, take evenly-strided frames capped at
+    max_frames (stride = ceil(n / max), frame 0 always kept), emit ONE
+    ROW PER SAMPLED FRAME with its timestamp and the mean gray of the
+    DECODED pixels — the row-exploding Arrow shape a keyframe/fps
+    sampler needs. The round-4 stub decoder is retired: frame counts
+    and stats now come from actual decoded frames. True container
+    codecs stay unavailable here and raise at plan-build time."""
+    if decoder != "gif":
         raise NotImplementedError(
-            f"decoder={decoder!r}: video decode libraries are not "
-            "available in this environment; only the deterministic 'stub' "
-            "decoder runs here (identical Spark plumbing).")
+            f"decoder={decoder!r}: only the stdlib GIF decoder is "
+            "available in this environment (identical Spark plumbing "
+            "for mp4/webm).")
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {"doc_id": [], "pos": [], "media_ref": [],
-                    "n_frames": [], "frame_idx": []}
+                    "n_frames": [], "frame_idx": [], "mean_gray": []}
             for doc_id, pos, ref, content in zip(
                     pdf["doc_id"], pdf["pos"], pdf["media_ref"],
                     pdf["content"]):
-                b = bytes(content)
-                n = 8 + b[3] % 56
+                w, h, frames = gif_decode(bytes(content))
+                n = len(frames)
                 stride = -(-n // max_frames)  # ceil
                 for idx in range(0, n, stride):
                     rows["doc_id"].append(doc_id)
@@ -370,12 +587,16 @@ def sample_frames(media_with_content: DataFrame,
                     rows["media_ref"].append(ref)
                     rows["n_frames"].append(n)
                     rows["frame_idx"].append(idx)
+                    rows["mean_gray"].append(
+                        round(sum(frames[idx]) / (w * h), 6))
             out = pd.DataFrame(rows)
             out["pos"] = out["pos"].astype("int32")
             for k in ("n_frames", "frame_idx"):
                 out[k] = out[k].astype("int32")
             out["ts_ms"] = (out["frame_idx"] * FRAME_MS).astype("int32")
-            yield out
+            out["mean_gray"] = out["mean_gray"].astype("float64")
+            yield out[["doc_id", "pos", "media_ref", "n_frames",
+                       "frame_idx", "ts_ms", "mean_gray"]]
 
     return media_with_content.mapInPandas(sample, schema=FRAME_SCHEMA)
 

@@ -4134,17 +4134,26 @@ FROM dims"""
 
     # frame sampling: n_frames = 8 + byte3 % 56 (hex digits 7-8 of the
     # payload md5), stride = ceil(n / max), frames 0, stride, 2*stride..
+    # replay the GIF synthesis in closed form: frame f is constant at
+    # v_f = (base + 7f) % 240 with a +x gradient across row 0, so the
+    # decoded mean is v_f + (sum 0..W-1)/(W*H) = v_f + 120/192; the
+    # Spark side computes the same number from ACTUAL gif_decode pixels
+    gif_row0 = MM.GIF_W * (MM.GIF_W - 1) // 2
+    gif_px = MM.GIF_W * MM.GIF_H
     sqls["media_frame_sample"] = corpus_prefix() + f"""
 , mf AS (
   SELECT doc_id, pos, media_ref, md5(media_ref) AS h
   FROM spans WHERE kind IN ('figure', 'table') AND media_ref <> ''),
 vids AS (
   SELECT doc_id, pos, media_ref,
-         CAST(8 + ({hv(7)} * 16 + {hv(8)}) % 56 AS INT) AS n_frames
+         CAST(8 + ({hv(7)} * 16 + {hv(8)}) % 56 AS INT) AS n_frames,
+         ({hv(9)} * 16 + {hv(10)}) % {MM.GIF_SEED_MOD} AS base
   FROM mf)
 SELECT doc_id, pos, media_ref, n_frames,
        CAST(fi AS INT) AS frame_idx,
-       CAST(fi * {MM.FRAME_MS} AS INT) AS ts_ms
+       CAST(fi * {MM.FRAME_MS} AS INT) AS ts_ms,
+       round((base + {MM.GIF_FRAME_STEP} * fi) % {MM.GIF_SEED_MOD}
+             + {gif_row0}.0 / {gif_px}, 6) AS mean_gray
 FROM vids, LATERAL unnest(range(0, n_frames,
     CAST(ceil(n_frames / {float(MM.FRAME_SAMPLE_MAX)}) AS INT))) AS t(fi)"""
 
