@@ -485,7 +485,13 @@ def _walk_node(doc: _RdfXmlDoc, el, lang: Optional[str]) -> Tuple[str, str]:
     """Process a node element (rdf:Description or typed node); returns
     (subject, subject_type)."""
     rdf = "{%s}" % RDF_NS
-    lang = el.attrib.get("{%s}lang" % _XML_NS, lang)
+    # BCP 47 tags are case-insensitive; lowercase here so the 7-tuple
+    # identity of a triple is FORMAT-INDEPENDENT (the Turtle parser
+    # already canonicalizes — the round-5 grammar fuzz caught the
+    # divergence: "x"@en-GB parsed from RDF/XML did not dedup against
+    # the same statement parsed from Turtle)
+    _l = el.attrib.get("{%s}lang" % _XML_NS)
+    lang = _l.lower() if _l is not None else lang
     about = el.attrib.get(rdf + "about")
     rid = el.attrib.get(rdf + "ID")
     nid = el.attrib.get(rdf + "nodeID")
@@ -527,7 +533,8 @@ def _walk_property(doc: _RdfXmlDoc, subj: str, st: str, prop, lang,
     if pred == RDF_NS + "li":
         li_count += 1
         pred = f"{RDF_NS}_{li_count}"
-    lang = prop.attrib.get("{%s}lang" % _XML_NS, lang)
+    _pl = prop.attrib.get("{%s}lang" % _XML_NS)
+    lang = _pl.lower() if _pl is not None else lang
     parse_type = prop.attrib.get(rdf + "parseType")
     resource = prop.attrib.get(rdf + "resource")
     nodeid = prop.attrib.get(rdf + "nodeID")

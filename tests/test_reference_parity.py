@@ -623,3 +623,270 @@ def test_pipeline_triples_are_valid_reference_models(ref, spark, sf_dir):
         for r in rows]
     dedup = E.queries()["triples_dedup"](spark, sf_dir).count()
     assert len(set(triples)) == dedup
+
+
+# --- property-based grammar fuzz (round-5 priority 7) ----------------------
+#
+# The reference's OWLParser.parse cannot run here (it is hard-gated on
+# rdflib/owlready2, neither installed — parsers/__init__.py:2816/2858),
+# so the fuzz pins (a) operators/rdf_full.py against GENERATOR ground
+# truth over randomly-built graphs serialized through an INDEPENDENT
+# test-local Turtle/RDF-XML writer (nested bnode property lists,
+# collections, numeric/boolean shorthand, lang/datatype literals,
+# escape-heavy strings), and (b) the genuine reference 7-tuple identity
+# (models.RDFTriple __hash__/__eq__) on every parsed document — the
+# same achievable reference surface the round-4 harness established.
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as hst
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+_FZ = "urn:fz#"
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_URI_POOL = [f"{_FZ}t{i}" for i in range(5)]
+_PRED_POOL = [f"{_FZ}p{i}" for i in range(4)]
+_BNODES = ["b0", "b1", "b2"]
+_DT_POOL = [f"{_XSD}token", f"{_XSD}anyURI", f"{_FZ}custom"]
+_LANGS = ["en", "en-GB", "de"]
+_LIT_ALPHA = 'ab z09.:#<>&\'"\\\n\t\u00e9'
+
+_lit_text = hst.text(alphabet=_LIT_ALPHA, max_size=12)
+_plain = hst.tuples(hst.just("lit"), _lit_text, hst.just(None),
+                    hst.just(None))
+_langed = hst.tuples(hst.just("lit"), _lit_text,
+                     hst.sampled_from(_LANGS), hst.just(None))
+_typed = hst.tuples(hst.just("lit"), _lit_text, hst.just(None),
+                    hst.sampled_from(_DT_POOL))
+_num = hst.one_of(
+    hst.integers(-999, 999).map(
+        lambda n: ("num", str(n), None, f"{_XSD}integer")),
+    hst.sampled_from(["2.5", "-0.75", "100.0"]).map(
+        lambda s: ("num", s, None, f"{_XSD}decimal")),
+    hst.sampled_from(["true", "false"]).map(
+        lambda s: ("num", s, None, f"{_XSD}boolean")))
+_uri_t = hst.sampled_from(_URI_POOL).map(lambda u: ("uri", u))
+_bnode_t = hst.sampled_from(_BNODES).map(lambda b: ("bnode", b))
+_subj = hst.one_of(_uri_t, _bnode_t)
+_obj_ttl = hst.one_of(_uri_t, _bnode_t, _plain, _langed, _typed, _num)
+_obj_xml = hst.one_of(_uri_t, _bnode_t, _plain, _langed, _typed)
+_pred = hst.sampled_from(_PRED_POOL)
+
+_triples_ttl = hst.lists(hst.tuples(_subj, _pred, _obj_ttl), min_size=1,
+                         max_size=7)
+_triples_xml = hst.lists(hst.tuples(_subj, _pred, _obj_xml), min_size=1,
+                         max_size=7)
+_coll = hst.lists(hst.one_of(_uri_t, _num), min_size=0, max_size=3)
+_plist = hst.lists(hst.tuples(_pred, hst.one_of(_uri_t, _plain)),
+                   min_size=1, max_size=3)
+
+
+def _ttl_escape(s: str) -> str:
+    return (s.replace("\\", "\\\\").replace('"', '\\"')
+            .replace("\n", "\\n").replace("\t", "\\t"))
+
+
+def _ttl_pred(p, rnd) -> str:
+    return (f"ex:{p[len(_FZ):]}" if rnd.random() < 0.5 else f"<{p}>")
+
+
+def _ttl_term(t, rnd) -> str:
+    kind = t[0]
+    if kind == "uri":
+        return (f"ex:{t[1][len(_FZ):]}" if rnd.random() < 0.5
+                else f"<{t[1]}>")
+    if kind == "bnode":
+        return f"_:{t[1]}"
+    if kind == "num":
+        return t[1]
+    _, text, lang, dt = t
+    if rnd.random() < 0.3:
+        body = ('"""' + text.replace("\\", "\\\\").replace('"', '\\"')
+                + '"""')
+    else:
+        body = '"' + _ttl_escape(text) + '"'
+    if lang:
+        return f"{body}@{lang}"
+    if dt:
+        return (f"{body}^^xsd:{dt[len(_XSD):]}"
+                if dt.startswith(_XSD) and rnd.random() < 0.5
+                else f"{body}^^<{dt}>")
+    return body
+
+
+def _expected(t, src="D1"):
+    kind = t[0]
+    if kind == "uri":
+        return (t[1], "uri", None, None)
+    if kind == "bnode":
+        return (f"_:{src}.{t[1]}", "bnode", None, None)
+    if kind == "fresh":
+        return (t[1], "fresh", None, None)
+    _, text, lang, dt = t
+    # the parser canonicalizes language tags to lowercase (BCP 47
+    # case-insensitivity, the same normalization round 4 pinned)
+    return (text, "literal", dt, lang.lower() if lang else None)
+
+
+def _ttl_serialize(triples, colls, plists, seed):
+    import random
+    rnd = random.Random(seed)
+    lines = ["@prefix ex: <urn:fz#> .",
+             "@prefix xsd: <http://www.w3.org/2001/XMLSchema#> ."]
+    want = []
+    fresh = [0]
+
+    def new_fresh():
+        fresh[0] += 1
+        return ("fresh", f"F{fresh[0]}")
+
+    for s, p, o in triples:
+        lines.append(f"{_ttl_term(s, rnd)} {_ttl_pred(p, rnd)} "
+                     f"{_ttl_term(o, rnd)} .")
+        want.append((s, p, o))
+    for s, p, items in colls:
+        toks = " ".join(_ttl_term(i, rnd) for i in items)
+        lines.append(f"{_ttl_term(s, rnd)} {_ttl_pred(p, rnd)} "
+                     f"( {toks} ) .")
+        if not items:
+            want.append((s, p, ("uri", f"{_RDF_NS}nil")))
+            continue
+        nodes = [new_fresh() for _ in items]
+        want.append((s, p, nodes[0]))
+        for i, (n, item) in enumerate(zip(nodes, items)):
+            want.append((n, ("uri", f"{_RDF_NS}first"), item))
+            nxt = (nodes[i + 1] if i + 1 < len(nodes)
+                   else ("uri", f"{_RDF_NS}nil"))
+            want.append((n, ("uri", f"{_RDF_NS}rest"), nxt))
+    for s, p, pairs in plists:
+        inner = " ; ".join(f"{_ttl_pred(ip, rnd)} {_ttl_term(io, rnd)}"
+                           for ip, io in pairs)
+        lines.append(f"{_ttl_term(s, rnd)} {_ttl_pred(p, rnd)} "
+                     f"[ {inner} ] .")
+        node = new_fresh()
+        want.append((s, p, node))
+        for ip, io in pairs:
+            want.append((node, ip, io))
+    return "\n".join(lines) + "\n", want
+
+
+def _xml_escape(s: str) -> str:
+    return (s.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;"))
+
+
+def _xml_serialize(triples):
+    by_subj = {}
+    for s, p, o in triples:
+        by_subj.setdefault(s, []).append((p, o))
+    out = ['<?xml version="1.0"?>',
+           f'<rdf:RDF xmlns:rdf="{_RDF_NS}" xmlns:ex="{_FZ}">']
+    for s, pos_ in by_subj.items():
+        attr = (f'rdf:about="{s[1]}"' if s[0] == "uri"
+                else f'rdf:nodeID="{s[1]}"')
+        out.append(f" <rdf:Description {attr}>")
+        for p, o in pos_:
+            tag = f"ex:{p[len(_FZ):]}"
+            if o[0] == "uri":
+                out.append(f'  <{tag} rdf:resource="{o[1]}"/>')
+            elif o[0] == "bnode":
+                out.append(f'  <{tag} rdf:nodeID="{o[1]}"/>')
+            else:
+                _, text, lang, dt = o
+                a = ""
+                if lang:
+                    a = f' xml:lang="{lang}"'
+                elif dt:
+                    a = f' rdf:datatype="{dt}"'
+                out.append(f"  <{tag}{a}>{_xml_escape(text)}</{tag}>")
+        out.append(" </rdf:Description>")
+    out.append("</rdf:RDF>")
+    return "\n".join(out), [(s, p, o) for s, p, o in triples]
+
+
+def _diff_modulo_fresh(got_rows, want_abstract):
+    """Set-compare parsed 7-tuples against abstract expectation, trying
+    every bijection of generator-fresh bnodes onto parser-generated
+    names (labeled bnodes map deterministically)."""
+    import itertools
+    want = set()
+    fresh_names = set()
+    for s, p, o in want_abstract:
+        se = _expected(s)
+        oe = _expected(o)
+        pe = p[1] if isinstance(p, tuple) else p
+        for e in (se, oe):
+            if e[1] == "fresh":
+                fresh_names.add(e[0])
+        want.add((se[0], se[1], pe, oe[0], oe[1], oe[2], oe[3]))
+    got = {(r[1], r[4], r[2], r[3], r[5], r[6], r[7]) for r in got_rows}
+    gen_names = {v for row in got
+                 for v, k in ((row[0], row[1]), (row[3], row[4]))
+                 if k == "bnode" and ".g" in v}
+    if len(fresh_names) != len(gen_names):
+        return False, (fresh_names, gen_names, got, want)
+    fl = sorted(fresh_names)
+    for perm in itertools.permutations(sorted(gen_names)):
+        m = dict(zip(fl, perm))
+
+        def sub(row):
+            s, st_, p, o, ot, dt, lg = row
+            if st_ == "fresh":
+                s, st_ = m[s], "bnode"
+            if ot == "fresh":
+                o, ot = m[o], "bnode"
+            return (s, st_, p, o, ot, dt, lg)
+
+        if {sub(r) for r in want} == got:
+            return True, None
+    return False, (fresh_names, gen_names, got, want)
+
+
+def _reference_identity_check(ref, rows):
+    """Genuine models.RDFTriple set-dedup on every fuzzed document:
+    the reference 7-tuple identity and this engine's distinct-on-7
+    must collapse the same rows."""
+    seven = [(r[1], r[2], r[3], r[4], r[5], r[6], r[7]) for r in rows]
+    triples = {ref.models.RDFTriple(
+        subject=s, predicate=p, object=o, subject_type=st_,
+        object_type=ot, object_datatype=dt, object_language=lg)
+        for s, p, o, st_, ot, dt, lg in seven}
+    assert len(triples) == len(set(seven))
+    back = {(t.subject, t.predicate, t.object, t.subject_type,
+             t.object_type, t.object_datatype, t.object_language)
+            for t in triples}
+    assert back == set(seven)
+
+
+if _HYP:
+    @settings(max_examples=140, deadline=None, derandomize=True)
+    @given(triples=_triples_ttl,
+           colls=hst.lists(hst.tuples(_uri_t, _pred, _coll),
+                           max_size=1),
+           plists=hst.lists(hst.tuples(_uri_t, _pred, _plist),
+                            max_size=1),
+           seed=hst.integers(0, 2**31 - 1))
+    def test_turtle_grammar_fuzz(ref, triples, colls, plists, seed):
+        from cspirit_ontology_information_extraction_opus4plan_spark.operators import (  # noqa: E501
+            rdf_full as RF,
+        )
+        text, want = _ttl_serialize(triples, colls, plists, seed)
+        rows = RF.parse_turtle_text("D1", text)
+        ok, why = _diff_modulo_fresh(rows, want)
+        assert ok, (text, why)
+        _reference_identity_check(ref, rows)
+
+    @settings(max_examples=80, deadline=None, derandomize=True)
+    @given(triples=_triples_xml)
+    def test_rdfxml_grammar_fuzz(ref, triples):
+        from cspirit_ontology_information_extraction_opus4plan_spark.operators import (  # noqa: E501
+            rdf_full as RF,
+        )
+        text, want = _xml_serialize(triples)
+        rows = RF.parse_rdfxml_text("D1", text)
+        ok, why = _diff_modulo_fresh(rows, want)
+        assert ok, (text, why)
+        _reference_identity_check(ref, rows)
