@@ -1379,6 +1379,18 @@ def q_merge_selective(spark, sf_dir):
     return OA.merge_selective(a, b, ["chemical", "biological_process"])
 
 
+def q_validation_pipeline(spark, sf_dir):
+    """The reference ValidationPipeline's quantitative report (the
+    round-4 verdict's last un-pinned parity surface) over the clean
+    dimension AND a deterministically damaged twin, so both the
+    all-validators-pass and the integrity-failure paths fire."""
+    t, r = terms_df(spark), relationships_df(spark)
+    clean = OA.validation_pipeline_report(t, r, "clean")
+    td, rd_ = DE.dirty_validation_frames(t, r)
+    return clean.unionByName(
+        OA.validation_pipeline_report(td, rd_, "dirty"))
+
+
 def q_term_quarantine(spark, sf_dir):
     return OA.quarantine_terms(DE.corrupt_terms(
         terms_df(spark).select("id", "name", "namespace")))
@@ -2982,6 +2994,7 @@ def queries() -> dict[str, QueryFn]:
         "trimmer_term_list": q_trimmer_term_list,
         "trimmer_term_list_rels": q_trimmer_term_list_rels,
         "trimmer_depth_extract": q_trimmer_depth_extract,
+        "validation_pipeline": q_validation_pipeline,
         "term_search": q_term_search,
         "merge_union": q_merge_union,
         "inverse_edges": q_inverse_edges,

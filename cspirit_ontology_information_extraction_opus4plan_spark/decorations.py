@@ -1593,3 +1593,33 @@ def csv_dialect_files(terms: DataFrame) -> DataFrame:
             F.lit("term_id,description,seq").alias("payload")))
     return (ts.select(F.explode(payloads).alias("f"))
             .select("f.path", "f.payload"))
+
+
+def dirty_validation_frames(terms: DataFrame,
+                            rels: DataFrame) -> tuple:
+    """(terms2, rels2): the deterministically damaged ontology the
+    ValidationPipeline report runs beside the clean one — names blanked
+    where md5(id) starts 'a', definitions nulled where it starts 'b' or
+    'c', plus planted relationship rows with missing subject (5),
+    missing object (3) and missing predicate (2). Rules replayed
+    verbatim by the DuckDB oracle and by the in-process parity test."""
+    h1 = F.substring(F.md5("id"), 1, 1)
+    terms2 = (terms
+              .withColumn("name", F.when(h1 == "a", "")
+                          .otherwise(F.col("name")))
+              .withColumn("definition",
+                          F.when(h1.isin("b", "c"), F.lit(None))
+                          .otherwise(F.col("definition"))))
+    spark = rels.sparkSession
+    planted = spark.createDataFrame(
+        [(f"REL:88{i:04d}", "", "is_a", "CHEBI:10001", 1.0)
+         for i in range(5)]
+        + [(f"REL:89{i:04d}", "CHEBI:10001", "is_a", "", 1.0)
+           for i in range(3)]
+        + [(f"REL:87{i:04d}", "CHEBI:10001", "", "CHEBI:10002", 1.0)
+           for i in range(2)],
+        "id string, subject string, predicate string, object string, "
+        "confidence double")
+    rels2 = rels.select("id", "subject", "predicate", "object",
+                        "confidence").unionByName(planted)
+    return terms2, rels2

@@ -782,6 +782,114 @@ def trimmer_depth_extract(terms: DataFrame, rels: DataFrame,
             .select("id", "name", "namespace", "depth"))
 
 
+def _has_directed_cycle(rels: DataFrame, max_iter: int = 32) -> DataFrame:
+    """1-row (has_cycles int): Kahn peeling as joins — repeatedly drop
+    edges whose source has no incoming edge; a non-empty fixpoint means
+    a directed cycle exists (the reference's DFS cycle check,
+    validators.py:_check_circular_dependencies, reports cycles iff this
+    is 1 — its cycle COUNT is a DFS-order artifact we deliberately do
+    not reproduce). O(longest acyclic chain) rounds, dimension-sized."""
+    e = (rels.select(F.col("subject").alias("src"),
+                     F.col("object").alias("dst"))
+         .distinct().localCheckpoint(eager=True))
+    n = e.count()
+    for _ in range(max_iter):
+        if n == 0:
+            break
+        dsts = e.select(F.col("dst").alias("src")).distinct()
+        e2 = e.join(dsts, "src", "left_semi").localCheckpoint(eager=True)
+        n2 = e2.count()
+        if n2 == n:
+            break
+        e, n = e2, n2
+    return e.sparkSession.range(1).select(
+        F.lit(1 if n > 0 else 0).alias("has_cycles"))
+
+
+def validation_pipeline_report(terms: DataFrame, rels: DataFrame,
+                               label: str) -> DataFrame:
+    """The reference ValidationPipeline's quantitative surface
+    (validators.py:462; Structural :57, Consistency :135,
+    DataIntegrity :302) as pure aggregates — one row per
+    (ontology, validator, metric, value), parity-pinned against the
+    ACTUAL pipeline by test_reference_parity_trimmer.
+
+    Faithful notes: orphaned_references counts (relationship, side)
+    entries whose endpoint id is absent from the term table (the
+    reference appends one entry per missing side, :245); duplicate-id
+    errors can never fire (the reference iterates dict KEYS — unique by
+    construction — and a keyed DataFrame mirrors that); total_errors
+    counts the reference's MESSAGES (one per nonzero missing-component
+    category), so passed_validators = 3 minus the integrity failure.
+    Everything is a map-side aggregate + two anti-joins + the peeling
+    loop; no driver-side iteration over rows."""
+    empty = lambda c: F.coalesce(F.col(c), F.lit("")) == ""  # noqa: E731
+    t = terms.agg(
+        F.count("*").alias("terms_count"),
+        F.sum(empty("name").cast("int")).alias("empty_names_count"),
+        F.sum(empty("definition").cast("int"))
+        .alias("empty_definitions_count"),
+        F.sum(F.col("is_obsolete").cast("int"))
+        .alias("obsolete_terms_count"))
+    r = rels.agg(
+        F.count("*").alias("relationships_count"),
+        F.sum(empty("subject").cast("int")).alias("missing_subjects_count"),
+        F.sum(empty("object").cast("int")).alias("missing_objects_count"),
+        F.sum(empty("predicate").cast("int"))
+        .alias("missing_predicates_count"),
+        F.sum((F.col("confidence").isNotNull()
+               & (F.col("confidence") < 0.5)).cast("int"))
+        .alias("low_confidence_count"))
+    ids = terms.select("id")
+    orphans = (rels.select(F.col("subject").alias("id"))
+               .join(ids, "id", "left_anti")
+               .unionByName(rels.select(F.col("object").alias("id"))
+                            .join(ids, "id", "left_anti"))
+               .agg(F.count("*").alias("orphaned_references")))
+    cyc = _has_directed_cycle(rels)
+    wide = (t.unionByName(r, allowMissingColumns=True)
+            .unionByName(orphans, allowMissingColumns=True)
+            .unionByName(cyc, allowMissingColumns=True)
+            .agg(*[F.max(c).alias(c) for c in
+                   ("terms_count", "empty_names_count",
+                    "empty_definitions_count", "obsolete_terms_count",
+                    "relationships_count", "missing_subjects_count",
+                    "missing_objects_count", "missing_predicates_count",
+                    "low_confidence_count", "orphaned_references",
+                    "has_cycles")]))
+    err = sum(F.when(F.col(c) > 0, 1).otherwise(0) for c in
+              ("missing_subjects_count", "missing_objects_count",
+               "missing_predicates_count"))
+    wide = wide.withColumn("total_errors", err.cast("long")) \
+               .withColumn("failed_validators",
+                           F.when(F.col("total_errors") > 0, 1)
+                           .otherwise(0).cast("long")) \
+               .withColumn("passed_validators",
+                           (3 - F.col("failed_validators")).cast("long"))
+    metrics = [
+        ("structural", "terms_count"),
+        ("structural", "relationships_count"),
+        ("consistency", "orphaned_references"),
+        ("consistency", "has_cycles"),
+        ("integrity", "empty_names_count"),
+        ("integrity", "empty_definitions_count"),
+        ("integrity", "obsolete_terms_count"),
+        ("integrity", "missing_subjects_count"),
+        ("integrity", "missing_objects_count"),
+        ("integrity", "missing_predicates_count"),
+        ("integrity", "low_confidence_count"),
+        ("pipeline", "passed_validators"),
+        ("pipeline", "failed_validators"),
+        ("pipeline", "total_errors"),
+    ]
+    return wide.select(F.explode(F.array(*[
+        F.struct(F.lit(label).alias("ontology"),
+                 F.lit(v).alias("validator"),
+                 F.lit(m).alias("metric"),
+                 F.col(m).cast("long").alias("value"))
+        for v, m in metrics])).alias("e")).select("e.*")
+
+
 def term_search(terms: DataFrame, query: str) -> DataFrame:
     """Substring search over name/definition/synonyms (find_terms,
     models.py:2812) — the theta-join-as-filter form; matched_in reports

@@ -3952,6 +3952,108 @@ WHERE subject IN (SELECT id FROM reach)
   AND object IN (SELECT id FROM reach)
   AND confidence >= 0.8""")
 
+    # validation_pipeline: the three validators' counters replayed from
+    # the dimension + the deterministic damage rules; has_cycles via a
+    # recursive closure (exists x ->* x); total_errors counts the
+    # reference's one-message-per-nonzero-category convention
+    def _vp_blocks(label: str, tname: str, rname: str) -> str:
+        return f"""
+{label}_t AS (
+  SELECT count(*) AS terms_count,
+         sum(CASE WHEN coalesce(name, '') = '' THEN 1 ELSE 0 END)
+           AS empty_names_count,
+         sum(CASE WHEN coalesce(definition, '') = '' THEN 1 ELSE 0 END)
+           AS empty_definitions_count,
+         sum(CASE WHEN is_obsolete THEN 1 ELSE 0 END)
+           AS obsolete_terms_count
+  FROM {tname}),
+{label}_r AS (
+  SELECT count(*) AS relationships_count,
+         sum(CASE WHEN subject = '' THEN 1 ELSE 0 END)
+           AS missing_subjects_count,
+         sum(CASE WHEN object = '' THEN 1 ELSE 0 END)
+           AS missing_objects_count,
+         sum(CASE WHEN predicate = '' THEN 1 ELSE 0 END)
+           AS missing_predicates_count,
+         sum(CASE WHEN confidence IS NOT NULL AND confidence < 0.5
+             THEN 1 ELSE 0 END) AS low_confidence_count
+  FROM {rname}),
+{label}_o AS (
+  SELECT (SELECT count(*) FROM {rname} r
+          WHERE r.subject NOT IN (SELECT id FROM {tname}))
+       + (SELECT count(*) FROM {rname} r
+          WHERE r.object NOT IN (SELECT id FROM {tname}))
+         AS orphaned_references),
+{label}_reach(src, dst) AS (
+  SELECT subject, object FROM {rname}
+  UNION
+  SELECT w.src, r.object FROM {label}_reach w
+  JOIN {rname} r ON r.subject = w.dst),
+{label}_c AS (
+  SELECT CASE WHEN EXISTS (SELECT 1 FROM {label}_reach WHERE src = dst)
+         THEN 1 ELSE 0 END AS has_cycles),
+{label}_p AS (
+  SELECT (CASE WHEN missing_subjects_count > 0 THEN 1 ELSE 0 END
+        + CASE WHEN missing_objects_count > 0 THEN 1 ELSE 0 END
+        + CASE WHEN missing_predicates_count > 0 THEN 1 ELSE 0 END)
+         AS total_errors
+  FROM {label}_r)
+""".strip()
+
+    def _vp_rows(label: str) -> str:
+        rows = [
+            ("structural", "terms_count", f"{label}_t"),
+            ("structural", "relationships_count", f"{label}_r"),
+            ("consistency", "orphaned_references", f"{label}_o"),
+            ("consistency", "has_cycles", f"{label}_c"),
+            ("integrity", "empty_names_count", f"{label}_t"),
+            ("integrity", "empty_definitions_count", f"{label}_t"),
+            ("integrity", "obsolete_terms_count", f"{label}_t"),
+            ("integrity", "missing_subjects_count", f"{label}_r"),
+            ("integrity", "missing_objects_count", f"{label}_r"),
+            ("integrity", "missing_predicates_count", f"{label}_r"),
+            ("integrity", "low_confidence_count", f"{label}_r"),
+            ("pipeline", "passed_validators",
+             f"(SELECT 3 - CASE WHEN total_errors > 0 THEN 1 ELSE 0 END"
+             f" AS passed_validators FROM {label}_p) pp"),
+            ("pipeline", "failed_validators",
+             f"(SELECT CASE WHEN total_errors > 0 THEN 1 ELSE 0 END"
+             f" AS failed_validators FROM {label}_p) pf"),
+            ("pipeline", "total_errors", f"{label}_p"),
+        ]
+        return "\nUNION ALL\n".join(
+            f"SELECT '{label}' AS ontology, '{v}' AS validator, "
+            f"'{m}' AS metric, CAST({m} AS BIGINT) AS value FROM {src}"
+            for v, m, src in rows)
+
+    dirty_frames = """
+dirty_terms AS (
+  SELECT id,
+         CASE WHEN substring(md5(id), 1, 1) = 'a' THEN ''
+              ELSE name END AS name,
+         CASE WHEN substring(md5(id), 1, 1) IN ('b', 'c') THEN NULL
+              ELSE definition END AS definition,
+         is_obsolete
+  FROM terms_f),
+dirty_rels AS (
+  SELECT id, subject, predicate, object, confidence FROM rels_d
+  UNION ALL
+  SELECT 'REL:88000' || CAST(i AS VARCHAR), '', 'is_a',
+         'CHEBI:10001', 1.0 FROM range(5) t(i)
+  UNION ALL
+  SELECT 'REL:89000' || CAST(i AS VARCHAR), 'CHEBI:10001', 'is_a',
+         '', 1.0 FROM range(3) t(i)
+  UNION ALL
+  SELECT 'REL:87000' || CAST(i AS VARCHAR), 'CHEBI:10001', '',
+         'CHEBI:10002', 1.0 FROM range(2) t(i))
+""".strip()
+    sqls["validation_pipeline"] = (
+        "WITH RECURSIVE " + ",\n".join(
+            [tf, rd, dirty_frames,
+             _vp_blocks("clean", "terms_f", "rels_d"),
+             _vp_blocks("dirty", "dirty_terms", "dirty_rels")])
+        + "\n" + _vp_rows("clean") + "\nUNION ALL\n" + _vp_rows("dirty"))
+
     # depth-limited: min-distance BFS from the 4-predicate-rule roots
     # over the bidirectional graph, depth <= 2; obsolete excluded from
     # output but traversed through

@@ -487,3 +487,104 @@ def test_bfs_depths_tree_parity(refmod, spark):
     assert got == first_seen
     assert {r["id"] for r in OA.hierarchy_roots(terms, rels).collect()} \
         == set(OT.OntologyTrimmer()._find_root_terms(ont))
+
+
+# --- ValidationPipeline (validators.py:462) --------------------------------
+
+def test_validation_pipeline_parity(refmod, dim, spark, sf_dir):
+    """validation_pipeline vs the ACTUAL reference ValidationPipeline
+    (Structural/Consistency/DataIntegrity) on the same clean and
+    deterministically damaged ontologies: every details counter, the
+    orphaned-reference entries, the pass/fail summary, the
+    one-message-per-category error convention, and the <=5 empty-name
+    warning cap. has_cycles is pinned as (reference cycle list
+    non-empty) — the reference's cycle COUNT is a DFS-order artifact
+    the engine deliberately reports as a boolean."""
+    import __spark_entry__ as E
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from aim2_project.aim2_ontology.validators import ValidationPipeline
+
+    rows = E.queries()["validation_pipeline"](spark, sf_dir).collect()
+    got = {(r["ontology"], r["metric"]): r["value"] for r in rows}
+    assert len(rows) == 28
+
+    import hashlib
+
+    def h1(tid):
+        return hashlib.md5(tid.encode()).hexdigest()[0]
+
+    def mk_terms(dirty):
+        out = {}
+        for t in dim.terms():
+            name, definition = t["name"], t["definition"]
+            if dirty and h1(t["id"]) == "a":
+                name = ""
+            if dirty and h1(t["id"]) in ("b", "c"):
+                definition = None
+            out[t["id"]] = types.SimpleNamespace(
+                id=t["id"], name=name, definition=definition,
+                is_obsolete=t["is_obsolete"])
+        return out
+
+    def mk_rels(dirty):
+        out = {}
+        for r in dim.relationships():
+            out[r["id"]] = types.SimpleNamespace(
+                id=r["id"], subject=r["subject"],
+                predicate=r["predicate"], object=r["object"],
+                confidence=r["confidence"])
+        if dirty:
+            for i in range(5):
+                out[f"REL:88000{i}"] = types.SimpleNamespace(
+                    id=f"REL:88000{i}", subject="", predicate="is_a",
+                    object="CHEBI:10001", confidence=1.0)
+            for i in range(3):
+                out[f"REL:89000{i}"] = types.SimpleNamespace(
+                    id=f"REL:89000{i}", subject="CHEBI:10001",
+                    predicate="is_a", object="", confidence=1.0)
+            for i in range(2):
+                out[f"REL:87000{i}"] = types.SimpleNamespace(
+                    id=f"REL:87000{i}", subject="CHEBI:10001",
+                    predicate="", object="CHEBI:10002", confidence=1.0)
+        return out
+
+    pipe = ValidationPipeline()
+    for label in ("clean", "dirty"):
+        ont = types.SimpleNamespace(
+            id="ONT:VAL", name="validation parity", version="1.0.0",
+            terms=mk_terms(label == "dirty"),
+            relationships=mk_rels(label == "dirty"),
+            namespaces=["chemical"], is_consistent=True,
+            validation_errors=[])
+        res = pipe.validate_ontology(ont)
+        vr = res["validator_results"]
+        sd = vr["StructuralValidator"]["details"]
+        cd = vr["ConsistencyValidator"]["details"]
+        dd = vr["DataIntegrityValidator"]["details"]
+        assert got[(label, "terms_count")] == sd["terms_count"]
+        assert got[(label, "relationships_count")] == \
+            sd["relationships_count"]
+        assert got[(label, "orphaned_references")] == \
+            len(cd.get("orphaned_references", []))
+        assert got[(label, "has_cycles")] == \
+            (1 if cd.get("circular_dependencies") else 0)
+        for k in ("empty_names_count", "empty_definitions_count",
+                  "obsolete_terms_count", "missing_subjects_count",
+                  "missing_objects_count", "missing_predicates_count",
+                  "low_confidence_count"):
+            assert got[(label, k)] == dd[k], (label, k, dd[k])
+        s = res["summary"]
+        assert got[(label, "passed_validators")] == \
+            s["passed_validators"]
+        assert got[(label, "failed_validators")] == \
+            s["failed_validators"]
+        assert got[(label, "total_errors")] == s["total_errors"]
+        if label == "dirty":
+            assert not res["is_valid"]
+            # the reference caps individual empty-name warnings at 5
+            named = [w for w in vr["DataIntegrityValidator"]["warnings"]
+                     if "has empty name" in w]
+            assert len(named) == 5 < dd["empty_names_count"]
+        else:
+            assert res["is_valid"]
