@@ -2196,20 +2196,27 @@ def diameter_double_sweep(edges: DataFrame,
     sym = _sym(edges).localCheckpoint(eager=True)
 
     def _bfs(seed: DataFrame) -> DataFrame:
-        d = seed.select("node", F.lit(0).alias("dist"))
-        prev = None
+        # frontier BFS: only NEWLY labeled nodes expand each round (the
+        # previous full-relabel join re-expanded every settled node all
+        # n_rounds times — same result, ~2x wall on the bench graph),
+        # and an empty frontier exits early; the n_rounds cap and the
+        # labeled set's min-dist semantics are unchanged
+        labeled = (seed.select("node", F.lit(0).alias("dist"))
+                   .localCheckpoint(eager=True))
+        frontier = labeled
         for _ in range(n_rounds):
-            stepped = (d.join(sym, d["node"] == sym["src"])
-                       .select(F.col("dst").alias("node"),
-                               (F.col("dist") + 1).alias("dist")))
-            nxt = (d.unionByName(stepped)
+            nxt = (frontier.join(sym, frontier["node"] == sym["src"])
+                   .select(F.col("dst").alias("node"),
+                           (F.col("dist") + 1).alias("dist"))
                    .groupBy("node").agg(F.min("dist").alias("dist"))
-                   .persist())
-            nxt.count()
-            if prev is not None:
-                prev.unpersist()
-            prev, d = nxt, nxt
-        return d
+                   .join(labeled, "node", "left_anti")
+                   .localCheckpoint(eager=True))
+            if nxt.isEmpty():
+                break
+            labeled = labeled.unionByName(nxt) \
+                             .localCheckpoint(eager=True)
+            frontier = nxt
+        return labeled
 
     def _farthest(d: DataFrame) -> DataFrame:
         m = d.agg(F.max("dist").alias("m"))
