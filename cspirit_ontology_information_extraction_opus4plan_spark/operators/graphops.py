@@ -1425,23 +1425,30 @@ def harmonic_centrality(edges: DataFrame,
     edges = edges.localCheckpoint(eager=True)
     sym = _sym(edges)
     nodes = sym.select(F.col("src").alias("node")).distinct()
-    d = (nodes.filter(
+    labeled = (nodes.filter(
         F.substring(F.md5(F.col("node")), 1, 1).isin(*pivot_hex))
         .select(F.col("node").alias("src"), "node",
-                F.lit(0).alias("dist")))
-    prev = None
+                F.lit(0).alias("dist"))
+        .localCheckpoint(eager=True))
+    # frontier per (pivot, node): each round expands only the NEW
+    # shell, not the whole accumulated ball (the previous full-relabel
+    # re-aggregated every settled pair each round), and localCheckpoint
+    # replaces the persist cycle — the old pattern left the final
+    # round's frame pinned in the session cache
+    frontier = labeled
     for _ in range(n_rounds):
-        stepped = (d.join(sym, d["node"] == sym["src"])
-                   .select(d["src"].alias("src"),
-                           F.col("dst").alias("node"),
-                           (F.col("dist") + 1).alias("dist")))
-        nxt = (d.unionByName(stepped)
+        nxt = (frontier.join(sym, frontier["node"] == sym["src"])
+               .select(frontier["src"].alias("src"),
+                       F.col("dst").alias("node"),
+                       (F.col("dist") + 1).alias("dist"))
                .groupBy("src", "node").agg(F.min("dist").alias("dist"))
-               .persist())
-        nxt.count()
-        if prev is not None:
-            prev.unpersist()
-        prev, d = nxt, nxt
+               .join(labeled, ["src", "node"], "left_anti")
+               .localCheckpoint(eager=True))
+        if nxt.isEmpty():
+            break
+        labeled = labeled.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    d = labeled
     per = (d.filter(F.col("src") != F.col("node"))
            .groupBy("node")
            .agg(F.count("*").cast("bigint").alias("n_reached"),
