@@ -884,3 +884,33 @@ def test_round5_heavy_iterative_plans_are_clean(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "BatchEvalPython" not in plan, name
+
+
+# Every Window.orderBy WITHOUT a partitionBy moves its whole input to
+# one task. The sites below are each bounded-frame BY CONSTRUCTION
+# (vocabulary-sized, post-limit top-N, or O(#partitions) __pid frames)
+# — the round-4 verdict's watchlist, frozen as an allowlist so a new
+# unbounded single-partition window fails this test instead of
+# shipping silently.
+_UNPARTITIONED_WINDOW_ALLOWLIST = {
+    "operators/textops.py": 4,      # tf/score/token top-N after caps
+    "operators/olap.py": 3,         # __pid frames + bounded step_idx
+    "operators/similarity.py": 2,   # query-bounded rank fusions
+    "operators/relations.py": 1,    # dimension-sized id numbering
+}
+
+
+def test_unpartitioned_windows_stay_on_the_allowlist():
+    import pathlib
+
+    root = pathlib.Path(
+        "cspirit_ontology_information_extraction_opus4plan_spark")
+    found = {}
+    for path in root.rglob("*.py"):
+        n = sum(1 for line in path.read_text().splitlines()
+                if "Window.orderBy" in line
+                and not line.lstrip().startswith("#")
+                and "`" not in line)  # prose mentions in docstrings
+        if n:
+            found[str(path.relative_to(root))] = n
+    assert found == _UNPARTITIONED_WINDOW_ALLOWLIST, found
