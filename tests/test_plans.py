@@ -524,14 +524,18 @@ def test_harmonic_and_weighted_paths_pure_jvm_equi_joins(spark, sf_dir):
     min — no Python stage, no nested-loop/cartesian join, and the
     per-round aggregate is partial (map-side combine) so hub fan-out
     streams through it."""
-    for q in (api.q_kg_closeness_centrality, api.q_kg_weighted_paths):
+    # closeness's per-round min now executes inside eager frontier
+    # checkpoints (round-5 rewrite), so the final visible plan carries
+    # the harmonic-sum aggregate instead — still two-phase partial;
+    # weighted_paths keeps its min in the visible plan
+    for q, marker in ((api.q_kg_closeness_centrality, "partial_"),
+                      (api.q_kg_weighted_paths, "partial_min")):
         plan = q(spark, sf_dir)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
-        # min over (src,node)/(node) must be a two-phase hash aggregate
-        assert "partial_min" in plan
+        assert marker in plan
 
 
 def test_neighbor_sample_pruned_rank_jvm_only(spark, sf_dir):
