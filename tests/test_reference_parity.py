@@ -846,19 +846,32 @@ def _diff_modulo_fresh(got_rows, want_abstract):
 
 
 def _reference_identity_check(ref, rows):
-    """Genuine models.RDFTriple set-dedup on every fuzzed document:
-    the reference 7-tuple identity and this engine's distinct-on-7
-    must collapse the same rows."""
+    """Genuine models.RDFTriple set-dedup on every fuzzed document.
+    Documented reference quirk the fuzz surfaced: RDFTriple's
+    __post_init__ RECLASSIFIES types from the term text (models.py:
+    3841-3869 — a literal whose text parses as a URI or starts "_:"
+    becomes uri/bnode; a uri that fails URI validation becomes a
+    literal), so the reference identity is the engine tuple AFTER that
+    normalization. The check constructs one genuine triple per parsed
+    row, reads the normalized identity back, and pins (a) set-dedup
+    consistency under the reference's own __hash__/__eq__ and (b) that
+    the reference can only COARSEN the engine's source-true distinct
+    (normalization is a function of the tuple)."""
     seven = [(r[1], r[2], r[3], r[4], r[5], r[6], r[7]) for r in rows]
-    triples = {ref.models.RDFTriple(
+    per_row = [ref.models.RDFTriple(
         subject=s, predicate=p, object=o, subject_type=st_,
         object_type=ot, object_datatype=dt, object_language=lg)
-        for s, p, o, st_, ot, dt, lg in seven}
-    assert len(triples) == len(set(seven))
+        for s, p, o, st_, ot, dt, lg in seven]
+    norm = [(t.subject, t.predicate, t.object, t.subject_type,
+             t.object_type, t.object_datatype, t.object_language)
+            for t in per_row]
+    triples = set(per_row)
+    assert len(triples) == len(set(norm))
     back = {(t.subject, t.predicate, t.object, t.subject_type,
              t.object_type, t.object_datatype, t.object_language)
             for t in triples}
-    assert back == set(seven)
+    assert back == set(norm)
+    assert len(set(seven)) >= len(set(norm))
 
 
 if _HYP:
@@ -889,4 +902,105 @@ if _HYP:
         rows = RF.parse_rdfxml_text("D1", text)
         ok, why = _diff_modulo_fresh(rows, want)
         assert ok, (text, why)
+        _reference_identity_check(ref, rows)
+
+
+def _nq_escape(s: str) -> str:
+    return (s.replace("\\", "\\\\").replace('"', '\\"')
+            .replace("\n", "\\n").replace("\t", "\\t"))
+
+
+def _quad_term_nq(t) -> str:
+    if t[0] == "uri":
+        return f"<{t[1]}>"
+    if t[0] == "bnode":
+        return f"_:{t[1]}"
+    _, text, lang, dt = t
+    body = '"' + _nq_escape(text) + '"'
+    if lang:
+        return f"{body}@{lang}"
+    if dt:
+        return f"{body}^^<{dt}>"
+    return body
+
+
+def _quad_expected(rows):
+    return {(r[1], r[4], r[2], r[3], r[5], r[6], r[7], r[8])
+            for r in rows}
+
+
+_graph_label = hst.one_of(
+    hst.just(None),
+    hst.sampled_from([f"{_FZ}q{i}" for i in range(3)]).map(
+        lambda u: ("uri", u)),
+    hst.sampled_from(["qb0", "qb1"]).map(lambda b: ("bnode", b)))
+_quads = hst.lists(hst.tuples(_subj, _pred, _obj_xml, _graph_label),
+                   min_size=1, max_size=7)
+
+if _HYP:
+    @settings(max_examples=60, deadline=None, derandomize=True)
+    @given(quads=_quads)
+    def test_nquads_grammar_fuzz(ref, quads):
+        """N-Quads: escape-heavy literals, bnode subjects, optional
+        uri/bnode graph terms — parsed 9-tuples must equal generator
+        ground truth exactly (labeled bnodes skolemize
+        deterministically, lang tags lowercase)."""
+        from cspirit_ontology_information_extraction_opus4plan_spark.operators import (  # noqa: E501
+            rdf_full as RF,
+        )
+        lines = []
+        want = set()
+        for s, p, o, g in quads:
+            parts = [_quad_term_nq(s), f"<{p}>", _quad_term_nq(o)]
+            if g is not None:
+                parts.append(_quad_term_nq(g))
+            lines.append(" ".join(parts) + " .")
+            ge = None if g is None else _expected(g)[0]
+            se, oe = _expected(s), _expected(o)
+            want.add((se[0], se[1], p, oe[0], oe[1], oe[2], oe[3], ge))
+        rows = RF.parse_nquads_text("D1", "\n".join(lines) + "\n")
+        assert _quad_expected(rows) == want
+        _reference_identity_check(ref, rows)
+
+    @settings(max_examples=60, deadline=None, derandomize=True)
+    @given(default=_triples_xml,
+           blocks=hst.lists(
+               hst.tuples(_graph_label.filter(lambda g: g is not None),
+                          _triples_xml),
+               min_size=1, max_size=2),
+           seed=hst.integers(0, 2**31 - 1))
+    def test_trig_grammar_fuzz(ref, default, blocks, seed):
+        """TriG: default-graph statements + labeled/bnode graph blocks
+        (brace and GRAPH-keyword forms) over the full Turtle term
+        grammar; the graph column must track block membership."""
+        import random
+
+        from cspirit_ontology_information_extraction_opus4plan_spark.operators import (  # noqa: E501
+            rdf_full as RF,
+        )
+        rnd = random.Random(seed)
+        lines = ["@prefix ex: <urn:fz#> .",
+                 "@prefix xsd: <http://www.w3.org/2001/XMLSchema#> ."]
+        want = set()
+
+        def add(s, p, o, ge):
+            se, oe = _expected(s), _expected(o)
+            want.add((se[0], se[1], p, oe[0], oe[1], oe[2], oe[3], ge))
+
+        for s, p, o in default:
+            lines.append(f"{_ttl_term(s, rnd)} {_ttl_pred(p, rnd)} "
+                         f"{_ttl_term(o, rnd)} .")
+            add(s, p, o, None)
+        for g, triples in blocks:
+            glabel = (f"<{g[1]}>" if g[0] == "uri" else f"_:{g[1]}")
+            kw = "GRAPH " if rnd.random() < 0.5 else ""
+            lines.append(f"{kw}{glabel} {{")
+            for s, p, o in triples:
+                lines.append(f"  {_ttl_term(s, rnd)} "
+                             f"{_ttl_pred(p, rnd)} "
+                             f"{_ttl_term(o, rnd)} .")
+                add(s, p, o, _expected(g)[0])
+            lines.append("}")
+        rows = RF.parse_trig_text("D1", "\n".join(lines) + "\n")
+        assert _quad_expected(rows) == want
         _reference_identity_check(ref, rows)
