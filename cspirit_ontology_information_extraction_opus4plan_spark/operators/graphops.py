@@ -1108,10 +1108,20 @@ def kg_entailment_delta(old: DataFrame, delta: DataFrame,
                         F.col("subject").alias("object")))
         return base.distinct()
 
-    def _close(base: DataFrame, seed: DataFrame, what: str) -> DataFrame:
+    def _close(seed: DataFrame, what: str) -> DataFrame:
+        # DOUBLING closure (frontier composed with the accumulated set
+        # on both sides — O(log diameter) rounds), the same
+        # pointer-jumping scheme kg_entailment uses: the previous
+        # linear frontier∘seed recurrence needed O(diameter) rounds,
+        # which both risks the max_iter guard on deep is_a chains and
+        # dominated this query's bench wall. The fixpoint set is
+        # identical — closure under composition does not depend on the
+        # iteration schedule.
         closed, frontier, done = seed, seed, False
         for _it in range(max_iter + 1):  # +1 verification round
-            nxt = (_compose(frontier, seed).distinct()
+            nxt = (_compose(frontier, closed)
+                   .unionByName(_compose(closed, frontier))
+                   .distinct()
                    .join(closed, ["subject", "object"], "left_anti")
                    .localCheckpoint(eager=True))
             if nxt.isEmpty():
@@ -1132,13 +1142,13 @@ def kg_entailment_delta(old: DataFrame, delta: DataFrame,
     for p in TRANSITIVE_PREDICATES:
         q = INVERSE_PREDICATES.get(p)
         b0 = _canon(po, p, q).persist()
-        big = _close(b0, b0, f"old {p!r}")         # B: old saturation
+        big = _close(b0, f"old {p!r}")              # B: old saturation
         d0 = _canon(pd_, p, q)
         # delta seed with old reachability attached on both ends
         right = d0.unionByName(_compose(d0, big)).distinct()
         seed = (right.unionByName(_compose(big, right)).distinct()
                 .localCheckpoint(eager=True))
-        newc = (_close(seed, seed, f"delta {p!r}")
+        newc = (_close(seed, f"delta {p!r}")
                 .join(big, ["subject", "object"], "left_anti")
                 .localCheckpoint(eager=True))
         b0.unpersist()
