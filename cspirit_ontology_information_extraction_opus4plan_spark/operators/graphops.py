@@ -1807,8 +1807,14 @@ def partition_edgecut(edges: DataFrame,
                .agg(F.count("*").alias("n"))
                .agg((F.max("n") / F.sum("n")).alias("max_share"),
                     F.count("*").cast("bigint").alias("n_parts_used")))
+        # 1-row assembly via union+max, not a singleton cross join
+        # (kg_diameter's no-cartesian discipline)
+        wide = (ecut.unionByName(bal, allowMissingColumns=True)
+                .agg(*[F.max(c).alias(c) for c in
+                       ("n_edges", "n_cut", "max_share",
+                        "n_parts_used")]))
         outs.append(
-            ecut.crossJoin(bal).select(
+            wide.select(
                 F.lit(k).cast("int").alias("k"),
                 "n_edges", "n_cut",
                 F.round(F.col("n_cut") / F.col("n_edges"), 6)
