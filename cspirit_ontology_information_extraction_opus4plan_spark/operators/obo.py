@@ -25,22 +25,47 @@ from pyspark.sql import functions as F
 
 OBO_FORMAT_VERSION = "1.2"
 
+# single-pass-equivalent escape/unescape chains (OBO 1.2 §escape
+# characters: backslash, double quote, newline). The \x00 sentinel
+# makes the regexp_replace chain order-independent — without it,
+# unescaping '\\n' would first turn it into '\n' and then a literal
+# newline.
+
+
+def _obo_escape(col):
+    out = F.regexp_replace(col, r"\\", r"\\\\")
+    out = F.regexp_replace(out, r"\n", r"\\n")
+    return F.regexp_replace(out, '"', r'\\"')
+
+
+def _obo_unescape(col):
+    out = F.regexp_replace(col, r"\\\\", "\x00")
+    out = F.regexp_replace(out, r"\\n", "\n")
+    out = F.regexp_replace(out, r'\\"', '"')
+    return F.regexp_replace(out, "\x00", "\\\\")
+
 
 def to_obo(terms: DataFrame) -> DataFrame:
     """terms -> (src_id=ontology_id, payload): one OBO document per
-    ontology with a header and one [Term] stanza per term."""
+    ontology with a header and one [Term] stanza per term. Free-text
+    values (name, definition, synonyms) are OBO-escaped so hostile
+    content — embedded quotes, backslashes, newlines — cannot break
+    the line protocol or the quoted-string framing
+    (tests/test_sinks.py round-trips a hostile battery)."""
     syn_lines = F.array_join(
         F.transform("synonyms",
-                    lambda s: F.concat(F.lit('\nsynonym: "'), s,
+                    lambda s: F.concat(F.lit('\nsynonym: "'),
+                                       _obo_escape(s),
                                        F.lit('" EXACT []'))), "")
     parent = F.try_element_at("parents", F.lit(1))
     alt1 = F.try_element_at("alt_ids", F.lit(1))
     xref1 = F.try_element_at("xrefs", F.lit(1))
     stanza = F.concat(
         F.lit("[Term]\nid: "), F.col("id"),
-        F.lit("\nname: "), F.col("name"),
+        F.lit("\nname: "), _obo_escape(F.col("name")),
         F.lit('\nnamespace: '), F.col("namespace"),
-        F.lit('\ndef: "'), F.col("definition"), F.lit('" []'),
+        F.lit('\ndef: "'), _obo_escape(F.col("definition")),
+        F.lit('" []'),
         syn_lines,
         F.when(alt1.isNotNull(),
                F.concat(F.lit("\nalt_id: "), alt1)).otherwise(""),
@@ -101,10 +126,12 @@ def obo_terms(parsed: DataFrame) -> DataFrame:
     v = F.col("value")
     first_of = lambda t: F.max(F.when(F.col("tag") == t, v))
     return (parsed.groupBy("src_id", "term_id")
-            .agg(first_of("name").alias("name"),
+            .agg(_obo_unescape(first_of("name")).alias("name"),
                  first_of("namespace").alias("namespace"),
-                 F.max(F.when(F.col("tag") == "def",
-                              F.regexp_extract(v, r'^"(.*)" \[\]$', 1)))
+                 _obo_unescape(
+                     F.max(F.when(F.col("tag") == "def",
+                                  F.regexp_extract(v, r'^"(.*)" \[\]$',
+                                                   1))))
                  .alias("definition"),
                  F.sum((F.col("tag") == "synonym").cast("int"))
                  .cast("int").alias("n_synonyms"),

@@ -127,3 +127,35 @@ def test_owl_export_document_is_wellformed_xml(spark):
     assert len(root.findall(owl + "Class")) == terms.count()
     assert len(root.findall(owl + "ObjectProperty")) == rels.count()
     assert len(root.findall(owl + "Ontology")) == 1
+
+
+def test_obo_roundtrip_hostile_values(spark):
+    """OBO escaping (round 5): names/definitions/synonyms containing
+    quotes, backslashes, literal newlines, and adversarial sequences
+    like a literal backslash-n (which must NOT collapse into a newline
+    on the way back) survive sink -> parse -> pivot unchanged."""
+    from pyspark.sql import functions as F
+
+    from cspirit_ontology_information_extraction_opus4plan_spark.operators import (  # noqa: E501
+        gazetteer as GZ,
+        obo as OBO,
+    )
+    hostile = [
+        ('X:0001', 'quote " inside', 'def with "quoted" part'),
+        ('X:0002', 'back\\slash', 'ends with backslash \\'),
+        ('X:0003', 'multi\nline name', 'def\nwith\nnewlines'),
+        ('X:0004', 'literal \\n not newline', 'mix \\" and \\\\n'),
+        ('X:0005', 'tag: colon value', '[Term] lookalike line'),
+        ('X:0006', 'plain', 'is_a: X:0001 lookalike'),
+    ]
+    rows = [(tid, name, dfn, [f'syn "{tid}"', 'a\\b\nc'],
+             'chemical', False, None, [], [], [], 'X')
+            for tid, name, dfn in hostile]
+    terms = spark.createDataFrame(rows, GZ.TERMS_SCHEMA)
+    back = {r['term_id']: r for r in OBO.obo_terms(
+        OBO.parse_obo(OBO.to_obo(terms))).collect()}
+    assert set(back) == {t[0] for t in hostile}
+    for tid, name, dfn in hostile:
+        assert back[tid]['name'] == name, tid
+        assert back[tid]['definition'] == dfn, tid
+        assert back[tid]['n_synonyms'] == 2, tid
